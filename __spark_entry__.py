@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship dashboard query; ``queries`` /
+``oracle_sql`` expose every implemented operator from SURVEY.md §2
+plus the training-data-pipeline extensions, each with a DuckDB oracle
+unless the op is non-SQL-expressible (SimHash — rows-only by design,
+see plans/extensions.py).
 """
 
 from __future__ import annotations
@@ -12,27 +12,54 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloud_based_bi_etl_automation_for_real_estate_company_spark.plans import (
+    extensions,
+    measures,
+    scalars,
+)
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (SURVEY.md §7 step 2): the manager-dashboard
+    monthly funnel — events deduped by id, funnel stage counts and
+    conversion ratios per month (A1 + A4 + A10 in one plan)."""
+    ev = measures.t(spark, SMOKE_SF_DIR, "events")
+    deduped = ev.dropDuplicates(["event_id"])
+    monthly = (
+        deduped.groupBy(F.date_trunc("month", "ts").alias("month_start"))
+        .agg(
+            F.countDistinct("user_id").alias("n_leads"),
+            F.count(F.when(F.col("event_type") == "signup", 1)).alias("n_signup"),
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("n_view"),
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchase"),
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))).alias(
+                "purchase_amount"
+            ),
+        )
+    )
+    return monthly.select(
+        "*",
+        F.try_divide(F.col("n_purchase"), F.col("n_click")).alias("purchase_vs_click"),
+        F.try_divide(F.col("n_click"), F.col("n_view")).alias("click_vs_view"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(measures.QUERIES)
+    out.update(scalars.QUERIES)
+    out.update(extensions.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    out.update(measures.ORACLES)
+    out.update(scalars.ORACLES)
+    out.update(extensions.ORACLES)
+    return out

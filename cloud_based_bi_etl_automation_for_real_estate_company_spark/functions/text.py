@@ -1,0 +1,90 @@
+"""Text-analysis column helpers for the training-data-pipeline extension.
+
+All pure built-in expressions (split / higher-order array functions /
+md5) — no Python UDFs — so they run inside whole-stage codegen and are
+reproducible in the DuckDB oracle with the same primitives.
+
+Tokenization contract: ``split(trim(text), ' ')`` — single-space
+splitting, identical in Spark and DuckDB (``string_split``), chosen
+over regex splitting to avoid engine-specific regex semantics in the
+correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small deterministic stopword lists per language for the language-ID
+# heuristic and quality scoring.
+STOPWORDS_EN = ("the", "a", "of", "and", "is", "to", "in")
+STOPWORDS_ES = ("el", "la", "de", "y", "es")
+STOPWORDS_FR = ("le", "la", "de", "et", "est")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens (single-space contract, see module docstring)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), " ")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("bigint")
+
+
+def _count_in(toks: Column, words: tuple[str, ...]) -> Column:
+    in_list = ", ".join(f"'{w}'" for w in words)
+    return F.size(F.filter(toks, lambda x: x.isin(*words))).cast("bigint")
+
+
+def stopword_count(col: Column | str, words: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    return _count_in(tokens(col), words)
+
+
+def stopword_ratio(col: Column | str, words: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    return F.try_divide(stopword_count(col, words), token_count(col))
+
+
+def avg_token_len(col: Column | str) -> Column:
+    """Mean token length = (chars - spaces) / tokens, computed
+    arithmetically so the oracle can reproduce it exactly."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    n_tok = token_count(col)
+    n_nonspace = F.length(trimmed) - (n_tok - F.lit(1))
+    return F.try_divide(n_nonspace.cast("double"), n_tok)
+
+
+def lang_id(col: Column | str) -> Column:
+    """Deterministic n-gram/stopword language-ID heuristic: argmax of
+    per-language stopword hits with a fixed tie order (en > es > fr).
+    """
+    toks = tokens(col)
+    s_en = _count_in(toks, STOPWORDS_EN)
+    s_es = _count_in(toks, STOPWORDS_ES)
+    s_fr = _count_in(toks, STOPWORDS_FR)
+    return (
+        F.when((s_en >= s_es) & (s_en >= s_fr), F.lit("en"))
+        .when(s_es >= s_fr, F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted token
+    bag. Two documents that are word-permutations of each other collide
+    — the canonical "fingerprinting" near-dup key.
+    """
+    return F.md5(F.array_join(F.array_sort(tokens(col)), " "))
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Word k-gram shingles as an array<string>; [] when < k tokens."""
+    toks = tokens(col)
+    return F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

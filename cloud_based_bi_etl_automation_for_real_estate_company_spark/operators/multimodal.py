@@ -1,0 +1,101 @@
+"""Multimodal (binary) column plumbing — image/audio/video as opaque
+``binary`` columns with typed metadata, processed in Arrow batches via
+``mapInPandas``.
+
+The actual media decode is STUBBED (no image/audio libs in this
+container): ``fake_decode_meta`` derives deterministic metadata from
+the byte content so the Spark-side plumbing — schema, batch iteration,
+partitioning — is real and testable, and the arithmetic is replayable
+in a SQL oracle. Swap ``_decode_one`` for a real decoder (PIL/ffmpeg)
+in production; the mapInPandas contract is unchanged.
+
+Scale notes: binary payloads ride in Arrow record batches; keep
+``spark.sql.execution.arrow.maxRecordsPerBatch`` sized so a batch of
+blobs fits executor memory (e.g. 1k × 1 MB blobs = 1 GB — lower it for
+media). Partitioning: repartition by a content-hash prefix before
+decode to spread large blobs evenly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DECODE_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("format", StringType()),
+    ]
+)
+
+
+def _decode_one(blob: bytes) -> tuple[int, int, int, str]:
+    """STUB decoder: deterministic fake metadata from byte length.
+    A real implementation would parse the container header here."""
+    n = len(blob)
+    width = 320 + (n % 320)
+    height = 240 + (n % 240)
+    fmt = "png" if n % 2 == 0 else "jpeg"
+    return n, width, height, fmt
+
+
+def decode_metadata(df: DataFrame, blob_col: str = "blob",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched metadata extraction over a binary column."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [_decode_one(b) for b in pdf[blob_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "n_bytes": [m[0] for m in metas],
+                    "width": [m[1] for m in metas],
+                    "height": [m[2] for m in metas],
+                    "format": [m[3] for m in metas],
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(run, DECODE_META_SCHEMA)
+
+
+def frame_sample_stub(df: DataFrame, blob_col: str = "blob",
+                      id_col: str = "doc_id", every_n: int = 10) -> DataFrame:
+    """STUB video frame sampler: emits (doc_id, frame_idx) rows for a
+    fake frame count derived from byte length; the mapInPandas 1→N
+    row-explosion shape is the real contract a decoder would use."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs = [], []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                n_frames = max(1, len(blob) // 100)
+                for i in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs})
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("frame_idx", IntegerType())]
+    )
+    return df.select(id_col, blob_col).mapInPandas(run, schema)
+
+
+def with_blob(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Materialize a binary column from text (utf-8) — the fixture
+    stand-in for real media bytes."""
+    return df.withColumn("blob", F.encode(F.col(text_col), "utf-8"))

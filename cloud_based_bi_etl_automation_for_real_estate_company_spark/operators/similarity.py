@@ -1,0 +1,120 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two strategies:
+
+- **brute-force top-k** (the exactness baseline): broadcast the (small)
+  query set against the base table, cosine via JVM higher-order
+  functions, per-query top-k via a window over (sim desc, id). The
+  base table never shuffles — only the tiny query side moves. At
+  100 TB this is a single scan + broadcast + per-partition partial
+  top-k (AQE keeps the window cheap because the partition key is the
+  low-cardinality query id; for very large k-lists switch to
+  ``RankLimit`` pushdown which Spark applies to rn<=k filters).
+- **sign-bucketed ANN** (the scale path): both sides bucketed by the
+  sign pattern of leading dimensions (a deterministic random-hyperplane
+  LSH with axis-aligned planes); candidates only join within a bucket,
+  so the pair space shrinks ~2^bits with recall traded off. The same
+  arithmetic is replayable in the SQL oracle.
+
+Similarities accumulate in double and are rounded to 6 dp at the edge
+so Spark and the oracle emit bit-identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double, cosine, sign_bucket
+
+
+def _sim(qcol: str, bcol: str):
+    return F.round(cosine(as_double(qcol), as_double(bcol)), 6)
+
+
+def brute_force_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query. Returns (q_id, vec_id, sim, rnk)."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb")
+    )
+    b = base.select(F.col(id_col), F.col(vec_col))
+    scored = (
+        b.join(F.broadcast(q), F.col(id_col) != F.col("q_id"))
+        .select(
+            "q_id",
+            id_col,
+            _sim("q_emb", vec_col).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def bucketed_ann_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 4,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign
+    bucket. Same output shape as brute_force_topk; recall < 1 by design.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_emb"),
+        sign_bucket(vec_col, bits).alias("q_bucket"),
+    )
+    b = base.select(
+        F.col(id_col), F.col(vec_col), sign_bucket(vec_col, bits).alias("bucket")
+    )
+    scored = (
+        b.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("q_bucket")) & (F.col(id_col) != F.col("q_id")),
+        )
+        .select("q_id", id_col, _sim("q_emb", vec_col).alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def embedding_near_dup_pairs(
+    base: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via the bucketed join
+    (all-pairs only within a sign bucket). Returns (id_a, id_b, sim).
+    """
+    withb = base.select(
+        F.col(id_col), F.col(vec_col), sign_bucket(vec_col, bits).alias("bucket")
+    )
+    a = withb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("emb_a"), "bucket"
+    )
+    b = withb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("emb_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    return (
+        a.join(b, (F.col("bucket") == F.col("bucket_b"))
+               & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", _sim("emb_a", "emb_b").alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )

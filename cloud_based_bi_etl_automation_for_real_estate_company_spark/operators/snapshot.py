@@ -1,0 +1,58 @@
+"""A7/W1 — upsert & snapshot semantics as pure-Spark window rewrites.
+
+The reference maintains "current state" two ways: SQLite
+``INSERT OR REPLACE`` keyed on lead id
+(reference Lead_Ingestion_CRM_SQLite.py:141–148) and a complete event
+history from which current state is derivable
+(reference README.md:93). With plain Parquet (no MERGE), the idiomatic
+Spark equivalent is the latest-per-key window — one shuffle on the key,
+fully distributed, no driver collect. At 100 TB the shuffle is on the
+natural entity key (high cardinality → even partitions); AQE handles
+stragglers from hot keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+) -> DataFrame:
+    """Keep the most-recent row per key. ``order_by`` columns sort
+    descending, first-listed most significant; include a unique id last
+    for determinism under timestamp ties.
+    """
+    w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in order_by])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def upsert_merge(
+    current: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+) -> DataFrame:
+    """Batch upsert = union + latest-per-key (U2 merge of backfill with
+    live stream, reference README.md:149). Last write wins, like
+    INSERT OR REPLACE.
+    """
+    return latest_per_key(current.unionByName(updates), keys, order_by)
+
+
+def dedup_by_id(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """S8 — idempotent-insert semantics: first-writer-wins by id
+    (ON CONFLICT (id) DO NOTHING, reference webhook_app.py:48,83,112,138).
+    ``dropDuplicates`` keeps an arbitrary row — correct here because
+    retried webhook deliveries carry identical payloads.
+    """
+    return df.dropDuplicates([id_col])

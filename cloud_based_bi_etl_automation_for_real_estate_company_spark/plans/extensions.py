@@ -1,0 +1,310 @@
+"""Training-data-pipeline extension queries over the `documents` and
+`embeddings` fixtures: dedup family, text analysis, similarity search,
+multimodal plumbing.
+
+Same contract as plans.measures: ``q_*`` functions (spark, sf_dir) →
+DataFrame, ORACLES maps names → DuckDB SQL with identical column
+names/types. Sketch operators whose hash family can't be replayed in
+ANSI SQL (SimHash bit votes, frame sampling) are registered without an
+oracle — the driver records a rows-only check for those, by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from .measures import t
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+def q_x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content digest (hash-groupBy; uniform shuffle key)."""
+    return D.exact_dedup(t(spark, sf_dir, "documents"))
+
+
+def q_x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (md5 hash family → SQL-replayable)."""
+    return D.minhash_lsh_pairs(t(spark, sf_dir, "documents"))
+
+
+def q_x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (rows-only check: bit-vote aggregation has
+    no clean ANSI-SQL equivalent; verified instead by tests/test_dedup.py
+    against a pure-Python reference implementation)."""
+    return D.simhash(t(spark, sf_dir, "documents"))
+
+
+def q_x_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (the sketch baseline)."""
+    return D.ngram_jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.2)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring per document."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_calc"),
+        T.token_count("text").alias("n_tokens"),
+        T.avg_token_len("text").alias("avg_token_len"),
+        T.stopword_count("text").alias("n_stopwords"),
+        T.stopword_ratio("text").alias("stopword_ratio"),
+    )
+
+
+def q_x_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic + agreement count vs the labeled lang."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "lang", T.lang_id("text").alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: sorted-token-bag md5 → dup groups."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", T.fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_x_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id < 5."""
+    e = t(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=5)
+
+
+def q_x_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bucketed approximate top-5 (the 2^bits-pruned scale path)."""
+    e = t(spark, sf_dir, "embeddings")
+    return S.bucketed_ann_topk(e, e.filter(F.col("vec_id") < 5), k=5)
+
+
+def q_x_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (sim ≥ 0.95) within sign buckets."""
+    e = t(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_pairs(e, threshold=0.95)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def q_x_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode metadata via mapInPandas (stub decoder with
+    deterministic arithmetic — oracle replays it from octet_length)."""
+    d = M.with_blob(t(spark, sf_dir, "documents"))
+    return M.decode_metadata(d)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_STOP_EN = ", ".join(f"'{w}'" for w in T.STOPWORDS_EN)
+_STOP_ES = ", ".join(f"'{w}'" for w in T.STOPWORDS_ES)
+_STOP_FR = ", ".join(f"'{w}'" for w in T.STOPWORDS_FR)
+
+# Word-3-gram shingles in DuckDB: tokens t, shingle i = t[i:i+2] (1-based
+# inclusive slice) for i in range(1, len-1) — matches functions.text.shingles.
+_SHINGLES_CTE = """
+    shingled AS (
+        SELECT doc_id, UNNEST(list_distinct(CASE WHEN len(toks) >= 3
+            THEN list_transform(range(1, len(toks) - 1),
+                                i -> array_to_string(toks[i:i+2], ' '))
+            ELSE [] END)) AS sh
+        FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
+    )
+"""
+
+ORACLES: dict[str, str] = {
+    "x_dedup_exact": """
+        SELECT md5(text) AS content_hash,
+               MIN(doc_id) AS keep_id,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY 1
+    """,
+    "x_dedup_minhash_lsh": f"""
+        WITH {_SHINGLES_CTE},
+        sig AS (
+            SELECT doc_id,
+                   MIN(md5('0|' || sh)) AS mh_0, MIN(md5('1|' || sh)) AS mh_1,
+                   MIN(md5('2|' || sh)) AS mh_2, MIN(md5('3|' || sh)) AS mh_3,
+                   MIN(md5('4|' || sh)) AS mh_4, MIN(md5('5|' || sh)) AS mh_5,
+                   MIN(md5('6|' || sh)) AS mh_6, MIN(md5('7|' || sh)) AS mh_7
+            FROM shingled GROUP BY doc_id),
+        banded AS (
+            SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS key FROM sig
+            UNION ALL
+            SELECT doc_id, 1, md5(mh_2 || '|' || mh_3) FROM sig
+            UNION ALL
+            SELECT doc_id, 2, md5(mh_4 || '|' || mh_5) FROM sig
+            UNION ALL
+            SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM sig)
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    """,
+    "x_ngram_jaccard": f"""
+        WITH {_SHINGLES_CTE},
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+            FROM shingled a JOIN shingled b
+              ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT i.id_a, i.id_b,
+               CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common) >= 0.2
+    """,
+    "x_text_stats": f"""
+        WITH tok AS (
+            SELECT doc_id, text, string_split(trim(text), ' ') AS toks
+            FROM documents)
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_calc,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CASE WHEN len(toks) = 0 THEN NULL
+                    ELSE CAST(length(trim(text)) - (len(toks) - 1) AS DOUBLE) / len(toks)
+               END AS avg_token_len,
+               CAST(len(list_filter(toks, x -> x IN ({_STOP_EN}))) AS BIGINT) AS n_stopwords,
+               CASE WHEN len(toks) = 0 THEN NULL
+                    ELSE CAST(len(list_filter(toks, x -> x IN ({_STOP_EN}))) AS DOUBLE) / len(toks)
+               END AS stopword_ratio
+        FROM tok
+    """,
+    "x_lang_id": f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   len(list_filter(toks, x -> x IN ({_STOP_EN}))) AS s_en,
+                   len(list_filter(toks, x -> x IN ({_STOP_ES}))) AS s_es,
+                   len(list_filter(toks, x -> x IN ({_STOP_FR}))) AS s_fr
+            FROM (SELECT doc_id, lang, string_split(trim(text), ' ') AS toks
+                  FROM documents)),
+        pred AS (
+            SELECT doc_id, lang,
+                   CASE WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                        WHEN s_es >= s_fr THEN 'es'
+                        ELSE 'fr' END AS pred_lang
+            FROM scored)
+        SELECT lang, pred_lang, COUNT(*) AS n_docs
+        FROM pred GROUP BY 1, 2
+    """,
+    "x_fingerprint": """
+        SELECT md5(array_to_string(list_sort(string_split(trim(text), ' ')), ' ')) AS fp,
+               MIN(doc_id) AS keep_id,
+               COUNT(*) AS n_docs
+        FROM documents GROUP BY 1
+    """,
+    "x_ann_bruteforce": """
+        WITH q AS (
+            SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+            FROM embeddings WHERE vec_id < 5),
+        scored AS (
+            SELECT q.q_id, b.vec_id,
+                   ROUND(list_dot_product(q.q_emb, b.embedding::DOUBLE[])
+                         / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                            * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                                    b.embedding::DOUBLE[]))), 6) AS sim
+            FROM embeddings b CROSS JOIN q
+            WHERE b.vec_id <> q.q_id),
+        ranked AS (
+            SELECT q_id, vec_id, sim,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rnk
+            FROM scored)
+        SELECT q_id, vec_id, sim, rnk FROM ranked WHERE rnk <= 5
+    """,
+    "x_ann_bucketed": """
+        WITH withb AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb,
+                   CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+                      + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+                      + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS INT) AS bucket
+            FROM embeddings),
+        q AS (SELECT vec_id AS q_id, emb AS q_emb, bucket AS q_bucket
+              FROM withb WHERE vec_id < 5),
+        scored AS (
+            SELECT q.q_id, b.vec_id,
+                   ROUND(list_dot_product(q.q_emb, b.emb)
+                         / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                            * sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
+            FROM withb b JOIN q
+              ON b.bucket = q.q_bucket AND b.vec_id <> q.q_id),
+        ranked AS (
+            SELECT q_id, vec_id, sim,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rnk
+            FROM scored)
+        SELECT q_id, vec_id, sim, rnk FROM ranked WHERE rnk <= 5
+    """,
+    "x_embed_near_dup": """
+        WITH withb AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb,
+                   CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+                      + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+                      + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS INT) AS bucket
+            FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_dot_product(a.emb, b.emb)
+                     / (sqrt(list_dot_product(a.emb, a.emb))
+                        * sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
+        FROM withb a JOIN withb b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE ROUND(list_dot_product(a.emb, b.emb)
+              / (sqrt(list_dot_product(a.emb, a.emb))
+                 * sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.95
+    """,
+    "x_multimodal_meta": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(320 + octet_length(encode(text)) % 320 AS INT) AS width,
+               CAST(240 + octet_length(encode(text)) % 240 AS INT) AS height,
+               CASE WHEN octet_length(encode(text)) % 2 = 0
+                    THEN 'png' ELSE 'jpeg' END AS format
+        FROM documents
+    """,
+}
+
+QUERIES = {
+    "x_dedup_exact": q_x_dedup_exact,
+    "x_dedup_minhash_lsh": q_x_dedup_minhash_lsh,
+    "x_dedup_simhash": q_x_dedup_simhash,
+    "x_ngram_jaccard": q_x_ngram_jaccard,
+    "x_text_stats": q_x_text_stats,
+    "x_lang_id": q_x_lang_id,
+    "x_fingerprint": q_x_fingerprint,
+    "x_ann_bruteforce": q_x_ann_bruteforce,
+    "x_ann_bucketed": q_x_ann_bucketed,
+    "x_embed_near_dup": q_x_embed_near_dup,
+    "x_multimodal_meta": q_x_multimodal_meta,
+}

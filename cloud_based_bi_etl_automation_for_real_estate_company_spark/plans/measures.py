@@ -1,0 +1,660 @@
+"""The BI measure library — SURVEY.md §2.3 A1–A16, §2.4 J1–J5, §2.5 U1–U2,
+§2.6 W1–W3 — re-expressed as idiomatic Spark DataFrame plans over the
+driver fixture tables (mapping per FIXTURES.md §2: orders≈leads,
+o_orderstatus≈pipeline step, o_totalprice≈amount, customer≈agent/asesor,
+events≈step_changed event log).
+
+Every public ``q_*`` function has signature ``(spark, sf_dir) -> DataFrame``
+and a matching DuckDB oracle in ``ORACLES`` (same column names & types —
+the driver hash-compares them). Conventions for oracle parity:
+
+- every computed column is explicitly aliased identically on both sides;
+- counts/ranks cast to BIGINT on both sides (Spark rank() is int,
+  DuckDB's is bigint);
+- NULL-safe division via ``try_divide`` ↔ ``CASE WHEN den=0 THEN NULL``;
+- status vocabulary: 'O' (open/ingresado) → 'P' (in process/autorizado)
+  → 'F' (signed/firmado), mirroring the reference funnel
+  (reference README.md:528; manager_example.png).
+
+Scale notes (100 TB): aggregations are single-shuffle hash aggs with
+map-side partial aggregation; dimension joins (customer 1.5M rows at
+SF100 ≪ facts) broadcast; the one window op that must see all rows per
+key (W1 latest-per-key) partitions by the key so it shuffles once and
+never collects.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.transforms import ratio
+from .calendar import calendar_dim
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table (lazy parquet scan; columns pruned per-plan).
+
+    events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    parquet reader rejects; read nanos as long (legacy conf, runtime
+    settable) and convert to TimestampType by integer-dividing to
+    micros — same floor-truncation DuckDB applies casting ns→us, so
+    oracle values agree exactly.
+    """
+    # Pin session tz so timestamp bucketing (year/month/date_trunc) is
+    # identical to the (tz-naive) DuckDB oracle regardless of host tz.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Aggregations — the dashboard measures
+# ---------------------------------------------------------------------------
+
+
+def q_a1_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — funnel stage counts (manager_example.png EMBUDO DE VENTAS;
+    reference README.md:528). Stage ≈ event_type; leads ≈ distinct users.
+    Single hash-agg shuffle on a low-cardinality key."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_leads"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def q_a2_total_amount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — TOTAL MONTO COLOCADO: SUM(amount) over signed deals
+    (manager_example.png VENTAS; status 'F' ≈ Firmados)."""
+    o = t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderstatus") == "F").agg(
+        F.sum("o_totalprice").alias("total_amount"),
+        F.count(F.lit(1)).alias("n_signed"),
+    )
+
+
+def q_a3_avg_ticket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — TICKET PROMEDIO: AVG(amount) of signed deals
+    (manager_example.png / seller_example.png; README.md:520)."""
+    o = t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderstatus") == "F").agg(
+        F.avg("o_totalprice").alias("avg_ticket")
+    )
+
+
+def q_a4_conversion_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — ratio-of-measures conversion rates (manager MÉTRICAS panel,
+    e.g. FIRMADOS VS INGRESADOS; README.md:534). Conditional counts in
+    one pass, NULL-safe division."""
+    o = t(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_approved"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_signed"),
+    )
+    return agg.select(
+        "n_open",
+        "n_approved",
+        "n_signed",
+        ratio(F.col("n_signed"), F.col("n_open")).alias("signed_vs_open"),
+        ratio(F.col("n_approved"), F.col("n_open")).alias("approved_vs_open"),
+        ratio(F.col("n_signed"), F.col("n_approved")).alias("signed_vs_approved"),
+    )
+
+
+def _goals(spark: SparkSession) -> DataFrame:
+    """A5/J2 — goal dimension (stand-in for the reference's calculated
+    goal tables `oficina_a_Meta_Anual` / `Meta_Mensual_Asesores`,
+    README.md:519). Tiny literal dim → broadcast join."""
+    rows = [
+        ("AUTOMOBILE", 4_000_000.0),
+        ("BUILDING", 6_000_000.0),
+        ("FURNITURE", 5_000_000.0),
+        ("HOUSEHOLD", 4_500_000.0),
+        ("MACHINERY", 5_500_000.0),
+    ]
+    return spark.createDataFrame(rows, "segment string, goal double")
+
+
+def q_a5_goal_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/J2 — META gauges: SUM(amount) ÷ goal per office-segment
+    (manager/seller gauges; README.md:519–520). Fact agg first, then
+    broadcast join against the tiny goal dim."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    placed = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+              o.o_custkey == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.sum("o_totalprice").alias("placed_amount"))
+    )
+    g = _goals(spark)
+    return (
+        placed.join(F.broadcast(g), "segment", "left")
+        .select(
+            "segment",
+            "placed_amount",
+            F.col("goal"),
+            ratio(F.col("placed_amount"), F.col("goal")).alias("goal_progress"),
+        )
+    )
+
+
+def q_a6_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/W2 — RANKING MONTO FIRMADO: per-agent signed amount, rank,
+    top 10 (manager_example.png ranking table; README.md:528).
+    Deterministic tiebreak on the agent key."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    per_agent = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("total_signed"))
+        .join(F.broadcast(c.select("c_custkey", "c_name")),
+              F.col("o_custkey") == F.col("c_custkey"))
+    )
+    w = Window.orderBy(F.desc("total_signed"), F.asc("c_custkey"))
+    return (
+        per_agent.select(
+            "c_custkey",
+            "c_name",
+            "total_signed",
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 10)
+    )
+
+
+def q_a7_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/W1 — latest-state-per-key: current lead state from the event
+    log, emulating INSERT OR REPLACE (Lead_Ingestion_CRM_SQLite.py:
+    141–148; README.md:93). The load-bearing window op: one shuffle on
+    the key, no collect."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "ts", "value")
+    )
+
+
+def q_a8_rollup_agent_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — seller table: per-segment measure grid + Total row
+    (seller_example.png bottom table; manager DESEMPEÑO AGENTES).
+    ROLLUP with grouping() → 'Total' label for oracle parity."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    joined = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == F.col("c_custkey"),
+    )
+    return (
+        joined.rollup("c_mktsegment")
+        .agg(
+            F.grouping("c_mktsegment").alias("__g"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))).alias("placed_amount"),
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+            F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_approved"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_signed"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .select(
+            F.when(F.col("__g") == 1, F.lit("Total"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("segment"),
+            "placed_amount",
+            "n_open",
+            "n_approved",
+            "n_signed",
+            "n_total",
+            ratio(F.col("n_signed"), F.col("n_open")).alias("signed_vs_open"),
+        )
+    )
+
+
+def q_a9_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/W3 — DISTRIBUCIÓN PORCENTUAL pie: share of each bank(≈brand)
+    (manager_example.png). Percent-of-total via unpartitioned window
+    over the *aggregated* (tiny) frame — the window never sees raw rows."""
+    p = t(spark, sf_dir, "part")
+    per_brand = p.groupBy("p_brand").agg(F.sum("p_retailprice").alias("brand_amount"))
+    w = Window.partitionBy()
+    return per_brand.select(
+        "p_brand",
+        "brand_amount",
+        (F.col("brand_amount") / F.sum("brand_amount").over(w)).alias("pct_of_total"),
+    )
+
+
+def q_a10_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — monthly trend, month × status stacked bar
+    (manager_example.png; README.md:33). date_trunc keeps grouping
+    JVM-side; single hash agg."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.trunc(F.col("o_orderdate"), "month").alias("month_start"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("amount"),
+        )
+    )
+
+
+def q_a11_origin_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 — ORIGEN DE CLIENTES grouped counts (manager_example.png)."""
+    c = t(spark, sf_dir, "customer")
+    return c.groupBy(F.col("c_mktsegment").alias("origin")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.avg("c_acctbal").alias("avg_balance"),
+    )
+
+
+def q_a12_agent_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 — per-agent grouped measures incl. zero/(En blanco) groups
+    (seller_example.png): left join keeps agents with no orders, whose
+    measures must surface as 0-count/NULL-sum like Power BI's blank."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.col("o_orderkey")).alias("n_orders"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_signed"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))).alias("placed_amount"),
+        )
+    )
+
+
+def q_a13_detail_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 — TABLA DE REGISTROS DETALLADOS: sorted detail page
+    (manager_example.png). Deterministic order + limit → stable page."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c.select("c_custkey", "c_name", "c_mktsegment")),
+               o.o_custkey == F.col("c_custkey"))
+        .select(
+            "o_orderkey",
+            "c_name",
+            "c_mktsegment",
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("amount"),
+            F.col("o_orderdate").alias("created_at"),
+        )
+        .orderBy(F.desc("created_at"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+def q_a14_slicer_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 — slicer predicates: MES/AÑO/segment filters applied before
+    every visual (README.md:528). Predicates fold into the parquet scan
+    (PushedFilters) — the pruning the slicers imply is free."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.filter(
+            (F.year("o_orderdate") == 1998)
+            & (F.col("o_orderstatus") != "O")
+        )
+        .join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+              o.o_custkey == F.col("c_custkey"))
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .groupBy(F.col("c_mktsegment").alias("segment"),
+                 F.month("o_orderdate").cast("int").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("amount"),
+        )
+    )
+
+
+def q_a15_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 — dynamic calendar dim generated from the fact date span
+    (reference README.md:519). JVM-side sequence+explode, no driver loop."""
+    o = t(spark, sf_dir, "orders")
+    return calendar_dim(spark, "o_orderdate", "o_orderdate", o)
+
+
+def q_a16_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 — distinct-count measures (funnel counts are per-lead even
+    though events repeat; README.md:93)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.countDistinct(F.to_date("ts")).alias("n_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 Joins / §2.5 set ops
+# ---------------------------------------------------------------------------
+
+
+def q_j1_gapless_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — fact × calendar join for gapless monthly trend: months with
+    zero orders still appear (Power BI calendar relationship,
+    README.md:519). Calendar dim is tiny → broadcast."""
+    o = t(spark, sf_dir, "orders")
+    cal = calendar_dim(spark, "o_orderdate", "o_orderdate", o)
+    months = cal.select("month_start").distinct()
+    monthly = (
+        o.groupBy(F.trunc("o_orderdate", "month").alias("month_start"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        months.join(monthly, "month_start", "left")
+        .select(
+            "month_start",
+            F.coalesce(F.col("n_orders"), F.lit(0)).cast("bigint").alias("n_orders"),
+        )
+    )
+
+
+def q_j3_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — event log × snapshot enrichment (detail-table columns come
+    from joining step events to lead attrs; README.md:95–118).
+    Dim side broadcasts; at 100 TB the fact side never shuffles."""
+    ev = t(spark, sf_dir, "events")
+    c = t(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(c.select("c_custkey", "c_name", "c_mktsegment")),
+                ev.user_id == F.col("c_custkey"), "left")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            "c_name",
+            "c_mktsegment",
+        )
+    )
+
+
+def q_j5_active_anti_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — anti-join: exclude deleted leads from active funnels
+    (webhook_app.py:101–124 lead_deleted; README.md:35). Users with an
+    'error' event stand in for deleted leads."""
+    ev = t(spark, sf_dir, "events")
+    c = t(spark, sf_dir, "customer")
+    deleted = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return (
+        c.join(deleted, c.c_custkey == deleted.user_id, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def q_u1_union_offices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — union of per-office slices for the company-wide view
+    (3 per-office tables, webhook_app.py:20; store-once-partitioned is
+    the scale answer, union shown for parity)."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    office_a = joined.filter(F.col("n_regionkey") <= 2)
+    office_b = joined.filter(F.col("n_regionkey") > 2)
+    return (
+        office_a.unionByName(office_b)
+        .groupBy(F.col("n_name").alias("office"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def q_u2_backfill_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2/S8/ST2 — merge historical backfill with the live stream then
+    dedup by event id, keeping the latest arrival (README.md:149;
+    ON CONFLICT DO NOTHING ≈ webhook_app.py:48). Overlapping slices
+    simulate replayed deliveries."""
+    ev = t(spark, sf_dir, "events")
+    backfill = ev.filter(F.dayofmonth("ts") <= 20)
+    stream = ev.filter(F.dayofmonth("ts") >= 10)
+    merged = backfill.unionByName(stream)
+    w = Window.partitionBy("event_id").orderBy(F.desc("ts"))
+    deduped = merged.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_unique_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL (same aliases/types; driver runs these at sf0.01)
+# ---------------------------------------------------------------------------
+
+ORACLES: dict[str, str] = {
+    "a1_funnel": """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS n_leads,
+               COUNT(*) AS n_events
+        FROM events GROUP BY event_type
+    """,
+    "a2_total_amount": """
+        SELECT SUM(o_totalprice) AS total_amount, COUNT(*) AS n_signed
+        FROM orders WHERE o_orderstatus = 'F'
+    """,
+    "a3_avg_ticket": """
+        SELECT AVG(o_totalprice) AS avg_ticket
+        FROM orders WHERE o_orderstatus = 'F'
+    """,
+    "a4_conversion_ratios": """
+        WITH agg AS (
+            SELECT COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+                   COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_approved,
+                   COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_signed
+            FROM orders)
+        SELECT n_open, n_approved, n_signed,
+               CASE WHEN n_open = 0 THEN NULL ELSE CAST(n_signed AS DOUBLE) / n_open END AS signed_vs_open,
+               CASE WHEN n_open = 0 THEN NULL ELSE CAST(n_approved AS DOUBLE) / n_open END AS approved_vs_open,
+               CASE WHEN n_approved = 0 THEN NULL ELSE CAST(n_signed AS DOUBLE) / n_approved END AS signed_vs_approved
+        FROM agg
+    """,
+    "a5_goal_progress": """
+        WITH goals(segment, goal) AS (VALUES
+            ('AUTOMOBILE', 4000000.0), ('BUILDING', 6000000.0),
+            ('FURNITURE', 5000000.0), ('HOUSEHOLD', 4500000.0),
+            ('MACHINERY', 5500000.0)),
+        placed AS (
+            SELECT c.c_mktsegment AS segment, SUM(o.o_totalprice) AS placed_amount
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE o.o_orderstatus = 'F'
+            GROUP BY c.c_mktsegment)
+        SELECT p.segment, p.placed_amount,
+               CAST(g.goal AS DOUBLE) AS goal,
+               p.placed_amount / g.goal AS goal_progress
+        FROM placed p LEFT JOIN goals g USING (segment)
+    """,
+    "a6_leaderboard": """
+        WITH per_agent AS (
+            SELECT o.o_custkey, c.c_name, c.c_custkey,
+                   SUM(o.o_totalprice) AS total_signed
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE o.o_orderstatus = 'F'
+            GROUP BY o.o_custkey, c.c_name, c.c_custkey),
+        ranked AS (
+            SELECT c_custkey, c_name, total_signed,
+                   CAST(ROW_NUMBER() OVER (ORDER BY total_signed DESC, c_custkey ASC) AS BIGINT) AS rnk
+            FROM per_agent)
+        SELECT c_custkey, c_name, total_signed, rnk FROM ranked WHERE rnk <= 10
+    """,
+    "a7_latest_per_key": """
+        SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) WHERE rn = 1
+    """,
+    "a8_rollup_agent_table": """
+        SELECT CASE WHEN GROUPING(c_mktsegment) = 1 THEN 'Total'
+                    ELSE c_mktsegment END AS segment,
+               SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS placed_amount,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_approved,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_signed,
+               COUNT(*) AS n_total,
+               CASE WHEN COUNT(*) FILTER (WHERE o_orderstatus = 'O') = 0 THEN NULL
+                    ELSE CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE)
+                         / COUNT(*) FILTER (WHERE o_orderstatus = 'O') END AS signed_vs_open
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY ROLLUP (c_mktsegment)
+    """,
+    "a9_percent_of_total": """
+        WITH per_brand AS (
+            SELECT p_brand, SUM(p_retailprice) AS brand_amount
+            FROM part GROUP BY p_brand)
+        SELECT p_brand, brand_amount,
+               brand_amount / SUM(brand_amount) OVER () AS pct_of_total
+        FROM per_brand
+    """,
+    "a10_monthly_trend": """
+        SELECT date_trunc('month', o_orderdate) AS month_start,
+               o_orderstatus AS status,
+               COUNT(*) AS n_orders,
+               SUM(o_totalprice) AS amount
+        FROM orders GROUP BY 1, 2
+    """,
+    "a11_origin_counts": """
+        SELECT c_mktsegment AS origin,
+               COUNT(*) AS n_customers,
+               AVG(c_acctbal) AS avg_balance
+        FROM customer GROUP BY 1
+    """,
+    "a12_agent_measures": """
+        SELECT c.c_custkey, c.c_name,
+               COUNT(o.o_orderkey) AS n_orders,
+               COUNT(*) FILTER (WHERE o.o_orderstatus = 'F') AS n_signed,
+               SUM(CASE WHEN o.o_orderstatus = 'F' THEN o.o_totalprice END) AS placed_amount
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey, c.c_name
+    """,
+    "a13_detail_listing": """
+        SELECT o.o_orderkey, c.c_name, c.c_mktsegment,
+               o.o_orderstatus AS status,
+               o.o_totalprice AS amount,
+               o.o_orderdate AS created_at
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ORDER BY created_at DESC, o_orderkey ASC
+        LIMIT 100
+    """,
+    "a14_slicer_filtered": """
+        SELECT c.c_mktsegment AS segment,
+               CAST(month(o.o_orderdate) AS INT) AS month,
+               COUNT(*) AS n_orders,
+               SUM(o.o_totalprice) AS amount
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE year(o.o_orderdate) = 1998
+          AND o.o_orderstatus <> 'O'
+          AND c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+        GROUP BY 1, 2
+    """,
+    "a15_calendar": """
+        WITH bounds AS (
+            SELECT CAST(MIN(o_orderdate) AS DATE) AS d0,
+                   CAST(MAX(o_orderdate) AS DATE) AS d1
+            FROM orders),
+        days AS (
+            SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+            FROM bounds)
+        SELECT d,
+               CAST(year(d) AS INT) AS year,
+               CAST(month(d) AS INT) AS month,
+               CAST(day(d) AS INT) AS day,
+               date_trunc('month', d) AS month_start
+        FROM days
+    """,
+    "a16_distinct_counts": """
+        SELECT COUNT(DISTINCT user_id) AS n_users,
+               COUNT(DISTINCT event_type) AS n_event_types,
+               COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
+        FROM events
+    """,
+    "j1_gapless_monthly": """
+        WITH bounds AS (
+            SELECT CAST(MIN(o_orderdate) AS DATE) AS d0,
+                   CAST(MAX(o_orderdate) AS DATE) AS d1
+            FROM orders),
+        months AS (
+            SELECT DISTINCT date_trunc('month',
+                CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)) AS month_start
+            FROM bounds),
+        monthly AS (
+            SELECT date_trunc('month', o_orderdate) AS month_start,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY 1)
+        SELECT m.month_start,
+               CAST(COALESCE(x.n_orders, 0) AS BIGINT) AS n_orders
+        FROM months m LEFT JOIN monthly x USING (month_start)
+    """,
+    "j3_enriched_events": """
+        SELECT e.event_id, e.user_id, e.event_type, e.value,
+               c.c_name, c.c_mktsegment
+        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    "j5_active_anti_deleted": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM events e
+            WHERE e.event_type = 'error' AND e.user_id = c.c_custkey)
+    """,
+    "u1_union_offices": """
+        WITH joined AS (
+            SELECT c.*, n.n_name, n.n_regionkey
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        unioned AS (
+            SELECT * FROM joined WHERE n_regionkey <= 2
+            UNION ALL
+            SELECT * FROM joined WHERE n_regionkey > 2)
+        SELECT n_name AS office, COUNT(*) AS n_customers
+        FROM unioned GROUP BY 1
+    """,
+    "u2_backfill_stream_merge": """
+        WITH merged AS (
+            SELECT * FROM events WHERE day(ts) <= 20
+            UNION ALL
+            SELECT * FROM events WHERE day(ts) >= 10),
+        deduped AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY event_id ORDER BY ts DESC) AS rn
+            FROM merged)
+        SELECT event_type, COUNT(*) AS n_unique_events
+        FROM deduped WHERE rn = 1 GROUP BY event_type
+    """,
+}
+
+QUERIES = {
+    "a1_funnel": q_a1_funnel,
+    "a2_total_amount": q_a2_total_amount,
+    "a3_avg_ticket": q_a3_avg_ticket,
+    "a4_conversion_ratios": q_a4_conversion_ratios,
+    "a5_goal_progress": q_a5_goal_progress,
+    "a6_leaderboard": q_a6_leaderboard,
+    "a7_latest_per_key": q_a7_latest_per_key,
+    "a8_rollup_agent_table": q_a8_rollup_agent_table,
+    "a9_percent_of_total": q_a9_percent_of_total,
+    "a10_monthly_trend": q_a10_monthly_trend,
+    "a11_origin_counts": q_a11_origin_counts,
+    "a12_agent_measures": q_a12_agent_measures,
+    "a13_detail_listing": q_a13_detail_listing,
+    "a14_slicer_filtered": q_a14_slicer_filtered,
+    "a15_calendar": q_a15_calendar,
+    "a16_distinct_counts": q_a16_distinct_counts,
+    "j1_gapless_monthly": q_j1_gapless_monthly,
+    "j3_enriched_events": q_j3_enriched_events,
+    "j5_active_anti_deleted": q_j5_active_anti_deleted,
+    "u1_union_offices": q_u1_union_offices,
+    "u2_backfill_stream_merge": q_u2_backfill_stream_merge,
+}

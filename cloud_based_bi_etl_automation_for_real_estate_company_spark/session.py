@@ -1,0 +1,82 @@
+"""SparkSession factory tuned for the analytics engine.
+
+Defaults target the test harness (local[N], 128 GiB box) but every
+knob is chosen for how it behaves on a real multi-executor cluster at
+~100 TB:
+
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting and
+  dynamic broadcast selection replace hand-tuned partition counts.
+- shuffle.partitions is a *pre-AQE upper bound*; AQE coalesces down.
+- Arrow enabled for the pandas-UDF extension path (vectorized transfer).
+- Broadcast threshold kept at default 10 MB — dimension tables (region,
+  nation, calendar, goals) broadcast; facts never do.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def get_spark(app_name: str = "cbbi-spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-minded defaults."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None
+    master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.autoBroadcastJoinThreshold", "10m")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "SparkSession"]:
+    """Read every fixture parquet in ``sf_dir`` and register temp views.
+
+    Returns {name: DataFrame}. Reads are lazy; Catalyst prunes columns
+    and pushes filters into the parquet scan per-query.
+    """
+    from pyspark.sql import functions as F
+
+    dfs = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            if name == "events":
+                # events stores TIMESTAMP(NANOS) — see plans.measures.t
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                df = spark.read.parquet(path).withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+            else:
+                df = spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+            dfs[name] = df
+    return dfs
