@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is executed to completion (count-collected) after a warm-up
+of the session; per-query time is wall-clock for plan + execute.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cloud_based_bi_etl_automation_for_real_estate_company_spark.session import get_spark
+import __spark_entry__ as entrymod
+
+# Headline set: the fact-scale joins/aggs + the load-bearing window op
+# + representative BI measures + extension ops.
+HEADLINE = [
+    "l1_pricing_summary",
+    "l2_revenue_by_nation",
+    "l3_top_parts",
+    "l4_order_lifecycle",
+    "a7_latest_per_key",
+    "a8_rollup_agent_table",
+    "a10_monthly_trend",
+    "a12_agent_measures",
+    "u2_backfill_stream_merge",
+    "x_dedup_exact",
+    "x_dedup_minhash_lsh",
+    "x_ann_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    # JVM/session warm-up on a trivial plan so the first timed query
+    # doesn't pay one-time init costs.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {times[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,174 @@
+"""Warehouse-grade analytical queries over the full star schema
+(lineitem/orders/customer/supplier/part/nation/region).
+
+The reference's BI layer computes its measures over a handful of
+small CRM tables; these queries prove the same measure *shapes*
+(filtered aggregation, multi-way join, group-top-k) hold on the
+fact-table scale the engine actually targets. They are the bench
+workhorses: lineitem is the only fixture with real volume (600k rows
+at sf0.1, ~6B at SF1000).
+
+Plan-quality invariants (checked in tests/test_plans.py):
+- l1: single scan + partial/final hash agg, shipdate filter pushed to
+  parquet (PushedFilters), only 7 of 16 columns read (ReadSchema);
+- l2: dims (nation, region, supplier, customer) broadcast — the only
+  shuffle is lineitem⋈orders, and AQE picks the strategy at runtime;
+- l3: join to part broadcasts; top-k via rank-over-agg (tiny frame).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .measures import t
+
+
+def q_l1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: the canonical "wide agg over
+    the big fact" (A2/A3 measure family at warehouse scale)."""
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_l2_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped multi-way join: revenue per supplier nation.
+    Every dimension broadcasts; the lineitem⋈orders equi-join is the
+    one real shuffle (sort-merge at scale, AQE may re-plan)."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        l.join(o.select("o_orderkey", "o_orderdate"), l.l_orderkey == o.o_orderkey)
+        .filter(F.year("o_orderdate") >= 1997)
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              l.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name", "n_regionkey")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.select("r_regionkey", "r_name")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_l3_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-top-k over a joined fact: top-5 part brands by revenue
+    within each part type (A6 leaderboard shape at warehouse scale)."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    per_brand = (
+        l.join(F.broadcast(p.select("p_partkey", "p_brand", "p_type")),
+               l.l_partkey == F.col("p_partkey"))
+        .groupBy(F.col("p_type").alias("part_type"), F.col("p_brand").alias("brand"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    w = Window.partitionBy("part_type").orderBy(F.desc("revenue"), F.asc("brand"))
+    return (
+        per_brand.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+def q_l4_order_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact correlated measures: per-priority order stats with
+    lineitem rollups joined back (two-level aggregation, J3 shape)."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    per_order = l.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("l_quantity").alias("total_qty"),
+    )
+    return (
+        o.join(per_order, o.o_orderkey == per_order.l_orderkey, "left")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.avg("n_lines").alias("avg_lines_per_order"),
+            F.avg("total_qty").alias("avg_qty_per_order"),
+            F.sum("o_totalprice").alias("total_amount"),
+        )
+    )
+
+
+ORACLES: dict[str, str] = {
+    "l1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity) AS sum_qty,
+               SUM(l_extendedprice) AS sum_base_price,
+               SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+               SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+               AVG(l_quantity) AS avg_qty,
+               AVG(l_extendedprice) AS avg_price,
+               AVG(l_discount) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "l2_revenue_by_nation": """
+        SELECT r.r_name AS region, n.n_name AS nation,
+               SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE year(o.o_orderdate) >= 1997
+        GROUP BY 1, 2
+    """,
+    "l3_top_parts": """
+        WITH per_brand AS (
+            SELECT p.p_type AS part_type, p.p_brand AS brand,
+                   SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1, 2),
+        ranked AS (
+            SELECT part_type, brand, revenue,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY part_type
+                       ORDER BY revenue DESC, brand ASC) AS BIGINT) AS rnk
+            FROM per_brand)
+        SELECT part_type, brand, revenue, rnk FROM ranked WHERE rnk <= 5
+    """,
+    "l4_order_lifecycle": """
+        WITH per_order AS (
+            SELECT l_orderkey, COUNT(*) AS n_lines, SUM(l_quantity) AS total_qty
+            FROM lineitem GROUP BY l_orderkey)
+        SELECT o.o_orderpriority AS priority,
+               COUNT(*) AS n_orders,
+               AVG(p.n_lines) AS avg_lines_per_order,
+               AVG(p.total_qty) AS avg_qty_per_order,
+               SUM(o.o_totalprice) AS total_amount
+        FROM orders o LEFT JOIN per_order p ON o.o_orderkey = p.l_orderkey
+        GROUP BY 1
+    """,
+}
+
+QUERIES = {
+    "l1_pricing_summary": q_l1_pricing_summary,
+    "l2_revenue_by_nation": q_l2_revenue_by_nation,
+    "l3_top_parts": q_l3_top_parts,
+    "l4_order_lifecycle": q_l4_order_lifecycle,
+}
