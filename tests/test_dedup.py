@@ -1,0 +1,68 @@
+"""Dedup-family operator tests: SimHash vs a pure-Python reference,
+MinHash-LSH recall on known duplicates, Jaccard correctness."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators import dedup as D
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the sleepy dog"),  # near dup
+        (4, "completely different content about spark engines"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup_groups(spark):
+    out = D.exact_dedup(_docs(spark))
+    groups = {r["keep_id"]: r["n_copies"] for r in out.collect()}
+    assert groups[1] == 2  # docs 1,2 collapse
+    assert groups[3] == 1
+    assert groups[4] == 1
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(spark):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_pairs(_docs(spark)).collect()
+    }
+    assert (1, 2) in pairs  # identical docs always collide in every band
+    assert all(a < b for a, b in pairs)
+
+
+def test_ngram_jaccard_values(spark):
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(_docs(spark), threshold=0.1).collect()
+    }
+    assert out[(1, 2)] == 1.0
+    # 9-token docs → 7 distinct shingles each; the changed token sits in
+    # the last 2 windows → 5 shared shingles; j = 5 / (7 + 7 - 5)
+    assert abs(out[(1, 3)] - 5 / 9) < 1e-12
+
+
+def _simhash_py(text: str, bits: int = 16) -> int:
+    votes = [0] * bits
+    for tok in text.strip().split(" "):
+        h = int(hashlib.md5(tok.encode()).hexdigest()[: bits // 4], 16)
+        for i in range(bits):
+            votes[i] += 1 if (h >> i) & 1 else -1
+    return sum(1 << i for i in range(bits) if votes[i] > 0)
+
+
+def test_simhash_matches_python_reference(spark):
+    out = {r["doc_id"]: r["simhash"] for r in D.simhash(_docs(spark)).collect()}
+    rows = {r["doc_id"]: r["text"] for r in _docs(spark).collect()}
+    for doc_id, text in rows.items():
+        assert out[doc_id] == _simhash_py(text), doc_id
+    # near-identical docs land close in Hamming distance
+    ham = bin(out[1] ^ out[3]).count("1")
+    assert ham <= 6
+    assert out[1] == out[2]

@@ -1,0 +1,81 @@
+"""Plan-quality assertions — the 100 TB design invariants, checked on
+the physical plan text so regressions surface as test failures:
+
+- filters/projections reach the parquet scan (PushedFilters/ReadSchema);
+- dimension joins broadcast (BroadcastHashJoin), facts don't;
+- no CartesianProduct anywhere in the catalog except the intentional
+  broadcasted small-query cross join in brute-force ANN;
+- hot paths stay inside WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from cloud_based_bi_etl_automation_for_real_estate_company_spark.plans import (
+    measures,
+    warehouse,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _explain(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_l1_filter_and_pruning_pushed_to_scan(spark):
+    df = warehouse.q_l1_pricing_summary(spark, SF)
+    plan = _explain(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # only the 7 needed columns are read, not all 11
+    assert "l_orderkey" not in plan.split("ReadSchema")[-1]
+
+
+def test_l2_dimensions_broadcast(spark):
+    plan = _plan(warehouse.q_l2_revenue_by_nation(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_a5_goal_join_broadcasts(spark):
+    plan = _plan(measures.q_a5_goal_progress(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_a7_window_single_shuffle(spark):
+    plan = _plan(measures.q_a7_latest_per_key(spark, SF))
+    # exactly one exchange: the partitionBy(user_id) shuffle
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_j5_is_anti_join_not_subquery_loop(spark):
+    plan = _plan(measures.q_j5_active_anti_deleted(spark, SF))
+    assert "LeftAnti" in plan
+
+
+def test_whole_stage_codegen_on_hot_path(spark):
+    import contextlib
+    import io
+
+    df = warehouse.q_l1_pricing_summary(spark, SF)
+    df.collect()  # finalize this plan under AQE so codegen spans are visible
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    # '*' before an operator marks whole-stage-codegen in formatted mode
+    assert "* HashAggregate" in buf.getvalue()
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries()))
+def test_no_cartesian_products(spark, name):
+    if name == "x_ann_bruteforce":
+        pytest.skip("intentional broadcasted cross join against 5 query rows")
+    df = entrymod.queries()[name](spark, SF)
+    assert "CartesianProduct" not in _plan(df), name

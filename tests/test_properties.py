@@ -1,0 +1,41 @@
+"""Property-based tests (SURVEY.md §5 item 5): totality of the
+timestamp parser, dedup idempotence/order-independence."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cloud_based_bi_etl_automation_for_real_estate_company_spark.functions import (
+    transforms as X,
+)
+
+_SLOW = settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(st.lists(st.text(max_size=40), min_size=1, max_size=20))
+@_SLOW
+def test_p8_parser_total_never_throws(spark, raws):
+    df = spark.createDataFrame([(r,) for r in raws], "raw string")
+    out = df.select(X.parse_multiformat_ts("raw").alias("ts")).collect()
+    assert len(out) == len(raws)  # NULL or valid — never an exception
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_SLOW
+def test_dedup_idempotent_and_order_independent(spark, rows):
+    df = spark.createDataFrame(rows, "id int, v int")
+    once = df.dropDuplicates(["id"])
+    assert once.count() == once.dropDuplicates(["id"]).count()
+    rev = spark.createDataFrame(list(reversed(rows)), "id int, v int")
+    assert once.count() == rev.dropDuplicates(["id"]).count()

@@ -1,0 +1,72 @@
+"""Paginated REST source (S1) and multimodal plumbing tests."""
+
+from __future__ import annotations
+
+from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators import (
+    multimodal as M,
+)
+from cloud_based_bi_etl_automation_for_real_estate_company_spark.sources.rest import (
+    fetch_paginated,
+)
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+SCHEMA = StructType(
+    [StructField("id", LongType()), StructField("name", StringType())]
+)
+
+TOTAL = 257  # deliberately not a multiple of the page size
+
+
+def _make_fetcher(total: int):
+    """Synthetic API factory: ``total`` records, honors limit/offset,
+    optional source-side predicate (S2) via params. Returned as a
+    closure so cloudpickle ships it by value — executors cannot import
+    this test module by name."""
+
+    def fetch(limit: int, offset: int, params: dict) -> list[dict]:
+        lo = params.get("min_id", 0)
+        return [
+            {"id": i, "name": f"lead-{i}"}
+            for i in range(offset, min(offset + limit, total))
+            if i >= lo
+        ]
+
+    return fetch
+
+
+def test_paginated_fetch_all_pages(spark):
+    df = fetch_paginated(
+        spark, _make_fetcher(TOTAL), SCHEMA, total_hint=TOTAL, page_size=50,
+        pages_per_task=2,
+    )
+    rows = df.collect()
+    assert len(rows) == TOTAL
+    assert {r["id"] for r in rows} == set(range(TOTAL))
+
+
+def test_paginated_fetch_predicate_pushdown(spark):
+    df = fetch_paginated(
+        spark, _make_fetcher(TOTAL), SCHEMA, total_hint=TOTAL, page_size=50,
+        pages_per_task=2, params={"min_id": 200},
+    )
+    assert df.count() == TOTAL - 200
+
+
+def test_multimodal_decode_metadata(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "spark")], "doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: r for r in M.decode_metadata(M.with_blob(docs)).collect()}
+    assert out[1]["n_bytes"] == 11
+    assert out[1]["width"] == 320 + 11 % 320
+    assert out[1]["format"] == "jpeg"
+    assert out[2]["n_bytes"] == 5
+
+
+def test_multimodal_frame_sample(spark):
+    docs = spark.createDataFrame(
+        [(1, "x" * 1000)], "doc_id bigint, text string"
+    )
+    out = M.frame_sample_stub(M.with_blob(docs), every_n=3).collect()
+    # 1000 bytes → 10 fake frames → sampled at 0,3,6,9
+    assert sorted(r["frame_idx"] for r in out) == [0, 3, 6, 9]
