@@ -18,6 +18,7 @@ from cloud_based_bi_etl_automation_for_real_estate_company_spark.plans import (
     extensions,
     measures,
     scalars,
+    temporal,
     warehouse,
 )
 
@@ -54,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(measures.QUERIES)
     out.update(scalars.QUERIES)
+    out.update(temporal.QUERIES)
     out.update(warehouse.QUERIES)
     out.update(extensions.QUERIES)
     return out
@@ -63,6 +65,7 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(measures.ORACLES)
     out.update(scalars.ORACLES)
+    out.update(temporal.ORACLES)
     out.update(warehouse.ORACLES)
     out.update(extensions.ORACLES)
     return out

@@ -95,3 +95,24 @@ def ratio(num: Column, den: Column) -> Column:
     """A4 helper — NULL-safe divide for conversion-rate measures
     (zero denominator → NULL, like DAX DIVIDE)."""
     return F.try_divide(num, den)
+
+
+def dsum(col: Column | str, scale: int = 2) -> Column:
+    """Exact money/measure sum: accumulate in DECIMAL, return double.
+
+    Summing doubles is order-dependent — a 1000-partition parallel sum
+    and a single-threaded oracle disagree in the low decimals, and at
+    100 TB the accumulated float error in currency totals is a real
+    correctness bug (the reference's Postgres schema uses numeric for
+    amount, reference README.md:84). Fixed-decimal accumulation is
+    exact and associative, so every partitioning/merge order yields the
+    identical result; the final cast to double is deterministic.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def davg(col: Column | str, scale: int = 2) -> Column:
+    """Exact-sum average: decimal-sum ÷ count (deterministic double)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.try_divide(dsum(c, scale), F.count(c))

@@ -30,7 +30,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.transforms import ratio
+from ..functions.transforms import davg, dsum, ratio
 from .calendar import calendar_dim
 
 
@@ -77,7 +77,7 @@ def q_a2_total_amount(spark: SparkSession, sf_dir: str) -> DataFrame:
     (manager_example.png VENTAS; status 'F' ≈ Firmados)."""
     o = t(spark, sf_dir, "orders")
     return o.filter(F.col("o_orderstatus") == "F").agg(
-        F.sum("o_totalprice").alias("total_amount"),
+        dsum("o_totalprice").alias("total_amount"),
         F.count(F.lit(1)).alias("n_signed"),
     )
 
@@ -87,7 +87,7 @@ def q_a3_avg_ticket(spark: SparkSession, sf_dir: str) -> DataFrame:
     (manager_example.png / seller_example.png; README.md:520)."""
     o = t(spark, sf_dir, "orders")
     return o.filter(F.col("o_orderstatus") == "F").agg(
-        F.avg("o_totalprice").alias("avg_ticket")
+        davg("o_totalprice").alias("avg_ticket")
     )
 
 
@@ -136,7 +136,7 @@ def q_a5_goal_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
               o.o_custkey == F.col("c_custkey"))
         .groupBy(F.col("c_mktsegment").alias("segment"))
-        .agg(F.sum("o_totalprice").alias("placed_amount"))
+        .agg(dsum("o_totalprice").alias("placed_amount"))
     )
     g = _goals(spark)
     return (
@@ -159,7 +159,7 @@ def q_a6_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_agent = (
         o.filter(F.col("o_orderstatus") == "F")
         .groupBy("o_custkey")
-        .agg(F.sum("o_totalprice").alias("total_signed"))
+        .agg(dsum("o_totalprice").alias("total_signed"))
         .join(F.broadcast(c.select("c_custkey", "c_name")),
               F.col("o_custkey") == F.col("c_custkey"))
     )
@@ -203,7 +203,7 @@ def q_a8_rollup_agent_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.rollup("c_mktsegment")
         .agg(
             F.grouping("c_mktsegment").alias("__g"),
-            F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))).alias("placed_amount"),
+            dsum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))).alias("placed_amount"),
             F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
             F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_approved"),
             F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_signed"),
@@ -228,12 +228,14 @@ def q_a9_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     (manager_example.png). Percent-of-total via unpartitioned window
     over the *aggregated* (tiny) frame — the window never sees raw rows."""
     p = t(spark, sf_dir, "part")
-    per_brand = p.groupBy("p_brand").agg(F.sum("p_retailprice").alias("brand_amount"))
+    per_brand = p.groupBy("p_brand").agg(dsum("p_retailprice").alias("brand_amount"))
     w = Window.partitionBy()
     return per_brand.select(
         "p_brand",
         "brand_amount",
-        (F.col("brand_amount") / F.sum("brand_amount").over(w)).alias("pct_of_total"),
+        (F.col("brand_amount")
+         / F.sum(F.col("brand_amount").cast("decimal(18,2)")).over(w).cast("double")
+         ).alias("pct_of_total"),
     )
 
 
@@ -249,7 +251,7 @@ def q_a10_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("o_totalprice").alias("amount"),
+            dsum("o_totalprice").alias("amount"),
         )
     )
 
@@ -259,7 +261,7 @@ def q_a11_origin_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer")
     return c.groupBy(F.col("c_mktsegment").alias("origin")).agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.avg("c_acctbal").alias("avg_balance"),
+        davg("c_acctbal").alias("avg_balance"),
     )
 
 
@@ -275,7 +277,7 @@ def q_a12_agent_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.col("o_orderkey")).alias("n_orders"),
             F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_signed"),
-            F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))).alias("placed_amount"),
+            dsum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))).alias("placed_amount"),
         )
     )
 
@@ -319,7 +321,7 @@ def q_a14_slicer_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.month("o_orderdate").cast("int").alias("month"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("o_totalprice").alias("amount"),
+            dsum("o_totalprice").alias("amount"),
         )
     )
 
@@ -444,11 +446,11 @@ ORACLES: dict[str, str] = {
         FROM events GROUP BY event_type
     """,
     "a2_total_amount": """
-        SELECT SUM(o_totalprice) AS total_amount, COUNT(*) AS n_signed
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount, COUNT(*) AS n_signed
         FROM orders WHERE o_orderstatus = 'F'
     """,
     "a3_avg_ticket": """
-        SELECT AVG(o_totalprice) AS avg_ticket
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(o_totalprice) AS avg_ticket
         FROM orders WHERE o_orderstatus = 'F'
     """,
     "a4_conversion_ratios": """
@@ -469,7 +471,7 @@ ORACLES: dict[str, str] = {
             ('FURNITURE', 5000000.0), ('HOUSEHOLD', 4500000.0),
             ('MACHINERY', 5500000.0)),
         placed AS (
-            SELECT c.c_mktsegment AS segment, SUM(o.o_totalprice) AS placed_amount
+            SELECT c.c_mktsegment AS segment, CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS placed_amount
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             WHERE o.o_orderstatus = 'F'
             GROUP BY c.c_mktsegment)
@@ -481,7 +483,7 @@ ORACLES: dict[str, str] = {
     "a6_leaderboard": """
         WITH per_agent AS (
             SELECT o.o_custkey, c.c_name, c.c_custkey,
-                   SUM(o.o_totalprice) AS total_signed
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_signed
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             WHERE o.o_orderstatus = 'F'
             GROUP BY o.o_custkey, c.c_name, c.c_custkey),
@@ -500,7 +502,7 @@ ORACLES: dict[str, str] = {
     "a8_rollup_agent_table": """
         SELECT CASE WHEN GROUPING(c_mktsegment) = 1 THEN 'Total'
                     ELSE c_mktsegment END AS segment,
-               SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS placed_amount,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS placed_amount,
                COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
                COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_approved,
                COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_signed,
@@ -513,30 +515,30 @@ ORACLES: dict[str, str] = {
     """,
     "a9_percent_of_total": """
         WITH per_brand AS (
-            SELECT p_brand, SUM(p_retailprice) AS brand_amount
+            SELECT p_brand, CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS brand_amount
             FROM part GROUP BY p_brand)
         SELECT p_brand, brand_amount,
-               brand_amount / SUM(brand_amount) OVER () AS pct_of_total
+               brand_amount / CAST(SUM(CAST(brand_amount AS DECIMAL(18,2))) OVER () AS DOUBLE) AS pct_of_total
         FROM per_brand
     """,
     "a10_monthly_trend": """
         SELECT date_trunc('month', o_orderdate) AS month_start,
                o_orderstatus AS status,
                COUNT(*) AS n_orders,
-               SUM(o_totalprice) AS amount
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amount
         FROM orders GROUP BY 1, 2
     """,
     "a11_origin_counts": """
         SELECT c_mktsegment AS origin,
                COUNT(*) AS n_customers,
-               AVG(c_acctbal) AS avg_balance
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal) AS avg_balance
         FROM customer GROUP BY 1
     """,
     "a12_agent_measures": """
         SELECT c.c_custkey, c.c_name,
                COUNT(o.o_orderkey) AS n_orders,
                COUNT(*) FILTER (WHERE o.o_orderstatus = 'F') AS n_signed,
-               SUM(CASE WHEN o.o_orderstatus = 'F' THEN o.o_totalprice END) AS placed_amount
+               CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS placed_amount
         FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
         GROUP BY c.c_custkey, c.c_name
     """,
@@ -553,7 +555,7 @@ ORACLES: dict[str, str] = {
         SELECT c.c_mktsegment AS segment,
                CAST(month(o.o_orderdate) AS INT) AS month,
                COUNT(*) AS n_orders,
-               SUM(o.o_totalprice) AS amount
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amount
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         WHERE year(o.o_orderdate) = 1998
           AND o.o_orderstatus <> 'O'

@@ -1,0 +1,149 @@
+"""Temporal/event-stream extension queries: as-of join, sessionization,
+plus remaining scalar parity bits (P15). All oracle-checked.
+
+The as-of oracle uses DuckDB's native ASOF JOIN; the Spark side is the
+union-and-propagate rewrite in operators.asof — comparing the two is a
+genuine cross-engine differential test of the operator's semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..operators.sessions import sessionize
+from ..functions.transforms import dsum
+from .measures import t
+
+
+def q_t1_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase event, the user's most recent
+    click at-or-before it ("state of lead at time T" over the event
+    log, SURVEY.md §7 / reference README.md:147 action_history)."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        payload=["click_id", "click_ts"],
+    )
+
+
+def q_t2_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min timeout) + per-session rollup.
+    Duration reported in exact integer microseconds so the oracle
+    (epoch_us) and Spark (unix_micros) agree bit-for-bit."""
+    ev = t(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap_minutes=30)
+    return s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("session_value"),
+        (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias("duration_us"),
+    )
+
+
+def q_t3_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 terms: explode tokens → count → rank (token
+    counting at corpus granularity; explode is map-side, the count is
+    one hash-agg shuffle on the token)."""
+    from ..functions.text import tokens
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 20)
+    )
+
+
+def q_p15_case_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P15 — string case transforms (webhook_app.py:176 account.upper())."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("segment_lower"),
+    )
+
+
+ORACLES: dict[str, str] = {
+    "t1_asof_purchase_click": """
+        WITH purchases AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   event_id AS purchase_id
+            FROM events WHERE event_type = 'purchase'),
+        clicks AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts,
+                   event_id AS click_id
+            FROM events WHERE event_type = 'click')
+        SELECT p.user_id, p.ts, p.purchase_id, c.click_id, c.click_ts
+        FROM purchases p
+        ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    """,
+    "t2_session_stats": """
+        WITH ordered AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                   epoch_us(CAST(ts AS TIMESTAMP))
+                   - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                        PARTITION BY user_id ORDER BY ts) AS gap_us
+            FROM events),
+        flagged AS (
+            SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 30 * 60 * 1000000
+                           THEN 1 ELSE 0 END AS is_new
+            FROM ordered),
+        sessions AS (
+            SELECT *, CAST(SUM(is_new) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM flagged)
+        SELECT user_id, session_id,
+               MIN(ts) AS session_start,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value,
+               MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us
+        FROM sessions GROUP BY 1, 2
+    """,
+    "t3_top_terms": """
+        WITH toks AS (
+            SELECT UNNEST(string_split(trim(text), ' ')) AS token
+            FROM documents),
+        counts AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+        ranked AS (
+            SELECT token, n,
+                   CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS rnk
+            FROM counts)
+        SELECT token, n, rnk FROM ranked WHERE rnk <= 20
+    """,
+    "p15_case_transform": """
+        SELECT c_custkey,
+               UPPER(c_name) AS name_upper,
+               LOWER(c_mktsegment) AS segment_lower
+        FROM customer
+    """,
+}
+
+QUERIES = {
+    "t1_asof_purchase_click": q_t1_asof_purchase_click,
+    "t2_session_stats": q_t2_session_stats,
+    "t3_top_terms": q_t3_top_terms,
+    "p15_case_transform": q_p15_case_transform,
+}

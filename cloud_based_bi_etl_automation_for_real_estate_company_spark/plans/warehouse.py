@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.transforms import davg, dsum
 from .measures import t
 
 
@@ -32,15 +33,16 @@ def q_l1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
-            F.sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("sum_disc_price"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
+                6,
             ).alias("sum_charge"),
-            F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -66,7 +68,7 @@ def q_l2_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -81,7 +83,7 @@ def q_l3_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(F.broadcast(p.select("p_partkey", "p_brand", "p_type")),
                l.l_partkey == F.col("p_partkey"))
         .groupBy(F.col("p_type").alias("part_type"), F.col("p_brand").alias("brand"))
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"))
     )
     w = Window.partitionBy("part_type").orderBy(F.desc("revenue"), F.asc("brand"))
     return (
@@ -106,7 +108,7 @@ def q_l4_order_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             F.avg("n_lines").alias("avg_lines_per_order"),
             F.avg("total_qty").alias("avg_qty_per_order"),
-            F.sum("o_totalprice").alias("total_amount"),
+            dsum("o_totalprice").alias("total_amount"),
         )
     )
 
@@ -114,13 +116,13 @@ def q_l4_order_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES: dict[str, str] = {
     "l1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               SUM(l_quantity) AS sum_qty,
-               SUM(l_extendedprice) AS sum_base_price,
-               SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-               SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
-               AVG(l_quantity) AS avg_qty,
-               AVG(l_extendedprice) AS avg_price,
-               AVG(l_discount) AS avg_disc,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -128,7 +130,7 @@ ORACLES: dict[str, str] = {
     """,
     "l2_revenue_by_nation": """
         SELECT r.r_name AS region, n.n_name AS nation,
-               SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
                COUNT(*) AS n_items
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -141,7 +143,7 @@ ORACLES: dict[str, str] = {
     "l3_top_parts": """
         WITH per_brand AS (
             SELECT p.p_type AS part_type, p.p_brand AS brand,
-                   SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+                   CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             GROUP BY 1, 2),
         ranked AS (
@@ -160,7 +162,7 @@ ORACLES: dict[str, str] = {
                COUNT(*) AS n_orders,
                AVG(p.n_lines) AS avg_lines_per_order,
                AVG(p.total_qty) AS avg_qty_per_order,
-               SUM(o.o_totalprice) AS total_amount
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
         FROM orders o LEFT JOIN per_order p ON o.o_orderkey = p.l_orderkey
         GROUP BY 1
     """,

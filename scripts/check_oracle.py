@@ -22,7 +22,7 @@ from cloud_based_bi_etl_automation_for_real_estate_company_spark.session import 
 )
 import __spark_entry__ as entrymod
 
-ROUND = 6
+ROUND = int(__import__("os").environ.get("CHECK_ROUND", "6"))
 
 
 def canon(v):

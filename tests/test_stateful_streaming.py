@@ -1,0 +1,107 @@
+"""ST5/ST4 tests: the applyInPandasWithState lead-state operator and the
+tumbling-window aggregation, driven through real micro-batches
+(availableNow) and checked against their batch equivalents."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.snapshot import (
+    latest_per_key,
+)
+from cloud_based_bi_etl_automation_for_real_estate_company_spark.streaming.stateful import (
+    streaming_lead_state,
+    streaming_windowed_counts,
+)
+
+SCHEMA = "lead_id bigint, ts timestamp, step string, event_type string"
+
+
+@pytest.fixture()
+def event_dir(tmp_path):
+    rows = [
+        (1, "2025-01-01 10:00:00", "Ingresados", "step"),
+        (1, "2025-01-01 11:00:00", "Autorizados", "step"),
+        (1, "2025-01-01 12:30:00", "Firmados", "step"),
+        (2, "2025-01-01 10:15:00", "Ingresados", "step"),
+        (2, "2025-01-01 10:45:00", "Rechazados", "step"),
+        (3, "2025-01-01 12:00:00", "Ingresados", "step"),
+    ]
+    p = tmp_path / "ev"
+    p.mkdir()
+    with open(p / "a.jsonl", "w") as f:
+        for lead_id, ts, step, et in rows:
+            f.write(
+                json.dumps(
+                    {"lead_id": lead_id, "ts": ts, "step": step, "event_type": et}
+                )
+                + "\n"
+            )
+    return str(p)
+
+
+def _read_stream(spark, path):
+    return spark.readStream.schema(SCHEMA).json(path)
+
+
+def test_streaming_lead_state_matches_batch_snapshot(spark, event_dir, tmp_path):
+    stream = streaming_lead_state(_read_stream(spark, event_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("lead_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["lead_id"]: (r["current_step"], r["n_events_seen"])
+        for r in spark.sql(
+            "SELECT * FROM lead_state"
+        ).collect()
+    }
+    batch = spark.read.schema(SCHEMA).json(event_dir)
+    expect = {
+        r["lead_id"]: r["step"]
+        for r in latest_per_key(batch, ["lead_id"], ["ts"]).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == expect
+    assert got[1][1] == 3  # state counted every event for lead 1
+
+
+def test_streaming_windowed_counts_match_batch(spark, event_dir, tmp_path):
+    stream = streaming_windowed_counts(
+        _read_stream(spark, event_dir), window="1 hour"
+    )
+    q = (
+        # complete mode: append would withhold windows the watermark
+        # hasn't passed, which with a single availableNow drain is all
+        # of them — complete emits the full aggregation state
+        stream.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    batch = spark.read.schema(SCHEMA).json(event_dir)
+    expect = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in batch.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+        .collect()
+    }
+    assert got == expect
