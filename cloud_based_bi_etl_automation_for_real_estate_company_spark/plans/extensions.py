@@ -150,13 +150,15 @@ ORACLES: dict[str, str] = {
     """,
     "x_dedup_minhash_lsh": f"""
         WITH {_SHINGLES_CTE},
+        hashed AS (
+            SELECT doc_id, md5(sh) || md5('x~' || sh) AS hx FROM shingled),
         sig AS (
             SELECT doc_id,
-                   MIN(md5('0|' || sh)) AS mh_0, MIN(md5('1|' || sh)) AS mh_1,
-                   MIN(md5('2|' || sh)) AS mh_2, MIN(md5('3|' || sh)) AS mh_3,
-                   MIN(md5('4|' || sh)) AS mh_4, MIN(md5('5|' || sh)) AS mh_5,
-                   MIN(md5('6|' || sh)) AS mh_6, MIN(md5('7|' || sh)) AS mh_7
-            FROM shingled GROUP BY doc_id),
+                   MIN(substr(hx, 1, 8)) AS mh_0, MIN(substr(hx, 9, 8)) AS mh_1,
+                   MIN(substr(hx, 17, 8)) AS mh_2, MIN(substr(hx, 25, 8)) AS mh_3,
+                   MIN(substr(hx, 33, 8)) AS mh_4, MIN(substr(hx, 41, 8)) AS mh_5,
+                   MIN(substr(hx, 49, 8)) AS mh_6, MIN(substr(hx, 57, 8)) AS mh_7
+            FROM hashed GROUP BY doc_id),
         banded AS (
             SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS key FROM sig
             UNION ALL
