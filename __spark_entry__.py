@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cloud_based_bi_etl_automation_for_real_estate_company_spark.plans import (
+    analytics,
     extensions,
     measures,
     scalars,
@@ -54,6 +55,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(measures.QUERIES)
+    out.update(analytics.QUERIES)
     out.update(scalars.QUERIES)
     out.update(temporal.QUERIES)
     out.update(warehouse.QUERIES)
@@ -64,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(measures.ORACLES)
+    out.update(analytics.ORACLES)
     out.update(scalars.ORACLES)
     out.update(temporal.ORACLES)
     out.update(warehouse.ORACLES)

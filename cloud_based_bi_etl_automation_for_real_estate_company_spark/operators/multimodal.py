@@ -99,3 +99,18 @@ def with_blob(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Materialize a binary column from text (utf-8) — the fixture
     stand-in for real media bytes."""
     return df.withColumn("blob", F.encode(F.col(text_col), "utf-8"))
+
+
+def read_binary_dir(spark, path: str, pattern: str = "*") -> DataFrame:
+    """Ingest a directory of media files as binary rows via Spark's
+    binaryFile source: (path, modificationTime, length, content).
+    The natural bronze for image/audio corpora — downstream
+    decode_metadata/frame_sample consume the ``content`` column.
+    Large-file caveat: each file must fit in one task's memory; shard
+    oversized media upstream."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(path)
+        .withColumnRenamed("content", "blob")
+    )

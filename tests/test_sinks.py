@@ -1,0 +1,51 @@
+"""S10/S11 sink tests: schema-declared bulk load, gold materialization
+with dynamic partition overwrite."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from cloud_based_bi_etl_automation_for_real_estate_company_spark.sources.sinks import (
+    bulk_load_csv,
+    materialize_gold,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("lead_id", LongType()),
+        StructField("action", StringType()),
+        StructField("amount", DoubleType()),
+    ]
+)
+
+
+def test_bulk_load_csv_with_declared_schema(spark, tmp_path):
+    p = tmp_path / "hist.csv"
+    p.write_text("lead_id,action,amount\n1,created,10.5\n2,signed,99.0\nbad,row,NaNish\n")
+    df = bulk_load_csv(spark, str(p), SCHEMA)
+    rows = df.collect()
+    assert len(rows) == 3
+    assert rows[0]["lead_id"] == 1 and rows[0]["amount"] == 10.5
+    assert rows[2]["lead_id"] is None  # malformed cell → NULL, row kept
+
+
+def test_materialize_gold_dynamic_partition_overwrite(spark, tmp_path):
+    out = str(tmp_path / "gold")
+    df1 = spark.createDataFrame(
+        [("2025-01", 10), ("2025-02", 20)], "month string, n int"
+    )
+    materialize_gold(df1, out, view_name="gold_t", partition_by=["month"])
+    assert spark.sql("SELECT sum(n) FROM gold_t").collect()[0][0] == 30
+
+    # refresh only February — January's partition must survive
+    df2 = spark.createDataFrame([("2025-02", 25)], "month string, n int")
+    refreshed = materialize_gold(df2, out, view_name="gold_t", partition_by=["month"])
+    got = {r["month"]: r["n"] for r in refreshed.collect()}
+    assert got == {"2025-01": 10, "2025-02": 25}

@@ -8,6 +8,7 @@ from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators impor
 from cloud_based_bi_etl_automation_for_real_estate_company_spark.sources.rest import (
     fetch_paginated,
 )
+from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 SCHEMA = StructType(
@@ -70,3 +71,17 @@ def test_multimodal_frame_sample(spark):
     out = M.frame_sample_stub(M.with_blob(docs), every_n=3).collect()
     # 1000 bytes → 10 fake frames → sampled at 0,3,6,9
     assert sorted(r["frame_idx"] for r in out) == [0, 3, 6, 9]
+
+
+def test_binary_file_source(spark, tmp_path):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.multimodal import (
+        decode_metadata,
+        read_binary_dir,
+    )
+    (tmp_path / "img1.bin").write_bytes(b"\x89PNG" + b"x" * 100)
+    (tmp_path / "img2.bin").write_bytes(b"\xff\xd8" + b"y" * 50)
+    (tmp_path / "skip.txt").write_text("not media")
+    df = read_binary_dir(spark, str(tmp_path), "*.bin")
+    assert df.count() == 2
+    meta = decode_metadata(df.withColumn("doc_id", F.length("path").cast("long")))
+    assert {r["n_bytes"] for r in meta.collect()} == {104, 52}
