@@ -1,0 +1,83 @@
+"""Salting operators (correct results under synthetic skew) and the
+composed refresh job (silver → all gold tables on disk + views)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cloud_based_bi_etl_automation_for_real_estate_company_spark import jobs
+from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.skew import (
+    salted_agg,
+    salted_join,
+)
+
+
+def _skewed(spark):
+    # user 0 owns 90% of events — the hot-key shape
+    rows = [(0, i, 1.0) for i in range(900)] + [
+        (u, 1000 + u, 2.0) for u in range(1, 101)
+    ]
+    return spark.createDataFrame(rows, "user_id int, event_id int, value double")
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    df = _skewed(spark)
+    plain = {
+        (r["user_id"]): (r["s"], r["c"])
+        for r in df.groupBy("user_id")
+        .agg(F.sum("value").alias("s"), F.count("event_id").alias("c"))
+        .collect()
+    }
+    salted = {
+        (r["user_id"]): (r["value"], r["event_id"])
+        for r in salted_agg(
+            df, ["user_id"], {"value": "sum", "event_id": "count"},
+            salt_cols=["event_id"],
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain_join(spark):
+    big = _skewed(spark)
+    small = spark.createDataFrame(
+        [(u, f"name{u}") for u in range(101)], "user_id int, name string"
+    )
+    plain = big.join(small, "user_id").count()
+    salted = salted_join(big, small, "user_id", salt_cols=["event_id"])
+    assert salted.count() == plain
+    assert set(salted.columns) == {"user_id", "event_id", "value", "name"}
+
+
+def test_refresh_gold_job(spark, tmp_path):
+    import datetime as dt
+    from decimal import Decimal
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.schemas import (
+        SILVER_EVENT_SCHEMA,
+    )
+
+    t0 = dt.datetime(2025, 8, 1, 10, 0)
+    rows = [
+        (1, "office_a", "lead.step.changed", "s", True, 1, 200, t0, 1, "L1",
+         "open", "Firmados", 1, "V", Decimal("1000.00"), t0, t0, "a@x",
+         "u", None, None, None, "{}"),
+        (2, "office_b", "lead.step.changed", "s", True, 1, 200, t0, 2, "L2",
+         "open", "Ingresados", 1, "V", Decimal("500.00"), t0, t0, "b@x",
+         "u", None, None, None, "{}"),
+    ]
+    silver_path = str(tmp_path / "silver")
+    spark.createDataFrame(rows, SILVER_EVENT_SCHEMA).write.partitionBy(
+        "account"
+    ).parquet(silver_path)
+
+    out = jobs.refresh_gold(spark, silver_path, str(tmp_path / "gold"))
+    assert set(out) >= {"lead_snapshot", "funnel", "sales_totals", "agent_table"}
+    assert spark.sql("SELECT Firmados FROM gold_funnel").collect()[0][0] == 1
+    assert (
+        spark.sql("SELECT monto_colocado FROM gold_sales_totals").collect()[0][0]
+        == 1000.0
+    )
+    # materialized on disk, partition-pruned snapshot
+    snap = spark.read.parquet(str(tmp_path / "gold" / "lead_snapshot"))
+    assert snap.filter(F.col("account") == "office_a").count() == 1
