@@ -1,0 +1,88 @@
+"""Declarative data-quality expectations — the analytic analog of the
+reference's runtime guards (HTTP status checks, whitelist, idempotent
+inserts; SURVEY.md §5 "runtime guards").
+
+Each expectation is a (name, predicate) pair; ``check`` evaluates ALL
+of them in ONE aggregation pass over the data (conditional counts —
+no per-rule scans) and returns a tidy violations report. ``enforce``
+splits the frame into (good, bad) without recomputing lineage twice
+in the same action.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def not_null(col: str) -> tuple[str, Column]:
+    return (f"not_null_{col}", F.col(col).isNotNull())
+
+
+def unique_key(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Key-uniqueness report: keys with duplicate rows and their counts
+    (one hash-agg shuffle)."""
+    return (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+    )
+
+
+def in_set(col: str, allowed: Sequence[str]) -> tuple[str, Column]:
+    return (f"in_set_{col}", F.col(col).isin(*allowed) | F.col(col).isNull())
+
+
+def in_range(col: str, lo, hi) -> tuple[str, Column]:
+    return (
+        f"in_range_{col}",
+        (F.col(col) >= lo) & (F.col(col) <= hi) | F.col(col).isNull(),
+    )
+
+
+def references(df: DataFrame, col: str, dim: DataFrame, dim_col: str) -> DataFrame:
+    """Referential-integrity report: orphan foreign-key values.
+    Broadcast the dimension keys; anti-join finds violations."""
+    keys = dim.select(F.col(dim_col).alias(col)).distinct()
+    return (
+        df.select(col)
+        .filter(F.col(col).isNotNull())
+        .join(F.broadcast(keys), col, "left_anti")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def check(df: DataFrame, expectations: Sequence[tuple[str, Column]]) -> DataFrame:
+    """Evaluate every expectation in one pass; returns
+    (expectation, n_violations, n_rows)."""
+    aggs = [
+        F.count(F.when(~pred, 1)).alias(name) for name, pred in expectations
+    ]
+    aggs.append(F.count(F.lit(1)).alias("__total"))
+    row = df.agg(*aggs).collect()[0]
+    spark = df.sparkSession
+    data = [(name, int(row[name]), int(row["__total"])) for name, _ in expectations]
+    return spark.createDataFrame(
+        data, "expectation string, n_violations bigint, n_rows bigint"
+    )
+
+
+def enforce(
+    df: DataFrame, expectations: Sequence[tuple[str, Column]]
+) -> tuple[DataFrame, DataFrame]:
+    """Split into (passing, violating) frames; violating rows carry the
+    list of failed expectation names for quarantine triage."""
+    fails = F.array_compact(
+        F.array(
+            *[F.when(~pred, F.lit(name)) for name, pred in expectations]
+        )
+    )
+    tagged = df.withColumn("__failed", fails)
+    good = tagged.filter(F.size("__failed") == 0).drop("__failed")
+    bad = tagged.filter(F.size("__failed") > 0).withColumnRenamed(
+        "__failed", "failed_expectations"
+    )
+    return good, bad

@@ -74,6 +74,24 @@ def q_t3_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_t4_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in ``session_window`` sessionization — must agree with the
+    hand-rolled lag/cumsum rewrite (the oracle replays the latter, so
+    this differentially proves the two formulations equivalent).
+    Session end = last event + gap, per Spark's definition."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def q_p15_case_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P15 — string case transforms (webhook_app.py:176 account.upper())."""
     c = t(spark, sf_dir, "customer")
@@ -133,6 +151,28 @@ ORACLES: dict[str, str] = {
             FROM counts)
         SELECT token, n, rnk FROM ranked WHERE rnk <= 20
     """,
+    "t4_session_window": """
+        WITH ordered AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   epoch_us(CAST(ts AS TIMESTAMP))
+                   - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                        PARTITION BY user_id ORDER BY ts) AS gap_us
+            FROM events),
+        flagged AS (
+            SELECT *, CASE WHEN gap_us IS NULL OR gap_us >= 30 * 60 * 1000000
+                           THEN 1 ELSE 0 END AS is_new
+            FROM ordered),
+        sessions AS (
+            SELECT *, SUM(is_new) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged)
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events
+        FROM sessions GROUP BY user_id, sid
+    """,
     "p15_case_transform": """
         SELECT c_custkey,
                UPPER(c_name) AS name_upper,
@@ -145,5 +185,6 @@ QUERIES = {
     "t1_asof_purchase_click": q_t1_asof_purchase_click,
     "t2_session_stats": q_t2_session_stats,
     "t3_top_terms": q_t3_top_terms,
+    "t4_session_window": q_t4_session_window,
     "p15_case_transform": q_p15_case_transform,
 }
