@@ -36,6 +36,9 @@ HEADLINE = [
     "x_dedup_exact",
     "x_dedup_minhash_lsh",
     "x_ann_bruteforce",
+    "x_ann_ivf",
+    "t2_session_stats",
+    "x_quality_filter",
 ]
 
 

@@ -92,6 +92,55 @@ def bucketed_ann_topk(
     )
 
 
+def ivf_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer assigns every vector to its
+    nearest centroid; queries probe only their own centroid's inverted
+    list. Centroids here are the first ``n_centroids`` base vectors — a
+    deterministic stand-in for k-means (whose iterations don't change
+    the operator's dataflow shape): assignment is a broadcast
+    centroids×vectors scoring + argmin, the probe is an equi-join on
+    centroid id. Recall < 1 by design (single-probe).
+    """
+    cents = base.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_emb")
+    )
+
+    def assign(df: DataFrame, out: str) -> DataFrame:
+        scored = df.join(F.broadcast(cents)).select(
+            "*", _sim("cent_emb", vec_col).alias("__csim")
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("__csim"), F.asc("cent_id"))
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(df[id_col], df[vec_col], F.col("cent_id").alias(out))
+        )
+
+    b = assign(base, "bucket")
+    q = assign(queries, "q_bucket").select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb"), "q_bucket"
+    )
+    scored = (
+        b.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("q_bucket")) & (F.col(id_col) != F.col("q_id")),
+        )
+        .select("q_id", id_col, _sim("q_emb", vec_col).alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def embedding_near_dup_pairs(
     base: DataFrame,
     id_col: str = "vec_id",

@@ -103,6 +103,14 @@ def q_x_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.bucketed_ann_topk(e, e.filter(F.col("vec_id") < 5), k=5)
 
 
+def q_x_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-5: coarse-quantizer assignment +
+    single-probe inverted-list search (the other scale path besides
+    sign-LSH)."""
+    e = t(spark, sf_dir, "embeddings")
+    return S.ivf_topk(e, e.filter(F.col("vec_id") < 5), k=5)
+
+
 def q_x_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (sim ≥ 0.95) within sign buckets."""
     e = t(spark, sf_dir, "embeddings")
@@ -268,6 +276,38 @@ ORACLES: dict[str, str] = {
             FROM scored)
         SELECT q_id, vec_id, sim, rnk FROM ranked WHERE rnk <= 5
     """,
+    "x_ann_ivf": """
+        WITH base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        cents AS (
+            SELECT vec_id AS cent_id, emb AS cent_emb FROM base WHERE vec_id < 8),
+        assigned AS (
+            SELECT vec_id, emb, cent_id FROM (
+                SELECT b.vec_id, b.emb, c.cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+                           ROUND(list_dot_product(b.emb, c.cent_emb)
+                                 / (sqrt(list_dot_product(b.emb, b.emb))
+                                    * sqrt(list_dot_product(c.cent_emb, c.cent_emb))), 6) DESC,
+                           c.cent_id ASC) AS rn
+                FROM base b CROSS JOIN cents c)
+            WHERE rn = 1),
+        q AS (
+            SELECT vec_id AS q_id, emb AS q_emb, cent_id AS q_bucket
+            FROM assigned WHERE vec_id < 5),
+        scored AS (
+            SELECT q.q_id, b.vec_id,
+                   ROUND(list_dot_product(q.q_emb, b.emb)
+                         / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                            * sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
+            FROM assigned b JOIN q
+              ON b.cent_id = q.q_bucket AND b.vec_id <> q.q_id),
+        ranked AS (
+            SELECT q_id, vec_id, sim,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rnk
+            FROM scored)
+        SELECT q_id, vec_id, sim, rnk FROM ranked WHERE rnk <= 5
+    """,
     "x_embed_near_dup": """
         WITH withb AS (
             SELECT vec_id, embedding::DOUBLE[] AS emb,
@@ -307,6 +347,7 @@ QUERIES = {
     "x_fingerprint": q_x_fingerprint,
     "x_ann_bruteforce": q_x_ann_bruteforce,
     "x_ann_bucketed": q_x_ann_bucketed,
+    "x_ann_ivf": q_x_ann_ivf,
     "x_embed_near_dup": q_x_embed_near_dup,
     "x_multimodal_meta": q_x_multimodal_meta,
 }

@@ -103,7 +103,33 @@ def q_p14_reserialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_p17_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML tag stripping — the reference stores both description and
+    html_description (Lead_Ingestion_CRM_SQLite.py:93–94); deriving
+    clean text from the HTML variant is the P-family transform a text
+    pipeline needs. Input HTML is synthesized around p_name."""
+    p = t(spark, sf_dir, "part")
+    html = F.concat(
+        F.lit("<p><b>"), F.col("p_name"), F.lit("</b> &amp; more</p>")
+    )
+    return p.select(
+        "p_partkey",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(html, "<[^>]*>", ""), "&amp;", "&"
+            )
+        ).alias("clean_text"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "p17_html_strip": """
+        SELECT p_partkey,
+               trim(replace(regexp_replace('<p><b>' || p_name || '</b> &amp; more</p>',
+                                           '<[^>]*>', '', 'g'),
+                            '&amp;', '&')) AS clean_text
+        FROM part
+    """,
     "p3_coalesce_extract": """
         SELECT event_id,
                COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS INT),
@@ -164,4 +190,5 @@ QUERIES = {
     "p11_tags_csv": q_p11_tags_csv,
     "p12_bool_cast": q_p12_bool_cast,
     "p14_reserialize": q_p14_reserialize,
+    "p17_html_strip": q_p17_html_strip,
 }
