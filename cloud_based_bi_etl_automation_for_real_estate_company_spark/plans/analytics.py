@@ -79,9 +79,130 @@ def q_x_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_u3_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set op: customers who ordered but never signed (status F)
+    — relational-algebra completeness beyond the reference's unions."""
+    o = t(spark, sf_dir, "orders")
+    ordered = o.select(F.col("o_custkey").alias("custkey")).distinct()
+    signed = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    return ordered.exceptAll(signed)
+
+
+def q_u4_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op: users who both clicked and purchased."""
+    ev = t(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clickers.intersect(buyers)
+
+
+def q_a19_above_segment_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape: customers with balance above their
+    segment's average — decorrelated into a window average (one
+    shuffle) rather than a per-row subquery."""
+    from pyspark.sql import Window
+
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment")
+    seg_avg = (
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        c.withColumn("segment_avg", seg_avg)
+        .filter(F.col("c_acctbal") > F.col("segment_avg"))
+        .select("c_custkey", "c_mktsegment", "c_acctbal", "segment_avg")
+    )
+
+
+def q_a20_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): every subtotal combination with
+    grouping-set labels — the slice-and-dice matrix behind dashboard
+    cross-filters."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").alias("__gs"),
+            F.grouping("o_orderpriority").alias("__gp"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("amount"),
+        )
+        .select(
+            F.when(F.col("__gs") == 1, F.lit("ALL")).otherwise(F.col("o_orderstatus")).alias("status"),
+            F.when(F.col("__gp") == 1, F.lit("ALL")).otherwise(F.col("o_orderpriority")).alias("priority"),
+            "n_orders",
+            "amount",
+        )
+    )
+
+
+def q_p18_string_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function breadth: substring, lpad, like-filter,
+    regexp_extract, split-part, length — one projection exercising the
+    everyday string surface."""
+    p = t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_type").like("%M%"))
+        .select(
+            "p_partkey",
+            F.substring("p_name", 1, 4).alias("name_prefix"),
+            F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_key"),
+            F.regexp_extract("p_brand", "Brand#(\\d+)", 1).alias("brand_num"),
+            F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+            F.length("p_type").cast("bigint").alias("type_len"),
+        )
+    )
+
+
 _SW = ", ".join(f"'{w}'" for w in T.STOPWORDS_EN)
 
 ORACLES: dict[str, str] = {
+    "u3_except": """
+        SELECT DISTINCT o_custkey AS custkey FROM orders
+        EXCEPT
+        SELECT DISTINCT o_custkey AS custkey FROM orders
+        WHERE o_orderstatus = 'F'
+    """,
+    "u4_intersect": """
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    "a19_above_segment_avg": """
+        WITH w AS (
+            SELECT c_custkey, c_mktsegment, c_acctbal,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER (
+                        PARTITION BY c_mktsegment) AS DOUBLE)
+                   / COUNT(*) OVER (PARTITION BY c_mktsegment) AS segment_avg
+            FROM customer)
+        SELECT c_custkey, c_mktsegment, c_acctbal, segment_avg
+        FROM w WHERE c_acctbal > segment_avg
+    """,
+    "a20_cube": """
+        SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+                    ELSE o_orderstatus END AS status,
+               CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+                    ELSE o_orderpriority END AS priority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amount
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "p18_string_kit": """
+        SELECT p_partkey,
+               substr(p_name, 1, 4) AS name_prefix,
+               lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key,
+               regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS brand_num,
+               string_split(p_name, ' ')[1] AS first_word,
+               CAST(length(p_type) AS BIGINT) AS type_len
+        FROM part
+        WHERE p_type LIKE '%M%'
+    """,
     "a17_pivot_funnel": """
         SELECT date_trunc('month', CAST(ts AS TIMESTAMP)) AS month_start,
                COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
@@ -130,5 +251,10 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "a17_pivot_funnel": q_a17_pivot_funnel,
     "a18_percentiles": q_a18_percentiles,
+    "a19_above_segment_avg": q_a19_above_segment_avg,
+    "a20_cube": q_a20_cube,
+    "u3_except": q_u3_except,
+    "u4_intersect": q_u4_intersect,
+    "p18_string_kit": q_p18_string_kit,
     "x_quality_filter": q_x_quality_filter,
 }

@@ -92,6 +92,33 @@ def q_t4_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_t5_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (bucketed rewrite): clicks within 30 min before each
+    purchase, aggregated per purchase. The oracle states the naive
+    inequality join — the bucketed equi-join must produce identical
+    pairs."""
+    from ..operators.range_join import range_join
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    pairs = range_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="click_ts",
+        window_seconds=30 * 60,
+    )
+    return (
+        pairs.groupBy("purchase_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks_30m"),
+            F.min("click_id").alias("first_click_id"),
+        )
+    )
+
+
 def q_p15_case_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P15 — string case transforms (webhook_app.py:176 account.upper())."""
     c = t(spark, sf_dir, "customer")
@@ -173,6 +200,24 @@ ORACLES: dict[str, str] = {
                COUNT(*) AS n_events
         FROM sessions GROUP BY user_id, sid
     """,
+    "t5_range_join": """
+        WITH purchases AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   event_id AS purchase_id
+            FROM events WHERE event_type = 'purchase'),
+        clicks AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts,
+                   event_id AS click_id
+            FROM events WHERE event_type = 'click')
+        SELECT p.purchase_id,
+               COUNT(*) AS n_clicks_30m,
+               MIN(c.click_id) AS first_click_id
+        FROM purchases p JOIN clicks c
+          ON p.user_id = c.user_id
+         AND c.click_ts <= p.ts
+         AND c.click_ts >= p.ts - INTERVAL 30 MINUTE
+        GROUP BY p.purchase_id
+    """,
     "p15_case_transform": """
         SELECT c_custkey,
                UPPER(c_name) AS name_upper,
@@ -186,5 +231,6 @@ QUERIES = {
     "t2_session_stats": q_t2_session_stats,
     "t3_top_terms": q_t3_top_terms,
     "t4_session_window": q_t4_session_window,
+    "t5_range_join": q_t5_range_join,
     "p15_case_transform": q_p15_case_transform,
 }
