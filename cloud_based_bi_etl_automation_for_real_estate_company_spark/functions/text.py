@@ -70,6 +70,23 @@ def lang_id(col: Column | str) -> Column:
     )
 
 
+# BPE-ish pre-tokenization pattern: letter runs, digit runs, and single
+# non-space symbols — the coarse split BPE tokenizers apply before
+# merges. Plain character classes only, so Java (Spark) and RE2-style
+# (oracle) regex engines agree.
+BPE_SPLIT_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Approximate subword-ish token count via the BPE pre-tokenizer
+    split (an upper bound on whitespace tokens, a lower bound on true
+    BPE tokens)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), F.lit(0))).cast(
+        "bigint"
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 of the sorted token
     bag. Two documents that are word-permutations of each other collide

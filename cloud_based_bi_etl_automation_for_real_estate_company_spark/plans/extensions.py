@@ -66,6 +66,39 @@ def q_x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways — whitespace and BPE-ish regex split —
+    plus their ratio (the tokens-per-word statistic data pipelines use
+    to budget sequence lengths)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count("text").alias("n_ws_tokens"),
+        T.bpe_token_count("text").alias("n_bpe_tokens"),
+        F.try_divide(T.bpe_token_count("text"), T.token_count("text")).alias(
+            "bpe_per_word"
+        ),
+    )
+
+
+def q_x_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10 by id modulus —
+    replayable and stable across runs; use a content-hash modulus when
+    ids are not uniformly distributed), reported per language."""
+    d = t(spark, sf_dir, "documents")
+    bucket = F.pmod(F.col("doc_id"), F.lit(100))
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def q_x_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic + agreement count vs the labeled lang."""
     d = t(spark, sf_dir, "documents")
@@ -210,6 +243,27 @@ ORACLES: dict[str, str] = {
                END AS stopword_ratio
         FROM tok
     """,
+    "x_token_counts": """
+        SELECT doc_id,
+               CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                    AS BIGINT) AS n_bpe_tokens,
+               CASE WHEN len(string_split(trim(text), ' ')) = 0 THEN NULL
+                    ELSE CAST(len(regexp_extract_all(text,
+                             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS DOUBLE)
+                         / len(string_split(trim(text), ' '))
+               END AS bpe_per_word
+        FROM documents
+    """,
+    "x_train_split": """
+        WITH s AS (
+            SELECT lang,
+                   CASE WHEN doc_id % 100 < 80 THEN 'train'
+                        WHEN doc_id % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents)
+        SELECT lang, split, COUNT(*) AS n_docs FROM s GROUP BY 1, 2
+    """,
     "x_lang_id": f"""
         WITH scored AS (
             SELECT doc_id, lang,
@@ -343,6 +397,8 @@ QUERIES = {
     "x_dedup_simhash": q_x_dedup_simhash,
     "x_ngram_jaccard": q_x_ngram_jaccard,
     "x_text_stats": q_x_text_stats,
+    "x_token_counts": q_x_token_counts,
+    "x_train_split": q_x_train_split,
     "x_lang_id": q_x_lang_id,
     "x_fingerprint": q_x_fingerprint,
     "x_ann_bruteforce": q_x_ann_bruteforce,
