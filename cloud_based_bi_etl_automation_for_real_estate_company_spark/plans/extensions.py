@@ -314,8 +314,13 @@ ORACLES: dict[str, str] = {
                       + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
                       + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS INT) AS bucket
             FROM embeddings),
-        q AS (SELECT vec_id AS q_id, emb AS q_emb, bucket AS q_bucket
-              FROM withb WHERE vec_id < 5),
+        q0 AS (SELECT vec_id AS q_id, emb AS q_emb, bucket AS b0
+               FROM withb WHERE vec_id < 5),
+        q AS (
+            SELECT q_id, q_emb,
+                   UNNEST([b0, xor(b0, 1), xor(b0, 2), xor(b0, 4), xor(b0, 8)])
+                       AS q_bucket
+            FROM q0),
         scored AS (
             SELECT q.q_id, b.vec_id,
                    ROUND(list_dot_product(q.q_emb, b.emb)

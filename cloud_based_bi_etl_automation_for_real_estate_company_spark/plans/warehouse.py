@@ -113,7 +113,88 @@ def q_l4_order_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_l5_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped: top-10 open orders by pending revenue for one
+    customer segment. Segment filter broadcast-joins into orders, the
+    lineitem join shuffles once, rank-limit prunes the rest."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    seg = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    joined = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .join(F.broadcast(seg), o.o_custkey == F.col("c_custkey"))
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"))
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+    return (
+        joined.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 10)
+    )
+
+
+def q_l6_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped: customers ranked by returned-item revenue
+    (return flag 'R'), enriched with nation — the churn-risk report."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    joined = (
+        l.filter(F.col("l_returnflag") == "R")
+        .join(o.select("o_orderkey", "o_custkey"), l.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(c.select("c_custkey", "c_name", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("lost_revenue"))
+    )
+    w = Window.orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+    return (
+        joined.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 20)
+    )
+
+
 ORACLES: dict[str, str] = {
+    "l5_top_revenue_orders": """
+        WITH joined AS (
+            SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+                   CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderstatus = 'O' AND c.c_mktsegment = 'BUILDING'
+            GROUP BY 1, 2, 3),
+        ranked AS (
+            SELECT *, CAST(ROW_NUMBER() OVER (
+                ORDER BY revenue DESC, o_orderkey ASC) AS BIGINT) AS rnk
+            FROM joined)
+        SELECT o_orderkey, o_orderdate, o_orderpriority, revenue, rnk
+        FROM ranked WHERE rnk <= 10
+    """,
+    "l6_returned_customers": """
+        WITH joined AS (
+            SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+                   CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(18,6))) AS DOUBLE) AS lost_revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+            GROUP BY 1, 2, 3),
+        ranked AS (
+            SELECT *, CAST(ROW_NUMBER() OVER (
+                ORDER BY lost_revenue DESC, c_custkey ASC) AS BIGINT) AS rnk
+            FROM joined)
+        SELECT c_custkey, c_name, nation, lost_revenue, rnk
+        FROM ranked WHERE rnk <= 20
+    """,
     "l1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -173,4 +254,6 @@ QUERIES = {
     "l2_revenue_by_nation": q_l2_revenue_by_nation,
     "l3_top_parts": q_l3_top_parts,
     "l4_order_lifecycle": q_l4_order_lifecycle,
+    "l5_top_revenue_orders": q_l5_top_revenue_orders,
+    "l6_returned_customers": q_l6_returned_customers,
 }
