@@ -156,10 +156,33 @@ def write_silver(events: DataFrame, path: str) -> None:
     )
 
 
-def ingest_batch(spark: SparkSession, in_path: str, out_path: str) -> DataFrame:
+def ingest_batch(
+    spark: SparkSession, in_path: str, out_path: str
+) -> tuple[DataFrame, dict]:
     """Full batch pipeline: read → unwrap → project → dedup → write.
-    Returns the deduped silver frame (also written to ``out_path``)."""
+    Returns (silver frame, pipeline metrics).
+
+    Metrics ride on ``Observation`` — computed by the SAME job that
+    writes the data (no second scan), the declarative replacement for
+    the reference's per-request log lines (webhook_app.py:156,175).
+    """
+    from pyspark.sql import Observation
+
     raw = read_webhook_json(spark, in_path)
-    silver = project_silver(unwrap_events(raw)).dropDuplicates(["id"])
+    obs = Observation("ingest")
+    silver = (
+        project_silver(unwrap_events(raw))
+        .dropDuplicates(["id"])
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("created_at_utc").isNull(), 1)).alias(
+                "n_bad_created_at"
+            ),
+            # observed metrics forbid DISTINCT aggregates; HLL sketch is
+            # exact at this cardinality and legal in CollectMetrics
+            F.approx_count_distinct(F.col("account")).alias("n_accounts"),
+        )
+    )
     write_silver(silver, out_path)
-    return silver
+    return silver, obs.get

@@ -74,7 +74,7 @@ def replay_batch_equals_stream(
     """Determinism harness (test support): run the same input through
     the batch pipeline and the streaming pipeline; both outputs should
     agree on the deduped id set (ST2/ST4)."""
-    batch_silver = ingest_batch(spark, in_path, batch_out)
+    batch_silver, _metrics = ingest_batch(spark, in_path, batch_out)
     q = stream_silver(spark, in_path, stream_out, checkpoint, available_now=True)
     q.awaitTermination()
     stream_silver_df = spark.read.parquet(stream_out)

@@ -85,3 +85,31 @@ def test_binary_file_source(spark, tmp_path):
     assert df.count() == 2
     meta = decode_metadata(df.withColumn("doc_id", F.length("path").cast("long")))
     assert {r["n_bytes"] for r in meta.collect()} == {104, 52}
+
+
+def test_python_datasource_paged_api(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.sources.rest_datasource import (
+        PagedApiDataSource,
+    )
+
+    spark.dataSource.register(PagedApiDataSource)
+    df = (
+        spark.read.format("paged_api")
+        .option("total", 257)
+        .option("page_size", 50)
+        .option("pages_per_task", 2)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3  # 6 pages / 2 per task
+    rows = df.collect()
+    assert len(rows) == 257
+    assert {r["id"] for r in rows} == set(range(257))
+
+    filtered = (
+        spark.read.format("paged_api")
+        .option("total", 257)
+        .option("page_size", 50)
+        .option("min_id", 200)
+        .load()
+    )
+    assert filtered.count() == 57

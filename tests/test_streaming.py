@@ -18,7 +18,9 @@ def test_stream_equals_batch(spark, webhook_corpus, tmp_path):
     stream_out = str(tmp_path / "stream")
     ckpt = str(tmp_path / "ckpt")
 
-    batch = W.ingest_batch(spark, path, batch_out)
+    batch, metrics = W.ingest_batch(spark, path, batch_out)
+    assert metrics["n_rows"] == batch.count()
+    assert metrics["n_accounts"] == 3
     q = stream_silver(spark, path, stream_out, ckpt, available_now=True)
     q.awaitTermination(120)
 
