@@ -141,6 +141,27 @@ def q_a20_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a21_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: per-user ordered event-id list + its size —
+    the collect-to-array measure (bounded per key; a 100 TB caveat is
+    documented: never collect unbounded groups)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("event_id")).alias("event_ids"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+
+
+def q_p19_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral/positional explode: token with its 0-based position
+    (posexplode ↔ lateral UNNEST-with-index in the oracle)."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.posexplode(F.split(F.col("p_name"), " ")).alias("pos", "tok"),
+    ).select("p_partkey", F.col("pos").cast("bigint").alias("pos"), "tok")
+
+
 def q_p18_string_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-function breadth: substring, lpad, like-filter,
     regexp_extract, split-part, length — one projection exercising the
@@ -192,6 +213,19 @@ ORACLES: dict[str, str] = {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amount
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "a21_collect_list": """
+        SELECT user_id,
+               list_sort(list(event_id)) AS event_ids,
+               COUNT(*) AS n_events
+        FROM events GROUP BY user_id
+    """,
+    "p19_posexplode": """
+        SELECT p_partkey,
+               CAST(i - 1 AS BIGINT) AS pos,
+               toks[i] AS tok
+        FROM (SELECT p_partkey, string_split(p_name, ' ') AS toks FROM part),
+             UNNEST(range(1, len(toks) + 1)) AS u(i)
     """,
     "p18_string_kit": """
         SELECT p_partkey,
@@ -253,6 +287,8 @@ QUERIES = {
     "a18_percentiles": q_a18_percentiles,
     "a19_above_segment_avg": q_a19_above_segment_avg,
     "a20_cube": q_a20_cube,
+    "a21_collect_list": q_a21_collect_list,
+    "p19_posexplode": q_p19_posexplode,
     "u3_except": q_u3_except,
     "u4_intersect": q_u4_intersect,
     "p18_string_kit": q_p18_string_kit,

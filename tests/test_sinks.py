@@ -49,3 +49,19 @@ def test_materialize_gold_dynamic_partition_overwrite(spark, tmp_path):
     refreshed = materialize_gold(df2, out, view_name="gold_t", partition_by=["month"])
     got = {r["month"]: r["n"] for r in refreshed.collect()}
     assert got == {"2025-01": 10, "2025-02": 25}
+
+
+def test_compact_small_files(spark, tmp_path):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.sources.sinks import (
+        compact,
+    )
+    import glob
+
+    src = str(tmp_path / "many")
+    spark.range(10000).repartition(32).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 32
+
+    out = str(tmp_path / "few")
+    compacted = compact(spark, src, out, target_files=2)
+    assert len(glob.glob(f"{out}/part-*.parquet")) == 2
+    assert compacted.count() == 10000
