@@ -90,6 +90,33 @@ def streaming_lead_state(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_stream_interval_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    window_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream–stream interval join: each purchase pairs with the same
+    user's clicks from the preceding ``window_minutes``. Watermarks on
+    BOTH sides + the time-range predicate let Spark bound join state
+    (a side's events are dropped once the other side's watermark passes
+    the range) — the streaming analog of operators.range_join.
+
+    Expects purchases(user_id, ts, purchase_id) and
+    clicks(user_id, click_ts, click_id) streaming frames.
+    """
+    p = purchases.withWatermark("ts", watermark)
+    c = clicks.withWatermark("click_ts", watermark)
+    cond = (
+        (p["user_id"] == c["user_id"])
+        & (c["click_ts"] <= p["ts"])
+        & (c["click_ts"] >= p["ts"] - F.make_dt_interval(mins=F.lit(window_minutes)))
+    )
+    return p.join(c, cond).select(
+        p["user_id"], p["ts"], "purchase_id", "click_id", "click_ts"
+    )
+
+
 def streaming_windowed_counts(
     events: DataFrame,
     ts_col: str = "ts",

@@ -81,3 +81,69 @@ def test_refresh_gold_job(spark, tmp_path):
     # materialized on disk, partition-pruned snapshot
     snap = spark.read.parquet(str(tmp_path / "gold" / "lead_snapshot"))
     assert snap.filter(F.col("account") == "office_a").count() == 1
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE's skew-join handling on a forced-skew shuffle join: results
+    must match the broadcast plan, with AQE's optimizer reporting the
+    skew split (OptimizeSkewedJoin) when thresholds are lowered to
+    fixture scale."""
+    big = _skewed(spark)  # user 0 owns 90% of rows
+    other = spark.createDataFrame(
+        [(u, u * 1.0) for u in range(101)], "user_id int, score double"
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = big.join(other, "user_id")
+        n = joined.count()
+        assert n == 1000  # every row matches exactly one dim row
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+
+
+def test_mllib_minhash_crosscheck(spark):
+    """spark.ml MinHashLSH as an independent implementation: on docs
+    with an exact duplicate pair, both our md5-family LSH and MLlib's
+    hash family must surface the duplicate pair as candidates."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+    from pyspark.sql import functions as F2
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.functions.text import (
+        shingles,
+    )
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, "a completely different sentence about spark and scale here"),
+        (4, "yet another unrelated document text body for the test suite"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    ours = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs).collect()}
+    assert (1, 2) in ours
+
+    sh = docs.select("doc_id", shingles("text").alias("sh"))
+    cv = CountVectorizer(inputCol="sh", outputCol="features", binary=True).fit(sh)
+    feats = cv.transform(sh)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
+    model = mh.fit(feats)
+    sim = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jac_dist")
+    mllib_pairs = {
+        (r["datasetA"]["doc_id"], r["datasetB"]["doc_id"])
+        for r in sim.filter(F2.col("datasetA.doc_id") < F2.col("datasetB.doc_id")).collect()
+    }
+    assert (1, 2) in mllib_pairs

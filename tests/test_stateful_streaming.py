@@ -105,3 +105,64 @@ def test_streaming_windowed_counts_match_batch(spark, event_dir, tmp_path):
         .collect()
     }
     assert got == expect
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Streaming purchase⋈click interval join equals the batch
+    range_join on the same input."""
+    import json as _json
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.range_join import (
+        range_join,
+    )
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.streaming.stateful import (
+        stream_stream_interval_join,
+    )
+
+    pdir, cdir = tmp_path / "p", tmp_path / "c"
+    pdir.mkdir(); cdir.mkdir()
+    purchases = [
+        {"user_id": 1, "ts": "2025-01-01 10:00:00", "purchase_id": 100},
+        {"user_id": 1, "ts": "2025-01-01 12:00:00", "purchase_id": 101},
+        {"user_id": 2, "ts": "2025-01-01 10:10:00", "purchase_id": 102},
+    ]
+    clicks = [
+        {"user_id": 1, "click_ts": "2025-01-01 09:45:00", "click_id": 200},  # in window of 100
+        {"user_id": 1, "click_ts": "2025-01-01 11:50:00", "click_id": 201},  # in window of 101
+        {"user_id": 1, "click_ts": "2025-01-01 08:00:00", "click_id": 202},  # too old
+        {"user_id": 2, "click_ts": "2025-01-01 10:05:00", "click_id": 203},  # in window of 102
+        {"user_id": 2, "click_ts": "2025-01-01 10:15:00", "click_id": 204},  # after purchase
+    ]
+    (pdir / "p.jsonl").write_text("\n".join(_json.dumps(x) for x in purchases))
+    (cdir / "c.jsonl").write_text("\n".join(_json.dumps(x) for x in clicks))
+
+    P_SCHEMA = "user_id bigint, ts timestamp, purchase_id bigint"
+    C_SCHEMA = "user_id bigint, click_ts timestamp, click_id bigint"
+    ps = spark.readStream.schema(P_SCHEMA).json(str(pdir))
+    cs = spark.readStream.schema(C_SCHEMA).json(str(cdir))
+
+    out = stream_stream_interval_join(ps, cs, window_minutes=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM ssj").collect()
+    }
+
+    pb = spark.read.schema(P_SCHEMA).json(str(pdir))
+    cb = spark.read.schema(C_SCHEMA).json(str(cdir))
+    expect = {
+        (r["purchase_id"], r["click_id"])
+        for r in range_join(
+            pb, cb, on=["user_id"], left_ts="ts", right_ts="click_ts",
+            window_seconds=30 * 60,
+        ).collect()
+    }
+    assert got == expect == {(100, 200), (101, 201), (102, 203)}
