@@ -90,6 +90,63 @@ def streaming_lead_state(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_lead_state_tws(events: DataFrame) -> DataFrame:
+    """events(lead_id, ts, step) stream → live current-state stream via
+    ``transformWithStateInPandas`` with a ValueState per lead.
+
+    Requires the RocksDB state store provider AND the protobuf package
+    (the TWS state-server protocol); environments lacking protobuf
+    should use ``streaming_lead_state`` (applyInPandasWithState), which
+    is behaviorally identical for this operator."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Proc(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "lead", "best_ts double, best_step string, n bigint"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            (lead_id,) = key
+            if self._state.exists():
+                best_ts, best_step, n = self._state.get()
+            else:
+                best_ts, best_step, n = float("-inf"), None, 0
+            for pdf in rows:
+                n += len(pdf)
+                ts_s = pdf["ts"].astype("int64") / 1e9
+                i = ts_s.idxmax()
+                if ts_s[i] > best_ts:
+                    best_ts = float(ts_s[i])
+                    best_step = str(pdf["step"][i])
+            self._state.update((best_ts, best_step, n))
+            yield pd.DataFrame(
+                {
+                    "lead_id": [lead_id],
+                    "current_step": [best_step],
+                    "updated_at": [pd.Timestamp(best_ts, unit="s")],
+                    "n_events_seen": [n],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("lead_id", "ts", "step")
+        .groupBy("lead_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_Proc(),
+            outputStructType=LEAD_STATE_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def stream_stream_interval_join(
     purchases: DataFrame,
     clicks: DataFrame,

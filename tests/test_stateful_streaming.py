@@ -166,3 +166,37 @@ def test_stream_stream_interval_join(spark, tmp_path):
         ).collect()
     }
     assert got == expect == {(100, 200), (101, 201), (102, 203)}
+
+
+def test_transform_with_state_matches_apply_in_pandas(spark, event_dir, tmp_path):
+    """The transformWithState implementation must produce the same
+    final per-lead state as the applyInPandasWithState one."""
+    # the TWS state-server protocol needs protobuf, absent in this env
+    pytest.importorskip("google.protobuf.descriptor")
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.streaming.stateful import (
+        streaming_lead_state_tws,
+    )
+
+    # transformWithState requires the RocksDB state store provider
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = streaming_lead_state_tws(_read_stream(spark, event_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("lead_state_tws")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        got = {
+            r["lead_id"]: (r["current_step"], r["n_events_seen"])
+            for r in spark.sql("SELECT * FROM lead_state_tws").collect()
+        }
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert got == {1: ("Firmados", 3), 2: ("Rechazados", 2), 3: ("Ingresados", 1)}
