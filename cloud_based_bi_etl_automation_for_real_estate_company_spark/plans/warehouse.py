@@ -159,7 +159,96 @@ def q_l6_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_l7_lone_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped: suppliers that shipped late (> 60 days after
+    order date) in multi-supplier orders where NO other supplier was
+    late — EXISTS as left-semi, NOT EXISTS as left-anti, composed on
+    the same fact."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    lines = l.join(
+        o.select("o_orderkey", "o_orderdate"), l.l_orderkey == F.col("o_orderkey")
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)).alias("late"),
+    )
+    late_lines = lines.filter(F.col("late")).select("l_orderkey", "l_suppkey").distinct()
+    # another supplier in the same order (semi: order has >1 supplier)
+    others = lines.select("l_orderkey", F.col("l_suppkey").alias("other_supp")).distinct()
+    multi = (
+        late_lines.alias("x")
+        .join(
+            others.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") != F.col("y.other_supp")),
+            "left_semi",
+        )
+    )
+    other_late = (
+        lines.filter(F.col("late"))
+        .select("l_orderkey", F.col("l_suppkey").alias("other_supp"))
+        .distinct()
+    )
+    lone = (
+        multi.alias("x")
+        .join(
+            other_late.alias("z"),
+            (F.col("x.l_orderkey") == F.col("z.l_orderkey"))
+            & (F.col("x.l_suppkey") != F.col("z.other_supp")),
+            "left_anti",
+        )
+    )
+    return (
+        lone.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_lone_late_orders"))
+    )
+
+
+def q_l8_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shaped: distinct supplier count per (brand, type),
+    excluding one brand and a type family — the distinct-agg +
+    exclusion-predicate shape."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p.select("p_partkey", "p_brand", "p_type")),
+               l.l_partkey == F.col("p_partkey"))
+        .filter((F.col("p_brand") != "Brand#1") & (~F.col("p_type").startswith("PROMO")))
+        .groupBy(F.col("p_brand").alias("brand"), F.col("p_type").alias("part_type"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
 ORACLES: dict[str, str] = {
+    "l7_lone_late_suppliers": """
+        WITH lines AS (
+            SELECT l.l_orderkey, l.l_suppkey,
+                   l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        late_lines AS (
+            SELECT DISTINCT l_orderkey, l_suppkey FROM lines WHERE late),
+        lone AS (
+            SELECT x.l_orderkey, x.l_suppkey
+            FROM late_lines x
+            WHERE EXISTS (
+                SELECT 1 FROM lines y
+                WHERE y.l_orderkey = x.l_orderkey
+                  AND y.l_suppkey <> x.l_suppkey)
+              AND NOT EXISTS (
+                SELECT 1 FROM lines z
+                WHERE z.l_orderkey = x.l_orderkey
+                  AND z.l_suppkey <> x.l_suppkey AND z.late))
+        SELECT l_suppkey, COUNT(*) AS n_lone_late_orders
+        FROM lone GROUP BY l_suppkey
+    """,
+    "l8_supplier_variety": """
+        SELECT p.p_brand AS brand, p.p_type AS part_type,
+               COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand <> 'Brand#1' AND p.p_type NOT LIKE 'PROMO%'
+        GROUP BY 1, 2
+    """,
     "l5_top_revenue_orders": """
         WITH joined AS (
             SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
@@ -256,4 +345,6 @@ QUERIES = {
     "l4_order_lifecycle": q_l4_order_lifecycle,
     "l5_top_revenue_orders": q_l5_top_revenue_orders,
     "l6_returned_customers": q_l6_returned_customers,
+    "l7_lone_late_suppliers": q_l7_lone_late_suppliers,
+    "l8_supplier_variety": q_l8_supplier_variety,
 }
