@@ -38,6 +38,36 @@ PAGE_SIZE = 100  # reference LIMIT, Lead_Ingestion_CRM_SQLite.py:15
 SLEEP_S = 0.0  # reference politeness 0.2s, Lead_Ingestion_CRM_SQLite.py:66
 
 
+def with_retries(
+    fetcher: Fetcher,
+    max_tries: int = 3,
+    backoff_s: float = 0.5,
+    sleep=time.sleep,
+) -> Fetcher:
+    """S4 — wrap a fetcher with bounded retry + exponential backoff.
+
+    The reference stops the whole backfill on the first non-200
+    (Lead_Ingestion_CRM_SQLite.py:57–59); here a page gets
+    ``max_tries`` attempts and then the exception propagates, failing
+    only that Spark task — which Spark itself retries on another
+    executor before failing the job. ``sleep`` is injectable for
+    deterministic tests.
+    """
+
+    def wrapped(limit: int, offset: int, params: dict) -> list[dict]:
+        last: Exception | None = None
+        for attempt in range(max_tries):
+            try:
+                return fetcher(limit, offset, params)
+            except Exception as e:  # noqa: BLE001 — fetchers raise transport errors
+                last = e
+                if attempt < max_tries - 1:
+                    sleep(backoff_s * (2**attempt))
+        raise last  # type: ignore[misc]
+
+    return wrapped
+
+
 def fetch_paginated(
     spark: SparkSession,
     fetcher: Fetcher,

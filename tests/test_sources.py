@@ -113,3 +113,31 @@ def test_python_datasource_paged_api(spark):
         .load()
     )
     assert filtered.count() == 57
+
+
+def test_fetcher_retry_backoff():
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.sources.rest import (
+        with_retries,
+    )
+
+    calls = {"n": 0}
+    sleeps: list[float] = []
+
+    def flaky(limit, offset, params):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ConnectionError("transient")
+        return [{"id": offset}]
+
+    wrapped = with_retries(flaky, max_tries=3, backoff_s=0.5, sleep=sleeps.append)
+    assert wrapped(1, 42, {}) == [{"id": 42}]
+    assert calls["n"] == 3
+    assert sleeps == [0.5, 1.0]  # exponential backoff, injectable clock
+
+    def dead(limit, offset, params):
+        raise ConnectionError("permanent")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ConnectionError):
+        with_retries(dead, max_tries=2, sleep=sleeps.append)(1, 0, {})
