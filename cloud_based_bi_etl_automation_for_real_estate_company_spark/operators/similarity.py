@@ -108,32 +108,34 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = 8,
+    n_probes: int = 1,
 ) -> DataFrame:
     """IVF-style ANN: a coarse quantizer assigns every vector to its
-    nearest centroid; queries probe only their own centroid's inverted
-    list. Centroids here are the first ``n_centroids`` base vectors — a
-    deterministic stand-in for k-means (whose iterations don't change
-    the operator's dataflow shape): assignment is a broadcast
-    centroids×vectors scoring + argmin, the probe is an equi-join on
-    centroid id. Recall < 1 by design (single-probe).
+    nearest centroid; queries probe their ``n_probes`` nearest
+    centroids' inverted lists (n_probes is THE recall/cost dial of IVF
+    — each extra probe scans one more list). Centroids here are the
+    first ``n_centroids`` base vectors — a deterministic stand-in for
+    k-means (whose iterations don't change the operator's dataflow
+    shape): assignment is a broadcast centroids×vectors scoring +
+    windowed arg-top, the probe an equi-join on centroid id.
     """
     cents = base.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_emb")
     )
 
-    def assign(df: DataFrame, out: str) -> DataFrame:
+    def assign(df: DataFrame, out: str, top: int) -> DataFrame:
         scored = df.join(F.broadcast(cents)).select(
             "*", _sim("cent_emb", vec_col).alias("__csim")
         )
         w = Window.partitionBy(id_col).orderBy(F.desc("__csim"), F.asc("cent_id"))
         return (
             scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
+            .filter(F.col("__rn") <= top)
             .select(df[id_col], df[vec_col], F.col("cent_id").alias(out))
         )
 
-    b = assign(base, "bucket")
-    q = assign(queries, "q_bucket").select(
+    b = assign(base, "bucket", 1)
+    q = assign(queries, "q_bucket", n_probes).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb"), "q_bucket"
     )
     scored = (

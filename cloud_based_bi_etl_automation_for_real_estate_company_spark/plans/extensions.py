@@ -138,10 +138,10 @@ def q_x_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_x_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-5: coarse-quantizer assignment +
-    single-probe inverted-list search (the other scale path besides
-    sign-LSH)."""
+    2-probe inverted-list search (the other scale path besides
+    sign-LSH; n_probes is the recall dial)."""
     e = t(spark, sf_dir, "embeddings")
-    return S.ivf_topk(e, e.filter(F.col("vec_id") < 5), k=5)
+    return S.ivf_topk(e, e.filter(F.col("vec_id") < 5), k=5, n_probes=2)
 
 
 def q_x_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -340,19 +340,19 @@ ORACLES: dict[str, str] = {
             SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         cents AS (
             SELECT vec_id AS cent_id, emb AS cent_emb FROM base WHERE vec_id < 8),
+        ranked_assign AS (
+            SELECT b.vec_id, b.emb, c.cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+                       ROUND(list_dot_product(b.emb, c.cent_emb)
+                             / (sqrt(list_dot_product(b.emb, b.emb))
+                                * sqrt(list_dot_product(c.cent_emb, c.cent_emb))), 6) DESC,
+                       c.cent_id ASC) AS rn
+            FROM base b CROSS JOIN cents c),
         assigned AS (
-            SELECT vec_id, emb, cent_id FROM (
-                SELECT b.vec_id, b.emb, c.cent_id,
-                       ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
-                           ROUND(list_dot_product(b.emb, c.cent_emb)
-                                 / (sqrt(list_dot_product(b.emb, b.emb))
-                                    * sqrt(list_dot_product(c.cent_emb, c.cent_emb))), 6) DESC,
-                           c.cent_id ASC) AS rn
-                FROM base b CROSS JOIN cents c)
-            WHERE rn = 1),
+            SELECT vec_id, emb, cent_id FROM ranked_assign WHERE rn = 1),
         q AS (
             SELECT vec_id AS q_id, emb AS q_emb, cent_id AS q_bucket
-            FROM assigned WHERE vec_id < 5),
+            FROM ranked_assign WHERE vec_id < 5 AND rn <= 2),
         scored AS (
             SELECT q.q_id, b.vec_id,
                    ROUND(list_dot_product(q.q_emb, b.emb)

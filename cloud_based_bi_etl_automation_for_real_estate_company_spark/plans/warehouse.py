@@ -220,7 +220,42 @@ def q_l8_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_l9_groupwise_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-shaped groupwise-min: per segment, the customer(s)
+    whose total order amount is the segment minimum — the
+    join-back-on-aggregated-min rewrite of a correlated subquery."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    per_cust = (
+        o.join(F.broadcast(c.select("c_custkey", "c_name", "c_mktsegment")),
+               o.o_custkey == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"), "c_custkey", "c_name")
+        .agg(dsum("o_totalprice").alias("total_amount"))
+    )
+    seg_min = per_cust.groupBy("segment").agg(
+        F.min("total_amount").alias("min_amount")
+    )
+    return (
+        per_cust.join(F.broadcast(seg_min), "segment")
+        .filter(F.col("total_amount") == F.col("min_amount"))
+        .select("segment", "c_custkey", "c_name", "total_amount")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "l9_groupwise_min": """
+        WITH per_cust AS (
+            SELECT c.c_mktsegment AS segment, c.c_custkey, c.c_name,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS total_amount
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2, 3)
+        SELECT segment, c_custkey, c_name, total_amount
+        FROM per_cust p
+        WHERE total_amount = (
+            SELECT MIN(total_amount) FROM per_cust q
+            WHERE q.segment = p.segment)
+    """,
     "l7_lone_late_suppliers": """
         WITH lines AS (
             SELECT l.l_orderkey, l.l_suppkey,
@@ -347,4 +382,5 @@ QUERIES = {
     "l6_returned_customers": q_l6_returned_customers,
     "l7_lone_late_suppliers": q_l7_lone_late_suppliers,
     "l8_supplier_variety": q_l8_supplier_variety,
+    "l9_groupwise_min": q_l9_groupwise_min,
 }

@@ -200,3 +200,42 @@ def test_transform_with_state_matches_apply_in_pandas(spark, event_dir, tmp_path
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     assert got == {1: ("Firmados", 3), 2: ("Rechazados", 2), 3: ("Ingresados", 1)}
+
+
+def test_streaming_session_window(spark, event_dir, tmp_path):
+    """Streaming session_window aggregation (complete mode) equals the
+    batch session_window on the same input."""
+    stream = (
+        _read_stream(spark, event_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("lead_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "lead_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sess_win")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["lead_id"], r["session_start"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM sess_win").collect()
+    }
+    batch = (
+        spark.read.schema(SCHEMA).json(event_dir)
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("lead_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("lead_id", F.col("session_window.start").alias("ss"), "n")
+    )
+    expect = {(r["lead_id"], r["ss"]): r["n"] for r in batch.collect()}
+    assert got == expect
+    # lead 1: events at 10:00/11:00/12:30 → 3 separate sessions (gaps > 30m)
+    assert sum(1 for (lid, _s) in got if lid == 1) == 3
