@@ -65,3 +65,30 @@ def test_compact_small_files(spark, tmp_path):
     compacted = compact(spark, src, out, target_files=2)
     assert len(glob.glob(f"{out}/part-*.parquet")) == 2
     assert compacted.count() == 10000
+
+
+def test_generation_atomic_swap(spark, tmp_path):
+    import os
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.generations import (
+        current_generation,
+        read_current,
+        write_generation,
+    )
+
+    tbl = str(tmp_path / "snap")
+    g0 = write_generation(spark.range(10).toDF("id"), tbl)
+    assert g0 == 0 and current_generation(tbl) == 0
+    # a reader that resolved generation 0 keeps a stable view...
+    old_reader = read_current(spark, tbl)
+
+    g1 = write_generation(spark.range(20).toDF("id"), tbl, keep_generations=2)
+    assert g1 == 1
+    assert read_current(spark, tbl).count() == 20   # new readers see gen-1
+    assert old_reader.count() == 10                  # in-flight reader unaffected
+
+    # retention: after two more generations, gen-0 is retired
+    write_generation(spark.range(30).toDF("id"), tbl, keep_generations=2)
+    write_generation(spark.range(40).toDF("id"), tbl, keep_generations=2)
+    assert not os.path.exists(f"{tbl}/gen-0")
+    assert read_current(spark, tbl).count() == 40
