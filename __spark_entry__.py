@@ -21,6 +21,7 @@ from cloud_based_bi_etl_automation_for_real_estate_company_spark.plans import (
     scalars,
     temporal,
     warehouse,
+    windows,
 )
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -58,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(analytics.QUERIES)
     out.update(scalars.QUERIES)
     out.update(temporal.QUERIES)
+    out.update(windows.QUERIES)
     out.update(warehouse.QUERIES)
     out.update(extensions.QUERIES)
     return out
@@ -69,6 +71,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(analytics.ORACLES)
     out.update(scalars.ORACLES)
     out.update(temporal.ORACLES)
+    out.update(windows.ORACLES)
     out.update(warehouse.ORACLES)
     out.update(extensions.ORACLES)
     return out

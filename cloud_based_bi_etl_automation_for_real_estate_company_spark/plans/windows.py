@@ -1,0 +1,116 @@
+"""Window-function measure family (SURVEY.md §2.6 extended): the
+remaining DAX-style time-intelligence measures — lag/lead deltas,
+moving averages, running totals, distribution ranks. All
+oracle-checked; every window here shares one partitioning per query so
+Spark plans a single shuffle+sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.transforms import dsum
+from .measures import t
+
+
+def q_w4_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event sequencing: previous/next event type and the gap
+    to the previous event in exact microseconds (lag/lead over one
+    (user, ts) sort)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias(
+            "gap_us"
+        ),
+    )
+
+
+def q_w5_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly amounts with 3-month moving average and running total —
+    the trend-smoothing + cumulative DAX measures. Aggregate first
+    (tiny frame), window second; the window never sees raw rows."""
+    o = t(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(F.trunc("o_orderdate", "month").alias("month_start"))
+        .agg(dsum("o_totalprice").alias("amount"))
+    )
+    w3 = Window.orderBy("month_start").rowsBetween(-2, 0)
+    wrun = Window.orderBy("month_start").rowsBetween(Window.unboundedPreceding, 0)
+    dec = F.col("amount").cast("decimal(18,2)")
+    return monthly.select(
+        "month_start",
+        "amount",
+        # decimal accumulation inside the window: float window sums are
+        # order/implementation dependent across engines
+        (F.sum(dec).over(w3).cast("double") / F.count(F.lit(1)).over(w3)).alias(
+            "moving_avg_3m"
+        ),
+        F.sum(dec).over(wrun).cast("double").alias("running_total"),
+    )
+
+
+def q_w6_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution ranks per segment: ntile quartile, percent_rank and
+    cume_dist of customer balances (the percentile-band coloring DAX
+    measures)."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        "c_acctbal",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+    )
+
+
+ORACLES: dict[str, str] = {
+    "w4_lag_lead": """
+        SELECT event_id, user_id, event_type,
+               LAG(event_type) OVER w AS prev_type,
+               LEAD(event_type) OVER w AS next_type,
+               epoch_us(CAST(ts AS TIMESTAMP))
+                 - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "w5_moving_avg": """
+        WITH monthly AS (
+            SELECT date_trunc('month', o_orderdate) AS month_start,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amount
+            FROM orders GROUP BY 1)
+        SELECT month_start, amount,
+               CAST(SUM(CAST(amount AS DECIMAL(18,2))) OVER w3 AS DOUBLE)
+                   / COUNT(*) OVER w3 AS moving_avg_3m,
+               CAST(SUM(CAST(amount AS DECIMAL(18,2))) OVER wrun AS DOUBLE)
+                   AS running_total
+        FROM monthly
+        WINDOW w3 AS (ORDER BY month_start
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+               wrun AS (ORDER BY month_start ROWS UNBOUNDED PRECEDING)
+    """,
+    "w6_distribution_ranks": """
+        SELECT c_custkey,
+               c_mktsegment AS segment,
+               c_acctbal,
+               CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume_dist
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+}
+
+QUERIES = {
+    "w4_lag_lead": q_w4_lag_lead,
+    "w5_moving_avg": q_w5_moving_avg,
+    "w6_distribution_ranks": q_w6_distribution_ranks,
+}

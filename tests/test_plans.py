@@ -55,6 +55,15 @@ def test_a7_window_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_w4_lag_lead_single_window_shuffle(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.plans import windows
+
+    plan = _plan(windows.q_w4_lag_lead(spark, SF))
+    # lag/lead/gap all share one (user_id, ts) window: one shuffle, one Window op
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
+
+
 def test_j5_is_anti_join_not_subquery_loop(spark):
     plan = _plan(measures.q_j5_active_anti_deleted(spark, SF))
     assert "LeftAnti" in plan
