@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double, cosine, sign_bucket
+from ..functions.vectors import as_double, cosine, dot, sign_bucket
 
 
 def _sim(qcol: str, bcol: str):
@@ -148,6 +148,92 @@ def ivf_topk(
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc(id_col))
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def pq_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ks: int = 64,
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization ANN: vectors are L2-normalized, split into
+    ``m`` subvectors, and each subvector is encoded as the id of its
+    nearest codeword (min L2) — so a vector stores as ``m`` small codes
+    instead of ``dim`` floats (the 100 TB play: a 64-dim float vector
+    becomes 8 bytes; the scored table scans codes, never raw vectors).
+    Search is asymmetric distance computation: the query builds an
+    ``m × ks`` lookup table of subvector·codeword partials (tiny,
+    broadcast), candidates join on (subspace, code) and group-sum their
+    partials into an approximate inner product (= cosine, since
+    normalized). Codewords are the first ``ks`` base vectors'
+    subvectors — a deterministic k-means stand-in, as in ``ivf_topk``.
+    Partials accumulate in DECIMAL so the group-sum is order-exact and
+    replayable in the SQL oracle. Output shape matches the other ANN
+    strategies: (q_id, vec_id, sim, rnk).
+    """
+    w = dim // m
+    nvec = F.transform(
+        as_double(vec_col), lambda x: x / F.sqrt(dot(as_double(vec_col), as_double(vec_col)))
+    )
+
+    def subspaces(df: DataFrame, idname: str) -> DataFrame:
+        pe = F.posexplode(F.array(*[F.slice("__n", j * w + 1, w) for j in range(m)]))
+        return df.select(F.col(id_col).alias(idname), nvec.alias("__n")).select(
+            idname, pe.alias("sub_j", "sub")
+        )
+
+    cb = subspaces(base.filter(F.col(id_col) < ks), "code_id").select(
+        "code_id", "sub_j", F.col("sub").alias("codeword")
+    )
+    bsubs = subspaces(base, id_col)
+    enc_scored = bsubs.join(F.broadcast(cb), "sub_j").select(
+        id_col,
+        "sub_j",
+        "code_id",
+        F.round(
+            dot(F.col("sub"), F.col("sub"))
+            - 2 * dot(F.col("sub"), F.col("codeword"))
+            + dot(F.col("codeword"), F.col("codeword")),
+            9,
+        ).alias("__d2"),
+    )
+    wenc = Window.partitionBy(id_col, "sub_j").orderBy("__d2", "code_id")
+    codes = (
+        enc_scored.withColumn("__rn", F.row_number().over(wenc))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "sub_j", "code_id")
+    )
+    adc = (
+        subspaces(queries, "q_id")
+        .join(F.broadcast(cb), "sub_j")
+        .select(
+            "q_id",
+            F.col("sub_j").alias("q_sub_j"),
+            F.col("code_id").alias("q_code"),
+            F.round(dot(F.col("sub"), F.col("codeword")), 12)
+            .cast("decimal(24,12)")
+            .alias("partial"),
+        )
+    )
+    scored = (
+        codes.join(
+            F.broadcast(adc),
+            (F.col("sub_j") == F.col("q_sub_j"))
+            & (F.col("code_id") == F.col("q_code"))
+            & (F.col(id_col) != F.col("q_id")),
+        )
+        .groupBy("q_id", id_col)
+        .agg(F.round(F.sum("partial").cast("double"), 6).alias("sim"))
+    )
+    wk = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wk).cast("bigint"))
         .filter(F.col("rnk") <= k)
     )
 

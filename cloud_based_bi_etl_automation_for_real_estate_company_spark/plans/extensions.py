@@ -144,6 +144,14 @@ def q_x_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(e, e.filter(F.col("vec_id") < 5), k=5, n_probes=2)
 
 
+def q_x_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization approximate top-5: vectors stored as m=8
+    one-byte codes, search via broadcast ADC lookup table + decimal
+    group-sum (the memory-compressed scale path)."""
+    e = t(spark, sf_dir, "embeddings")
+    return S.pq_topk(e, e.filter(F.col("vec_id") < 5), k=5)
+
+
 def q_x_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (sim ≥ 0.95) within sign buckets."""
     e = t(spark, sf_dir, "embeddings")
@@ -367,6 +375,49 @@ ORACLES: dict[str, str] = {
             FROM scored)
         SELECT q_id, vec_id, sim, rnk FROM ranked WHERE rnk <= 5
     """,
+    "x_ann_pq": """
+        WITH nb AS (
+            SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                      embedding::DOUBLE[]))) AS n
+            FROM embeddings),
+        subs AS (
+            SELECT vec_id, j.sub_j,
+                   list_slice(n, j.sub_j*8 + 1, j.sub_j*8 + 8) AS sub
+            FROM nb CROSS JOIN (SELECT UNNEST(range(8)) AS sub_j) j),
+        cb AS (
+            SELECT vec_id AS code_id, sub_j, sub AS codeword
+            FROM subs WHERE vec_id < 64),
+        codes AS (
+            SELECT vec_id, sub_j, code_id FROM (
+                SELECT s.vec_id, s.sub_j, c.code_id,
+                       ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub_j ORDER BY
+                           ROUND(list_dot_product(s.sub, s.sub)
+                                 - 2*list_dot_product(s.sub, c.codeword)
+                                 + list_dot_product(c.codeword, c.codeword), 9) ASC,
+                           c.code_id ASC) AS rn
+                FROM subs s JOIN cb c USING (sub_j))
+            WHERE rn = 1),
+        adc AS (
+            SELECT s.vec_id AS q_id, s.sub_j, c.code_id,
+                   CAST(ROUND(list_dot_product(s.sub, c.codeword), 12)
+                        AS DECIMAL(24,12)) AS partial
+            FROM subs s JOIN cb c USING (sub_j) WHERE s.vec_id < 5),
+        scored AS (
+            SELECT a.q_id, co.vec_id,
+                   ROUND(CAST(SUM(a.partial) AS DOUBLE), 6) AS sim
+            FROM codes co
+            JOIN adc a ON co.sub_j = a.sub_j AND co.code_id = a.code_id
+                       AND co.vec_id <> a.q_id
+            GROUP BY a.q_id, co.vec_id),
+        ranked AS (
+            SELECT q_id, vec_id, sim,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rnk
+            FROM scored)
+        SELECT q_id, vec_id, sim, rnk FROM ranked WHERE rnk <= 5
+    """,
     "x_embed_near_dup": """
         WITH withb AS (
             SELECT vec_id, embedding::DOUBLE[] AS emb,
@@ -409,6 +460,7 @@ QUERIES = {
     "x_ann_bruteforce": q_x_ann_bruteforce,
     "x_ann_bucketed": q_x_ann_bucketed,
     "x_ann_ivf": q_x_ann_ivf,
+    "x_ann_pq": q_x_ann_pq,
     "x_embed_near_dup": q_x_embed_near_dup,
     "x_multimodal_meta": q_x_multimodal_meta,
 }

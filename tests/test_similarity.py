@@ -76,11 +76,15 @@ def test_ann_recall_vs_bruteforce(spark):
     from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.similarity import (
         bucketed_ann_topk,
         ivf_topk,
+        pq_topk,
     )
 
     r_lsh = recall(bucketed_ann_topk(e, q, k=5))
     r_ivf = recall(ivf_topk(e, q, k=5))
-    # both prune hard (single probe); they must still find a
-    # nontrivial share of the true neighbours on this fixture
+    r_pq = recall(pq_topk(e, q, k=5))
+    # all prune hard; they must still find a nontrivial share of the
+    # true neighbours on this fixture
     assert r_lsh >= 0.4, r_lsh   # measured 0.52 multi-probe
     assert r_ivf >= 0.8, r_ivf   # measured 0.96 single-probe IVF
+    assert r_pq >= 0.3, r_pq     # measured 0.40 (m=8, ks=64) — random
+    # fixture vectors are the PQ worst case; trained codebooks raise this
