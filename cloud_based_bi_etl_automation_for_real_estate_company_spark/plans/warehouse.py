@@ -242,7 +242,91 @@ def q_l9_groupwise_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_l10_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped two-level aggregation: how many customers
+    placed exactly N (non-urgent) orders, including the zero-order
+    group via the left join. First agg shuffles on c_custkey, the
+    histogram re-agg is over a tiny frame — at scale the only heavy
+    stage is the first shuffle, and AQE coalesces the second."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        ~F.col("o_orderpriority").startswith("1")
+    )
+    per_cust = (
+        c.select("c_custkey")
+        .join(o.select("o_custkey", "o_orderkey"),
+              F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def q_l11_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped: customers from a fixed nation set with
+    above-average positive balance and no *urgent* orders — scalar
+    aggregate broadcast against the dimension, then anti-join to the
+    filtered fact (every fixture customer has some order, so the
+    urgency filter keeps the anti-join non-trivial). The scalar side
+    is one row (BroadcastNestedLoop, not a cartesian blow-up); the
+    anti-join shuffles the filtered orders once on o_custkey."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").startswith("1")
+    )
+    eligible = c.filter(F.col("c_nationkey").isin(1, 2, 3, 5, 8, 13, 17))
+    avg_bal = (
+        eligible.filter(F.col("c_acctbal") > 0)
+        .agg(davg("c_acctbal").alias("avg_bal"))
+    )
+    rich = eligible.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    idle = rich.join(
+        o.select("o_custkey"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_anti",
+    )
+    return idle.groupBy(F.col("c_nationkey").alias("cntrycode")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        dsum("c_acctbal").alias("totacctbal"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "l10_order_count_dist": """
+        WITH per_cust AS (
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT JOIN orders o
+              ON c.c_custkey = o.o_custkey
+             AND NOT starts_with(o.o_orderpriority, '1')
+            GROUP BY c.c_custkey)
+        SELECT c_count, COUNT(*) AS custdist
+        FROM per_cust GROUP BY c_count
+    """,
+    "l11_idle_rich_customers": """
+        WITH eligible AS (
+            SELECT c_custkey, c_nationkey, c_acctbal
+            FROM customer WHERE c_nationkey IN (1, 2, 3, 5, 8, 13, 17)),
+        avg_bal AS (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                       / COUNT(c_acctbal) AS avg_bal
+            FROM eligible WHERE c_acctbal > 0),
+        idle AS (
+            SELECT e.c_nationkey, e.c_acctbal
+            FROM eligible e, avg_bal
+            WHERE e.c_acctbal > avg_bal.avg_bal
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = e.c_custkey
+                                AND starts_with(o.o_orderpriority, '1')))
+        SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS totacctbal
+        FROM idle GROUP BY c_nationkey
+    """,
     "l9_groupwise_min": """
         WITH per_cust AS (
             SELECT c.c_mktsegment AS segment, c.c_custkey, c.c_name,
@@ -383,4 +467,6 @@ QUERIES = {
     "l7_lone_late_suppliers": q_l7_lone_late_suppliers,
     "l8_supplier_variety": q_l8_supplier_variety,
     "l9_groupwise_min": q_l9_groupwise_min,
+    "l10_order_count_dist": q_l10_order_count_dist,
+    "l11_idle_rich_customers": q_l11_idle_rich_customers,
 }
