@@ -295,7 +295,115 @@ def q_l11_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_l12_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped: promo revenue share for one month — a ratio
+    of two conditional decimal sums over the fact⋈part broadcast join.
+    The month predicate pushes to the parquet scan, so only ~1/80 of
+    lineitem is read before the join."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * dsum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0), 6)
+                / dsum(rev, 6)
+            ).alias("promo_pct")
+        )
+    )
+
+
+def q_l13_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped: yearly revenue lost to small orders — rows of
+    a selected brand whose quantity is under 20% of that part's average
+    quantity. The correlated AVG decorrelates to a per-part aggregate
+    joined back on partkey; the tiny part-filter broadcast prunes both
+    sides before the agg join."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_size") < 15)
+    ).select("p_partkey")
+    sel = l.join(F.broadcast(p), l.l_partkey == F.col("p_partkey"))
+    thresh = (
+        sel.groupBy(F.col("l_partkey").alias("t_partkey"))
+        .agg((F.lit(0.2) * davg("l_quantity")).alias("qty_thresh"))
+    )
+    return (
+        sel.join(F.broadcast(thresh), F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg((dsum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+def q_l14_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped: large-volume orders — HAVING over the fact
+    aggregate (sum of quantities per order > 250), then join back to
+    orders and broadcast customer for the listing. The HAVING filter
+    runs on the aggregated (small) side before any wide join."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.col("o_orderdate"), "o_totalprice", "sum_qty",
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "l12_promo_revenue": """
+        SELECT CAST(100.0 * CAST(SUM(CAST(
+                   CASE WHEN starts_with(p_type, 'PROMO')
+                        THEN l_extendedprice * (1 - l_discount)
+                        ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,6))) AS DOUBLE) AS DOUBLE)
+                   AS promo_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+    "l13_small_qty_revenue": """
+        WITH sel AS (
+            SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_brand = 'Brand#3' AND p.p_size < 15),
+        thresh AS (
+            SELECT l_partkey AS t_partkey,
+                   0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                               AS DOUBLE) / COUNT(l_quantity)) AS qty_thresh
+            FROM sel GROUP BY l_partkey)
+        SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                         AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+        FROM sel JOIN thresh ON l_partkey = t_partkey
+        WHERE l_quantity < qty_thresh
+    """,
+    "l14_large_volume_orders": """
+        WITH big AS (
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum_qty > 250)
+        SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+               o.o_totalprice, big.sum_qty
+        FROM big
+        JOIN orders o ON big.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
     "l10_order_count_dist": """
         WITH per_cust AS (
             SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
@@ -469,4 +577,7 @@ QUERIES = {
     "l9_groupwise_min": q_l9_groupwise_min,
     "l10_order_count_dist": q_l10_order_count_dist,
     "l11_idle_rich_customers": q_l11_idle_rich_customers,
+    "l12_promo_revenue": q_l12_promo_revenue,
+    "l13_small_qty_revenue": q_l13_small_qty_revenue,
+    "l14_large_volume_orders": q_l14_large_volume_orders,
 }

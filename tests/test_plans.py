@@ -55,6 +55,13 @@ def test_a7_window_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_l12_month_predicate_pushed_to_scan(spark):
+    plan = _explain(warehouse.q_l12_promo_revenue(spark, SF))
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    assert "BroadcastHashJoin" in _plan(warehouse.q_l12_promo_revenue(spark, SF))
+
+
 def test_w4_lag_lead_single_window_shuffle(spark):
     from cloud_based_bi_etl_automation_for_real_estate_company_spark.plans import windows
 
