@@ -363,7 +363,47 @@ def q_l14_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_l15_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped: revenue under an OR-of-ANDs predicate mixing
+    part and lineitem columns. Catalyst splits the disjunction: the
+    part-only residue (brand/size OR-chain) prunes the broadcast build
+    side, the derived quantity envelope (1..30) pushes to the lineitem
+    scan, and only the mixed residual runs post-join."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    arm = (
+        lambda brand, size_hi, q_lo, q_hi: (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, size_hi)
+        & q.between(q_lo, q_hi)
+    )
+    return (
+        l.filter(q.between(1, 30))
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(
+            arm("Brand#12", 5, 1, 11)
+            | arm("Brand#23", 10, 10, 20)
+            | arm("Brand#34", 15, 20, 30)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+            .alias("revenue")
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "l15_disjunctive_revenue": """
+        SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 20 AND 30)
+    """,
     "l12_promo_revenue": """
         SELECT CAST(100.0 * CAST(SUM(CAST(
                    CASE WHEN starts_with(p_type, 'PROMO')
@@ -580,4 +620,5 @@ QUERIES = {
     "l12_promo_revenue": q_l12_promo_revenue,
     "l13_small_qty_revenue": q_l13_small_qty_revenue,
     "l14_large_volume_orders": q_l14_large_volume_orders,
+    "l15_disjunctive_revenue": q_l15_disjunctive_revenue,
 }
