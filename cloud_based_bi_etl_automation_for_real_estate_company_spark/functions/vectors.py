@@ -34,13 +34,17 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
-def sign_bucket(col: Column | str, bits: int = 4) -> Column:
-    """Deterministic LSH-style bucket id from the sign of the first
-    ``bits`` dimensions — the cheap partitioner for bucketed ANN
-    (identical arithmetic is reproducible in SQL oracles).
+def sign_bucket(col: Column | str, bits: int = 4, offset: int = 0) -> Column:
+    """Deterministic LSH-style bucket id from the sign of ``bits``
+    dimensions starting at ``offset`` — the cheap partitioner for
+    bucketed ANN (identical arithmetic is reproducible in SQL oracles).
+    Different offsets give independent hash tables for OR-amplified
+    multi-table LSH.
     """
     c = as_double(col)
     b = F.lit(0)
     for i in range(bits):
-        b = b + F.when(F.element_at(c, i + 1) > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+        b = b + F.when(
+            F.element_at(c, offset + i + 1) > 0, F.lit(2 ** i)
+        ).otherwise(F.lit(0))
     return b.cast("int")

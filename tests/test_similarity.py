@@ -80,11 +80,14 @@ def test_ann_recall_vs_bruteforce(spark):
     )
 
     r_lsh = recall(bucketed_ann_topk(e, q, k=5))
+    r_lsh2 = recall(bucketed_ann_topk(e, q, k=5, tables=2))
     r_ivf = recall(ivf_topk(e, q, k=5))
     r_pq = recall(pq_topk(e, q, k=5))
     # all prune hard; they must still find a nontrivial share of the
     # true neighbours on this fixture
     assert r_lsh >= 0.4, r_lsh   # measured 0.52 multi-probe
+    assert r_lsh2 >= 0.7, r_lsh2  # measured 0.80 — OR-amplified 2-table
+    assert r_lsh2 > r_lsh         # amplification must actually help
     assert r_ivf >= 0.8, r_ivf   # measured 0.96 single-probe IVF
     assert r_pq >= 0.3, r_pq     # measured 0.40 (m=8, ks=64) — random
     # fixture vectors are the PQ worst case; trained codebooks raise this
