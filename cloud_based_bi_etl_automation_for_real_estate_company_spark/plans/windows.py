@@ -72,7 +72,76 @@ def q_w6_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_w7_growth_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year growth — the DAX
+    SAMEPERIODLASTYEAR / PREVIOUSMONTH time-intelligence pair, as lag
+    windows over the monthly aggregate (the 12-step lag only works on
+    a gapless month spine, which the fixture's continuous order flow
+    provides; production would left-join the calendar dim first)."""
+    o = t(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(F.trunc("o_orderdate", "month").alias("month_start"))
+        .agg(dsum("o_totalprice").alias("amount"))
+    )
+    w = Window.orderBy("month_start")
+    mom_prev = F.lag("amount", 1).over(w)
+    yoy_prev = F.lag("amount", 12).over(w)
+    return monthly.select(
+        "month_start",
+        "amount",
+        F.round((F.col("amount") - mom_prev) / mom_prev * 100, 6).alias("mom_pct"),
+        F.round((F.col("amount") - yoy_prev) / yoy_prev * 100, 6).alias("yoy_pct"),
+    )
+
+
+def q_w8_ytd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAX TOTALYTD: cumulative monthly amount that resets each
+    January — a running decimal sum partitioned by year. One shuffle
+    on the year key over the (tiny) monthly aggregate."""
+    o = t(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(F.trunc("o_orderdate", "month").alias("month_start"))
+        .agg(dsum("o_totalprice").alias("amount"))
+    )
+    w = (
+        Window.partitionBy(F.year("month_start"))
+        .orderBy("month_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return monthly.select(
+        "month_start",
+        "amount",
+        F.sum(F.col("amount").cast("decimal(18,2)")).over(w)
+        .cast("double")
+        .alias("ytd_amount"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "w8_ytd": """
+        WITH monthly AS (
+            SELECT date_trunc('month', o_orderdate) AS month_start,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amount
+            FROM orders GROUP BY 1)
+        SELECT month_start, amount,
+               CAST(SUM(CAST(amount AS DECIMAL(18,2))) OVER (
+                   PARTITION BY year(month_start) ORDER BY month_start
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS ytd_amount
+        FROM monthly
+    """,
+    "w7_growth_rates": """
+        WITH monthly AS (
+            SELECT date_trunc('month', o_orderdate) AS month_start,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amount
+            FROM orders GROUP BY 1)
+        SELECT month_start, amount,
+               ROUND((amount - LAG(amount, 1) OVER w)
+                     / LAG(amount, 1) OVER w * 100, 6) AS mom_pct,
+               ROUND((amount - LAG(amount, 12) OVER w)
+                     / LAG(amount, 12) OVER w * 100, 6) AS yoy_pct
+        FROM monthly
+        WINDOW w AS (ORDER BY month_start)
+    """,
     "w4_lag_lead": """
         SELECT event_id, user_id, event_type,
                LAG(event_type) OVER w AS prev_type,
@@ -111,6 +180,8 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "w4_lag_lead": q_w4_lag_lead,
+    "w7_growth_rates": q_w7_growth_rates,
+    "w8_ytd": q_w8_ytd,
     "w5_moving_avg": q_w5_moving_avg,
     "w6_distribution_ranks": q_w6_distribution_ranks,
 }
