@@ -1,0 +1,75 @@
+"""Scale-path invariants that only matter beyond fixture size:
+
+- dynamic partition pruning: a partitioned gold table joined to a
+  filtered dimension must scan only the matching partition directories
+  (at 100 TB this is the difference between reading one month and
+  reading the table);
+- sketch aggregates: approx_count_distinct (HLL++) and
+  approx_percentile stay within their documented error bounds of the
+  exact answers — the drop-in replacements once exact distinct/sort
+  no longer fit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cloud_based_bi_etl_automation_for_real_estate_company_spark.plans.measures import t
+from cloud_based_bi_etl_automation_for_real_estate_company_spark.sources.sinks import (
+    materialize_gold,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dynamic_partition_pruning_on_gold_join(spark, tmp_path):
+    o = t(spark, SF, "orders").withColumn("order_year", F.year("o_orderdate"))
+    gold = materialize_gold(
+        o, str(tmp_path / "orders_by_year"), partition_by=["order_year"]
+    )
+    # the filter must be on a NON-join column: a literal join-key
+    # predicate would constant-fold into a static partition filter
+    # (also a fine outcome, but then nothing is "dynamic" to test)
+    dim = spark.createDataFrame(
+        [(y, "focus" if y == 1996 else "other") for y in range(1995, 2002)],
+        "dim_year int, label string",
+    ).filter(F.col("label") == "focus")
+    joined = gold.join(
+        F.broadcast(dim), gold.order_year == dim.dim_year
+    ).groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the pruned plan still returns exactly the 1996 partition
+    n = joined.collect()[0]["n"]
+    expected = o.filter(F.col("order_year") == 1996).count()
+    assert n == expected
+
+
+def test_partition_pruning_static_filter_prunes_directories(spark, tmp_path):
+    o = t(spark, SF, "orders").withColumn("order_year", F.year("o_orderdate"))
+    gold = materialize_gold(o, str(tmp_path / "orders_part"), partition_by=["order_year"])
+    df = gold.filter(F.col("order_year") == 1997)
+    plan = df._jdf.queryExecution().toString()
+    assert "PartitionFilters: [isnotnull(order_year" in plan
+    assert df.count() == o.filter("order_year = 1997").count()
+
+
+def test_approx_count_distinct_within_documented_error(spark):
+    o = t(spark, SF, "orders")
+    exact = o.select(F.countDistinct("o_custkey").alias("d")).collect()[0]["d"]
+    approx = o.select(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("d")
+    ).collect()[0]["d"]
+    assert abs(approx - exact) / exact <= 0.06  # 3× rsd safety margin
+
+
+def test_approx_percentile_close_to_exact(spark):
+    l = t(spark, SF, "lineitem")
+    exact, approx = (
+        l.select(
+            F.percentile("l_extendedprice", 0.5).alias("p_exact"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p_approx"),
+        )
+        .collect()[0]
+    )
+    assert abs(approx - exact) / exact <= 0.01
