@@ -36,6 +36,15 @@ def q_x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(t(spark, sf_dir, "documents"))
 
 
+def q_x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH pairs resolved to duplicate clusters: iterative min-label
+    connected components (each doc labeled with its component's
+    smallest doc_id — the canonical survivor). Oracle is a recursive
+    CTE over the same pair set."""
+    pairs = D.minhash_lsh_pairs(t(spark, sf_dir, "documents"))
+    return D.connected_components(pairs)
+
+
 def q_x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (rows-only check: bit-vote aggregation has
     no clean ANSI-SQL equivalent; verified instead by tests/test_dedup.py
@@ -192,15 +201,10 @@ _SHINGLES_CTE = """
     )
 """
 
-ORACLES: dict[str, str] = {
-    "x_dedup_exact": """
-        SELECT md5(text) AS content_hash,
-               MIN(doc_id) AS keep_id,
-               COUNT(*) AS n_copies
-        FROM documents GROUP BY 1
-    """,
-    "x_dedup_minhash_lsh": f"""
-        WITH {_SHINGLES_CTE},
+# minhash signature → banded buckets → candidate pairs, as reusable CTE
+# text (shared by the pairs query and the cluster-resolution oracle)
+_LSH_PAIRS_CTES = f"""
+        {_SHINGLES_CTE},
         hashed AS (
             SELECT doc_id, md5(sh) || md5('x~' || sh) AS hx FROM shingled),
         sig AS (
@@ -217,10 +221,36 @@ ORACLES: dict[str, str] = {
             UNION ALL
             SELECT doc_id, 2, md5(mh_4 || '|' || mh_5) FROM sig
             UNION ALL
-            SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM sig)
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM banded a JOIN banded b
-          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM sig),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+"""
+
+ORACLES: dict[str, str] = {
+    "x_dedup_exact": """
+        SELECT md5(text) AS content_hash,
+               MIN(doc_id) AS keep_id,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY 1
+    """,
+    "x_dedup_minhash_lsh": f"""
+        WITH {_LSH_PAIRS_CTES}
+        SELECT id_a, id_b FROM pairs
+    """,
+    "x_dedup_clusters": f"""
+        WITH RECURSIVE {_LSH_PAIRS_CTES},
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs),
+        reach(node, label) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v)
+        SELECT node AS doc_id, MIN(label) AS cluster_id
+        FROM reach GROUP BY node
     """,
     "x_ngram_jaccard": f"""
         WITH {_SHINGLES_CTE},
@@ -466,6 +496,7 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "x_dedup_exact": q_x_dedup_exact,
     "x_dedup_minhash_lsh": q_x_dedup_minhash_lsh,
+    "x_dedup_clusters": q_x_dedup_clusters,
     "x_dedup_simhash": q_x_dedup_simhash,
     "x_ngram_jaccard": q_x_ngram_jaccard,
     "x_text_stats": q_x_text_stats,

@@ -66,3 +66,18 @@ def test_simhash_matches_python_reference(spark):
     ham = bin(out[1] ^ out[3]).count("1")
     assert ham <= 6
     assert out[1] == out[2]
+
+
+def test_connected_components_chain_and_clique(spark):
+    # chain 10-11-12-13 (diameter 3 forces >1 propagation round),
+    # clique {20,21,22}, isolated pair {30,31}
+    edges = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (20, 21), (20, 22), (21, 22), (30, 31)],
+        "id_a bigint, id_b bigint",
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in D.connected_components(edges).collect()}
+    assert out == {
+        10: 10, 11: 10, 12: 10, 13: 10,
+        20: 20, 21: 20, 22: 20,
+        30: 30, 31: 30,
+    }
