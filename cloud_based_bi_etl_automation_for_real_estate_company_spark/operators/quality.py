@@ -86,3 +86,34 @@ def enforce(
         "__failed", "failed_expectations"
     )
     return good, bad
+
+
+def stratified_sample(
+    df: DataFrame,
+    class_col: str,
+    rates: dict[str, int],
+    content_col: str = "text",
+    default_rate: int = 100,
+) -> DataFrame:
+    """Deterministic stratified sampling for dataset curation: keep
+    ``rates[class]`` percent of each class (e.g. downsample an
+    over-represented language), selected by a *content-hash* bucket —
+    ``md5(content) mod 100`` — so membership is stable across runs,
+    machines, and partitionings (no RNG seeds to ship), and re-running
+    on grown data keeps previously selected rows selected. The rate
+    map travels as a broadcast join, the bucket is one JVM-side md5 —
+    no shuffle at all: at 100 TB this is a pure map-side filter.
+    """
+    spark = df.sparkSession
+    rate_df = spark.createDataFrame(
+        list(rates.items()), f"{class_col} string, __rate int"
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col(content_col)), 1, 8), 16, 10).cast("bigint"),
+        F.lit(100),
+    )
+    return (
+        df.join(F.broadcast(rate_df), class_col, "left")
+        .filter(bucket < F.coalesce(F.col("__rate"), F.lit(default_rate)))
+        .drop("__rate")
+    )

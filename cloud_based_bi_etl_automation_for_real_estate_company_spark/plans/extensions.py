@@ -108,6 +108,18 @@ def q_x_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling: keep 100% of en, 50% of
+    zh, 25% of everything else, by content-hash bucket; reported as
+    per-language kept counts (map-side filter, no shuffle until the
+    final count)."""
+    from ..operators.quality import stratified_sample
+
+    d = t(spark, sf_dir, "documents")
+    kept = stratified_sample(d, "lang", {"en": 100, "zh": 50}, default_rate=25)
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
 def q_x_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic + agreement count vs the labeled lang."""
     d = t(spark, sf_dir, "documents")
@@ -294,6 +306,13 @@ ORACLES: dict[str, str] = {
                          / len(string_split(trim(text), ' '))
                END AS bpe_per_word
         FROM documents
+    """,
+    "x_stratified_sample": """
+        SELECT lang, COUNT(*) AS n_kept
+        FROM documents
+        WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100
+              < CASE lang WHEN 'en' THEN 100 WHEN 'zh' THEN 50 ELSE 25 END
+        GROUP BY lang
     """,
     "x_train_split": """
         WITH s AS (
@@ -502,6 +521,7 @@ QUERIES = {
     "x_text_stats": q_x_text_stats,
     "x_token_counts": q_x_token_counts,
     "x_train_split": q_x_train_split,
+    "x_stratified_sample": q_x_stratified_sample,
     "x_lang_id": q_x_lang_id,
     "x_fingerprint": q_x_fingerprint,
     "x_ann_bruteforce": q_x_ann_bruteforce,
