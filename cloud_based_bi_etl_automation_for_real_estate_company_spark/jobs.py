@@ -56,3 +56,57 @@ def run_backfill_merge(
     stream → last-write-wins snapshot (reference README.md:149)."""
     merged = upsert_merge(backfill, live, ["lead_id"], ["received_at", "id"])
     return materialize_gold(merged, out_path, partition_by=["account"])
+
+
+def run_curation_pipeline(
+    spark: SparkSession, sf_dir: str, out_path: str
+) -> DataFrame:
+    """End-to-end training-data curation — the composition the
+    individual oracle-checked operators exist for:
+
+    1. quality gate (map-side column filter, fuses into the scan);
+    2. exact dedup (one content-hash groupBy; canonical = min doc_id);
+    3. near-dup pruning (MinHash→LSH pairs → connected components;
+       only the cluster representative survives);
+    4. stratified downsampling (content-hash bucket, map-side);
+    5. deterministic train/val/test split;
+    6. write partitioned by split (dynamic partition overwrite).
+
+    Stage order is deliberate for scale: the cheap map-side gate runs
+    first so the shuffling stages (2, 3) see the smallest possible
+    input, and the near-dup stage — the only quadratic-ish one — runs
+    on already exactly-deduped text.
+    """
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import (
+        connected_components,
+        exact_dedup,
+        minhash_lsh_pairs,
+    )
+    from .operators.quality import quality_gate, stratified_sample
+    from .plans.measures import t
+
+    d = t(spark, sf_dir, "documents")
+    gated = quality_gate(d)
+    canon = exact_dedup(gated).select(F.col("keep_id").alias("doc_id"))
+    uniq = gated.join(canon, "doc_id", "left_semi")
+    losers = (
+        connected_components(minhash_lsh_pairs(uniq))
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    pruned = uniq.join(losers, "doc_id", "left_anti")
+    sampled = stratified_sample(
+        pruned, "lang", {"en": 100, "zh": 50}, default_rate=50
+    )
+    bucket = F.pmod(F.col("doc_id"), F.lit(100))
+    curated = sampled.withColumn(
+        "split",
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    curated.write.mode("overwrite").partitionBy("split").parquet(out_path)
+    return spark.read.parquet(out_path)

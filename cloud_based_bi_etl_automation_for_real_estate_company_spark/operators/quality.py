@@ -117,3 +117,19 @@ def stratified_sample(
         .filter(bucket < F.coalesce(F.col("__rate"), F.lit(default_rate)))
         .drop("__rate")
     )
+
+
+def quality_gate(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The composite training-data quality filter (same thresholds the
+    oracle-checked ``x_quality_filter`` reports retention for): length,
+    token count, mean token length, stopword presence. Pure column
+    arithmetic — fuses into the scan."""
+    from ..functions import text as T
+
+    return df.filter(
+        (F.length(text_col) >= 50)
+        & (T.token_count(text_col) >= 10)
+        & (T.avg_token_len(text_col) >= 2.0)
+        & (T.avg_token_len(text_col) <= 12.0)
+        & (T.stopword_ratio(text_col) >= 0.01)
+    )

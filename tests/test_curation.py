@@ -1,0 +1,41 @@
+"""End-to-end curation pipeline: the composed quality → dedup →
+near-dup → sample → split job produces a clean, deterministic corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cloud_based_bi_etl_automation_for_real_estate_company_spark.jobs import (
+    run_curation_pipeline,
+)
+from cloud_based_bi_etl_automation_for_real_estate_company_spark.plans.measures import t
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_curation_pipeline_end_to_end(spark, tmp_path):
+    out = run_curation_pipeline(spark, SF, str(tmp_path / "curated"))
+    total = t(spark, SF, "documents").count()
+    n = out.count()
+    assert 0 < n < total
+    # no exact duplicates survive
+    assert out.select(F.md5("text")).distinct().count() == n
+    # split labels are exactly the three partitions
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"}
+    assert "train" in splits
+    # deterministic: a second run yields the identical doc set
+    out2 = run_curation_pipeline(spark, SF, str(tmp_path / "curated2"))
+    ids = lambda df: {r["doc_id"] for r in df.select("doc_id").collect()}
+    assert ids(out) == ids(out2)
+
+
+def test_curation_pipeline_respects_sampling_rates(spark, tmp_path):
+    out = run_curation_pipeline(spark, SF, str(tmp_path / "curated3"))
+    kept = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # en keeps everything that survives dedup; others are downsampled,
+    # so en must dominate its fixture share
+    assert kept.get("en", 0) > max(v for k, v in kept.items() if k != "en")
