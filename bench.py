@@ -33,8 +33,10 @@ HEADLINE = [
     "a10_monthly_trend",
     "a12_agent_measures",
     "u2_backfill_stream_merge",
+    "l10_order_count_dist",
     "x_dedup_exact",
     "x_dedup_minhash_lsh",
+    "x_dedup_clusters",
     "x_ann_bruteforce",
     "x_ann_ivf",
     "t2_session_stats",
