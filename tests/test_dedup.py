@@ -81,3 +81,35 @@ def test_connected_components_chain_and_clique(spark):
         20: 20, 21: 20, 22: 20,
         30: 30, 31: 30,
     }
+
+
+def test_star_contraction_equivalent_to_propagation(spark):
+    """large-star/small-star must produce identical components to
+    simple min-label propagation on random graphs (chains, cliques,
+    forests — seeded, so deterministic)."""
+    import random
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        nodes = list(range(100))
+        es = {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.choice(nodes), rng.choice(nodes)) for _ in range(60)
+            )
+            if a != b
+        }
+        # add a long chain to force multi-round convergence
+        es |= {(i, i + 1) for i in range(200, 215)}
+        edges = spark.createDataFrame(
+            sorted(es), "id_a bigint, id_b bigint"
+        )
+        simple = {
+            (r["doc_id"], r["cluster_id"])
+            for r in D.connected_components(edges).collect()
+        }
+        star = {
+            (r["doc_id"], r["cluster_id"])
+            for r in D.connected_components_star(edges).collect()
+        }
+        assert star == simple, seed
