@@ -108,6 +108,14 @@ def q_x_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same duplicate clusters via large-star/small-star contraction —
+    the O(log diameter) scale path; must match the identical recursive
+    CTE the propagation variant matches."""
+    pairs = D.minhash_lsh_pairs(t(spark, sf_dir, "documents"))
+    return D.connected_components_star(pairs)
+
+
 def q_x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified downsampling: keep 100% of en, 50% of
     zh, 25% of everything else, by content-hash bucket; reported as
@@ -240,6 +248,20 @@ _LSH_PAIRS_CTES = f"""
               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
 """
 
+_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE {_LSH_PAIRS_CTES},
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs),
+    reach(node, label) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v)
+    SELECT node AS doc_id, MIN(label) AS cluster_id
+    FROM reach GROUP BY node
+"""
+
 ORACLES: dict[str, str] = {
     "x_dedup_exact": """
         SELECT md5(text) AS content_hash,
@@ -251,19 +273,9 @@ ORACLES: dict[str, str] = {
         WITH {_LSH_PAIRS_CTES}
         SELECT id_a, id_b FROM pairs
     """,
-    "x_dedup_clusters": f"""
-        WITH RECURSIVE {_LSH_PAIRS_CTES},
-        edges AS (
-            SELECT id_a AS u, id_b AS v FROM pairs
-            UNION ALL
-            SELECT id_b, id_a FROM pairs),
-        reach(node, label) AS (
-            SELECT u, u FROM edges
-            UNION
-            SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v)
-        SELECT node AS doc_id, MIN(label) AS cluster_id
-        FROM reach GROUP BY node
-    """,
+    "x_dedup_clusters": _CLUSTERS_ORACLE,
+    # the star-contraction variant must land on the exact same fixpoint
+    "x_dedup_clusters_star": _CLUSTERS_ORACLE,
     "x_ngram_jaccard": f"""
         WITH {_SHINGLES_CTE},
         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id),
@@ -516,6 +528,7 @@ QUERIES = {
     "x_dedup_exact": q_x_dedup_exact,
     "x_dedup_minhash_lsh": q_x_dedup_minhash_lsh,
     "x_dedup_clusters": q_x_dedup_clusters,
+    "x_dedup_clusters_star": q_x_dedup_clusters_star,
     "x_dedup_simhash": q_x_dedup_simhash,
     "x_ngram_jaccard": q_x_ngram_jaccard,
     "x_text_stats": q_x_text_stats,

@@ -39,3 +39,25 @@ def test_dedup_idempotent_and_order_independent(spark, rows):
     assert once.count() == once.dropDuplicates(["id"]).count()
     rev = spark.createDataFrame(list(reversed(rows)), "id int, v int")
     assert once.count() == rev.dropDuplicates(["id"]).count()
+
+
+def test_stratified_sample_stable_under_repartitioning(spark):
+    """Content-hash sampling must select the same rows regardless of
+    physical partitioning — the property that makes it reproducible
+    on any cluster layout."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        stratified_sample,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rates = {"en": 60, "zh": 30}
+    ids = lambda df: {
+        r["doc_id"]
+        for r in stratified_sample(df, "lang", rates, default_rate=20)
+        .select("doc_id")
+        .collect()
+    }
+    base = ids(d)
+    assert len(base) > 0
+    assert ids(d.repartition(7)) == base
+    assert ids(d.repartition(1)) == base
