@@ -1,0 +1,35 @@
+"""Driver-contract guards: the harness compares Spark vs oracle by
+sorting columns BY NAME and hashing values, so violations here fail
+the gate in confusing ways — catch them as plain asserts instead.
+All checks are plan/schema-level (no job execution)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+def test_every_oracle_key_has_a_query():
+    assert set(ORACLES) <= set(QUERIES), set(ORACLES) - set(QUERIES)
+
+
+def test_rows_only_set_is_intentional():
+    # queries without an oracle get only the weaker rows-only check;
+    # keep this list explicit so a forgotten oracle is loud
+    assert set(QUERIES) - set(ORACLES) == {"x_dedup_simhash"}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_schema_is_driver_comparable(spark, name):
+    df = QUERIES[name](spark, SF)
+    cols = df.columns
+    # duplicate names break the sort-by-name value comparison
+    assert len(set(cols)) == len(cols), cols
+    # the driver re-invokes queries; schema must be stable across calls
+    assert QUERIES[name](spark, SF).columns == cols
