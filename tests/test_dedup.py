@@ -113,3 +113,22 @@ def test_star_contraction_equivalent_to_propagation(spark):
             for r in D.connected_components_star(edges).collect()
         }
         assert star == simple, seed
+
+
+def test_incremental_dedup_across_batches(spark, tmp_path):
+    store = str(tmp_path / "hash_store")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta"), (3, "alpha beta gamma")],
+        "doc_id bigint, text string",
+    )
+    out1 = D.incremental_dedup(b1, store)
+    assert {r["doc_id"] for r in out1.collect()} == {1, 2}  # 3 is an in-batch dup
+    # batch 2: one cross-batch dup, one genuinely new doc
+    b2 = spark.createDataFrame(
+        [(10, "alpha beta gamma"), (11, "eta theta iota")],
+        "doc_id bigint, text string",
+    )
+    out2 = D.incremental_dedup(b2, store)
+    assert {r["doc_id"] for r in out2.collect()} == {11}
+    # replaying an already-admitted batch admits nothing
+    assert D.incremental_dedup(b1, store).count() == 0
