@@ -95,6 +95,32 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(F.array_join(F.array_sort(tokens(col)), " "))
 
 
+# PII patterns shared by the Spark redactor and the DuckDB oracle.
+# Plain character classes + \S only, so Java (Spark) and RE2 (oracle)
+# regex engines produce identical matches; trailing '-' inside classes
+# is literal in both. Redaction order is URL → EMAIL → PHONE so the
+# digits inside a URL or an email local-part are gone before the
+# phone pattern runs.
+PII_URL = "https?://\\S+"
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE = "\\+?[0-9][0-9 -]{5,}[0-9]"
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (PII_URL, "<URL>"),
+    (PII_EMAIL, "<EMAIL>"),
+    (PII_PHONE, "<PHONE>"),
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every URL / email / phone-shaped span with a typed
+    placeholder token. Pure regexp_replace chain — JVM-side, fuses into
+    the scan; at 100 TB this is a map-only pass with zero shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
 def shingles(col: Column | str, k: int = 3) -> Column:
     """Word k-gram shingles as an array<string>; [] when < k tokens.
 

@@ -119,6 +119,99 @@ def stratified_sample(
     )
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+    ``dup_token_ratio`` (1 − distinct/total tokens), ``dup_bigram_ratio``
+    (same over word 2-grams; NULL when < 2 tokens), and
+    ``top_token_frac`` (share of the single most frequent token) —
+    the standard filters for boilerplate / keyword-stuffed pages.
+
+    The array ratios are pure column expressions (no shuffle); the
+    top-token share needs per-token counts, done as explode →
+    two-level hash-agg on (id, token) then (id) — both shuffles key on
+    the doc id, so AQE coalesces them and there is no skew by
+    construction (one doc's tokens land in one group).
+    """
+    from ..functions import text as T
+
+    toks = T.tokens(text_col)
+    bigs = T.shingles(text_col, 2)
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (F.lit(1.0) - F.try_divide(F.size(F.array_distinct(toks)), F.size(toks))).alias(
+            "dup_token_ratio"
+        ),
+        F.when(
+            F.size(bigs) > 0,
+            F.lit(1.0) - F.try_divide(F.size(F.array_distinct(bigs)), F.size(bigs)),
+        ).alias("dup_bigram_ratio"),
+        toks.alias("__toks"),
+    )
+    top = (
+        base.select(id_col, F.explode("__toks").alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(F.max("cnt").alias("__max_cnt"))
+    )
+    return (
+        base.drop("__toks")
+        .join(top, id_col)
+        .withColumn(
+            "top_token_frac", F.try_divide(F.col("__max_cnt"), F.col("n_tokens"))
+        )
+        .drop("__max_cnt")
+    )
+
+
+def contamination_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: for every training document, count
+    how many of its distinct word ``k``-gram shingles also appear in
+    the evaluation corpus. Docs in the report are contaminated and
+    should be dropped (``decontaminate``) before training.
+
+    Scale shape: the eval side is a benchmark — thousands of docs, not
+    terabytes — so its distinct-shingle set is broadcast and the check
+    is a map-side semi-join over the training corpus; the only shuffle
+    is the final per-doc count, keyed on the doc id.
+    """
+    from ..functions.text import shingles
+
+    ev_sh = eval_df.select(
+        F.explode(F.array_distinct(shingles(text_col, k))).alias("sh")
+    ).distinct()
+    tr_sh = train.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(text_col, k))).alias("sh")
+    )
+    return (
+        tr_sh.join(F.broadcast(ev_sh), "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Drop training docs sharing any word-``k``-gram with the eval
+    corpus (left-anti against the contamination report)."""
+    flagged = contamination_report(train, eval_df, text_col, id_col, k).select(id_col)
+    return train.join(flagged, id_col, "left_anti")
+
+
 def quality_gate(df: DataFrame, text_col: str = "text") -> DataFrame:
     """The composite training-data quality filter (same thresholds the
     oracle-checked ``x_quality_filter`` reports retention for): length,

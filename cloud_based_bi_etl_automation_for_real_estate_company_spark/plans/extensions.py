@@ -148,6 +148,53 @@ def q_x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: inject deterministic synthetic PII (email, phone,
+    URL derived from doc_id) into every document, then count and redact
+    each PII class. Hash of the redacted text is compared, proving the
+    redactor byte-for-byte against the oracle's regexp chain."""
+    d = t(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or call +1 555-000-"),
+            F.col("doc_id").cast("string"),
+            F.lit(" visit https://ex.example/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("t"),
+    )
+    return injected.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(T.PII_URL)).cast("bigint").alias("n_urls"),
+        F.regexp_count("t", F.lit(T.PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count("t", F.lit(T.PII_PHONE)).cast("bigint").alias("n_phones"),
+        F.md5(T.redact_pii(F.col("t"))).alias("redacted_hash"),
+    )
+
+
+def q_x_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (dup-token / dup-bigram
+    ratios, top-token share) per document."""
+    from ..operators.quality import repetition_stats
+
+    return repetition_stats(t(spark, sf_dir, "documents"))
+
+
+def q_x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination report: docs sharing any word-3-gram
+    with the pseudo eval split (doc_id % 50 == 0), with the count of
+    shared distinct shingles."""
+    from ..operators.quality import contamination_report
+
+    d = t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 50 == 0)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    return contamination_report(train, ev)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -358,6 +405,63 @@ ORACLES: dict[str, str] = {
                COUNT(*) AS n_docs
         FROM documents GROUP BY 1
     """,
+    "x_pii_redact": """
+        WITH pii AS (
+            SELECT doc_id,
+                   text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                        || '@mail.example.com or call +1 555-000-'
+                        || CAST(doc_id AS VARCHAR)
+                        || ' visit https://ex.example/d/'
+                        || CAST(doc_id AS VARCHAR) AS t
+            FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, 'https?://\\S+')) AS BIGINT) AS n_urls,
+               CAST(len(regexp_extract_all(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(t, '\\+?[0-9][0-9 -]{5,}[0-9]')) AS BIGINT)
+                   AS n_phones,
+               md5(regexp_replace(regexp_replace(regexp_replace(t,
+                   'https?://\\S+', '<URL>', 'g'),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\\+?[0-9][0-9 -]{5,}[0-9]', '<PHONE>', 'g')) AS redacted_hash
+        FROM pii
+    """,
+    "x_repetition": """
+        WITH tok AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        big AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 2
+                        THEN list_transform(range(1, len(toks)),
+                                            i -> array_to_string(toks[i:i+1], ' '))
+                        ELSE [] END AS bigs
+            FROM tok),
+        counts AS (
+            SELECT doc_id, tok, COUNT(*) AS cnt
+            FROM (SELECT doc_id, UNNEST(toks) AS tok FROM tok)
+            GROUP BY 1, 2),
+        top AS (SELECT doc_id, MAX(cnt) AS max_cnt FROM counts GROUP BY 1)
+        SELECT t.doc_id,
+               CAST(len(t.toks) AS BIGINT) AS n_tokens,
+               CAST(1 AS DOUBLE)
+                   - CAST(len(list_distinct(t.toks)) AS DOUBLE) / len(t.toks)
+                   AS dup_token_ratio,
+               CASE WHEN len(b.bigs) = 0 THEN NULL
+                    ELSE CAST(1 AS DOUBLE)
+                         - CAST(len(list_distinct(b.bigs)) AS DOUBLE) / len(b.bigs)
+               END AS dup_bigram_ratio,
+               CAST(p.max_cnt AS DOUBLE) / len(t.toks) AS top_token_frac
+        FROM tok t JOIN big b USING (doc_id) JOIN top p USING (doc_id)
+    """,
+    "x_decontaminate": f"""
+        WITH {_SHINGLES_CTE},
+        ev AS (SELECT DISTINCT sh FROM shingled WHERE doc_id % 50 = 0),
+        tr AS (SELECT doc_id, sh FROM shingled WHERE doc_id % 50 <> 0)
+        SELECT tr.doc_id, COUNT(*) AS n_shared
+        FROM tr JOIN ev USING (sh)
+        GROUP BY 1
+    """,
     "x_ann_bruteforce": """
         WITH q AS (
             SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
@@ -537,6 +641,9 @@ QUERIES = {
     "x_stratified_sample": q_x_stratified_sample,
     "x_lang_id": q_x_lang_id,
     "x_fingerprint": q_x_fingerprint,
+    "x_pii_redact": q_x_pii_redact,
+    "x_repetition": q_x_repetition,
+    "x_decontaminate": q_x_decontaminate,
     "x_ann_bruteforce": q_x_ann_bruteforce,
     "x_ann_bucketed": q_x_ann_bucketed,
     "x_ann_ivf": q_x_ann_ivf,

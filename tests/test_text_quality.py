@@ -1,0 +1,69 @@
+"""Unit tests for the PII redactor, repetition quality signals, and
+benchmark decontamination (oracle-checked end-to-end as x_pii_redact /
+x_repetition / x_decontaminate; these pin the edge cases)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloud_based_bi_etl_automation_for_real_estate_company_spark.functions import (
+    text as T,
+)
+from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators import (
+    quality as Q,
+)
+
+
+def _redact(spark, s: str) -> str:
+    df = spark.createDataFrame([(s,)], "t string")
+    return df.select(T.redact_pii("t").alias("r")).collect()[0]["r"]
+
+
+def test_redact_pii_each_class(spark):
+    assert (
+        _redact(spark, "mail bob.smith+x@corp.example.io now")
+        == "mail <EMAIL> now"
+    )
+    assert _redact(spark, "see https://a.example/p?q=1#f end") == "see <URL> end"
+    assert _redact(spark, "call +52 55 1234 5678 today") == "call <PHONE> today"
+    # URL redacted before its digits can look phone-like; short digit
+    # runs (dates, ids) are NOT phone matches
+    assert _redact(spark, "v2 built 2024 https://x.example/20240101999999") == (
+        "v2 built 2024 <URL>"
+    )
+    assert _redact(spark, "no pii here, just words") == "no pii here, just words"
+
+
+def test_repetition_stats_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a a b"), (2, "all words differ here"), (3, "solo")],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in Q.repetition_stats(df).collect()}
+    r1 = rows[1]
+    assert r1["n_tokens"] == 5
+    assert r1["dup_token_ratio"] == pytest.approx(1 - 2 / 5)
+    # bigrams: "a a" x3, "a b" -> 4 total, 2 distinct
+    assert r1["dup_bigram_ratio"] == pytest.approx(1 - 2 / 4)
+    assert r1["top_token_frac"] == pytest.approx(4 / 5)
+    assert rows[2]["dup_token_ratio"] == 0.0
+    assert rows[2]["top_token_frac"] == pytest.approx(1 / 4)
+    assert rows[3]["dup_bigram_ratio"] is None  # < 2 tokens
+
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id bigint, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "lazy dogs avoid the quick brown fox entirely"),  # shares 3-grams
+            (2, "completely unrelated training content words"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rep = {r["doc_id"]: r["n_shared"] for r in Q.contamination_report(train, ev).collect()}
+    assert rep == {1: 2}  # "the quick brown", "quick brown fox"
+    clean = Q.decontaminate(train, ev)
+    assert [r["doc_id"] for r in clean.collect()] == [2]
