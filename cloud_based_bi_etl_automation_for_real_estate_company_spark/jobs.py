@@ -65,17 +65,22 @@ def run_curation_pipeline(
     individual oracle-checked operators exist for:
 
     1. quality gate (map-side column filter, fuses into the scan);
-    2. exact dedup (one content-hash groupBy; canonical = min doc_id);
-    3. near-dup pruning (MinHash→LSH pairs → connected components;
+    2. repetition gate (Gopher-style dup-token/bigram thresholds);
+    3. exact dedup (one content-hash groupBy; canonical = min doc_id);
+    4. near-dup pruning (MinHash→LSH pairs → connected components;
        only the cluster representative survives);
-    4. stratified downsampling (content-hash bucket, map-side);
-    5. deterministic train/val/test split;
-    6. write partitioned by split (dynamic partition overwrite).
+    5. benchmark decontamination (broadcast eval shingle set,
+       left-anti on overlap);
+    6. PII redaction (map-only regexp chain on the survivors);
+    7. stratified downsampling (content-hash bucket, map-side);
+    8. deterministic train/val/test split;
+    9. write partitioned by split (dynamic partition overwrite).
 
-    Stage order is deliberate for scale: the cheap map-side gate runs
-    first so the shuffling stages (2, 3) see the smallest possible
-    input, and the near-dup stage — the only quadratic-ish one — runs
-    on already exactly-deduped text.
+    Stage order is deliberate for scale: the cheap map-side gates run
+    first so the shuffling stages (3, 4) see the smallest possible
+    input; the near-dup stage — the only quadratic-ish one — runs on
+    already exactly-deduped text; redaction runs last-but-one so the
+    regexes only touch rows that will actually be written.
     """
     from pyspark.sql import functions as F
 
@@ -84,11 +89,26 @@ def run_curation_pipeline(
         exact_dedup,
         minhash_lsh_pairs,
     )
-    from .operators.quality import quality_gate, stratified_sample
+    from .functions.text import redact_pii
+    from .operators.quality import (
+        decontaminate,
+        quality_gate,
+        repetition_stats,
+        stratified_sample,
+    )
     from .plans.measures import t
 
     d = t(spark, sf_dir, "documents")
     gated = quality_gate(d)
+    repetitive = (
+        repetition_stats(gated)
+        .filter(
+            (F.col("dup_token_ratio") > 0.9)
+            | (F.coalesce(F.col("dup_bigram_ratio"), F.lit(0.0)) > 0.9)
+        )
+        .select("doc_id")
+    )
+    gated = gated.join(repetitive, "doc_id", "left_anti")
     canon = exact_dedup(gated).select(F.col("keep_id").alias("doc_id"))
     uniq = gated.join(canon, "doc_id", "left_semi")
     losers = (
@@ -97,6 +117,15 @@ def run_curation_pipeline(
         .select("doc_id")
     )
     pruned = uniq.join(losers, "doc_id", "left_anti")
+    # pseudo eval split: the held-out benchmark the training set must
+    # not leak (same doc_id % 50 convention as x_decontaminate)
+    eval_docs = d.filter(F.col("doc_id") % 50 == 0)
+    # 8-gram overlap, not 3-gram: long shingles keep the false-positive
+    # rate of common phrases near zero (the usual 8–13-gram practice)
+    pruned = decontaminate(
+        pruned.filter(F.col("doc_id") % 50 != 0), eval_docs, k=8
+    )
+    pruned = pruned.withColumn("text", redact_pii(F.col("text")))
     sampled = stratified_sample(
         pruned, "lang", {"en": 100, "zh": 50}, default_rate=50
     )
