@@ -68,6 +68,43 @@ def stream_silver(
     return writer.start()
 
 
+def stream_dedup_documents(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    store_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous corpus ingestion with *content* dedup across the
+    stream's whole lifetime: each micro-batch is admitted through
+    ``operators.dedup.incremental_dedup``, whose persistent hash store
+    remembers every content hash ever seen — unlike
+    ``dropDuplicates`` + watermark, whose state (and therefore dedup
+    guarantee) is bounded by the watermark horizon. The store is a
+    hash-only parquet (~32 B/doc), so "all history" stays cheap at
+    100 TB of corpus while the membership check is one left-anti join
+    per batch.
+    """
+    from ..operators.dedup import incremental_dedup
+
+    raw = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .json(in_path)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        admitted = incremental_dedup(batch_df, store_path)
+        admitted.write.mode("append").parquet(out_path)
+
+    writer = raw.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def replay_batch_equals_stream(
     spark: SparkSession, in_path: str, batch_out: str, stream_out: str, checkpoint: str
 ) -> tuple[DataFrame, DataFrame]:
