@@ -94,8 +94,14 @@ def stream_dedup_documents(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        admitted = incremental_dedup(batch_df, store_path)
-        admitted.write.mode("append").parquet(out_path)
+        # output written BEFORE the hash-store append (see
+        # incremental_dedup's crash-safety contract): a retried batch
+        # can duplicate rows but can never lose them
+        incremental_dedup(
+            batch_df,
+            store_path,
+            sink=lambda adm: adm.write.mode("append").parquet(out_path),
+        )
 
     writer = raw.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint
