@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..operators import corpus as C
 from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import similarity as S
@@ -88,6 +89,18 @@ def q_x_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bpe_per_word"
         ),
     )
+
+
+def q_x_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF per source slice (natural-log IDF, N as a 1-row
+    broadcast scalar — no driver collect)."""
+    return C.tfidf_by_group(t(spark, sf_dir, "documents"))
+
+
+def q_x_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shingle-set Jaccard matrix — leakage check between
+    corpus slices before mixing them into a training set."""
+    return C.source_overlap(t(spark, sf_dir, "documents"))
 
 
 def q_x_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -366,6 +379,42 @@ ORACLES: dict[str, str] = {
                END AS bpe_per_word
         FROM documents
     """,
+    "x_tfidf": """
+        WITH tok AS (
+            SELECT doc_id, source,
+                   UNNEST(string_split(trim(text), ' ')) AS term
+            FROM documents),
+        tf AS (SELECT source, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        dfreq AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS doc_freq
+            FROM tok GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT tf.source, tf.term, tf.tf, dfreq.doc_freq,
+               tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.doc_freq) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    """,
+    "x_source_overlap": """
+        WITH sh AS (
+            SELECT DISTINCT g, sh FROM (
+                SELECT source AS g,
+                       UNNEST(list_distinct(CASE WHEN len(toks) >= 3
+                           THEN list_transform(range(1, len(toks) - 1),
+                                               i -> array_to_string(toks[i:i+2], ' '))
+                           ELSE [] END)) AS sh
+                FROM (SELECT source, string_split(trim(text), ' ') AS toks
+                      FROM documents))),
+        sizes AS (SELECT g, COUNT(*) AS n_sh FROM sh GROUP BY g),
+        inter AS (
+            SELECT a.g AS source_a, b.g AS source_b, COUNT(*) AS n_common
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.g < b.g
+            GROUP BY 1, 2)
+        SELECT i.source_a, i.source_b, i.n_common,
+               CAST(i.n_common AS DOUBLE)
+                   / (sa.n_sh + sb.n_sh - i.n_common) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.g = i.source_a
+        JOIN sizes sb ON sb.g = i.source_b
+    """,
     "x_stratified_sample": """
         SELECT lang, COUNT(*) AS n_kept
         FROM documents
@@ -637,6 +686,8 @@ QUERIES = {
     "x_ngram_jaccard": q_x_ngram_jaccard,
     "x_text_stats": q_x_text_stats,
     "x_token_counts": q_x_token_counts,
+    "x_tfidf": q_x_tfidf,
+    "x_source_overlap": q_x_source_overlap,
     "x_train_split": q_x_train_split,
     "x_stratified_sample": q_x_stratified_sample,
     "x_lang_id": q_x_lang_id,

@@ -1,0 +1,71 @@
+"""Unit tests for corpus-level analytics: TF-IDF term weighting and
+cross-source shingle overlap (oracle-checked end-to-end as x_tfidf /
+x_source_overlap; these pin hand-computed values on tiny corpora)."""
+
+from __future__ import annotations
+
+import math
+
+from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators import (
+    corpus as C,
+)
+
+DOCS = "doc_id bigint, text string, source string"
+
+
+def test_tfidf_hand_computed(spark):
+    # 4 docs, 2 sources. "rare" appears in 1 doc; "the" in all 4.
+    df = spark.createDataFrame(
+        [
+            (1, "the cat", "web"),
+            (2, "the the dog", "web"),
+            (3, "the rare", "books"),
+            (4, "the cat", "books"),
+        ],
+        DOCS,
+    )
+    rows = {
+        (r["source"], r["term"]): r
+        for r in C.tfidf_by_group(df, group_col="source").collect()
+    }
+    # "the": df=4, N=4 → idf=0 → tfidf 0 everywhere, tf still counted
+    assert rows[("web", "the")]["tf"] == 3
+    assert rows[("web", "the")]["tfidf"] == 0.0
+    # "rare": tf=1 in books, df=1 → 1·ln(4)
+    r = rows[("books", "rare")]
+    assert r["doc_freq"] == 1
+    assert math.isclose(r["tfidf"], math.log(4.0))
+    # "cat": df=2 corpus-wide even though split across sources
+    assert rows[("web", "cat")]["doc_freq"] == 2
+    assert math.isclose(rows[("books", "cat")]["tfidf"], math.log(2.0))
+    assert ("books", "dog") not in rows
+
+
+def test_source_overlap_jaccard(spark):
+    # a: shingles {x y z, y z w}; b: {x y z}; c: {p q r} (no overlap)
+    df = spark.createDataFrame(
+        [
+            (1, "x y z w", "a"),
+            (2, "x y z", "b"),
+            (3, "p q r", "c"),
+        ],
+        DOCS,
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in C.source_overlap(df, group_col="source").collect()
+    }
+    assert set(out) == {("a", "b")}  # zero-overlap pairs absent
+    r = out[("a", "b")]
+    assert r["n_common"] == 1
+    assert math.isclose(r["jaccard"], 1 / 2)  # |{xyz}| / |{xyz, yzw}|
+
+
+def test_source_overlap_dedups_within_source(spark):
+    # duplicate shingles inside one source must not inflate sizes
+    df = spark.createDataFrame(
+        [(1, "x y z", "a"), (2, "x y z", "a"), (3, "x y z", "b")],
+        DOCS,
+    )
+    r = C.source_overlap(df, group_col="source").collect()[0]
+    assert (r["n_common"], r["jaccard"]) == (1, 1.0)
