@@ -17,22 +17,45 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .operators.generations import read_current, write_generation
 from .operators.snapshot import upsert_merge
 from .plans import gold
 from .sources.sinks import materialize_gold
 
 
 def refresh_gold(
-    spark: SparkSession, silver_path: str, gold_path: str, prefix: str = "gold_"
+    spark: SparkSession,
+    silver_path: str,
+    gold_path: str,
+    prefix: str = "gold_",
+    atomic: bool = False,
 ) -> dict[str, DataFrame]:
-    """The 8×/day dashboard refresh as one Spark job."""
+    """The 8×/day dashboard refresh as one Spark job.
+
+    ``atomic=False`` (default) refreshes in place with dynamic
+    partition overwrite — incremental (only changed months rewrite)
+    but a concurrent reader can catch a partition mid-rewrite.
+    ``atomic=True`` publishes each table as a fresh generation
+    directory behind a manifest (operators/generations.py): full
+    rewrite per refresh, but readers see old-or-new, never a mix —
+    the right trade for the dashboard gold layer, which is small
+    relative to silver."""
+
+    def _publish(df: DataFrame, name: str, partition_by=None) -> DataFrame:
+        path = os.path.join(gold_path, name)
+        if atomic:
+            write_generation(df, path, partition_by=partition_by)
+            out = read_current(spark, path)
+            out.createOrReplaceTempView(f"{prefix}{name}")
+            return out
+        return materialize_gold(
+            df, path, view_name=f"{prefix}{name}", partition_by=partition_by
+        )
+
     silver = spark.read.parquet(silver_path)
     snap = gold.lead_snapshot(silver)
     out: dict[str, DataFrame] = {}
-    out["lead_snapshot"] = materialize_gold(
-        snap, os.path.join(gold_path, "lead_snapshot"),
-        view_name=f"{prefix}lead_snapshot", partition_by=["account"],
-    )
+    out["lead_snapshot"] = _publish(snap, "lead_snapshot", partition_by=["account"])
     builders = {
         "funnel": gold.funnel,
         "conversion_rates": gold.conversion_rates,
@@ -43,9 +66,7 @@ def refresh_gold(
         "detail_listing": gold.detail_listing,
     }
     for name, fn in builders.items():
-        out[name] = materialize_gold(
-            fn(snap), os.path.join(gold_path, name), view_name=f"{prefix}{name}"
-        )
+        out[name] = _publish(fn(snap), name)
     return out
 
 

@@ -41,14 +41,20 @@ def current_generation(table_path: str) -> int | None:
 
 
 def write_generation(
-    df: DataFrame, table_path: str, keep_generations: int = 2
+    df: DataFrame,
+    table_path: str,
+    keep_generations: int = 2,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Write ``df`` as the next generation and atomically publish it.
     Returns the new generation number."""
     cur = current_generation(table_path)
     nxt = 0 if cur is None else cur + 1
     gen_dir = os.path.join(table_path, f"gen-{nxt}")
-    df.write.mode("overwrite").parquet(gen_dir)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(gen_dir)
 
     os.makedirs(table_path, exist_ok=True)
     tmp = _manifest_path(table_path) + ".tmp"

@@ -82,6 +82,23 @@ def test_refresh_gold_job(spark, tmp_path):
     snap = spark.read.parquet(str(tmp_path / "gold" / "lead_snapshot"))
     assert snap.filter(F.col("account") == "office_a").count() == 1
 
+    # atomic mode: same results, published behind a generation manifest
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators import (
+        generations as G,
+    )
+
+    agold = str(tmp_path / "gold_atomic")
+    jobs.refresh_gold(spark, silver_path, agold, atomic=True)
+    assert G.current_generation(agold + "/funnel") == 0
+    assert spark.sql("SELECT Firmados FROM gold_funnel").collect()[0][0] == 1
+    # re-refresh bumps the generation; views re-point to the new one
+    jobs.refresh_gold(spark, silver_path, agold, atomic=True)
+    assert G.current_generation(agold + "/funnel") == 1
+    assert spark.sql("SELECT Firmados FROM gold_funnel").collect()[0][0] == 1
+    # partitioned snapshot generation keeps partition pruning
+    snap2 = G.read_current(spark, agold + "/lead_snapshot")
+    assert snap2.filter(F.col("account") == "office_a").count() == 1
+
 
 def test_aqe_splits_skewed_join(spark):
     """AQE's skew-join handling on a forced-skew shuffle join: results
