@@ -65,6 +65,63 @@ def tfidf_by_group(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Greedy sequence packing: assign each document to a training bin
+    of ``budget`` tokens, filling bins in document order — the step
+    that turns a curated corpus into fixed-length training sequences.
+
+    bin = floor(running_token_count_before_doc / budget), i.e. a doc
+    opens a new bin when the previous docs have already filled the
+    current one (docs longer than the budget take bins alone; we never
+    split a doc — the trailing overflow is the packer's fill loss,
+    visible in the per-bin token totals).
+
+    Returns (id_col, n_tokens, bin_id). A single global ordering is a
+    total sort; at 100 TB pass ``partitions`` to pack independently
+    within md5-hash pack-groups instead — bins are then
+    (pack_group, bin_id) pairs, each group sorts locally after one
+    hash shuffle, and no stage ever sees the global order. The group
+    hash is md5-derived (not Spark's murmur3) so the assignment is
+    replayable in the SQL oracle and stable across engines.
+    """
+    from pyspark.sql import Window
+
+    n_tok = F.size(tokens(text_col)).cast("bigint")
+    base = df.select(F.col(id_col), n_tok.alias("n_tokens"))
+    if partitions is None:
+        w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+        before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        return base.select(
+            id_col,
+            "n_tokens",
+            F.floor(before / F.lit(budget)).alias("bin_id"),
+        )
+    grp = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("bigint"),
+        F.lit(partitions),
+    )
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.withColumn("pack_group", grp).select(
+        id_col,
+        "n_tokens",
+        "pack_group",
+        F.floor(before / F.lit(budget)).alias("bin_id"),
+    )
+
+
 def source_overlap(
     df: DataFrame,
     text_col: str = "text",

@@ -103,6 +103,15 @@ def q_x_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.source_overlap(t(spark, sf_dir, "documents"))
 
 
+def q_x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into 512-token training bins, packed
+    independently inside 8 md5-hash pack-groups (the scale path — no
+    global sort; replayable hash so the oracle agrees)."""
+    return C.pack_sequences(
+        t(spark, sf_dir, "documents"), budget=512, partitions=8
+    )
+
+
 def q_x_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (80/10/10 by id modulus —
     replayable and stable across runs; use a content-hash modulus when
@@ -415,6 +424,20 @@ ORACLES: dict[str, str] = {
         JOIN sizes sa ON sa.g = i.source_a
         JOIN sizes sb ON sb.g = i.source_b
     """,
+    "x_pack_sequences": """
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 8 AS pack_group
+            FROM documents)
+        SELECT doc_id, n_tokens, pack_group,
+               CAST(floor(COALESCE(SUM(n_tokens) OVER (
+                        PARTITION BY pack_group ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    / 512) AS BIGINT) AS bin_id
+        FROM base
+    """,
     "x_stratified_sample": """
         SELECT lang, COUNT(*) AS n_kept
         FROM documents
@@ -687,6 +710,7 @@ QUERIES = {
     "x_text_stats": q_x_text_stats,
     "x_token_counts": q_x_token_counts,
     "x_tfidf": q_x_tfidf,
+    "x_pack_sequences": q_x_pack_sequences,
     "x_source_overlap": q_x_source_overlap,
     "x_train_split": q_x_train_split,
     "x_stratified_sample": q_x_stratified_sample,

@@ -41,6 +41,32 @@ def test_tfidf_hand_computed(spark):
     assert ("books", "dog") not in rows
 
 
+def test_pack_sequences_global(spark):
+    # budget 4; docs of 3,3,2,5 tokens in id order → cum-before
+    # 0,3,6,8 → bins 0,0,1,2; the 5-token doc overflows its bin alone
+    df = spark.createDataFrame(
+        [(1, "a b c", "s"), (2, "d e f", "s"), (3, "g h", "s"),
+         (4, "i j k l m", "s")],
+        DOCS,
+    )
+    out = {r["doc_id"]: r["bin_id"] for r in C.pack_sequences(df, budget=4).collect()}
+    assert out == {1: 0, 2: 0, 3: 1, 4: 2}
+
+
+def test_pack_sequences_partitioned_is_local(spark):
+    # per-group packing: bins restart per pack_group, every doc lands
+    # in exactly one (group, bin), and group totals cover all docs
+    df = spark.createDataFrame(
+        [(i, "w " * (i % 7 + 1), "s") for i in range(40)], DOCS
+    )
+    out = C.pack_sequences(df, budget=8, partitions=4).collect()
+    assert len(out) == 40
+    assert {r["pack_group"] for r in out} <= set(range(4))
+    for g in {r["pack_group"] for r in out}:
+        bins = sorted(r["bin_id"] for r in out if r["pack_group"] == g)
+        assert bins[0] == 0  # each group starts its own bin 0
+
+
 def test_source_overlap_jaccard(spark):
     # a: shingles {x y z, y z w}; b: {x y z}; c: {p q r} (no overlap)
     df = spark.createDataFrame(
