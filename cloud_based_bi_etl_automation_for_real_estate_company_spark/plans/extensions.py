@@ -53,6 +53,13 @@ def q_x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(t(spark, sf_dir, "documents"))
 
 
+def q_x_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs scored by the MinHash Jaccard estimate
+    (signature-agreement fraction) — the cheap gate between LSH
+    candidates and exact verification."""
+    return D.minhash_estimate_pairs(t(spark, sf_dir, "documents"))
+
+
 def q_x_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs (the sketch baseline)."""
     return D.ngram_jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.2)
@@ -341,6 +348,15 @@ ORACLES: dict[str, str] = {
     "x_dedup_minhash_lsh": f"""
         WITH {_LSH_PAIRS_CTES}
         SELECT id_a, id_b FROM pairs
+    """,
+    "x_dedup_minhash_est": f"""
+        WITH {_LSH_PAIRS_CTES}
+        SELECT p.id_a, p.id_b,
+               CAST({' + '.join(f'(CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END)' for i in range(8))}
+                    AS DOUBLE) / 8 AS est_jaccard
+        FROM pairs p
+        JOIN sig a ON a.doc_id = p.id_a
+        JOIN sig b ON b.doc_id = p.id_b
     """,
     "x_dedup_clusters": _CLUSTERS_ORACLE,
     # the star-contraction variant must land on the exact same fixpoint
@@ -703,6 +719,7 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "x_dedup_exact": q_x_dedup_exact,
     "x_dedup_minhash_lsh": q_x_dedup_minhash_lsh,
+    "x_dedup_minhash_est": q_x_dedup_minhash_est,
     "x_dedup_clusters": q_x_dedup_clusters,
     "x_dedup_clusters_star": q_x_dedup_clusters_star,
     "x_dedup_simhash": q_x_dedup_simhash,

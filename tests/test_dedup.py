@@ -37,6 +37,22 @@ def test_minhash_lsh_finds_exact_and_near_dups(spark):
     assert all(a < b for a, b in pairs)
 
 
+def test_minhash_estimate_scores_candidates(spark):
+    out = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in D.minhash_estimate_pairs(_docs(spark)).collect()
+    }
+    assert out[(1, 2)] == 1.0  # identical docs agree on every slot
+    # estimates live on the K-slot grid and inside [0, 1]
+    assert all(round(v * 8) == v * 8 and 0 <= v <= 1 for v in out.values())
+    # thresholding keeps only the fully-agreeing pair
+    kept = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_estimate_pairs(_docs(spark), threshold=0.9).collect()
+    }
+    assert kept == {(1, 2)}
+
+
 def test_ngram_jaccard_values(spark):
     out = {
         (r["id_a"], r["id_b"]): r["jaccard"]
