@@ -122,6 +122,45 @@ def pack_sequences(
     )
 
 
+def source_mixture(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-smoothed sampling weights per corpus slice: the
+    multinomial mixture used to rebalance heterogeneous sources in a
+    training mix — w_s ∝ p_s^alpha with p_s the slice's token share
+    (alpha=1 keeps natural proportions, alpha→0 flattens toward
+    uniform, upsampling small high-quality slices).
+
+    Returns (group_col, n_docs, n_tokens, token_share, weight) with
+    weights summing to 1. One aggregation shuffle on the group key;
+    the corpus totals are a 1-row broadcast scalar.
+    """
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(text_col)).cast("bigint")).alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("tot_tokens"))
+    shared = per.join(F.broadcast(tot)).select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("tot_tokens")).alias("token_share"),
+    )
+    norm = shared.agg(
+        F.sum(F.pow(F.col("token_share"), F.lit(alpha))).alias("z")
+    )
+    return shared.join(F.broadcast(norm)).select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        "token_share",
+        (F.pow(F.col("token_share"), F.lit(alpha)) / F.col("z")).alias("weight"),
+    )
+
+
 def source_overlap(
     df: DataFrame,
     text_col: str = "text",

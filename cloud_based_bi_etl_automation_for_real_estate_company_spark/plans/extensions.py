@@ -104,6 +104,12 @@ def q_x_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.tfidf_by_group(t(spark, sf_dir, "documents"))
 
 
+def q_x_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed (alpha=0.5) per-source sampling weights for
+    the training mix."""
+    return C.source_mixture(t(spark, sf_dir, "documents"))
+
+
 def q_x_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source shingle-set Jaccard matrix — leakage check between
     corpus slices before mixing them into a training set."""
@@ -418,6 +424,22 @@ ORACLES: dict[str, str] = {
                tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.doc_freq) AS tfidf
         FROM tf JOIN dfreq USING (term) CROSS JOIN n
     """,
+    "x_source_mixture": """
+        WITH per AS (
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(CAST(len(string_split(trim(text), ' ')) AS BIGINT))
+                        AS BIGINT) AS n_tokens
+            FROM documents GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens FROM per),
+        shared AS (
+            SELECT source, n_docs, n_tokens,
+                   CAST(n_tokens AS DOUBLE) / tot_tokens AS token_share
+            FROM per CROSS JOIN tot),
+        norm AS (SELECT SUM(pow(token_share, 0.5)) AS z FROM shared)
+        SELECT source, n_docs, n_tokens, token_share,
+               pow(token_share, 0.5) / z AS weight
+        FROM shared CROSS JOIN norm
+    """,
     "x_source_overlap": """
         WITH sh AS (
             SELECT DISTINCT g, sh FROM (
@@ -729,6 +751,7 @@ QUERIES = {
     "x_tfidf": q_x_tfidf,
     "x_pack_sequences": q_x_pack_sequences,
     "x_source_overlap": q_x_source_overlap,
+    "x_source_mixture": q_x_source_mixture,
     "x_train_split": q_x_train_split,
     "x_stratified_sample": q_x_stratified_sample,
     "x_lang_id": q_x_lang_id,

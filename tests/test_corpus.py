@@ -67,6 +67,25 @@ def test_pack_sequences_partitioned_is_local(spark):
         assert bins[0] == 0  # each group starts its own bin 0
 
 
+def test_source_mixture_weights(spark):
+    # tokens: web=9 (3 docs), books=1 → shares .9/.1; alpha=.5 weights
+    # ∝ sqrt(share): .75/.25 after normalizing
+    df = spark.createDataFrame(
+        [(1, "a b c", "web"), (2, "d e f", "web"), (3, "g h i", "web"),
+         (4, "j", "books")],
+        DOCS,
+    )
+    out = {r["source"]: r for r in C.source_mixture(df, alpha=0.5).collect()}
+    assert out["web"]["n_docs"] == 3 and out["web"]["n_tokens"] == 9
+    assert math.isclose(out["web"]["token_share"], 0.9)
+    z = math.sqrt(0.9) + math.sqrt(0.1)
+    assert math.isclose(out["web"]["weight"], math.sqrt(0.9) / z)
+    assert math.isclose(sum(r["weight"] for r in out.values()), 1.0)
+    # alpha=1 keeps natural proportions
+    nat = {r["source"]: r["weight"] for r in C.source_mixture(df, alpha=1.0).collect()}
+    assert math.isclose(nat["web"], 0.9)
+
+
 def test_source_overlap_jaccard(spark):
     # a: shingles {x y z, y z w}; b: {x y z}; c: {p q r} (no overlap)
     df = spark.createDataFrame(
