@@ -174,13 +174,20 @@ def source_overlap(
     Returns (source_a, source_b, n_common, jaccard) for every slice
     pair sharing at least one word-k-gram, with source_a < source_b.
     Zero-overlap pairs are absent by construction (inner join).
+
+    The distinct (group, shingle) set feeds three consumers (both
+    self-join sides and the size aggregate), so it is persisted —
+    one shingle explosion over the text instead of three.
     """
+    from pyspark import StorageLevel
+
     sh = (
         df.select(
             F.col(group_col).alias("g"),
             F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("sh"),
         )
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = sh.groupBy("g").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
