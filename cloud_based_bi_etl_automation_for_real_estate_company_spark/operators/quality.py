@@ -212,6 +212,44 @@ def decontaminate(
     return train.join(flagged, id_col, "left_anti")
 
 
+def length_clip(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    class_col: str = "lang",
+    lo: float = 0.05,
+    hi: float = 0.95,
+    exact: bool = True,
+) -> DataFrame:
+    """Per-class winsorization report: the [p_lo, p_hi] percentile band
+    of ``value_col`` and how many rows survive clipping to it — the
+    standard outlier filter for document length before training.
+
+    ``exact=True`` uses ``percentile`` (linear interpolation, matches
+    DuckDB ``quantile_cont`` bit-for-bit — the oracle path); it buffers
+    each class's values on one reducer, fine for per-class cardinality
+    up to ~10⁸. At 100 TB switch ``exact=False`` for
+    ``approx_percentile`` (GK sketch, mergeable map-side, bounded
+    memory at any scale).
+
+    Returns (class_col, p_lo, p_hi, n_total, n_kept). The percentile
+    table is tiny (one row per class) and joins back broadcast.
+    """
+    fn = "percentile" if exact else "approx_percentile"
+    q = df.groupBy(class_col).agg(
+        F.expr(f"{fn}({value_col}, {lo})").cast("double").alias("p_lo"),
+        F.expr(f"{fn}({value_col}, {hi})").cast("double").alias("p_hi"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    return (
+        df.join(F.broadcast(q), class_col)
+        .filter(
+            (F.col(value_col) >= F.col("p_lo")) & (F.col(value_col) <= F.col("p_hi"))
+        )
+        .groupBy(class_col, "p_lo", "p_hi", "n_total")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
 def quality_gate(df: DataFrame, text_col: str = "text") -> DataFrame:
     """The composite training-data quality filter (same thresholds the
     oracle-checked ``x_quality_filter`` reports retention for): length,

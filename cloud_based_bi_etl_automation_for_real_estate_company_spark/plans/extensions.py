@@ -125,6 +125,15 @@ def q_x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x_length_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length winsorization report (exact percentile —
+    matches DuckDB quantile_cont; approx_percentile is the 100 TB
+    path, tolerance-tested in tests/test_scale_paths.py)."""
+    from ..operators.quality import length_clip
+
+    return length_clip(t(spark, sf_dir, "documents"))
+
+
 def q_x_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (80/10/10 by id modulus —
     replayable and stable across runs; use a content-hash modulus when
@@ -462,6 +471,18 @@ ORACLES: dict[str, str] = {
         JOIN sizes sa ON sa.g = i.source_a
         JOIN sizes sb ON sb.g = i.source_b
     """,
+    "x_length_clip": """
+        WITH q AS (
+            SELECT lang,
+                   quantile_cont(n_chars, 0.05) AS p_lo,
+                   quantile_cont(n_chars, 0.95) AS p_hi,
+                   COUNT(*) AS n_total
+            FROM documents GROUP BY 1)
+        SELECT d.lang, q.p_lo, q.p_hi, q.n_total, COUNT(*) AS n_kept
+        FROM documents d JOIN q USING (lang)
+        WHERE d.n_chars BETWEEN q.p_lo AND q.p_hi
+        GROUP BY 1, 2, 3, 4
+    """,
     "x_pack_sequences": """
         WITH base AS (
             SELECT doc_id,
@@ -750,6 +771,7 @@ QUERIES = {
     "x_token_counts": q_x_token_counts,
     "x_tfidf": q_x_tfidf,
     "x_pack_sequences": q_x_pack_sequences,
+    "x_length_clip": q_x_length_clip,
     "x_source_overlap": q_x_source_overlap,
     "x_source_mixture": q_x_source_mixture,
     "x_train_split": q_x_train_split,

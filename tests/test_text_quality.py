@@ -67,3 +67,20 @@ def test_decontaminate_drops_overlapping_docs(spark):
     assert rep == {1: 2}  # "the quick brown", "quick brown fox"
     clean = Q.decontaminate(train, ev)
     assert [r["doc_id"] for r in clean.collect()] == [2]
+
+
+def test_length_clip_winsorizes_per_class(spark):
+    # values 1..9 plus a 1000 outlier; p05/p95 by linear interpolation
+    # over the 10 sorted values: p05 = 1.45, p95 = 9 + 0.55·991 = 554.05
+    # → outlier cut
+    df = spark.createDataFrame(
+        [(i, v, "en") for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 1000])],
+        "doc_id bigint, n_chars bigint, lang string",
+    )
+    r = Q.length_clip(df).collect()[0]
+    assert (r["lang"], r["n_total"], r["n_kept"]) == ("en", 10, 8)
+    assert r["p_lo"] == pytest.approx(1.45)
+    assert r["p_hi"] == pytest.approx(554.05)
+    # approx path: same row count, percentiles near exact (coarse data)
+    a = Q.length_clip(df, exact=False).collect()[0]
+    assert a["n_total"] == 10 and 0 < a["n_kept"] <= 10
