@@ -88,8 +88,10 @@ def run_curation_pipeline(
     1. quality gate (map-side column filter, fuses into the scan);
     2. repetition gate (Gopher-style dup-token/bigram thresholds);
     3. exact dedup (one content-hash groupBy; canonical = min doc_id);
-    4. near-dup pruning (MinHash→LSH pairs → connected components;
-       only the cluster representative survives);
+    4. near-dup pruning (MinHash→LSH candidates, gated to signature
+       agreement ≥ 0.5 so band-collision false positives never merge
+       clusters → connected components; only the cluster
+       representative survives);
     5. benchmark decontamination (broadcast eval shingle set,
        left-anti on overlap);
     6. PII redaction (map-only regexp chain on the survivors);
@@ -108,7 +110,7 @@ def run_curation_pipeline(
     from .operators.dedup import (
         connected_components,
         exact_dedup,
-        minhash_lsh_pairs,
+        minhash_estimate_pairs,
     )
     from .functions.text import redact_pii
     from .operators.quality import (
@@ -132,8 +134,9 @@ def run_curation_pipeline(
     gated = gated.join(repetitive, "doc_id", "left_anti")
     canon = exact_dedup(gated).select(F.col("keep_id").alias("doc_id"))
     uniq = gated.join(canon, "doc_id", "left_semi")
+    near_pairs = minhash_estimate_pairs(uniq, threshold=0.5).select("id_a", "id_b")
     losers = (
-        connected_components(minhash_lsh_pairs(uniq))
+        connected_components(near_pairs)
         .filter(F.col("doc_id") != F.col("cluster_id"))
         .select("doc_id")
     )
