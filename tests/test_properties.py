@@ -61,3 +61,34 @@ def test_stratified_sample_stable_under_repartitioning(spark):
     assert len(base) > 0
     assert ids(d.repartition(7)) == base
     assert ids(d.repartition(1)) == base
+
+
+@given(
+    st.lists(st.integers(1, 30), min_size=1, max_size=25),
+    st.integers(2, 16),
+)
+@_SLOW
+def test_pack_sequences_invariants(spark, token_counts, budget):
+    """For any corpus and budget: every doc gets exactly one bin, bins
+    fill in id order, and each doc's bin is exactly
+    cum_tokens_before // budget (a doc wider than the budget advances
+    the bin counter past the ids it "occupies" — bins need not be
+    dense)."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.corpus import (
+        pack_sequences,
+    )
+
+    rows = [(i, "w " * n, "s") for i, n in enumerate(token_counts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = sorted(
+        (r["doc_id"], r["n_tokens"], r["bin_id"])
+        for r in pack_sequences(df, budget=budget).collect()
+    )
+    assert len(out) == len(token_counts)  # exactly one bin per doc
+    bins = [b for _, _, b in out]
+    assert bins == sorted(bins)  # id order fills bins monotonically
+    assert bins[0] == 0
+    running = 0
+    for _, n, b in out:
+        assert b == running // budget  # the defining invariant
+        running += n
