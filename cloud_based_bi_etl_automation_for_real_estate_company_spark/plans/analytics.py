@@ -141,6 +141,34 @@ def q_a20_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a22_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS over a non-hierarchical set list —
+    {(status, priority), (priority), ()} — which neither ROLLUP nor
+    CUBE can express (the per-priority subtotal without a per-status
+    one). One pass over the fact table; Spark expands the sets into a
+    single Expand + aggregate, not one scan per set."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("o_orderstatus").alias("__gs"),
+            F.grouping("o_orderpriority").alias("__gp"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("amount"),
+        )
+        .select(
+            F.when(F.col("__gs") == 1, F.lit("ALL")).otherwise(F.col("o_orderstatus")).alias("status"),
+            F.when(F.col("__gp") == 1, F.lit("ALL")).otherwise(F.col("o_orderpriority")).alias("priority"),
+            "n_orders",
+            "amount",
+        )
+    )
+
+
 def q_a21_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: per-user ordered event-id list + its size —
     the collect-to-array measure (bounded per key; a 100 TB caveat is
@@ -203,6 +231,17 @@ ORACLES: dict[str, str] = {
             FROM customer)
         SELECT c_custkey, c_mktsegment, c_acctbal, segment_avg
         FROM w WHERE c_acctbal > segment_avg
+    """,
+    "a22_grouping_sets": """
+        SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+                    ELSE o_orderstatus END AS status,
+               CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+                    ELSE o_orderpriority END AS priority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amount
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderpriority), ())
     """,
     "a20_cube": """
         SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
@@ -287,6 +326,7 @@ QUERIES = {
     "a18_percentiles": q_a18_percentiles,
     "a19_above_segment_avg": q_a19_above_segment_avg,
     "a20_cube": q_a20_cube,
+    "a22_grouping_sets": q_a22_grouping_sets,
     "a21_collect_list": q_a21_collect_list,
     "p19_posexplode": q_p19_posexplode,
     "u3_except": q_u3_except,
