@@ -122,6 +122,50 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-window chunking: split each document into overlapping
+    token spans of ``window`` tokens every ``stride`` tokens (overlap =
+    window − stride) — the step that shapes long documents into model
+    context windows, keeping the overlap so no span boundary loses
+    bidirectional context.
+
+    Pure built-in expressions (sequence → explode → slice): the chunk
+    count is ceil((n − overlap)/stride) (min 1), so the last chunk may
+    be short rather than a token ever being dropped. Map-side only —
+    zero shuffle at any scale; output rows ≈ input tokens / stride.
+    """
+    if not 0 < stride <= window:
+        raise ValueError("need 0 < stride <= window")
+    overlap = window - stride
+    toks = tokens(text_col)
+    n_chunks = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.ceil((F.size(toks) - F.lit(overlap)) / F.lit(float(stride))),
+    )
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias(
+            "chunk_id"
+        ),
+    )
+    piece = F.slice(
+        F.col("__toks"), (F.col("chunk_id") * stride + 1).cast("int"), window
+    )
+    return base.select(
+        id_col,
+        "chunk_id",
+        F.size(piece).cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
 def source_mixture(
     df: DataFrame,
     text_col: str = "text",

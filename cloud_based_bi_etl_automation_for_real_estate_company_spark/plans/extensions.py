@@ -125,6 +125,12 @@ def q_x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (64-token windows, stride 48) — pure
+    map-side sequence/explode/slice, zero shuffle."""
+    return C.chunk_documents(t(spark, sf_dir, "documents"))
+
+
 def q_x_length_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language length winsorization report (exact percentile —
     matches DuckDB quantile_cont; approx_percentile is the 100 TB
@@ -471,6 +477,22 @@ ORACLES: dict[str, str] = {
         JOIN sizes sa ON sa.g = i.source_a
         JOIN sizes sb ON sb.g = i.source_b
     """,
+    "x_chunk_documents": """
+        WITH base AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS toks
+            FROM documents),
+        ch AS (
+            SELECT doc_id, toks,
+                   UNNEST(range(0, GREATEST(1,
+                       CAST(ceil((len(toks) - 16) / 48.0) AS BIGINT)))) AS chunk_id
+            FROM base)
+        SELECT doc_id, chunk_id,
+               CAST(len(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS BIGINT)
+                   AS n_chunk_tokens,
+               array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')
+                   AS chunk_text
+        FROM ch
+    """,
     "x_length_clip": """
         WITH q AS (
             SELECT lang,
@@ -772,6 +794,7 @@ QUERIES = {
     "x_tfidf": q_x_tfidf,
     "x_pack_sequences": q_x_pack_sequences,
     "x_length_clip": q_x_length_clip,
+    "x_chunk_documents": q_x_chunk_documents,
     "x_source_overlap": q_x_source_overlap,
     "x_source_mixture": q_x_source_mixture,
     "x_train_split": q_x_train_split,

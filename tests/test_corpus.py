@@ -67,6 +67,28 @@ def test_pack_sequences_partitioned_is_local(spark):
         assert bins[0] == 0  # each group starts its own bin 0
 
 
+def test_chunk_documents_windows_and_overlap(spark):
+    # window 4, stride 3 (overlap 1): 6 tokens → ceil((6-1)/3) = 2
+    # chunks: [t1..t4], [t4..t6] — token t4 appears in both
+    df = spark.createDataFrame([(1, "a b c d e f", "s")], DOCS)
+    out = sorted(
+        (r["chunk_id"], r["n_chunk_tokens"], r["chunk_text"])
+        for r in C.chunk_documents(df, window=4, stride=3).collect()
+    )
+    assert out == [(0, 4, "a b c d"), (1, 3, "d e f")]
+    # short doc → exactly one (short) chunk, nothing dropped
+    short = spark.createDataFrame([(2, "x y", "s")], DOCS)
+    rows = C.chunk_documents(short, window=4, stride=3).collect()
+    assert len(rows) == 1 and rows[0]["chunk_text"] == "x y"
+    # no token is ever lost: concat of stride-starts covers the doc
+    df2 = spark.createDataFrame([(3, " ".join(f"t{i}" for i in range(10)), "s")], DOCS)
+    chunks = C.chunk_documents(df2, window=4, stride=2).collect()
+    covered = set()
+    for r in chunks:
+        covered.update(r["chunk_text"].split(" "))
+    assert covered == {f"t{i}" for i in range(10)}
+
+
 def test_source_mixture_weights(spark):
     # tokens: web=9 (3 docs), books=1 → shares .9/.1; alpha=.5 weights
     # ∝ sqrt(share): .75/.25 after normalizing
