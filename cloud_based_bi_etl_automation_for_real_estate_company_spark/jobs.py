@@ -163,3 +163,50 @@ def run_curation_pipeline(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     curated.write.mode("overwrite").partitionBy("split").parquet(out_path)
     return spark.read.parquet(out_path)
+
+
+def run_packing_pipeline(
+    curated: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    budget: int = 512,
+    partitions: int = 8,
+) -> DataFrame:
+    """Curated corpus → model-ready sequences: the composition that
+    follows ``run_curation_pipeline`` in a training-data build.
+
+    1. context-window chunking (map-only; window/stride token spans);
+    2. greedy packing of the chunks into ``budget``-token bins inside
+       md5 pack-groups (one hash shuffle + per-group local sort — no
+       global order at any scale).
+
+    Returns one row per chunk: (doc_id, chunk_id, n_chunk_tokens,
+    chunk_text, pack_group, bin_id). A writer partitions by
+    (pack_group, bin_id) to lay sequences out contiguously.
+    """
+    from pyspark.sql import functions as F
+
+    from .operators.corpus import chunk_documents, pack_sequences
+
+    chunks = chunk_documents(curated, window, stride)
+    keyed = chunks.withColumn(
+        "chunk_key", F.concat_ws(":", F.col("doc_id"), F.col("chunk_id"))
+    )
+    packed = pack_sequences(
+        keyed,
+        budget,
+        text_col="chunk_text",
+        id_col="chunk_key",
+        partitions=partitions,
+    )
+    return (
+        keyed.join(packed.select("chunk_key", "pack_group", "bin_id"), "chunk_key")
+        .select(
+            "doc_id",
+            "chunk_id",
+            "n_chunk_tokens",
+            "chunk_text",
+            "pack_group",
+            "bin_id",
+        )
+    )

@@ -39,3 +39,22 @@ def test_curation_pipeline_respects_sampling_rates(spark, tmp_path):
     # en keeps everything that survives dedup; others are downsampled,
     # so en must dominate its fixture share
     assert kept.get("en", 0) > max(v for k, v in kept.items() if k != "en")
+
+
+def test_packing_pipeline_end_to_end(spark, tmp_path):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.jobs import (
+        run_packing_pipeline,
+    )
+
+    curated = run_curation_pipeline(spark, SF, str(tmp_path / "c"))
+    packed = run_packing_pipeline(curated, window=64, stride=48, budget=256)
+    rows = packed.collect()
+    assert len(rows) > 0
+    # every chunk gets exactly one (pack_group, bin) assignment
+    keys = [(r["doc_id"], r["chunk_id"]) for r in rows]
+    assert len(keys) == len(set(keys))
+    # chunks are bounded by the window and never empty
+    assert all(0 < r["n_chunk_tokens"] <= 64 for r in rows)
+    # every curated doc's tokens are represented in some chunk
+    n_docs = curated.count()
+    assert packed.select("doc_id").distinct().count() == n_docs
