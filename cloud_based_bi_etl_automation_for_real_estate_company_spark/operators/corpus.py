@@ -166,6 +166,42 @@ def chunk_documents(
     )
 
 
+def chunk_documents_udtf(df: DataFrame, window: int = 64, stride: int = 48) -> DataFrame:
+    """The same context-window chunking as ``chunk_documents``, written
+    as a Spark 4 Python UDTF (one input row → N chunk rows) and applied
+    via a LATERAL join.
+
+    Exists as the worked example of the *imperative escape hatch* tier
+    for custom operators — when per-row fan-out logic stops being
+    expressible with sequence/explode/slice, this is the shape it takes.
+    For this operator the declarative form is strictly better (JVM-side,
+    codegen, zero Python) — tests assert both produce identical rows,
+    and production code should call ``chunk_documents``.
+    """
+    from pyspark.sql.functions import udtf
+
+    if not 0 < stride <= window:
+        raise ValueError("need 0 < stride <= window")
+
+    @udtf(returnType="doc_id bigint, chunk_id bigint, n_chunk_tokens bigint, chunk_text string")
+    class Chunker:
+        def eval(self, doc_id, text):
+            toks = (text or "").strip().split(" ")
+            overlap = window - stride
+            n_chunks = max(1, -(-(len(toks) - overlap) // stride))
+            for ci in range(n_chunks):
+                piece = toks[ci * stride : ci * stride + window]
+                yield doc_id, ci, len(piece), " ".join(piece)
+
+    spark = df.sparkSession
+    spark.udtf.register("__chunker", Chunker)
+    df.select("doc_id", "text").createOrReplaceTempView("__chunk_in")
+    return spark.sql(
+        "SELECT c.doc_id, c.chunk_id, c.n_chunk_tokens, c.chunk_text "
+        "FROM __chunk_in, LATERAL __chunker(doc_id, text) AS c"
+    )
+
+
 def source_mixture(
     df: DataFrame,
     text_col: str = "text",

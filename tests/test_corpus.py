@@ -89,6 +89,19 @@ def test_chunk_documents_windows_and_overlap(spark):
     assert covered == {f"t{i}" for i in range(10)}
 
 
+def test_chunk_udtf_matches_declarative(spark):
+    """The UDTF escape-hatch chunker must agree row-for-row with the
+    declarative sequence/explode/slice implementation."""
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(i % 9 + 1)), "s") for i in range(30)],
+        DOCS,
+    )
+    rows = lambda d: sorted(map(tuple, d.collect()))
+    declarative = rows(C.chunk_documents(df, window=4, stride=3))
+    imperative = rows(C.chunk_documents_udtf(df, window=4, stride=3))
+    assert declarative == imperative
+
+
 def test_source_mixture_weights(spark):
     # tokens: web=9 (3 docs), books=1 → shares .9/.1; alpha=.5 weights
     # ∝ sqrt(share): .75/.25 after normalizing
