@@ -172,10 +172,18 @@ def q_a22_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_a21_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: per-user ordered event-id list + its size —
     the collect-to-array measure (bounded per key; a 100 TB caveat is
-    documented: never collect unbounded groups)."""
+    documented: never collect unbounded groups).
+
+    The list is built as a real array (``sort_array(collect_list(...))``)
+    and projected to a deterministic CSV string at the output edge:
+    the correctness harness hash-compares cells and array-typed cells
+    are unhashable on the pandas side, so both engines emit the same
+    joined string instead (round-1 VERDICT item 1)."""
     ev = t(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_list("event_id")).alias("event_ids"),
+        F.array_join(
+            F.sort_array(F.collect_list("event_id")).cast("array<string>"), ","
+        ).alias("event_ids"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
     )
 
@@ -255,7 +263,7 @@ ORACLES: dict[str, str] = {
     """,
     "a21_collect_list": """
         SELECT user_id,
-               list_sort(list(event_id)) AS event_ids,
+               array_to_string(list_sort(list(event_id)), ',') AS event_ids,
                COUNT(*) AS n_events
         FROM events GROUP BY user_id
     """,
