@@ -107,6 +107,7 @@ def run_curation_pipeline(
     """
     from pyspark.sql import functions as F
 
+    from .operators.cacheutil import release_cached
     from .operators.dedup import (
         connected_components,
         exact_dedup,
@@ -134,7 +135,8 @@ def run_curation_pipeline(
     gated = gated.join(repetitive, "doc_id", "left_anti")
     canon = exact_dedup(gated).select(F.col("keep_id").alias("doc_id"))
     uniq = gated.join(canon, "doc_id", "left_semi")
-    near_pairs = minhash_estimate_pairs(uniq, threshold=0.5).select("id_a", "id_b")
+    near = minhash_estimate_pairs(uniq, threshold=0.5)
+    near_pairs = near.select("id_a", "id_b")
     losers = (
         connected_components(near_pairs)
         .filter(F.col("doc_id") != F.col("cluster_id"))
@@ -162,6 +164,9 @@ def run_curation_pipeline(
     )
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     curated.write.mode("overwrite").partitionBy("split").parquet(out_path)
+    # the write above is the last action over the near-dup candidates;
+    # release the MinHash signature cache they pinned
+    release_cached(near)
     return spark.read.parquet(out_path)
 
 
@@ -189,8 +194,12 @@ def run_packing_pipeline(
     from .operators.corpus import chunk_documents, pack_sequences
 
     chunks = chunk_documents(curated, window, stride)
+    # zero-padded chunk_id: packing orders by the string chunk_key, and
+    # unpadded '1:10' would sort before '1:2', interleaving the bins of
+    # any document with >= 10 chunks
     keyed = chunks.withColumn(
-        "chunk_key", F.concat_ws(":", F.col("doc_id"), F.col("chunk_id"))
+        "chunk_key",
+        F.format_string("%s:%012d", F.col("doc_id"), F.col("chunk_id")),
     )
     packed = pack_sequences(
         keyed,
@@ -198,6 +207,7 @@ def run_packing_pipeline(
         text_col="chunk_text",
         id_col="chunk_key",
         partitions=partitions,
+        ntokens_col="n_chunk_tokens",
     )
     return (
         keyed.join(packed.select("chunk_key", "pack_group", "bin_id"), "chunk_key")

@@ -71,6 +71,7 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     partitions: int | None = None,
+    ntokens_col: str | None = None,
 ) -> DataFrame:
     """Greedy sequence packing: assign each document to a training bin
     of ``budget`` tokens, filling bins in document order — the step
@@ -89,10 +90,20 @@ def pack_sequences(
     hash shuffle, and no stage ever sees the global order. The group
     hash is md5-derived (not Spark's murmur3) so the assignment is
     replayable in the SQL oracle and stable across engines.
+
+    ``ntokens_col`` reuses an already-computed token count instead of
+    re-tokenizing ``text_col`` — callers that chunked upstream pass
+    the chunker's own count so bin accounting can never drift from the
+    reported chunk sizes (re-splitting joined text disagrees on empty
+    tokens from consecutive separators).
     """
     from pyspark.sql import Window
 
-    n_tok = F.size(tokens(text_col)).cast("bigint")
+    n_tok = (
+        F.col(ntokens_col).cast("bigint")
+        if ntokens_col is not None
+        else F.size(tokens(text_col)).cast("bigint")
+    )
     base = df.select(F.col(id_col), n_tok.alias("n_tokens"))
     if partitions is None:
         w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
@@ -166,6 +177,9 @@ def chunk_documents(
     )
 
 
+_UDTF_SEQ = 0
+
+
 def chunk_documents_udtf(df: DataFrame, window: int = 64, stride: int = 48) -> DataFrame:
     """The same context-window chunking as ``chunk_documents``, written
     as a Spark 4 Python UDTF (one input row → N chunk rows) and applied
@@ -177,6 +191,13 @@ def chunk_documents_udtf(df: DataFrame, window: int = 64, stride: int = 48) -> D
     For this operator the declarative form is strictly better (JVM-side,
     codegen, zero Python) — tests assert both produce identical rows,
     and production code should call ``chunk_documents``.
+
+    Tokenization strips *spaces only* (``strip(' ')``), matching the
+    declarative path's ``split(trim(text), ' ')`` — Spark ``trim``
+    removes spaces, not all whitespace, so a full Python ``strip()``
+    would diverge on text with leading/trailing newlines or tabs.
+    Registration names are unique per call so concurrent/nested
+    invocations with different window/stride never clobber each other.
     """
     from pyspark.sql.functions import udtf
 
@@ -186,19 +207,22 @@ def chunk_documents_udtf(df: DataFrame, window: int = 64, stride: int = 48) -> D
     @udtf(returnType="doc_id bigint, chunk_id bigint, n_chunk_tokens bigint, chunk_text string")
     class Chunker:
         def eval(self, doc_id, text):
-            toks = (text or "").strip().split(" ")
+            toks = (text or "").strip(" ").split(" ")
             overlap = window - stride
             n_chunks = max(1, -(-(len(toks) - overlap) // stride))
             for ci in range(n_chunks):
                 piece = toks[ci * stride : ci * stride + window]
                 yield doc_id, ci, len(piece), " ".join(piece)
 
+    global _UDTF_SEQ
+    _UDTF_SEQ += 1
+    fn, view = f"__chunker_{_UDTF_SEQ}", f"__chunk_in_{_UDTF_SEQ}"
     spark = df.sparkSession
-    spark.udtf.register("__chunker", Chunker)
-    df.select("doc_id", "text").createOrReplaceTempView("__chunk_in")
+    spark.udtf.register(fn, Chunker)
+    df.select("doc_id", "text").createOrReplaceTempView(view)
     return spark.sql(
-        "SELECT c.doc_id, c.chunk_id, c.n_chunk_tokens, c.chunk_text "
-        "FROM __chunk_in, LATERAL __chunker(doc_id, text) AS c"
+        f"SELECT c.doc_id, c.chunk_id, c.n_chunk_tokens, c.chunk_text "
+        f"FROM {view}, LATERAL {fn}(doc_id, text) AS c"
     )
 
 
@@ -257,9 +281,14 @@ def source_overlap(
 
     The distinct (group, shingle) set feeds three consumers (both
     self-join sides and the size aggregate), so it is persisted —
-    one shingle explosion over the text instead of three.
+    one shingle explosion over the text instead of three. The cache is
+    attached to the result as ``cached_deps``; long-lived sessions
+    release it after the final action via
+    ``operators.cacheutil.release_cached(result)``.
     """
     from pyspark import StorageLevel
+
+    from .cacheutil import attach_cached
 
     sh = (
         df.select(
@@ -277,7 +306,7 @@ def source_overlap(
         .groupBy(F.col("a.g").alias("source_a"), F.col("b.g").alias("source_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return (
+    return attach_cached(
         inter.join(F.broadcast(sizes).withColumnRenamed("g", "source_a"), "source_a")
         .withColumnRenamed("n_sh", "n_a")
         .join(F.broadcast(sizes).withColumnRenamed("g", "source_b"), "source_b")
@@ -290,5 +319,6 @@ def source_overlap(
                 F.col("n_common").cast("double")
                 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
             ).alias("jaccard"),
-        )
+        ),
+        sh,
     )

@@ -149,3 +149,54 @@ def test_source_overlap_dedups_within_source(spark):
     )
     r = C.source_overlap(df, group_col="source").collect()[0]
     assert (r["n_common"], r["jaccard"]) == (1, 1.0)
+
+
+def test_chunk_udtf_whitespace_and_reuse(spark):
+    """ADVICE round 1: the UDTF must tokenize exactly like the
+    declarative path on text with leading/trailing newlines and tabs
+    (strip spaces only), and repeated calls with different
+    window/stride must not clobber each other's registrations."""
+    df = spark.createDataFrame(
+        [(1, "\na b c d e\t", "s"), (2, " x y z ", "s"), (3, "\t\n", "s")],
+        DOCS,
+    )
+    rows = lambda d: sorted(map(tuple, d.collect()))
+    a_decl = rows(C.chunk_documents(df, window=3, stride=2))
+    b_decl = rows(C.chunk_documents(df, window=2, stride=1))
+    a_udtf_df = C.chunk_documents_udtf(df, window=3, stride=2)
+    b_udtf_df = C.chunk_documents_udtf(df, window=2, stride=1)
+    # collect AFTER both registrations: unique names keep both plans valid
+    assert rows(a_udtf_df) == a_decl
+    assert rows(b_udtf_df) == b_decl
+
+
+def test_pack_sequences_ntokens_col(spark):
+    """An upstream-provided token count overrides re-tokenization, so
+    bin accounting follows the caller's numbers exactly."""
+    df = spark.createDataFrame(
+        [(1, "a b", 4), (2, "c d", 4), (3, "e f", 4)],
+        "doc_id bigint, text string, n bigint",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["bin_id"])
+        for r in C.pack_sequences(df, budget=8, ntokens_col="n").collect()
+    }
+    # with n=4 each, budget 8: docs 1,2 fill bin 0, doc 3 opens bin 1
+    assert out == {1: (4, 0), 2: (4, 0), 3: (4, 1)}
+
+
+def test_source_overlap_cache_released(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.cacheutil import (
+        release_cached,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x y z w", "a"), (2, "x y z", "b")], DOCS
+    )
+    out = C.source_overlap(df, group_col="source")
+    out.collect()
+    deps = getattr(out, "cached_deps", [])
+    assert deps and all(d.storageLevel.useMemory for d in deps)
+    release_cached(out)
+    assert not getattr(out, "cached_deps", [])
+    assert all(not d.storageLevel.useMemory for d in deps)

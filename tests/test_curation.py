@@ -58,3 +58,23 @@ def test_packing_pipeline_end_to_end(spark, tmp_path):
     # every curated doc's tokens are represented in some chunk
     n_docs = curated.count()
     assert packed.select("doc_id").distinct().count() == n_docs
+
+
+def test_packing_pipeline_numeric_chunk_order(spark):
+    """ADVICE round 1: with >= 10 chunks per doc the pack must follow
+    NUMERIC chunk order — the unpadded string key sorted '1:10' before
+    '1:2' and interleaved bins. Bin ids must be non-decreasing in
+    chunk_id within each (doc, pack_group)."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.jobs import (
+        run_packing_pipeline,
+    )
+
+    text = " ".join(f"w{i}" for i in range(700))  # ~14 chunks at stride 48
+    curated = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    packed = run_packing_pipeline(
+        curated, window=64, stride=48, budget=128, partitions=1
+    )
+    rows = sorted(packed.collect(), key=lambda r: r["chunk_id"])
+    assert len(rows) >= 10
+    bins = [r["bin_id"] for r in rows]
+    assert bins == sorted(bins), f"bins interleave: {bins}"
