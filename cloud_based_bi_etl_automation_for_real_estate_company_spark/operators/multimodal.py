@@ -55,7 +55,13 @@ def _decode_one(blob: bytes) -> tuple[int, int, int, str]:
 
 def decode_metadata(df: DataFrame, blob_col: str = "blob",
                     id_col: str = "doc_id") -> DataFrame:
-    """Arrow-batched metadata extraction over a binary column."""
+    """Arrow-batched metadata extraction over a binary column. The
+    input is spread across the cluster first when the scan
+    under-partitions — decode is the per-row hot loop and must not run
+    on a single core because the source was one big file."""
+    from .partitioning import spread
+
+    df = spread(df.select(id_col, blob_col))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -70,7 +76,7 @@ def decode_metadata(df: DataFrame, blob_col: str = "blob",
                 }
             )
 
-    return df.select(id_col, blob_col).mapInPandas(run, DECODE_META_SCHEMA)
+    return df.mapInPandas(run, DECODE_META_SCHEMA)
 
 
 def frame_sample_stub(df: DataFrame, blob_col: str = "blob",
@@ -78,6 +84,9 @@ def frame_sample_stub(df: DataFrame, blob_col: str = "blob",
     """STUB video frame sampler: emits (doc_id, frame_idx) rows for a
     fake frame count derived from byte length; the mapInPandas 1→N
     row-explosion shape is the real contract a decoder would use."""
+    from .partitioning import spread
+
+    df = spread(df.select(id_col, blob_col))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -92,7 +101,7 @@ def frame_sample_stub(df: DataFrame, blob_col: str = "blob",
     schema = StructType(
         [StructField("doc_id", LongType()), StructField("frame_idx", IntegerType())]
     )
-    return df.select(id_col, blob_col).mapInPandas(run, schema)
+    return df.mapInPandas(run, schema)
 
 
 def with_blob(df: DataFrame, text_col: str = "text") -> DataFrame:

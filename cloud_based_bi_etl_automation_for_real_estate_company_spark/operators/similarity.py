@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double, cosine, dot, sign_bucket
+from .partitioning import spread
 
 
 def _sim(qcol: str, bcol: str):
@@ -43,7 +44,9 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb")
     )
-    b = base.select(F.col(id_col), F.col(vec_col))
+    # cosine against every query is the per-row hot loop — spread the
+    # base when the scan under-partitions (single-row-group fixtures)
+    b = spread(base.select(F.col(id_col), F.col(vec_col)))
     scored = (
         b.join(F.broadcast(q), F.col(id_col) != F.col("q_id"))
         .select(
@@ -109,7 +112,9 @@ def bucketed_ann_topk(
             F.col("p.bucket").alias("q_bucket"),
         )
     )
-    b = base.select(F.col(id_col), F.col(vec_col), bucket_tbl.alias("tbl", "bucket"))
+    b = spread(base.select(F.col(id_col), F.col(vec_col))).select(
+        F.col(id_col), F.col(vec_col), bucket_tbl.alias("tbl", "bucket")
+    )
     scored = (
         b.join(
             F.broadcast(q),
@@ -149,6 +154,8 @@ def ivf_topk(
     cents = base.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_emb")
     )
+    # centroid scoring touches every base row — spread under-partitioned scans
+    base = spread(base)
 
     def assign(df: DataFrame, out: str, top: int) -> DataFrame:
         scored = df.join(F.broadcast(cents)).select(
@@ -218,7 +225,9 @@ def pq_topk(
     cb = subspaces(base.filter(F.col(id_col) < ks), "code_id").select(
         "code_id", "sub_j", F.col("sub").alias("codeword")
     )
-    bsubs = subspaces(base, id_col)
+    # encoding scores every (vector, subspace, codeword) triple — by far
+    # the heaviest per-row compute here; spread under-partitioned scans
+    bsubs = subspaces(spread(base), id_col)
     enc_scored = bsubs.join(F.broadcast(cb), "sub_j").select(
         id_col,
         "sub_j",

@@ -46,6 +46,14 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Pin session tz so timestamp bucketing (year/month/date_trunc) is
     # identical to the (tz-naive) DuckDB oracle regardless of host tz.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Size shuffles to the cluster, not the 200-partition default: a
+    # vanilla session otherwise schedules 200 reducers per exchange
+    # (pure task overhead below ~100 GB); AQE coalescing still applies
+    # on top, and at real scale defaultParallelism tracks cluster size.
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))

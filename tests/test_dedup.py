@@ -148,3 +148,22 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
     assert {r["doc_id"] for r in out2.collect()} == {11}
     # replaying an already-admitted batch admits nothing
     assert D.incremental_dedup(b1, store).count() == 0
+
+
+def test_spread_is_conditional(spark):
+    """VERDICT round 1 item 6: under-partitioned inputs repartition to
+    the default parallelism; already-well-partitioned inputs pass
+    through with no exchange added."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.partitioning import (
+        spread,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.createDataFrame(
+        [(i, f"t {i}") for i in range(10)], "doc_id bigint, text string"
+    ).coalesce(1)
+    wide = spark.range(1000).repartition(par + 4)
+    s_narrow, s_wide = spread(narrow), spread(wide)
+    assert s_narrow.rdd.getNumPartitions() == par
+    assert "Exchange RoundRobinPartitioning" in s_narrow._jdf.queryExecution().executedPlan().toString()
+    assert s_wide is wide  # identity — no new exchange for the scale path
