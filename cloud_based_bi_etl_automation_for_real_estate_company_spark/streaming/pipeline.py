@@ -38,6 +38,7 @@ def stream_silver(
     checkpoint: str,
     watermark: str = "1 hour",
     available_now: bool = True,
+    raw: DataFrame | None = None,
 ) -> StreamingQuery:
     """readStream → whitelist/unwrap/project → watermark + dedup(id)
     → foreachBatch partitioned write.
@@ -46,8 +47,14 @@ def stream_silver(
     the batch-equivalent trigger used by tests and the 8×/day refresh
     cadence of the reference's dashboards (README.md:513); pass False
     for a continuously running micro-batch stream.
+
+    ``raw`` swaps the file source for any streaming frame with the
+    raw-webhook schema — e.g. ``sources.webhook.rate_webhook_source``
+    (the live push adapter) or a Kafka value stream parsed the same
+    way; every stage after the source is shared.
     """
-    raw = read_webhook_json(spark, in_path, streaming=True)
+    if raw is None:
+        raw = read_webhook_json(spark, in_path, streaming=True)
     silver = (
         project_silver(unwrap_events(raw))
         .withWatermark("received_at", watermark)

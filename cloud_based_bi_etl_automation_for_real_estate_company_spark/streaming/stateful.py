@@ -174,6 +174,33 @@ def stream_stream_interval_join(
     )
 
 
+def streaming_session_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """ST4 (session mode) — streaming ``session_window`` aggregation:
+    per-key sessions that close when no event arrives within ``gap``.
+    The watermark is what lets Spark FINALIZE a session (append-mode
+    output emits a session only once the watermark passes its end), so
+    state per key is bounded by the gap + watermark horizon. Must agree
+    with the batch ``t4_session_window`` query on drained input —
+    asserted in tests/test_stateful_streaming.py."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def streaming_windowed_counts(
     events: DataFrame,
     ts_col: str = "ts",

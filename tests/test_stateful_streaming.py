@@ -239,3 +239,67 @@ def test_streaming_session_window(spark, event_dir, tmp_path):
     assert got == expect
     # lead 1: events at 10:00/11:00/12:30 → 3 separate sessions (gaps > 30m)
     assert sum(1 for (lid, _s) in got if lid == 1) == 3
+
+
+def test_streaming_session_window_matches_batch(spark, event_dir, tmp_path):
+    """ST4 session mode (round-1 VERDICT item 4): the streaming
+    session_window aggregation must equal batch session_window on the
+    same rows. Session windows stream in APPEND mode only — a session
+    row is emitted once the watermark passes its end — so a sentinel
+    event one day later arrives in a second micro-batch to advance the
+    watermark past every real session."""
+    import json
+    import os
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.streaming.stateful import (
+        streaming_session_stats,
+    )
+
+    sentinel = tmp_path / "sentinel.jsonl"
+    sentinel.write_text(
+        json.dumps(
+            {"lead_id": 999, "ts": "2025-01-02 23:00:00", "step": "x",
+             "event_type": "step"}
+        )
+        + "\n"
+    )
+    sent_dst = os.path.join(event_dir, "zz_sentinel.jsonl")
+    os.replace(str(sentinel), sent_dst)
+    # second micro-batch = strictly later modification time
+    base_mtime = os.path.getmtime(os.path.join(event_dir, "a.jsonl"))
+    os.utime(sent_dst, (base_mtime + 60, base_mtime + 60))
+
+    raw = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(event_dir)
+    )
+    stream = streaming_session_stats(
+        raw, ts_col="ts", key_col="lead_id", gap="30 minutes", watermark="1 hour"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("sessions_stream").collect()))
+    batch = spark.read.schema(SCHEMA).json(event_dir).filter(F.col("lead_id") != 999)
+    want = sorted(
+        map(
+            tuple,
+            batch.groupBy(F.session_window("ts", "30 minutes"), F.col("lead_id"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "lead_id",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "n_events",
+            )
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0

@@ -81,3 +81,71 @@ def test_stream_dedup_documents_across_restarts(spark, tmp_path):
     assert {r["doc_id"] for r in got.collect()} == {1, 2, 11}
     texts = [r["text"] for r in got.collect()]
     assert len(texts) == len(set(texts))  # every surviving content unique
+
+
+def test_rate_webhook_source_matches_file_route(spark, tmp_path):
+    """S5 push parity: the rate-source adapter's synthesized events,
+    replayed as JSON lines through the file route, project to the
+    identical silver rows (received_at excluded — it is arrival time)."""
+    ticks = spark.range(50).select(
+        F.col("id").alias("value"),
+        F.timestamp_seconds(F.lit(1735689600) + F.col("id")).alias("timestamp"),
+    )
+    syn_raw = W.synthetic_webhook_events(ticks)
+    lines = [
+        r[0]
+        for r in syn_raw.select(
+            F.to_json(F.struct("webhook_event", "account"))
+        ).collect()
+    ]
+    p = tmp_path / "push_replay"
+    p.mkdir()
+    (p / "events.jsonl").write_text("\n".join(lines))
+
+    drop = lambda df: df.drop("received_at")
+    syn_silver = drop(W.project_silver(W.unwrap_events(syn_raw)))
+    file_silver = drop(
+        W.project_silver(W.unwrap_events(W.read_webhook_json(spark, str(p))))
+    )
+    assert syn_silver.schema == file_silver.schema
+    assert sorted(map(tuple, syn_silver.collect())) == sorted(
+        map(tuple, file_silver.collect())
+    )
+    # the generator exercises every handled event type and account
+    kinds = {(r["account"], r["event"]) for r in syn_silver.collect()}
+    assert len({a for a, _ in kinds}) == 3 and len({e for _, e in kinds}) == 4
+
+
+def test_rate_webhook_stream_flows_to_silver(spark, tmp_path):
+    """The live push adapter drives the SAME stream_silver pipeline:
+    run the rate stream briefly, assert silver rows land partitioned
+    with dedup intact."""
+    import time
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.sources.webhook import (
+        rate_webhook_source,
+    )
+
+    out = str(tmp_path / "push_out")
+    ckpt = str(tmp_path / "push_ckpt")
+    raw = rate_webhook_source(spark, rows_per_second=200, num_partitions=2)
+    q = stream_silver(
+        spark, in_path="", out_path=out, checkpoint=ckpt,
+        available_now=False, raw=raw,
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() > 0:
+                    break
+            except Exception:
+                pass
+            time.sleep(1)
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    assert got.groupBy("id").count().filter(F.col("count") > 1).count() == 0
+    accounts = {r[0] for r in got.select("account").distinct().collect()}
+    assert accounts <= {"office_a", "office_b", "office_c"}
