@@ -122,15 +122,16 @@ def q_a4_conversion_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _goals(spark: SparkSession) -> DataFrame:
     """A5/J2 — goal dimension (stand-in for the reference's calculated
     goal tables `oficina_a_Meta_Anual` / `Meta_Mensual_Asesores`,
-    README.md:519). Tiny literal dim → broadcast join."""
-    rows = [
-        ("AUTOMOBILE", 4_000_000.0),
-        ("BUILDING", 6_000_000.0),
-        ("FURNITURE", 5_000_000.0),
-        ("HOUSEHOLD", 4_500_000.0),
-        ("MACHINERY", 5_500_000.0),
-    ]
-    return spark.createDataFrame(rows, "segment string, goal double")
+    README.md:519). Loaded from a fixture file rather than a code
+    literal — the reference's goal tables are refreshed data, not
+    program constants, so editing targets must not mean editing code.
+    Still a tiny dim → broadcast join."""
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures",
+        "goals.jsonl",
+    )
+    return spark.read.schema("segment string, goal double").json(path)
 
 
 def q_a5_goal_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
