@@ -63,6 +63,7 @@ _SLOW_TAIL = (
     "x_dedup_clusters",
     "x_dedup_clusters_star",
     "x_ngram_jaccard",
+    "x_winnow_pairs",
     "x_source_overlap",
     "x_stratified_sample",
     "x_ann_pq",

@@ -95,6 +95,33 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(F.array_join(F.array_sort(tokens(col)), " "))
 
 
+def winnow_fingerprints(col: Column | str, k: int = 3, w: int = 4) -> Column:
+    """Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    the MOSS algorithm): hash every word-``k``-gram, slide a window of
+    ``w`` consecutive hashes, keep each window's minimum; the distinct
+    selected hashes are the document's fingerprint.
+
+    This is the rolling-hash subsampling rung of the dedup ladder:
+    ~1/w of the shingle space with the winnowing GUARANTEE that any
+    shared run of at least w+k-1 tokens yields at least one shared
+    fingerprint — unlike uniform sampling, which can miss arbitrarily
+    long overlaps. Pure array expressions (transform/slice/array_min),
+    map-side, zero shuffle; md5-derived so the DuckDB oracle replays
+    the selection exactly. Documents shorter than w shingles contribute
+    their single overall minimum; documents with no ``k``-gram yield [].
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    hs = F.transform(shingles(c, k), lambda s: F.substring(F.md5(s), 1, 8))
+    n = F.size(hs)
+    n_win = F.greatest(F.lit(1), n - F.lit(w - 1))
+    wins = F.transform(
+        F.sequence(F.lit(1), n_win), lambda i: F.array_min(F.slice(hs, i, w))
+    )
+    return F.when(n > 0, F.array_distinct(wins)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 # PII patterns shared by the Spark redactor and the DuckDB oracle.
 # Plain character classes + \S only, so Java (Spark) and RE2 (oracle)
 # regex engines produce identical matches; trailing '-' inside classes

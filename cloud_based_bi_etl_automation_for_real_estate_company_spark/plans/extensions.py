@@ -65,6 +65,13 @@ def q_x_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.2)
 
 
+def q_x_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing / MOSS): pairs
+    sharing ≥2 window-min 3-gram hashes — the guaranteed-coverage
+    subsampled rung between MinHash sketches and the exact n-gram join."""
+    return D.winnow_pairs(t(spark, sf_dir, "documents"), k=3, w=4, min_shared=2)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -396,6 +403,28 @@ ORACLES: dict[str, str] = {
         JOIN sizes sa ON sa.doc_id = i.id_a
         JOIN sizes sb ON sb.doc_id = i.id_b
         WHERE CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common) >= 0.2
+    """,
+    # winnowing: positional (non-distinct) 3-gram hash list, window-of-4
+    # minima, distinct selected hashes per doc, pairs sharing >= 2.
+    "x_winnow_pairs": """
+        WITH toks AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+        hs AS (
+            SELECT doc_id,
+                   list_transform(
+                       list_transform(range(1, len(t) - 1),
+                                      i -> array_to_string(t[i:i+2], ' ')),
+                       x -> substring(md5(x), 1, 8)) AS h
+            FROM toks WHERE len(t) >= 3),
+        fp AS (
+            SELECT doc_id, UNNEST(list_distinct(
+                       list_transform(range(1, greatest(2, len(h) - 2)),
+                                      i -> list_min(h[i:i+3])))) AS fp
+            FROM hs)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING COUNT(*) >= 2
     """,
     "x_text_stats": f"""
         WITH tok AS (
@@ -789,6 +818,7 @@ QUERIES = {
     "x_dedup_clusters_star": q_x_dedup_clusters_star,
     "x_dedup_simhash": q_x_dedup_simhash,
     "x_ngram_jaccard": q_x_ngram_jaccard,
+    "x_winnow_pairs": q_x_winnow_pairs,
     "x_text_stats": q_x_text_stats,
     "x_token_counts": q_x_token_counts,
     "x_tfidf": q_x_tfidf,

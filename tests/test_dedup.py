@@ -167,3 +167,57 @@ def test_spread_is_conditional(spark):
     assert s_narrow.rdd.getNumPartitions() == par
     assert "Exchange RoundRobinPartitioning" in s_narrow._jdf.queryExecution().executedPlan().toString()
     assert s_wide is wide  # identity — no new exchange for the scale path
+
+
+def test_winnow_fingerprints_hand_computed(spark):
+    """Winnowing invariants on a tiny doc: selected hashes are a subset
+    of the shingle hashes, at most n_shingles - w + 1 of them, and the
+    same text always selects the same set."""
+    from pyspark.sql import functions as F
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.functions.text import (
+        shingles,
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "x y"), (4, "")],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["fp"], r["all_h"])
+        for r in df.select(
+            "doc_id",
+            winnow_fingerprints("text", k=3, w=4).alias("fp"),
+            F.transform(
+                shingles("text", 3), lambda s: F.substring(F.md5(s), 1, 8)
+            ).alias("all_h"),
+        ).collect()
+    }
+    fp1, all1 = rows[1]
+    assert set(fp1) <= set(all1)          # subset of shingle hashes
+    assert 1 <= len(fp1) <= len(all1) - 3  # ≤ n - w + 1 windows
+    assert rows[2][0] == fp1               # deterministic
+    assert rows[3][0] == [] and rows[4][0] == []  # < k tokens → empty
+
+
+def test_winnow_pairs_finds_shared_run(spark):
+    """The winnowing guarantee: two docs sharing a token run of length
+    ≥ w + k - 1 (= 6 here) must share at least one fingerprint; with a
+    long shared run they clear min_shared=2, while an unrelated doc
+    pairs with nobody."""
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            (1, "intro words " + shared),
+            (2, shared + " closing remark here"),
+            (3, "completely different content about spark plans only"),
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in D.winnow_pairs(df, k=3, w=4, min_shared=2).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert not any(3 in p for p in pairs)
