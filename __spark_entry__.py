@@ -68,6 +68,7 @@ _SLOW_TAIL = (
     "x_stratified_sample",
     "x_ann_pq",
     "x_multimodal_meta",
+    "x_ann_ivf_trained",
 )
 
 

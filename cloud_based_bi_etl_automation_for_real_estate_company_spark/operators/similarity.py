@@ -133,6 +133,76 @@ def bucketed_ann_topk(
     )
 
 
+def kmeans_centroids(
+    base: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column, pure
+    DataFrame ops — the trained coarse quantizer for ``ivf_topk``
+    (whose round-1 centroids were an honest deterministic stand-in).
+
+    Per iteration: assignment is one broadcast-centroids join + argmin
+    window (identical dataflow to IVF assignment itself); the update
+    re-averages per (cluster, dimension) via posexplode + hash-agg and
+    re-assembles the centroid arrays — two aggregation shuffles over
+    O(rows × dim) exploded values, all JVM-side. Deterministic: seeds
+    are the ``k`` lowest-id vectors, argmin ties break on cluster id,
+    empty clusters retain their previous centroid. Centroids (k tiny
+    rows) are localCheckpointed each round so lineage stays flat —
+    same pattern as the connected-components loop.
+
+    Returns (cent_id int, cent_emb array<double>). Iterative —> no SQL
+    oracle; verified by convergence/recovery tests (test_similarity).
+    """
+    seeds = (
+        base.orderBy(id_col)
+        .limit(k)
+        .select(F.col(id_col), as_double(vec_col).alias("cent_emb"))
+    )
+    w = Window.orderBy(id_col)
+    cents = seeds.select(
+        (F.row_number().over(w) - 1).alias("cent_id"), "cent_emb"
+    ).localCheckpoint()
+    vecs = spread(base.select(F.col(id_col), as_double(vec_col).alias("__v")))
+    for _ in range(iters):
+        d2 = (
+            dot(F.col("__v"), F.col("__v"))
+            - 2 * dot(F.col("__v"), F.col("cent_emb"))
+            + dot(F.col("cent_emb"), F.col("cent_emb"))
+        )
+        aw = Window.partitionBy(id_col).orderBy(d2.asc(), F.col("cent_id").asc())
+        assigned = (
+            vecs.join(F.broadcast(cents))
+            .withColumn("__rn", F.row_number().over(aw))
+            .filter(F.col("__rn") == 1)
+            .select(id_col, "__v", "cent_id")
+        )
+        upd = (
+            assigned.select("cent_id", F.posexplode("__v").alias("dim", "val"))
+            .groupBy("cent_id", "dim")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("new_emb")
+            )
+        )
+        cents = (
+            cents.join(upd, "cent_id", "left")
+            .select(
+                "cent_id",
+                F.coalesce(F.col("new_emb"), F.col("cent_emb")).alias("cent_emb"),
+            )
+            .localCheckpoint()
+        )
+    return cents
+
+
 def ivf_topk(
     base: DataFrame,
     queries: DataFrame,
@@ -141,18 +211,25 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_centroids: int = 8,
     n_probes: int = 1,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: a coarse quantizer assigns every vector to its
     nearest centroid; queries probe their ``n_probes`` nearest
     centroids' inverted lists (n_probes is THE recall/cost dial of IVF
-    — each extra probe scans one more list). Centroids here are the
-    first ``n_centroids`` base vectors — a deterministic stand-in for
-    k-means (whose iterations don't change the operator's dataflow
-    shape): assignment is a broadcast centroids×vectors scoring +
-    windowed arg-top, the probe an equi-join on centroid id.
+    — each extra probe scans one more list). Default centroids are the
+    first ``n_centroids`` base vectors — a deterministic stand-in that
+    keeps the SQL oracle replayable; pass ``centroids`` (cent_id,
+    cent_emb — e.g. from ``kmeans_centroids``) for a trained
+    quantizer, which only swaps the tiny broadcast side. Assignment is
+    a broadcast centroids×vectors scoring + windowed arg-top, the
+    probe an equi-join on centroid id.
     """
-    cents = base.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_emb")
+    cents = (
+        centroids.select("cent_id", F.col("cent_emb"))
+        if centroids is not None
+        else base.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_emb")
+        )
     )
     # centroid scoring touches every base row — spread under-partitioned scans
     base = spread(base)

@@ -287,6 +287,23 @@ def q_x_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk(e, e.filter(F.col("vec_id") < 5), k=5)
 
 
+def q_x_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a TRAINED coarse quantizer — distributed Lloyd's
+    k-means (operators/similarity.kmeans_centroids) feeding the same
+    probe plan. Rows-only by design: the trainer is iterative, so
+    there is no clean ANSI-SQL replay (same class as SimHash);
+    convergence and recall are pinned in tests/test_similarity.py.
+
+    Note the fixture bias when comparing recall to x_ann_ivf: the
+    stand-in centroids ARE the query vectors there (vec_id < 8 covers
+    the vec_id < 5 queries), centering each query's cell on itself."""
+    e = t(spark, sf_dir, "embeddings")
+    cents = S.kmeans_centroids(e, k=8, iters=3)
+    return S.ivf_topk(
+        e, e.filter(F.col("vec_id") < 5), k=5, n_probes=2, centroids=cents
+    )
+
+
 def q_x_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (sim ≥ 0.95) within sign buckets."""
     e = t(spark, sf_dir, "embeddings")
@@ -837,6 +854,7 @@ QUERIES = {
     "x_ann_bruteforce": q_x_ann_bruteforce,
     "x_ann_bucketed": q_x_ann_bucketed,
     "x_ann_ivf": q_x_ann_ivf,
+    "x_ann_ivf_trained": q_x_ann_ivf_trained,
     "x_ann_pq": q_x_ann_pq,
     "x_embed_near_dup": q_x_embed_near_dup,
     "x_multimodal_meta": q_x_multimodal_meta,

@@ -91,3 +91,82 @@ def test_ann_recall_vs_bruteforce(spark):
     assert r_ivf >= 0.8, r_ivf   # measured 0.96 single-probe IVF
     assert r_pq >= 0.3, r_pq     # measured 0.40 (m=8, ks=64) — random
     # fixture vectors are the PQ worst case; trained codebooks raise this
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    """Lloyd's iterations on three well-separated planted blobs must
+    land one centroid per blob (assignment purity 1.0), and the
+    objective must not increase with more iterations."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.functions.vectors import (
+        as_double,
+        dot,
+    )
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    # 3 blobs on orthogonal axes, deterministic jitter; ids interleave
+    # blobs so the lowest-k seeding starts from a WRONG split
+    rows = []
+    for i in range(30):
+        blob = i % 3
+        v = [0.0] * 6
+        v[blob * 2] = 10.0 + (i % 5) * 0.1
+        v[blob * 2 + 1] = 1.0 + (i % 7) * 0.05
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    def inertia(cents):
+        d2 = (
+            dot(F.col("__v"), F.col("__v"))
+            - 2 * dot(F.col("__v"), F.col("cent_emb"))
+            + dot(F.col("cent_emb"), F.col("cent_emb"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(d2.asc(), F.col("cent_id").asc())
+        a = (
+            df.select("vec_id", as_double("embedding").alias("__v"))
+            .join(F.broadcast(cents))
+            .withColumn("__d2", d2)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter("__rn = 1")
+        )
+        return a, a.agg(F.sum("__d2")).collect()[0][0]
+
+    c1 = kmeans_centroids(df, k=3, iters=1)
+    c4 = kmeans_centroids(df, k=3, iters=4)
+    a1, j1 = inertia(c1)
+    a4, j4 = inertia(c4)
+    assert j4 <= j1 + 1e-9
+    # purity: every (blob, centroid) group is the whole blob
+    got = a4.select(
+        (F.col("vec_id") % 3).alias("blob"), "cent_id"
+    ).distinct().collect()
+    assert len(got) == 3
+    assert len({r["cent_id"] for r in got}) == 3
+
+
+def test_ivf_trained_centroids_recall(spark):
+    """Trained-quantizer IVF on the fixture embeddings: recall@5 vs
+    brute force must clear 0.8 at 2 probes. (Not compared against the
+    stand-in quantizer: the stand-in's centroids ARE the query vectors
+    on this fixture, which centers each query's cell on itself and
+    inflates its recall — see q_x_ann_ivf_trained.)"""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter("vec_id < 5")
+    exact = {
+        (r["q_id"], r["vec_id"]) for r in S.brute_force_topk(e, q, k=5).collect()
+    }
+    cents = kmeans_centroids(e, k=8, iters=3)
+    approx = {
+        (r["q_id"], r["vec_id"])
+        for r in ivf_topk(e, q, k=5, n_probes=2, centroids=cents).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.8  # measured 0.92
