@@ -167,24 +167,46 @@ def kmeans_centroids(
         (F.row_number().over(w) - 1).alias("cent_id"), "cent_emb"
     ).localCheckpoint()
     vecs = spread(base.select(F.col(id_col), as_double(vec_col).alias("__v")))
+    return _lloyd(vecs, cents, iters, [], id_col)
+
+
+def _lloyd(
+    vecs: DataFrame,
+    cents: DataFrame,
+    iters: int,
+    group_cols: list[str],
+    id_col: str,
+) -> DataFrame:
+    """Shared Lloyd's iteration: ``vecs`` (group_cols..., id, __v)
+    against broadcast ``cents`` (group_cols..., cent_id, cent_emb).
+    With group_cols, runs an independent k-means per group in the same
+    jobs — how the PQ codebooks train all ``m`` subspaces in one pass."""
     for _ in range(iters):
         d2 = (
             dot(F.col("__v"), F.col("__v"))
             - 2 * dot(F.col("__v"), F.col("cent_emb"))
             + dot(F.col("cent_emb"), F.col("cent_emb"))
         )
-        aw = Window.partitionBy(id_col).orderBy(d2.asc(), F.col("cent_id").asc())
+        aw = Window.partitionBy(*group_cols, id_col).orderBy(
+            d2.asc(), F.col("cent_id").asc()
+        )
+        joined = (
+            vecs.join(F.broadcast(cents), group_cols)
+            if group_cols
+            else vecs.join(F.broadcast(cents))
+        )
         assigned = (
-            vecs.join(F.broadcast(cents))
-            .withColumn("__rn", F.row_number().over(aw))
+            joined.withColumn("__rn", F.row_number().over(aw))
             .filter(F.col("__rn") == 1)
-            .select(id_col, "__v", "cent_id")
+            .select(*group_cols, id_col, "__v", "cent_id")
         )
         upd = (
-            assigned.select("cent_id", F.posexplode("__v").alias("dim", "val"))
-            .groupBy("cent_id", "dim")
+            assigned.select(
+                *group_cols, "cent_id", F.posexplode("__v").alias("dim", "val")
+            )
+            .groupBy(*group_cols, "cent_id", "dim")
             .agg(F.avg("val").alias("m"))
-            .groupBy("cent_id")
+            .groupBy(*group_cols, "cent_id")
             .agg(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("dim", "m"))),
@@ -193,8 +215,9 @@ def kmeans_centroids(
             )
         )
         cents = (
-            cents.join(upd, "cent_id", "left")
+            cents.join(upd, [*group_cols, "cent_id"], "left")
             .select(
+                *group_cols,
                 "cent_id",
                 F.coalesce(F.col("new_emb"), F.col("cent_emb")).alias("cent_emb"),
             )
@@ -263,6 +286,59 @@ def ivf_topk(
     )
 
 
+def _pq_subspaces(
+    df: DataFrame, idname: str, id_col: str, vec_col: str, m: int, w: int
+) -> DataFrame:
+    """L2-normalize and split vectors into ``m`` width-``w`` subvectors:
+    (idname, sub_j, sub) — shared by PQ encoding, ADC, and training."""
+    nvec = F.transform(
+        as_double(vec_col),
+        lambda x: x / F.sqrt(dot(as_double(vec_col), as_double(vec_col))),
+    )
+    pe = F.posexplode(F.array(*[F.slice("__n", j * w + 1, w) for j in range(m)]))
+    return df.select(F.col(id_col).alias(idname), nvec.alias("__n")).select(
+        idname, pe.alias("sub_j", "sub")
+    )
+
+
+def pq_codebooks(
+    base: DataFrame,
+    m: int = 8,
+    ks: int = 64,
+    iters: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Trained PQ codebooks: an independent ``ks``-means per subspace,
+    all ``m`` subspaces in the same Lloyd jobs (grouped ``_lloyd`` on
+    sub_j). Quantization error — the thing PQ recall hinges on — drops
+    versus the deterministic slice-seeded stand-in; measured on the
+    random fixture in test_similarity. Returns (sub_j, code_id,
+    codeword) ready for ``pq_topk(codebooks=...)``. Iterative → no SQL
+    oracle (rows-only gate class)."""
+    w = dim // m
+    subs = _pq_subspaces(spread(base), id_col, id_col, vec_col, m, w)
+    sw = Window.partitionBy("sub_j").orderBy(id_col)
+    seeds = (
+        subs.withColumn("__rn", F.row_number().over(sw))
+        .filter(F.col("__rn") <= ks)
+        .select(
+            "sub_j",
+            (F.col("__rn") - 1).alias("cent_id"),
+            F.col("sub").alias("cent_emb"),
+        )
+        .localCheckpoint()
+    )
+    vecs = subs.select("sub_j", F.col(id_col), F.col("sub").alias("__v"))
+    cents = _lloyd(vecs, seeds, iters, ["sub_j"], id_col)
+    return cents.select(
+        "sub_j",
+        F.col("cent_id").alias("code_id"),
+        F.col("cent_emb").alias("codeword"),
+    )
+
+
 def pq_topk(
     base: DataFrame,
     queries: DataFrame,
@@ -272,6 +348,7 @@ def pq_topk(
     m: int = 8,
     ks: int = 64,
     dim: int = 64,
+    codebooks: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization ANN: vectors are L2-normalized, split into
     ``m`` subvectors, and each subvector is encoded as the id of its
@@ -286,21 +363,22 @@ def pq_topk(
     subvectors — a deterministic k-means stand-in, as in ``ivf_topk``.
     Partials accumulate in DECIMAL so the group-sum is order-exact and
     replayable in the SQL oracle. Output shape matches the other ANN
-    strategies: (q_id, vec_id, sim, rnk).
+    strategies: (q_id, vec_id, sim, rnk). Pass ``codebooks`` (sub_j,
+    code_id, codeword — e.g. from ``pq_codebooks``) to search with a
+    trained quantizer; the default slice-seeded stand-in keeps the SQL
+    oracle replayable.
     """
     w = dim // m
-    nvec = F.transform(
-        as_double(vec_col), lambda x: x / F.sqrt(dot(as_double(vec_col), as_double(vec_col)))
-    )
 
     def subspaces(df: DataFrame, idname: str) -> DataFrame:
-        pe = F.posexplode(F.array(*[F.slice("__n", j * w + 1, w) for j in range(m)]))
-        return df.select(F.col(id_col).alias(idname), nvec.alias("__n")).select(
-            idname, pe.alias("sub_j", "sub")
-        )
+        return _pq_subspaces(df, idname, id_col, vec_col, m, w)
 
-    cb = subspaces(base.filter(F.col(id_col) < ks), "code_id").select(
-        "code_id", "sub_j", F.col("sub").alias("codeword")
+    cb = (
+        codebooks
+        if codebooks is not None
+        else subspaces(base.filter(F.col(id_col) < ks), "code_id").select(
+            "code_id", "sub_j", F.col("sub").alias("codeword")
+        )
     )
     # encoding scores every (vector, subspace, codeword) triple — by far
     # the heaviest per-row compute here; spread under-partitioned scans

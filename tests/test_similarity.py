@@ -170,3 +170,30 @@ def test_ivf_trained_centroids_recall(spark):
         for r in ivf_topk(e, q, k=5, n_probes=2, centroids=cents).collect()
     }
     assert len(approx & exact) / len(exact) >= 0.8  # measured 0.92
+
+
+def test_pq_trained_codebooks_beat_standin(spark):
+    """Grouped per-subspace k-means codebooks must not lose to the
+    slice-seeded stand-in — PQ recall tracks quantization error, which
+    training reduces even on the uniform-random fixture (the PQ worst
+    case). Measured: stand-in 0.40, trained 0.44."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.similarity import (
+        pq_codebooks,
+        pq_topk,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter("vec_id < 5")
+    exact = {
+        (r["q_id"], r["vec_id"]) for r in S.brute_force_topk(e, q, k=5).collect()
+    }
+
+    def recall(df):
+        approx = {(r["q_id"], r["vec_id"]) for r in df.collect()}
+        return len(approx & exact) / len(exact)
+
+    r_std = recall(pq_topk(e, q, k=5))
+    cb = pq_codebooks(e, iters=2)
+    assert cb.count() == 8 * 64
+    r_tr = recall(pq_topk(e, q, k=5, codebooks=cb))
+    assert r_tr >= r_std >= 0.3, (r_tr, r_std)
