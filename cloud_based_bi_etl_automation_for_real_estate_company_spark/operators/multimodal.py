@@ -104,6 +104,50 @@ def frame_sample_stub(df: DataFrame, blob_col: str = "blob",
     return df.mapInPandas(run, schema)
 
 
+def embed_stub(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id",
+               dim: int = 64) -> DataFrame:
+    """STUB media embedder: binary → ``array<float>`` feature vector in
+    Arrow batches — the third mapInPandas shape (1→1, payload→vector)
+    alongside decode (1→1, payload→metadata) and frame-sample (1→N).
+    This is the bridge from multimodal columns into the ANN operators:
+    the output schema matches the ``embeddings`` table contract, so
+    ``brute_force_topk`` / ``ivf_topk`` / near-dup consume it directly.
+
+    The fake features are deterministic byte statistics (chunk sums),
+    so identical payloads embed identically — a real CLIP/encoder call
+    replaces ``_embed_one`` without touching the Spark contract."""
+    import numpy as np
+
+    def _embed_one(blob: bytes) -> list[float]:
+        arr = np.frombuffer(blob, dtype=np.uint8)
+        if arr.size == 0:
+            return [0.0] * dim
+        chunks = np.array_split(arr.astype(np.float32), dim)
+        return [float(c.sum() % 997.0) if c.size else 0.0 for c in chunks]
+
+    from pyspark.sql.types import ArrayType, FloatType
+    from .partitioning import spread
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    src = spread(df.select(id_col, blob_col))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].values,
+                    "embedding": [_embed_one(b) for b in pdf[blob_col]],
+                }
+            )
+
+    return src.mapInPandas(run, schema)
+
+
 def with_blob(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Materialize a binary column from text (utf-8) — the fixture
     stand-in for real media bytes."""

@@ -141,3 +141,42 @@ def test_fetcher_retry_backoff():
 
     with _pytest.raises(ConnectionError):
         with_retries(dead, max_tries=2, sleep=sleeps.append)(1, 0, {})
+
+
+def test_embed_stub_feeds_ann(spark):
+    """Multimodal → similarity bridge: the stub embedder turns binary
+    payloads into the embeddings-table contract, identical payloads
+    embed identically, and the output drives the ANN operators
+    directly (exact duplicates rank as each other's nearest
+    neighbour with similarity ~1)."""
+    from pyspark.sql import functions as F
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.multimodal import (
+        embed_stub,
+        with_blob,
+    )
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog " * 4),
+            (2, "the quick brown fox jumps over the lazy dog " * 4),  # dup of 1
+            (3, "entirely different payload with other bytes " * 3),
+            (4, "short"),
+        ],
+        "doc_id bigint, text string",
+    )
+    emb = embed_stub(with_blob(docs), dim=16)
+    rows = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert all(len(v) == 16 for v in rows.values())
+    assert rows[1] == rows[2] != rows[3]  # deterministic, content-keyed
+
+    top1 = {
+        r["q_id"]: (r["vec_id"], r["sim"])
+        for r in brute_force_topk(emb, emb.filter(F.col("vec_id") == 1), k=1).collect()
+    }
+    nn, sim = top1[1]
+    assert nn == 2 and sim >= 0.999999
