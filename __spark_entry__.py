@@ -29,12 +29,13 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (SURVEY.md §7 step 2): the manager-dashboard
-    monthly funnel — events deduped by id, funnel stage counts and
-    conversion ratios per month (A1 + A4 + A10 in one plan)."""
+    funnel trend — events deduped by id, funnel stage counts and
+    conversion ratios per day (A1 + A4 + A10 in one plan; daily
+    buckets because the fixture's event stream spans ~30 days)."""
     ev = measures.t(spark, SMOKE_SF_DIR, "events")
     deduped = ev.dropDuplicates(["event_id"])
     monthly = (
-        deduped.groupBy(F.date_trunc("month", "ts").alias("month_start"))
+        deduped.groupBy(F.date_trunc("day", "ts").alias("bucket_start"))
         .agg(
             F.countDistinct("user_id").alias("n_leads"),
             F.count(F.when(F.col("event_type") == "signup", 1)).alias("n_signup"),
@@ -53,10 +54,52 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# The heaviest gate queries (iterative CC, persisted-signature sketches,
-# the Python-worker multimodal decode) — registered after the cheap ones
-# so a time-budgeted gate maximizes how many queries it reaches.
-_SLOW_TAIL = (
+# Queries with NO driver CORRECTNESS row yet (round 1 checked exactly
+# the first 50 registered names; these are the other 50, rotated to the
+# front for round 2 — cheapest first, the heaviest sketches/iterative
+# ops and the Python-worker multimodal decode last within the block so
+# a time-budgeted gate maximizes how many it reaches). Once a round's
+# CORRECTNESS file shows a green row for a name, move it out of this
+# list so still-unchecked and newly added queries rotate forward.
+_GATE_PRIORITY = (
+    "l1_pricing_summary",
+    "l2_revenue_by_nation",
+    "l3_top_parts",
+    "l4_order_lifecycle",
+    "l5_top_revenue_orders",
+    "l6_returned_customers",
+    "l7_lone_late_suppliers",
+    "l8_supplier_variety",
+    "l9_groupwise_min",
+    "l10_order_count_dist",
+    "l11_idle_rich_customers",
+    "l12_promo_revenue",
+    "l13_small_qty_revenue",
+    "l14_large_volume_orders",
+    "l15_disjunctive_revenue",
+    "w4_lag_lead",
+    "w7_growth_rates",
+    "w8_ytd",
+    "w5_moving_avg",
+    "w6_distribution_ranks",
+    "x_dedup_exact",
+    "x_text_stats",
+    "x_token_counts",
+    "x_tfidf",
+    "x_pack_sequences",
+    "x_length_clip",
+    "x_chunk_documents",
+    "x_source_mixture",
+    "x_train_split",
+    "x_lang_id",
+    "x_fingerprint",
+    "x_pii_redact",
+    "x_repetition",
+    "x_decontaminate",
+    "x_ann_bruteforce",
+    "x_ann_bucketed",
+    "x_ann_ivf",
+    "x_embed_near_dup",
     "x_dedup_minhash_lsh",
     "x_dedup_minhash_est",
     "x_dedup_simhash",
@@ -73,18 +116,21 @@ _SLOW_TAIL = (
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Registration order rotates per round because the driver's gate is
-    # budgeted (round 1 checked exactly the first 50 registered names):
-    # the families it did NOT reach in round 1 (warehouse l*, the x_*
-    # extensions, w6) register first this round — cheapest first — so
-    # the union of per-round CORRECTNESS files covers all 94 queries.
-    fresh: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (warehouse, windows, extensions):
-        fresh.update(mod.QUERIES)
-    out = {n: f for n, f in fresh.items() if n not in _SLOW_TAIL}
-    out.update({n: fresh[n] for n in _SLOW_TAIL if n in fresh})
+    # Gate-priority names register first (see _GATE_PRIORITY); new
+    # queries added after round 2 land right after them, ahead of the
+    # round-1-checked families, so per-round CORRECTNESS files union
+    # toward full coverage.
+    all_q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in (warehouse, windows, extensions, measures, analytics, scalars, temporal):
+        all_q.update(mod.QUERIES)
+    checked_r1 = set()
     for mod in (measures, analytics, scalars, temporal):
-        out.update(mod.QUERIES)
+        checked_r1.update(mod.QUERIES)
+    out = {n: all_q[n] for n in _GATE_PRIORITY if n in all_q}
+    out.update(
+        {n: f for n, f in all_q.items() if n not in out and n not in checked_r1}
+    )
+    out.update({n: f for n, f in all_q.items() if n not in out})
     return out
 
 

@@ -36,13 +36,21 @@ import __spark_entry__ as entrymod
 def stage_fixtures(spark, sf_dir: str) -> str:
     """Rewrite each fixture table with enough partitions (= row groups)
     to parallelize its scan; idempotent per sf_dir via a marker file.
-    events.parquet is TIMESTAMP(NANOS): read with nanosAsLong, so the
-    staged copy carries the same BIGINT nanos the query layer expects."""
+    events.parquet ts vintage varies (NANOS or MICROS): read with
+    nanosAsLong so a NANOS source stages as BIGINT nanos; either way
+    the query layer adapts on the read schema (session.read_events)."""
     dst = os.path.join(
         "/tmp", "spark_graft_bench_stage", os.path.basename(os.path.normpath(sf_dir))
     )
     marker = os.path.join(dst, "_STAGED")
-    if os.path.exists(marker) and open(marker).read() == sf_dir:
+    # Marker records source dir + mtimes so a driver-regenerated
+    # fixture (new vintage) invalidates the staged copy.
+    stamp = sf_dir + "".join(
+        f"\n{name}:{os.path.getmtime(os.path.join(sf_dir, f'{name}.parquet')):.0f}"
+        for name in TABLES
+        if os.path.exists(os.path.join(sf_dir, f"{name}.parquet"))
+    )
+    if os.path.exists(marker) and open(marker).read() == stamp:
         return dst
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     par = spark.sparkContext.defaultParallelism
@@ -56,7 +64,7 @@ def stage_fixtures(spark, sf_dir: str) -> str:
             .parquet(os.path.join(dst, f"{name}.parquet"))
         )
     with open(marker, "w") as f:
-        f.write(sf_dir)
+        f.write(stamp)
     return dst
 
 # Headline set: the fact-scale joins/aggs + the load-bearing window op

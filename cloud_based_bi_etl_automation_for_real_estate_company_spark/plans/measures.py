@@ -37,11 +37,10 @@ from .calendar import calendar_dim
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table (lazy parquet scan; columns pruned per-plan).
 
-    events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects; read nanos as long (legacy conf, runtime
-    settable) and convert to TimestampType by integer-dividing to
-    micros — same floor-truncation DuckDB applies casting ns→us, so
-    oracle values agree exactly.
+    events.parquet has shipped ``ts`` as either TIMESTAMP(NANOS) or
+    TIMESTAMP(MICROS) depending on fixture vintage; ``session.
+    read_events`` adapts on the read schema so oracle values agree
+    exactly either way.
     """
     # Pin session tz so timestamp bucketing (year/month/date_trunc) is
     # identical to the (tz-naive) DuckDB oracle regardless of host tz.
@@ -55,9 +54,9 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         str(spark.sparkContext.defaultParallelism),
     )
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        from ..session import read_events
+
+        return read_events(spark, os.path.join(sf_dir, "events.parquet"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -61,24 +61,43 @@ def get_spark(app_name: str = "cbbi-spark", cpus: int | None = None) -> SparkSes
     return builder.getOrCreate()
 
 
+def read_events(spark: SparkSession, path: str):
+    """Read an events fixture, normalizing ``ts`` to TimestampType.
+
+    Fixture generations have shipped ``ts`` both as TIMESTAMP(NANOS)
+    (which Spark's vectorized reader rejects — read nanos as long via
+    the legacy conf, then integer-divide to micros, the same floor
+    truncation DuckDB applies casting ns→us) and as plain
+    TIMESTAMP(MICROS) (usable as-is). Adapt on the read schema so the
+    query layer never cares which vintage is on disk.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+        # NTZ parquet vintage: with the session tz pinned to UTC the
+        # cast re-interprets the same wall-clock instant, and downstream
+        # unix_micros()/from_utc_timestamp() require TIMESTAMP (LTZ).
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "SparkSession"]:
     """Read every fixture parquet in ``sf_dir`` and register temp views.
 
     Returns {name: DataFrame}. Reads are lazy; Catalyst prunes columns
     and pushes filters into the parquet scan per-query.
     """
-    from pyspark.sql import functions as F
-
     dfs = {}
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             if name == "events":
-                # events stores TIMESTAMP(NANOS) — see plans.measures.t
-                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-                df = spark.read.parquet(path).withColumn(
-                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
-                )
+                df = read_events(spark, path)
             else:
                 df = spark.read.parquet(path)
             df.createOrReplaceTempView(name)
