@@ -322,3 +322,48 @@ def source_overlap(
         ),
         sh,
     )
+
+
+def token_spectrum(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Frequency-of-frequencies over the corpus vocabulary: how many
+    distinct terms occur exactly ``occurrences`` times. The standard
+    Zipf/heap diagnostic for a training mix — a healthy natural-text
+    corpus shows a long power-law tail of hapaxes; template or
+    machine-generated slices collapse the spectrum.
+
+    Two hash aggregations (term counts, then count-of-counts), both
+    with map-side partial aggregation; the second input is one row per
+    distinct term, so shuffle volume drops with vocabulary, not corpus,
+    size. Returns (occurrences, n_terms).
+    """
+    term_freq = (
+        df.select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+    )
+    return term_freq.groupBy("occurrences").agg(F.count(F.lit(1)).alias("n_terms"))
+
+
+def doc_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document unigram (Shannon) entropy in nats — a cheap quality
+    signal: near-zero entropy flags degenerate/repetitive documents
+    (one token over and over), abnormally high entropy flags
+    gibberish; both are standard cut lines in corpus curation.
+
+    Computed as H = ln(n) − Σ c·ln(c) / n over per-doc term counts
+    (algebraically equal to −Σ p·ln p, but needs only two aggregates).
+    Two doc-keyed shuffles, map-side combined; no driver math.
+    Returns (doc_id, n_tokens, entropy).
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    per = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("cnt"))
+    n = F.sum("cnt")
+    return per.groupBy(id_col).agg(
+        n.cast("bigint").alias("n_tokens"),
+        (
+            F.log(n.cast("double"))
+            - F.sum(F.col("cnt") * F.log(F.col("cnt").cast("double"))) / n
+        ).alias("entropy"),
+    )

@@ -322,6 +322,24 @@ def q_x_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_metadata(d)
 
 
+def q_x_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span removal (8-token tiles, first occurrence wins) —
+    catches shared boilerplate inside otherwise-distinct documents."""
+    return D.span_dedup(t(spark, sf_dir, "documents"), span=8)
+
+
+def q_x_token_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary frequency-of-frequencies (Zipf spectrum) over the
+    corpus — shuffle volume tracks vocabulary, not corpus, size."""
+    return C.token_spectrum(t(spark, sf_dir, "documents"))
+
+
+def q_x_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram entropy (nats) — degenerate/repetitive
+    document detector for the curation gate."""
+    return C.doc_entropy(t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -825,6 +843,52 @@ ORACLES: dict[str, str] = {
                     THEN 'png' ELSE 'jpeg' END AS format
         FROM documents
     """,
+    "x_span_dedup": """
+        WITH base AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS toks
+            FROM documents),
+        tiles AS (
+            SELECT doc_id, toks,
+                   UNNEST(range(0, GREATEST(1,
+                       CAST(ceil(len(toks) / 8.0) AS BIGINT)))) AS span_no
+            FROM base),
+        marked AS (
+            SELECT doc_id, span_no,
+                   array_to_string(toks[span_no * 8 + 1 : span_no * 8 + 8],
+                                   ' ') AS span_text,
+                   row_number() OVER (
+                       PARTITION BY array_to_string(
+                           toks[span_no * 8 + 1 : span_no * 8 + 8], ' ')
+                       ORDER BY doc_id, span_no) AS rn
+            FROM tiles)
+        SELECT doc_id,
+               COALESCE(string_agg(CASE WHEN rn = 1 THEN span_text END,
+                                   ' ' ORDER BY span_no), '') AS clean_text,
+               COUNT(*) AS n_spans,
+               COUNT(CASE WHEN rn = 1 THEN 1 END) AS n_spans_kept
+        FROM marked GROUP BY doc_id
+    """,
+    "x_token_spectrum": """
+        WITH tf AS (
+            SELECT term, COUNT(*) AS occurrences FROM (
+                SELECT UNNEST(string_split(trim(text), ' ')) AS term
+                FROM documents)
+            GROUP BY term)
+        SELECT occurrences, COUNT(*) AS n_terms
+        FROM tf GROUP BY occurrences
+    """,
+    "x_doc_entropy": """
+        WITH per AS (
+            SELECT doc_id, term, COUNT(*) AS cnt FROM (
+                SELECT doc_id, UNNEST(string_split(trim(text), ' ')) AS term
+                FROM documents)
+            GROUP BY doc_id, term)
+        SELECT doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+               ln(CAST(SUM(cnt) AS DOUBLE))
+                   - SUM(cnt * ln(CAST(cnt AS DOUBLE))) / SUM(cnt) AS entropy
+        FROM per GROUP BY doc_id
+    """,
 }
 
 QUERIES = {
@@ -858,4 +922,7 @@ QUERIES = {
     "x_ann_pq": q_x_ann_pq,
     "x_embed_near_dup": q_x_embed_near_dup,
     "x_multimodal_meta": q_x_multimodal_meta,
+    "x_span_dedup": q_x_span_dedup,
+    "x_token_spectrum": q_x_token_spectrum,
+    "x_doc_entropy": q_x_doc_entropy,
 }

@@ -200,3 +200,28 @@ def test_source_overlap_cache_released(spark):
     release_cached(out)
     assert not getattr(out, "cached_deps", [])
     assert all(not d.storageLevel.useMemory for d in deps)
+
+
+def test_token_spectrum_counts(spark):
+    # "a" ×3, "b" ×2, "c" ×1, "d" ×1 → spectrum {1: 2 terms, 2: 1, 3: 1}
+    df = spark.createDataFrame(
+        [(1, "a a b", "s"), (2, "a b c d", "s")], DOCS
+    )
+    got = {r["occurrences"]: r["n_terms"] for r in C.token_spectrum(df).collect()}
+    assert got == {1: 2, 2: 1, 3: 1}
+
+
+def test_doc_entropy_uniform_and_degenerate(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d", "s"),  # uniform over 4 → ln(4)
+            (2, "x x x x", "s"),  # degenerate → 0
+            (3, "a a b b", "s"),  # uniform over 2 → ln(2)
+        ],
+        DOCS,
+    )
+    rows = {r["doc_id"]: r for r in C.doc_entropy(df).collect()}
+    assert rows[1]["n_tokens"] == 4
+    assert math.isclose(rows[1]["entropy"], math.log(4.0))
+    assert math.isclose(rows[2]["entropy"], 0.0, abs_tol=1e-12)
+    assert math.isclose(rows[3]["entropy"], math.log(2.0))

@@ -221,3 +221,38 @@ def test_winnow_pairs_finds_shared_run(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] >= 2
     assert not any(3 in p for p in pairs)
+
+
+def test_span_dedup_removes_repeated_tiles(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.dedup import (
+        span_dedup,
+    )
+
+    # span=2 tiles: doc 1 = [a b][c d]; doc 2 repeats [a b] then has
+    # its own [e f]; doc 3 is entirely doc 1's content (fully redundant).
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b e f"), (3, "a b c d")],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in span_dedup(df, span=2).collect()}
+    assert rows[1]["clean_text"] == "a b c d"
+    assert rows[1]["n_spans"] == 2 and rows[1]["n_spans_kept"] == 2
+    assert rows[2]["clean_text"] == "e f"
+    assert rows[2]["n_spans"] == 2 and rows[2]["n_spans_kept"] == 1
+    assert rows[3]["clean_text"] == ""
+    assert rows[3]["n_spans_kept"] == 0
+
+
+def test_span_dedup_within_doc_and_tile_order(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.dedup import (
+        span_dedup,
+    )
+
+    # a doc repeating its own tile drops the later copy; surviving
+    # tiles rejoin in original order; trailing partial tile kept.
+    df = spark.createDataFrame(
+        [(7, "a b a b c d e")], "doc_id bigint, text string"
+    )
+    row = span_dedup(df, span=2).collect()[0]
+    assert row["clean_text"] == "a b c d e"
+    assert row["n_spans"] == 4 and row["n_spans_kept"] == 3
