@@ -367,3 +367,37 @@ def doc_entropy(
             - F.sum(F.col("cnt") * F.log(F.col("cnt").cast("double"))) / n
         ).alias("entropy"),
     )
+
+
+def unigram_nll(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document average negative log-likelihood under the corpus's
+    own unigram LM — the declarative analogue of CCNet's LM-perplexity
+    quality score (Wenzek et al., arXiv:1911.00359, with the 5-gram
+    KenLM replaced by unigram stats so the whole pass is relational):
+    nll(d) = −(1/|d|) Σᵢ ln(count(termᵢ)/N). Unlike ``doc_entropy``
+    (doc-internal), this ranks documents against the corpus-wide
+    distribution: low = stereotypical text, high = rare-token noise.
+
+    The LM itself is derived from the per-(doc,term) counts — one
+    extra term-keyed aggregation, no second corpus scan; N is a 1-row
+    broadcast scalar; the scoring join is term-keyed (high-cardinality,
+    uniform). Returns (doc_id, n_tokens, nll).
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    per = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = per.groupBy("term").agg(F.sum("cnt").alias("gcnt"))
+    total = vocab.agg(F.sum("gcnt").cast("double").alias("n_total"))
+    return (
+        per.join(vocab, "term")
+        .join(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            (
+                -F.sum(F.col("cnt") * F.log(F.col("gcnt") / F.col("n_total")))
+                / F.sum("cnt")
+            ).alias("nll"),
+        )
+    )

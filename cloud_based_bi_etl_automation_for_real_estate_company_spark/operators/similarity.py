@@ -258,15 +258,7 @@ def ivf_topk(
     base = spread(base)
 
     def assign(df: DataFrame, out: str, top: int) -> DataFrame:
-        scored = df.join(F.broadcast(cents)).select(
-            "*", _sim("cent_emb", vec_col).alias("__csim")
-        )
-        w = Window.partitionBy(id_col).orderBy(F.desc("__csim"), F.asc("cent_id"))
-        return (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= top)
-            .select(df[id_col], df[vec_col], F.col("cent_id").alias(out))
-        )
+        return _coarse_assign(df, cents, id_col, vec_col, out, top)
 
     b = assign(base, "bucket", 1)
     q = assign(queries, "q_bucket", n_probes).select(
@@ -283,6 +275,28 @@ def ivf_topk(
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= k)
+    )
+
+
+def _coarse_assign(
+    df: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out: str,
+    top: int,
+) -> DataFrame:
+    """Assign each vector to its ``top`` nearest (cosine) centroids:
+    broadcast-centroids scoring + windowed arg-top, the shared routing
+    step of IVF and IVF-PQ. Returns (id_col, vec_col, ``out``)."""
+    scored = df.join(F.broadcast(cents)).select(
+        "*", _sim("cent_emb", vec_col).alias("__csim")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__csim"), F.asc("cent_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= top)
+        .select(df[id_col], df[vec_col], F.col("cent_id").alias(out))
     )
 
 
@@ -339,6 +353,44 @@ def pq_codebooks(
     )
 
 
+def _pq_encode(subs: DataFrame, cb: DataFrame, id_col: str) -> DataFrame:
+    """Encode each subvector as its nearest codeword's id (min L2,
+    ties to the lower code): broadcast-codebook scoring + windowed
+    argmin. Returns (id_col, sub_j, code_id) — the m-byte PQ codes."""
+    enc_scored = subs.join(F.broadcast(cb), "sub_j").select(
+        id_col,
+        "sub_j",
+        "code_id",
+        F.round(
+            dot(F.col("sub"), F.col("sub"))
+            - 2 * dot(F.col("sub"), F.col("codeword"))
+            + dot(F.col("codeword"), F.col("codeword")),
+            9,
+        ).alias("__d2"),
+    )
+    wenc = Window.partitionBy(id_col, "sub_j").orderBy("__d2", "code_id")
+    return (
+        enc_scored.withColumn("__rn", F.row_number().over(wenc))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "sub_j", "code_id")
+    )
+
+
+def _adc_table(qsubs: DataFrame, cb: DataFrame) -> DataFrame:
+    """Per-query asymmetric-distance lookup table: subvector·codeword
+    partials for every (subspace, codeword), decimal so the later
+    group-sum is order-exact. Returns (q_id, q_sub_j, q_code, partial)
+    — m × ks tiny rows per query, always broadcast."""
+    return qsubs.join(F.broadcast(cb), "sub_j").select(
+        "q_id",
+        F.col("sub_j").alias("q_sub_j"),
+        F.col("code_id").alias("q_code"),
+        F.round(dot(F.col("sub"), F.col("codeword")), 12)
+        .cast("decimal(24,12)")
+        .alias("partial"),
+    )
+
+
 def pq_topk(
     base: DataFrame,
     queries: DataFrame,
@@ -382,36 +434,8 @@ def pq_topk(
     )
     # encoding scores every (vector, subspace, codeword) triple — by far
     # the heaviest per-row compute here; spread under-partitioned scans
-    bsubs = subspaces(spread(base), id_col)
-    enc_scored = bsubs.join(F.broadcast(cb), "sub_j").select(
-        id_col,
-        "sub_j",
-        "code_id",
-        F.round(
-            dot(F.col("sub"), F.col("sub"))
-            - 2 * dot(F.col("sub"), F.col("codeword"))
-            + dot(F.col("codeword"), F.col("codeword")),
-            9,
-        ).alias("__d2"),
-    )
-    wenc = Window.partitionBy(id_col, "sub_j").orderBy("__d2", "code_id")
-    codes = (
-        enc_scored.withColumn("__rn", F.row_number().over(wenc))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, "sub_j", "code_id")
-    )
-    adc = (
-        subspaces(queries, "q_id")
-        .join(F.broadcast(cb), "sub_j")
-        .select(
-            "q_id",
-            F.col("sub_j").alias("q_sub_j"),
-            F.col("code_id").alias("q_code"),
-            F.round(dot(F.col("sub"), F.col("codeword")), 12)
-            .cast("decimal(24,12)")
-            .alias("partial"),
-        )
-    )
+    codes = _pq_encode(subspaces(spread(base), id_col), cb, id_col)
+    adc = _adc_table(subspaces(queries, "q_id"), cb)
     scored = (
         codes.join(
             F.broadcast(adc),
@@ -426,6 +450,85 @@ def pq_topk(
     return (
         scored.withColumn("rnk", F.row_number().over(wk).cast("bigint"))
         .filter(F.col("rnk") <= k)
+    )
+
+
+def ivf_pq_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    n_probes: int = 2,
+    m: int = 8,
+    ks: int = 64,
+    dim: int = 64,
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ composed ANN — the FAISS ``IndexIVFPQ`` structure: a
+    coarse quantizer routes every vector to an inverted list, and
+    within the probed lists candidates are scored from their PQ codes
+    via the query's broadcast ADC table, never from raw vectors.
+
+    This is the genuine 100 TB layout: the searched representation per
+    vector is (bucket id + m code bytes), the scan is restricted to
+    ``n_probes`` lists per query, and the only non-broadcast join is
+    codes ⋈ candidates on the vector id — high-cardinality, uniform.
+    Recall dials: ``n_probes`` (routing) × ``ks``/``m`` (quantization
+    error). Defaults use the deterministic slice-seeded stand-ins so
+    the SQL oracle replays exactly; pass ``centroids`` (from
+    ``kmeans_centroids``) and/or ``codebooks`` (from ``pq_codebooks``)
+    for trained quantizers — both only swap tiny broadcast sides.
+    Output matches the other ANN strategies: (q_id, vec_id, sim, rnk).
+    """
+    w = dim // m
+    cents = (
+        centroids.select("cent_id", "cent_emb")
+        if centroids is not None
+        else base.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_emb")
+        )
+    )
+    cb = (
+        codebooks
+        if codebooks is not None
+        else _pq_subspaces(
+            base.filter(F.col(id_col) < ks), "code_id", id_col, vec_col, m, w
+        ).select("code_id", "sub_j", F.col("sub").alias("codeword"))
+    )
+    sbase = spread(base)
+    b = _coarse_assign(sbase, cents, id_col, vec_col, "bucket", 1).select(
+        id_col, "bucket"
+    )
+    q = _coarse_assign(queries, cents, id_col, vec_col, "q_bucket", n_probes).select(
+        F.col(id_col).alias("q_id"), "q_bucket"
+    )
+    # (q_id, vec_id) candidate pairs: only vectors in a probed list.
+    # base buckets are top-1 so a pair can't repeat across probes.
+    cand = b.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col(id_col) != F.col("q_id")),
+    ).select("q_id", id_col)
+    codes = _pq_encode(_pq_subspaces(sbase, id_col, id_col, vec_col, m, w), cb, id_col)
+    adc = _adc_table(_pq_subspaces(queries, "q_id", id_col, vec_col, m, w), cb).select(
+        F.col("q_id").alias("a_q_id"), "q_sub_j", "q_code", "partial"
+    )
+    scored = (
+        cand.join(codes, id_col)
+        .join(
+            F.broadcast(adc),
+            (F.col("q_id") == F.col("a_q_id"))
+            & (F.col("sub_j") == F.col("q_sub_j"))
+            & (F.col("code_id") == F.col("q_code")),
+        )
+        .groupBy("q_id", id_col)
+        .agg(F.round(F.sum("partial").cast("double"), 6).alias("sim"))
+    )
+    wk = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return scored.withColumn("rnk", F.row_number().over(wk).cast("bigint")).filter(
+        F.col("rnk") <= k
     )
 
 

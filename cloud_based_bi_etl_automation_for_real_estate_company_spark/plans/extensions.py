@@ -304,6 +304,14 @@ def q_x_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed approximate top-5 (FAISS IndexIVFPQ structure):
+    coarse routing to 2 probed lists, PQ-code ADC scoring within them
+    — searched bytes per vector = bucket id + 8 codes."""
+    e = t(spark, sf_dir, "embeddings")
+    return S.ivf_pq_topk(e, e.filter(F.col("vec_id") < 5), k=5, n_probes=2)
+
+
 def q_x_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (sim ≥ 0.95) within sign buckets."""
     e = t(spark, sf_dir, "embeddings")
@@ -338,6 +346,12 @@ def q_x_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document unigram entropy (nats) — degenerate/repetitive
     document detector for the curation gate."""
     return C.doc_entropy(t(spark, sf_dir, "documents"))
+
+
+def q_x_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc avg negative log-likelihood under the corpus unigram LM
+    (CCNet-style perplexity-proxy quality score)."""
+    return C.unigram_nll(t(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -816,6 +830,71 @@ ORACLES: dict[str, str] = {
             FROM scored)
         SELECT q_id, vec_id, sim, rnk FROM ranked WHERE rnk <= 5
     """,
+    "x_ann_ivf_pq": """
+        WITH base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        cents AS (
+            SELECT vec_id AS cent_id, emb AS cent_emb FROM base WHERE vec_id < 8),
+        ranked_assign AS (
+            SELECT b.vec_id, c.cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+                       ROUND(list_dot_product(b.emb, c.cent_emb)
+                             / (sqrt(list_dot_product(b.emb, b.emb))
+                                * sqrt(list_dot_product(c.cent_emb, c.cent_emb))), 6) DESC,
+                       c.cent_id ASC) AS rn
+            FROM base b CROSS JOIN cents c),
+        assigned AS (
+            SELECT vec_id, cent_id FROM ranked_assign WHERE rn = 1),
+        qb AS (
+            SELECT vec_id AS q_id, cent_id AS q_bucket
+            FROM ranked_assign WHERE vec_id < 5 AND rn <= 2),
+        cand AS (
+            SELECT qb.q_id, a.vec_id
+            FROM assigned a JOIN qb
+              ON a.cent_id = qb.q_bucket AND a.vec_id <> qb.q_id),
+        nb AS (
+            SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                      embedding::DOUBLE[]))) AS n
+            FROM embeddings),
+        subs AS (
+            SELECT vec_id, j.sub_j,
+                   list_slice(n, j.sub_j*8 + 1, j.sub_j*8 + 8) AS sub
+            FROM nb CROSS JOIN (SELECT UNNEST(range(8)) AS sub_j) j),
+        cb AS (
+            SELECT vec_id AS code_id, sub_j, sub AS codeword
+            FROM subs WHERE vec_id < 64),
+        codes AS (
+            SELECT vec_id, sub_j, code_id FROM (
+                SELECT s.vec_id, s.sub_j, c.code_id,
+                       ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub_j ORDER BY
+                           ROUND(list_dot_product(s.sub, s.sub)
+                                 - 2*list_dot_product(s.sub, c.codeword)
+                                 + list_dot_product(c.codeword, c.codeword), 9) ASC,
+                           c.code_id ASC) AS rn
+                FROM subs s JOIN cb c USING (sub_j))
+            WHERE rn = 1),
+        adc AS (
+            SELECT s.vec_id AS q_id, s.sub_j, c.code_id,
+                   CAST(ROUND(list_dot_product(s.sub, c.codeword), 12)
+                        AS DECIMAL(24,12)) AS partial
+            FROM subs s JOIN cb c USING (sub_j) WHERE s.vec_id < 5),
+        scored AS (
+            SELECT cd.q_id, cd.vec_id,
+                   ROUND(CAST(SUM(a.partial) AS DOUBLE), 6) AS sim
+            FROM cand cd
+            JOIN codes co ON co.vec_id = cd.vec_id
+            JOIN adc a ON a.q_id = cd.q_id AND a.sub_j = co.sub_j
+                       AND a.code_id = co.code_id
+            GROUP BY cd.q_id, cd.vec_id),
+        ranked AS (
+            SELECT q_id, vec_id, sim,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rnk
+            FROM scored)
+        SELECT q_id, vec_id, sim, rnk FROM ranked WHERE rnk <= 5
+    """,
     "x_embed_near_dup": """
         WITH withb AS (
             SELECT vec_id, embedding::DOUBLE[] AS emb,
@@ -877,6 +956,22 @@ ORACLES: dict[str, str] = {
         SELECT occurrences, COUNT(*) AS n_terms
         FROM tf GROUP BY occurrences
     """,
+    "x_unigram_nll": """
+        WITH per AS (
+            SELECT doc_id, term, COUNT(*) AS cnt FROM (
+                SELECT doc_id, UNNEST(string_split(trim(text), ' ')) AS term
+                FROM documents)
+            GROUP BY doc_id, term),
+        vocab AS (
+            SELECT term, CAST(SUM(cnt) AS DOUBLE) AS gcnt
+            FROM per GROUP BY term),
+        tot AS (SELECT SUM(gcnt) AS n_total FROM vocab)
+        SELECT p.doc_id,
+               CAST(SUM(p.cnt) AS BIGINT) AS n_tokens,
+               - SUM(p.cnt * ln(v.gcnt / t.n_total)) / SUM(p.cnt) AS nll
+        FROM per p JOIN vocab v USING (term) CROSS JOIN tot t
+        GROUP BY p.doc_id
+    """,
     "x_doc_entropy": """
         WITH per AS (
             SELECT doc_id, term, COUNT(*) AS cnt FROM (
@@ -920,9 +1015,11 @@ QUERIES = {
     "x_ann_ivf": q_x_ann_ivf,
     "x_ann_ivf_trained": q_x_ann_ivf_trained,
     "x_ann_pq": q_x_ann_pq,
+    "x_ann_ivf_pq": q_x_ann_ivf_pq,
     "x_embed_near_dup": q_x_embed_near_dup,
     "x_multimodal_meta": q_x_multimodal_meta,
     "x_span_dedup": q_x_span_dedup,
     "x_token_spectrum": q_x_token_spectrum,
     "x_doc_entropy": q_x_doc_entropy,
+    "x_unigram_nll": q_x_unigram_nll,
 }

@@ -225,3 +225,16 @@ def test_doc_entropy_uniform_and_degenerate(spark):
     assert math.isclose(rows[1]["entropy"], math.log(4.0))
     assert math.isclose(rows[2]["entropy"], 0.0, abs_tol=1e-12)
     assert math.isclose(rows[3]["entropy"], math.log(2.0))
+
+
+def test_unigram_nll_hand_computed(spark):
+    # corpus: "a" ×4, "b" ×2, "z" ×2 of N=8 → p(a)=.5, p(b)=.25, p(z)=.25
+    df = spark.createDataFrame(
+        [(1, "a a b a", "s"), (2, "a b z z", "s")], DOCS
+    )
+    rows = {r["doc_id"]: r for r in C.unigram_nll(df).collect()}
+    ln = math.log
+    # doc 1: -(3·ln .5 + 1·ln .25)/4 ; doc 2: -(ln .5 + ln .25 + 2·ln .25)/4
+    assert math.isclose(rows[1]["nll"], -(3 * ln(0.5) + ln(0.25)) / 4)
+    assert math.isclose(rows[2]["nll"], -(ln(0.5) + 3 * ln(0.25)) / 4)
+    assert rows[1]["nll"] < rows[2]["nll"]  # rarer tokens → higher nll

@@ -197,3 +197,35 @@ def test_pq_trained_codebooks_beat_standin(spark):
     assert cb.count() == 8 * 64
     r_tr = recall(pq_topk(e, q, k=5, codebooks=cb))
     assert r_tr >= r_std >= 0.3, (r_tr, r_std)
+
+
+def test_ivf_pq_composed_recall_and_candidate_bound(spark):
+    """IVF-PQ must (a) only return candidates from probed lists —
+    its results are a subset of plain IVF's candidate space scored
+    approximately — and (b) keep nontrivial recall vs exact top-k."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_pq_topk,
+        ivf_topk,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter("vec_id < 5")
+    exact = {(r["q_id"], r["vec_id"]) for r in brute_force_topk(e, q, k=5).collect()}
+    got = ivf_pq_topk(e, q, k=5, n_probes=2).collect()
+    pairs = {(r["q_id"], r["vec_id"]) for r in got}
+    recall = len(pairs & exact) / len(exact)
+    assert recall >= 0.3, recall  # PQ-coded scoring on random vectors
+    # candidate space: every returned vec shares a probed bucket with
+    # its query — check against the (exactly scored) IVF candidates
+    # with a large k so ranking differences can't hide membership
+    ivf_all = {
+        (r["q_id"], r["vec_id"])
+        for r in ivf_topk(e, q, k=10**6, n_probes=2).collect()
+    }
+    assert pairs <= ivf_all
+    # per-query result lists are ranked 1..n without gaps
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append(r["rnk"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
