@@ -122,7 +122,37 @@ def q_p17_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_p20_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt — wide measure columns to long (measure, val) rows
+    (`DataFrame.unpivot`, the inverse of the A17 pivot; map-side only,
+    output = rows × measures). Filtered to a deterministic order
+    subset to keep the gate comparison small."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 97 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+
+
 ORACLES: dict[str, str] = {
+    "p20_unpivot": """
+        SELECT l_orderkey, l_linenumber, measure, val
+        FROM (
+            SELECT l_orderkey, l_linenumber,
+                   l_quantity, l_extendedprice, l_discount, l_tax
+            FROM lineitem WHERE l_orderkey % 97 = 0)
+        UNPIVOT (val FOR measure IN
+                 (l_quantity, l_extendedprice, l_discount, l_tax))
+    """,
     "p17_html_strip": """
         SELECT p_partkey,
                trim(replace(regexp_replace('<p><b>' || p_name || '</b> &amp; more</p>',
@@ -191,4 +221,5 @@ QUERIES = {
     "p12_bool_cast": q_p12_bool_cast,
     "p14_reserialize": q_p14_reserialize,
     "p17_html_strip": q_p17_html_strip,
+    "p20_unpivot": q_p20_unpivot,
 }

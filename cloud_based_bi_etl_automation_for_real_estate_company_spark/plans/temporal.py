@@ -119,6 +119,15 @@ def q_t5_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_t6_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup: per-user 5-minute OHLC bars over the
+    event stream (one tumbling-window hash aggregation; open/close via
+    associative struct-extrema, volume decimal-exact)."""
+    from ..operators.timeseries import ohlc_downsample
+
+    return ohlc_downsample(t(spark, sf_dir, "events"), bucket="5 minutes")
+
+
 def q_p15_case_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P15 — string case transforms (webhook_app.py:176 account.upper())."""
     c = t(spark, sf_dir, "customer")
@@ -130,6 +139,21 @@ def q_p15_case_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "t6_ohlc_downsample": """
+        SELECT user_id,
+               time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+                   AS bucket_start,
+               (MIN(struct_pack(ts := ts, eid := event_id, v := value))).v
+                   AS open_val,
+               MAX(value) AS high_val,
+               MIN(value) AS low_val,
+               (MAX(struct_pack(ts := ts, eid := event_id, v := value))).v
+                   AS close_val,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume
+        FROM events
+        GROUP BY 1, 2
+    """,
     "t1_asof_purchase_click": """
         WITH purchases AS (
             SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
@@ -232,5 +256,6 @@ QUERIES = {
     "t3_top_terms": q_t3_top_terms,
     "t4_session_window": q_t4_session_window,
     "t5_range_join": q_t5_range_join,
+    "t6_ohlc_downsample": q_t6_ohlc_downsample,
     "p15_case_transform": q_p15_case_transform,
 }

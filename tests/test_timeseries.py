@@ -1,0 +1,56 @@
+"""Unit tests for the hypertable-style OHLC downsample rollup."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.timeseries import (
+    ohlc_downsample,
+)
+
+SCHEMA = "event_id bigint, ts timestamp, user_id bigint, value double"
+
+
+def _ts(m, s=0):
+    return dt.datetime(2024, 1, 1, 0, m, s)
+
+
+def test_ohlc_bars_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            # user 1, bucket 00:00–00:05
+            (1, _ts(0, 30), 1, 10.0),
+            (2, _ts(2), 1, 30.0),
+            (3, _ts(4, 59), 1, 20.0),
+            # user 1, next bucket
+            (4, _ts(5), 1, 5.0),
+            # user 2 shares the first bucket
+            (5, _ts(1), 2, 7.0),
+        ],
+        SCHEMA,
+    )
+    rows = {
+        (r["user_id"], r["bucket_start"].minute): r
+        for r in ohlc_downsample(df, bucket="5 minutes").collect()
+    }
+    b = rows[(1, 0)]
+    assert (b["open_val"], b["high_val"], b["low_val"], b["close_val"]) == (
+        10.0,
+        30.0,
+        10.0,
+        20.0,
+    )
+    assert b["n_events"] == 3 and b["volume"] == 60.0
+    assert rows[(1, 5)]["open_val"] == rows[(1, 5)]["close_val"] == 5.0
+    assert rows[(2, 0)]["n_events"] == 1
+
+
+def test_ohlc_tie_breaks_on_sequence(spark):
+    # two events at the identical timestamp: lower event_id is "first"
+    df = spark.createDataFrame(
+        [(10, _ts(1), 1, 100.0), (9, _ts(1), 1, 50.0), (11, _ts(3), 1, 70.0)],
+        SCHEMA,
+    )
+    row = ohlc_downsample(df, bucket="5 minutes").collect()[0]
+    assert row["open_val"] == 50.0   # event_id 9 wins the tie
+    assert row["close_val"] == 70.0
