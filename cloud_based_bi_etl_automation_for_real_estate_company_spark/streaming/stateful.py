@@ -219,3 +219,31 @@ def streaming_windowed_counts(
             "n_events",
         )
     )
+
+
+def streaming_ohlc(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    val_col: str = "value",
+    seq_col: str = "event_id",
+    bucket: str = "5 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """ST4 — the hypertable OHLC rollup (operators.timeseries.
+    ohlc_downsample) running incrementally on a stream: the SAME
+    aggregation plan (tumbling window × key, struct-extrema
+    open/close, decimal volume) with a watermark bounding state; in
+    append mode a bar is emitted exactly once, when the watermark
+    passes its bucket end. Batch/stream equality on drained input is
+    asserted in tests/test_stateful_streaming.py."""
+    from ..operators.timeseries import ohlc_downsample
+
+    return ohlc_downsample(
+        events.withWatermark(ts_col, watermark),
+        bucket=bucket,
+        key_col=key_col,
+        ts_col=ts_col,
+        val_col=val_col,
+        seq_col=seq_col,
+    )

@@ -303,3 +303,68 @@ def test_streaming_session_window_matches_batch(spark, event_dir, tmp_path):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_ohlc_matches_batch(spark, tmp_path):
+    """The OHLC rollup must produce identical bars batch and
+    streaming: append-mode bars finalize when the watermark passes
+    their bucket end, so a sentinel event a day later (second
+    micro-batch) flushes every real bar."""
+    import json
+    import os
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.timeseries import (
+        ohlc_downsample,
+    )
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.streaming.stateful import (
+        streaming_ohlc,
+    )
+
+    schema = "event_id bigint, ts timestamp, user_id bigint, value double"
+    src = tmp_path / "ohlc_events"
+    src.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2025-01-01 00:00:30", "user_id": 1, "value": 10.0},
+        {"event_id": 2, "ts": "2025-01-01 00:02:00", "user_id": 1, "value": 30.0},
+        {"event_id": 3, "ts": "2025-01-01 00:04:59", "user_id": 1, "value": 20.0},
+        {"event_id": 4, "ts": "2025-01-01 00:05:00", "user_id": 1, "value": 5.0},
+        {"event_id": 5, "ts": "2025-01-01 00:01:00", "user_id": 2, "value": 7.0},
+        # same-instant tie inside one bucket: seq breaks it
+        {"event_id": 7, "ts": "2025-01-01 00:06:00", "user_id": 2, "value": 9.0},
+        {"event_id": 6, "ts": "2025-01-01 00:06:00", "user_id": 2, "value": 4.0},
+    ]
+    (src / "a.jsonl").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    sent = src / "zz_sentinel.jsonl"
+    sent.write_text(
+        json.dumps(
+            {"event_id": 999, "ts": "2025-01-02 23:00:00", "user_id": 999,
+             "value": 0.0}
+        )
+        + "\n"
+    )
+    base = os.path.getmtime(src / "a.jsonl")
+    os.utime(sent, (base + 60, base + 60))
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        streaming_ohlc(raw, bucket="5 minutes", watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("ohlc_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ohlc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("ohlc_stream").collect()))
+    batch = (
+        spark.read.schema(schema)
+        .json(str(src))
+        .filter(F.col("user_id") != 999)
+    )
+    want = sorted(map(tuple, ohlc_downsample(batch, bucket="5 minutes").collect()))
+    assert got == want and len(got) == 4
