@@ -401,3 +401,44 @@ def unigram_nll(
             ).alias("nll"),
         )
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """APPLY the ``source_mixture`` temperature weights as a
+    deterministic downsample — the step that turns computed mixture
+    proportions into an actual training set. Each slice's keep-rate is
+    (weight/token_share) scaled so the most-upweighted slice keeps
+    everything (downsample-only; upsampling is an epoch-repeat concern,
+    not a filter). Membership is a content-hash fraction against the
+    rate — stable across runs/partitionings, no RNG, same contract as
+    ``stratified_sample``.
+
+    The rate table is slices-sized and broadcast; the filter itself is
+    map-side (one md5 per doc). Returns the per-slice audit summary
+    (group_col, n_docs, n_kept, rate).
+    """
+    mix = source_mixture(df, text_col, group_col, alpha)
+    rates = mix.select(
+        group_col, (F.col("weight") / F.col("token_share")).alias("__r")
+    )
+    rmax = rates.agg(F.max("__r").alias("__rmax"))
+    rates = rates.join(F.broadcast(rmax)).select(
+        group_col, (F.col("__r") / F.col("__rmax")).alias("rate")
+    )
+    frac = F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(4294967296.0)
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(frac < F.col("rate"), 1)).alias("n_kept"),
+            F.min("rate").alias("rate"),
+        )
+    )

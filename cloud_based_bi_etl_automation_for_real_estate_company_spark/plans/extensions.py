@@ -354,6 +354,12 @@ def q_x_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.unigram_nll(t(spark, sf_dir, "documents"))
 
 
+def q_x_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture weights APPLIED as a deterministic
+    content-hash downsample (per-slice audit summary)."""
+    return C.mixture_sample(t(spark, sf_dir, "documents"), alpha=0.5)
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -532,6 +538,31 @@ ORACLES: dict[str, str] = {
         SELECT source, n_docs, n_tokens, token_share,
                pow(token_share, 0.5) / z AS weight
         FROM shared CROSS JOIN norm
+    """,
+    "x_mixture_sample": """
+        WITH per AS (
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(CAST(len(string_split(trim(text), ' ')) AS BIGINT))
+                        AS BIGINT) AS n_tokens
+            FROM documents GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens FROM per),
+        shared AS (
+            SELECT source, CAST(n_tokens AS DOUBLE) / tot_tokens AS token_share
+            FROM per CROSS JOIN tot),
+        norm AS (SELECT SUM(pow(token_share, 0.5)) AS z FROM shared),
+        rates0 AS (
+            SELECT source,
+                   (pow(token_share, 0.5) / z) / token_share AS r
+            FROM shared CROSS JOIN norm),
+        rmax AS (SELECT MAX(r) AS m FROM rates0),
+        rr AS (SELECT source, r / m AS rate FROM rates0 CROSS JOIN rmax)
+        SELECT d.source,
+               COUNT(*) AS n_docs,
+               COUNT(CASE WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)
+                               / 4294967296.0 < rate THEN 1 END) AS n_kept,
+               MIN(rate) AS rate
+        FROM documents d JOIN rr USING (source)
+        GROUP BY d.source
     """,
     "x_source_overlap": """
         WITH sh AS (
@@ -1022,4 +1053,5 @@ QUERIES = {
     "x_token_spectrum": q_x_token_spectrum,
     "x_doc_entropy": q_x_doc_entropy,
     "x_unigram_nll": q_x_unigram_nll,
+    "x_mixture_sample": q_x_mixture_sample,
 }

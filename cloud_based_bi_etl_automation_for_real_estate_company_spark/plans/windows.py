@@ -117,7 +117,36 @@ def q_w8_ytd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_w9_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history derivation: the event log becomes a slowly-changing
+    dimension — each row valid from its own timestamp until the user's
+    next event (NULL valid_to + is_current=1 on the latest). The W1
+    latest-per-key snapshot is exactly the is_current=1 slice; this is
+    its full-history generalization (one (user, ts) window sort, same
+    single shuffle)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "w9_scd2_history": """
+        SELECT user_id, event_id, event_type,
+               ts AS valid_from,
+               LEAD(ts) OVER w AS valid_to,
+               CAST(CASE WHEN LEAD(ts) OVER w IS NULL
+                         THEN 1 ELSE 0 END AS INT) AS is_current
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
     "w8_ytd": """
         WITH monthly AS (
             SELECT date_trunc('month', o_orderdate) AS month_start,
@@ -184,4 +213,5 @@ QUERIES = {
     "w8_ytd": q_w8_ytd,
     "w5_moving_avg": q_w5_moving_avg,
     "w6_distribution_ranks": q_w6_distribution_ranks,
+    "w9_scd2_history": q_w9_scd2_history,
 }

@@ -238,3 +238,21 @@ def test_unigram_nll_hand_computed(spark):
     assert math.isclose(rows[1]["nll"], -(3 * ln(0.5) + ln(0.25)) / 4)
     assert math.isclose(rows[2]["nll"], -(ln(0.5) + 3 * ln(0.25)) / 4)
     assert rows[1]["nll"] < rows[2]["nll"]  # rarer tokens → higher nll
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    # one dominant source, one small: alpha=0.5 upweights the small
+    # slice, so the small slice keeps rate 1.0 and the big one < 1
+    rows = [(i, f"tok{i} a b c d e f g h", "big") for i in range(40)]
+    rows += [(100 + i, f"zz{i} a b", "small") for i in range(4)]
+    df = spark.createDataFrame(rows, DOCS)
+    out = {r["source"]: r for r in C.mixture_sample(df, alpha=0.5).collect()}
+    assert out["small"]["rate"] == 1.0
+    assert out["small"]["n_kept"] == out["small"]["n_docs"] == 4
+    assert 0 < out["big"]["rate"] < 1
+    assert 0 < out["big"]["n_kept"] <= out["big"]["n_docs"] == 40
+    # deterministic: identical second run
+    again = {r["source"]: r for r in C.mixture_sample(df, alpha=0.5).collect()}
+    assert {k: (v["n_kept"], v["rate"]) for k, v in out.items()} == {
+        k: (v["n_kept"], v["rate"]) for k, v in again.items()
+    }
