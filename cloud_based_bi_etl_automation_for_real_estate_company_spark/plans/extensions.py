@@ -313,9 +313,12 @@ def q_x_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_x_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (sim ≥ 0.95) within sign buckets."""
+    """Embedding-cosine near-dup pairs within sign buckets. Gate
+    threshold 0.4: the fixture's random vectors have no planted
+    near-dups (max in-bucket cosine ≈ 0.51), so the production 0.95
+    default would make this a vacuous 0-row check."""
     e = t(spark, sf_dir, "embeddings")
-    return S.embedding_near_dup_pairs(e, threshold=0.95)
+    return S.embedding_near_dup_pairs(e, threshold=0.4)
 
 
 # ---------------------------------------------------------------------------
@@ -358,6 +361,21 @@ def q_x_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature mixture weights APPLIED as a deterministic
     content-hash downsample (per-slice audit summary)."""
     return C.mixture_sample(t(spark, sf_dir, "documents"), alpha=0.5)
+
+
+def q_x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): semantic
+    deduplication — connected components over embedding-cosine
+    near-dup pairs, every vector labeled with its cluster's smallest
+    id (the canonical survivor). Pure composition of the bucketed
+    near-dup join and the iterative CC resolver: the pair space is
+    pruned by sign-buckets BEFORE any clustering, so the CC input is
+    the (tiny) edge list, never the vector table."""
+    e = t(spark, sf_dir, "embeddings")
+    pairs = S.embedding_near_dup_pairs(e, threshold=0.4)
+    return D.connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -538,6 +556,32 @@ ORACLES: dict[str, str] = {
         SELECT source, n_docs, n_tokens, token_share,
                pow(token_share, 0.5) / z AS weight
         FROM shared CROSS JOIN norm
+    """,
+    "x_semdedup": """
+        WITH RECURSIVE withb AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb,
+                   CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+                      + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+                      + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS INT) AS bucket
+            FROM embeddings),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM withb a JOIN withb b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE ROUND(list_dot_product(a.emb, b.emb)
+                  / (sqrt(list_dot_product(a.emb, a.emb))
+                     * sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.4),
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs),
+        reach(node, label) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v)
+        SELECT node AS vec_id, MIN(label) AS cluster_id
+        FROM reach GROUP BY node
     """,
     "x_mixture_sample": """
         WITH per AS (
@@ -942,7 +986,7 @@ ORACLES: dict[str, str] = {
           ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         WHERE ROUND(list_dot_product(a.emb, b.emb)
               / (sqrt(list_dot_product(a.emb, a.emb))
-                 * sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.95
+                 * sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.4
     """,
     "x_multimodal_meta": """
         SELECT doc_id,
@@ -1054,4 +1098,5 @@ QUERIES = {
     "x_doc_entropy": q_x_doc_entropy,
     "x_unigram_nll": q_x_unigram_nll,
     "x_mixture_sample": q_x_mixture_sample,
+    "x_semdedup": q_x_semdedup,
 }
