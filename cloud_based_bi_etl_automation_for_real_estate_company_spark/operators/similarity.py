@@ -532,6 +532,35 @@ def ivf_pq_topk(
     )
 
 
+def ann_refine(
+    base: DataFrame,
+    queries: DataFrame,
+    cands: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FAISS-style refine stage: exact cosine re-rank of an ANN
+    stage's candidate (q_id, vec_id) pairs. Raw vectors are joined
+    back ONLY for the candidates (|cands| = queries × k' ≪ |base|), so
+    the expensive exact arithmetic runs on a vanishing fraction of the
+    corpus — the standard coarse→PQ→refine pipeline tail. The base
+    join is id-keyed (uniform); query vectors broadcast. Output
+    matches the other ANN strategies: (q_id, vec_id, sim, rnk)."""
+    bvec = base.select(F.col(id_col), F.col(vec_col).alias("__b"))
+    qvec = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("__q"))
+    scored = (
+        cands.select("q_id", id_col)
+        .join(bvec, id_col)
+        .join(F.broadcast(qvec), "q_id")
+        .select("q_id", id_col, _sim("__q", "__b").alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return scored.withColumn("rnk", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rnk") <= k
+    )
+
+
 def embedding_near_dup_pairs(
     base: DataFrame,
     id_col: str = "vec_id",

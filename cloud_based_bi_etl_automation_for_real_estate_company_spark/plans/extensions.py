@@ -312,6 +312,16 @@ def q_x_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_pq_topk(e, e.filter(F.col("vec_id") < 5), k=5, n_probes=2)
 
 
+def q_x_ann_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full production ANN pipeline tail: IVF-PQ candidates (k'=25)
+    exactly re-ranked by true cosine to the final top-5 — the refine
+    stage touches raw vectors only for the 25 candidates per query."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    cands = S.ivf_pq_topk(e, q, k=25, n_probes=2)
+    return S.ann_refine(e, q, cands, k=5)
+
+
 def q_x_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within sign buckets. Gate
     threshold 0.4: the fixture's random vectors have no planted
@@ -438,6 +448,71 @@ _CLUSTERS_ORACLE = f"""
     SELECT node AS doc_id, MIN(label) AS cluster_id
     FROM reach GROUP BY node
 """
+
+# IVF-PQ oracle CTE chain (stand-in quantizers), shared by the
+# composed search and its exact-refine stage.
+_IVFPQ_CTES = """base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        cents AS (
+            SELECT vec_id AS cent_id, emb AS cent_emb FROM base WHERE vec_id < 8),
+        ranked_assign AS (
+            SELECT b.vec_id, c.cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+                       ROUND(list_dot_product(b.emb, c.cent_emb)
+                             / (sqrt(list_dot_product(b.emb, b.emb))
+                                * sqrt(list_dot_product(c.cent_emb, c.cent_emb))), 6) DESC,
+                       c.cent_id ASC) AS rn
+            FROM base b CROSS JOIN cents c),
+        assigned AS (
+            SELECT vec_id, cent_id FROM ranked_assign WHERE rn = 1),
+        qb AS (
+            SELECT vec_id AS q_id, cent_id AS q_bucket
+            FROM ranked_assign WHERE vec_id < 5 AND rn <= 2),
+        cand AS (
+            SELECT qb.q_id, a.vec_id
+            FROM assigned a JOIN qb
+              ON a.cent_id = qb.q_bucket AND a.vec_id <> qb.q_id),
+        nb AS (
+            SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                      embedding::DOUBLE[]))) AS n
+            FROM embeddings),
+        subs AS (
+            SELECT vec_id, j.sub_j,
+                   list_slice(n, j.sub_j*8 + 1, j.sub_j*8 + 8) AS sub
+            FROM nb CROSS JOIN (SELECT UNNEST(range(8)) AS sub_j) j),
+        cb AS (
+            SELECT vec_id AS code_id, sub_j, sub AS codeword
+            FROM subs WHERE vec_id < 64),
+        codes AS (
+            SELECT vec_id, sub_j, code_id FROM (
+                SELECT s.vec_id, s.sub_j, c.code_id,
+                       ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub_j ORDER BY
+                           ROUND(list_dot_product(s.sub, s.sub)
+                                 - 2*list_dot_product(s.sub, c.codeword)
+                                 + list_dot_product(c.codeword, c.codeword), 9) ASC,
+                           c.code_id ASC) AS rn
+                FROM subs s JOIN cb c USING (sub_j))
+            WHERE rn = 1),
+        adc AS (
+            SELECT s.vec_id AS q_id, s.sub_j, c.code_id,
+                   CAST(ROUND(list_dot_product(s.sub, c.codeword), 12)
+                        AS DECIMAL(24,12)) AS partial
+            FROM subs s JOIN cb c USING (sub_j) WHERE s.vec_id < 5),
+        scored AS (
+            SELECT cd.q_id, cd.vec_id,
+                   ROUND(CAST(SUM(a.partial) AS DOUBLE), 6) AS sim
+            FROM cand cd
+            JOIN codes co ON co.vec_id = cd.vec_id
+            JOIN adc a ON a.q_id = cd.q_id AND a.sub_j = co.sub_j
+                       AND a.code_id = co.code_id
+            GROUP BY cd.q_id, cd.vec_id),
+        ranked AS (
+            SELECT q_id, vec_id, sim,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rnk
+            FROM scored)"""
 
 ORACLES: dict[str, str] = {
     "x_dedup_exact": """
@@ -905,70 +980,28 @@ ORACLES: dict[str, str] = {
             FROM scored)
         SELECT q_id, vec_id, sim, rnk FROM ranked WHERE rnk <= 5
     """,
-    "x_ann_ivf_pq": """
-        WITH base AS (
-            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        cents AS (
-            SELECT vec_id AS cent_id, emb AS cent_emb FROM base WHERE vec_id < 8),
-        ranked_assign AS (
-            SELECT b.vec_id, c.cent_id,
-                   ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
-                       ROUND(list_dot_product(b.emb, c.cent_emb)
-                             / (sqrt(list_dot_product(b.emb, b.emb))
-                                * sqrt(list_dot_product(c.cent_emb, c.cent_emb))), 6) DESC,
-                       c.cent_id ASC) AS rn
-            FROM base b CROSS JOIN cents c),
-        assigned AS (
-            SELECT vec_id, cent_id FROM ranked_assign WHERE rn = 1),
-        qb AS (
-            SELECT vec_id AS q_id, cent_id AS q_bucket
-            FROM ranked_assign WHERE vec_id < 5 AND rn <= 2),
-        cand AS (
-            SELECT qb.q_id, a.vec_id
-            FROM assigned a JOIN qb
-              ON a.cent_id = qb.q_bucket AND a.vec_id <> qb.q_id),
-        nb AS (
-            SELECT vec_id,
-                   list_transform(embedding::DOUBLE[],
-                       x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
-                                                      embedding::DOUBLE[]))) AS n
-            FROM embeddings),
-        subs AS (
-            SELECT vec_id, j.sub_j,
-                   list_slice(n, j.sub_j*8 + 1, j.sub_j*8 + 8) AS sub
-            FROM nb CROSS JOIN (SELECT UNNEST(range(8)) AS sub_j) j),
-        cb AS (
-            SELECT vec_id AS code_id, sub_j, sub AS codeword
-            FROM subs WHERE vec_id < 64),
-        codes AS (
-            SELECT vec_id, sub_j, code_id FROM (
-                SELECT s.vec_id, s.sub_j, c.code_id,
-                       ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub_j ORDER BY
-                           ROUND(list_dot_product(s.sub, s.sub)
-                                 - 2*list_dot_product(s.sub, c.codeword)
-                                 + list_dot_product(c.codeword, c.codeword), 9) ASC,
-                           c.code_id ASC) AS rn
-                FROM subs s JOIN cb c USING (sub_j))
-            WHERE rn = 1),
-        adc AS (
-            SELECT s.vec_id AS q_id, s.sub_j, c.code_id,
-                   CAST(ROUND(list_dot_product(s.sub, c.codeword), 12)
-                        AS DECIMAL(24,12)) AS partial
-            FROM subs s JOIN cb c USING (sub_j) WHERE s.vec_id < 5),
-        scored AS (
-            SELECT cd.q_id, cd.vec_id,
-                   ROUND(CAST(SUM(a.partial) AS DOUBLE), 6) AS sim
-            FROM cand cd
-            JOIN codes co ON co.vec_id = cd.vec_id
-            JOIN adc a ON a.q_id = cd.q_id AND a.sub_j = co.sub_j
-                       AND a.code_id = co.code_id
-            GROUP BY cd.q_id, cd.vec_id),
-        ranked AS (
+    "x_ann_ivf_pq": f"""
+        WITH {_IVFPQ_CTES}
+        SELECT q_id, vec_id, sim, rnk FROM ranked WHERE rnk <= 5
+    """,
+    "x_ann_refine": f"""
+        WITH {_IVFPQ_CTES},
+        cand25 AS (
+            SELECT q_id, vec_id FROM ranked WHERE rnk <= 25),
+        refined AS (
+            SELECT c.q_id, c.vec_id,
+                   ROUND(list_dot_product(q.emb, b.emb)
+                         / (sqrt(list_dot_product(q.emb, q.emb))
+                            * sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
+            FROM cand25 c
+            JOIN base b ON b.vec_id = c.vec_id
+            JOIN base q ON q.vec_id = c.q_id),
+        rranked AS (
             SELECT q_id, vec_id, sim,
                    CAST(ROW_NUMBER() OVER (
                        PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rnk
-            FROM scored)
-        SELECT q_id, vec_id, sim, rnk FROM ranked WHERE rnk <= 5
+            FROM refined)
+        SELECT q_id, vec_id, sim, rnk FROM rranked WHERE rnk <= 5
     """,
     "x_embed_near_dup": """
         WITH withb AS (
@@ -1091,6 +1124,7 @@ QUERIES = {
     "x_ann_ivf_trained": q_x_ann_ivf_trained,
     "x_ann_pq": q_x_ann_pq,
     "x_ann_ivf_pq": q_x_ann_ivf_pq,
+    "x_ann_refine": q_x_ann_refine,
     "x_embed_near_dup": q_x_embed_near_dup,
     "x_multimodal_meta": q_x_multimodal_meta,
     "x_span_dedup": q_x_span_dedup,

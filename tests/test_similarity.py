@@ -229,3 +229,37 @@ def test_ivf_pq_composed_recall_and_candidate_bound(spark):
     for r in got:
         by_q.setdefault(r["q_id"], []).append(r["rnk"])
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+
+def test_refine_is_exact_over_candidates(spark):
+    """The refine stage must rank candidates by TRUE cosine: its top-5
+    equals brute-force top-5 computed over the same candidate set."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.similarity import (
+        ann_refine,
+        brute_force_topk,
+        ivf_pq_topk,
+    )
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter("vec_id < 5")
+    cands = ivf_pq_topk(e, q, k=25, n_probes=2).select("q_id", "vec_id")
+    got = {
+        (r["q_id"], r["rnk"]): r["vec_id"]
+        for r in ann_refine(e, q, cands, k=5).collect()
+    }
+    # exact ranking restricted to each query's candidates
+    cand_rows = cands.collect()
+    cand_by_q = {}
+    for r in cand_rows:
+        cand_by_q.setdefault(r["q_id"], set()).add(r["vec_id"])
+    exact = brute_force_topk(e, q, k=10**6).collect()
+    for qid, members in cand_by_q.items():
+        ranked = [
+            r["vec_id"]
+            for r in sorted(
+                (r for r in exact if r["q_id"] == qid and r["vec_id"] in members),
+                key=lambda r: (-r["sim"], r["vec_id"]),
+            )
+        ][:5]
+        assert [got[(qid, i + 1)] for i in range(len(ranked))] == ranked
