@@ -442,3 +442,47 @@ def mixture_sample(
             F.min("rate").alias("rate"),
         )
     )
+
+
+def bigram_nll(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document average negative log-likelihood under the corpus
+    BIGRAM LM — one order up from ``unigram_nll``, the next rung
+    toward CCNet's 5-gram KenLM score: p(w₂|w₁) = c(w₁w₂)/c(w₁·) with
+    both counts taken over the corpus's bigram positions (no
+    smoothing — every scored bigram exists in the corpus by
+    construction, so the likelihood is finite). Sensitive to unnatural
+    word ORDER, which unigram stats cannot see.
+
+    Same dataflow shape as unigram_nll: per-(doc,bigram) counts feed
+    the bigram totals, context totals derive from the bigram totals
+    (vocabulary-sized, not corpus-sized), and the scoring joins are
+    bigram-/context-keyed — uniform high-cardinality keys. Documents
+    with fewer than two tokens emit no row. Returns (doc_id,
+    n_bigrams, nll).
+    """
+    bg = df.select(F.col(id_col), F.explode(shingles(text_col, 2)).alias("bg"))
+    per = bg.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    btot = per.groupBy("bg").agg(F.sum("cnt").alias("cb"))
+    wtot = (
+        btot.withColumn("w1", F.split(F.col("bg"), " ")[0])
+        .groupBy("w1")
+        .agg(F.sum("cb").alias("cw"))
+    )
+    return (
+        per.join(btot, "bg")
+        .withColumn("w1", F.split(F.col("bg"), " ")[0])
+        .join(wtot, "w1")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_bigrams"),
+            (
+                -F.sum(
+                    F.col("cnt")
+                    * F.log(F.col("cb").cast("double") / F.col("cw"))
+                )
+                / F.sum("cnt")
+            ).alias("nll"),
+        )
+    )

@@ -373,6 +373,18 @@ def q_x_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.mixture_sample(t(spark, sf_dir, "documents"), alpha=0.5)
 
 
+def q_x_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs (|A∩B|/|A| ≥ 0.5) — the
+    subset-duplication detector Jaccard dilutes away."""
+    return D.ngram_containment_pairs(t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_x_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc NLL under the corpus bigram LM — word-order-sensitive
+    quality score (one rung up from x_unigram_nll)."""
+    return C.bigram_nll(t(spark, sf_dir, "documents"))
+
+
 def q_x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al., arXiv:2303.09540): semantic
     deduplication — connected components over embedding-cosine
@@ -631,6 +643,44 @@ ORACLES: dict[str, str] = {
         SELECT source, n_docs, n_tokens, token_share,
                pow(token_share, 0.5) / z AS weight
         FROM shared CROSS JOIN norm
+    """,
+    "x_ngram_containment": f"""
+        WITH {_SHINGLES_CTE},
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+            FROM shingled a JOIN shingled b
+              ON a.sh = b.sh AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2)
+        SELECT i.id_a, i.id_b,
+               CAST(i.n_common AS DOUBLE) / sa.n_sh AS containment
+        FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+        WHERE CAST(i.n_common AS DOUBLE) / sa.n_sh >= 0.5
+    """,
+    "x_bigram_nll": """
+        WITH bg AS (
+            SELECT doc_id, UNNEST(CASE WHEN len(toks) >= 2
+                THEN list_transform(range(1, len(toks)),
+                                    i -> toks[i] || ' ' || toks[i+1])
+                ELSE [] END) AS bg
+            FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                  FROM documents)),
+        per AS (
+            SELECT doc_id, bg, COUNT(*) AS cnt FROM bg GROUP BY doc_id, bg),
+        btot AS (
+            SELECT bg, CAST(SUM(cnt) AS BIGINT) AS cb FROM per GROUP BY bg),
+        wtot AS (
+            SELECT string_split(bg, ' ')[1] AS w1,
+                   CAST(SUM(cb) AS BIGINT) AS cw
+            FROM btot GROUP BY 1)
+        SELECT p.doc_id,
+               CAST(SUM(p.cnt) AS BIGINT) AS n_bigrams,
+               - SUM(p.cnt * ln(CAST(b.cb AS DOUBLE) / w.cw)) / SUM(p.cnt)
+                   AS nll
+        FROM per p
+        JOIN btot b USING (bg)
+        JOIN wtot w ON w.w1 = string_split(p.bg, ' ')[1]
+        GROUP BY p.doc_id
     """,
     "x_semdedup": """
         WITH RECURSIVE withb AS (
@@ -1133,4 +1183,6 @@ QUERIES = {
     "x_unigram_nll": q_x_unigram_nll,
     "x_mixture_sample": q_x_mixture_sample,
     "x_semdedup": q_x_semdedup,
+    "x_ngram_containment": q_x_ngram_containment,
+    "x_bigram_nll": q_x_bigram_nll,
 }

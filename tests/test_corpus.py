@@ -256,3 +256,16 @@ def test_mixture_sample_rates_and_determinism(spark):
     assert {k: (v["n_kept"], v["rate"]) for k, v in out.items()} == {
         k: (v["n_kept"], v["rate"]) for k, v in again.items()
     }
+
+
+def test_bigram_nll_orders_scrambled_text(spark):
+    # same unigrams, different order: the corpus-frequent ordering
+    # scores lower NLL than the scrambled one — unigram_nll can't
+    # tell them apart
+    rows = [(i, "the cat sat on the mat", "s") for i in range(5)]
+    rows.append((100, "mat the on sat cat the", "s"))
+    df = spark.createDataFrame(rows, DOCS)
+    uni = {r["doc_id"]: r["nll"] for r in C.unigram_nll(df).collect()}
+    bi = {r["doc_id"]: r["nll"] for r in C.bigram_nll(df).collect()}
+    assert abs(uni[0] - uni[100]) < 1e-12
+    assert bi[100] > bi[0]

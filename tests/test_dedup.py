@@ -256,3 +256,23 @@ def test_span_dedup_within_doc_and_tile_order(spark):
     row = span_dedup(df, span=2).collect()[0]
     assert row["clean_text"] == "a b c d e"
     assert row["n_spans"] == 4 and row["n_spans_kept"] == 3
+
+
+def test_containment_asymmetry(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    # doc 2 is fully contained in doc 1 (every 3-gram of 2 appears in
+    # 1) but doc 1 is much bigger, so only the 2→1 direction crosses
+    # the 0.5 threshold — the case symmetric Jaccard misses.
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l m n o p"),
+            (2, "c d e f g"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {(r["id_a"], r["id_b"]): r["containment"]
+            for r in ngram_containment_pairs(df, threshold=0.5).collect()}
+    assert rows == {(2, 1): 1.0}
