@@ -408,6 +408,7 @@ def mixture_sample(
     text_col: str = "text",
     group_col: str = "source",
     alpha: float = 0.5,
+    mixture: DataFrame | None = None,
 ) -> DataFrame:
     """APPLY the ``source_mixture`` temperature weights as a
     deterministic downsample — the step that turns computed mixture
@@ -421,8 +422,17 @@ def mixture_sample(
     The rate table is slices-sized and broadcast; the filter itself is
     map-side (one md5 per doc). Returns the per-slice audit summary
     (group_col, n_docs, n_kept, rate).
+
+    Pass ``mixture`` (a precomputed ``source_mixture`` result — e.g.
+    the audit artifact a pipeline already materialized) to skip the
+    weight-computation scan: the corpus is then read exactly ONCE,
+    which is the 100 TB path.
     """
-    mix = source_mixture(df, text_col, group_col, alpha)
+    mix = (
+        mixture
+        if mixture is not None
+        else source_mixture(df, text_col, group_col, alpha)
+    )
     rates = mix.select(
         group_col, (F.col("weight") / F.col("token_share")).alias("__r")
     )

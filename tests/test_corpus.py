@@ -269,3 +269,15 @@ def test_bigram_nll_orders_scrambled_text(spark):
     bi = {r["doc_id"]: r["nll"] for r in C.bigram_nll(df).collect()}
     assert abs(uni[0] - uni[100]) < 1e-12
     assert bi[100] > bi[0]
+
+
+def test_mixture_sample_accepts_precomputed_weights(spark):
+    rows = [(i, f"tok{i} a b c d e f g h", "big") for i in range(40)]
+    rows += [(100 + i, f"zz{i} a b", "small") for i in range(4)]
+    df = spark.createDataFrame(rows, DOCS)
+    mix = C.source_mixture(df, alpha=0.5)
+    direct = sorted(map(tuple, C.mixture_sample(df, alpha=0.5).collect()))
+    reused = sorted(
+        map(tuple, C.mixture_sample(df, alpha=0.5, mixture=mix).collect())
+    )
+    assert direct == reused

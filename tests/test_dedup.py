@@ -276,3 +276,40 @@ def test_containment_asymmetry(spark):
     rows = {(r["id_a"], r["id_b"]): r["containment"]
             for r in ngram_containment_pairs(df, threshold=0.5).collect()}
     assert rows == {(2, 1): 1.0}
+
+
+def test_span_dedup_global_invariants(spark):
+    """Every distinct span survives exactly once corpus-wide:
+    sum(n_spans_kept) == count of distinct span texts; and no doc
+    keeps more spans than it has."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.dedup import (
+        span_dedup,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = span_dedup(df, span=8)
+    agg = out.agg(
+        F.sum("n_spans_kept").alias("kept"), F.sum("n_spans").alias("total")
+    ).collect()[0]
+    toks = F.split(F.trim(F.col("text")), " ")
+    n_spans = F.greatest(
+        F.lit(1).cast("bigint"), F.ceil(F.size(toks) / F.lit(8.0))
+    )
+    distinct_spans = (
+        df.select(
+            F.explode(F.sequence(F.lit(0).cast("bigint"), n_spans - 1)).alias("i"),
+            toks.alias("t"),
+        )
+        .select(
+            F.array_join(
+                F.slice(F.col("t"), (F.col("i") * 8 + 1).cast("int"), 8), " "
+            ).alias("s")
+        )
+        .distinct()
+        .count()
+    )
+    assert agg["kept"] == distinct_spans
+    assert agg["kept"] <= agg["total"]
+    bad = out.filter(F.col("n_spans_kept") > F.col("n_spans")).count()
+    assert bad == 0

@@ -95,3 +95,32 @@ def test_no_cartesian_products(spark, name):
         pytest.skip("intentional broadcasted cross join against 5 query rows")
     df = entrymod.queries()[name](spark, SF)
     assert "CartesianProduct" not in _plan(df), name
+
+
+def test_t6_ohlc_single_aggregation_shuffle(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.plans import temporal
+
+    plan = _plan(temporal.q_t6_ohlc_downsample(spark, SF))
+    # one groupBy(key, window) hash agg: exactly one exchange, no
+    # Window operator — open/close ride inside partial aggregation
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+
+
+def test_span_dedup_two_shuffles(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.plans import (
+        extensions,
+    )
+
+    plan = _plan(extensions.q_x_span_dedup(spark, SF))
+    # tile (map-side) → span-keyed window → doc-keyed rebuild
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Window") == 1
+
+
+def test_w9_scd2_single_window_shuffle(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.plans import windows
+
+    plan = _plan(windows.q_w9_scd2_history(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
