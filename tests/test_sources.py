@@ -180,3 +180,49 @@ def test_embed_stub_feeds_ann(spark):
     }
     nn, sim = top1[1]
     assert nn == 2 and sim >= 0.999999
+
+
+def test_webhook_push_datasource_streams_and_matches_batch_parse(spark, tmp_path):
+    """The Spark 4 streaming DataSource (S5 push receiver, pull form):
+    offsets advance per micro-batch, the generator caps at max_events,
+    and the streamed+parsed rows equal a batch parse of the identical
+    bodies."""
+    import time
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.sources.webhook_datasource import (
+        parse_push_bodies,
+        push_webhook_source,
+        synthetic_body,
+    )
+
+    parsed = push_webhook_source(spark, events_per_batch=40, max_events=120)
+    q = (
+        parsed.writeStream.format("memory")
+        .queryName("push_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_push"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if spark.table("push_stream").count() >= 120:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    got = spark.table("push_stream")
+    assert got.count() == 120
+
+    batch_raw = spark.createDataFrame(
+        [(i, synthetic_body(i)) for i in range(120)], "offset bigint, body string"
+    )
+    want = parse_push_bodies(batch_raw)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # every parsed account is in the whitelist; no corrupt rows
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.schemas import (
+        ALLOWED_ACCOUNTS,
+    )
+
+    accounts = {r["account"] for r in got.select("account").distinct().collect()}
+    assert accounts <= set(ALLOWED_ACCOUNTS)
