@@ -354,18 +354,23 @@ def doc_entropy(
 
     Computed as H = ln(n) − Σ c·ln(c) / n over per-doc term counts
     (algebraically equal to −Σ p·ln p, but needs only two aggregates).
-    Two doc-keyed shuffles, map-side combined; no driver math.
+    Two doc-keyed shuffles, map-side combined; no driver math. The
+    c·ln(c) terms accumulate in DECIMAL (each term rounded to 12 dp
+    map-side) so the sum is associative — identical under any
+    partitioning, like dsum for money.
     Returns (doc_id, n_tokens, entropy).
     """
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     per = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("cnt"))
     n = F.sum("cnt")
+    term = F.round(F.col("cnt") * F.log(F.col("cnt").cast("double")), 12).cast(
+        "decimal(28,12)"
+    )
     return per.groupBy(id_col).agg(
         n.cast("bigint").alias("n_tokens"),
-        (
-            F.log(n.cast("double"))
-            - F.sum(F.col("cnt") * F.log(F.col("cnt").cast("double"))) / n
-        ).alias("entropy"),
+        (F.log(n.cast("double")) - F.sum(term).cast("double") / n).alias(
+            "entropy"
+        ),
     )
 
 
@@ -389,16 +394,16 @@ def unigram_nll(
     per = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("cnt"))
     vocab = per.groupBy("term").agg(F.sum("cnt").alias("gcnt"))
     total = vocab.agg(F.sum("gcnt").cast("double").alias("n_total"))
+    term = F.round(
+        F.col("cnt") * F.log(F.col("gcnt") / F.col("n_total")), 12
+    ).cast("decimal(28,12)")
     return (
         per.join(vocab, "term")
         .join(F.broadcast(total))
         .groupBy(id_col)
         .agg(
             F.sum("cnt").cast("bigint").alias("n_tokens"),
-            (
-                -F.sum(F.col("cnt") * F.log(F.col("gcnt") / F.col("n_total")))
-                / F.sum("cnt")
-            ).alias("nll"),
+            (-F.sum(term).cast("double") / F.sum("cnt")).alias("nll"),
         )
     )
 
@@ -489,9 +494,12 @@ def bigram_nll(
             F.sum("cnt").cast("bigint").alias("n_bigrams"),
             (
                 -F.sum(
-                    F.col("cnt")
-                    * F.log(F.col("cb").cast("double") / F.col("cw"))
-                )
+                    F.round(
+                        F.col("cnt")
+                        * F.log(F.col("cb").cast("double") / F.col("cw")),
+                        12,
+                    ).cast("decimal(28,12)")
+                ).cast("double")
                 / F.sum("cnt")
             ).alias("nll"),
         )

@@ -675,8 +675,9 @@ ORACLES: dict[str, str] = {
             FROM btot GROUP BY 1)
         SELECT p.doc_id,
                CAST(SUM(p.cnt) AS BIGINT) AS n_bigrams,
-               - SUM(p.cnt * ln(CAST(b.cb AS DOUBLE) / w.cw)) / SUM(p.cnt)
-                   AS nll
+               - CAST(SUM(CAST(ROUND(p.cnt * ln(CAST(b.cb AS DOUBLE) / w.cw), 12)
+                               AS DECIMAL(28,12))) AS DOUBLE)
+                 / SUM(p.cnt) AS nll
         FROM per p
         JOIN btot b USING (bg)
         JOIN wtot w ON w.w1 = string_split(p.bg, ' ')[1]
@@ -1126,7 +1127,9 @@ ORACLES: dict[str, str] = {
         tot AS (SELECT SUM(gcnt) AS n_total FROM vocab)
         SELECT p.doc_id,
                CAST(SUM(p.cnt) AS BIGINT) AS n_tokens,
-               - SUM(p.cnt * ln(v.gcnt / t.n_total)) / SUM(p.cnt) AS nll
+               - CAST(SUM(CAST(ROUND(p.cnt * ln(v.gcnt / t.n_total), 12)
+                               AS DECIMAL(28,12))) AS DOUBLE)
+                 / SUM(p.cnt) AS nll
         FROM per p JOIN vocab v USING (term) CROSS JOIN tot t
         GROUP BY p.doc_id
     """,
@@ -1139,7 +1142,9 @@ ORACLES: dict[str, str] = {
         SELECT doc_id,
                CAST(SUM(cnt) AS BIGINT) AS n_tokens,
                ln(CAST(SUM(cnt) AS DOUBLE))
-                   - SUM(cnt * ln(CAST(cnt AS DOUBLE))) / SUM(cnt) AS entropy
+                   - CAST(SUM(CAST(ROUND(cnt * ln(CAST(cnt AS DOUBLE)), 12)
+                                   AS DECIMAL(28,12))) AS DOUBLE)
+                     / SUM(cnt) AS entropy
         FROM per GROUP BY doc_id
     """,
 }

@@ -73,3 +73,40 @@ def test_approx_percentile_close_to_exact(spark):
         .collect()[0]
     )
     assert abs(approx - exact) / exact <= 0.01
+
+
+def test_results_invariant_under_partitioning(spark):
+    """Partition-count invariance — THE scale property: the same
+    logical result regardless of how the input is split (catches
+    order-dependent float accumulation and non-deterministic
+    tie-breaks that only surface on a real cluster)."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.corpus import (
+        bigram_nll,
+        mixture_sample,
+        unigram_nll,
+    )
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.dedup import (
+        span_dedup,
+    )
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.timeseries import (
+        ohlc_downsample,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.session import (
+        read_events,
+    )
+
+    events = read_events(spark, "/root/testdata/sf0.001/events.parquet")
+
+    cases = [
+        (docs, lambda d: span_dedup(d, span=8)),
+        (docs, lambda d: unigram_nll(d)),
+        (docs, lambda d: bigram_nll(d)),
+        (docs, lambda d: mixture_sample(d, alpha=0.5)),
+        (events, lambda d: ohlc_downsample(d, bucket="5 minutes")),
+    ]
+    for src, op in cases:
+        a = sorted(map(tuple, op(src.repartition(2)).collect()))
+        b = sorted(map(tuple, op(src.repartition(13)).collect()))
+        assert a == b, op
