@@ -253,8 +253,16 @@ def source_mixture(
         "n_tokens",
         (F.col("n_tokens").cast("double") / F.col("tot_tokens")).alias("token_share"),
     )
+    # decimal-accumulated normalizer: associative, so z is identical
+    # under any partitioning of the (possibly many) slice rows
     norm = shared.agg(
-        F.sum(F.pow(F.col("token_share"), F.lit(alpha))).alias("z")
+        F.sum(
+            F.round(F.pow(F.col("token_share"), F.lit(alpha)), 12).cast(
+                "decimal(28,12)"
+            )
+        )
+        .cast("double")
+        .alias("z")
     )
     return shared.join(F.broadcast(norm)).select(
         group_col,

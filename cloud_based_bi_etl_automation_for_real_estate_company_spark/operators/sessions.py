@@ -40,13 +40,17 @@ def session_stats(
     ts_col: str = "ts",
     gap_minutes: int = 30,
 ) -> DataFrame:
-    """Per-session rollup: bounds, event count, value sum, duration."""
+    """Per-session rollup: bounds, event count, value sum, duration.
+    The value sum goes through decimal accumulation (dsum) so the
+    result is partition-order invariant, like every money sum."""
+    from ..functions.transforms import dsum
+
     s = sessionize(df, user_col, ts_col, gap_minutes)
     return s.groupBy(user_col, "session_id").agg(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
-        F.sum("value").alias("session_value"),
+        dsum("value").alias("session_value"),
         (F.max(F.col(ts_col).cast("double")) - F.min(F.col(ts_col).cast("double"))).alias(
             "duration_s"
         ),

@@ -639,7 +639,8 @@ ORACLES: dict[str, str] = {
             SELECT source, n_docs, n_tokens,
                    CAST(n_tokens AS DOUBLE) / tot_tokens AS token_share
             FROM per CROSS JOIN tot),
-        norm AS (SELECT SUM(pow(token_share, 0.5)) AS z FROM shared)
+        norm AS (SELECT CAST(SUM(CAST(ROUND(pow(token_share, 0.5), 12)
+                              AS DECIMAL(28,12))) AS DOUBLE) AS z FROM shared)
         SELECT source, n_docs, n_tokens, token_share,
                pow(token_share, 0.5) / z AS weight
         FROM shared CROSS JOIN norm
@@ -719,7 +720,8 @@ ORACLES: dict[str, str] = {
         shared AS (
             SELECT source, CAST(n_tokens AS DOUBLE) / tot_tokens AS token_share
             FROM per CROSS JOIN tot),
-        norm AS (SELECT SUM(pow(token_share, 0.5)) AS z FROM shared),
+        norm AS (SELECT CAST(SUM(CAST(ROUND(pow(token_share, 0.5), 12)
+                              AS DECIMAL(28,12))) AS DOUBLE) AS z FROM shared),
         rates0 AS (
             SELECT source,
                    (pow(token_share, 0.5) / z) / token_share AS r
