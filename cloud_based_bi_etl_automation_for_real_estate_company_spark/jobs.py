@@ -80,7 +80,11 @@ def run_backfill_merge(
 
 
 def run_curation_pipeline(
-    spark: SparkSession, sf_dir: str, out_path: str
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    entropy_gate: tuple[float, float] | None = None,
+    span_dedup_spans: int | None = None,
 ) -> DataFrame:
     """End-to-end training-data curation — the composition the
     individual oracle-checked operators exist for:
@@ -104,6 +108,13 @@ def run_curation_pipeline(
     input; the near-dup stage — the only quadratic-ish one — runs on
     already exactly-deduped text; redaction runs last-but-one so the
     regexes only touch rows that will actually be written.
+
+    Optional stages (off by default, so the pinned default output is
+    stable): ``entropy_gate=(lo, hi)`` drops degenerate/gibberish
+    documents by unigram entropy between the repetition gate and
+    dedup; ``span_dedup_spans=k`` rewrites text with globally repeated
+    k-token spans removed (and drops fully-redundant documents)
+    BEFORE exact dedup, since cleaning changes content hashes.
     """
     from pyspark.sql import functions as F
 
@@ -133,6 +144,28 @@ def run_curation_pipeline(
         .select("doc_id")
     )
     gated = gated.join(repetitive, "doc_id", "left_anti")
+    if entropy_gate is not None:
+        from .operators.corpus import doc_entropy
+
+        lo, hi = entropy_gate
+        ok = (
+            doc_entropy(gated)
+            .filter((F.col("entropy") >= lo) & (F.col("entropy") <= hi))
+            .select("doc_id")
+        )
+        gated = gated.join(ok, "doc_id", "left_semi")
+    if span_dedup_spans is not None:
+        from .operators.dedup import span_dedup
+
+        cleaned = span_dedup(gated, span=span_dedup_spans).select(
+            "doc_id", F.col("clean_text").alias("__clean")
+        )
+        gated = (
+            gated.join(cleaned, "doc_id")
+            .withColumn("text", F.col("__clean"))
+            .drop("__clean")
+            .filter(F.length("text") > 0)
+        )
     canon = exact_dedup(gated).select(F.col("keep_id").alias("doc_id"))
     uniq = gated.join(canon, "doc_id", "left_semi")
     near = minhash_estimate_pairs(uniq, threshold=0.5)

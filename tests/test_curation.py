@@ -78,3 +78,28 @@ def test_packing_pipeline_numeric_chunk_order(spark):
     assert len(rows) >= 10
     bins = [r["bin_id"] for r in rows]
     assert bins == sorted(bins), f"bins interleave: {bins}"
+
+
+def test_curation_optional_lm_and_span_stages(spark, tmp_path):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.jobs import (
+        run_curation_pipeline,
+    )
+    from pyspark.sql import functions as F
+
+    out = run_curation_pipeline(
+        spark,
+        "/root/testdata/sf0.001",
+        str(tmp_path / "curated_lm"),
+        entropy_gate=(0.5, 10.0),
+        span_dedup_spans=8,
+    )
+    n = out.count()
+    assert n > 0
+    # span dedup never leaves empty text in the output
+    assert out.filter(F.length("text") == 0).count() == 0
+    # exact dedup ran on the CLEANED text: all outputs distinct
+    assert out.select("text").distinct().count() == n
+    # note: the span-cleaned run can keep MORE docs than the default
+    # run — removing shared boilerplate shrinks near-dup clusters, so
+    # fewer docs are pruned as duplicates. That interaction is the
+    # point of cleaning before dedup.
