@@ -385,6 +385,21 @@ def q_x_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.bigram_nll(t(spark, sf_dir, "documents"))
 
 
+def q_x_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count rollup: per-(event_type, day) HLL
+    sketches unioned up to per-type estimates — facts scanned once,
+    any coarser slice answered from kilobytes of sketch state.
+    Rows-only by design: the DataSketches binary state has no
+    ANSI-SQL replay (DuckDB's approx_count_distinct is a different
+    sketch); merge-consistency and error bounds are pinned in
+    tests/test_scale_paths.py."""
+    from ..operators.sketches import distinct_sketch_rollup, merge_distinct_sketches
+
+    ev = t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    fine = distinct_sketch_rollup(ev, ["event_type", "day"], "user_id")
+    return merge_distinct_sketches(fine, ["event_type"])
+
+
 def q_x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al., arXiv:2303.09540): semantic
     deduplication — connected components over embedding-cosine
@@ -1190,6 +1205,7 @@ QUERIES = {
     "x_unigram_nll": q_x_unigram_nll,
     "x_mixture_sample": q_x_mixture_sample,
     "x_semdedup": q_x_semdedup,
+    "x_hll_rollup": q_x_hll_rollup,
     "x_ngram_containment": q_x_ngram_containment,
     "x_bigram_nll": q_x_bigram_nll,
 }

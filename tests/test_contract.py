@@ -22,7 +22,11 @@ def test_every_oracle_key_has_a_query():
 def test_rows_only_set_is_intentional():
     # queries without an oracle get only the weaker rows-only check;
     # keep this list explicit so a forgotten oracle is loud
-    assert set(QUERIES) - set(ORACLES) == {"x_dedup_simhash", "x_ann_ivf_trained"}
+    assert set(QUERIES) - set(ORACLES) == {
+        "x_dedup_simhash",
+        "x_ann_ivf_trained",
+        "x_hll_rollup",
+    }
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

@@ -110,3 +110,40 @@ def test_results_invariant_under_partitioning(spark):
         a = sorted(map(tuple, op(src.repartition(2)).collect()))
         b = sorted(map(tuple, op(src.repartition(13)).collect()))
         assert a == b, op
+
+
+def test_hll_sketch_rollup_merge_consistency(spark):
+    """The mergeable-sketch contract: unioning per-(type, day) sketches
+    to per-type must equal sketching per-type directly (identical
+    binary state → identical estimate, not merely close), and the
+    estimate must sit within the documented error of exact."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.sketches import (
+        distinct_sketch_rollup,
+        merge_distinct_sketches,
+    )
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.session import (
+        read_events,
+    )
+    from pyspark.sql import functions as F
+
+    ev = read_events(spark, "/root/testdata/sf0.001/events.parquet").withColumn(
+        "day", F.to_date("ts")
+    )
+    fine = distinct_sketch_rollup(ev, ["event_type", "day"], "user_id")
+    merged = {
+        r["event_type"]: r["approx_distinct"]
+        for r in merge_distinct_sketches(fine, ["event_type"]).collect()
+    }
+    direct = {
+        r["event_type"]: r["approx_distinct"]
+        for r in distinct_sketch_rollup(ev, ["event_type"], "user_id").collect()
+    }
+    assert merged == direct
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, est in merged.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
