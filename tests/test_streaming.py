@@ -149,3 +149,39 @@ def test_rate_webhook_stream_flows_to_silver(spark, tmp_path):
     assert got.groupBy("id").count().filter(F.col("count") > 1).count() == 0
     accounts = {r[0] for r in got.select("account").distinct().collect()}
     assert accounts <= {"office_a", "office_b", "office_c"}
+
+
+def test_push_datasource_stream_flows_to_silver(spark, tmp_path):
+    """The Spark 4 streaming DataSource drives the SAME stream_silver
+    pipeline as the file and rate routes — the complete S5 story:
+    custom pull source → shared whitelist/unwrap/project/dedup/sink."""
+    import time
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.sources.webhook_datasource import (
+        push_webhook_source,
+    )
+
+    out = str(tmp_path / "ds_out")
+    ckpt = str(tmp_path / "ds_ckpt")
+    raw = push_webhook_source(spark, events_per_batch=60, max_events=180)
+    q = stream_silver(
+        spark, in_path="", out_path=out, checkpoint=ckpt,
+        available_now=False, raw=raw,
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= 150:
+                    break
+            except Exception:
+                pass
+            time.sleep(1)
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    # 180 generated events, all accounts whitelisted, ids unique
+    assert got.count() > 0
+    assert got.groupBy("id").count().filter(F.col("count") > 1).count() == 0
+    accounts = {r[0] for r in got.select("account").distinct().collect()}
+    assert accounts <= {"office_a", "office_b", "office_c"}
