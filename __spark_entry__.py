@@ -115,21 +115,36 @@ _GATE_PRIORITY = (
 )
 
 
+# Queries added in round 2 (no driver row yet either) — registered
+# immediately after the round-1-unchecked block, ahead of the
+# round-1-green families.
+_NEW_SINCE_R2 = (
+    "t6_ohlc_downsample",
+    "p20_unpivot",
+    "w9_scd2_history",
+    "x_token_spectrum",
+    "x_doc_entropy",
+    "x_unigram_nll",
+    "x_bigram_nll",
+    "x_mixture_sample",
+    "x_span_dedup",
+    "x_ngram_containment",
+    "x_semdedup",
+    "x_ann_ivf_pq",
+    "x_ann_refine",
+    "x_hll_rollup",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Gate-priority names register first (see _GATE_PRIORITY); new
-    # queries added after round 2 land right after them, ahead of the
-    # round-1-checked families, so per-round CORRECTNESS files union
-    # toward full coverage.
+    # Gate-priority names register first (see _GATE_PRIORITY), then
+    # the round-2 additions, then the round-1-checked families, so
+    # per-round CORRECTNESS files union toward full coverage.
     all_q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in (warehouse, windows, extensions, measures, analytics, scalars, temporal):
         all_q.update(mod.QUERIES)
-    checked_r1 = set()
-    for mod in (measures, analytics, scalars, temporal):
-        checked_r1.update(mod.QUERIES)
     out = {n: all_q[n] for n in _GATE_PRIORITY if n in all_q}
-    out.update(
-        {n: f for n, f in all_q.items() if n not in out and n not in checked_r1}
-    )
+    out.update({n: all_q[n] for n in _NEW_SINCE_R2 if n in all_q and n not in out})
     out.update({n: f for n, f in all_q.items() if n not in out})
     return out
 
