@@ -28,11 +28,10 @@ def distinct_sketch_rollup(
     """One pass over the facts → per-key HLL sketch + its estimate.
     Returns (*keys, sketch binary, approx_distinct bigint). Persist
     the sketch column; it is the mergeable artifact."""
-    return df.groupBy(*keys).agg(
-        F.hll_sketch_agg(F.col(col), F.lit(lgk)).alias("sketch"),
-        F.hll_sketch_estimate(
-            F.hll_sketch_agg(F.col(col), F.lit(lgk))
-        ).alias("approx_distinct"),
+    return (
+        df.groupBy(*keys)
+        .agg(F.hll_sketch_agg(F.col(col), F.lit(lgk)).alias("sketch"))
+        .withColumn("approx_distinct", F.hll_sketch_estimate(F.col("sketch")))
     )
 
 
