@@ -99,12 +99,29 @@ def test_results_invariant_under_partitioning(spark):
 
     events = read_events(spark, "/root/testdata/sf0.001/events.parquet")
 
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.corpus import (
+        tfidf_by_group,
+        token_spectrum,
+    )
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.dedup import (
+        minhash_estimate_pairs,
+        ngram_containment_pairs,
+    )
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.sessions import (
+        session_stats,
+    )
+
     cases = [
         (docs, lambda d: span_dedup(d, span=8)),
         (docs, lambda d: unigram_nll(d)),
         (docs, lambda d: bigram_nll(d)),
         (docs, lambda d: mixture_sample(d, alpha=0.5)),
+        (docs, lambda d: token_spectrum(d)),
+        (docs, lambda d: tfidf_by_group(d)),
+        (docs, lambda d: ngram_containment_pairs(d, threshold=0.3)),
+        (docs, lambda d: minhash_estimate_pairs(d)),
         (events, lambda d: ohlc_downsample(d, bucket="5 minutes")),
+        (events, lambda d: session_stats(d)),
     ]
     for src, op in cases:
         a = sorted(map(tuple, op(src.repartition(2)).collect()))
