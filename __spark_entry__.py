@@ -133,6 +133,7 @@ _NEW_SINCE_R2 = (
     "x_ann_ivf_pq",
     "x_ann_refine",
     "x_hll_rollup",
+    "x_backoff_nll",
 )
 
 

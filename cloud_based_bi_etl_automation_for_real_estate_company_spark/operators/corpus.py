@@ -512,3 +512,71 @@ def bigram_nll(
             ).alias("nll"),
         )
     )
+
+
+def stupid_backoff_nll(
+    score_df: DataFrame,
+    train_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Held-out trigram scoring with STUPID BACKOFF (Brants et al.,
+    "Large Language Models in Machine Translation", EMNLP 2007) — the
+    deliberately unnormalized backoff that made web-scale LMs
+    trainable as pure count tables, i.e. exactly the relational shape
+    a Spark pipeline wants:
+
+        S(w3|w1w2) = c(w1w2w3)/c(w1w2)            if trigram seen
+                   = α · c(w2w3)/c(w2)            else if bigram seen
+                   = α² · c(w3)/N                 else if unigram seen
+                   = α² · 1/N                     else (OOV floor)
+
+    Counts come from ``train_df`` ONLY; ``score_df`` documents are
+    scored per trigram position and averaged into -ln S. Scoring a
+    held-out split is what makes the backoff branches live — a model
+    scored on its own training text never backs off.
+
+    Dataflow: three count tables off one exploded pass over the train
+    corpus, then three left joins from the score side's trigram
+    positions on uniform text keys; the α ladder is a coalesce chain.
+    The -ln S terms accumulate in decimal (12 dp) so the per-doc
+    score is partition-order invariant. Returns (doc_id, n_trigrams,
+    nll).
+    """
+    def grams(df: DataFrame, k: int, out: str) -> DataFrame:
+        return df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias(out))
+
+    tri_c = grams(train_df, 3, "g3").groupBy("g3").agg(F.count(F.lit(1)).alias("c3"))
+    bi_c = grams(train_df, 2, "g2").groupBy("g2").agg(F.count(F.lit(1)).alias("c2"))
+    uni = train_df.select(F.explode(tokens(text_col)).alias("w"))
+    uni_c = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    n_total = uni_c.agg(F.sum("c1").cast("double").alias("n_tok"))
+
+    pos = grams(score_df, 3, "g3").select(
+        id_col,
+        "g3",
+        F.array_join(F.slice(F.split(F.col("g3"), " "), 1, 2), " ").alias("ctx2"),
+        F.array_join(F.slice(F.split(F.col("g3"), " "), 2, 2), " ").alias("g2"),
+        F.split(F.col("g3"), " ")[2].alias("w3"),
+        F.split(F.col("g3"), " ")[1].alias("w2"),
+    )
+    joined = (
+        pos.join(tri_c, "g3", "left")
+        .join(bi_c.select(F.col("g2").alias("ctx2"), F.col("c2").alias("cctx")), "ctx2", "left")
+        .join(bi_c, "g2", "left")
+        .join(uni_c.select(F.col("w").alias("w2"), F.col("c1").alias("c1ctx")), "w2", "left")
+        .join(uni_c.select(F.col("w").alias("w3"), F.col("c1").alias("c1w")), "w3", "left")
+        .join(F.broadcast(n_total))
+    )
+    s = F.coalesce(
+        F.col("c3").cast("double") / F.col("cctx"),
+        F.lit(alpha) * F.col("c2") / F.col("c1ctx"),
+        F.lit(alpha * alpha) * F.col("c1w") / F.col("n_tok"),
+        F.lit(alpha * alpha) / F.col("n_tok"),
+    )
+    term = F.round(-F.log(s), 12).cast("decimal(28,12)")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        (F.sum(term).cast("double") / F.count(F.lit(1))).alias("nll"),
+    )

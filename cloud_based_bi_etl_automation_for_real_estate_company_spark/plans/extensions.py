@@ -385,6 +385,16 @@ def q_x_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.bigram_nll(t(spark, sf_dir, "documents"))
 
 
+def q_x_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff (Brants et al. 2007) trigram NLL: count tables
+    from the even-doc_id half, odd half scored held-out so the
+    backoff ladder actually fires."""
+    d = t(spark, sf_dir, "documents")
+    return C.stupid_backoff_nll(
+        d.filter(F.col("doc_id") % 2 == 1), d.filter(F.col("doc_id") % 2 == 0)
+    )
+
+
 def q_x_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count rollup: per-(event_type, day) HLL
     sketches unioned up to per-type estimates — facts scanned once,
@@ -698,6 +708,60 @@ ORACLES: dict[str, str] = {
         JOIN btot b USING (bg)
         JOIN wtot w ON w.w1 = string_split(p.bg, ' ')[1]
         GROUP BY p.doc_id
+    """,
+    "x_backoff_nll": """
+        WITH toks AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+        c3 AS (
+            SELECT g3, COUNT(*) AS c3 FROM (
+                SELECT UNNEST(CASE WHEN len(t) >= 3
+                    THEN list_transform(range(1, len(t) - 1),
+                                        i -> array_to_string(t[i:i+2], ' '))
+                    ELSE [] END) AS g3
+                FROM toks WHERE doc_id % 2 = 0)
+            GROUP BY g3),
+        c2 AS (
+            SELECT g2, COUNT(*) AS c2 FROM (
+                SELECT UNNEST(CASE WHEN len(t) >= 2
+                    THEN list_transform(range(1, len(t)),
+                                        i -> array_to_string(t[i:i+1], ' '))
+                    ELSE [] END) AS g2
+                FROM toks WHERE doc_id % 2 = 0)
+            GROUP BY g2),
+        c1 AS (
+            SELECT w, COUNT(*) AS c1 FROM (
+                SELECT UNNEST(t) AS w FROM toks WHERE doc_id % 2 = 0)
+            GROUP BY w),
+        ntok AS (SELECT CAST(SUM(c1) AS DOUBLE) AS n_tok FROM c1),
+        pos AS (
+            SELECT doc_id, g3,
+                   array_to_string(string_split(g3, ' ')[1:2], ' ') AS ctx2,
+                   array_to_string(string_split(g3, ' ')[2:3], ' ') AS g2,
+                   string_split(g3, ' ')[3] AS w3,
+                   string_split(g3, ' ')[2] AS w2
+            FROM (
+                SELECT doc_id, UNNEST(CASE WHEN len(t) >= 3
+                    THEN list_transform(range(1, len(t) - 1),
+                                        i -> array_to_string(t[i:i+2], ' '))
+                    ELSE [] END) AS g3
+                FROM toks WHERE doc_id % 2 = 1)),
+        scored AS (
+            SELECT p.doc_id,
+                   COALESCE(CAST(t3.c3 AS DOUBLE) / cx.c2,
+                            0.4 * c2b.c2 / u2.c1,
+                            (0.4 * 0.4) * u3.c1 / n.n_tok,
+                            (0.4 * 0.4) / n.n_tok) AS s
+            FROM pos p
+            LEFT JOIN c3 t3 USING (g3)
+            LEFT JOIN c2 cx ON cx.g2 = p.ctx2
+            LEFT JOIN c2 c2b ON c2b.g2 = p.g2
+            LEFT JOIN c1 u2 ON u2.w = p.w2
+            LEFT JOIN c1 u3 ON u3.w = p.w3
+            CROSS JOIN ntok n)
+        SELECT doc_id, COUNT(*) AS n_trigrams,
+               CAST(SUM(CAST(ROUND(-ln(s), 12) AS DECIMAL(28,12)))
+                    AS DOUBLE) / COUNT(*) AS nll
+        FROM scored GROUP BY doc_id
     """,
     "x_semdedup": """
         WITH RECURSIVE withb AS (
@@ -1206,6 +1270,7 @@ QUERIES = {
     "x_mixture_sample": q_x_mixture_sample,
     "x_semdedup": q_x_semdedup,
     "x_hll_rollup": q_x_hll_rollup,
+    "x_backoff_nll": q_x_backoff_nll,
     "x_ngram_containment": q_x_ngram_containment,
     "x_bigram_nll": q_x_bigram_nll,
 }

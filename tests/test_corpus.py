@@ -281,3 +281,24 @@ def test_mixture_sample_accepts_precomputed_weights(spark):
         map(tuple, C.mixture_sample(df, alpha=0.5, mixture=mix).collect())
     )
     assert direct == reused
+
+
+def test_stupid_backoff_ladder_branches(spark):
+    import math
+
+    train = spark.createDataFrame([(0, "a b c a b c", "s")], DOCS)
+    score = spark.createDataFrame(
+        [
+            (1, "a b c", "s"),    # trigram seen: S = c3/c2 = 2/2 = 1
+            (3, "b c c", "s"),    # backoff to unigram: S = 0.16*c1(c)/N
+            (5, "x y z", "s"),    # full OOV floor: S = 0.16/N
+        ],
+        DOCS,
+    )
+    rows = {r["doc_id"]: r for r in C.stupid_backoff_nll(score, train).collect()}
+    n = 6.0  # train tokens
+    assert math.isclose(rows[1]["nll"], 0.0, abs_tol=1e-9)
+    assert math.isclose(rows[3]["nll"], -math.log(0.4 * 0.4 * 2 / n), rel_tol=1e-9)
+    assert math.isclose(rows[5]["nll"], -math.log(0.4 * 0.4 / n), rel_tol=1e-9)
+    # rarer continuations must score strictly worse
+    assert rows[1]["nll"] < rows[3]["nll"] < rows[5]["nll"]
