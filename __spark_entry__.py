@@ -134,6 +134,7 @@ _NEW_SINCE_R2 = (
     "x_ann_refine",
     "x_hll_rollup",
     "x_backoff_nll",
+    "a23_equidepth_hist",
 )
 
 

@@ -6,7 +6,7 @@ pipeline. All oracle-checked.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -218,7 +218,37 @@ def q_p18_string_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SW = ", ".join(f"'{w}'" for w in T.STOPWORDS_EN)
 
+def q_a23_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-count) histogram of event values: ntile(10)
+    assigns ranks to deciles, then per-bucket bounds/count — the data
+    profile a BI tool draws before choosing axis scales. One global
+    sort window; at 100 TB use approx_percentile cut points instead
+    (tolerance-tested in tests/test_scale_paths.py) — ntile is the
+    exact-parity form the oracle can replay."""
+    from .measures import t
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.orderBy(F.col("value"), F.col("event_id"))
+    return (
+        ev.select("value", "event_id", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "a23_equidepth_hist": """
+        WITH ranked AS (
+            SELECT value, NTILE(10) OVER (ORDER BY value, event_id) AS bucket
+            FROM events)
+        SELECT bucket, COUNT(*) AS n_rows,
+               MIN(value) AS lo, MAX(value) AS hi
+        FROM ranked GROUP BY bucket
+    """,
     "u3_except": """
         SELECT DISTINCT o_custkey AS custkey FROM orders
         EXCEPT
@@ -331,6 +361,7 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "a17_pivot_funnel": q_a17_pivot_funnel,
+    "a23_equidepth_hist": q_a23_equidepth_hist,
     "a18_percentiles": q_a18_percentiles,
     "a19_above_segment_avg": q_a19_above_segment_avg,
     "a20_cube": q_a20_cube,
