@@ -135,6 +135,7 @@ _NEW_SINCE_R2 = (
     "x_hll_rollup",
     "x_backoff_nll",
     "a23_equidepth_hist",
+    "x_mmr_rerank",
 )
 
 

@@ -587,3 +587,73 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", _sim("emb_a", "emb_b").alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+
+
+def mmr_rerank(
+    base: DataFrame,
+    queries: DataFrame,
+    cands: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein,
+    SIGIR 1998): greedily pick the candidate maximizing
+    λ·sim(q, d) − (1−λ)·max_{s∈selected} sim(d, s) — relevance traded
+    against redundancy, the standard diversifier on top of an ANN
+    stage's top-k'.
+
+    The greedy argmax is inherently sequential per query, so this is
+    the documented ``applyInPandas`` escape hatch (same tier as the
+    UDTF chunker): each query's candidate group — k' rows, never the
+    corpus — is handed to one Arrow batch and diversified with numpy
+    in O(k'·k) dot products. Grouping by query id is the only
+    shuffle; ties break on (score desc, vec_id asc) so output is
+    deterministic. Returns (q_id, vec_id, rnk) with rnk 1..k in
+    selection order.
+    """
+    import numpy as np
+    import pandas as pd
+
+    bvec = base.select(F.col(id_col), as_double(vec_col).alias("__b"))
+    qvec = queries.select(F.col(id_col).alias("q_id"), as_double(vec_col).alias("__q"))
+    grouped = (
+        cands.select("q_id", id_col)
+        .join(bvec, id_col)
+        .join(F.broadcast(qvec), "q_id")
+    )
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = np.array(pdf["__q"].iloc[0])
+        ids = pdf[id_col].to_numpy()
+        mat = np.stack(pdf["__b"].to_numpy())
+        norm = np.linalg.norm(mat, axis=1)
+        norm[norm == 0] = 1.0
+        mat = mat / norm[:, None]
+        qn = q / (np.linalg.norm(q) or 1.0)
+        rel = mat @ qn
+        # deterministic candidate order: by relevance desc, id asc
+        order = np.lexsort((ids, -rel))
+        ids, mat, rel = ids[order], mat[order], rel[order]
+        chosen: list[int] = []
+        red = np.full(len(ids), -1.0)
+        for _ in range(min(k, len(ids))):
+            score = lam * rel - (1 - lam) * np.where(red < 0, 0.0, red)
+            best = min(
+                (i for i in range(len(ids)) if i not in chosen),
+                key=lambda i: (-score[i], ids[i]),
+            )
+            chosen.append(best)
+            red = np.maximum(red, mat @ mat[best])
+        return pd.DataFrame(
+            {
+                "q_id": pdf["q_id"].iloc[0],
+                id_col: ids[chosen],
+                "rnk": np.arange(1, len(chosen) + 1, dtype="int64"),
+            }
+        )
+
+    return grouped.groupBy("q_id").applyInPandas(
+        _mmr, schema=f"q_id bigint, {id_col} bigint, rnk bigint"
+    )

@@ -395,6 +395,18 @@ def q_x_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank (Carbonell & Goldstein 1998) over IVF-PQ
+    candidates — the applyInPandas escape hatch worked end-to-end.
+    Rows-only by design: the greedy per-query argmax is iterative,
+    with no ANSI-SQL replay; relevance anchoring, determinism, and
+    the diversity property are pinned in tests/test_similarity.py."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    cands = S.ivf_pq_topk(e, q, k=25, n_probes=2).select("q_id", "vec_id")
+    return S.mmr_rerank(e, q, cands, k=5, lam=0.7)
+
+
 def q_x_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count rollup: per-(event_type, day) HLL
     sketches unioned up to per-type estimates — facts scanned once,
@@ -1271,6 +1283,7 @@ QUERIES = {
     "x_semdedup": q_x_semdedup,
     "x_hll_rollup": q_x_hll_rollup,
     "x_backoff_nll": q_x_backoff_nll,
+    "x_mmr_rerank": q_x_mmr_rerank,
     "x_ngram_containment": q_x_ngram_containment,
     "x_bigram_nll": q_x_bigram_nll,
 }

@@ -263,3 +263,59 @@ def test_refine_is_exact_over_candidates(spark):
             )
         ][:5]
         assert [got[(qid, i + 1)] for i in range(len(ranked))] == ranked
+
+
+def test_mmr_rerank_diversifies(spark):
+    """MMR (λ=0.7) over IVF-PQ candidates: picks k, starts from the
+    most relevant, and its selection is strictly more diverse (lower
+    mean pairwise cosine) than plain exact top-k when redundancy
+    exists; deterministic across runs."""
+    import itertools
+
+    import numpy as np
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.similarity import (
+        ann_refine,
+        ivf_pq_topk,
+        mmr_rerank,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter("vec_id < 3")
+    cands = ivf_pq_topk(e, q, k=25, n_probes=2).select("q_id", "vec_id")
+    got = mmr_rerank(e, q, cands, k=5, lam=0.7).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append((r["rnk"], r["vec_id"]))
+    assert all(len(v) == 5 for v in by_q.values())
+    # rank 1 must be the exact most-relevant candidate (red=0 at step 1)
+    top1 = {
+        r["q_id"]: r["vec_id"]
+        for r in ann_refine(e, q, cands, k=1).collect()
+    }
+    for qid, v in by_q.items():
+        assert dict(v)[1] == top1[qid]
+    # determinism
+    again = mmr_rerank(e, q, cands, k=5, lam=0.7).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    # diversity: mean pairwise cosine of the MMR set <= exact top-5 set
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in e.collect()}
+
+    def mean_pair_cos(ids):
+        ps = [
+            float(
+                vecs[a] @ vecs[b]
+                / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b]))
+            )
+            for a, b in itertools.combinations(ids, 2)
+        ]
+        return sum(ps) / len(ps)
+
+    exact5 = {}
+    for r in ann_refine(e, q, cands, k=5).collect():
+        exact5.setdefault(r["q_id"], []).append(r["vec_id"])
+    diffs = []
+    for qid, v in by_q.items():
+        mmr_ids = [x for _, x in sorted(v)]
+        diffs.append(mean_pair_cos(exact5[qid]) - mean_pair_cos(mmr_ids))
+    assert all(d >= -1e-9 for d in diffs)
