@@ -136,6 +136,7 @@ _NEW_SINCE_R2 = (
     "x_backoff_nll",
     "a23_equidepth_hist",
     "x_mmr_rerank",
+    "u5_cdc_apply",
 )
 
 

@@ -56,3 +56,31 @@ def dedup_by_id(df: DataFrame, id_col: str = "id") -> DataFrame:
     retried webhook deliveries carry identical payloads.
     """
     return df.dropDuplicates([id_col])
+
+
+def cdc_apply(
+    changes: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a Debezium-style change log to produce the current
+    snapshot: the latest change per key wins (same single window
+    shuffle as ``latest_per_key``), and a key whose LATEST change is a
+    delete disappears from the snapshot entirely — the delete-aware
+    generalization of the reference's INSERT OR REPLACE upsert
+    (reference Lead_Ingestion_CRM_SQLite.py:141–148, which has no
+    delete path; webhook_app.py:101–124 handles deletes as a separate
+    event table instead).
+
+    Ordering caveat, deliberate: a delete followed by a later
+    re-insert resurrects the key — apply is by change order, not by
+    op precedence.
+    """
+    w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in order_by])
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col(op_col) != delete_op))
+        .drop("__rn")
+    )

@@ -426,6 +426,26 @@ def q_u1_union_offices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_u5_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium-style CDC apply over the event log: each event is a
+    change for its user ('error' ≈ tombstone delete, everything else
+    an upsert); the snapshot keeps each user's latest non-deleted
+    state. One window shuffle — the delete-aware generalization of
+    the A7/W1 upsert rewrite (operators/snapshot.py:cdc_apply)."""
+    from ..operators.snapshot import cdc_apply
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    return cdc_apply(ev, keys=["user_id"], order_by=["ts", "event_id"])
+
+
 def q_u2_backfill_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2/S8/ST2 — merge historical backfill with the live stream then
     dedup by event id, keeping the latest arrival (README.md:149;
@@ -631,6 +651,16 @@ ORACLES: dict[str, str] = {
         SELECT n_name AS office, COUNT(*) AS n_customers
         FROM unioned GROUP BY 1
     """,
+    "u5_cdc_apply": """
+        WITH changes AS (
+            SELECT user_id, event_id, ts, event_type,
+                   CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+        SELECT user_id, event_id, ts, event_type, op
+        FROM changes WHERE rn = 1 AND op <> 'D'
+    """,
     "u2_backfill_stream_merge": """
         WITH merged AS (
             SELECT * FROM events WHERE day(ts) <= 20
@@ -667,4 +697,5 @@ QUERIES = {
     "j5_active_anti_deleted": q_j5_active_anti_deleted,
     "u1_union_offices": q_u1_union_offices,
     "u2_backfill_stream_merge": q_u2_backfill_stream_merge,
+    "u5_cdc_apply": q_u5_cdc_apply,
 }

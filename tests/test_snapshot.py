@@ -52,3 +52,29 @@ def test_upsert_merge_last_write_wins(spark):
 def test_dedup_by_id(spark):
     df = spark.createDataFrame([(1, "x"), (1, "x"), (2, "y")], "id bigint, v string")
     assert dedup_by_id(df, "id").count() == 2
+
+
+def test_cdc_apply_delete_and_resurrect(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.snapshot import (
+        cdc_apply,
+    )
+
+    changes = spark.createDataFrame(
+        [
+            # key 1: insert → update: latest update wins
+            (1, 1, "a", "U"),
+            (1, 2, "b", "U"),
+            # key 2: latest change is a delete: key vanishes
+            (2, 1, "x", "U"),
+            (2, 2, "x", "D"),
+            # key 3: delete then later re-insert: resurrected
+            (3, 1, "y", "D"),
+            (3, 2, "z", "U"),
+        ],
+        "k bigint, seq bigint, payload string, op string",
+    )
+    got = {
+        r["k"]: r["payload"]
+        for r in cdc_apply(changes, keys=["k"], order_by=["seq"]).collect()
+    }
+    assert got == {1: "b", 3: "z"}
