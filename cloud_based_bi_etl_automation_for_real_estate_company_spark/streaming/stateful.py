@@ -247,3 +247,33 @@ def streaming_ohlc(
         val_col=val_col,
         seq_col=seq_col,
     )
+
+
+def streaming_distinct_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    col: str = "user_id",
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    lgk: int = 12,
+) -> DataFrame:
+    """ST4/ST5 — per-(key, window) approximate distinct counts via
+    DataSketches HLL state maintained INCREMENTALLY: the sketch is the
+    aggregation state, so distinct counting — the one aggregate with
+    no exact partial form — streams with bounded memory (the sketch is
+    kilobytes regardless of cardinality) and finalizes once per window
+    in append mode. Must agree with the batch sketch of the same rows,
+    bit-for-bit (same binary state) — asserted in tests."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("__w"), F.col(key_col))
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col(col), F.lit(lgk))
+            ).alias("approx_distinct")
+        )
+        .select(
+            key_col, F.col("__w.start").alias("window_start"), "approx_distinct"
+        )
+    )

@@ -368,3 +368,58 @@ def test_streaming_ohlc_matches_batch(spark, tmp_path):
     )
     want = sorted(map(tuple, ohlc_downsample(batch, bucket="5 minutes").collect()))
     assert got == want and len(got) == 4
+
+
+def test_streaming_hll_rollup_matches_batch(spark, tmp_path):
+    """Sketch-state streaming: the per-window HLL distinct estimate of
+    a drained stream equals the batch estimate of the same rows."""
+    import json
+    import os
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.streaming.stateful import (
+        streaming_distinct_rollup,
+    )
+
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    src = tmp_path / "hll_events"
+    src.mkdir()
+    rows = [
+        {"event_id": i, "ts": f"2025-01-01 00:0{i % 10}:00",
+         "user_id": i % 7, "event_type": "click" if i % 2 else "view"}
+        for i in range(40)
+    ]
+    (src / "a.jsonl").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    sent = src / "zz_sentinel.jsonl"
+    sent.write_text(json.dumps(
+        {"event_id": 999, "ts": "2025-01-02 23:00:00", "user_id": 999,
+         "event_type": "sentinel"}) + "\n")
+    base = os.path.getmtime(src / "a.jsonl")
+    os.utime(sent, (base + 60, base + 60))
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        streaming_distinct_rollup(raw, window="10 minutes", watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hll"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("hll_stream").collect()))
+    batch = (
+        spark.read.schema(schema).json(str(src)).filter(F.col("user_id") != 999)
+        .withWatermark("ts", "30 minutes")
+    )
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.streaming.stateful import (
+        streaming_distinct_rollup as _r,
+    )
+    want = sorted(map(tuple, _r(batch).collect()))
+    assert got == want and len(got) == 2
+    # 7 distinct users per type in the window; HLL exact at this size
+    assert all(v == 7 for (_, _, v) in got)
