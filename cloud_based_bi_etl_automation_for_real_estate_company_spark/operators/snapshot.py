@@ -77,6 +77,15 @@ def cdc_apply(
     Ordering caveat, deliberate: a delete followed by a later
     re-insert resurrects the key — apply is by change order, not by
     op precedence.
+
+    Incremental application (apply batch 1, then apply the snapshot ∪
+    batch 2) equals full-log application ONLY when batches arrive in
+    change order: the snapshot forgets tombstones, so a late change
+    ordered BEFORE an already-applied delete would wrongly resurrect
+    the key. For out-of-order sources, keep the change log and
+    re-apply, or retain tombstones past the lateness horizon
+    (watermark) before compacting. Property-tested for the ordered
+    case in tests/test_snapshot.py.
     """
     w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in order_by])
     return (

@@ -78,3 +78,24 @@ def test_cdc_apply_delete_and_resurrect(spark):
         for r in cdc_apply(changes, keys=["k"], order_by=["seq"]).collect()
     }
     assert got == {1: "b", 3: "z"}
+
+
+def test_cdc_apply_incremental_equals_full_for_ordered_batches(spark):
+    """Snapshot ∪ next batch re-applied == full-log apply, provided
+    batches respect change order (the compaction contract)."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.snapshot import (
+        cdc_apply,
+    )
+
+    schema = "k bigint, seq bigint, payload string, op string"
+    b1 = spark.createDataFrame(
+        [(1, 1, "a", "U"), (2, 1, "x", "U"), (2, 2, "x", "D"), (3, 1, "m", "U")],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [(1, 3, "c", "U"), (3, 4, "n", "D"), (4, 5, "q", "U")], schema
+    )
+    full = cdc_apply(b1.unionByName(b2), keys=["k"], order_by=["seq"])
+    snap1 = cdc_apply(b1, keys=["k"], order_by=["seq"])
+    incr = cdc_apply(snap1.unionByName(b2), keys=["k"], order_by=["seq"])
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, incr.collect()))
