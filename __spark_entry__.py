@@ -137,6 +137,7 @@ _NEW_SINCE_R2 = (
     "a23_equidepth_hist",
     "x_mmr_rerank",
     "u5_cdc_apply",
+    "x_collocations",
 )
 
 

@@ -580,3 +580,66 @@ def stupid_backoff_nll(
         F.count(F.lit(1)).alias("n_trigrams"),
         (F.sum(term).cast("double") / F.count(F.lit(1))).alias("nll"),
     )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 20,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information over corpus
+    bigrams: PMI = ln(c₁₂·N / (c₁·c₂)) with N the bigram-position
+    count — the classic phrase/term-of-art extractor (Church & Hanks
+    1990), and the signal tokenizer builders use to pick merge
+    candidates. ``min_count`` suppresses the PMI bias toward rare
+    pairs.
+
+    Counts derive from one exploded pass (bigram totals; both unigram
+    context tables come from the bigram table, vocabulary-sized). The
+    top-k is rank-windowed on (PMI desc, bigram asc) so output is
+    deterministic. Returns (bigram, n_pair, n_left, n_right, pmi).
+    """
+    bg = df.select(F.explode(shingles(text_col, 2)).alias("bg"))
+    pair = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("n_pair"))
+    w1 = (
+        pair.withColumn("w", F.split(F.col("bg"), " ")[0])
+        .groupBy("w")
+        .agg(F.sum("n_pair").alias("n_left"))
+    )
+    w2 = (
+        pair.withColumn("w", F.split(F.col("bg"), " ")[1])
+        .groupBy("w")
+        .agg(F.sum("n_pair").alias("n_right"))
+    )
+    n_total = pair.agg(F.sum("n_pair").cast("double").alias("n_tot"))
+    scored = (
+        pair.filter(F.col("n_pair") >= min_count)
+        .withColumn("w1", F.split(F.col("bg"), " ")[0])
+        .withColumn("w2", F.split(F.col("bg"), " ")[1])
+        .join(w1.select(F.col("w").alias("w1"), "n_left"), "w1")
+        .join(w2.select(F.col("w").alias("w2"), "n_right"), "w2")
+        .join(F.broadcast(n_total))
+        .select(
+            "bg",
+            "n_pair",
+            "n_left",
+            "n_right",
+            F.round(
+                F.log(
+                    F.col("n_pair")
+                    * F.col("n_tot")
+                    / (F.col("n_left") * F.col("n_right"))
+                ),
+                9,
+            ).alias("pmi"),
+        )
+    )
+    from pyspark.sql import Window
+
+    rw = Window.orderBy(F.desc("pmi"), F.asc("bg"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(rw).cast("bigint"))
+        .filter(F.col("rnk") <= top_k)
+        .select(F.col("bg").alias("bigram"), "n_pair", "n_left", "n_right", "pmi", "rnk")
+    )

@@ -407,6 +407,12 @@ def q_x_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.mmr_rerank(e, q, cands, k=5, lam=0.7)
 
 
+def q_x_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PMI collocations (Church & Hanks 1990) over corpus
+    bigrams, min pair count 5 — deterministic rank window."""
+    return C.collocations(t(spark, sf_dir, "documents"), top_k=20, min_count=5)
+
+
 def q_x_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count rollup: per-(event_type, day) HLL
     sketches unioned up to per-type estimates — facts scanned once,
@@ -774,6 +780,36 @@ ORACLES: dict[str, str] = {
                CAST(SUM(CAST(ROUND(-ln(s), 12) AS DECIMAL(28,12)))
                     AS DOUBLE) / COUNT(*) AS nll
         FROM scored GROUP BY doc_id
+    """,
+    "x_collocations": """
+        WITH bg AS (
+            SELECT UNNEST(CASE WHEN len(t) >= 2
+                THEN list_transform(range(1, len(t)),
+                                    i -> array_to_string(t[i:i+1], ' '))
+                ELSE [] END) AS bg
+            FROM (SELECT string_split(trim(text), ' ') AS t FROM documents)),
+        pair AS (SELECT bg, COUNT(*) AS n_pair FROM bg GROUP BY bg),
+        w1 AS (
+            SELECT string_split(bg, ' ')[1] AS w, CAST(SUM(n_pair) AS BIGINT) AS n_left
+            FROM pair GROUP BY 1),
+        w2 AS (
+            SELECT string_split(bg, ' ')[2] AS w, CAST(SUM(n_pair) AS BIGINT) AS n_right
+            FROM pair GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_pair) AS DOUBLE) AS n_tot FROM pair),
+        scored AS (
+            SELECT p.bg, p.n_pair, l.n_left, r.n_right,
+                   ROUND(ln(p.n_pair * t.n_tot / (l.n_left * r.n_right)), 9) AS pmi
+            FROM pair p
+            JOIN w1 l ON l.w = string_split(p.bg, ' ')[1]
+            JOIN w2 r ON r.w = string_split(p.bg, ' ')[2]
+            CROSS JOIN tot t
+            WHERE p.n_pair >= 5),
+        ranked AS (
+            SELECT bg AS bigram, n_pair, n_left, n_right, pmi,
+                   CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, bg ASC) AS BIGINT) AS rnk
+            FROM scored)
+        SELECT bigram, n_pair, n_left, n_right, pmi, rnk
+        FROM ranked WHERE rnk <= 20
     """,
     "x_semdedup": """
         WITH RECURSIVE withb AS (
@@ -1284,6 +1320,7 @@ QUERIES = {
     "x_hll_rollup": q_x_hll_rollup,
     "x_backoff_nll": q_x_backoff_nll,
     "x_mmr_rerank": q_x_mmr_rerank,
+    "x_collocations": q_x_collocations,
     "x_ngram_containment": q_x_ngram_containment,
     "x_bigram_nll": q_x_bigram_nll,
 }

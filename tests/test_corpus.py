@@ -302,3 +302,22 @@ def test_stupid_backoff_ladder_branches(spark):
     assert math.isclose(rows[5]["nll"], -math.log(0.4 * 0.4 / n), rel_tol=1e-9)
     # rarer continuations must score strictly worse
     assert rows[1]["nll"] < rows[3]["nll"] < rows[5]["nll"]
+
+
+def test_collocations_pmi_hand_computed(spark):
+    # "new york" appears 6× and its parts appear nowhere else:
+    # PMI = ln(6·N/(6·6)) = ln(N/6); "of the" (6×) from frequent parts
+    # scores lower. N = total bigram positions.
+    text_ny = "new york " * 6            # 6 "new york" + 5 "york new"
+    text_of = "of the " * 6
+    df = spark.createDataFrame(
+        [(1, text_ny.strip(), "s"), (2, text_of.strip(), "s")], DOCS
+    )
+    rows = {r["bigram"]: r for r in C.collocations(df, top_k=10, min_count=5).collect()}
+    n_tot = 22.0  # 11 bigram positions per doc
+    ny = rows["new york"]
+    assert ny["n_pair"] == 6 and ny["n_left"] == 6 and ny["n_right"] == 6
+    assert math.isclose(ny["pmi"], round(math.log(6 * n_tot / 36), 9))
+    assert rows["new york"]["pmi"] == rows["of the"]["pmi"]  # symmetric corpus
+    # rank deterministic: tie broken by bigram asc
+    assert rows["new york"]["rnk"] < rows["of the"]["rnk"]
