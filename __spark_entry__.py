@@ -138,6 +138,7 @@ _NEW_SINCE_R2 = (
     "x_mmr_rerank",
     "u5_cdc_apply",
     "x_collocations",
+    "x_bpe_train",
 )
 
 

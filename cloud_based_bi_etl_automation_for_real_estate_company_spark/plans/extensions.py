@@ -413,6 +413,14 @@ def q_x_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.collocations(t(spark, sf_dir, "documents"), top_k=20, min_count=5)
 
 
+def q_x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge training (Sennrich et al. 2016) over the corpus
+    vocabulary — 10 merges, deterministic tie-breaks. Rows-only by
+    design (iterative argmax loop, same class as k-means); the merge
+    sequence is pinned by a hand-computed test."""
+    return C.bpe_train(t(spark, sf_dir, "documents"), num_merges=10, min_count=2)
+
+
 def q_x_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count rollup: per-(event_type, day) HLL
     sketches unioned up to per-type estimates — facts scanned once,
@@ -1321,6 +1329,7 @@ QUERIES = {
     "x_backoff_nll": q_x_backoff_nll,
     "x_mmr_rerank": q_x_mmr_rerank,
     "x_collocations": q_x_collocations,
+    "x_bpe_train": q_x_bpe_train,
     "x_ngram_containment": q_x_ngram_containment,
     "x_bigram_nll": q_x_bigram_nll,
 }

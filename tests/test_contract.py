@@ -27,6 +27,7 @@ def test_rows_only_set_is_intentional():
         "x_ann_ivf_trained",
         "x_hll_rollup",
         "x_mmr_rerank",
+        "x_bpe_train",
     }
 
 

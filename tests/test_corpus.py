@@ -321,3 +321,23 @@ def test_collocations_pmi_hand_computed(spark):
     assert rows["new york"]["pmi"] == rows["of the"]["pmi"]  # symmetric corpus
     # rank deterministic: tie broken by bigram asc
     assert rows["new york"]["rnk"] < rows["of the"]["rnk"]
+
+
+def test_bpe_train_learns_frequent_pairs_first(spark):
+    # words: "abab" ×3, "abc" ×2 → chars: "a b a b"(3), "a b c"(2)
+    # merge 1: (a,b) count 3+3+2=8 → "ab"; then "ab ab"(3), "ab c"(2)
+    # merge 2: (ab,ab) count 3 → "abab"; merge 3: (ab,c) count 2
+    df = spark.createDataFrame(
+        [(1, "abab abab abab abc abc", "s")], DOCS
+    )
+    got = [
+        (r["merge_rank"], r["pair"], r["merged"], r["n"])
+        for r in C.bpe_train(df, num_merges=5, min_count=2)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == [
+        (1, "a b", "ab", 8),
+        (2, "ab ab", "abab", 3),
+        (3, "ab c", "abc", 2),
+    ]
