@@ -3,8 +3,9 @@
 ``entry`` runs the flagship dashboard query; ``queries`` /
 ``oracle_sql`` expose every implemented operator from SURVEY.md §2
 plus the training-data-pipeline extensions, each with a DuckDB oracle
-unless the op is non-SQL-expressible (SimHash — rows-only by design,
-see plans/extensions.py).
+unless the op is non-SQL-expressible (rows-only by design: SimHash
+bit votes, k-means-trained IVF, HLL binary sketches, MMR greedy
+re-rank, BPE merge training — see plans/extensions.py).
 """
 
 from __future__ import annotations
