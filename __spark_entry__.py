@@ -140,6 +140,7 @@ _NEW_SINCE_R2 = (
     "u5_cdc_apply",
     "x_collocations",
     "x_bpe_train",
+    "x_bpe_encode",
 )
 
 

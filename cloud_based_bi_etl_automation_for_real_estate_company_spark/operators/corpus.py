@@ -706,3 +706,40 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "merge_rank int, pair string, merged string, n bigint"
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply an ordered BPE merge list (as learned by ``bpe_train``)
+    to tokenize text into subwords — the encode half of the tokenizer
+    loop, and the REAL subword counter behind the `bpe-ish regex`
+    estimate in x_token_counts.
+
+    Encoding is a chain of ``len(merges)`` map-side regexp rewrites
+    over per-word symbol strings — a single projection fused into the
+    scan (the merge list is a plan constant, exactly how a production
+    tokenizer ships its vocab); the only shuffle is the final
+    doc-keyed count aggregation.
+    Returns (id_col, n_words, n_subwords, subwords_per_word).
+    """
+    import re as _re
+
+    word = F.explode(tokens(text_col))
+    sym = F.concat_ws(" ", F.split(F.col("__w"), ""))
+    out = df.select(F.col(id_col), word.alias("__w")).select(
+        id_col, sym.alias("__s")
+    )
+    col = F.col("__s")
+    for a, b in merges:
+        pat = f"(^|(?<= )){_re.escape(a)} {_re.escape(b)}($|(?= ))"
+        col = F.regexp_replace(col, pat, (a + b).replace("$", "\\$"))
+    encoded = out.select(id_col, F.size(F.split(col, " ")).alias("__n"))
+    return encoded.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("__n").cast("bigint").alias("n_subwords"),
+        F.round(F.sum("__n") / F.count(F.lit(1)), 9).alias("subwords_per_word"),
+    )

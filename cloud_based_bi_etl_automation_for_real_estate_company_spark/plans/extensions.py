@@ -421,6 +421,21 @@ def q_x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.bpe_train(t(spark, sf_dir, "documents"), num_merges=10, min_count=2)
 
 
+def q_x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full tokenizer loop: train 10 BPE merges on the corpus,
+    then encode every document with them (per-doc subword counts).
+    Rows-only: the trainer is iterative; encode correctness is pinned
+    by hand-computed tests."""
+    d = t(spark, sf_dir, "documents")
+    merges = [
+        tuple(r["pair"].split(" "))
+        for r in C.bpe_train(d, num_merges=10, min_count=2)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    return C.bpe_encode(d, merges)
+
+
 def q_x_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count rollup: per-(event_type, day) HLL
     sketches unioned up to per-type estimates — facts scanned once,
@@ -1330,6 +1345,7 @@ QUERIES = {
     "x_mmr_rerank": q_x_mmr_rerank,
     "x_collocations": q_x_collocations,
     "x_bpe_train": q_x_bpe_train,
+    "x_bpe_encode": q_x_bpe_encode,
     "x_ngram_containment": q_x_ngram_containment,
     "x_bigram_nll": q_x_bigram_nll,
 }

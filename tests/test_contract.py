@@ -28,6 +28,7 @@ def test_rows_only_set_is_intentional():
         "x_hll_rollup",
         "x_mmr_rerank",
         "x_bpe_train",
+        "x_bpe_encode",
     }
 
 

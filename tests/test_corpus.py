@@ -341,3 +341,25 @@ def test_bpe_train_learns_frequent_pairs_first(spark):
         (2, "ab ab", "abab", 3),
         (3, "ab c", "abc", 2),
     ]
+
+
+def test_bpe_encode_applies_learned_merges(spark):
+    df = spark.createDataFrame(
+        [(1, "abab abab abab abc abc", "s")], DOCS
+    )
+    merges = [
+        (r["pair"].split(" ")[0], r["pair"].split(" ")[1])
+        for r in C.bpe_train(df, num_merges=5, min_count=2)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    # merges: (a,b) -> ab; (ab,ab) -> abab; (ab,c) -> abc
+    row = C.bpe_encode(df, merges).collect()[0]
+    # "abab" ×3 → 1 subword each; "abc" ×2 → 1 subword each
+    assert row["n_words"] == 5 and row["n_subwords"] == 5
+    # fewer merges → more subwords (monotone compression)
+    row1 = C.bpe_encode(df, merges[:1]).collect()[0]
+    assert row1["n_subwords"] > row["n_subwords"]
+    # no merges → one subword per character
+    row0 = C.bpe_encode(df, []).collect()[0]
+    assert row0["n_subwords"] == sum(len(w) for w in "abab abab abab abc abc".split())
