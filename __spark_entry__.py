@@ -141,6 +141,7 @@ _NEW_SINCE_R2 = (
     "x_collocations",
     "x_bpe_train",
     "x_bpe_encode",
+    "x_sliding_span_dedup",
 )
 
 

@@ -343,6 +343,13 @@ def q_x_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_metadata(d)
 
 
+def q_x_sliding_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-1 repeated-window removal — catches boilerplate shifted
+    to a different token offset, which tile-aligned span dedup cannot
+    see (first occurrence wins; coverage-masked rebuild)."""
+    return D.sliding_span_dedup(t(spark, sf_dir, "documents"), span=8)
+
+
 def q_x_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-span removal (8-token tiles, first occurrence wins) —
     catches shared boilerplate inside otherwise-distinct documents."""
@@ -1233,6 +1240,42 @@ ORACLES: dict[str, str] = {
                     THEN 'png' ELSE 'jpeg' END AS format
         FROM documents
     """,
+    "x_sliding_span_dedup": """
+        WITH base AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+        wins AS (
+            SELECT doc_id, t,
+                   UNNEST(range(0, GREATEST(0, len(t) - 7))) AS w
+            FROM base),
+        wtext AS (
+            SELECT doc_id, w,
+                   array_to_string(t[w + 1 : w + 8], ' ') AS wt
+            FROM wins),
+        firsts AS (
+            SELECT wt, MIN(struct_pack(d := doc_id, fw := w)) AS f
+            FROM wtext GROUP BY wt),
+        dups AS (
+            SELECT x.doc_id, x.w AS s, x.w + 7 AS e
+            FROM wtext x JOIN firsts fs USING (wt)
+            WHERE NOT (x.doc_id = (fs.f).d AND x.w = (fs.f).fw)),
+        toksp AS (
+            SELECT doc_id,
+                   UNNEST(list_transform(range(len(t)),
+                          i -> struct_pack(p := i, tok := t[i + 1]))) AS u
+            FROM base),
+        kept AS (
+            SELECT tp.doc_id, (tp.u).tok AS tok, (tp.u).p AS p
+            FROM toksp tp
+            WHERE NOT EXISTS (
+                SELECT 1 FROM dups d
+                WHERE d.doc_id = tp.doc_id AND (tp.u).p BETWEEN d.s AND d.e))
+        SELECT b.doc_id,
+               COALESCE(string_agg(k.tok, ' ' ORDER BY k.p), '') AS clean_text,
+               CAST(len(b.t) AS BIGINT) AS n_tokens,
+               COUNT(k.p) AS n_tokens_kept
+        FROM base b LEFT JOIN kept k USING (doc_id)
+        GROUP BY b.doc_id, len(b.t)
+    """,
     "x_span_dedup": """
         WITH base AS (
             SELECT doc_id, string_split(trim(text), ' ') AS toks
@@ -1346,6 +1389,7 @@ QUERIES = {
     "x_collocations": q_x_collocations,
     "x_bpe_train": q_x_bpe_train,
     "x_bpe_encode": q_x_bpe_encode,
+    "x_sliding_span_dedup": q_x_sliding_span_dedup,
     "x_ngram_containment": q_x_ngram_containment,
     "x_bigram_nll": q_x_bigram_nll,
 }

@@ -313,3 +313,43 @@ def test_span_dedup_global_invariants(spark):
     assert agg["kept"] <= agg["total"]
     bad = out.filter(F.col("n_spans_kept") > F.col("n_spans")).count()
     assert bad == 0
+
+
+def test_sliding_span_dedup_catches_shifted_boilerplate(spark):
+    """The case the tile form misses: identical 8-token boilerplate at
+    DIFFERENT offsets. Tile dedup sees different tiles; sliding dedup
+    removes the later copy."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.dedup import (
+        sliding_span_dedup,
+        span_dedup,
+    )
+
+    boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    df = spark.createDataFrame(
+        [
+            (1, f"{boiler} u1 u2"),          # boiler at offset 0
+            (2, f"v1 {boiler} v2"),          # same boiler at offset 1
+        ],
+        "doc_id bigint, text string",
+    )
+    slide = {r["doc_id"]: r for r in sliding_span_dedup(df, span=8).collect()}
+    assert slide[1]["clean_text"] == f"{boiler} u1 u2"   # first occurrence kept
+    assert slide[2]["clean_text"] == "v1 v2"             # shifted copy removed
+    assert slide[2]["n_tokens_kept"] == 2
+    # the tile form cannot see it (tiles are offset-aligned)
+    tile = {r["doc_id"]: r for r in span_dedup(df, span=8).collect()}
+    assert tile[2]["n_spans_kept"] == tile[2]["n_spans"]
+
+
+def test_sliding_span_dedup_short_docs_pass_through(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.dedup import (
+        sliding_span_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id bigint, text string"
+    )
+    rows = {r["doc_id"]: r for r in sliding_span_dedup(df, span=8).collect()}
+    # shorter than the window: untouched (exact dedup handles these)
+    assert rows[1]["clean_text"] == "a b c" and rows[2]["clean_text"] == "a b c"
+    assert all(r["n_tokens_kept"] == 3 for r in rows.values())
