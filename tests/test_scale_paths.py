@@ -111,8 +111,13 @@ def test_results_invariant_under_partitioning(spark):
         session_stats,
     )
 
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.dedup import (
+        sliding_span_dedup,
+    )
+
     cases = [
         (docs, lambda d: span_dedup(d, span=8)),
+        (docs, lambda d: sliding_span_dedup(d, span=8)),
         (docs, lambda d: unigram_nll(d)),
         (docs, lambda d: bigram_nll(d)),
         (docs, lambda d: mixture_sample(d, alpha=0.5)),
