@@ -698,8 +698,10 @@ def bpe_train(
         a, b = pair.split(" ")
         merged = a + b
         pat = f"(^|(?<= )){_re.escape(a)} {_re.escape(b)}($|(?= ))"
+        # replacement escaping: backslash first, then $ (group refs)
+        repl = merged.replace("\\", "\\\\").replace("$", "\\$")
         cur = cur.withColumn(
-            "s", F.regexp_replace("s", pat, merged.replace("$", "\\$"))
+            "s", F.regexp_replace("s", pat, repl)
         ).localCheckpoint()
         merges.append((rank + 1, pair, merged, n))
     spark = df.sparkSession
@@ -736,7 +738,8 @@ def bpe_encode(
     col = F.col("__s")
     for a, b in merges:
         pat = f"(^|(?<= )){_re.escape(a)} {_re.escape(b)}($|(?= ))"
-        col = F.regexp_replace(col, pat, (a + b).replace("$", "\\$"))
+        repl = (a + b).replace("\\", "\\\\").replace("$", "\\$")
+        col = F.regexp_replace(col, pat, repl)
     encoded = out.select(id_col, F.size(F.split(col, " ")).alias("__n"))
     return encoded.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_words"),

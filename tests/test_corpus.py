@@ -363,3 +363,17 @@ def test_bpe_encode_applies_learned_merges(spark):
     # no merges → one subword per character
     row0 = C.bpe_encode(df, []).collect()[0]
     assert row0["n_subwords"] == sum(len(w) for w in "abab abab abab abc abc".split())
+
+
+def test_bpe_handles_regex_special_symbols(spark):
+    # tokens containing regex metacharacters must merge literally
+    df = spark.createDataFrame([(1, "$a $a $a", "s")], DOCS)
+    merges = [
+        (r["pair"].split(" ")[0], r["pair"].split(" ")[1])
+        for r in C.bpe_train(df, num_merges=2, min_count=2)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert merges and merges[0] == ("$", "a")
+    row = C.bpe_encode(df, merges).collect()[0]
+    assert row["n_words"] == 3 and row["n_subwords"] == 3  # "$a" one subword
