@@ -353,3 +353,20 @@ def test_sliding_span_dedup_short_docs_pass_through(spark):
     # shorter than the window: untouched (exact dedup handles these)
     assert rows[1]["clean_text"] == "a b c" and rows[2]["clean_text"] == "a b c"
     assert all(r["n_tokens_kept"] == 3 for r in rows.values())
+
+
+def test_sliding_span_dedup_dense_overlap(spark):
+    """Heavily overlapping removal intervals (every window of the
+    second doc duplicates the first) still mask correctly after the
+    islands fold: the entire later copy is removed."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.dedup import (
+        sliding_span_dedup,
+    )
+
+    text = " ".join(f"t{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id bigint, text string"
+    )
+    rows = {r["doc_id"]: r for r in sliding_span_dedup(df, span=8).collect()}
+    assert rows[1]["clean_text"] == text
+    assert rows[2]["clean_text"] == "" and rows[2]["n_tokens_kept"] == 0
