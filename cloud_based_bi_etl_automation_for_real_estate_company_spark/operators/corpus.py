@@ -598,7 +598,12 @@ def collocations(
     Counts derive from one exploded pass (bigram totals; both unigram
     context tables come from the bigram table, vocabulary-sized). The
     top-k is rank-windowed on (PMI desc, bigram asc) so output is
-    deterministic. Returns (bigram, n_pair, n_left, n_right, pmi).
+    deterministic; before the final unpartitioned rank window, an
+    exact per-hash-bucket top-k prune (any global top-k row is also
+    top-k within its bucket) caps the single-partition sort at
+    ``256·top_k`` rows regardless of vocabulary size, so the 100 TB
+    path never sorts the full scored-bigram table on one task.
+    Returns (bigram, n_pair, n_left, n_right, pmi).
     """
     bg = df.select(F.explode(shingles(text_col, 2)).alias("bg"))
     pair = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("n_pair"))
@@ -637,9 +642,17 @@ def collocations(
     )
     from pyspark.sql import Window
 
+    bucket_w = Window.partitionBy(F.pmod(F.hash("bg"), F.lit(256))).orderBy(
+        F.desc("pmi"), F.asc("bg")
+    )
+    pruned = (
+        scored.withColumn("__brnk", F.row_number().over(bucket_w))
+        .filter(F.col("__brnk") <= top_k)
+        .drop("__brnk")
+    )
     rw = Window.orderBy(F.desc("pmi"), F.asc("bg"))
     return (
-        scored.withColumn("rnk", F.row_number().over(rw).cast("bigint"))
+        pruned.withColumn("rnk", F.row_number().over(rw).cast("bigint"))
         .filter(F.col("rnk") <= top_k)
         .select(F.col("bg").alias("bigram"), "n_pair", "n_left", "n_right", "pmi", "rnk")
     )

@@ -602,7 +602,11 @@ def mmr_rerank(
     SIGIR 1998): greedily pick the candidate maximizing
     λ·sim(q, d) − (1−λ)·max_{s∈selected} sim(d, s) — relevance traded
     against redundancy, the standard diversifier on top of an ANN
-    stage's top-k'.
+    stage's top-k'. The redundancy term is the literal max over the
+    selected set — a genuinely negative max cosine (candidate
+    anti-correlated with everything picked so far) flows through and
+    *raises* the MMR score, exactly as the formula reads; only the
+    first pick (empty selected set) uses redundancy 0.
 
     The greedy argmax is inherently sequential per query, so this is
     the documented ``applyInPandas`` escape hatch (same tier as the
@@ -637,15 +641,18 @@ def mmr_rerank(
         order = np.lexsort((ids, -rel))
         ids, mat, rel = ids[order], mat[order], rel[order]
         chosen: list[int] = []
-        red = np.full(len(ids), -1.0)
-        for _ in range(min(k, len(ids))):
-            score = lam * rel - (1 - lam) * np.where(red < 0, 0.0, red)
+        picked = np.zeros(len(ids), dtype=bool)
+        red = np.zeros(len(ids))  # max-over-empty-set := 0 for pick 1
+        for step in range(min(k, len(ids))):
+            score = lam * rel - (1 - lam) * red
             best = min(
-                (i for i in range(len(ids)) if i not in chosen),
+                (i for i in range(len(ids)) if not picked[i]),
                 key=lambda i: (-score[i], ids[i]),
             )
             chosen.append(best)
-            red = np.maximum(red, mat @ mat[best])
+            picked[best] = True
+            sims = mat @ mat[best]
+            red = sims if step == 0 else np.maximum(red, sims)
         return pd.DataFrame(
             {
                 "q_id": pdf["q_id"].iloc[0],

@@ -319,3 +319,39 @@ def test_mmr_rerank_diversifies(spark):
         mmr_ids = [x for _, x in sorted(v)]
         diffs.append(mean_pair_cos(exact5[qid]) - mean_pair_cos(mmr_ids))
     assert all(d >= -1e-9 for d in diffs)
+
+
+def test_mmr_negative_redundancy_boosts_anticorrelated(spark):
+    """Carbonell & Goldstein literally: a candidate anti-correlated
+    with the selected set has a NEGATIVE redundancy term, which raises
+    its MMR score above a same-relevance candidate that is orthogonal
+    to the selection. With the old 0-floor both tied and the id
+    tiebreak picked the wrong one."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    # q along +x. cand 1 = (1,1,0)/√2 (rel .707, picked first).
+    # cand 2 = +z: rel 0, red 0. cand 3 = -y: rel 0, red = -.707 vs
+    # cand 1. MMR step 2: score(2) = 0; score(3) = -0.3·(-.707) ≈ .21
+    # so cand 3 must be picked 2nd despite the larger id (the old
+    # 0-floor tied them and the id tiebreak picked cand 2).
+    base = spark.createDataFrame(
+        [
+            (1, [1.0, 1.0, 0.0]),
+            (2, [0.0, 0.0, 1.0]),
+            (3, [0.0, -1.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    qdf = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    cands = spark.createDataFrame(
+        [(10, 1), (10, 2), (10, 3)], "q_id bigint, vec_id bigint"
+    )
+    got = sorted(
+        (r["rnk"], r["vec_id"])
+        for r in mmr_rerank(base, qdf, cands, k=3, lam=0.7).collect()
+    )
+    assert got == [(1, 1), (2, 3), (3, 2)]
