@@ -85,6 +85,7 @@ def run_curation_pipeline(
     out_path: str,
     entropy_gate: tuple[float, float] | None = None,
     span_dedup_spans: int | None = None,
+    mixture_alpha: float | None = None,
 ) -> DataFrame:
     """End-to-end training-data curation — the composition the
     individual oracle-checked operators exist for:
@@ -115,6 +116,14 @@ def run_curation_pipeline(
     dedup; ``span_dedup_spans=k`` rewrites text with globally repeated
     k-token spans removed (and drops fully-redundant documents)
     BEFORE exact dedup, since cleaning changes content hashes.
+    ``mixture_alpha=a`` adds a temperature-``a`` source-mixture
+    rebalance between redaction and the stratified sample: the
+    per-slice ``source_mixture`` audit is MATERIALIZED to
+    ``{out_path}__mixture_audit`` (the artifact a corpus build keeps
+    for provenance) and fed back through ``mixture_apply``, so the
+    rebalance pass itself scans the corpus exactly once — the
+    single-scan 100 TB path, plan-asserted in
+    tests/test_curation.py.
     """
     from pyspark.sql import functions as F
 
@@ -185,6 +194,14 @@ def run_curation_pipeline(
         pruned.filter(F.col("doc_id") % 50 != 0), eval_docs, k=8
     )
     pruned = pruned.withColumn("text", redact_pii(F.col("text")))
+    if mixture_alpha is not None:
+        from .operators.corpus import mixture_apply, source_mixture
+
+        audit_path = out_path + "__mixture_audit"
+        source_mixture(pruned, alpha=mixture_alpha).write.mode(
+            "overwrite"
+        ).parquet(audit_path)
+        pruned = mixture_apply(pruned, spark.read.parquet(audit_path))
     sampled = stratified_sample(
         pruned, "lang", {"en": 100, "zh": 50}, default_rate=50
     )

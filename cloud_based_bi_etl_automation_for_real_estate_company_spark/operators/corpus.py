@@ -446,16 +446,8 @@ def mixture_sample(
         if mixture is not None
         else source_mixture(df, text_col, group_col, alpha)
     )
-    rates = mix.select(
-        group_col, (F.col("weight") / F.col("token_share")).alias("__r")
-    )
-    rmax = rates.agg(F.max("__r").alias("__rmax"))
-    rates = rates.join(F.broadcast(rmax)).select(
-        group_col, (F.col("__r") / F.col("__rmax")).alias("rate")
-    )
-    frac = F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10).cast(
-        "double"
-    ) / F.lit(4294967296.0)
+    rates = _mixture_rates(mix, group_col)
+    frac = _content_frac(text_col)
     return (
         df.join(F.broadcast(rates), group_col)
         .groupBy(group_col)
@@ -464,6 +456,51 @@ def mixture_sample(
             F.count(F.when(frac < F.col("rate"), 1)).alias("n_kept"),
             F.min("rate").alias("rate"),
         )
+    )
+
+
+def _mixture_rates(mix: DataFrame, group_col: str) -> DataFrame:
+    """(group, rate) keep-rate table from a ``source_mixture`` result:
+    weight/token_share scaled so the most-upweighted slice keeps
+    everything (downsample-only)."""
+    rates = mix.select(
+        group_col, (F.col("weight") / F.col("token_share")).alias("__r")
+    )
+    rmax = rates.agg(F.max("__r").alias("__rmax"))
+    return rates.join(F.broadcast(rmax)).select(
+        group_col, (F.col("__r") / F.col("__rmax")).alias("rate")
+    )
+
+
+def _content_frac(text_col: str):
+    """Deterministic [0,1) fraction from the content hash — the same
+    RNG-free membership contract as ``stratified_sample``."""
+    return F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(4294967296.0)
+
+
+def mixture_apply(
+    df: DataFrame,
+    mixture: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Filter ``df`` down to the rows a precomputed ``source_mixture``
+    keeps — the row-level counterpart of ``mixture_sample``'s audit
+    summary, and the single-scan 100 TB path: the mixture table is a
+    slices-sized artifact (typically materialized once per corpus
+    build), its rate table is broadcast, and the filter is map-side
+    (one md5 per doc), so the corpus itself is scanned exactly once.
+    Same deterministic content-hash membership as ``mixture_sample``,
+    so ``n_kept`` in the audit equals ``mixture_apply(...).count()``
+    per slice. Returns ``df``'s rows/schema unchanged, filtered.
+    """
+    rates = _mixture_rates(mixture, group_col)
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(_content_frac(text_col) < F.col("rate"))
+        .select(*df.columns)
     )
 
 

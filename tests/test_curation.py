@@ -103,3 +103,72 @@ def test_curation_optional_lm_and_span_stages(spark, tmp_path):
     # run — removing shared boilerplate shrinks near-dup clusters, so
     # fewer docs are pruned as duplicates. That interaction is the
     # point of cleaning before dedup.
+
+
+def test_mixture_apply_single_scan_and_matches_audit(spark, tmp_path):
+    """The 100 TB mixture path: a materialized source_mixture artifact
+    fed through mixture_apply scans the corpus exactly ONCE (the
+    inline variant scans twice), and keeps exactly the docs the
+    mixture_sample audit counts."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.corpus import (
+        mixture_apply,
+        mixture_sample,
+        source_mixture,
+    )
+
+    docs = t(spark, SF, "documents")
+    audit_path = str(tmp_path / "mix_audit")
+    source_mixture(docs, alpha=0.5).write.parquet(audit_path)
+    mix = spark.read.parquet(audit_path)
+
+    kept = mixture_apply(docs, mix)
+
+    def doc_scans(df) -> int:
+        # optimizedPlan elides file paths; a documents scan is the
+        # relation whose first column is doc_id
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return plan.count("Relation [doc_id#")
+
+    assert doc_scans(kept) == 1
+    # the inline variant re-references the corpus throughout the
+    # weight computation's lineage (9 logical scans on this plan)
+    inline = mixture_apply(docs, source_mixture(docs, alpha=0.5))
+    assert doc_scans(inline) > 1
+
+    # same rows either way, schema unchanged
+    assert kept.columns == docs.columns
+    ids = lambda df: {r["doc_id"] for r in df.select("doc_id").collect()}
+    assert ids(kept) == ids(inline)
+    # audit n_kept per slice == applied row counts per slice
+    audit = {
+        r["source"]: r["n_kept"]
+        for r in mixture_sample(docs, mixture=mix).collect()
+    }
+    applied = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert audit == applied
+    # downsample-only with a real effect at alpha=0.5 on this fixture
+    assert 0 < kept.count() <= docs.count()
+
+
+def test_curation_pipeline_mixture_stage(spark, tmp_path):
+    """mixture_alpha wires the audit-artifact round-trip end-to-end:
+    the artifact lands next to the output, the rebalance only removes
+    rows (subset of the default run), and alpha=1.0 keeps natural
+    proportions (no-op on row membership)."""
+    base = run_curation_pipeline(spark, SF, str(tmp_path / "plain"))
+    mixed = run_curation_pipeline(
+        spark, SF, str(tmp_path / "mixed"), mixture_alpha=0.5
+    )
+    audit = spark.read.parquet(str(tmp_path / "mixed") + "__mixture_audit")
+    assert audit.columns == ["source", "n_docs", "n_tokens", "token_share", "weight"]
+    assert abs(sum(r["weight"] for r in audit.collect()) - 1.0) < 1e-9
+    ids = lambda df: {r["doc_id"] for r in df.select("doc_id").collect()}
+    assert ids(mixed) <= ids(base)
+    # alpha=1: weight == token_share, every rate is 1, nothing dropped
+    natural = run_curation_pipeline(
+        spark, SF, str(tmp_path / "nat"), mixture_alpha=1.0
+    )
+    assert ids(natural) == ids(base)
