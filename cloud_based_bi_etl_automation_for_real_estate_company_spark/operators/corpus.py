@@ -700,6 +700,7 @@ def bpe_train(
     text_col: str = "text",
     num_merges: int = 10,
     min_count: int = 2,
+    batch: int = 16,
 ) -> DataFrame:
     """Learn byte-pair-encoding merges over the corpus (Sennrich,
     Haddow & Birch, ACL 2016) with the word-frequency table as the
@@ -710,18 +711,46 @@ def bpe_train(
     (vocabulary-sized — at 100 TB this is the classic trick that makes
     BPE training tractable: the corpus is scanned once for word
     counts, every merge iteration then runs over the vocabulary).
-    Per merge: one weighted pair-count aggregation, a 1-row argmax
-    collect (the same legitimate driver-scalar pattern as the
-    connected-components convergence test), and a map-side
-    regexp rewrite of the symbol sequences; localCheckpoint keeps
-    lineage flat across iterations. Ties break on (count desc, pair
-    asc) so the learned merge list is deterministic.
+    Per ROUND (not per merge): one weighted pair-count aggregation,
+    one ``batch``-row top-k collect, and a map-side regexp rewrite
+    chain applying every merge the round accepted; localCheckpoint
+    keeps lineage flat across rounds. Ties break on (count desc,
+    pair asc) so the learned merge list is deterministic.
+
+    Batching is EXACT, not approximate: a round accepts the sorted
+    prefix of pairs that (a) share no symbol with — and don't
+    textually equal the merged output of — an earlier acceptance in
+    the round, and (b) have counts strictly above both the first
+    interacting pair's count and the smallest collected count (the
+    bound on everything unseen). Merging can only decrease an
+    interacting pair's count and any newly created pair is bounded by
+    an interacting one, so each accepted pair is provably the
+    sequential argmax at its step — same merge table as ``batch=1``,
+    ~``batch``× fewer driver round-trips at real vocab sizes.
 
     Returns (merge_rank, pair, merged, n) — the ordered merge table a
     tokenizer applies. Iterative → rows-only gate class.
     """
+    merges, _ = _bpe_train_rounds(df, text_col, num_merges, min_count, batch)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "merge_rank int, pair string, merged string, n bigint"
+    )
+
+
+def _bpe_train_rounds(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int,
+    min_count: int,
+    batch: int,
+) -> tuple[list[tuple[int, str, str, int]], int]:
+    """(merge table, number of aggregation rounds run) — split out so
+    tests can assert batching reduces driver round-trips without
+    changing the learned merges."""
     import re as _re
 
+    batch = max(1, batch)
     words = (
         df.select(F.explode(tokens(text_col)).alias("w"))
         .groupBy("w")
@@ -730,8 +759,10 @@ def bpe_train(
     cur = words.select(
         "freq", F.concat_ws(" ", F.split(F.col("w"), "")).alias("s")
     ).localCheckpoint()
-    merges = []
-    for rank in range(num_merges):
+    merges: list[tuple[int, str, str, int]] = []
+    rounds = 0
+    while len(merges) < num_merges:
+        rounds += 1
         pair_counts = (
             cur.select(
                 "freq", F.explode(shingles(F.col("s"), 2)).alias("pair")
@@ -739,25 +770,51 @@ def bpe_train(
             .groupBy("pair")
             .agg(F.sum("freq").alias("n"))
         )
-        best = (
-            pair_counts.orderBy(F.desc("n"), F.asc("pair")).limit(1).collect()
+        top = (
+            pair_counts.orderBy(F.desc("n"), F.asc("pair"))
+            .limit(batch)
+            .collect()
         )
-        if not best or best[0]["n"] < min_count:
+        if not top or top[0]["n"] < min_count:
             break
-        pair, n = best[0]["pair"], int(best[0]["n"])
-        a, b = pair.split(" ")
-        merged = a + b
-        pat = f"(^|(?<= )){_re.escape(a)} {_re.escape(b)}($|(?= ))"
-        # replacement escaping: backslash first, then $ (group refs)
-        repl = merged.replace("\\", "\\\\").replace("$", "\\$")
-        cur = cur.withColumn(
-            "s", F.regexp_replace("s", pat, repl)
-        ).localCheckpoint()
-        merges.append((rank + 1, pair, merged, n))
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        merges, "merge_rank int, pair string, merged string, n bigint"
-    )
+        # greedy non-interacting prefix: symbols seen in accepted
+        # pairs plus their merged outputs (a later pair touching a
+        # merged STRING could gain count mid-batch — exclude it)
+        seen: set[str] = set()
+        accepted: list[tuple[str, int]] = []
+        bound = None  # count of the first interacting pair
+        hit_min = False
+        for r in top:
+            a, b = r["pair"].split(" ")
+            if int(r["n"]) < min_count:
+                hit_min = True
+                break
+            if a in seen or b in seen:
+                bound = int(r["n"])
+                break
+            accepted.append((r["pair"], int(r["n"])))
+            seen.update((a, b, a + b))
+        # everything not collected is bounded by the smallest
+        # collected count; fold it into the dominance bound
+        if len(top) == batch and not hit_min and bound is None:
+            bound = int(top[-1]["n"])
+        if bound is not None:
+            safe = [p for p in accepted if p[1] > bound]
+            # the global top-1 is the exact argmax unconditionally
+            accepted = safe if safe else accepted[:1]
+        accepted = accepted[: num_merges - len(merges)]
+        col = F.col("s")
+        for pair, n in accepted:
+            a, b = pair.split(" ")
+            pat = f"(^|(?<= )){_re.escape(a)} {_re.escape(b)}($|(?= ))"
+            # replacement escaping: backslash first, then $ (group refs)
+            repl = (a + b).replace("\\", "\\\\").replace("$", "\\$")
+            col = F.regexp_replace(col, pat, repl)
+            merges.append((len(merges) + 1, pair, a + b, n))
+        cur = cur.withColumn("s", col).localCheckpoint()
+        # no explicit early-stop on hit_min: merges can CREATE pairs
+        # above min_count, so the next round's aggregation decides
+    return merges, rounds
 
 
 def bpe_encode(

@@ -377,3 +377,37 @@ def test_bpe_handles_regex_special_symbols(spark):
     assert merges and merges[0] == ("$", "a")
     row = C.bpe_encode(df, merges).collect()[0]
     assert row["n_words"] == 3 and row["n_subwords"] == 3  # "$a" one subword
+
+
+def test_bpe_batched_training_matches_sequential(spark):
+    """batch>1 is an exact optimization: identical merge table to the
+    batch=1 sequential trainer on real fixture text, with strictly
+    fewer aggregation rounds (the driver round-trips VERDICT flagged)."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.corpus import (
+        _bpe_train_rounds,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    seq, seq_rounds = _bpe_train_rounds(docs, "text", 12, 2, 1)
+    bat, bat_rounds = _bpe_train_rounds(docs, "text", 12, 2, 16)
+    assert bat == seq
+    assert len(seq) == 12
+    assert seq_rounds == 12 and bat_rounds < seq_rounds
+
+
+def test_bpe_batched_interacting_pairs_defer(spark):
+    # counts: (a,b)=8, (b,a)=3, (b,c)=2 — (b,a) and (b,c) interact
+    # with the accepted (a,b), so round 1 must emit ONLY (a,b) and
+    # later rounds pick up (ab,ab) / (ab,c) exactly as sequential
+    df = spark.createDataFrame([(1, "abab abab abab abc abc", "s")], DOCS)
+    got = [
+        (r["merge_rank"], r["pair"], r["merged"], r["n"])
+        for r in C.bpe_train(df, num_merges=5, min_count=2, batch=8)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == [
+        (1, "a b", "ab", 8),
+        (2, "ab ab", "abab", 3),
+        (3, "ab c", "abc", 2),
+    ]
