@@ -61,7 +61,7 @@ def decode_metadata(df: DataFrame, blob_col: str = "blob",
     on a single core because the source was one big file."""
     from .partitioning import spread
 
-    df = spread(df.select(id_col, blob_col))
+    df = spread(df.select(id_col, blob_col), bytes_per_partition=8 << 20)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -86,7 +86,7 @@ def frame_sample_stub(df: DataFrame, blob_col: str = "blob",
     row-explosion shape is the real contract a decoder would use."""
     from .partitioning import spread
 
-    df = spread(df.select(id_col, blob_col))
+    df = spread(df.select(id_col, blob_col), bytes_per_partition=8 << 20)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -134,7 +134,7 @@ def embed_stub(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id",
             StructField("embedding", ArrayType(FloatType())),
         ]
     )
-    src = spread(df.select(id_col, blob_col))
+    src = spread(df.select(id_col, blob_col), bytes_per_partition=8 << 20)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -17,12 +17,38 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def spread(df: DataFrame) -> DataFrame:
-    """Repartition ``df`` to the cluster's default parallelism IF the
-    current plan yields fewer partitions; identity otherwise. The
+def spread(df: DataFrame, bytes_per_partition: int | None = None) -> DataFrame:
+    """Repartition ``df`` toward the cluster's default parallelism IF
+    the current plan yields fewer partitions; identity otherwise. The
     repartition shuffles only the raw input rows — cheap relative to
-    the per-row derivation it parallelizes."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    the per-row derivation it parallelizes.
+
+    By default the target IS the default parallelism: the callers are
+    JVM-side explosions (shingles, vector arithmetic) where an extra
+    task costs microseconds, so fan-out is free insurance. Arrow /
+    Python-worker paths (multimodal decode) pass ``bytes_per_partition``
+    to make the target size-aware instead — Catalyst's size estimate
+    divided by the budget, still capped at default parallelism — so a
+    kilobyte-scale input gets a couple of Python workers instead of
+    one per core (worker startup dominated the multimodal gate entry
+    at small SF), while anything big still fans out to the full
+    cluster. An unknown/huge estimate degrades to the cap."""
+    sc = df.sparkSession.sparkContext
+    cap = sc.defaultParallelism
+    target = cap
+    if bytes_per_partition is not None:
+        try:
+            est = int(
+                str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            )
+            target = max(1, min(cap, -(-est // bytes_per_partition)))
+        except Exception:
+            pass
+        if target < cap:
+            # small input: shuffling it is ~free, probing the scan's
+            # partition count is not (forces full physical planning)
+            return df.repartition(target)
+    # JVM-side probe — df.rdd would add a Python-serializer conversion
+    if df._jdf.rdd().getNumPartitions() >= target:
         return df
     return df.repartition(target)
