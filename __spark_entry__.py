@@ -97,7 +97,16 @@ _GATE_PRIORITY = (
 # Queries added in round 3 (no driver row yet) — registered
 # immediately after the unchecked block so the gate window reaches
 # them too; every earlier name already has a green r1/r2 row.
-_NEW_SINCE_R3: tuple[str, ...] = ()
+_NEW_SINCE_R3: tuple[str, ...] = (
+    "a24_cohort_retention",
+    "a25_attribution",
+    "a26_rfm",
+    "x_priority_sample",
+    "x_editdist_pairs",
+    "x_kmv_distinct",
+    "x_kmv_setops",
+    "x_trigram_nll",
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -581,6 +581,30 @@ def stupid_backoff_nll(
     score is partition-order invariant. Returns (doc_id, n_trigrams,
     nll).
     """
+    joined = _trigram_count_join(score_df, train_df, text_col, id_col)
+    s = F.coalesce(
+        F.col("c3").cast("double") / F.col("cctx"),
+        F.lit(alpha) * F.col("c2") / F.col("c1ctx"),
+        F.lit(alpha * alpha) * F.col("c1w") / F.col("n_tok"),
+        F.lit(alpha * alpha) / F.col("n_tok"),
+    )
+    term = F.round(-F.log(s), 12).cast("decimal(28,12)")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        (F.sum(term).cast("double") / F.count(F.lit(1))).alias("nll"),
+    )
+
+
+def _trigram_count_join(
+    score_df: DataFrame, train_df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Shared scaffold for the held-out trigram scorers: trigram /
+    bigram / unigram count tables off the train corpus, left-joined
+    onto the score side's trigram positions. Columns: c3 (trigram
+    count), cctx (its w1w2 context), c2/c1ctx (the w2w3 bigram and its
+    w2 context), c1w (w3 unigram), n_tok (train token total). All join
+    keys are uniform high-cardinality text keys; n_tok is a 1-row
+    broadcast."""
     def grams(df: DataFrame, k: int, out: str) -> DataFrame:
         return df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias(out))
 
@@ -598,7 +622,7 @@ def stupid_backoff_nll(
         F.split(F.col("g3"), " ")[2].alias("w3"),
         F.split(F.col("g3"), " ")[1].alias("w2"),
     )
-    joined = (
+    return (
         pos.join(tri_c, "g3", "left")
         .join(bi_c.select(F.col("g2").alias("ctx2"), F.col("c2").alias("cctx")), "ctx2", "left")
         .join(bi_c, "g2", "left")
@@ -606,13 +630,46 @@ def stupid_backoff_nll(
         .join(uni_c.select(F.col("w").alias("w3"), F.col("c1").alias("c1w")), "w3", "left")
         .join(F.broadcast(n_total))
     )
-    s = F.coalesce(
-        F.col("c3").cast("double") / F.col("cctx"),
-        F.lit(alpha) * F.col("c2") / F.col("c1ctx"),
-        F.lit(alpha * alpha) * F.col("c1w") / F.col("n_tok"),
-        F.lit(alpha * alpha) / F.col("n_tok"),
+
+
+def interpolated_nll(
+    score_df: DataFrame,
+    train_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lambdas: tuple[float, float, float, float] = (0.5, 0.3, 0.19, 0.01),
+) -> DataFrame:
+    """Held-out trigram scoring under JELINEK-MERCER linear
+    interpolation (Jelinek & Mercer 1980; the smoothing baseline in
+    Chen & Goodman 1999) — the normalized counterpart of
+    ``stupid_backoff_nll``: instead of falling THROUGH the order
+    ladder, every order always contributes:
+
+        P(w3|w1w2) = λ3·c(w1w2w3)/c(w1w2·) + λ2·c(w2w3)/c(w2·)
+                   + λ1·c(w3)/N            + λ0/N
+
+    with Σλ = 1, so P is a proper distribution (the λ0/N uniform
+    floor makes every score finite, OOV included). Unseen numerators
+    contribute 0 rather than triggering a branch, which is why the
+    interpolated form ranks fluent-but-novel text differently from
+    backoff: it still credits the lower orders even when the trigram
+    IS seen.
+
+    Same single-scaffold dataflow as stupid backoff (three count
+    tables, three left joins, decimal-accumulated -ln P terms).
+    Counts come from ``train_df`` only. Returns (doc_id, n_trigrams,
+    nll).
+    """
+    l3, l2, l1, l0 = lambdas
+    joined = _trigram_count_join(score_df, train_df, text_col, id_col)
+    zero = F.lit(0.0)
+    p = (
+        F.lit(l3) * F.coalesce(F.col("c3").cast("double") / F.col("cctx"), zero)
+        + F.lit(l2) * F.coalesce(F.col("c2").cast("double") / F.col("c1ctx"), zero)
+        + F.lit(l1) * F.coalesce(F.col("c1w").cast("double") / F.col("n_tok"), zero)
+        + F.lit(l0) / F.col("n_tok")
     )
-    term = F.round(-F.log(s), 12).cast("decimal(28,12)")
+    term = F.round(-F.log(p), 12).cast("decimal(28,12)")
     return joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_trigrams"),
         (F.sum(term).cast("double") / F.count(F.lit(1))).alias("nll"),

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -116,6 +116,51 @@ def stratified_sample(
         df.join(F.broadcast(rate_df), class_col, "left")
         .filter(bucket < F.coalesce(F.col("__rate"), F.lit(default_rate)))
         .drop("__rate")
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    strata_col: str | None = None,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, top-k per
+    stratum — Efraimidis & Spirakis (IPL 2006) A-Res: each row draws a
+    priority key u^(1/w) from a uniform u and its weight w, and the k
+    largest keys form an exact weighted sample. The classic use is
+    quality-weighted corpus subsetting (sample documents proportional
+    to a quality score or token count) where a Bernoulli rate can't
+    hit an exact budget.
+
+    The uniform comes from the content hash (same RNG-free membership
+    contract as ``stratified_sample``), so the sample is stable across
+    runs and partitionings. The key is rounded to 9 dp BEFORE ranking
+    (with the id as tie-break) so the ordering is engine-portable; the
+    per-stratum top-k is a rank-filtered window, which Spark executes
+    as a map-side WindowGroupLimit — each task forwards only its local
+    top-k, so the shuffle carries O(strata·k) rows, not the corpus.
+
+    Returns (strata_col?, id_col, weight_col, sample_key), the k
+    highest-priority rows per stratum.
+    """
+    u = F.conv(F.substring(F.md5(F.col(content_col)), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(4294967296.0)
+    key = F.round(
+        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 9
+    ).alias("sample_key")
+    part = [strata_col] if strata_col else []
+    w = Window.partitionBy(*part).orderBy(
+        F.col("sample_key").desc(), F.col(id_col)
+    )
+    return (
+        df.select(*part, id_col, weight_col, key)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
     )
 
 

@@ -18,7 +18,7 @@ pinned in tests/test_scale_paths.py instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -45,5 +45,110 @@ def merge_distinct_sketches(
     return gb.agg(
         F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).alias(
             "approx_distinct"
+        )
+    )
+
+
+# --- KMV (k-minimum-values) theta sketches -------------------------------
+#
+# The HLL rollups above are opaque binary (rows-only with the gate);
+# the KMV family below is the ENGINE-PORTABLE theta sketch (Bar-Yossef
+# et al. 2002; the basis of DataSketches Theta): keep the k smallest
+# deterministic hash fractions of the distinct keys. Every step is
+# relational — md5, a rank-filtered window, one aggregate — so a SQL
+# oracle replays it bit-for-bit, AND (unlike HLL) the sketches support
+# set ALGEBRA: union (merge + re-truncate) and intersection (count
+# common hashes below the joint theta), which is how 100 TB overlap
+# questions ("distinct users in BOTH funnels") get answered from
+# kilobyte artifacts instead of fact re-scans.
+
+
+def _hash_frac(col: str):
+    """Deterministic uniform [0,1) fraction of a key: the first 8 hex
+    chars of md5 over 2^32 — identical arithmetic in Spark and the
+    DuckDB oracle."""
+    return F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10
+    ).cast("double") / F.lit(4294967296.0)
+
+
+def kmv_kept(df: DataFrame, keys: list[str], col: str, k: int = 128) -> DataFrame:
+    """The retained set of a per-group KMV sketch: the k smallest
+    distinct hash fractions of ``col`` within each key group. One
+    distinct-agg shuffle, then a rank-filtered window Spark executes
+    as a map-side WindowGroupLimit — each task forwards only its local
+    k minima, so the exchange carries O(groups·k) rows. Returns
+    (*keys, u) — the mergeable artifact the estimate/set-op functions
+    consume."""
+    hashed = df.select(*keys, _hash_frac(col).alias("u")).distinct()
+    w = Window.partitionBy(*keys).orderBy("u")
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_estimate(kept: DataFrame, keys: list[str], k: int = 128) -> DataFrame:
+    """Distinct-count estimate from a retained set: exact when the
+    group held fewer than k distinct keys (the sketch IS the set),
+    else the unbiased KMV estimator (k-1)/u_(k). Returns (*keys,
+    n_kept, theta, estimate)."""
+    return kmv_stats(kept.groupBy(*keys), k)
+
+
+def kmv_stats(grouped, k: int):
+    """Shared estimate aggregate over a grouped retained set."""
+    return grouped.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("u").alias("theta"),
+        F.when(F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double"))
+        .otherwise(F.lit(float(k - 1)) / F.max("u"))
+        .alias("estimate"),
+    )
+
+
+def kmv_union(
+    kept_a: DataFrame, kept_b: DataFrame, k: int = 128
+) -> DataFrame:
+    """Union cardinality from two single-group retained sets: merge,
+    dedupe, re-truncate to the k smallest, re-estimate — the theta
+    union. Input frames carry just (u). Returns one row (n_kept,
+    theta, estimate)."""
+    merged = kept_a.select("u").union(kept_b.select("u")).distinct()
+    w = Window.orderBy("u")
+    kept = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    return kmv_stats(kept.groupBy(), k)
+
+
+def kmv_intersect(
+    kept_a: DataFrame, kept_b: DataFrame, k: int = 128
+) -> DataFrame:
+    """Intersection cardinality (theta intersection): joint theta =
+    min of the two sketch thetas (1.0 for a non-full sketch — it saw
+    everything), count the hashes retained by BOTH below it, estimate
+    = |common<θ| / θ. Returns one row (n_common, theta, estimate)."""
+    def theta_of(kept: DataFrame):
+        return kept.agg(
+            F.when(F.count(F.lit(1)) < k, F.lit(1.0))
+            .otherwise(F.max("u"))
+            .alias("th")
+        )
+
+    thetas = theta_of(kept_a).join(theta_of(kept_b).withColumnRenamed("th", "th_b"))
+    joint = thetas.select(F.least("th", "th_b").alias("theta"))
+    common = kept_a.select("u").join(kept_b.select("u"), "u")
+    return (
+        common.join(F.broadcast(joint))
+        .filter(F.col("u") < F.col("theta"))
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.min("theta").alias("theta"),
+            (F.count(F.lit(1)) / F.min("theta")).alias("estimate"),
         )
     )

@@ -240,7 +240,197 @@ def q_a23_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_a24_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the classic BI lifecycle view the
+    reference's dashboard family implies (lead funnel over time,
+    reference README.md dashboards): cohort = month of a user's FIRST
+    event, and each (cohort, month-offset) cell counts the cohort's
+    users still active that many months later, as a share of the
+    cohort.
+
+    Dataflow: one scan → distinct (user, month) activity, a per-user
+    min-month aggregate (both shuffles key on user_id — uniform), the
+    cohort join stays user-keyed, and the cell aggregate is
+    months²-sized. Cohort sizes are a tiny broadcast join. At 100 TB
+    nothing here is corpus-quadratic: cells are bounded by the
+    calendar, not the data.
+    """
+    ev = t(spark, sf_dir, "events")
+    base = ev.select("user_id", F.trunc("ts", "month").alias("am"))
+    firsts = base.groupBy("user_id").agg(F.min("am").alias("cohort_month"))
+    cells = (
+        base.distinct()
+        .join(firsts, "user_id")
+        .groupBy(
+            "cohort_month",
+            F.months_between("am", "cohort_month").cast("int").alias("month_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    sizes = firsts.groupBy("cohort_month").agg(F.count(F.lit(1)).alias("n_cohort"))
+    return cells.join(F.broadcast(sizes), "cohort_month").select(
+        "cohort_month",
+        "month_offset",
+        "n_active",
+        "n_cohort",
+        (F.col("n_active").cast("double") / F.col("n_cohort")).alias("retention"),
+    )
+
+
+def q_a25_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch revenue attribution: every user's purchase revenue
+    is credited to the event type that FIRST brought them in (min ts,
+    event_id tie-break) — the acquisition-channel measure behind
+    marketing-spend dashboards.
+
+    The first-touch pick is a rank-filtered window per user (map-side
+    WindowGroupLimit — only each task's first row per user reaches the
+    exchange); revenue joins user-keyed; the final aggregate is
+    channel-sized. Money accumulates in decimal (order-invariant)."""
+    from ..functions.transforms import dsum
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", F.col("event_type").alias("first_touch"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "value"
+    )
+    return (
+        firsts.join(purchases, "user_id", "left")
+        .groupBy("first_touch")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            dsum(F.coalesce(F.col("value"), F.lit(0.0))).alias(
+                "attributed_revenue"
+            ),
+        )
+    )
+
+
+def q_a26_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (Hughes 1994): per purchasing user, recency =
+    days since last purchase (vs the corpus max date), frequency =
+    purchase count, monetary = decimal-exact revenue; each scored into
+    ntile(4) quartiles (1 = best: most recent / most frequent /
+    highest spend) and aggregated to segment counts — the customer-
+    value matrix BI tools build off the same fact table.
+
+    The ntile windows are global sorts, but they run over the
+    PER-USER aggregate (users-sized, orders of magnitude below the
+    fact table); ties break on user_id so ranks are deterministic.
+    The anchor date is a 1-row broadcast."""
+    from ..functions.transforms import dsum
+
+    ev = t(spark, sf_dir, "events")
+    pur = ev.filter(F.col("event_type") == "purchase")
+    anchor = pur.agg(F.max(F.to_date("ts")).alias("anchor_day"))
+    per_user = pur.groupBy("user_id").agg(
+        F.max(F.to_date("ts")).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum("value").alias("monetary"),
+    )
+    scored = per_user.join(F.broadcast(anchor)).select(
+        "user_id",
+        F.datediff("anchor_day", "last_day").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    r_w = Window.orderBy(F.col("recency_days"), F.col("user_id"))
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("user_id"))
+    m_w = Window.orderBy(F.col("monetary").desc(), F.col("user_id"))
+    return (
+        scored.select(
+            F.ntile(4).over(r_w).alias("r_score"),
+            F.ntile(4).over(f_w).alias("f_score"),
+            F.ntile(4).over(m_w).alias("m_score"),
+            "monetary",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.col("monetary").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_monetary"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "a24_cohort_retention": """
+        WITH base AS (
+            SELECT user_id,
+                   date_trunc('month', CAST(ts AS TIMESTAMP)) AS am
+            FROM events),
+        firsts AS (
+            SELECT user_id, MIN(am) AS cohort_month FROM base GROUP BY 1),
+        cells AS (
+            SELECT f.cohort_month,
+                   CAST(datediff('month', f.cohort_month, a.am) AS INTEGER)
+                       AS month_offset,
+                   COUNT(*) AS n_active
+            FROM (SELECT DISTINCT user_id, am FROM base) a
+            JOIN firsts f USING (user_id)
+            GROUP BY 1, 2),
+        sizes AS (
+            SELECT cohort_month, COUNT(*) AS n_cohort FROM firsts GROUP BY 1)
+        SELECT c.cohort_month, c.month_offset, c.n_active, s.n_cohort,
+               CAST(c.n_active AS DOUBLE) / s.n_cohort AS retention
+        FROM cells c JOIN sizes s USING (cohort_month)
+    """,
+    "a25_attribution": """
+        WITH ranked AS (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events),
+        firsts AS (
+            SELECT user_id, event_type AS first_touch FROM ranked WHERE rn = 1),
+        purchases AS (
+            SELECT user_id, value FROM events WHERE event_type = 'purchase')
+        SELECT f.first_touch,
+               COUNT(DISTINCT f.user_id) AS n_users,
+               CAST(SUM(CAST(COALESCE(p.value, 0.0) AS DECIMAL(18,2)))
+                    AS DOUBLE) AS attributed_revenue
+        FROM firsts f LEFT JOIN purchases p USING (user_id)
+        GROUP BY 1
+    """,
+    "a26_rfm": """
+        WITH pur AS (
+            SELECT user_id, CAST(ts AS DATE) AS d, value
+            FROM events WHERE event_type = 'purchase'),
+        anchor AS (SELECT MAX(d) AS anchor_day FROM pur),
+        per_user AS (
+            SELECT user_id, MAX(d) AS last_day, COUNT(*) AS frequency,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+            FROM pur GROUP BY 1),
+        scored AS (
+            SELECT user_id,
+                   datediff('day', last_day, a.anchor_day) AS recency_days,
+                   frequency, monetary
+            FROM per_user CROSS JOIN anchor a),
+        tiles AS (
+            SELECT CAST(NTILE(4) OVER (ORDER BY recency_days, user_id)
+                        AS INTEGER) AS r_score,
+                   CAST(NTILE(4) OVER (ORDER BY frequency DESC, user_id)
+                        AS INTEGER) AS f_score,
+                   CAST(NTILE(4) OVER (ORDER BY monetary DESC, user_id)
+                        AS INTEGER) AS m_score,
+                   monetary
+            FROM scored)
+        SELECT r_score, f_score, m_score,
+               COUNT(*) AS n_users,
+               CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_monetary
+        FROM tiles GROUP BY 1, 2, 3
+    """,
+
     "a23_equidepth_hist": """
         WITH ranked AS (
             SELECT value, NTILE(10) OVER (ORDER BY value, event_id) AS bucket
@@ -372,4 +562,7 @@ QUERIES = {
     "u4_intersect": q_u4_intersect,
     "p18_string_kit": q_p18_string_kit,
     "x_quality_filter": q_x_quality_filter,
+    "a24_cohort_retention": q_a24_cohort_retention,
+    "a25_attribution": q_a25_attribution,
+    "a26_rfm": q_a26_rfm,
 }

@@ -599,6 +599,72 @@ _IVFPQ_CTES = """base AS (
                        PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rnk
             FROM scored)"""
 
+def q_x_trigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer interpolated trigram NLL (Chen & Goodman 1999's
+    smoothing baseline): counts from the even-doc_id half, odd half
+    scored held-out — the normalized counterpart of x_backoff_nll."""
+    d = t(spark, sf_dir, "documents")
+    return C.interpolated_nll(
+        d.filter(F.col("doc_id") % 2 == 1), d.filter(F.col("doc_id") % 2 == 0)
+    )
+
+
+def q_x_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type KMV theta sketch (k=128 minimum hash values) and
+    its distinct-user estimate — the engine-portable sketch family
+    (md5 hash → the oracle replays it bit-for-bit, unlike the HLL
+    binaries in x_hll_rollup)."""
+    from ..operators import sketches as K
+
+    ev = t(spark, sf_dir, "events")
+    kept = K.kmv_kept(ev, ["event_type"], "user_id", k=128)
+    return K.kmv_estimate(kept, ["event_type"], k=128)
+
+
+def q_x_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set ALGEBRA over two KMV sketches (view vs click
+    users): union = merge + re-truncate, intersection = common hashes
+    below the joint theta — the kilobyte-artifact answer to 'distinct
+    users in BOTH funnels' that HLL cannot give."""
+    from ..operators import sketches as K
+
+    ev = t(spark, sf_dir, "events")
+    kept = K.kmv_kept(ev, ["event_type"], "user_id", k=128)
+    a = kept.filter(F.col("event_type") == "view").select("u")
+    b = kept.filter(F.col("event_type") == "click").select("u")
+    uni = K.kmv_union(a, b, k=128).select(
+        F.lit("union").alias("op"), "n_kept", "estimate"
+    )
+    inter = K.kmv_intersect(a, b, k=128).select(
+        F.lit("intersect").alias("op"),
+        F.col("n_common").alias("n_kept"),
+        "estimate",
+    )
+    return uni.union(inter)
+
+
+def q_x_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement:
+    top-25 docs per language by the u^(1/w) priority key, weight =
+    n_chars — the exact-budget counterpart of the Bernoulli
+    stratified/mixture samplers."""
+    from ..operators import quality as Q
+
+    return Q.weighted_sample(
+        t(spark, sf_dir, "documents"),
+        weight_col="n_chars",
+        k=25,
+        strata_col="lang",
+    )
+
+
+def q_x_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-level near-duplicate key pairs: Levenshtein ≤ 2 between
+    distinct part names, candidates via per-word-position blocking
+    (merge/purge) — entity resolution for dirty dimension values."""
+    return D.editdist_pairs(t(spark, sf_dir, "part"), "p_name", max_dist=2)
+
+
 ORACLES: dict[str, str] = {
     "x_dedup_exact": """
         SELECT md5(text) AS content_hash,
@@ -1342,7 +1408,155 @@ ORACLES: dict[str, str] = {
                      / SUM(cnt) AS entropy
         FROM per GROUP BY doc_id
     """,
+    "x_trigram_nll": """
+        WITH toks AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+        c3 AS (
+            SELECT g3, COUNT(*) AS c3 FROM (
+                SELECT UNNEST(CASE WHEN len(t) >= 3
+                    THEN list_transform(range(1, len(t) - 1),
+                                        i -> array_to_string(t[i:i+2], ' '))
+                    ELSE [] END) AS g3
+                FROM toks WHERE doc_id % 2 = 0)
+            GROUP BY g3),
+        c2 AS (
+            SELECT g2, COUNT(*) AS c2 FROM (
+                SELECT UNNEST(CASE WHEN len(t) >= 2
+                    THEN list_transform(range(1, len(t)),
+                                        i -> array_to_string(t[i:i+1], ' '))
+                    ELSE [] END) AS g2
+                FROM toks WHERE doc_id % 2 = 0)
+            GROUP BY g2),
+        c1 AS (
+            SELECT w, COUNT(*) AS c1 FROM (
+                SELECT UNNEST(t) AS w FROM toks WHERE doc_id % 2 = 0)
+            GROUP BY w),
+        ntok AS (SELECT CAST(SUM(c1) AS DOUBLE) AS n_tok FROM c1),
+        pos AS (
+            SELECT doc_id, g3,
+                   array_to_string(string_split(g3, ' ')[1:2], ' ') AS ctx2,
+                   array_to_string(string_split(g3, ' ')[2:3], ' ') AS g2,
+                   string_split(g3, ' ')[3] AS w3,
+                   string_split(g3, ' ')[2] AS w2
+            FROM (
+                SELECT doc_id, UNNEST(CASE WHEN len(t) >= 3
+                    THEN list_transform(range(1, len(t) - 1),
+                                        i -> array_to_string(t[i:i+2], ' '))
+                    ELSE [] END) AS g3
+                FROM toks WHERE doc_id % 2 = 1)),
+        scored AS (
+            SELECT p.doc_id,
+                   0.5  * COALESCE(CAST(t3.c3 AS DOUBLE) / cx.c2, 0.0)
+                 + 0.3  * COALESCE(CAST(c2b.c2 AS DOUBLE) / u2.c1, 0.0)
+                 + 0.19 * COALESCE(CAST(u3.c1 AS DOUBLE) / n.n_tok, 0.0)
+                 + 0.01 / n.n_tok AS p
+            FROM pos p
+            LEFT JOIN c3 t3 USING (g3)
+            LEFT JOIN c2 cx ON cx.g2 = p.ctx2
+            LEFT JOIN c2 c2b ON c2b.g2 = p.g2
+            LEFT JOIN c1 u2 ON u2.w = p.w2
+            LEFT JOIN c1 u3 ON u3.w = p.w3
+            CROSS JOIN ntok n)
+        SELECT doc_id, COUNT(*) AS n_trigrams,
+               CAST(SUM(CAST(ROUND(-ln(p), 12) AS DECIMAL(28,12)))
+                    AS DOUBLE) / COUNT(*) AS nll
+        FROM scored GROUP BY doc_id
+    """,
+    "x_kmv_distinct": """
+        WITH hashed AS (
+            SELECT DISTINCT event_type,
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) / 4294967296.0 AS u
+            FROM events),
+        kept AS (
+            SELECT event_type, u FROM (
+                SELECT event_type, u,
+                       ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY u) AS rn
+                FROM hashed)
+            WHERE rn <= 128)
+        SELECT event_type,
+               COUNT(*) AS n_kept,
+               MAX(u) AS theta,
+               CASE WHEN COUNT(*) < 128 THEN CAST(COUNT(*) AS DOUBLE)
+                    ELSE 127.0 / MAX(u) END AS estimate
+        FROM kept GROUP BY event_type
+    """,
+    "x_kmv_setops": """
+        WITH hashed AS (
+            SELECT DISTINCT event_type,
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) / 4294967296.0 AS u
+            FROM events WHERE event_type IN ('view', 'click')),
+        kept AS (
+            SELECT event_type, u FROM (
+                SELECT event_type, u,
+                       ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY u) AS rn
+                FROM hashed)
+            WHERE rn <= 128),
+        a AS (SELECT u FROM kept WHERE event_type = 'view'),
+        b AS (SELECT u FROM kept WHERE event_type = 'click'),
+        merged AS (
+            SELECT u FROM (
+                SELECT u, ROW_NUMBER() OVER (ORDER BY u) AS rn
+                FROM (SELECT DISTINCT u FROM (SELECT u FROM a UNION ALL SELECT u FROM b)))
+            WHERE rn <= 128),
+        uni AS (
+            SELECT 'union' AS op, COUNT(*) AS n_kept,
+                   CASE WHEN COUNT(*) < 128 THEN CAST(COUNT(*) AS DOUBLE)
+                        ELSE 127.0 / MAX(u) END AS estimate
+            FROM merged),
+        thetas AS (
+            SELECT LEAST(
+                (SELECT CASE WHEN COUNT(*) < 128 THEN 1.0 ELSE MAX(u) END FROM a),
+                (SELECT CASE WHEN COUNT(*) < 128 THEN 1.0 ELSE MAX(u) END FROM b)
+            ) AS theta),
+        inter AS (
+            SELECT 'intersect' AS op, COUNT(*) AS n_kept,
+                   COUNT(*) / MIN(t.theta) AS estimate
+            FROM (SELECT u FROM a INTERSECT SELECT u FROM b) c
+            CROSS JOIN thetas t
+            WHERE c.u < t.theta)
+        SELECT op, n_kept, estimate FROM uni
+        UNION ALL
+        SELECT op, n_kept, estimate FROM inter
+    """,
+    "x_priority_sample": """
+        WITH keyed AS (
+            SELECT lang, doc_id, n_chars,
+                   ROUND(POW(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)
+                             / 4294967296.0,
+                             1.0 / CAST(n_chars AS DOUBLE)), 9) AS sample_key
+            FROM documents),
+        ranked AS (
+            SELECT lang, doc_id, n_chars, sample_key,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY sample_key DESC, doc_id) AS rn
+            FROM keyed)
+        SELECT lang, doc_id, n_chars, sample_key FROM ranked WHERE rn <= 25
+    """,
+    "x_editdist_pairs": """
+        WITH vals AS (
+            SELECT p_name AS name, COUNT(*) AS n_rows FROM part GROUP BY 1),
+        words AS (
+            SELECT name, UNNEST(range(len(t))) AS pos, UNNEST(t) AS w
+            FROM (SELECT name, string_split_regex(name, '\\s+') AS t FROM vals)),
+        cand AS (
+            SELECT DISTINCT a.name AS name_a, b.name AS name_b
+            FROM words a JOIN words b
+              ON a.pos = b.pos AND a.w = b.w AND a.name < b.name),
+        scored AS (
+            SELECT name_a, name_b,
+                   CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+            FROM cand
+            WHERE levenshtein(name_a, name_b) <= 2)
+        SELECT s.name_a, s.name_b, s.dist,
+               na.n_rows AS n_a, nb.n_rows AS n_b
+        FROM scored s
+        JOIN vals na ON na.name = s.name_a
+        JOIN vals nb ON nb.name = s.name_b
+    """,
 }
+
 
 QUERIES = {
     "x_dedup_exact": q_x_dedup_exact,
@@ -1392,4 +1606,9 @@ QUERIES = {
     "x_sliding_span_dedup": q_x_sliding_span_dedup,
     "x_ngram_containment": q_x_ngram_containment,
     "x_bigram_nll": q_x_bigram_nll,
+    "x_trigram_nll": q_x_trigram_nll,
+    "x_kmv_distinct": q_x_kmv_distinct,
+    "x_kmv_setops": q_x_kmv_setops,
+    "x_priority_sample": q_x_priority_sample,
+    "x_editdist_pairs": q_x_editdist_pairs,
 }

@@ -411,3 +411,51 @@ def test_bpe_batched_interacting_pairs_defer(spark):
         (2, "ab ab", "abab", 3),
         (3, "ab c", "abc", 2),
     ]
+
+
+def test_interpolated_nll_hand_computed(spark):
+    import math
+
+    train = spark.createDataFrame([(0, "a b c a b c", "s")], DOCS)
+    score = spark.createDataFrame(
+        [
+            (1, "a b c", "s"),  # trigram seen: every order contributes
+            (5, "x y z", "s"),  # full OOV: only the uniform floor
+        ],
+        DOCS,
+    )
+    rows = {
+        r["doc_id"]: r for r in C.interpolated_nll(score, train).collect()
+    }
+    n = 6.0  # train tokens
+    # doc 1, trigram "a b c": c3/cctx=2/2, c2("b c")/c1("b")=2/2, c1("c")/N=2/6
+    p_seen = 0.5 * 1.0 + 0.3 * 1.0 + 0.19 * (2 / n) + 0.01 / n
+    assert math.isclose(rows[1]["nll"], -math.log(p_seen), rel_tol=1e-9)
+    # doc 5: all numerators unseen -> uniform floor only
+    assert math.isclose(rows[5]["nll"], -math.log(0.01 / n), rel_tol=1e-9)
+    assert rows[1]["nll"] < rows[5]["nll"]
+
+
+def test_interpolated_vs_backoff_credits_lower_orders(spark):
+    # A seen trigram under backoff scores c3/cctx alone; interpolation
+    # mixes in the lower orders, so the two ladders rank differently
+    # by construction — but both must be finite on full OOV.
+    train = spark.createDataFrame([(0, "a b c a b c", "s")], DOCS)
+    score = spark.createDataFrame([(1, "q r s", "s")], DOCS)
+    bo = C.stupid_backoff_nll(score, train).collect()[0]["nll"]
+    jm = C.interpolated_nll(score, train).collect()[0]["nll"]
+    import math
+
+    assert math.isfinite(bo) and math.isfinite(jm)
+    # the JM uniform floor (0.01/N) is harsher than backoff's a^2/N
+    assert jm > bo
+
+
+def test_interpolated_nll_partition_invariant(spark):
+    rows = [(i, f"alpha beta gamma delta tok{i % 7} beta gamma", "s") for i in range(30)]
+    df = spark.createDataFrame(rows, DOCS)
+    tr = df.filter("doc_id % 2 = 1")
+    sc = df.filter("doc_id % 2 = 0")
+    a = sorted(map(tuple, C.interpolated_nll(sc.repartition(2), tr.repartition(3)).collect()))
+    b = sorted(map(tuple, C.interpolated_nll(sc.repartition(13), tr.repartition(1)).collect()))
+    assert a == b

@@ -370,3 +370,37 @@ def test_sliding_span_dedup_dense_overlap(spark):
     rows = {r["doc_id"]: r for r in sliding_span_dedup(df, span=8).collect()}
     assert rows[1]["clean_text"] == text
     assert rows[2]["clean_text"] == "" and rows[2]["n_tokens_kept"] == 0
+
+
+def test_editdist_pairs_blocking_and_counts(spark):
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(
+            ["red widget", "red widgit", "red widget",  # typo pair + dup row
+             "blue bolt", "blu bolt",                     # typo in word 1
+             "green gear",                                # no neighbor
+             "rad widgit"]                                # both words edited
+        )],
+        "id bigint, name string",
+    )
+    out = {(r["name_a"], r["name_b"]): r for r in D.editdist_pairs(df, "name").collect()}
+    assert ("red widget", "red widgit") in out
+    assert ("blu bolt", "blue bolt") in out
+    pair = out[("red widget", "red widgit")]
+    assert pair["dist"] == 1 and pair["n_a"] == 2 and pair["n_b"] == 1
+    # "rad widgit" still pairs with "red widgit" through the shared
+    # second word…
+    assert ("rad widgit", "red widgit") in out
+    # …but the documented blocking recall caveat holds: the pair with
+    # EVERY word edited ("rad widgit" vs "red widget", dist 2) shares
+    # no (position, word) block key and is missed
+    assert ("rad widgit", "red widget") not in out
+    # distance cap respected
+    assert all(r["dist"] <= 2 for r in out.values())
+
+
+def test_editdist_pairs_partition_invariant(spark):
+    rows = [(i, f"name{i % 9} tail{i % 4}") for i in range(60)]
+    df = spark.createDataFrame(rows, "id bigint, name string")
+    a = sorted(map(tuple, D.editdist_pairs(df.repartition(2), "name").collect()))
+    b = sorted(map(tuple, D.editdist_pairs(df.repartition(11), "name").collect()))
+    assert a == b

@@ -169,3 +169,81 @@ def test_hll_sketch_rollup_merge_consistency(spark):
     }
     for k, est in merged.items():
         assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
+
+
+def test_kmv_estimate_accuracy_and_exact_small_groups(spark):
+    """KMV contract: groups under k are EXACT (the sketch is the set);
+    full sketches estimate within the k=128 error envelope."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators import (
+        sketches as K,
+    )
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.session import (
+        read_events,
+    )
+
+    ev = read_events(spark, "/root/testdata/sf0.001/events.parquet")
+    kept = K.kmv_kept(ev, ["event_type"], "user_id", k=128)
+    est = {
+        r["event_type"]: r
+        for r in K.kmv_estimate(kept, ["event_type"], k=128).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for etype, n in exact.items():
+        row = est[etype]
+        if n < 128:
+            assert row["estimate"] == float(n), (etype, row)
+        else:
+            assert abs(row["estimate"] - n) / n < 0.30, (etype, row, n)
+
+
+def test_kmv_set_ops_against_exact(spark):
+    """Theta union/intersection estimates track the exact distinct
+    union/overlap; both are deterministic across partitionings."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators import (
+        sketches as K,
+    )
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.session import (
+        read_events,
+    )
+
+    ev = read_events(spark, "/root/testdata/sf0.001/events.parquet")
+    kept = K.kmv_kept(ev, ["event_type"], "user_id", k=128)
+    a = kept.filter(F.col("event_type") == "view").select("u")
+    b = kept.filter(F.col("event_type") == "click").select("u")
+    uni = K.kmv_union(a, b, k=128).collect()[0]
+    inter = K.kmv_intersect(a, b, k=128).collect()[0]
+
+    viewers = {r[0] for r in ev.filter("event_type = 'view'").select("user_id").distinct().collect()}
+    clickers = {r[0] for r in ev.filter("event_type = 'click'").select("user_id").distinct().collect()}
+    n_union = len(viewers | clickers)
+    n_inter = len(viewers & clickers)
+    assert abs(uni["estimate"] - n_union) / n_union < 0.30, (uni, n_union)
+    if n_inter:
+        assert abs(inter["estimate"] - n_inter) / n_inter < 0.45, (inter, n_inter)
+
+    # determinism under repartitioning
+    kept2 = K.kmv_kept(ev.repartition(13), ["event_type"], "user_id", k=128)
+    a2 = kept2.filter(F.col("event_type") == 'view').select("u")
+    b2 = kept2.filter(F.col("event_type") == 'click').select("u")
+    assert K.kmv_union(a2, b2, k=128).collect()[0] == uni
+    assert K.kmv_intersect(a2, b2, k=128).collect()[0] == inter
+
+
+def test_kmv_kept_plan_uses_window_group_limit(spark):
+    """The per-group k-minima must prune map-side (WindowGroupLimit),
+    not ship every distinct hash to the window sort."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators import (
+        sketches as K,
+    )
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.session import (
+        read_events,
+    )
+
+    ev = read_events(spark, "/root/testdata/sf0.001/events.parquet")
+    plan = K.kmv_kept(ev, ["event_type"], "user_id", k=128)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan

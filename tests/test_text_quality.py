@@ -84,3 +84,36 @@ def test_length_clip_winsorizes_per_class(spark):
     # approx path: same row count, percentiles near exact (coarse data)
     a = Q.length_clip(df, exact=False).collect()[0]
     assert a["n_total"] == 10 and 0 < a["n_kept"] <= 10
+
+
+def test_weighted_sample_exact_budget_and_determinism(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        weighted_sample,
+    )
+
+    rows = [
+        (i, f"document body {i} " + "x" * (i % 50), "en" if i % 3 else "de", 20 + i)
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string, n_chars bigint")
+    out = weighted_sample(df, "n_chars", k=10, strata_col="lang")
+    per = {r["lang"]: r["cnt"] for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert per == {"en": 10, "de": 10}  # exact budget per stratum
+    again = weighted_sample(df.repartition(13), "n_chars", k=10, strata_col="lang")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_weighted_sample_priority_monotone_in_weight(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        weighted_sample,
+    )
+
+    # identical content (same uniform u), increasing weight: the
+    # Efraimidis-Spirakis key u^(1/w) must increase with w, so the
+    # top-k under a shared u picks the heaviest rows.
+    df = spark.createDataFrame(
+        [(i, "same text", "s", 10 * (i + 1)) for i in range(8)],
+        "doc_id bigint, text string, lang string, w bigint",
+    )
+    out = weighted_sample(df, "w", k=3, strata_col="lang", id_col="doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == [5, 6, 7]
