@@ -106,6 +106,10 @@ _NEW_SINCE_R3: tuple[str, ...] = (
     "x_kmv_distinct",
     "x_kmv_setops",
     "x_trigram_nll",
+    "t7_gap_fill",
+    "w10_cumulative_distinct",
+    "x_cms_heavy_hitters",
+    "x_zipf_fit",
 )
 
 

@@ -18,7 +18,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import shingles, tokens
@@ -909,4 +909,51 @@ def bpe_encode(
         F.count(F.lit(1)).alias("n_words"),
         F.sum("__n").cast("bigint").alias("n_subwords"),
         F.round(F.sum("__n") / F.count(F.lit(1)), 9).alias("subwords_per_word"),
+    )
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Zipf's-law fit of the corpus frequency spectrum: least-squares
+    slope/intercept of ln(freq) against ln(rank) — the one-number
+    corpus health profile (natural language sits near slope −1;
+    boilerplate-heavy or synthetic corpora drift off it; Piantadosi
+    2014 reviews the regularities). Complements ``token_spectrum``
+    (the raw curve) with the fitted summary a pipeline can threshold.
+
+    One exploded pass → vocabulary counts; the rank assignment is a
+    vocabulary-sized global sort window (same documented scale bound
+    as the collocations rank — vocabulary, not corpus, and at 100 TB
+    a min-count floor keeps it tight); the regression itself is one
+    closed-form aggregate with decimal-accumulated moment sums, so
+    the fit is partition-order invariant. Returns one row (n_terms,
+    slope, intercept).
+    """
+    freq = df.select(F.explode(tokens(text_col)).alias("term")).groupBy(
+        "term"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    ranked = freq.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), F.col("term")))
+        .alias("rank"),
+    )
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("c").cast("double"))
+    def dec(col):
+        return F.sum(F.round(col, 12).cast("decimal(28,12)")).cast("double")
+    moments = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        dec(x).alias("sx"),
+        dec(y).alias("sy"),
+        dec(x * y).alias("sxy"),
+        dec(x * x).alias("sxx"),
+    )
+    n = F.col("n_terms").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return moments.select(
+        "n_terms",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / n).alias("intercept"),
     )

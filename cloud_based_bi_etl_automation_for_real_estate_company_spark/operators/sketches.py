@@ -152,3 +152,77 @@ def kmv_intersect(
             (F.count(F.lit(1)) / F.min("theta")).alias("estimate"),
         )
     )
+
+
+# --- Count-min sketch ----------------------------------------------------
+
+
+def cms_build(
+    occurrences: DataFrame, term_col: str = "term", d: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over a stream
+    of term occurrences: d hash rows × width buckets of ADDITIVE
+    counters — the frequency-estimation sibling of the cardinality
+    sketches above, and like KMV it is engine-portable (md5 buckets →
+    the oracle replays it exactly). Counters are sums, so sketches
+    merge by cell-wise addition: per-partition partial aggregation is
+    the merge, and day-level sketch tables roll up by the same
+    groupBy — frequency questions at 100 TB from d·width-row
+    artifacts.
+
+    One exploded pass (d rows per occurrence) into one hash-agg.
+    Returns (i, bucket, cnt), at most d·width rows.
+    """
+    hashed = occurrences.select(
+        F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("i"),
+        F.col(term_col).alias("__t"),
+    ).select(
+        "i",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("__t"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(width),
+        ).alias("bucket"),
+    )
+    return hashed.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    cms: DataFrame, terms: DataFrame, term_col: str = "term", d: int = 4, width: int = 256
+) -> DataFrame:
+    """Point-query the sketch: a term's estimate is the MIN of its d
+    counters — an overestimate by construction (collisions only add),
+    within εN with probability 1−δ for d=ln(1/δ), width=e/ε. The
+    sketch is d·width rows → broadcast; per-term work is a map-side
+    hash + one tiny join. Returns (*terms.columns, cms_count)."""
+    probes = terms.select(
+        "*", F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("i")
+    ).withColumn(
+        "bucket",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.col("i").cast("string"), F.lit(":"), F.col(term_col))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(width),
+        ),
+    )
+    return (
+        probes.join(F.broadcast(cms), ["i", "bucket"])
+        .groupBy(*terms.columns)
+        .agg(F.min("cnt").alias("cms_count"))
+    )

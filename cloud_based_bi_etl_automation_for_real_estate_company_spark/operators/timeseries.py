@@ -58,3 +58,61 @@ def ohlc_downsample(
             "volume",
         )
     )
+
+
+def gap_fill_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Gap-filled, forward-filled daily series per key — the
+    TimescaleDB ``time_bucket_gapfill`` + ``locf`` operator class: BI
+    line charts and downstream window math (moving averages, growth
+    rates) need a row for EVERY day in the observed span, with missing
+    days carrying the last observed value forward.
+
+    Dataflow: one hash-agg to daily grain, a global (min, max) day
+    probe that seeds a ``sequence``-exploded calendar spine (days ×
+    keys — calendar-sized, built from a broadcast 1-row frame and the
+    distinct-key table, never a fact-table scan), a left join of
+    actuals onto the spine (day-uniform key), and one per-key ordered
+    window for the ``last_value(ignorenulls)`` carry-forward. Series
+    count is the partition key, so the sort is per-key and the 100 TB
+    cost is the daily-grain table, not the raw facts.
+
+    Returns (key_col, day, n_events, day_value, filled_value) where
+    day_value is NULL on gap days and filled_value carries forward
+    (NULL until the key's first observation).
+    """
+    from pyspark.sql import Window
+
+    daily = df.groupBy(
+        F.col(key_col), F.to_date(F.col(ts_col)).alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(val_col, 6).alias("day_value"),
+    )
+    span = daily.groupBy().agg(
+        F.min("day").alias("__lo"), F.max("day").alias("__hi")
+    )
+    days = span.select(
+        F.explode(F.sequence("__lo", "__hi")).alias("day")
+    )
+    keys = daily.select(key_col).distinct()
+    spine = keys.crossJoin(F.broadcast(days))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, [key_col, "day"], "left")
+        .select(
+            key_col,
+            "day",
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias("n_events"),
+            "day_value",
+            F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )

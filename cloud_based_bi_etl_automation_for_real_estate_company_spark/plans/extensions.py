@@ -665,7 +665,97 @@ def q_x_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.editdist_pairs(t(spark, sf_dir, "part"), "p_name", max_dist=2)
 
 
+def q_x_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point queries for the corpus's true top-15
+    terms: d=4 x 256 additive counters, estimate = min over rows —
+    always >= the true count (collisions only add). The frequency
+    sibling of the KMV/HLL cardinality sketches."""
+    from ..operators import sketches as K
+
+    occ = t(spark, sf_dir, "documents").select(
+        F.explode(T.tokens("text")).alias("term")
+    )
+    cms = K.cms_build(occ, d=4, width=256)
+    freq = occ.groupBy("term").agg(F.count(F.lit(1)).alias("true_count"))
+    from pyspark.sql import Window
+
+    top = (
+        freq.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.orderBy(F.col("true_count").desc(), F.col("term"))
+            ),
+        )
+        .filter(F.col("__rn") <= 15)
+        .drop("__rn")
+    )
+    return K.cms_estimate(cms, top, d=4, width=256)
+
+
+def q_x_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares Zipf slope/intercept of ln(freq) vs ln(rank) over
+    the corpus vocabulary — the one-number frequency-spectrum health
+    profile (natural text sits near slope -1)."""
+    return C.zipf_fit(t(spark, sf_dir, "documents"))
+
+
 ORACLES: dict[str, str] = {
+    "x_cms_heavy_hitters": """
+        WITH occ AS (
+            SELECT UNNEST(string_split(trim(text), ' ')) AS term
+            FROM documents),
+        freq AS (SELECT term, COUNT(*) AS true_count FROM occ GROUP BY 1),
+        top AS (
+            SELECT term, true_count FROM (
+                SELECT term, true_count,
+                       ROW_NUMBER() OVER (ORDER BY true_count DESC, term) AS rn
+                FROM freq)
+            WHERE rn <= 15),
+        hs AS (SELECT UNNEST(range(4)) AS i),
+        cms AS (
+            SELECT r.i,
+                   CAST(('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || o.term),
+                                        1, 8)) AS BIGINT) % 256 AS bucket,
+                   COUNT(*) AS cnt
+            FROM occ o CROSS JOIN hs r GROUP BY 1, 2),
+        probes AS (
+            SELECT t.term, t.true_count, r.i,
+                   CAST(('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || t.term),
+                                        1, 8)) AS BIGINT) % 256 AS bucket
+            FROM top t CROSS JOIN hs r)
+        SELECT p.term, p.true_count, MIN(c.cnt) AS cms_count
+        FROM probes p JOIN cms c USING (i, bucket)
+        GROUP BY 1, 2
+    """,
+    "x_zipf_fit": """
+        WITH freq AS (
+            SELECT term, COUNT(*) AS c FROM (
+                SELECT UNNEST(string_split(trim(text), ' ')) AS term
+                FROM documents)
+            GROUP BY 1),
+        ranked AS (
+            SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rank
+            FROM freq),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+                   CAST(SUM(CAST(ROUND(ln(CAST(rank AS DOUBLE)), 12)
+                                 AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(ROUND(ln(CAST(c AS DOUBLE)), 12)
+                                 AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(ROUND(ln(CAST(rank AS DOUBLE))
+                                       * ln(CAST(c AS DOUBLE)), 12)
+                                 AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+                   CAST(SUM(CAST(ROUND(ln(CAST(rank AS DOUBLE))
+                                       * ln(CAST(rank AS DOUBLE)), 12)
+                                 AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+            FROM ranked)
+        SELECT n_terms,
+               (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx) AS slope,
+               (sy - ((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)) * sx)
+                   / n_terms AS intercept
+        FROM m
+    """,
+
     "x_dedup_exact": """
         SELECT md5(text) AS content_hash,
                MIN(doc_id) AS keep_id,
@@ -1611,4 +1701,6 @@ QUERIES = {
     "x_kmv_setops": q_x_kmv_setops,
     "x_priority_sample": q_x_priority_sample,
     "x_editdist_pairs": q_x_editdist_pairs,
+    "x_cms_heavy_hitters": q_x_cms_heavy_hitters,
+    "x_zipf_fit": q_x_zipf_fit,
 }

@@ -128,6 +128,21 @@ def q_t6_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ohlc_downsample(t(spark, sf_dir, "events"), bucket="5 minutes")
 
 
+def q_t7_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled + forward-filled daily series (time_bucket_gapfill /
+    locf class): high-value purchase revenue per user cohort, a row
+    for EVERY day of the span with gaps carrying the last observation
+    forward. The >120 value filter makes the series genuinely sparse
+    so the fill path is exercised."""
+    from ..operators.timeseries import gap_fill_daily
+
+    ev = t(spark, sf_dir, "events")
+    sparse = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 120)
+    ).select(F.pmod("user_id", F.lit(20)).alias("series"), "ts", "value")
+    return gap_fill_daily(sparse, key_col="series")
+
+
 def q_p15_case_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P15 — string case transforms (webhook_app.py:176 account.upper())."""
     c = t(spark, sf_dir, "customer")
@@ -139,6 +154,33 @@ def q_p15_case_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "t7_gap_fill": """
+        WITH daily AS (
+            SELECT user_id % 20 AS series, CAST(ts AS DATE) AS day,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS day_value
+            FROM events
+            WHERE event_type = 'purchase' AND value > 120
+            GROUP BY 1, 2),
+        span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+        days AS (
+            SELECT CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+                                               CAST(hi AS TIMESTAMP),
+                                               INTERVAL 1 DAY)) AS DATE) AS day
+            FROM span),
+        spine AS (
+            SELECT k.series, d.day
+            FROM (SELECT DISTINCT series FROM daily) k CROSS JOIN days d)
+        SELECT s.series, s.day,
+               CAST(COALESCE(dl.n_events, 0) AS BIGINT) AS n_events,
+               dl.day_value,
+               LAST_VALUE(dl.day_value IGNORE NULLS) OVER (
+                   PARTITION BY s.series ORDER BY s.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS filled_value
+        FROM spine s LEFT JOIN daily dl USING (series, day)
+    """,
     "t6_ohlc_downsample": """
         SELECT user_id,
                time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
@@ -257,5 +299,6 @@ QUERIES = {
     "t4_session_window": q_t4_session_window,
     "t5_range_join": q_t5_range_join,
     "t6_ohlc_downsample": q_t6_ohlc_downsample,
+    "t7_gap_fill": q_t7_gap_fill,
     "p15_case_transform": q_p15_case_transform,
 }

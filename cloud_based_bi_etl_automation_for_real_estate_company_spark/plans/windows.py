@@ -137,7 +137,49 @@ def q_w9_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_w10_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT user count by day — the "total audience to
+    date" line a dashboard draws next to daily actives — here the
+    high-value-purchaser audience (the >120 slice keeps first-seen
+    days genuinely spread out). A naive
+    windowed COUNT(DISTINCT) re-scans history per bucket; the
+    decomposition is: distinct = each user counts once, on their FIRST
+    day, then a running sum over days. One user-keyed min-agg + one
+    calendar-sized cumulative window — the fact table is scanned once,
+    and the unpartitioned window sorts ~hundreds of rows."""
+    ev = t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 120)
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("day")
+    )
+    daily = firsts.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "n_new_users",
+        F.sum("n_new_users").over(w).alias("n_cumulative_users"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "w10_cumulative_distinct": """
+        WITH firsts AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+            FROM events
+            WHERE event_type = 'purchase' AND value > 120
+            GROUP BY 1),
+        daily AS (
+            SELECT day, COUNT(*) AS n_new_users
+            FROM firsts GROUP BY 1)
+        SELECT day, n_new_users,
+               SUM(n_new_users) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS n_cumulative_users
+        FROM daily
+    """,
     "w9_scd2_history": """
         SELECT user_id, event_id, event_type,
                ts AS valid_from,
@@ -214,4 +256,5 @@ QUERIES = {
     "w5_moving_avg": q_w5_moving_avg,
     "w6_distribution_ranks": q_w6_distribution_ranks,
     "w9_scd2_history": q_w9_scd2_history,
+    "w10_cumulative_distinct": q_w10_cumulative_distinct,
 }

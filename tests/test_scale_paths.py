@@ -247,3 +247,52 @@ def test_kmv_kept_plan_uses_window_group_limit(spark):
     ev = read_events(spark, "/root/testdata/sf0.001/events.parquet")
     plan = K.kmv_kept(ev, ["event_type"], "user_id", k=128)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_cms_overestimates_and_merges(spark):
+    """CMS contract: point estimates never undercount, and the sketch
+    of a union equals the cell-wise sum of the parts' sketches (the
+    mergeability that makes it a partial aggregate)."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators import (
+        sketches as K,
+    )
+
+    rows = [(f"t{i % 40}",) for i in range(600)] + [("hot",)] * 200
+    occ = spark.createDataFrame(rows, "term string")
+    cms = K.cms_build(occ, d=4, width=64)
+    truth = occ.groupBy("term").agg(F.count("*").alias("true_count"))
+    est = {
+        r["term"]: r
+        for r in K.cms_estimate(cms, truth, d=4, width=64).collect()
+    }
+    for term, r in est.items():
+        assert r["cms_count"] >= r["true_count"], (term, r)
+    assert est["hot"]["cms_count"] >= 200
+
+    # merge = cell-wise addition of two halves' sketches
+    h1 = K.cms_build(spark.createDataFrame(rows[:400], "term string"), d=4, width=64)
+    h2 = K.cms_build(spark.createDataFrame(rows[400:], "term string"), d=4, width=64)
+    merged = (
+        h1.union(h2).groupBy("i", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = {(r["i"], r["bucket"]): r["cnt"] for r in cms.collect()}
+    summed = {(r["i"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert direct == summed
+
+
+def test_zipf_fit_negative_slope_on_zipfian_corpus(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators import (
+        corpus as C,
+    )
+
+    # frequencies ~ 1/rank: term_r appears ceil(120/r) times
+    words = []
+    for r in range(1, 30):
+        words += [f"w{r}"] * (120 // r)
+    text = " ".join(words)
+    df = spark.createDataFrame([(0, text, "s")], "doc_id bigint, text string, source string")
+    row = C.zipf_fit(df).collect()[0]
+    assert row["n_terms"] == 29
+    assert -1.3 < row["slope"] < -0.7, row
+    a = C.zipf_fit(df.repartition(3)).collect()[0]
+    assert a == row

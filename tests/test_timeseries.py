@@ -54,3 +54,44 @@ def test_ohlc_tie_breaks_on_sequence(spark):
     row = ohlc_downsample(df, bucket="5 minutes").collect()[0]
     assert row["open_val"] == 50.0   # event_id 9 wins the tie
     assert row["close_val"] == 70.0
+
+
+def test_gap_fill_daily_forward_fills_gaps(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.timeseries import (
+        gap_fill_daily,
+    )
+    import datetime as dt
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 10), 5.0),
+        ("a", dt.datetime(2024, 1, 1, 11), 7.0),
+        ("a", dt.datetime(2024, 1, 4, 9), 1.0),   # 2-day gap before
+        ("b", dt.datetime(2024, 1, 2, 8), 2.0),   # starts after span lo
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = {(r["k"], str(r["day"])): r for r in gap_fill_daily(df, "k").collect()}
+    # spine covers the full span for BOTH keys: 4 days x 2 keys
+    assert len(out) == 8
+    a2 = out[("a", "2024-01-02")]
+    assert a2["n_events"] == 0 and a2["day_value"] is None
+    assert a2["filled_value"] == 12.0          # carried from Jan 1
+    assert out[("a", "2024-01-04")]["filled_value"] == 1.0  # real observation wins
+    # key b has no observation on day 1: filled stays NULL before first
+    assert out[("b", "2024-01-01")]["filled_value"] is None
+    assert out[("b", "2024-01-03")]["filled_value"] == 2.0
+
+
+def test_gap_fill_daily_partition_invariant(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.timeseries import (
+        gap_fill_daily,
+    )
+    import datetime as dt
+
+    rows = [
+        (f"k{i % 5}", dt.datetime(2024, 1, 1 + (i * 3) % 20, i % 24), float(i))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    a = sorted(map(tuple, gap_fill_daily(df.repartition(2), "k").collect()))
+    b = sorted(map(tuple, gap_fill_daily(df.repartition(13), "k").collect()))
+    assert a == b
