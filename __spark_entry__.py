@@ -5,7 +5,8 @@
 plus the training-data-pipeline extensions, each with a DuckDB oracle
 unless the op is non-SQL-expressible (rows-only by design: SimHash
 bit votes, k-means-trained IVF, HLL binary sketches, MMR greedy
-re-rank, BPE merge training — see plans/extensions.py).
+re-rank, BPE merge training, PCA eigendecomposition — see
+plans/extensions.py).
 """
 
 from __future__ import annotations
@@ -110,6 +111,10 @@ _NEW_SINCE_R3: tuple[str, ...] = (
     "w10_cumulative_distinct",
     "x_cms_heavy_hitters",
     "x_zipf_fit",
+    "l16_small_qty_brand_revenue",
+    "a27_benford_audit",
+    "x_embed_stats",
+    "x_pca_project",
 )
 
 

@@ -664,3 +664,138 @@ def mmr_rerank(
     return grouped.groupBy("q_id").applyInPandas(
         _mmr, schema=f"q_id bigint, {id_col} bigint, rnk bigint"
     )
+
+
+def embed_stats(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-DIMENSION profile of an embedding column — (dim, n, mean,
+    variance, lo, hi) — the column-level health check a vector
+    pipeline runs before indexing: dead dimensions (variance ≈ 0),
+    scale drift between ingest batches, and un-normalized outliers
+    all show up here first.
+
+    posexplode → one hash-agg keyed on the dimension index (d keys,
+    map-side partial aggregation collapses the ×d row blow-up inside
+    each task, so the exchange carries d rows per task regardless of
+    corpus size). Moment sums accumulate in decimal (12 dp) so mean
+    and variance are partition-order invariant; variance is the
+    population E[x²] − mean² form.
+    """
+    vals = df.select(
+        F.posexplode(as_double(vec_col)).alias("dim", "x")
+    ).select(F.col("dim").cast("bigint").alias("dim"), "x")
+
+    def dec(col):
+        return F.sum(F.round(col, 12).cast("decimal(28,12)")).cast("double")
+
+    x = F.col("x")
+    return (
+        vals.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dec(x).alias("__sx"),
+            dec(x * x).alias("__sxx"),
+            F.min("x").alias("lo"),
+            F.max("x").alias("hi"),
+        )
+        .select(
+            "dim",
+            "n",
+            (F.col("__sx") / F.col("n")).alias("mean"),
+            (
+                F.col("__sxx") / F.col("n")
+                - (F.col("__sx") / F.col("n")) * (F.col("__sx") / F.col("n"))
+            ).alias("variance"),
+            "lo",
+            "hi",
+        )
+    )
+
+
+def pca_fit(
+    df: DataFrame, n_components: int = 4, vec_col: str = "embedding"
+):
+    """Principal components of an embedding column: the d×d covariance
+    matrix is assembled DISTRIBUTED (posexplode the per-row outer
+    product into (i, j, x_i·x_j) terms → one hash-agg on d² uniform
+    keys with map-side partials, plus the d-key mean pass), then the
+    eigendecomposition runs driver-side on the d×d result — the same
+    "cluster does the O(N) work, driver does the O(d³) math" split as
+    ``kmeans_centroids``, legitimate because d is model-sized (64),
+    never data-sized.
+
+    Deterministic: symmetric eigh, components ordered by descending
+    eigenvalue, sign fixed so each component's largest-|loading| entry
+    is positive. Returns (components: list[list[float]] — rows are
+    PCs, explained_var: list[float], mean: list[float]).
+    """
+    import numpy as np
+
+    vecs = df.select(as_double(vec_col).alias("__v"))
+    pairs = vecs.select(
+        F.posexplode("__v").alias("i", "xi"), F.col("__v").alias("__v2")
+    ).select(
+        "i", "xi", F.posexplode("__v2").alias("j", "xj")
+    ).filter(F.col("j") >= F.col("i"))
+
+    def dec(col):
+        return F.sum(F.round(col, 12).cast("decimal(28,12)")).cast("double")
+
+    gram = pairs.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"), dec(F.col("xi") * F.col("xj")).alias("sxy")
+    )
+    means = vecs.select(F.posexplode("__v").alias("i", "x")).groupBy("i").agg(
+        dec(F.col("x")).alias("sx"), F.count(F.lit(1)).alias("n")
+    )
+    g = {(r["i"], r["j"]): (r["sxy"], r["n"]) for r in gram.collect()}
+    m = {r["i"]: r["sx"] / r["n"] for r in means.collect()}
+    d = len(m)
+    n = next(iter(g.values()))[1]
+    cov = np.zeros((d, d))
+    mu = np.array([m[i] for i in range(d)])
+    for (i, j), (sxy, _) in g.items():
+        cov[i, j] = cov[j, i] = sxy / n - mu[i] * mu[j]
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = []
+    for idx in order:
+        v = evecs[:, idx]
+        if v[np.argmax(np.abs(v))] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    return comps, [float(evals[i]) for i in order], [float(x) for x in mu]
+
+
+def pca_project(
+    df: DataFrame,
+    components: list[list[float]],
+    mean: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project embeddings onto fitted principal components — the
+    dimensionality-reduction map step. Components/mean travel as plan
+    constants (model-sized literals, the broadcast-free analogue of a
+    broadcast dim); each projection is one JVM-side zip_with dot
+    product per component — map-only, zero shuffle at any scale.
+    Returns (id_col, pc1..pck).
+    """
+    centered = F.zip_with(
+        as_double(vec_col),
+        F.array(*[F.lit(float(x)) for x in mean]),
+        lambda a, b: a - b,
+    )
+    cols = [
+        F.aggregate(
+            F.zip_with(
+                centered,
+                F.array(*[F.lit(float(x)) for x in comp]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias(f"pc{k + 1}")
+        for k, comp in enumerate(components)
+    ]
+    return df.select(F.col(id_col), *cols)

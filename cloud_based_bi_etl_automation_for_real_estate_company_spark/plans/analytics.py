@@ -362,7 +362,55 @@ def q_a26_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a27_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order amounts — the
+    fraud/entry-error screen auditors run over financial fact tables
+    (Nigrini 2012): compare each leading digit's observed share to
+    log10(1+1/d). Pure column arithmetic + one 9-row aggregate; the
+    chi-square contribution per digit lets a dashboard flag drift."""
+    o = t(spark, sf_dir, "orders")
+    digit = F.floor(
+        F.col("o_totalprice")
+        / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("int")
+    per = (
+        o.filter(F.col("o_totalprice") > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    total = per.agg(F.sum("n_orders").alias("n_total"))
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    observed = F.col("n_orders") / F.col("n_total")
+    return per.join(F.broadcast(total)).select(
+        "digit",
+        "n_orders",
+        observed.alias("observed_p"),
+        expected.alias("expected_p"),
+        (
+            (observed - expected) * (observed - expected) / expected
+        ).alias("chi2_term"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "a27_benford_audit": """
+        WITH per AS (
+            SELECT CAST(FLOOR(o_totalprice
+                       / POW(10.0, FLOOR(LOG10(o_totalprice)))) AS INTEGER)
+                       AS digit,
+                   COUNT(*) AS n_orders
+            FROM orders WHERE o_totalprice > 0
+            GROUP BY 1),
+        tot AS (SELECT SUM(n_orders) AS n_total FROM per)
+        SELECT digit, n_orders,
+               CAST(n_orders AS DOUBLE) / n_total AS observed_p,
+               LOG10(1.0 + 1.0 / digit) AS expected_p,
+               (CAST(n_orders AS DOUBLE) / n_total - LOG10(1.0 + 1.0 / digit))
+                   * (CAST(n_orders AS DOUBLE) / n_total
+                      - LOG10(1.0 + 1.0 / digit))
+                   / LOG10(1.0 + 1.0 / digit) AS chi2_term
+        FROM per CROSS JOIN tot
+    """,
     "a24_cohort_retention": """
         WITH base AS (
             SELECT user_id,
@@ -565,4 +613,5 @@ QUERIES = {
     "a24_cohort_retention": q_a24_cohort_retention,
     "a25_attribution": q_a25_attribution,
     "a26_rfm": q_a26_rfm,
+    "a27_benford_audit": q_a27_benford_audit,
 }

@@ -699,7 +699,42 @@ def q_x_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.zipf_fit(t(spark, sf_dir, "documents"))
 
 
+def q_x_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding-column profile (dead dims, scale drift,
+    outliers): posexplode -> d-key hash-agg, decimal-exact moments."""
+    return S.embed_stats(t(spark, sf_dir, "embeddings"))
+
+
+def q_x_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embedding corpus onto 4 distributed-fit
+    principal components (covariance assembled as d^2-key aggregates,
+    eigh on the driver-sized d x d result). Rows-only by design: the
+    eigendecomposition has no ANSI-SQL replay; variance ordering,
+    sign determinism and reconstruction quality are pinned in
+    tests/test_similarity.py."""
+    e = t(spark, sf_dir, "embeddings")
+    comps, _, mu = S.pca_fit(e, n_components=4)
+    return S.pca_project(e.filter(F.col("vec_id") < 50), comps, mu)
+
+
 ORACLES: dict[str, str] = {
+    "x_embed_stats": """
+        WITH vals AS (
+            SELECT p.dim, CAST(e.embedding[p.dim + 1] AS DOUBLE) AS x
+            FROM embeddings e
+            CROSS JOIN (SELECT UNNEST(range(64)) AS dim) p)
+        SELECT dim, COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(28,12))) AS DOUBLE)
+                   / COUNT(*) AS mean,
+               CAST(SUM(CAST(ROUND(x * x, 12) AS DECIMAL(28,12))) AS DOUBLE)
+                   / COUNT(*)
+                 - (CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(28,12))) AS DOUBLE)
+                    / COUNT(*))
+                   * (CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(28,12))) AS DOUBLE)
+                      / COUNT(*)) AS variance,
+               MIN(x) AS lo, MAX(x) AS hi
+        FROM vals GROUP BY dim
+    """,
     "x_cms_heavy_hitters": """
         WITH occ AS (
             SELECT UNNEST(string_split(trim(text), ' ')) AS term
@@ -1703,4 +1738,6 @@ QUERIES = {
     "x_editdist_pairs": q_x_editdist_pairs,
     "x_cms_heavy_hitters": q_x_cms_heavy_hitters,
     "x_zipf_fit": q_x_zipf_fit,
+    "x_embed_stats": q_x_embed_stats,
+    "x_pca_project": q_x_pca_project,
 }

@@ -242,6 +242,36 @@ def q_l9_groupwise_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_l16_small_qty_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped nested aggregate: revenue from lineitems whose
+    quantity is below 20% of their part's average quantity, rolled up
+    per brand — the decorrelated form of a per-row correlated AVG
+    subquery. Spark-first shape: the per-part average is a WINDOW over
+    l_partkey (ONE shuffle of the facts, keeping every row) rather
+    than the aggregate-then-join-back rewrite, which would shuffle the
+    facts twice on the same key."""
+    from pyspark.sql import Window
+
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    w = Window.partitionBy("l_partkey")
+    avg_qty = (
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        l.withColumn("avg_qty", avg_qty)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .join(F.broadcast(p.select("p_partkey", "p_brand")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small_qty_items"),
+            dsum("l_extendedprice").alias("small_qty_revenue"),
+        )
+    )
+
+
 def q_l10_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q13-shaped two-level aggregation: how many customers
     placed exactly N (non-urgent) orders, including the zero-order
@@ -475,6 +505,22 @@ ORACLES: dict[str, str] = {
                    AS totacctbal
         FROM idle GROUP BY c_nationkey
     """,
+    "l16_small_qty_brand_revenue": """
+        WITH per_part AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       / COUNT(*) AS avg_qty
+            FROM lineitem GROUP BY 1)
+        SELECT p.p_brand AS brand,
+               COUNT(*) AS n_small_qty_items,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS small_qty_revenue
+        FROM lineitem l
+        JOIN per_part a USING (l_partkey)
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity < 0.2 * a.avg_qty
+        GROUP BY 1
+    """,
     "l9_groupwise_min": """
         WITH per_cust AS (
             SELECT c.c_mktsegment AS segment, c.c_custkey, c.c_name,
@@ -615,6 +661,7 @@ QUERIES = {
     "l7_lone_late_suppliers": q_l7_lone_late_suppliers,
     "l8_supplier_variety": q_l8_supplier_variety,
     "l9_groupwise_min": q_l9_groupwise_min,
+    "l16_small_qty_brand_revenue": q_l16_small_qty_brand_revenue,
     "l10_order_count_dist": q_l10_order_count_dist,
     "l11_idle_rich_customers": q_l11_idle_rich_customers,
     "l12_promo_revenue": q_l12_promo_revenue,

@@ -355,3 +355,74 @@ def test_mmr_negative_redundancy_boosts_anticorrelated(spark):
         for r in mmr_rerank(base, qdf, cands, k=3, lam=0.7).collect()
     )
     assert got == [(1, 1), (2, 3), (3, 2)]
+
+
+def _pca_corpus(spark, n=60, d=6, seed=7):
+    # deterministic anisotropic cloud: variance concentrated on dims
+    # 0 and 1 through fixed sinusoidal mixing (no RNG)
+    rows = []
+    for i in range(n):
+        a = math.sin(seed * 0.7 + i) * 3.0
+        b = math.cos(seed * 1.3 + 2 * i) * 1.5
+        vec = [a, b] + [0.05 * math.sin(i * (j + 2)) for j in range(d - 2)]
+        rows.append((i, [float(x) for x in vec]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_embed_stats_matches_numpy(spark):
+    import numpy as np
+
+    df = _pca_corpus(spark)
+    arr = np.array([r["embedding"] for r in df.orderBy("vec_id").collect()])
+    stats = {r["dim"]: r for r in S.embed_stats(df).collect()}
+    assert len(stats) == arr.shape[1]
+    for j in range(arr.shape[1]):
+        r = stats[j]
+        assert r["n"] == arr.shape[0]
+        assert abs(r["mean"] - arr[:, j].mean()) < 1e-6
+        assert abs(r["variance"] - arr[:, j].var()) < 1e-6
+        assert abs(r["lo"] - arr[:, j].min()) < 1e-6
+        assert abs(r["hi"] - arr[:, j].max()) < 1e-6
+    # partition invariance: identical moments under re-partitioning
+    again = {r["dim"]: r for r in S.embed_stats(df.repartition(13)).collect()}
+    assert {k: (v["mean"], v["variance"]) for k, v in stats.items()} == {
+        k: (v["mean"], v["variance"]) for k, v in again.items()
+    }
+
+
+def test_pca_fit_recovers_dominant_directions(spark):
+    import numpy as np
+
+    df = _pca_corpus(spark)
+    comps, evals, mu = S.pca_fit(df, n_components=3)
+    arr = np.array([r["embedding"] for r in df.orderBy("vec_id").collect()], dtype=float)
+    # eigenvalues descend and match numpy's covariance spectrum
+    ref = np.linalg.eigvalsh(np.cov(arr.T, bias=True))[::-1]
+    assert evals[0] >= evals[1] >= evals[2] > 0
+    for got, want in zip(evals, ref):
+        assert abs(got - want) < 1e-5, (got, want)
+    # the top-2 PCs span the planted high-variance plane (dims 0/1)
+    for comp in comps[:2]:
+        energy_01 = comp[0] ** 2 + comp[1] ** 2
+        assert energy_01 > 0.95, comps[:2]
+    # sign convention: largest-|loading| entry positive
+    for comp in comps:
+        assert comp[int(np.argmax(np.abs(comp)))] > 0
+
+
+def test_pca_project_variance_matches_eigenvalues(spark):
+    import numpy as np
+
+    df = _pca_corpus(spark)
+    comps, evals, mu = S.pca_fit(df, n_components=2)
+    proj = S.pca_project(df, comps, mu)
+    arr = np.array(
+        [(r["pc1"], r["pc2"]) for r in proj.orderBy("vec_id").collect()]
+    )
+    assert abs(arr[:, 0].var() - evals[0]) < 1e-5
+    assert abs(arr[:, 1].var() - evals[1]) < 1e-5
+    # projections of centered data have ~zero mean
+    assert abs(arr[:, 0].mean()) < 1e-9 and abs(arr[:, 1].mean()) < 1e-9
+    # determinism across partitionings (fit + project)
+    comps2, evals2, mu2 = S.pca_fit(df.repartition(9), n_components=2)
+    assert comps == comps2 and evals == evals2 and mu == mu2
