@@ -115,6 +115,8 @@ _NEW_SINCE_R3: tuple[str, ...] = (
     "a27_benford_audit",
     "x_embed_stats",
     "x_pca_project",
+    "t8_ewma",
+    "a28_ordered_funnel",
 )
 
 

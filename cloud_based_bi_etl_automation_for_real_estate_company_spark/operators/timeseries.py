@@ -116,3 +116,45 @@ def gap_fill_daily(
             F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
         )
     )
+
+
+def ewma_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    val_col: str = "value",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Exponentially weighted moving average over each key's daily
+    series — the smoothing/forecast-baseline rollup (Holt's level
+    component): s₁ = x₁, sₖ = (1−α)·sₖ₋₁ + α·xₖ. EWMA is a
+    SEQUENTIAL fold, not a windowable aggregate; the Spark-first form
+    is: aggregate to daily grain (one shuffle), collect each key's
+    bounded daily series into a sorted array (calendar-bounded — days,
+    not events), and run the fold as a JVM-side higher-order
+    ``aggregate`` over array prefixes. Per-day outputs fold the k-th
+    prefix (O(days²) per key, days being calendar-bounded tiny); a
+    level-only variant would fold once.
+
+    Returns (key_col, day, day_value, ewma), one row per observed day
+    per key.
+    """
+    daily = df.groupBy(
+        F.col(key_col), F.to_date(F.col(ts_col)).alias("day")
+    ).agg(dsum(val_col, 6).alias("v"))
+    series = daily.groupBy(key_col).agg(
+        F.array_sort(F.collect_list(F.struct("day", "v"))).alias("s")
+    )
+    pos = series.select(key_col, "s", F.posexplode("s").alias("__k", "__x"))
+    a = float(alpha)
+    ew = F.aggregate(
+        F.slice(F.col("s"), F.lit(2), F.col("__k")),
+        F.element_at(F.col("s"), 1)["v"],
+        lambda acc, x: acc * F.lit(1.0 - a) + x["v"] * F.lit(a),
+    )
+    return pos.select(
+        key_col,
+        F.col("__x")["day"].alias("day"),
+        F.col("__x")["v"].alias("day_value"),
+        ew.alias("ewma"),
+    )

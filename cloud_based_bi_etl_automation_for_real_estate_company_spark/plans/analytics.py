@@ -392,7 +392,60 @@ def q_a27_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a28_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED funnel with sequence constraints — stage k counts only
+    users whose stage-k event happened AFTER their stage-(k-1) entry
+    time (first view -> first click after it -> first purchase after
+    that), the event-analytics semantics a stage-count funnel (A1)
+    approximates away. Three chained user-keyed aggregates, each a
+    conditional-min; all three shuffles share the user_id key so a
+    co-partitioned layout pays one."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    tv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    tc = (
+        ev.filter(F.col("event_type") == "click")
+        .join(tv, "user_id")
+        .filter(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    tp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(tc, "user_id")
+        .filter(F.col("ts") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    return (
+        tv.agg(F.count(F.lit(1)).alias("n_view"))
+        .join(tc.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .join(tp.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
+
+
 ORACLES: dict[str, str] = {
+    "a28_ordered_funnel": """
+        WITH tv AS (
+            SELECT user_id, MIN(ts) AS tv FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+        tc AS (
+            SELECT e.user_id, MIN(e.ts) AS tc
+            FROM events e JOIN tv USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > tv.tv
+            GROUP BY 1),
+        tp AS (
+            SELECT e.user_id, MIN(e.ts) AS tp
+            FROM events e JOIN tc USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > tc.tc
+            GROUP BY 1)
+        SELECT (SELECT COUNT(*) FROM tv) AS n_view,
+               (SELECT COUNT(*) FROM tc) AS n_click_after_view,
+               (SELECT COUNT(*) FROM tp) AS n_purchase_after_click
+    """,
     "a27_benford_audit": """
         WITH per AS (
             SELECT CAST(FLOOR(o_totalprice
@@ -614,4 +667,5 @@ QUERIES = {
     "a25_attribution": q_a25_attribution,
     "a26_rfm": q_a26_rfm,
     "a27_benford_audit": q_a27_benford_audit,
+    "a28_ordered_funnel": q_a28_ordered_funnel,
 }

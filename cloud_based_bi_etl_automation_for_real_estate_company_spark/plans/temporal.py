@@ -143,6 +143,21 @@ def q_t7_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_fill_daily(sparse, key_col="series")
 
 
+def q_t8_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential smoothing (EWMA, alpha=0.3) of daily revenue per
+    event type — the sequential-fold rollup window functions cannot
+    express, run as a JVM-side higher-order aggregate over each key's
+    calendar-bounded daily series."""
+    from ..operators.timeseries import ewma_daily
+
+    ev = t(spark, sf_dir, "events")
+    return ewma_daily(
+        ev.select(F.col("event_type").alias("series"), "ts", "value"),
+        key_col="series",
+        alpha=0.3,
+    )
+
+
 def q_p15_case_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P15 — string case transforms (webhook_app.py:176 account.upper())."""
     c = t(spark, sf_dir, "customer")
@@ -154,6 +169,28 @@ def q_p15_case_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "t8_ewma": """
+        WITH daily AS (
+            SELECT event_type AS series, CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+            FROM events GROUP BY 1, 2),
+        ser AS (
+            SELECT series,
+                   list(struct_pack(day := day, v := v) ORDER BY day) AS s
+            FROM daily GROUP BY 1),
+        pos AS (
+            SELECT series, s, UNNEST(range(len(s))) AS k FROM ser)
+        SELECT series,
+               s[k + 1].day AS day,
+               s[k + 1].v AS day_value,
+               CASE WHEN k = 0 THEN s[1].v
+                    ELSE list_reduce(
+                        list_prepend(s[1].v,
+                                     list_transform(s[2:k + 1], e -> e.v)),
+                        (acc, x) -> acc * 0.7 + x * 0.3)
+               END AS ewma
+        FROM pos
+    """,
     "t7_gap_fill": """
         WITH daily AS (
             SELECT user_id % 20 AS series, CAST(ts AS DATE) AS day,
@@ -300,5 +337,6 @@ QUERIES = {
     "t5_range_join": q_t5_range_join,
     "t6_ohlc_downsample": q_t6_ohlc_downsample,
     "t7_gap_fill": q_t7_gap_fill,
+    "t8_ewma": q_t8_ewma,
     "p15_case_transform": q_p15_case_transform,
 }

@@ -95,3 +95,39 @@ def test_gap_fill_daily_partition_invariant(spark):
     a = sorted(map(tuple, gap_fill_daily(df.repartition(2), "k").collect()))
     b = sorted(map(tuple, gap_fill_daily(df.repartition(13), "k").collect()))
     assert a == b
+
+
+def test_ewma_daily_hand_computed(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.timeseries import (
+        ewma_daily,
+    )
+    import datetime as dt
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 9), 10.0),
+        ("a", dt.datetime(2024, 1, 1, 10), 10.0),  # day 1 total 20
+        ("a", dt.datetime(2024, 1, 2, 9), 8.0),
+        ("a", dt.datetime(2024, 1, 3, 9), 4.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = {str(r["day"]): r for r in ewma_daily(df, "k", alpha=0.5).collect()}
+    assert out["2024-01-01"]["ewma"] == 20.0          # s1 = x1
+    assert out["2024-01-02"]["ewma"] == 14.0          # 0.5*20 + 0.5*8
+    assert out["2024-01-03"]["ewma"] == 9.0           # 0.5*14 + 0.5*4
+    assert out["2024-01-02"]["day_value"] == 8.0
+
+
+def test_ewma_daily_partition_invariant(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.timeseries import (
+        ewma_daily,
+    )
+    import datetime as dt
+
+    rows = [
+        (f"k{i % 4}", dt.datetime(2024, 1, 1 + i % 15, i % 24), float(i % 37))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    a = sorted(map(tuple, ewma_daily(df.repartition(2), "k").collect()))
+    b = sorted(map(tuple, ewma_daily(df.repartition(11), "k").collect()))
+    assert a == b
