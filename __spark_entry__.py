@@ -117,6 +117,8 @@ _NEW_SINCE_R3: tuple[str, ...] = (
     "x_pca_project",
     "t8_ewma",
     "a28_ordered_funnel",
+    "a29_trend_slope",
+    "a30_corr_pairs",
 )
 
 

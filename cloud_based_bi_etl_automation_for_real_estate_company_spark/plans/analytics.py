@@ -427,7 +427,129 @@ def q_a28_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a29_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation OLS trendline of monthly revenue — the dashboard
+    trend-arrow measure (DAX LINEST / SLOPE class). Two stages: the
+    monthly rollup (one fact shuffle, dims broadcast), then per-nation
+    closed-form least squares over the ~dozens of monthly points.
+
+    Determinism: every moment (Σx, Σy, Σxy, Σx²) accumulates in exact
+    DECIMAL so partition order can't drift the result; the slope /
+    intercept division is the only double arithmetic and both engines
+    evaluate the identical expression tree. At 100 TB the second stage
+    aggregates a nations×months table — driver-trivial."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    # month index shifted to a 1990 epoch: keeps every moment small
+    # enough that its double image is exact (< 2^53), so the final
+    # double algebra is bit-identical across engines.
+    month_idx = (
+        F.year("o_orderdate") * F.lit(12) + F.month("o_orderdate") - F.lit(23880)
+    ).cast("bigint")
+    monthly = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), month_idx.alias("x"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y"))
+    )
+    m = monthly.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("double").alias("n_months"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    num = F.col("n_months") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_months") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.try_divide(num, den)
+    return m.select(
+        "nation",
+        F.col("n_months").cast("bigint").alias("n_months"),
+        slope.alias("slope"),
+        (
+            F.col("sy") / F.col("n_months")
+            - slope * (F.col("sx") / F.col("n_months"))
+        ).alias("intercept"),
+    )
+
+
+def q_a30_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between quantity and line price per return
+    flag — the scatter-plot R measure BI tools compute when validating
+    a pricing model. Single fact scan; all five moments accumulate in
+    exact DECIMAL (partition-order invariant, see `dsum`), and the
+    final r = (nΣxy−ΣxΣy)/(√(nΣxx−Σx²)·√(nΣyy−Σy²)) is evaluated with
+    the identical double expression tree in both engines."""
+    l = t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = l.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(38,4)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(38,4)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(38,4)")).cast("double").alias("syy"),
+    )
+    n_ = F.col("n_items").cast("double")
+    num = n_ * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = n_ * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = n_ * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        "returnflag",
+        "n_items",
+        F.try_divide(num, F.sqrt(denx) * F.sqrt(deny)).alias("pearson_r"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "a29_trend_slope": """
+        WITH monthly AS (
+            SELECT n.n_name AS nation,
+                   CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - 23880 AS BIGINT) AS x,
+                   SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS y
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2),
+        m AS (
+            SELECT nation,
+                   CAST(COUNT(*) AS DOUBLE) AS n_months,
+                   CAST(SUM(x) AS DOUBLE) AS sx,
+                   CAST(SUM(y) AS DOUBLE) AS sy,
+                   CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                   CAST(SUM(x * x) AS DOUBLE) AS sxx
+            FROM monthly GROUP BY 1)
+        SELECT nation,
+               CAST(n_months AS BIGINT) AS n_months,
+               (n_months * sxy - sx * sy) / NULLIF(n_months * sxx - sx * sx, 0) AS slope,
+               sy / n_months
+                 - ((n_months * sxy - sx * sy) / NULLIF(n_months * sxx - sx * sx, 0))
+                   * (sx / n_months) AS intercept
+        FROM m
+    """,
+    "a30_corr_pairs": """
+        WITH m AS (
+            SELECT l_returnflag AS returnflag,
+                   COUNT(*) AS n_items,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                                 * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+                   CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                                 * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                 * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS syy
+            FROM lineitem GROUP BY 1)
+        SELECT returnflag, n_items,
+               (CAST(n_items AS DOUBLE) * sxy - sx * sy)
+                 / NULLIF(sqrt(CAST(n_items AS DOUBLE) * sxx - sx * sx)
+                          * sqrt(CAST(n_items AS DOUBLE) * syy - sy * sy), 0) AS pearson_r
+        FROM m
+    """,
     "a28_ordered_funnel": """
         WITH tv AS (
             SELECT user_id, MIN(ts) AS tv FROM events
@@ -668,4 +790,6 @@ QUERIES = {
     "a26_rfm": q_a26_rfm,
     "a27_benford_audit": q_a27_benford_audit,
     "a28_ordered_funnel": q_a28_ordered_funnel,
+    "a29_trend_slope": q_a29_trend_slope,
+    "a30_corr_pairs": q_a30_corr_pairs,
 }

@@ -26,41 +26,13 @@ never collects.
 from __future__ import annotations
 
 import os
-import threading
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.transforms import davg, dsum, ratio
+from ..session import prewarm_python_workers
 from .calendar import calendar_dim
-
-
-def _prewarm_python_workers(spark: SparkSession) -> None:
-    """Kick off the PySpark worker daemon in the BACKGROUND, once per
-    session: the first Arrow/Python-worker stage of a session pays a
-    multi-second daemon+worker spawn, which lands entirely on whichever
-    query happens to hit Python first (the multimodal decode gate entry
-    — round-2 VERDICT item 5). A 1-row mapInPandas on a daemon thread
-    spawns that machinery while the JVM-side queries run, so the first
-    real Python stage finds a warm pool. No-op after the first call;
-    never blocks or raises into the caller."""
-    try:
-        if spark.conf.get("spark.cbbi.prewarmed", None) == "1":
-            return
-        spark.conf.set("spark.cbbi.prewarmed", "1")
-    except Exception:
-        return
-
-    def run() -> None:
-        try:
-            def gen(it):
-                yield from it
-
-            spark.range(1).mapInPandas(gen, "id long").count()
-        except Exception:
-            pass
-
-    threading.Thread(target=run, daemon=True, name="py-worker-prewarm").start()
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -82,7 +54,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         "spark.sql.shuffle.partitions",
         str(spark.sparkContext.defaultParallelism),
     )
-    _prewarm_python_workers(spark)
+    prewarm_python_workers(spark, block=False)
     if name == "events":
         from ..session import read_events
 

@@ -29,6 +29,7 @@ def test_rows_only_set_is_intentional():
         "x_mmr_rerank",
         "x_bpe_train",
         "x_bpe_encode",
+        "x_pca_project",
     }
 
 

@@ -124,3 +124,66 @@ def test_w9_scd2_single_window_shuffle(spark):
     plan = _plan(windows.q_w9_scd2_history(spark, SF))
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window") == 1
+
+
+def test_a29_trend_slope_matches_numpy_and_broadcasts_dims(spark):
+    import numpy as np
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.plans import analytics
+
+    df = analytics.q_a29_trend_slope(spark, SF)
+    # dims broadcast; the only hash exchange is the monthly fact rollup
+    # plus the nation-level moment agg (nations-sized, trivial)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") == 2
+    # numeric cross-check: numpy least squares over the same points
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+    rows = df.collect()
+    import pyspark.sql.functions as F
+
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 23880).alias("x"),
+        )
+        .agg(F.sum("o_totalprice").alias("y"))
+        .collect()
+    )
+    by_nation = {}
+    for r in monthly:
+        by_nation.setdefault(r["n_name"], []).append((r["x"], r["y"]))
+    for r in rows:
+        pts = sorted(by_nation[r["nation"]])
+        xs = np.array([p[0] for p in pts], dtype=float)
+        ys = np.array([p[1] for p in pts], dtype=float)
+        if len(pts) < 2:
+            assert r["slope"] is None
+            continue
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert abs(r["slope"] - slope) < 1e-6 * max(1.0, abs(slope))
+        assert abs(r["intercept"] - intercept) < 1e-6 * max(1.0, abs(intercept))
+
+
+def test_a30_corr_matches_numpy(spark):
+    import numpy as np
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.plans import analytics
+
+    rows = analytics.q_a30_corr_pairs(spark, SF).collect()
+    l = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).collect()
+    per = {}
+    for r in l:
+        per.setdefault(r["l_returnflag"], []).append(
+            (round(r["l_quantity"], 2), round(r["l_extendedprice"], 2))
+        )
+    assert len(rows) == len(per)
+    for r in rows:
+        xs = np.array([p[0] for p in per[r["returnflag"]]])
+        ys = np.array([p[1] for p in per[r["returnflag"]]])
+        expect = np.corrcoef(xs, ys)[0, 1]
+        assert abs(r["pearson_r"] - expect) < 1e-9
+        assert r["n_items"] == len(xs)
