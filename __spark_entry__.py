@@ -119,6 +119,7 @@ _NEW_SINCE_R3: tuple[str, ...] = (
     "a28_ordered_funnel",
     "a29_trend_slope",
     "a30_corr_pairs",
+    "x_bloom_decontaminate",
 )
 
 

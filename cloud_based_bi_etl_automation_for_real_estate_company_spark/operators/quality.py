@@ -257,6 +257,111 @@ def decontaminate(
     return train.join(flagged, id_col, "left_anti")
 
 
+# Bloom word size: 16-bit words keep every value positive and small
+# enough that the in-lambda bit test can use exact double division
+# (higher-order-function lambdas can't call shiftright with a column
+# shift amount, and 2^b division is bit-exact for b < 16).
+_BLOOM_WORD = 16
+
+
+def _bloom_hashes(sh: Column) -> tuple[Column, Column]:
+    """Two independent 32-bit hashes from ONE md5 per shingle (h2
+    forced odd so the double-hash stride cycles the whole table —
+    Kirsch & Mitzenmacher 2006 composite hashing g_i = h1 + i·h2)."""
+    d = F.md5(sh)
+    h1 = F.conv(F.substring(d, 1, 8), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(d, 9, 8), 16, 10).cast("bigint") * 2 + 1
+    return h1, h2
+
+
+def bloom_build(
+    eval_df: DataFrame,
+    text_col: str = "text",
+    m_bits: int = 1 << 16,
+    k_hashes: int = 3,
+    shingle_k: int = 3,
+) -> list[int]:
+    """Build a Bloom filter over the eval corpus's distinct word
+    ``shingle_k``-gram shingles; returns the bitmap as
+    ``m_bits / 16`` small positive ints, ready to broadcast as a plan
+    constant into :func:`bloom_probe`.
+
+    This is the scale path of :func:`contamination_report`: the
+    broadcast-join form ships the full distinct-shingle set (GBs for a
+    large eval suite) to every task, while the Bloom bitmap is a FIXED
+    ``m_bits/8`` bytes (8 KB at the default) no matter how many
+    benchmarks are in it, traded against a quantifiable false-positive
+    rate (~(set_fraction)^k — over-flagging only, never missing real
+    contamination). The aggregation collects at most ``m_bits``
+    distinct positions to the driver — a bounded build artifact like a
+    k-means codebook, not data."""
+    from ..functions.text import shingles
+
+    sh = eval_df.select(
+        F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("sh")
+    )
+    h1, h2 = _bloom_hashes(F.col("sh"))
+    pos = sh.select(
+        F.explode(
+            F.array(*[F.pmod(h1 + i * h2, F.lit(m_bits)) for i in range(k_hashes)])
+        ).alias("pos")
+    ).distinct()
+    words = [0] * (m_bits // _BLOOM_WORD)
+    for row in pos.collect():
+        p = row["pos"]
+        words[p // _BLOOM_WORD] |= 1 << (p % _BLOOM_WORD)
+    return words
+
+
+def bloom_probe(
+    corpus: DataFrame,
+    words: list[int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 16,
+    k_hashes: int = 3,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-document contamination screen against a Bloom bitmap from
+    :func:`bloom_build`: (id, n_shingles, n_hits, flagged).
+
+    Entirely map-side — the bitmap folds into the plan as a constant
+    array and the per-shingle membership test runs inside a
+    higher-order ``filter`` lambda, so the probe adds ZERO shuffles to
+    the corpus scan (the join-based report shuffles candidates). The
+    bit test is ``(word div 2^b) mod 2`` on 16-bit words — exact, and
+    expressible with plain column arithmetic inside the lambda."""
+    from ..functions.text import shingles
+
+    bits = F.array(*[F.lit(w) for w in words])
+
+    def bit_on(pos: Column) -> Column:
+        word = F.element_at(
+            bits, (F.floor(pos / _BLOOM_WORD) + 1).cast("int")
+        )
+        b = F.pmod(pos, F.lit(_BLOOM_WORD)).cast("double")
+        return F.pmod(F.floor(word / F.pow(F.lit(2.0), b)), F.lit(2)) == 1
+
+    def hit(sh: Column) -> Column:
+        h1, h2 = _bloom_hashes(sh)
+        cond = bit_on(F.pmod(h1, F.lit(m_bits)))
+        for i in range(1, k_hashes):
+            cond = cond & bit_on(F.pmod(h1 + i * h2, F.lit(m_bits)))
+        return cond
+
+    shs = F.array_distinct(shingles(text_col, shingle_k))
+    return corpus.select(
+        F.col(id_col),
+        F.size(shs).cast("bigint").alias("n_shingles"),
+        F.size(F.filter(shs, hit)).cast("bigint").alias("n_hits"),
+    ).select(
+        id_col,
+        "n_shingles",
+        "n_hits",
+        (F.col("n_hits") > 0).cast("int").alias("flagged"),
+    )
+
+
 def length_clip(
     df: DataFrame,
     value_col: str = "n_chars",

@@ -252,6 +252,23 @@ def q_x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_report(train, ev)
 
 
+def q_x_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination screen — the constant-memory scale
+    path of x_decontaminate: the eval split's shingles build an 8 KB
+    bitmap (one bounded driver collect, like a k-means codebook), and
+    the corpus probe is a ZERO-shuffle map-only pass with the bitmap
+    folded into the plan. The oracle replays the identical double-hash
+    position math via set membership — bit-set-in-bitmap ≡ position-in
+    -set, false positives included, so the hash compare is exact."""
+    from ..operators.quality import bloom_build, bloom_probe
+
+    d = t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 50 == 0)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    words = bloom_build(ev)
+    return bloom_probe(train, words).orderBy("doc_id").limit(500)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -1244,6 +1261,35 @@ ORACLES: dict[str, str] = {
         FROM tr JOIN ev USING (sh)
         GROUP BY 1
     """,
+    "x_bloom_decontaminate": f"""
+        WITH {_SHINGLES_CTE},
+        hashed AS (
+            SELECT doc_id, sh,
+                   CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS h1,
+                   CAST(('0x' || substr(md5(sh), 9, 8)) AS BIGINT) * 2 + 1 AS h2
+            FROM shingled),
+        evpos AS (
+            SELECT DISTINCT (h1 + i * h2) % 65536 AS pos
+            FROM (SELECT h1, h2 FROM hashed WHERE doc_id % 50 = 0),
+                 (SELECT UNNEST([0, 1, 2]) AS i)),
+        tr AS (
+            SELECT doc_id,
+                   ((h1 + 0 * h2) % 65536 IN (SELECT pos FROM evpos)
+                    AND (h1 + 1 * h2) % 65536 IN (SELECT pos FROM evpos)
+                    AND (h1 + 2 * h2) % 65536 IN (SELECT pos FROM evpos)) AS hit
+            FROM hashed WHERE doc_id % 50 <> 0),
+        agg AS (
+            SELECT doc_id, COUNT(*) AS n_shingles,
+                   SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS n_hits
+            FROM tr GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(COALESCE(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+               CAST(COALESCE(a.n_hits, 0) AS BIGINT) AS n_hits,
+               CASE WHEN COALESCE(a.n_hits, 0) > 0 THEN 1 ELSE 0 END AS flagged
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        WHERE d.doc_id % 50 <> 0
+        ORDER BY d.doc_id LIMIT 500
+    """,
     "x_ann_bruteforce": """
         WITH q AS (
             SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
@@ -1707,6 +1753,7 @@ QUERIES = {
     "x_pii_redact": q_x_pii_redact,
     "x_repetition": q_x_repetition,
     "x_decontaminate": q_x_decontaminate,
+    "x_bloom_decontaminate": q_x_bloom_decontaminate,
     "x_ann_bruteforce": q_x_ann_bruteforce,
     "x_ann_bucketed": q_x_ann_bucketed,
     "x_ann_ivf": q_x_ann_ivf,

@@ -117,3 +117,55 @@ def test_weighted_sample_priority_monotone_in_weight(spark):
     )
     out = weighted_sample(df, "w", k=3, strata_col="lang", id_col="doc_id")
     assert sorted(r["doc_id"] for r in out.collect()) == [5, 6, 7]
+
+
+def test_bloom_probe_never_misses_real_contamination(spark):
+    # Bloom guarantees: no false negatives (every doc the exact
+    # report flags is bloom-flagged); false positives allowed.
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "a"),
+            (2, "pack my box with five dozen liquor jugs", "a"),
+            (3, "the quick brown fox naps all day long", "a"),
+            (4, "completely unrelated text with different words here", "a"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    ev = docs.filter(F.col("doc_id") == 1)
+    train = docs.filter(F.col("doc_id") != 1)
+    words = Q.bloom_build(ev)
+    probe = {r["doc_id"]: r for r in Q.bloom_probe(train, words).collect()}
+    exact = {
+        r["doc_id"]
+        for r in Q.contamination_report(train, ev).collect()
+    }
+    assert 3 in exact  # shares "the quick brown" / "quick brown fox"
+    for d in exact:
+        assert probe[d]["flagged"] == 1
+    # n_hits bounded by shingle count
+    for r in probe.values():
+        assert 0 <= r["n_hits"] <= r["n_shingles"]
+
+
+def test_bloom_probe_is_map_only(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e", "s"), (2, "f g h i j", "s")],
+        "doc_id long, text string, source string",
+    )
+    words = Q.bloom_build(docs.limit(1))
+    plan = (
+        Q.bloom_probe(docs, words)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # probe adds zero shuffles
+
+
+def test_bloom_short_doc_zero_shingles(spark):
+    docs = spark.createDataFrame(
+        [(1, "one two", "s")], "doc_id long, text string, source string"
+    )
+    words = Q.bloom_build(docs)
+    r = Q.bloom_probe(docs, words).collect()[0]
+    assert r["n_shingles"] == 0 and r["n_hits"] == 0 and r["flagged"] == 0
