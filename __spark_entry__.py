@@ -120,6 +120,9 @@ _NEW_SINCE_R3: tuple[str, ...] = (
     "a29_trend_slope",
     "a30_corr_pairs",
     "x_bloom_decontaminate",
+    "x_hard_negatives",
+    "t9_anomaly_mad",
+    "u6_dq_checks",
 )
 
 

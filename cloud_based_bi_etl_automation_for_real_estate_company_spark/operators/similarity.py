@@ -62,6 +62,45 @@ def brute_force_topk(
     )
 
 
+def hard_negatives(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+) -> DataFrame:
+    """Contrastive hard-negative mining: per query, the ``k``
+    most-similar base vectors carrying a DIFFERENT ``group_col`` —
+    the would-be false positives that make the highest-value training
+    negatives (in-batch negatives are mostly easy; retrieval-mined
+    near-misses are what sharpen the margin). Same broadcast-queries /
+    single-base-scan shape as :func:`brute_force_topk`; the label
+    inequality is part of the join condition so same-class pairs are
+    pruned before the similarity arithmetic. Returns
+    (q_id, q_label, vec_id, neg_label, sim, rnk)."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_emb"),
+        F.col(group_col).alias("q_label"),
+    )
+    b = spread(base.select(F.col(id_col), F.col(vec_col), F.col(group_col)))
+    scored = b.join(
+        F.broadcast(q), F.col(group_col) != F.col("q_label")
+    ).select(
+        "q_id",
+        "q_label",
+        id_col,
+        F.col(group_col).alias("neg_label"),
+        _sim("q_emb", vec_col).alias("sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def bucketed_ann_topk(
     base: DataFrame,
     queries: DataFrame,

@@ -280,6 +280,13 @@ def q_x_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=5)
 
 
+def q_x_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for queries vec_id < 5: top-5 most-similar
+    vectors with a different class label."""
+    e = t(spark, sf_dir, "embeddings")
+    return S.hard_negatives(e, e.filter(F.col("vec_id") < 5), k=5)
+
+
 def q_x_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-bucketed approximate top-5: multi-probe + two independent
     hash tables (OR-amplification; recall 0.80 vs 0.52 single-table on
@@ -1290,6 +1297,25 @@ ORACLES: dict[str, str] = {
         WHERE d.doc_id % 50 <> 0
         ORDER BY d.doc_id LIMIT 500
     """,
+    "x_hard_negatives": """
+        WITH q AS (
+            SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb, label AS q_label
+            FROM embeddings WHERE vec_id < 5),
+        scored AS (
+            SELECT q.q_id, q.q_label, b.vec_id, b.label AS neg_label,
+                   ROUND(list_dot_product(q.q_emb, b.embedding::DOUBLE[])
+                         / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                            * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                                    b.embedding::DOUBLE[]))), 6) AS sim
+            FROM embeddings b CROSS JOIN q
+            WHERE b.label <> q.q_label),
+        ranked AS (
+            SELECT q_id, q_label, vec_id, neg_label, sim,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rnk
+            FROM scored)
+        SELECT q_id, q_label, vec_id, neg_label, sim, rnk FROM ranked WHERE rnk <= 5
+    """,
     "x_ann_bruteforce": """
         WITH q AS (
             SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
@@ -1755,6 +1781,7 @@ QUERIES = {
     "x_decontaminate": q_x_decontaminate,
     "x_bloom_decontaminate": q_x_bloom_decontaminate,
     "x_ann_bruteforce": q_x_ann_bruteforce,
+    "x_hard_negatives": q_x_hard_negatives,
     "x_ann_bucketed": q_x_ann_bucketed,
     "x_ann_ivf": q_x_ann_ivf,
     "x_ann_ivf_trained": q_x_ann_ivf_trained,

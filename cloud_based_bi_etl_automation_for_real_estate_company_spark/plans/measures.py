@@ -448,6 +448,55 @@ def q_u5_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_apply(ev, keys=["user_id"], order_by=["ts", "event_id"])
 
 
+def q_u6_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit over the orders fact — the
+    dbt-test / Great-Expectations surface run as ONE conditional-count
+    aggregation pass (operators/quality.py:check) plus the two
+    rule-shapes that need their own plan: key uniqueness (hash-agg on
+    the key) and referential integrity (broadcast anti-join). The
+    report is five (expectation, n_violations, n_rows) rows — the
+    runtime analog of the reference's ingest guards (whitelist, status
+    checks) promoted to batch audit form."""
+    from ..operators.quality import (
+        check,
+        in_range,
+        in_set,
+        not_null,
+        references,
+        unique_key,
+    )
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n_orders = o.count()
+    base = check(
+        o,
+        [
+            not_null("o_custkey"),
+            in_set("o_orderstatus", ("O", "P", "F")),
+            in_range("o_totalprice", 0.0, 200000.0),
+        ],
+    )
+    dup = unique_key(o, ["o_orderkey"]).agg(
+        F.coalesce(F.sum("n_rows"), F.lit(0)).cast("bigint").alias("n_violations")
+    )
+    orphan = references(o, "o_custkey", c, "c_custkey").agg(
+        F.coalesce(F.sum("n_rows"), F.lit(0)).cast("bigint").alias("n_violations")
+    )
+    extra = dup.select(
+        F.lit("unique_o_orderkey").alias("expectation"),
+        "n_violations",
+        F.lit(n_orders).alias("n_rows"),
+    ).unionByName(
+        orphan.select(
+            F.lit("fk_o_custkey").alias("expectation"),
+            "n_violations",
+            F.lit(n_orders).alias("n_rows"),
+        )
+    )
+    return base.unionByName(extra)
+
+
 def q_u2_backfill_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2/S8/ST2 — merge historical backfill with the live stream then
     dedup by event id, keeping the latest arrival (README.md:149;
@@ -653,6 +702,38 @@ ORACLES: dict[str, str] = {
         SELECT n_name AS office, COUNT(*) AS n_customers
         FROM unioned GROUP BY 1
     """,
+    "u6_dq_checks": """
+        WITH tot AS (SELECT COUNT(*) AS n FROM orders)
+        SELECT 'not_null_o_custkey' AS expectation,
+               CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT)
+                   AS n_violations,
+               CAST(n AS BIGINT) AS n_rows FROM tot
+        UNION ALL
+        SELECT 'in_set_o_orderstatus',
+               CAST((SELECT COUNT(*) FROM orders
+                     WHERE NOT (o_orderstatus IN ('O','P','F')
+                                OR o_orderstatus IS NULL)) AS BIGINT),
+               CAST(n AS BIGINT) FROM tot
+        UNION ALL
+        SELECT 'in_range_o_totalprice',
+               CAST((SELECT COUNT(*) FROM orders
+                     WHERE NOT ((o_totalprice >= 0.0 AND o_totalprice <= 200000.0)
+                                OR o_totalprice IS NULL)) AS BIGINT),
+               CAST(n AS BIGINT) FROM tot
+        UNION ALL
+        SELECT 'unique_o_orderkey',
+               CAST(COALESCE((SELECT SUM(c) FROM (
+                   SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey
+                   HAVING COUNT(*) > 1)), 0) AS BIGINT),
+               CAST(n AS BIGINT) FROM tot
+        UNION ALL
+        SELECT 'fk_o_custkey',
+               CAST((SELECT COUNT(*) FROM orders o
+                     WHERE o.o_custkey IS NOT NULL
+                       AND o.o_custkey NOT IN (SELECT c_custkey FROM customer))
+                   AS BIGINT),
+               CAST(n AS BIGINT) FROM tot
+    """,
     "u5_cdc_apply": """
         WITH changes AS (
             SELECT user_id, event_id, ts, event_type,
@@ -700,4 +781,5 @@ QUERIES = {
     "u1_union_offices": q_u1_union_offices,
     "u2_backfill_stream_merge": q_u2_backfill_stream_merge,
     "u5_cdc_apply": q_u5_cdc_apply,
+    "u6_dq_checks": q_u6_dq_checks,
 }

@@ -158,6 +158,50 @@ def q_t8_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_t9_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection on the daily revenue series per event
+    type: modified z-score 0.6745·(v−median)/MAD with the standard
+    |z| > 3.5 flag (Iglewicz & Hoaglin 1993) — median/MAD because at
+    100 TB a handful of broken-feed days would drag a mean/stddev
+    control band toward themselves and mask their own anomaly.
+
+    Plan: one fact-scan daily rollup (decimal revenue), then two
+    per-key exact-percentile aggregates over the key×days table —
+    which is cluster-trivial (keys × calendar days, not fact-sized) —
+    each joined back broadcast. The daily values are exact decimals
+    cast to double, so both engines interpolate identical medians."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("series"), F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("v")
+    )
+    med = daily.groupBy("series").agg(
+        F.expr("percentile(v, 0.5)").alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "series").withColumn(
+        "adev", F.abs(F.col("v") - F.col("med"))
+    )
+    mad = dev.groupBy("series").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    rz = F.lit(0.6745) * F.try_divide(F.col("v") - F.col("med"), F.col("mad"))
+    return (
+        dev.join(F.broadcast(mad), "series")
+        .select(
+            "series",
+            "day",
+            "v",
+            "med",
+            "mad",
+            rz.alias("robust_z"),
+            # when-form so a NULL z (mad=0) flags 0, matching the
+            # oracle's CASE ELSE branch
+            F.when(F.abs(rz) > 3.5, 1).otherwise(0).alias("is_anomaly"),
+        )
+    )
+
+
 def q_p15_case_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P15 — string case transforms (webhook_app.py:176 account.upper())."""
     c = t(spark, sf_dir, "customer")
@@ -169,6 +213,28 @@ def q_p15_case_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "t9_anomaly_mad": """
+        WITH daily AS (
+            SELECT event_type AS series, CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+            FROM events GROUP BY 1, 2),
+        med AS (
+            SELECT series, quantile_cont(v, 0.5) AS med
+            FROM daily GROUP BY 1),
+        dev AS (
+            SELECT d.series, d.day, d.v, m.med, abs(d.v - m.med) AS adev
+            FROM daily d JOIN med m USING (series)),
+        mad AS (
+            SELECT series, quantile_cont(adev, 0.5) AS mad
+            FROM dev GROUP BY 1)
+        SELECT dev.series, dev.day, dev.v, dev.med, mad.mad,
+               0.6745 * CASE WHEN mad.mad = 0 THEN NULL
+                             ELSE (dev.v - dev.med) / mad.mad END AS robust_z,
+               CASE WHEN abs(0.6745 * CASE WHEN mad.mad = 0 THEN NULL
+                                           ELSE (dev.v - dev.med) / mad.mad END) > 3.5
+                    THEN 1 ELSE 0 END AS is_anomaly
+        FROM dev JOIN mad USING (series)
+    """,
     "t8_ewma": """
         WITH daily AS (
             SELECT event_type AS series, CAST(ts AS DATE) AS day,
@@ -338,5 +404,6 @@ QUERIES = {
     "t6_ohlc_downsample": q_t6_ohlc_downsample,
     "t7_gap_fill": q_t7_gap_fill,
     "t8_ewma": q_t8_ewma,
+    "t9_anomaly_mad": q_t9_anomaly_mad,
     "p15_case_transform": q_p15_case_transform,
 }
