@@ -123,6 +123,7 @@ _NEW_SINCE_R3: tuple[str, ...] = (
     "x_hard_negatives",
     "t9_anomaly_mad",
     "u6_dq_checks",
+    "x_zorder_key",
 )
 
 

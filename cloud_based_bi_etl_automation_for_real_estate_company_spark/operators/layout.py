@@ -1,0 +1,92 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering.
+
+A sort on ONE column gives perfect parquet min/max pruning on that
+column and none on any other. Interleaving the bits of two (or more)
+normalized key columns into a single Morton key and range-partitioning
++ sorting the write on it gives every file a small hyper-rectangle of
+the key space — so row-group statistics prune scans filtered on ANY of
+the clustered columns (the technique behind Delta/Databricks OPTIMIZE
+ZORDER and Hudi/Iceberg z-curves).
+
+All pure column arithmetic (bit picks and shifted adds — no UDFs), so
+the key computation fuses into the write scan; the only data movement
+is the range repartition that any clustered write needs anyway. At
+100 TB the win is directly proportional to files skipped: a 2-D
+z-order over (customer, date) turns a full-table scan for either
+predicate into a ~sqrt-fraction file subset.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def scale_to_bits(col: Column, lo: float, hi: float, bits: int) -> Column:
+    """Affine-map ``col`` from [lo, hi] into the integer grid
+    [0, 2^bits): the per-dimension quantization Morton interleaving
+    needs. Values outside the range clamp to the grid edge (layout
+    keys must never be NULL or out of range; NULL maps to 0)."""
+    top = (1 << bits) - 1
+    scaled = F.floor(
+        (col.cast("double") - F.lit(float(lo)))
+        / F.lit((float(hi) - float(lo)) or 1.0)
+        * F.lit(float(top) + 1.0)
+    )
+    return F.coalesce(
+        F.least(F.greatest(scaled, F.lit(0)), F.lit(top)), F.lit(0)
+    ).cast("bigint")
+
+
+def interleave_bits(cols: Sequence[Column], bits: int = 16) -> Column:
+    """Morton key: bit j of column i lands at position
+    j * n_cols + i. Built as a balanced sum of shifted bit picks —
+    ~bits × n_cols arithmetic ops, constant-folded into one projection
+    (no loop at runtime, no UDF). Columns must already be integers in
+    [0, 2^bits), e.g. from :func:`scale_to_bits`."""
+    terms = []
+    n = len(cols)
+    for i, c in enumerate(cols):
+        for j in range(bits):
+            # ((c >> j) & 1) << (j * n + i), via exact arithmetic
+            bit = F.pmod(F.floor(c / F.lit(float(1 << j))).cast("bigint"), F.lit(2))
+            terms.append(bit * F.lit(1 << (j * n + i)))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("bigint")
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    ranges: Sequence[tuple[float, float]],
+    bits: int = 16,
+    n_files: int | None = None,
+) -> None:
+    """Write ``df`` as parquet clustered on the Morton key of ``cols``:
+    range-repartition on the key (equal-size files, since the range
+    partitioner samples the key distribution) then sort within each
+    partition so row groups inside a file are tight too. ``ranges``
+    supplies each column's (lo, hi) — at scale these come from table
+    stats, passed in so the write plan needs no extra aggregation
+    pass."""
+    zkey = interleave_bits(
+        [
+            scale_to_bits(F.col(c), lo, hi, bits)
+            for c, (lo, hi) in zip(cols, ranges)
+        ],
+        bits,
+    )
+    keyed = df.withColumn("__zkey", zkey)
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        keyed.repartitionByRange(n, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

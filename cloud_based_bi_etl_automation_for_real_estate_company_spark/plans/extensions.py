@@ -280,6 +280,29 @@ def q_x_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=5)
 
 
+def q_x_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) layout key over (user_id, value) — the
+    multi-dimensional clustering key zorder_write ranges/sorts on so
+    parquet min/max stats prune scans on EITHER column. The key is
+    pure bit arithmetic; the oracle replays it with shift/mask SQL,
+    proving the quantization grid and interleave are engine-exact."""
+    from ..operators.layout import interleave_bits, scale_to_bits
+
+    ev = t(spark, sf_dir, "events")
+    zkey = interleave_bits(
+        [
+            scale_to_bits(F.col("user_id"), 0.0, 1000.0, 8),
+            scale_to_bits(F.col("value"), 0.0, 500.0, 8),
+        ],
+        8,
+    )
+    return (
+        ev.select("event_id", zkey.alias("zkey"))
+        .orderBy("event_id")
+        .limit(1000)
+    )
+
+
 def q_x_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for queries vec_id < 5: top-5 most-similar
     vectors with a different class label."""
@@ -1297,6 +1320,28 @@ ORACLES: dict[str, str] = {
         WHERE d.doc_id % 50 <> 0
         ORDER BY d.doc_id LIMIT 500
     """,
+    # Morton-interleave oracle: same quantize-clamp-interleave math as
+    # operators/layout.py, written with shift/mask SQL (generated
+    # terms: bit j of dim i lands at j*2+i).
+    "x_zorder_key": """
+        WITH scaled AS (
+            SELECT event_id,
+                   LEAST(GREATEST(CAST(FLOOR(
+                       (CAST(user_id AS DOUBLE) - 0.0) / 1000.0 * 256.0
+                   ) AS BIGINT), 0), 255) AS a,
+                   LEAST(GREATEST(CAST(FLOOR(
+                       (CAST(value AS DOUBLE) - 0.0) / 500.0 * 256.0
+                   ) AS BIGINT), 0), 255) AS b
+            FROM events)
+        SELECT event_id,
+               CAST(("""
+    + " + ".join(
+        f"(((a >> {j}) & 1) << {j * 2}) + (((b >> {j}) & 1) << {j * 2 + 1})"
+        for j in range(8)
+    )
+    + """) AS BIGINT) AS zkey
+        FROM scaled ORDER BY event_id LIMIT 1000
+    """,
     "x_hard_negatives": """
         WITH q AS (
             SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb, label AS q_label
@@ -1782,6 +1827,7 @@ QUERIES = {
     "x_bloom_decontaminate": q_x_bloom_decontaminate,
     "x_ann_bruteforce": q_x_ann_bruteforce,
     "x_hard_negatives": q_x_hard_negatives,
+    "x_zorder_key": q_x_zorder_key,
     "x_ann_bucketed": q_x_ann_bucketed,
     "x_ann_ivf": q_x_ann_ivf,
     "x_ann_ivf_trained": q_x_ann_ivf_trained,

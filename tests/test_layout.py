@@ -1,0 +1,106 @@
+"""Z-order layout: key correctness and the pruning property it exists
+for — per-file min/max ranges must be tight on BOTH clustered columns,
+where a single-column sort is tight on one and spans the full range on
+the other (oracle-checked end-to-end as x_zorder_key)."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators import (
+    layout as L,
+)
+
+
+def _morton_ref(a: int, b: int, bits: int = 8) -> int:
+    out = 0
+    for j in range(bits):
+        out |= ((a >> j) & 1) << (2 * j)
+        out |= ((b >> j) & 1) << (2 * j + 1)
+    return out
+
+
+def test_interleave_matches_python_reference(spark):
+    rows = [(i, (i * 37) % 256, (i * 91) % 256) for i in range(64)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    got = df.select(
+        "id", L.interleave_bits([F.col("a"), F.col("b")], 8).alias("z")
+    ).collect()
+    by_id = {r["id"]: r["z"] for r in got}
+    for i, a, b in rows:
+        assert by_id[i] == _morton_ref(a, b)
+
+
+def test_scale_to_bits_clamps_and_null_maps_zero(spark):
+    df = spark.createDataFrame(
+        [(0, -5.0), (1, 0.0), (2, 99.9), (3, 100.0), (4, 250.0), (5, None)],
+        "id long, v double",
+    )
+    got = {
+        r["id"]: r["s"]
+        for r in df.select(
+            "id", L.scale_to_bits(F.col("v"), 0.0, 100.0, 4).alias("s")
+        ).collect()
+    }
+    assert got[0] == 0          # below range clamps to 0
+    assert got[1] == 0
+    assert got[2] == 15         # just under hi → top cell
+    assert got[3] == 15         # hi clamps to top
+    assert got[4] == 15
+    assert got[5] == 0          # NULL → 0, never NULL
+
+
+def _avg_file_spans(path: str, spark, cols):
+    """Mean per-file (max-min) span for each column, as coverage
+    fraction of the global span."""
+    full = spark.read.parquet(path)
+    glo = full.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in cols],
+        *[F.max(c).alias(f"hi_{c}") for c in cols],
+    ).collect()[0]
+    spans = {c: [] for c in cols}
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        st = (
+            spark.read.parquet(f)
+            .agg(
+                *[F.min(c).alias(f"lo_{c}") for c in cols],
+                *[F.max(c).alias(f"hi_{c}") for c in cols],
+            )
+            .collect()[0]
+        )
+        for c in cols:
+            width = float(glo[f"hi_{c}"]) - float(glo[f"lo_{c}"])
+            spans[c].append(
+                (float(st[f"hi_{c}"]) - float(st[f"lo_{c}"])) / width
+            )
+    return {c: sum(v) / len(v) for c, v in spans.items()}
+
+
+def test_zorder_write_tightens_both_dimensions(spark, tmp_path):
+    # synthetic uniform grid so both dims have real spread
+    df = spark.range(4096).select(
+        F.col("id"),
+        (F.col("id") % 64).alias("a"),
+        F.floor(F.col("id") / 64).alias("b"),
+    )
+    zpath = str(tmp_path / "zorder")
+    spath = str(tmp_path / "sorted")
+    L.zorder_write(df, zpath, ["a", "b"], [(0, 64), (0, 64)], bits=6, n_files=16)
+    (
+        df.repartitionByRange(16, "a")
+        .sortWithinPartitions("a")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+    z = _avg_file_spans(zpath, spark, ["a", "b"])
+    s = _avg_file_spans(spath, spark, ["a", "b"])
+    # single-col sort: near-zero span on a, full span on b
+    assert s["a"] < 0.2 and s["b"] > 0.8
+    # z-order: BOTH dims well under the full span — balanced pruning
+    assert z["a"] < 0.5 and z["b"] < 0.5
+    # and the worst dimension improves vs the sorted layout
+    assert max(z.values()) < max(s.values()) - 0.3
+    # round trip loses no rows
+    assert spark.read.parquet(zpath).count() == 4096
