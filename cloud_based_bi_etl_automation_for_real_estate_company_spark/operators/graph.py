@@ -1,0 +1,88 @@
+"""Graph propagation operators beyond connected components (CC lives
+in operators/dedup.py): weighted PageRank as pure DataFrame algebra.
+
+Each power iteration is one join (ranks × edges) + one hash aggregation
+keyed by destination — the same shuffle profile as a fact-dim join, so
+a 100 TB edge list runs it exactly like any other keyed agg; nothing
+ever collects (even the node count stays a 1-row frame cross-joined
+in). A fixed iteration count keeps the plan static and the result a
+deterministic function of the edges, which is what lets the DuckDB
+oracle replay it as unrolled CTEs.
+
+Determinism across engines AND partitionings: per-edge contributions
+are rounded to 12 decimals and accumulated as DECIMAL — double
+summation is order-dependent, and a 1000-partition sum would otherwise
+drift from the single-threaded oracle in the low decimals; the rounded
+fixed-point sum is exact and associative (the same trick as
+functions.transforms.dsum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Weighted PageRank over a directed edge list, fixed iteration
+    count. Returns (node, rank).
+
+    Simplification (documented deviation from Page et al. 1999):
+    dangling-node mass is NOT redistributed — sinks absorb their
+    share, which preserves relative ordering for hub-scoring use and
+    keeps every iteration a single keyed aggregation (redistribution
+    would add a global scalar join per round; add it if true
+    probability semantics are needed).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("double").alias("w"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    e = e.join(outw, "src")
+    n = nodes.agg(F.count(F.lit(1)).alias("n"))
+    ranks = nodes.join(F.broadcast(n)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("r") * F.col("w") / F.col("ow"), 12)
+                .cast("decimal(38,12)")
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .join(F.broadcast(n))
+            .select(
+                "node",
+                (
+                    # (1.0 - d) evaluated IN-ENGINE: the Python float
+                    # 1.0-0.85 is 0.15000000000000002 while a SQL
+                    # literal 0.15 is not — both engines must compute
+                    # the identical subtraction
+                    (F.lit(1.0) - F.lit(damping)) / F.col("n")
+                    + F.lit(damping)
+                    * F.coalesce(F.col("s"), F.lit(0)).cast("double")
+                ).alias("r"),
+            )
+        )
+    return ranks.select("node", F.col("r").alias("rank"))

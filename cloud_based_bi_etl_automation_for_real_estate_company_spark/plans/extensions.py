@@ -280,6 +280,37 @@ def q_x_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=5)
 
 
+def q_x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (3 iterations, d=0.85) over the bipartite
+    supplier→customer trade graph (edge weight = line items shipped).
+    Hub customers — the ones many suppliers feed — surface with high
+    rank. The oracle unrolls the three power iterations as CTEs; the
+    rounded-decimal contribution sums make both engines (and any Spark
+    partitioning) agree bit-for-bit. Top 100 by rank for a bounded
+    gate payload."""
+    from ..operators.graph import pagerank
+
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    edges = (
+        l.join(o.select("o_orderkey", "o_custkey"),
+               l.l_orderkey == F.col("o_orderkey"))
+        .groupBy(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    from pyspark.sql import Window
+
+    pr = pagerank(edges, iterations=3, damping=0.85)
+    w = Window.orderBy(F.desc("rank"), F.asc("node"))
+    return (
+        pr.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 100)
+    )
+
+
 def q_x_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (Z-order) layout key over (user_id, value) — the
     multi-dimensional clustering key zorder_write ranges/sorts on so
@@ -764,7 +795,49 @@ def q_x_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pca_project(e.filter(F.col("vec_id") < 50), comps, mu)
 
 
+# PageRank oracle: the three power iterations unrolled as CTE pairs
+# (contribution agg, rank refresh), generated by the same loop shape
+# as the operator so the arithmetic trees match term-for-term.
+_PAGERANK_ITERS = "".join(
+    f""",
+        c{i} AS (
+            SELECT e.dst AS node,
+                   SUM(CAST(ROUND(r{i - 1}.r * e.w / e.ow, 12)
+                            AS DECIMAL(38,12))) AS s
+            FROM ew e JOIN r{i - 1} ON e.src = r{i - 1}.node
+            GROUP BY 1),
+        r{i} AS (
+            SELECT nodes.node,
+                   (CAST(1.0 AS DOUBLE) - 0.85) / nn.n
+                     + 0.85 * CAST(COALESCE(c{i}.s, 0) AS DOUBLE) AS r
+            FROM nodes CROSS JOIN nn
+            LEFT JOIN c{i} ON nodes.node = c{i}.node)"""
+    for i in (1, 2, 3)
+)
+
+_PAGERANK_SQL = f"""
+        WITH edges AS (
+            SELECT 's' || l.l_suppkey AS src, 'c' || o.o_custkey AS dst,
+                   CAST(COUNT(*) AS DOUBLE) AS w
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2),
+        outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY 1),
+        ew AS (SELECT e.src, e.dst, e.w, o.ow FROM edges e JOIN outw o USING (src)),
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges
+                UNION ALL SELECT dst FROM edges)),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        r0 AS (
+            SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS r
+            FROM nodes CROSS JOIN nn){_PAGERANK_ITERS}
+        SELECT node, r AS rank,
+               CAST(ROW_NUMBER() OVER (ORDER BY r DESC, node ASC) AS BIGINT) AS rnk
+        FROM r3 QUALIFY rnk <= 100
+    """
+
 ORACLES: dict[str, str] = {
+    "x_pagerank": _PAGERANK_SQL,
     "x_embed_stats": """
         WITH vals AS (
             SELECT p.dim, CAST(e.embedding[p.dim + 1] AS DOUBLE) AS x
@@ -1828,6 +1901,7 @@ QUERIES = {
     "x_ann_bruteforce": q_x_ann_bruteforce,
     "x_hard_negatives": q_x_hard_negatives,
     "x_zorder_key": q_x_zorder_key,
+    "x_pagerank": q_x_pagerank,
     "x_ann_bucketed": q_x_ann_bucketed,
     "x_ann_ivf": q_x_ann_ivf,
     "x_ann_ivf_trained": q_x_ann_ivf_trained,
