@@ -124,6 +124,7 @@ _NEW_SINCE_R3: tuple[str, ...] = (
     "t9_anomaly_mad",
     "u6_dq_checks",
     "x_zorder_key",
+    "x_profile_table",
     "x_pagerank",
 )
 

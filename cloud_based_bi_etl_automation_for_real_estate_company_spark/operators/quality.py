@@ -257,6 +257,42 @@ def decontaminate(
     return train.join(flagged, id_col, "left_anti")
 
 
+def profile_table(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """One-pass column profiler: (column, n_rows, n_nulls, n_distinct,
+    min_val, max_val) per column, long format — the table-stats
+    service every catalog/quality dashboard needs.
+
+    All measures for all columns compute in a SINGLE aggregation over
+    one scan (Spark expands the multi-distinct into one Expand + agg —
+    still one pass of the fact table, no per-column jobs); min/max are
+    projected to strings so heterogeneous column types share one
+    report schema. The unpivot to long form happens on the 1-row
+    aggregate, not the data."""
+    names = list(cols or df.columns)
+    aggs = []
+    for c in names:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__rows").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_val"),
+            F.col(f"{c}__max").alias("max_val"),
+        )
+        for c in names
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
 # Bloom word size: 16-bit words keep every value positive and small
 # enough that the in-lambda bit test can use exact double division
 # (higher-order-function lambdas can't call shiftright with a column

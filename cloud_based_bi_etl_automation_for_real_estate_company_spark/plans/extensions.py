@@ -280,6 +280,16 @@ def q_x_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=5)
 
 
+def q_x_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of the orders fact — null counts,
+    distinct cardinality, min/max per column in a single aggregation
+    (catalog-stats service). Strings carry min/max so every column
+    type shares the report schema."""
+    from ..operators.quality import profile_table
+
+    return profile_table(t(spark, sf_dir, "orders"))
+
+
 def q_x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank (3 iterations, d=0.85) over the bipartite
     supplier→customer trade graph (edge weight = line items shipped).
@@ -836,7 +846,29 @@ _PAGERANK_SQL = f"""
         FROM r3 QUALIFY rnk <= 100
     """
 
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+_PROFILE_SQL = "\n        UNION ALL\n".join(
+    f"""
+        SELECT '{c}' AS "column",
+               COUNT(*) AS n_rows,
+               CAST(COUNT(*) FILTER (WHERE {c} IS NULL) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_val,
+               CAST(MAX({c}) AS VARCHAR) AS max_val
+        FROM orders"""
+    for c in _PROFILE_COLS
+)
+
 ORACLES: dict[str, str] = {
+    "x_profile_table": _PROFILE_SQL,
     "x_pagerank": _PAGERANK_SQL,
     "x_embed_stats": """
         WITH vals AS (
@@ -1902,6 +1934,7 @@ QUERIES = {
     "x_hard_negatives": q_x_hard_negatives,
     "x_zorder_key": q_x_zorder_key,
     "x_pagerank": q_x_pagerank,
+    "x_profile_table": q_x_profile_table,
     "x_ann_bucketed": q_x_ann_bucketed,
     "x_ann_ivf": q_x_ann_ivf,
     "x_ann_ivf_trained": q_x_ann_ivf_trained,
