@@ -125,6 +125,7 @@ _NEW_SINCE_R3: tuple[str, ...] = (
     "u6_dq_checks",
     "x_zorder_key",
     "x_profile_table",
+    "a31_salted_hot_keys",
     "x_pagerank",
 )
 

@@ -505,7 +505,42 @@ def q_a30_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a31_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation over the 5-key event stream — the
+    maximally-skewed group shape (at 100 TB each event type is a
+    ~20 TB group; a plain groupBy lands each on ONE reducer, salting
+    spreads it over 16 shards then merges 16 partials per key). The
+    oracle is the plain GROUP BY: the rewrite must be value-identical,
+    which also proves the decimal partial sums merge exactly."""
+    from ..operators.skew import salted_agg
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        "event_id",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs={"v": "sum", "event_id": "max"},
+        salt_cols=["user_id", "event_id"],
+        num_shards=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("v").cast("double").alias("total_value"),
+        F.col("event_id").alias("max_event_id"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "a31_salted_hot_keys": """
+        SELECT event_type,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+               MAX(event_id) AS max_event_id
+        FROM events GROUP BY 1
+    """,
     "a29_trend_slope": """
         WITH monthly AS (
             SELECT n.n_name AS nation,
@@ -792,4 +827,5 @@ QUERIES = {
     "a28_ordered_funnel": q_a28_ordered_funnel,
     "a29_trend_slope": q_a29_trend_slope,
     "a30_corr_pairs": q_a30_corr_pairs,
+    "a31_salted_hot_keys": q_a31_salted_hot_keys,
 }
