@@ -103,3 +103,39 @@ def test_approx_distinct_within_tolerance(spark):
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
     assert abs(row["p50a"] - row["p50"]) / row["p50"] < 0.02
+
+
+def test_merge_aggregate_state_equals_from_scratch(spark):
+    from pyspark.sql import functions as F
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.incremental import (
+        merge_aggregate_state,
+    )
+
+    full = spark.range(1000).select(
+        (F.col("id") % 7).alias("k"),
+        F.col("id").cast("decimal(18,2)").alias("v"),
+        F.col("id").alias("lo"),
+        F.col("id").alias("hi"),
+    )
+    state = None
+    for i in range(3):
+        b = full.filter(F.col("lo") % 3 == i)
+        state = merge_aggregate_state(
+            state, b, keys=["k"], sum_cols=["v"], min_cols=["lo"], max_cols=["hi"]
+        )
+    got = {r["k"]: r for r in state.collect()}
+    ref = {
+        r["k"]: r
+        for r in full.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("v").alias("v"),
+            F.min("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+        )
+        .collect()
+    }
+    assert set(got) == set(ref)
+    for k in ref:
+        for c in ("n_rows", "v", "lo", "hi"):
+            assert got[k][c] == ref[k][c]
