@@ -126,6 +126,7 @@ _NEW_SINCE_R3: tuple[str, ...] = (
     "x_zorder_key",
     "x_profile_table",
     "a31_salted_hot_keys",
+    "a32_windowed_funnel",
     "x_pagerank",
 )
 

@@ -427,6 +427,41 @@ def q_a28_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a32_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-WINDOW funnel: click counts only within 24 h of the
+    user's first view, purchase only within 24 h of that click — the
+    product-analytics semantics where late conversions don't count
+    (complements a28's unbounded ordered funnel). Same chained
+    conditional-min shape, one extra interval bound per stage; all
+    three shuffles share the user_id key."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    day = F.make_dt_interval(hours=F.lit(24))
+    tv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    tc = (
+        ev.filter(F.col("event_type") == "click")
+        .join(tv, "user_id")
+        .filter((F.col("ts") > F.col("tv")) & (F.col("ts") <= F.col("tv") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    tp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(tc, "user_id")
+        .filter((F.col("ts") > F.col("tc")) & (F.col("ts") <= F.col("tc") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    return (
+        tv.agg(F.count(F.lit(1)).alias("n_view"))
+        .join(tc.agg(F.count(F.lit(1)).alias("n_click_24h")))
+        .join(tp.agg(F.count(F.lit(1)).alias("n_purchase_24h")))
+    )
+
+
 def q_a29_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-nation OLS trendline of monthly revenue — the dashboard
     trend-arrow measure (DAX LINEST / SLOPE class). Two stages: the
@@ -584,6 +619,26 @@ ORACLES: dict[str, str] = {
                  / NULLIF(sqrt(CAST(n_items AS DOUBLE) * sxx - sx * sx)
                           * sqrt(CAST(n_items AS DOUBLE) * syy - sy * sy), 0) AS pearson_r
         FROM m
+    """,
+    "a32_windowed_funnel": """
+        WITH tv AS (
+            SELECT user_id, MIN(ts) AS tv FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+        tc AS (
+            SELECT e.user_id, MIN(e.ts) AS tc
+            FROM events e JOIN tv USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > tv.tv
+              AND e.ts <= tv.tv + INTERVAL 24 HOURS
+            GROUP BY 1),
+        tp AS (
+            SELECT e.user_id, MIN(e.ts) AS tp
+            FROM events e JOIN tc USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > tc.tc
+              AND e.ts <= tc.tc + INTERVAL 24 HOURS
+            GROUP BY 1)
+        SELECT (SELECT COUNT(*) FROM tv) AS n_view,
+               (SELECT COUNT(*) FROM tc) AS n_click_24h,
+               (SELECT COUNT(*) FROM tp) AS n_purchase_24h
     """,
     "a28_ordered_funnel": """
         WITH tv AS (
@@ -828,4 +883,5 @@ QUERIES = {
     "a29_trend_slope": q_a29_trend_slope,
     "a30_corr_pairs": q_a30_corr_pairs,
     "a31_salted_hot_keys": q_a31_salted_hot_keys,
+    "a32_windowed_funnel": q_a32_windowed_funnel,
 }
