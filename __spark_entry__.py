@@ -127,6 +127,8 @@ _NEW_SINCE_R3: tuple[str, ...] = (
     "x_profile_table",
     "a31_salted_hot_keys",
     "a32_windowed_funnel",
+    "x_lsh_precision",
+    "a33_salted_join_revenue",
     "x_pagerank",
 )
 

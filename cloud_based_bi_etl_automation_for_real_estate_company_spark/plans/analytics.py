@@ -569,7 +569,45 @@ def q_a31_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a33_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted-JOIN rewrite driven through the gate: revenue per nation
+    computed with the small side replicated over 8 salt shards and the
+    big side salted deterministically — the fallback shape for a
+    skewed key too hot for AQE and a small side too big to broadcast.
+    The oracle is the plain join: the rewrite must be value-identical
+    (and the decimal sums make the shard merge exact)."""
+    from ..operators.skew import salted_join
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    dim = c.join(
+        F.broadcast(n.select("n_nationkey", "n_name")),
+        c.c_nationkey == F.col("n_nationkey"),
+    ).select(F.col("c_custkey").alias("o_custkey"), F.col("n_name").alias("nation"))
+    joined = salted_join(
+        o, dim, key="o_custkey", num_shards=8, salt_cols=["o_orderkey"]
+    )
+    return joined.groupBy("nation").agg(
+        F.sum("price").cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "a33_salted_join_revenue": """
+        SELECT n.n_name AS nation,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1
+    """,
     "a31_salted_hot_keys": """
         SELECT event_type,
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
@@ -884,4 +922,5 @@ QUERIES = {
     "a30_corr_pairs": q_a30_corr_pairs,
     "a31_salted_hot_keys": q_a31_salted_hot_keys,
     "a32_windowed_funnel": q_a32_windowed_funnel,
+    "a33_salted_join_revenue": q_a33_salted_join_revenue,
 }

@@ -65,6 +65,55 @@ def q_x_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.2)
 
 
+def q_x_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality audit: exact word-3-gram Jaccard computed ONLY
+    on the LSH candidate pairs (never the all-pairs join — the whole
+    point of banding survives into the audit), reported as candidate
+    count, count with true Jaccard ≥ 0.2, and precision. This is the
+    recurring production health-check that the banding parameters
+    still fit the corpus's dup density."""
+    d = t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(d)
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(T.shingles("text", 3))).alias("sh"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        pairs.join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("id_b2"), F.col("sh").alias("sh_b")),
+            (F.col("id_b") == F.col("id_b2")) & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    scored = (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("id_a"),
+                           F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"),
+                           F.col("n_sh").alias("n_b")), "id_b")
+        .select(
+            F.try_divide(
+                F.coalesce(F.col("n_common"), F.lit(0)).cast("double"),
+                F.col("n_a") + F.col("n_b")
+                - F.coalesce(F.col("n_common"), F.lit(0)),
+            ).alias("jaccard")
+        )
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.count(F.when(F.col("jaccard") >= 0.2, 1)).alias("n_true"),
+        F.try_divide(
+            F.count(F.when(F.col("jaccard") >= 0.2, 1)), F.count(F.lit(1))
+        ).alias("precision"),
+    )
+
+
 def q_x_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprinting (winnowing / MOSS): pairs
     sharing ≥2 window-min 3-gram hashes — the guaranteed-coverage
@@ -948,6 +997,29 @@ ORACLES: dict[str, str] = {
                MIN(doc_id) AS keep_id,
                COUNT(*) AS n_copies
         FROM documents GROUP BY 1
+    """,
+    "x_lsh_precision": f"""
+        WITH {_LSH_PAIRS_CTES.strip()},
+        sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY 1),
+        inter AS (
+            SELECT p.id_a, p.id_b, COUNT(*) AS n_common
+            FROM pairs p
+            JOIN shingled a ON a.doc_id = p.id_a
+            JOIN shingled b ON b.doc_id = p.id_b AND b.sh = a.sh
+            GROUP BY 1, 2),
+        scored AS (
+            SELECT CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+                   / (sa.n_sh + sb.n_sh - COALESCE(i.n_common, 0)) AS j
+            FROM pairs p
+            LEFT JOIN inter i USING (id_a, id_b)
+            JOIN sz sa ON sa.doc_id = p.id_a
+            JOIN sz sb ON sb.doc_id = p.id_b)
+        SELECT COUNT(*) AS n_candidates,
+               CAST(COUNT(*) FILTER (WHERE j >= 0.2) AS BIGINT) AS n_true,
+               CASE WHEN COUNT(*) = 0 THEN NULL
+                    ELSE CAST(COUNT(*) FILTER (WHERE j >= 0.2) AS DOUBLE)
+                         / COUNT(*) END AS "precision"
+        FROM scored
     """,
     "x_dedup_minhash_lsh": f"""
         WITH {_LSH_PAIRS_CTES}
@@ -1908,6 +1980,7 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "x_dedup_exact": q_x_dedup_exact,
     "x_dedup_minhash_lsh": q_x_dedup_minhash_lsh,
+    "x_lsh_precision": q_x_lsh_precision,
     "x_dedup_minhash_est": q_x_dedup_minhash_est,
     "x_dedup_clusters": q_x_dedup_clusters,
     "x_dedup_clusters_star": q_x_dedup_clusters_star,
