@@ -423,3 +423,79 @@ def test_streaming_hll_rollup_matches_batch(spark, tmp_path):
     assert got == want and len(got) == 2
     # 7 distinct users per type in the window; HLL exact at this size
     assert all(v == 7 for (_, _, v) in got)
+
+
+def test_watermark_drops_late_rows_observably(spark, tmp_path):
+    """ST3 hard-path: an event older than the advanced watermark is
+    DROPPED from a windowed aggregation, and the drop is observable in
+    the progress metrics (numRowsDroppedByWatermark) — the signal an
+    operations dashboard alerts on when a feed starts delivering
+    stale data."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        p = src / name
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(p)
+
+    # batch 1: events at noon + a sentinel far ahead (advances the
+    # watermark to sentinel - 10 minutes at the NEXT batch)
+    write_batch(
+        "b1.json",
+        [
+            {"user_id": 1, "ts": "2024-01-01 12:00:00", "v": 1.0},
+            {"user_id": 1, "ts": "2024-01-01 18:00:00", "v": 1.0},
+        ],
+    )
+    stream = (
+        spark.readStream.schema("user_id long, ts string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # batch 2: a straggler hours behind the watermark → must be dropped
+    write_batch("b2.json", [{"user_id": 1, "ts": "2024-01-01 11:00:00", "v": 1.0}])
+    q2 = (
+        stream.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    dropped = 0
+    for pr in q2.recentProgress:
+        for op in pr.get("stateOperators", []):
+            dropped += op.get("numRowsDroppedByWatermark", 0)
+    assert dropped >= 1
+    # and the straggler's 11:00 window never reaches the sink
+    final = spark.read.parquet(str(out))
+    hours = {
+        r["window"]["start"].hour for r in final.select("window").collect()
+    }
+    assert 11 not in hours
