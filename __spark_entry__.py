@@ -129,6 +129,8 @@ _NEW_SINCE_R3: tuple[str, ...] = (
     "a32_windowed_funnel",
     "x_lsh_precision",
     "a33_salted_join_revenue",
+    "l17_dominant_suppliers",
+    "l18_idle_big_accounts",
     "x_pagerank",
 )
 

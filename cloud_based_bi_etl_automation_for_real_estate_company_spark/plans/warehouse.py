@@ -272,6 +272,75 @@ def q_l16_small_qty_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_l17_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-shaped nested-aggregate + group-wise argmax: for each
+    part, its LARGEST supplier by shipped quantity and that supplier's
+    share of the part's total — the single-source-risk report, top 100
+    most-concentrated parts. The (part, supplier) rollup shuffles the
+    facts once; both the share window and the argmax row_number reuse
+    that l_partkey partitioning (no second fact shuffle); the
+    correlated 'share of (SELECT SUM ...)' subquery never
+    materializes per-row."""
+    from pyspark.sql import Window
+
+    l = t(spark, sf_dir, "lineitem")
+    per_ps = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty")
+    )
+    wp = Window.partitionBy("l_partkey")
+    ranked = per_ps.select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("qty").cast("double") / F.sum("qty").over(wp).cast("double")).alias(
+            "share"
+        ),
+        F.row_number()
+        .over(wp.orderBy(F.desc("qty"), F.asc("l_suppkey")))
+        .alias("pos"),
+    ).filter(F.col("pos") == 1)
+    wtop = Window.orderBy(F.desc("share"), F.asc("l_partkey"))
+    return (
+        ranked.select(
+            "l_partkey",
+            F.col("l_suppkey").alias("top_suppkey"),
+            "share",
+            F.row_number().over(wtop).cast("bigint").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 100)
+    )
+
+
+def q_l18_idle_big_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped global-scalar + anti-join: customers whose
+    balance beats the average POSITIVE balance and who placed no order
+    since 2000 (lapsed high-value accounts), rolled up per segment.
+    The scalar average is a 1-row agg cross-joined in (broadcast, no
+    correlated per-row subquery); 'no recent orders' is a LeftAnti
+    against the recent order keys with the date filter pushed into
+    the orders scan."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    recent = (
+        o.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    rich = c.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    idle = rich.join(recent, "c_custkey", "left_anti")
+    return idle.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("c_acctbal").alias("total_balance"),
+    )
+
+
 def q_l10_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q13-shaped two-level aggregation: how many customers
     placed exactly N (non-urgent) orders, including the zero-order
@@ -505,6 +574,41 @@ ORACLES: dict[str, str] = {
                    AS totacctbal
         FROM idle GROUP BY c_nationkey
     """,
+    "l17_dominant_suppliers": """
+        WITH per_ps AS (
+            SELECT l_partkey, l_suppkey,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+            FROM lineitem GROUP BY 1, 2),
+        ranked AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(qty AS DOUBLE)
+                       / CAST(SUM(qty) OVER (PARTITION BY l_partkey) AS DOUBLE)
+                       AS share,
+                   ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                      ORDER BY qty DESC, l_suppkey ASC) AS pos
+            FROM per_ps)
+        SELECT l_partkey, l_suppkey AS top_suppkey, share,
+               CAST(ROW_NUMBER() OVER (ORDER BY share DESC, l_partkey ASC)
+                    AS BIGINT) AS rnk
+        FROM ranked WHERE pos = 1
+        QUALIFY rnk <= 100
+    """,
+    "l18_idle_big_accounts": """
+        WITH avg_bal AS (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*) AS avg_bal
+            FROM customer WHERE c_acctbal > 0)
+        SELECT c.c_mktsegment AS segment,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_balance
+        FROM customer c CROSS JOIN avg_bal
+        WHERE c.c_acctbal > avg_bal.avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY 1
+    """,
     "l16_small_qty_brand_revenue": """
         WITH per_part AS (
             SELECT l_partkey,
@@ -662,6 +766,8 @@ QUERIES = {
     "l8_supplier_variety": q_l8_supplier_variety,
     "l9_groupwise_min": q_l9_groupwise_min,
     "l16_small_qty_brand_revenue": q_l16_small_qty_brand_revenue,
+    "l17_dominant_suppliers": q_l17_dominant_suppliers,
+    "l18_idle_big_accounts": q_l18_idle_big_accounts,
     "l10_order_count_dist": q_l10_order_count_dist,
     "l11_idle_rich_customers": q_l11_idle_rich_customers,
     "l12_promo_revenue": q_l12_promo_revenue,
