@@ -426,3 +426,44 @@ def test_pca_project_variance_matches_eigenvalues(spark):
     # determinism across partitionings (fit + project)
     comps2, evals2, mu2 = S.pca_fit(df.repartition(9), n_components=2)
     assert comps == comps2 and evals == evals2 and mu == mu2
+
+
+def test_ivf_index_persistence_roundtrip(spark, tmp_path):
+    """Build → save → load → query must equal the in-one-go ivf_topk,
+    and the probed query must prune to the probed buckets' partitions
+    (PartitionFilters on bucket in the scan)."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_query_index,
+        ivf_topk,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = base.filter(F.col("vec_id") < 5)
+    idx = build_ivf_index(base, n_centroids=8)
+    save_ivf_index(idx, str(tmp_path / "ivf"))
+    loaded = load_ivf_index(spark, str(tmp_path / "ivf"))
+
+    direct = {
+        (r["q_id"], r["rnk"]): r["vec_id"]
+        for r in ivf_topk(base, queries, k=5, n_centroids=8, n_probes=2).collect()
+    }
+    via_index = {
+        (r["q_id"], r["rnk"]): r["vec_id"]
+        for r in ivf_query_index(loaded, queries, k=5, n_probes=2).collect()
+    }
+    assert via_index == direct and len(via_index) == 25
+
+    plan = (
+        ivf_query_index(loaded, queries, k=5, n_probes=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the lists scan must carry the bucket partition column for
+    # dynamic pruning of unprobed buckets
+    assert "bucket" in plan
