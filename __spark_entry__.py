@@ -131,6 +131,9 @@ _NEW_SINCE_R3: tuple[str, ...] = (
     "a33_salted_join_revenue",
     "l17_dominant_suppliers",
     "l18_idle_big_accounts",
+    "a34_monthly_price_band",
+    "a35_transition_matrix",
+    "x_sorted_neighborhood",
     "x_pagerank",
 )
 

@@ -598,7 +598,78 @@ def q_a33_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a34_monthly_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boxplot time series: exact p25/p50/p75 order-value band per
+    month — the candlestick/box measure BI tools draw under a trend
+    line. One hash agg on the month key; exact percentiles buffer one
+    month of values per reducer (calendar-bounded — at 100 TB swap to
+    approx_percentile like a23's documented escape hatch)."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy(F.trunc("o_orderdate", "month").alias("month_start")).agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("p75"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def q_a35_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition counts (the Markov path
+    matrix behind Sankey/path-analysis dashboards): consecutive event
+    pairs per user via one lag window, rolled up with each source
+    state's outgoing share. One user-keyed window shuffle + one
+    25-cell aggregation."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("to_state"),
+            F.lag("event_type").over(w).alias("from_state"),
+        )
+        .filter(F.col("from_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    wtot = Window.partitionBy("from_state")
+    return pairs.select(
+        "from_state",
+        "to_state",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wtot).cast("double")
+        ).alias("p_transition"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "a34_monthly_price_band": """
+        SELECT date_trunc('month', o_orderdate) AS month_start,
+               quantile_cont(o_totalprice, 0.25) AS p25,
+               quantile_cont(o_totalprice, 0.5) AS p50,
+               quantile_cont(o_totalprice, 0.75) AS p75,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+    """,
+    "a35_transition_matrix": """
+        WITH pairs AS (
+            SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS from_state,
+                   event_type AS to_state
+            FROM events),
+        counts AS (
+            SELECT from_state, to_state, COUNT(*) AS n_transitions
+            FROM pairs WHERE from_state IS NOT NULL
+            GROUP BY 1, 2)
+        SELECT from_state, to_state, n_transitions,
+               CAST(n_transitions AS DOUBLE)
+                   / CAST(SUM(n_transitions) OVER (PARTITION BY from_state)
+                          AS DOUBLE) AS p_transition
+        FROM counts
+    """,
     "a33_salted_join_revenue": """
         SELECT n.n_name AS nation,
                CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
@@ -923,4 +994,6 @@ QUERIES = {
     "a31_salted_hot_keys": q_a31_salted_hot_keys,
     "a32_windowed_funnel": q_a32_windowed_funnel,
     "a33_salted_join_revenue": q_a33_salted_join_revenue,
+    "a34_monthly_price_band": q_a34_monthly_price_band,
+    "a35_transition_matrix": q_a35_transition_matrix,
 }

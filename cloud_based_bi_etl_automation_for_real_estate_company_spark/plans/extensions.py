@@ -802,6 +802,17 @@ def q_x_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.editdist_pairs(t(spark, sf_dir, "part"), "p_name", max_dist=2)
 
 
+def q_x_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood candidate pairs over customer names
+    (window 3, Levenshtein <= 2, ranks assigned within 15-char prefix
+    blocks — no global sort in the plan): catches the digit-suffix
+    near-keys word blocking scatters."""
+    return D.sorted_neighborhood_pairs(
+        t(spark, sf_dir, "customer"), "c_name", window=3, max_dist=2,
+        block_prefix=15,
+    )
+
+
 def q_x_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch point queries for the corpus's true top-15
     terms: d=4 x 256 additive counters, estimate = min over rows —
@@ -1953,6 +1964,26 @@ ORACLES: dict[str, str] = {
             FROM keyed)
         SELECT lang, doc_id, n_chars, sample_key FROM ranked WHERE rn <= 25
     """,
+    "x_sorted_neighborhood": """
+        WITH vals AS (SELECT DISTINCT c_name AS name FROM customer),
+        ranked AS (
+            SELECT name, substr(name, 1, 15) AS blk,
+                   ROW_NUMBER() OVER (PARTITION BY substr(name, 1, 15)
+                                      ORDER BY name) AS rnk
+            FROM vals),
+        pairs AS (
+            SELECT a.name AS name_a, b.name AS name_b
+            FROM ranked a JOIN ranked b
+              ON a.blk = b.blk AND b.rnk = a.rnk + 1
+            UNION
+            SELECT a.name, b.name
+            FROM ranked a JOIN ranked b
+              ON a.blk = b.blk AND b.rnk = a.rnk + 2)
+        SELECT name_a, name_b,
+               CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+        FROM pairs
+        WHERE levenshtein(name_a, name_b) <= 2
+    """,
     "x_editdist_pairs": """
         WITH vals AS (
             SELECT p_name AS name, COUNT(*) AS n_rows FROM part GROUP BY 1),
@@ -2036,6 +2067,7 @@ QUERIES = {
     "x_kmv_setops": q_x_kmv_setops,
     "x_priority_sample": q_x_priority_sample,
     "x_editdist_pairs": q_x_editdist_pairs,
+    "x_sorted_neighborhood": q_x_sorted_neighborhood,
     "x_cms_heavy_hitters": q_x_cms_heavy_hitters,
     "x_zipf_fit": q_x_zipf_fit,
     "x_embed_stats": q_x_embed_stats,
