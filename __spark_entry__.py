@@ -134,6 +134,7 @@ _NEW_SINCE_R3: tuple[str, ...] = (
     "a34_monthly_price_band",
     "a35_transition_matrix",
     "x_sorted_neighborhood",
+    "t10_holt",
     "x_pagerank",
 )
 

@@ -118,6 +118,64 @@ def gap_fill_daily(
     )
 
 
+def holt_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    val_col: str = "value",
+    alpha: float = 0.3,
+    beta: float = 0.2,
+) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing over each key's
+    daily series — level + trend, the forecast-with-slope upgrade of
+    :func:`ewma_daily`:
+
+        l_k = α·x_k + (1−α)(l_{k−1} + b_{k−1})
+        b_k = β(l_k − l_{k−1}) + (1−β)·b_{k−1},  l_1 = x_1, b_1 = 0
+
+    The pair-state fold runs as a JVM-side higher-order ``aggregate``
+    with a struct accumulator over each key's calendar-bounded sorted
+    series (same shape as ewma_daily; one shuffle to daily grain, one
+    to per-key arrays). Smoothing constants are evaluated in-engine
+    ((1.0 − α), not a Python-folded literal) so the oracle's double
+    arithmetic is bit-identical. Returns one row per observed day:
+    (key, day, day_value, level, trend, forecast = level + trend)."""
+    a, b_ = float(alpha), float(beta)
+    daily = df.groupBy(
+        F.col(key_col), F.to_date(F.col(ts_col)).alias("day")
+    ).agg(dsum(val_col, 6).alias("v"))
+    series = daily.groupBy(key_col).agg(
+        F.array_sort(F.collect_list(F.struct("day", "v"))).alias("s")
+    )
+    pos = series.select(key_col, "s", F.posexplode("s").alias("__k", "__x"))
+    one_m_a = F.lit(1.0) - F.lit(a)
+    one_m_b = F.lit(1.0) - F.lit(b_)
+
+    def step(acc, x):
+        lk = F.lit(a) * x["v"] + one_m_a * (acc["l"] + acc["b"])
+        lk_again = F.lit(a) * x["v"] + one_m_a * (acc["l"] + acc["b"])
+        return F.struct(
+            lk.alias("l"),
+            (F.lit(b_) * (lk_again - acc["l"]) + one_m_b * acc["b"]).alias("b"),
+        )
+
+    state = F.aggregate(
+        F.slice(F.col("s"), F.lit(2), F.col("__k")),
+        F.struct(
+            F.element_at(F.col("s"), 1)["v"].alias("l"), F.lit(0.0).alias("b")
+        ),
+        step,
+    )
+    return pos.select(
+        key_col,
+        F.col("__x")["day"].alias("day"),
+        F.col("__x")["v"].alias("day_value"),
+        state["l"].alias("level"),
+        state["b"].alias("trend"),
+        (state["l"] + state["b"]).alias("forecast"),
+    )
+
+
 def ewma_daily(
     df: DataFrame,
     key_col: str,

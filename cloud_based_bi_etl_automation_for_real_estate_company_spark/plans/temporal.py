@@ -158,6 +158,23 @@ def q_t8_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_t10_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend, α=0.3 β=0.2)
+    of daily revenue per event type — the slope-aware forecast t8's
+    level-only EWMA can't produce. Pair-state struct fold, in-engine
+    constants; the oracle replays the identical fold with
+    list_reduce."""
+    from ..operators.timeseries import holt_daily
+
+    ev = t(spark, sf_dir, "events")
+    return holt_daily(
+        ev.select(F.col("event_type").alias("series"), "ts", "value"),
+        key_col="series",
+        alpha=0.3,
+        beta=0.2,
+    )
+
+
 def q_t9_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier detection on the daily revenue series per event
     type: modified z-score 0.6745·(v−median)/MAD with the standard
@@ -213,6 +230,38 @@ def q_p15_case_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "t10_holt": """
+        WITH RECURSIVE daily AS (
+            SELECT event_type AS series, CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+            FROM events GROUP BY 1, 2),
+        ser AS (
+            SELECT series,
+                   list(struct_pack(day := day, v := v) ORDER BY day) AS s
+            FROM daily GROUP BY 1),
+        -- the pair-state fold as a recursion: one row per (series, k)
+        -- carrying (level, trend); DuckDB 1.0's list_reduce mis-folds
+        -- struct accumulators, so the oracle iterates instead — same
+        -- double expression tree per step as the Spark lambda
+        f AS (
+            SELECT series, 0 AS k, s[1].v AS l, CAST(0.0 AS DOUBLE) AS b
+            FROM ser
+            UNION ALL
+            SELECT f.series, f.k + 1,
+                   0.3 * s[f.k + 2].v + (1.0 - 0.3) * (f.l + f.b),
+                   0.2 * ((0.3 * s[f.k + 2].v + (1.0 - 0.3) * (f.l + f.b))
+                          - f.l)
+                     + (1.0 - 0.2) * f.b
+            FROM f JOIN ser USING (series)
+            WHERE f.k + 1 < len(s))
+        SELECT f.series,
+               s[f.k + 1].day AS day,
+               s[f.k + 1].v AS day_value,
+               f.l AS level,
+               f.b AS trend,
+               f.l + f.b AS forecast
+        FROM f JOIN ser USING (series)
+    """,
     "t9_anomaly_mad": """
         WITH daily AS (
             SELECT event_type AS series, CAST(ts AS DATE) AS day,
@@ -405,5 +454,6 @@ QUERIES = {
     "t7_gap_fill": q_t7_gap_fill,
     "t8_ewma": q_t8_ewma,
     "t9_anomaly_mad": q_t9_anomaly_mad,
+    "t10_holt": q_t10_holt,
     "p15_case_transform": q_p15_case_transform,
 }

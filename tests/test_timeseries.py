@@ -131,3 +131,33 @@ def test_ewma_daily_partition_invariant(spark):
     a = sorted(map(tuple, ewma_daily(df.repartition(2), "k").collect()))
     b = sorted(map(tuple, ewma_daily(df.repartition(11), "k").collect()))
     assert a == b
+
+
+def test_holt_daily_matches_python_fold(spark):
+    from pyspark.sql import functions as F
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.timeseries import (
+        holt_daily,
+    )
+
+    rows = [
+        ("s", f"2024-01-{d:02d} 00:00:00", float(v))
+        for d, v in [(1, 10.0), (2, 20.0), (3, 15.0), (4, 30.0)]
+    ]
+    df = spark.createDataFrame(rows, "series string, ts string, value double").select(
+        "series", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    got = {
+        r["day"].day: (r["level"], r["trend"], r["forecast"])
+        for r in holt_daily(df, key_col="series").collect()
+    }
+    l, b = 10.0, 0.0
+    ref = {1: (l, b, l + b)}
+    for day, x in [(2, 20.0), (3, 15.0), (4, 30.0)]:
+        lk = 0.3 * x + (1.0 - 0.3) * (l + b)
+        b = 0.2 * (lk - l) + (1.0 - 0.2) * b
+        l = lk
+        ref[day] = (l, b, l + b)
+    assert set(got) == set(ref)
+    for d in ref:
+        for i in range(3):
+            assert abs(got[d][i] - ref[d][i]) < 1e-12
