@@ -90,3 +90,42 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def build_manifest(spark, path: str, cols: Sequence[str]) -> DataFrame:
+    """File-level min/max statistics manifest — the Iceberg/Delta
+    manifest analog for a plain parquet directory: one row per data
+    file with each tracked column's (lo, hi) and row count, built in
+    ONE scan via input_file_name grouping. The manifest is
+    file-count-sized (KBs for TBs of data) and is what makes
+    predicate-driven file skipping explicit and testable rather than
+    an engine internal."""
+    df = spark.read.parquet(path).withColumn("__file", F.input_file_name())
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+    return df.groupBy(F.col("__file").alias("file")).agg(*aggs)
+
+
+def prune_files(manifest: DataFrame, ranges: dict[str, tuple]) -> list[str]:
+    """Data files whose stats interval intersects EVERY queried range
+    — the file-skipping step a catalog runs before handing Spark the
+    scan list. Interval-overlap test per column: keep file unless
+    hi < q_lo or lo > q_hi. Collecting is correct here: the manifest
+    is file-count-sized metadata, not data."""
+    cond = F.lit(True)
+    for c, (q_lo, q_hi) in ranges.items():
+        cond = cond & ~(
+            (F.col(f"hi_{c}") < F.lit(q_lo)) | (F.col(f"lo_{c}") > F.lit(q_hi))
+        )
+    return [r["file"] for r in manifest.filter(cond).select("file").collect()]
+
+
+def read_pruned(spark, manifest: DataFrame, ranges: dict[str, tuple]) -> DataFrame:
+    """Read only the files surviving :func:`prune_files` (callers
+    still apply the row-level filter — file skipping is a superset
+    guarantee, not an exact one)."""
+    files = prune_files(manifest, ranges)
+    if not files:
+        raise ValueError("no files match the queried ranges")
+    return spark.read.parquet(*files)

@@ -104,3 +104,28 @@ def test_zorder_write_tightens_both_dimensions(spark, tmp_path):
     assert max(z.values()) < max(s.values()) - 0.3
     # round trip loses no rows
     assert spark.read.parquet(zpath).count() == 4096
+
+
+def test_manifest_pruning_on_zordered_layout(spark, tmp_path):
+    df = spark.range(4096).select(
+        F.col("id"),
+        (F.col("id") % 64).alias("a"),
+        F.floor(F.col("id") / 64).alias("b"),
+    )
+    zpath = str(tmp_path / "z")
+    L.zorder_write(df, zpath, ["a", "b"], [(0, 64), (0, 64)], bits=6, n_files=16)
+    man = L.build_manifest(spark, zpath, ["a", "b"])
+    assert man.count() == 16
+    # a narrow box on BOTH dims must skip most files on a z-ordered
+    # layout...
+    ranges = {"a": (0, 7), "b": (0, 7)}
+    kept = L.prune_files(man, ranges)
+    assert 0 < len(kept) <= 4
+    # ...and the pruned read + row filter equals the full-scan filter
+    got = (
+        L.read_pruned(spark, man, ranges)
+        .filter((F.col("a") <= 7) & (F.col("b") <= 7))
+        .count()
+    )
+    want = df.filter((F.col("a") <= 7) & (F.col("b") <= 7)).count()
+    assert got == want == 64
