@@ -135,6 +135,7 @@ _NEW_SINCE_R3: tuple[str, ...] = (
     "a35_transition_matrix",
     "x_sorted_neighborhood",
     "t10_holt",
+    "x_logreg_quality",
     "x_pagerank",
 )
 

@@ -1,0 +1,99 @@
+"""In-engine model training as DataFrame algebra: full-batch
+logistic-regression gradient descent.
+
+The quality-classifier step of a curation pipeline (FastText-style
+linear scorer) usually means exporting features to a separate trainer;
+for a LINEAR model on engine-resident features that round trip is
+unnecessary — one GD iteration is a map-side score + one d-sized
+gradient aggregation, the same shuffle profile as any rollup, so the
+engine can train where the data lives. Weights stay a 1-row frame
+cross-joined into the next iteration (never collected); a fixed
+iteration count keeps the plan static and the result a deterministic
+function of the input.
+
+Cross-engine/partition determinism (the PageRank recipe,
+operators/graph.py): per-row gradient contributions round to 9
+decimals and accumulate as DECIMAL — this both makes the parallel sum
+order-invariant and absorbs the last-ulp differences between the JVM's
+and DuckDB's ``exp``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def logreg_train(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    iterations: int = 3,
+    lr: float = 1.0,
+) -> DataFrame:
+    """Train w for P(y=1|x) = sigmoid(w0 + w·x) by ``iterations``
+    full-batch gradient-ascent steps from w = 0:
+
+        w_j += lr/n · Σ_i x_ij · (y_i − sigmoid(z_i))
+
+    Returns a 1-row DataFrame (w0, w_<feature>..., n_rows). Every
+    iteration is one broadcast of the 1-row weight frame + one
+    aggregation of d+1 decimal gradient sums — at 100 TB that is d+1
+    numbers of shuffle traffic per step."""
+    feats = list(feature_cols)
+    data = df.select(
+        F.col(label_col).cast("double").alias("__y"),
+        *[F.col(c).cast("double").alias(c) for c in feats],
+    )
+    n = data.count()
+    weights = data.sparkSession.range(1).select(
+        F.lit(0.0).alias("w0"), *[F.lit(0.0).alias(f"w_{c}") for c in feats]
+    )
+    for _ in range(iterations):
+        joined = data.join(F.broadcast(weights))
+        z = F.col("w0")
+        for c in feats:
+            z = z + F.col(f"w_{c}") * F.col(c)
+        resid = F.col("__y") - F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        grads = joined.agg(
+            F.sum(F.round(resid, 9).cast("decimal(38,9)")).alias("g0"),
+            *[
+                F.sum(F.round(resid * F.col(c), 9).cast("decimal(38,9)")).alias(
+                    f"g_{c}"
+                )
+                for c in feats
+            ],
+        )
+        weights = weights.join(F.broadcast(grads)).select(
+            (
+                F.col("w0")
+                + F.lit(lr) / F.lit(float(n)) * F.col("g0").cast("double")
+            ).alias("w0"),
+            *[
+                (
+                    F.col(f"w_{c}")
+                    + F.lit(lr)
+                    / F.lit(float(n))
+                    * F.col(f"g_{c}").cast("double")
+                ).alias(f"w_{c}")
+                for c in feats
+            ],
+        )
+    return weights.select("*", F.lit(n).cast("bigint").alias("n_rows"))
+
+
+def logreg_score(
+    df: DataFrame, weights: DataFrame, feature_cols: Sequence[str]
+) -> DataFrame:
+    """Map-side scoring with a broadcast 1-row weight frame: adds
+    ``p`` = sigmoid(w0 + w·x). Fuses into the scan — the trained
+    classifier IS a projection."""
+    joined = df.join(F.broadcast(weights))
+    z = F.col("w0")
+    for c in feature_cols:
+        z = z + F.col(f"w_{c}") * F.col(c).cast("double")
+    return joined.select(
+        *df.columns, (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("p")
+    )

@@ -339,6 +339,24 @@ def q_x_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(t(spark, sf_dir, "orders"))
 
 
+def q_x_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier trained IN-ENGINE: 3 full-batch
+    logistic-GD steps predicting lang='en' from (chars/1000,
+    tokens/100). Each step is a map-side score + a 3-number decimal
+    gradient aggregation; the oracle unrolls the identical arithmetic,
+    so distributed training is hash-equal to the single-threaded
+    replay — the same determinism recipe as x_pagerank."""
+    from ..operators.ml import logreg_train
+
+    d = t(spark, sf_dir, "documents")
+    feats = d.select(
+        (F.col("lang") == "en").cast("double").alias("y"),
+        (F.col("n_chars").cast("double") / F.lit(1000.0)).alias("x1"),
+        (T.token_count("text").cast("double") / F.lit(100.0)).alias("x2"),
+    )
+    return logreg_train(feats, ["x1", "x2"], "y", iterations=3, lr=1.0)
+
+
 def q_x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank (3 iterations, d=0.85) over the bipartite
     supplier→customer trade graph (edge weight = line items shipped).
@@ -865,6 +883,46 @@ def q_x_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pca_project(e.filter(F.col("vec_id") < 50), comps, mu)
 
 
+# Logistic-GD oracle: three full-batch steps unrolled; w{i} CTEs are
+# 1-row weight tables cross-joined into the next step's residuals —
+# the same expression tree the DataFrame loop builds.
+def _logreg_step(i: int) -> str:
+    prev = f"w{i - 1}"
+    z = f"({prev}.w0 + {prev}.wx1 * f.x1 + {prev}.wx2 * f.x2)"
+    resid = f"(f.y - 1.0 / (1.0 + exp(-{z})))"
+    return f""",
+        g{i} AS (
+            SELECT SUM(CAST(ROUND({resid}, 9) AS DECIMAL(38,9))) AS g0,
+                   SUM(CAST(ROUND({resid} * f.x1, 9) AS DECIMAL(38,9))) AS g1,
+                   SUM(CAST(ROUND({resid} * f.x2, 9) AS DECIMAL(38,9))) AS g2
+            FROM feats f CROSS JOIN {prev}),
+        w{i} AS (
+            SELECT {prev}.w0 + CAST(1.0 AS DOUBLE) / nn.n * CAST(g{i}.g0 AS DOUBLE) AS w0,
+                   {prev}.wx1 + CAST(1.0 AS DOUBLE) / nn.n * CAST(g{i}.g1 AS DOUBLE) AS wx1,
+                   {prev}.wx2 + CAST(1.0 AS DOUBLE) / nn.n * CAST(g{i}.g2 AS DOUBLE) AS wx2
+            FROM w{i - 1} AS {prev} CROSS JOIN g{i} CROSS JOIN nn)"""
+
+
+_LOGREG_SQL = (
+    """
+        WITH feats AS (
+            SELECT CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
+                        ELSE CAST(0.0 AS DOUBLE) END AS y,
+                   CAST(n_chars AS DOUBLE) / 1000.0 AS x1,
+                   CAST(len(string_split(trim(text), ' ')) AS DOUBLE) / 100.0 AS x2
+            FROM documents),
+        nn AS (SELECT COUNT(*) AS n FROM feats),
+        w0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS wx1,
+                      CAST(0.0 AS DOUBLE) AS wx2)"""
+    + "".join(_logreg_step(i) for i in (1, 2, 3))
+    + """
+        SELECT w3.w0, w3.wx1 AS w_x1, w3.wx2 AS w_x2,
+               CAST(nn.n AS BIGINT) AS n_rows
+        FROM w3 CROSS JOIN nn
+    """
+)
+
+
 # PageRank oracle: the three power iterations unrolled as CTE pairs
 # (contribution agg, rank refresh), generated by the same loop shape
 # as the operator so the arithmetic trees match term-for-term.
@@ -928,6 +986,7 @@ _PROFILE_SQL = "\n        UNION ALL\n".join(
 )
 
 ORACLES: dict[str, str] = {
+    "x_logreg_quality": _LOGREG_SQL,
     "x_profile_table": _PROFILE_SQL,
     "x_pagerank": _PAGERANK_SQL,
     "x_embed_stats": """
@@ -2038,6 +2097,7 @@ QUERIES = {
     "x_hard_negatives": q_x_hard_negatives,
     "x_zorder_key": q_x_zorder_key,
     "x_pagerank": q_x_pagerank,
+    "x_logreg_quality": q_x_logreg_quality,
     "x_profile_table": q_x_profile_table,
     "x_ann_bucketed": q_x_ann_bucketed,
     "x_ann_ivf": q_x_ann_ivf,

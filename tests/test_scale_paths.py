@@ -296,3 +296,41 @@ def test_zipf_fit_negative_slope_on_zipfian_corpus(spark):
     assert -1.3 < row["slope"] < -0.7, row
     a = C.zipf_fit(df.repartition(3)).collect()[0]
     assert a == row
+
+
+def test_logreg_train_matches_numpy_and_is_partition_invariant(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.ml import (
+        logreg_score,
+        logreg_train,
+    )
+
+    rng = [(float(i % 2), (i % 7) / 3.0, ((i * 13) % 11) / 5.0) for i in range(200)]
+    df = spark.createDataFrame(rng, "y double, x1 double, x2 double")
+    w = logreg_train(df, ["x1", "x2"], "y", iterations=3, lr=1.0).collect()[0]
+
+    y = np.array([r[0] for r in rng])
+    X = np.array([[r[1], r[2]] for r in rng])
+    w0, wv = 0.0, np.zeros(2)
+    for _ in range(3):
+        z = w0 + X @ wv
+        resid = y - 1.0 / (1.0 + np.exp(-z))
+        w0 += np.sum(np.round(resid, 9)) / len(y)
+        wv += (np.round(resid[:, None] * X, 9)).sum(axis=0) / len(y)
+    assert abs(w["w0"] - w0) < 1e-9
+    assert abs(w["w_x1"] - wv[0]) < 1e-9
+    assert abs(w["w_x2"] - wv[1]) < 1e-9
+
+    # partitioning must not change the learned weights at all
+    w_many = logreg_train(
+        df.repartition(13), ["x1", "x2"], "y", iterations=3, lr=1.0
+    ).collect()[0]
+    assert (w["w0"], w["w_x1"], w["w_x2"]) == (
+        w_many["w0"], w_many["w_x1"], w_many["w_x2"],
+    )
+
+    # scoring is monotone in z and bounded
+    weights = logreg_train(df, ["x1", "x2"], "y", iterations=3)
+    scored = logreg_score(df, weights, ["x1", "x2"]).collect()
+    assert all(0.0 < r["p"] < 1.0 for r in scored)
