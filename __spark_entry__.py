@@ -136,6 +136,8 @@ _NEW_SINCE_R3: tuple[str, ...] = (
     "x_sorted_neighborhood",
     "t10_holt",
     "x_logreg_quality",
+    "x_knn_classify",
+    "x_nb_lang",
     "x_pagerank",
 )
 

@@ -97,3 +97,84 @@ def logreg_score(
     return joined.select(
         *df.columns, (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("p")
     )
+
+
+def nb_train(
+    train: DataFrame,
+    text_col: str = "text",
+    class_col: str = "lang",
+) -> dict[str, DataFrame]:
+    """Multinomial Naive Bayes with add-1 smoothing, trained as three
+    aggregations over one tokenized pass: per-(class, token) counts,
+    per-class token totals + doc priors, and the vocabulary size (a
+    1-row frame — never a driver scalar). All tables are
+    vocabulary/class-sized; the fact-scale work is the single explode
+    scan."""
+    from ..functions.text import tokens
+
+    toks = train.select(
+        F.col(class_col).alias("cls"), F.explode(tokens(text_col)).alias("w")
+    )
+    counts = toks.groupBy("cls", "w").agg(F.count(F.lit(1)).alias("c"))
+    totals = toks.groupBy("cls").agg(F.count(F.lit(1)).alias("total"))
+    priors = train.groupBy(F.col(class_col).alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    vocab = toks.select("w").distinct().agg(F.count(F.lit(1)).alias("v"))
+    return {"counts": counts, "totals": totals, "priors": priors, "vocab": vocab}
+
+
+def nb_score(
+    model: dict[str, DataFrame],
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Log-likelihood argmax per test doc: explode tokens, cross the
+    small class set, left-join the count table (miss → the smoothing
+    floor ln(1/(total+V))), decimal-sum the 9-dp-rounded log terms per
+    (doc, class) — partition-order invariant and ln()-ulp tolerant,
+    the logreg/PageRank determinism recipe — add the log prior, take
+    the deterministic argmax. Returns (id, pred_cls, logscore)."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    toks = test.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
+    classes = model["totals"].join(F.broadcast(model["vocab"]))
+    expanded = toks.join(F.broadcast(classes))
+    term = F.log(
+        (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)).cast("double")
+        / (F.col("total") + F.col("v")).cast("double")
+    )
+    scored = (
+        expanded.join(F.broadcast(model["counts"]), ["cls", "w"], "left")
+        .select(
+            F.col(id_col),
+            "cls",
+            F.round(term, 9).cast("decimal(38,9)").alias("t"),
+        )
+        .groupBy(id_col, "cls")
+        .agg(F.sum("t").alias("ll"))
+    )
+    n_total = model["priors"].agg(F.sum("n_docs").alias("n_all"))
+    with_prior = (
+        scored.join(F.broadcast(model["priors"]), "cls")
+        .join(F.broadcast(n_total))
+        .select(
+            F.col(id_col),
+            "cls",
+            (
+                F.col("ll").cast("double")
+                + F.log(
+                    F.col("n_docs").cast("double") / F.col("n_all").cast("double")
+                )
+            ).alias("logscore"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("logscore"), F.asc("cls"))
+    return (
+        with_prior.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") == 1)
+        .select(id_col, F.col("cls").alias("pred_cls"), "logscore")
+    )

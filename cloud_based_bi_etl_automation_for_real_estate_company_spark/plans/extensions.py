@@ -339,6 +339,75 @@ def q_x_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(t(spark, sf_dir, "orders"))
 
 
+def q_x_nb_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language ID trained in-engine on the
+    even-doc split, evaluated on the odd docs: per-true-language doc
+    count, correct count, accuracy. Count tables are
+    vocabulary-sized; per-doc log-likelihoods decimal-sum 9-dp terms
+    (ln-ulp tolerant, partition invariant)."""
+    from ..operators.ml import nb_score, nb_train
+
+    d = t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    test = d.filter(F.col("doc_id") % 2 == 1)
+    pred = nb_score(nb_train(train), test)
+    truth = test.select("doc_id", F.col("lang").alias("true_lang"))
+    return (
+        pred.join(truth, "doc_id")
+        .groupBy("true_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("pred_cls") == F.col("true_lang")).cast("int")
+            ).cast("bigint").alias("n_correct"),
+        )
+        .select(
+            "true_lang",
+            "n_docs",
+            "n_correct",
+            (
+                F.col("n_correct").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("accuracy"),
+        )
+    )
+
+
+def q_x_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label prediction served from the ANN operator: for query
+    vectors vec_id < 25, the majority label among the 5 nearest
+    neighbors (cosine, self excluded), with the vote count and the
+    true label — the evaluation harness a vector-database classifier
+    runs. Composition: brute_force_topk → label join → per-query vote
+    count → deterministic argmax (votes desc, label asc)."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "embeddings")
+    nn = S.brute_force_topk(e, e.filter(F.col("vec_id") < 25), k=5)
+    labeled = nn.join(
+        F.broadcast(e.select("vec_id", "label")), "vec_id"
+    )
+    votes = labeled.groupBy("q_id", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("n_votes"), F.asc("label"))
+    pred = (
+        votes.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") == 1)
+        .select("q_id", F.col("label").alias("pred_label"), "n_votes")
+    )
+    truth = e.select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("true_label")
+    ).filter(F.col("q_id") < 25)
+    return pred.join(truth, "q_id").select(
+        "q_id",
+        "pred_label",
+        "n_votes",
+        "true_label",
+        (F.col("pred_label") == F.col("true_label")).cast("int").alias("correct"),
+    )
+
+
 def q_x_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear quality classifier trained IN-ENGINE: 3 full-batch
     logistic-GD steps predicting lang='en' from (chars/1000,
@@ -1589,6 +1658,88 @@ ORACLES: dict[str, str] = {
     + """) AS BIGINT) AS zkey
         FROM scaled ORDER BY event_id LIMIT 1000
     """,
+    "x_nb_lang": """
+        WITH tok_train AS (
+            SELECT lang AS cls, UNNEST(string_split(trim(text), ' ')) AS w
+            FROM documents WHERE doc_id % 2 = 0),
+        counts AS (SELECT cls, w, COUNT(*) AS c FROM tok_train GROUP BY 1, 2),
+        totals AS (SELECT cls, COUNT(*) AS total FROM tok_train GROUP BY 1),
+        priors AS (
+            SELECT lang AS cls, COUNT(*) AS n_docs
+            FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        vocab AS (SELECT COUNT(DISTINCT w) AS v FROM tok_train),
+        nall AS (SELECT SUM(n_docs) AS n_all FROM priors),
+        tok_test AS (
+            SELECT doc_id, UNNEST(string_split(trim(text), ' ')) AS w
+            FROM documents WHERE doc_id % 2 = 1),
+        expanded AS (
+            SELECT tt.doc_id, tt.w, t.cls, t.total, v.v
+            FROM tok_test tt CROSS JOIN totals t CROSS JOIN vocab v),
+        scored AS (
+            SELECT e.doc_id, e.cls,
+                   SUM(CAST(ROUND(ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
+                                     / CAST(e.total + e.v AS DOUBLE)), 9)
+                            AS DECIMAL(38,9))) AS ll
+            FROM expanded e
+            LEFT JOIN counts c ON c.cls = e.cls AND c.w = e.w
+            GROUP BY 1, 2),
+        wp AS (
+            SELECT s.doc_id, s.cls,
+                   CAST(s.ll AS DOUBLE)
+                     + ln(CAST(p.n_docs AS DOUBLE) / CAST(n.n_all AS DOUBLE))
+                     AS logscore
+            FROM scored s JOIN priors p ON s.cls = p.cls CROSS JOIN nall n),
+        pred AS (
+            SELECT doc_id, cls AS pred_cls FROM (
+                SELECT doc_id, cls,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY logscore DESC, cls ASC) AS pos
+                FROM wp)
+            WHERE pos = 1)
+        SELECT d.lang AS true_lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN p.pred_cls = d.lang THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct,
+               CAST(SUM(CASE WHEN p.pred_cls = d.lang THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS accuracy
+        FROM pred p JOIN documents d USING (doc_id)
+        GROUP BY 1
+    """,
+    "x_knn_classify": """
+        WITH q AS (
+            SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+            FROM embeddings WHERE vec_id < 25),
+        scored AS (
+            SELECT q.q_id, b.vec_id,
+                   ROUND(list_dot_product(q.q_emb, b.embedding::DOUBLE[])
+                         / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                            * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                                    b.embedding::DOUBLE[]))), 6) AS sim
+            FROM embeddings b CROSS JOIN q
+            WHERE b.vec_id <> q.q_id),
+        nn AS (
+            SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY q_id
+                                          ORDER BY sim DESC, vec_id ASC) AS rnk
+                FROM scored)
+            WHERE rnk <= 5),
+        votes AS (
+            SELECT nn.q_id, e.label, COUNT(*) AS n_votes
+            FROM nn JOIN embeddings e ON nn.vec_id = e.vec_id
+            GROUP BY 1, 2),
+        pred AS (
+            SELECT q_id, label AS pred_label, n_votes FROM (
+                SELECT q_id, label, n_votes,
+                       ROW_NUMBER() OVER (PARTITION BY q_id
+                                          ORDER BY n_votes DESC, label ASC) AS pos
+                FROM votes)
+            WHERE pos = 1)
+        SELECT p.q_id, p.pred_label, p.n_votes,
+               e.label AS true_label,
+               CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END AS correct
+        FROM pred p JOIN embeddings e ON p.q_id = e.vec_id
+    """,
     "x_hard_negatives": """
         WITH q AS (
             SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb, label AS q_label
@@ -2098,6 +2249,8 @@ QUERIES = {
     "x_zorder_key": q_x_zorder_key,
     "x_pagerank": q_x_pagerank,
     "x_logreg_quality": q_x_logreg_quality,
+    "x_knn_classify": q_x_knn_classify,
+    "x_nb_lang": q_x_nb_lang,
     "x_profile_table": q_x_profile_table,
     "x_ann_bucketed": q_x_ann_bucketed,
     "x_ann_ivf": q_x_ann_ivf,
