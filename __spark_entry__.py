@@ -138,6 +138,8 @@ _NEW_SINCE_R3: tuple[str, ...] = (
     "x_logreg_quality",
     "x_knn_classify",
     "x_nb_lang",
+    "w11_asof_snapshot",
+    "x_ann_recall",
     "x_pagerank",
 )
 

@@ -339,6 +339,33 @@ def q_x_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(t(spark, sf_dir, "orders"))
 
 
+def q_x_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-health audit: recall@5 of the 2-probe IVF against the
+    exact brute-force ground truth, per query — the recurring
+    production check that n_probes/centroid counts still fit the
+    corpus (pairs with x_lsh_precision on the dedup side). Both
+    retrievals run their normal plans; the audit is a truth-side left
+    join over 25 rows."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    truth = S.brute_force_topk(e, q, k=5).select("q_id", "vec_id")
+    approx = S.ivf_topk(e, q, k=5, n_centroids=8, n_probes=2).select(
+        F.col("q_id").alias("a_qid"), F.col("vec_id").alias("a_vid")
+    )
+    hits = truth.join(
+        approx,
+        (F.col("q_id") == F.col("a_qid")) & (F.col("vec_id") == F.col("a_vid")),
+        "left",
+    )
+    return hits.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        F.count(F.col("a_vid")).alias("n_hit"),
+        (F.count(F.col("a_vid")).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "recall_at_5"
+        ),
+    )
+
+
 def q_x_nb_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes language ID trained in-engine on the
     even-doc split, evaluated on the odd docs: per-true-language doc
@@ -1821,6 +1848,61 @@ ORACLES: dict[str, str] = {
             FROM scored)
         SELECT q_id, vec_id, sim, rnk FROM ranked WHERE rnk <= 5
     """,
+    "x_ann_recall": """
+        WITH base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        tq AS (SELECT vec_id AS q_id, emb AS q_emb FROM base WHERE vec_id < 5),
+        tscored AS (
+            SELECT tq.q_id, b.vec_id,
+                   ROUND(list_dot_product(tq.q_emb, b.emb)
+                         / (sqrt(list_dot_product(tq.q_emb, tq.q_emb))
+                            * sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
+            FROM base b CROSS JOIN tq WHERE b.vec_id <> tq.q_id),
+        truth AS (
+            SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY q_id
+                                          ORDER BY sim DESC, vec_id ASC) AS rnk
+                FROM tscored)
+            WHERE rnk <= 5),
+        cents AS (
+            SELECT vec_id AS cent_id, emb AS cent_emb FROM base WHERE vec_id < 8),
+        ranked_assign AS (
+            SELECT b.vec_id, b.emb, c.cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+                       ROUND(list_dot_product(b.emb, c.cent_emb)
+                             / (sqrt(list_dot_product(b.emb, b.emb))
+                                * sqrt(list_dot_product(c.cent_emb, c.cent_emb))), 6) DESC,
+                       c.cent_id ASC) AS rn
+            FROM base b CROSS JOIN cents c),
+        assigned AS (
+            SELECT vec_id, emb, cent_id FROM ranked_assign WHERE rn = 1),
+        ivq AS (
+            SELECT vec_id AS q_id, emb AS q_emb, cent_id AS q_bucket
+            FROM ranked_assign WHERE vec_id < 5 AND rn <= 2),
+        iscored AS (
+            SELECT ivq.q_id, b.vec_id,
+                   ROUND(list_dot_product(ivq.q_emb, b.emb)
+                         / (sqrt(list_dot_product(ivq.q_emb, ivq.q_emb))
+                            * sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
+            FROM assigned b JOIN ivq
+              ON b.cent_id = ivq.q_bucket AND b.vec_id <> ivq.q_id),
+        approx AS (
+            SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY q_id
+                                          ORDER BY sim DESC, vec_id ASC) AS rnk
+                FROM iscored)
+            WHERE rnk <= 5)
+        SELECT t.q_id,
+               COUNT(*) AS n_truth,
+               CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
+               CAST(COUNT(a.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS recall_at_5
+        FROM truth t LEFT JOIN approx a
+          ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+        GROUP BY 1
+    """,
     "x_ann_ivf": """
         WITH base AS (
             SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -2251,6 +2333,7 @@ QUERIES = {
     "x_logreg_quality": q_x_logreg_quality,
     "x_knn_classify": q_x_knn_classify,
     "x_nb_lang": q_x_nb_lang,
+    "x_ann_recall": q_x_ann_recall,
     "x_profile_table": q_x_profile_table,
     "x_ann_bucketed": q_x_ann_bucketed,
     "x_ann_ivf": q_x_ann_ivf,

@@ -137,6 +137,32 @@ def q_w9_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_w11_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (time-travel) query over the SCD2 history: each
+    user's state AS OF 2024-01-15 — the "what did the dashboard say
+    on day X" audit question. Rather than filtering the derived
+    w9 interval table (valid_from <= T < valid_to), the plan prunes
+    FIRST (ts <= T pushes into the scan, discarding everything after
+    the as-of instant) and takes latest-per-key on the survivors —
+    the same single WindowGroupLimit shuffle as A7, on a smaller
+    input than the full history."""
+    ev = t(spark, sf_dir, "events")
+    asof = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.filter(F.col("ts") <= asof)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("state_asof"),
+            F.col("ts").alias("valid_from"),
+        )
+    )
+
+
 def q_w10_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running DISTINCT user count by day — the "total audience to
     date" line a dashboard draws next to daily actives — here the
@@ -179,6 +205,15 @@ ORACLES: dict[str, str] = {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS n_cumulative_users
         FROM daily
+    """,
+    "w11_asof_snapshot": """
+        SELECT user_id, event_type AS state_asof, ts AS valid_from
+        FROM (SELECT user_id, event_type, ts,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events
+              WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+        WHERE rn = 1
     """,
     "w9_scd2_history": """
         SELECT user_id, event_id, event_type,
@@ -257,4 +292,5 @@ QUERIES = {
     "w6_distribution_ranks": q_w6_distribution_ranks,
     "w9_scd2_history": q_w9_scd2_history,
     "w10_cumulative_distinct": q_w10_cumulative_distinct,
+    "w11_asof_snapshot": q_w11_asof_snapshot,
 }
