@@ -140,6 +140,7 @@ _NEW_SINCE_R3: tuple[str, ...] = (
     "x_nb_lang",
     "w11_asof_snapshot",
     "x_ann_recall",
+    "w12_rolling_distinct",
     "x_pagerank",
 )
 

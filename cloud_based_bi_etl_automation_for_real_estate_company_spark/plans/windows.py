@@ -163,6 +163,33 @@ def q_w11_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_w12_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the sliding
+    DISTINCT window that does NOT decompose like w10's cumulative
+    form (a user can enter and leave the window repeatedly). The
+    scalable rewrite: reduce to distinct (user, day) pairs once, then
+    EXPLODE each pair into the ≤7 window-days it contributes to and
+    hash-distinct per (window_day, user) — one shuffle whose width is
+    window_size × user-days, instead of re-scanning 7 days of facts
+    for every output day. Output days restricted to observed days."""
+    ev = t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    days = ud.select("day").distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("window_day"),
+    )
+    return (
+        contrib.join(
+            days.select(F.col("day").alias("window_day")), "window_day"
+        )
+        .groupBy("window_day")
+        .agg(F.countDistinct("user_id").alias("n_active_7d"))
+    )
+
+
 def q_w10_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running DISTINCT user count by day — the "total audience to
     date" line a dashboard draws next to daily actives — here the
@@ -205,6 +232,15 @@ ORACLES: dict[str, str] = {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS n_cumulative_users
         FROM daily
+    """,
+    "w12_rolling_distinct": """
+        WITH ud AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        days AS (SELECT DISTINCT day FROM ud)
+        SELECT d.day AS window_day,
+               COUNT(DISTINCT u.user_id) AS n_active_7d
+        FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+        GROUP BY 1
     """,
     "w11_asof_snapshot": """
         SELECT user_id, event_type AS state_asof, ts AS valid_from
@@ -293,4 +329,5 @@ QUERIES = {
     "w9_scd2_history": q_w9_scd2_history,
     "w10_cumulative_distinct": q_w10_cumulative_distinct,
     "w11_asof_snapshot": q_w11_asof_snapshot,
+    "w12_rolling_distinct": q_w12_rolling_distinct,
 }
