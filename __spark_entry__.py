@@ -141,6 +141,7 @@ _NEW_SINCE_R3: tuple[str, ...] = (
     "w11_asof_snapshot",
     "x_ann_recall",
     "w12_rolling_distinct",
+    "x_dataset_card",
     "x_pagerank",
 )
 

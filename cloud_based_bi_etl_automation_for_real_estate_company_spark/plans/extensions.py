@@ -339,6 +339,40 @@ def q_x_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(t(spark, sf_dir, "orders"))
 
 
+def q_x_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card rollup — the datasheet table a curation run
+    publishes per (source, lang) slice: doc/token/char volumes, the
+    exact-duplicate rate (non-first occurrences of a content hash),
+    and mean doc entropy proxy (mean token count). One content-hash
+    min-agg joined back + one slice rollup; token counting is
+    map-side."""
+    d = t(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        T.token_count("text").alias("n_tokens"),
+        F.md5("text").alias("h"),
+    )
+    firsts = hashed.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    flagged = hashed.join(firsts, "h").withColumn(
+        "is_dup", (F.col("doc_id") != F.col("keep_id")).cast("int")
+    )
+    return flagged.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("is_dup").cast("bigint").alias("n_exact_dups"),
+        (
+            F.sum("is_dup").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("dup_rate"),
+        (
+            F.sum("n_tokens").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("mean_tokens"),
+    )
+
+
 def q_x_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-health audit: recall@5 of the 2-probe IVF against the
     exact brute-force ground truth, per query — the recurring
@@ -1848,6 +1882,25 @@ ORACLES: dict[str, str] = {
             FROM scored)
         SELECT q_id, vec_id, sim, rnk FROM ranked WHERE rnk <= 5
     """,
+    "x_dataset_card": """
+        WITH hashed AS (
+            SELECT doc_id, source, lang, n_chars,
+                   CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+                   md5(text) AS h
+            FROM documents),
+        firsts AS (SELECT h, MIN(doc_id) AS keep_id FROM hashed GROUP BY 1),
+        flagged AS (
+            SELECT hashed.*, CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END AS is_dup
+            FROM hashed JOIN firsts USING (h))
+        SELECT source, lang,
+               COUNT(*) AS n_docs,
+               SUM(n_tokens) AS total_tokens,
+               SUM(n_chars) AS total_chars,
+               CAST(SUM(is_dup) AS BIGINT) AS n_exact_dups,
+               CAST(SUM(is_dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_rate,
+               CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_tokens
+        FROM flagged GROUP BY 1, 2
+    """,
     "x_ann_recall": """
         WITH base AS (
             SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -2334,6 +2387,7 @@ QUERIES = {
     "x_knn_classify": q_x_knn_classify,
     "x_nb_lang": q_x_nb_lang,
     "x_ann_recall": q_x_ann_recall,
+    "x_dataset_card": q_x_dataset_card,
     "x_profile_table": q_x_profile_table,
     "x_ann_bucketed": q_x_ann_bucketed,
     "x_ann_ivf": q_x_ann_ivf,
