@@ -1,0 +1,47 @@
+"""Capture `explain(formatted)` for every bench headline query into
+PLANS.md — the reviewable evidence that each hot-path plan has the
+shape its docstring claims (pushed filters, broadcast dims, single
+fact shuffles, no cartesian products). Re-run after any
+plan-affecting change; the diff of PLANS.md IS the plan review.
+
+Usage: python scripts/plan_snapshot.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cloud_based_bi_etl_automation_for_real_estate_company_spark.session import get_spark
+import __spark_entry__ as entrymod
+from bench import HEADLINE
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    out = [
+        "# PLANS — formatted physical plans of the bench headline set",
+        "",
+        f"Captured by `scripts/plan_snapshot.py` on `{sf_dir}`. Regenerate",
+        "after plan-affecting changes; review the diff.",
+        "",
+    ]
+    for name in HEADLINE:
+        df = qs[name](spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        out += [f"## {name}", "", "```", plan.rstrip(), "```", ""]
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote PLANS.md ({len(HEADLINE)} plans)")
+
+
+if __name__ == "__main__":
+    main()
