@@ -92,3 +92,42 @@ def test_pack_sequences_invariants(spark, token_counts, budget):
     for _, n, b in out:
         assert b == running // budget  # the defining invariant
         running += n
+
+
+_WORDS = st.lists(
+    st.sampled_from("alpha beta gamma delta echo fox golf hotel india juliet".split()),
+    min_size=3,
+    max_size=12,
+)
+
+
+@given(
+    st.lists(_WORDS, min_size=1, max_size=4),
+    st.lists(_WORDS, min_size=1, max_size=6),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bloom_never_misses_property(spark, eval_docs, train_docs):
+    """Bloom guarantee under random corpora: every doc the exact
+    contamination report flags is bloom-flagged (false positives
+    allowed, false negatives never)."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators import (
+        quality as Q,
+    )
+
+    ev = spark.createDataFrame(
+        [(i, " ".join(w), "e") for i, w in enumerate(eval_docs)],
+        "doc_id long, text string, source string",
+    )
+    tr = spark.createDataFrame(
+        [(1000 + i, " ".join(w), "t") for i, w in enumerate(train_docs)],
+        "doc_id long, text string, source string",
+    )
+    words = Q.bloom_build(ev)
+    probe = {r["doc_id"]: r["flagged"] for r in Q.bloom_probe(tr, words).collect()}
+    exact = {r["doc_id"] for r in Q.contamination_report(tr, ev).collect()}
+    for d in exact:
+        assert probe[d] == 1
