@@ -64,68 +64,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS file shows a green row for a name, move it out of this
 # list so still-unchecked and newly added queries rotate forward.
 _GATE_PRIORITY = (
-    # a21's only driver row is a round-1 harness artifact (array column
-    # tripped the comparator); fixed via array_join string projection in
-    # plans/analytics.py — re-present it first.
-    "a21_collect_list",
-    # Round-2 additions, driver-unchecked through r2 (cheapest first,
-    # iterative/heavy ops last within the block).
-    "t6_ohlc_downsample",
-    "p20_unpivot",
-    "w9_scd2_history",
-    "a23_equidepth_hist",
-    "u5_cdc_apply",
-    "x_token_spectrum",
-    "x_doc_entropy",
-    "x_unigram_nll",
-    "x_bigram_nll",
-    "x_mixture_sample",
-    "x_ngram_containment",
-    "x_span_dedup",
-    "x_semdedup",
-    "x_ann_ivf_pq",
-    "x_ann_refine",
-    "x_hll_rollup",
-    "x_backoff_nll",
-    "x_mmr_rerank",
-    "x_collocations",
-    "x_bpe_encode",
-    "x_bpe_train",
-    "x_sliding_span_dedup",
-)
-
-
-# Queries added in round 3 (no driver row yet) — registered
-# immediately after the unchecked block so the gate window reaches
-# them too; every earlier name already has a green r1/r2 row.
-_NEW_SINCE_R3: tuple[str, ...] = (
-    "a24_cohort_retention",
-    "a25_attribution",
-    "a26_rfm",
-    "x_priority_sample",
-    "x_editdist_pairs",
-    "x_kmv_distinct",
-    "x_kmv_setops",
-    "x_trigram_nll",
-    "t7_gap_fill",
+    # The repo's only red r3 row: DuckDB's window SUM(BIGINT) yielded
+    # HUGEINT which the driver's pandas-side hash renders differently
+    # from Spark's BIGINT; the oracle now CASTs to BIGINT
+    # (plans/windows.py) — re-present it first.
     "w10_cumulative_distinct",
-    "x_cms_heavy_hitters",
-    "x_zipf_fit",
-    "l16_small_qty_brand_revenue",
-    "a27_benford_audit",
-    "x_embed_stats",
-    "x_pca_project",
-    "t8_ewma",
-    "a28_ordered_funnel",
-    "a29_trend_slope",
-    "a30_corr_pairs",
-    "x_bloom_decontaminate",
-    "x_hard_negatives",
-    "t9_anomaly_mad",
-    "u6_dq_checks",
-    "x_zorder_key",
-    "x_profile_table",
-    "a31_salted_hot_keys",
+    # Same HUGEINT hazard found pre-emptively by the type check in
+    # scripts/check_oracle.py; oracle cast fixed, never driver-checked.
+    "x_dataset_card",
+    # The 17 round-3 session-2 queries the r3 50-slot gate window cut
+    # off after a31_salted_hot_keys — all local-replica green.
     "a32_windowed_funnel",
     "x_lsh_precision",
     "a33_salted_join_revenue",
@@ -141,9 +89,14 @@ _NEW_SINCE_R3: tuple[str, ...] = (
     "w11_asof_snapshot",
     "x_ann_recall",
     "w12_rolling_distinct",
-    "x_dataset_card",
     "x_pagerank",
 )
+
+
+# Queries added in round 4 (no driver row yet) — registered
+# immediately after the unchecked block so the gate window reaches
+# them too; every earlier name already has a green r1–r3 row.
+_NEW_SINCE_R4: tuple[str, ...] = ()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -154,7 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for mod in (warehouse, windows, extensions, measures, analytics, scalars, temporal):
         all_q.update(mod.QUERIES)
     out = {n: all_q[n] for n in _GATE_PRIORITY if n in all_q}
-    out.update({n: all_q[n] for n in _NEW_SINCE_R3 if n in all_q and n not in out})
+    out.update({n: all_q[n] for n in _NEW_SINCE_R4 if n in all_q and n not in out})
     out.update({n: f for n, f in all_q.items() if n not in out})
     return out
 

@@ -1894,8 +1894,8 @@ ORACLES: dict[str, str] = {
             FROM hashed JOIN firsts USING (h))
         SELECT source, lang,
                COUNT(*) AS n_docs,
-               SUM(n_tokens) AS total_tokens,
-               SUM(n_chars) AS total_chars,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                CAST(SUM(is_dup) AS BIGINT) AS n_exact_dups,
                CAST(SUM(is_dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_rate,
                CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_tokens

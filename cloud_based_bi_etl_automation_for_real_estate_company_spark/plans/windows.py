@@ -228,9 +228,9 @@ ORACLES: dict[str, str] = {
             SELECT day, COUNT(*) AS n_new_users
             FROM firsts GROUP BY 1)
         SELECT day, n_new_users,
-               SUM(n_new_users) OVER (ORDER BY day
+               CAST(SUM(n_new_users) OVER (ORDER BY day
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS n_cumulative_users
+                   AS BIGINT) AS n_cumulative_users
         FROM daily
     """,
     "w12_rolling_distinct": """

@@ -72,15 +72,50 @@ def main():
             n_rowsonly += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            rel = con.sql(oracles[name])
+            dcols = list(rel.columns)
+            dtypes = [str(t) for t in rel.types]
+            drows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
         ok = True
         msgs = []
+        # Driver-hash hazard: the driver compares via pandas frames, so a
+        # DuckDB HUGEINT/DECIMAL column (e.g. SUM over BIGINT) against a
+        # Spark BIGINT/DOUBLE column hash-mismatches even when the Python
+        # values are equal. Surface the class mismatch locally.
+        sfields = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+        def _cls(t):
+            t = t.lower()
+            if t in ("tinyint", "smallint", "int", "integer", "bigint",
+                     "hugeint", "utinyint", "usmallint", "uinteger",
+                     "ubigint"):
+                return "int128" if t == "hugeint" else "int"
+            if t.startswith("decimal"):
+                return "decimal:" + t
+            if t in ("float", "double", "real"):
+                return "float"
+            if t in ("string", "varchar", "text"):
+                return "str"
+            if t in ("boolean", "bool"):
+                return "bool"
+            if t in ("date",):
+                return "date"
+            if t.startswith("timestamp"):
+                return "ts"
+            return "other:" + t
+        for c, dt in zip(dcols, dtypes):
+            st = sfields.get(c)
+            if st is None:
+                continue
+            sc, dc = _cls(st), _cls(dt)
+            if sc != dc:
+                ok = False
+                msgs.append(
+                    f"TYPEHAZARD col {c}: spark={st} duckdb={dt}"
+                )
         if len(srows) != len(drows):
             ok = False
             msgs.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
