@@ -43,14 +43,68 @@ DECODE_META_SCHEMA = StructType(
 )
 
 
+def parse_image_header(blob: bytes) -> tuple[int, int, str] | None:
+    """Pure-Python container-header parse — real width/height/format
+    for PNG (IHDR), JPEG (SOFn scan), GIF (logical screen descriptor)
+    and BMP (BITMAPINFOHEADER), no imaging library required. Returns
+    None when the magic bytes match no known container."""
+    import struct
+
+    if len(blob) >= 24 and blob[:8] == b"\x89PNG\r\n\x1a\n":
+        # 8-byte signature, 4-byte chunk length, b"IHDR", then
+        # big-endian width/height.
+        if blob[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", blob[16:24])
+            return int(w), int(h), "png"
+        return None
+    if len(blob) >= 4 and blob[:2] == b"\xff\xd8":
+        # JPEG: walk marker segments until a start-of-frame (SOFn)
+        # carries the dimensions. Markers FF01/FFD0–D7 are standalone.
+        i = 2
+        while i + 4 <= len(blob):
+            if blob[i] != 0xFF:
+                i += 1
+                continue
+            marker = blob[i + 1]
+            if marker == 0xFF:
+                i += 1
+                continue
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if i + 4 > len(blob):
+                return None
+            seg_len = struct.unpack(">H", blob[i + 2 : i + 4])[0]
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                          0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                if i + 9 > len(blob):
+                    return None
+                h, w = struct.unpack(">HH", blob[i + 5 : i + 9])
+                return int(w), int(h), "jpeg"
+            if marker == 0xD9 or seg_len < 2:  # EOI / corrupt
+                return None
+            i += 2 + seg_len
+        return None
+    if len(blob) >= 10 and blob[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", blob[6:10])
+        return int(w), int(h), "gif"
+    if len(blob) >= 26 and blob[:2] == b"BM":
+        w, h = struct.unpack("<ii", blob[18:26])
+        return int(w), abs(int(h)), "bmp"
+    return None
+
+
 def _decode_one(blob: bytes) -> tuple[int, int, int, str]:
-    """STUB decoder: deterministic fake metadata from byte length.
-    A real implementation would parse the container header here."""
+    """Decode one payload's metadata: real container-header parse for
+    recognized image formats; deterministic synthetic metadata (from
+    byte length) for unrecognized bytes so non-media fixtures remain
+    SQL-replayable in the oracle."""
     n = len(blob)
-    width = 320 + (n % 320)
-    height = 240 + (n % 240)
-    fmt = "png" if n % 2 == 0 else "jpeg"
-    return n, width, height, fmt
+    parsed = parse_image_header(blob)
+    if parsed is not None:
+        width, height, fmt = parsed
+        return n, width, height, fmt
+    return n, 320 + (n % 320), 240 + (n % 240), "unknown"
 
 
 def decode_metadata(df: DataFrame, blob_col: str = "blob",

@@ -2077,8 +2077,7 @@ ORACLES: dict[str, str] = {
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                CAST(320 + octet_length(encode(text)) % 320 AS INT) AS width,
                CAST(240 + octet_length(encode(text)) % 240 AS INT) AS height,
-               CASE WHEN octet_length(encode(text)) % 2 = 0
-                    THEN 'png' ELSE 'jpeg' END AS format
+               'unknown' AS format
         FROM documents
     """,
     "x_sliding_span_dedup": """

@@ -60,8 +60,69 @@ def test_multimodal_decode_metadata(spark):
     out = {r["doc_id"]: r for r in M.decode_metadata(M.with_blob(docs)).collect()}
     assert out[1]["n_bytes"] == 11
     assert out[1]["width"] == 320 + 11 % 320
-    assert out[1]["format"] == "jpeg"
+    assert out[1]["format"] == "unknown"
     assert out[2]["n_bytes"] == 5
+
+
+def _png_bytes(w: int, h: int) -> bytes:
+    import struct, zlib
+
+    ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+    chunk = struct.pack(">I", 13) + b"IHDR" + ihdr
+    chunk += struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    return b"\x89PNG\r\n\x1a\n" + chunk + b"\x00" * 16
+
+
+def _jpeg_bytes(w: int, h: int) -> bytes:
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+    sof0 += struct.pack(">HH", h, w) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _gif_bytes(w: int, h: int) -> bytes:
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 8
+
+
+def _bmp_bytes(w: int, h: int) -> bytes:
+    import struct
+
+    header = b"BM" + b"\x00" * 16
+    return header + struct.pack("<ii", w, h) + b"\x00" * 8
+
+
+def test_image_header_parse_pure_python():
+    assert M.parse_image_header(_png_bytes(640, 480)) == (640, 480, "png")
+    assert M.parse_image_header(_jpeg_bytes(1024, 768)) == (1024, 768, "jpeg")
+    assert M.parse_image_header(_gif_bytes(12, 34)) == (12, 34, "gif")
+    assert M.parse_image_header(_bmp_bytes(77, 88)) == (77, 88, "bmp")
+    # BMP height may be negative (top-down rows) — dimensions are abs'd
+    assert M.parse_image_header(_bmp_bytes(77, -88)) == (77, 88, "bmp")
+    assert M.parse_image_header(b"plain text") is None
+    assert M.parse_image_header(b"") is None
+    # Truncated containers must not crash or mis-report
+    assert M.parse_image_header(_png_bytes(640, 480)[:12]) is None
+    assert M.parse_image_header(b"\xff\xd8\xff") is None
+
+
+def test_multimodal_decode_real_headers(spark):
+    rows = [
+        (1, _png_bytes(640, 480)),
+        (2, _jpeg_bytes(320, 200)),
+        (3, _gif_bytes(16, 9)),
+        (4, b"not an image at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, blob binary")
+    out = {r["doc_id"]: r for r in M.decode_metadata(df).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["format"]) == (640, 480, "png")
+    assert (out[2]["width"], out[2]["height"], out[2]["format"]) == (320, 200, "jpeg")
+    assert (out[3]["width"], out[3]["height"], out[3]["format"]) == (16, 9, "gif")
+    assert out[4]["format"] == "unknown"
+    assert out[4]["n_bytes"] == len(b"not an image at all")
 
 
 def test_multimodal_frame_sample(spark):
