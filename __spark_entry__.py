@@ -96,7 +96,12 @@ _GATE_PRIORITY = (
 # Queries added in round 4 (no driver row yet) — registered
 # immediately after the unchecked block so the gate window reaches
 # them too; every earlier name already has a green r1–r3 row.
-_NEW_SINCE_R4: tuple[str, ...] = ()
+_NEW_SINCE_R4: tuple[str, ...] = (
+    # Partial oracles shrinking the rows-only set: PCA Parseval check
+    # and MMR rank-1 == argmax relevance.
+    "x_pca_invariants",
+    "x_mmr_first",
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

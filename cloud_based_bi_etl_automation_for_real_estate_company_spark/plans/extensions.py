@@ -1013,6 +1013,39 @@ def q_x_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pca_project(e.filter(F.col("vec_id") < 50), comps, mu)
 
 
+def q_x_pca_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial oracle for the PCA eigendecomposition: fit the FULL
+    eigenbasis (n_components = d), project, and emit each row's
+    Σ_k pc_k². For a correct orthonormal basis and mean this equals
+    ‖x − μ‖² (Parseval), which the oracle computes straight from the
+    raw embeddings — rotation- and sign-independent, so it checks the
+    centering and the basis orthonormality without replaying eigh in
+    SQL. x_pca_project itself stays rows-only (component loadings are
+    sign/rotation-convention-specific); this is its SQL-checkable
+    shadow."""
+    e = t(spark, sf_dir, "embeddings")
+    comps, _, mu = S.pca_fit(e, n_components=64)
+    proj = S.pca_project(e.filter(F.col("vec_id") < 50), comps, mu)
+    sq = None
+    for k in range(len(comps)):
+        term = F.col(f"pc{k + 1}") * F.col(f"pc{k + 1}")
+        sq = term if sq is None else sq + term
+    return proj.select("vec_id", F.round(sq, 6).alias("centered_norm_sq"))
+
+
+def q_x_mmr_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial oracle for MMR: with an empty selected set the first
+    greedy pick is pure relevance, so MMR rank-1 over exact top-25
+    candidates must equal the global argmax-cosine neighbor (ties →
+    lower vec_id) — SQL-expressible even though the full greedy loop
+    is not. x_mmr_rerank (k=5 over IVF-PQ candidates) stays rows-only;
+    this pins the selection seed against DuckDB."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    cands = S.brute_force_topk(e, q, k=25).select("q_id", "vec_id")
+    return S.mmr_rerank(e, q, cands, k=1, lam=0.7)
+
+
 # Logistic-GD oracle: three full-batch steps unrolled; w{i} CTEs are
 # 1-row weight tables cross-joined into the next step's residuals —
 # the same expression tree the DataFrame loop builds.
@@ -1135,6 +1168,43 @@ ORACLES: dict[str, str] = {
                       / COUNT(*)) AS variance,
                MIN(x) AS lo, MAX(x) AS hi
         FROM vals GROUP BY dim
+    """,
+    "x_pca_invariants": """
+        WITH mu AS (
+            SELECT p.dim,
+                   CAST(SUM(CAST(ROUND(CAST(e.embedding[p.dim + 1] AS DOUBLE),
+                                       12) AS DECIMAL(28,12))) AS DOUBLE)
+                       / COUNT(*) AS m
+            FROM embeddings e
+            CROSS JOIN (SELECT UNNEST(range(64)) AS dim) p
+            GROUP BY 1),
+        vals AS (
+            SELECT e.vec_id, p.dim,
+                   CAST(e.embedding[p.dim + 1] AS DOUBLE) AS x
+            FROM embeddings e
+            CROSS JOIN (SELECT UNNEST(range(64)) AS dim) p
+            WHERE e.vec_id < 50)
+        SELECT v.vec_id,
+               ROUND(SUM((v.x - mu.m) * (v.x - mu.m)), 6) AS centered_norm_sq
+        FROM vals v JOIN mu USING (dim)
+        GROUP BY 1
+    """,
+    "x_mmr_first": """
+        WITH base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        tq AS (SELECT vec_id AS q_id, emb AS q_emb FROM base WHERE vec_id < 5),
+        scored AS (
+            SELECT tq.q_id, b.vec_id,
+                   list_dot_product(tq.q_emb, b.emb)
+                       / (sqrt(list_dot_product(tq.q_emb, tq.q_emb))
+                          * sqrt(list_dot_product(b.emb, b.emb))) AS sim
+            FROM base b CROSS JOIN tq WHERE b.vec_id <> tq.q_id)
+        SELECT q_id, vec_id, CAST(1 AS BIGINT) AS rnk
+        FROM (SELECT q_id, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY sim DESC, vec_id ASC) AS rn
+              FROM scored)
+        WHERE rn = 1
     """,
     "x_cms_heavy_hitters": """
         WITH occ AS (
@@ -2421,4 +2491,6 @@ QUERIES = {
     "x_zipf_fit": q_x_zipf_fit,
     "x_embed_stats": q_x_embed_stats,
     "x_pca_project": q_x_pca_project,
+    "x_pca_invariants": q_x_pca_invariants,
+    "x_mmr_first": q_x_mmr_first,
 }
