@@ -101,6 +101,10 @@ _NEW_SINCE_R4: tuple[str, ...] = (
     # and MMR rank-1 == argmax relevance.
     "x_pca_invariants",
     "x_mmr_first",
+    # Streaming interval-join logic run on batch frames (ST-family
+    # driver row) and the CDC→point-in-time compose.
+    "t11_interval_join_batch",
+    "u7_cdc_asof",
 )
 
 

@@ -448,6 +448,39 @@ def q_u5_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_apply(ev, keys=["user_id"], order_by=["ts", "event_id"])
 
 
+def q_u7_cdc_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC → point-in-time compose: the state of every user AS OF
+    2024-01-15 *after applying the change log* — i.e. the reference's
+    action_history "state of the lead at time T" story
+    (reference README.md:93) with delete semantics. Unlike
+    w11_asof_snapshot (latest event wins regardless of kind), a user
+    whose latest pre-T change is a tombstone ('error') is ABSENT from
+    the as-of snapshot. Plan: the ts <= T filter pushes into the scan,
+    then the same single cdc_apply window shuffle — time travel costs
+    one pruned scan, no history table."""
+    from ..operators.snapshot import cdc_apply
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("ts") <= F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+    )
+    snap = cdc_apply(ev, keys=["user_id"], order_by=["ts", "event_id"])
+    return snap.select(
+        "user_id",
+        F.col("event_type").alias("state_asof"),
+        F.col("ts").alias("valid_from"),
+    )
+
+
 def q_u6_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality audit over the orders fact — the
     dbt-test / Great-Expectations surface run as ONE conditional-count
@@ -744,6 +777,17 @@ ORACLES: dict[str, str] = {
         SELECT user_id, event_id, ts, event_type, op
         FROM changes WHERE rn = 1 AND op <> 'D'
     """,
+    "u7_cdc_asof": """
+        WITH changes AS (
+            SELECT user_id, event_id, ts, event_type,
+                   CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+            WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+        SELECT user_id, event_type AS state_asof, ts AS valid_from
+        FROM changes WHERE rn = 1 AND op <> 'D'
+    """,
     "u2_backfill_stream_merge": """
         WITH merged AS (
             SELECT * FROM events WHERE day(ts) <= 20
@@ -782,4 +826,5 @@ QUERIES = {
     "u2_backfill_stream_merge": q_u2_backfill_stream_merge,
     "u5_cdc_apply": q_u5_cdc_apply,
     "u6_dq_checks": q_u6_dq_checks,
+    "u7_cdc_asof": q_u7_cdc_asof,
 }

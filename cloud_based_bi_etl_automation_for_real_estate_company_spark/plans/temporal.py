@@ -219,6 +219,30 @@ def q_t9_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_t11_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for the stream–stream interval join (ST-family):
+    run streaming.stateful.stream_stream_interval_join's exact plan on
+    batch frames (withWatermark is a no-op outside streaming) and
+    aggregate per purchase. pytest already proves drained-stream ==
+    batch for this operator; this query gives the shared join logic an
+    independent DuckDB check. Same semantics as t5_range_join but
+    through the streaming operator's own code path."""
+    from ..streaming.stateful import stream_stream_interval_join
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    pairs = stream_stream_interval_join(purchases, clicks, window_minutes=30)
+    return pairs.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_clicks_30m"),
+        F.min("click_id").alias("first_click_id"),
+    )
+
+
 def q_p15_case_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P15 — string case transforms (webhook_app.py:176 account.upper())."""
     c = t(spark, sf_dir, "customer")
@@ -442,6 +466,24 @@ ORACLES: dict[str, str] = {
                LOWER(c_mktsegment) AS segment_lower
         FROM customer
     """,
+    "t11_interval_join_batch": """
+        WITH purchases AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   event_id AS purchase_id
+            FROM events WHERE event_type = 'purchase'),
+        clicks AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts,
+                   event_id AS click_id
+            FROM events WHERE event_type = 'click')
+        SELECT p.purchase_id,
+               COUNT(*) AS n_clicks_30m,
+               MIN(c.click_id) AS first_click_id
+        FROM purchases p JOIN clicks c
+          ON p.user_id = c.user_id
+         AND c.click_ts <= p.ts
+         AND c.click_ts >= p.ts - INTERVAL 30 MINUTE
+        GROUP BY p.purchase_id
+    """,
 }
 
 QUERIES = {
@@ -455,5 +497,6 @@ QUERIES = {
     "t8_ewma": q_t8_ewma,
     "t9_anomaly_mad": q_t9_anomaly_mad,
     "t10_holt": q_t10_holt,
+    "t11_interval_join_batch": q_t11_interval_join_batch,
     "p15_case_transform": q_p15_case_transform,
 }
