@@ -52,3 +52,40 @@ def spread(df: DataFrame, bytes_per_partition: int | None = None) -> DataFrame:
     if df._jdf.rdd().getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def sharded_topk(
+    df: DataFrame,
+    k: int,
+    order_by,
+    rank_col: str = "rnk",
+    n_shards: int = 32,
+    shard_cols=None,
+) -> DataFrame:
+    """Global top-k WITHOUT a single-partition sort over the full
+    input: every global top-k row is also in its shard's top-k, so a
+    per-shard WindowGroupLimit (hash shard key → k rows each) prunes
+    the input to ≤ n_shards·k rows before the one-partition final
+    window ranks them. The full-table window form sorts the whole
+    relation on one core — fine at gate SF, a straggler at 100 TB;
+    this form's final sort is O(n_shards·k) regardless of input size.
+
+    ``order_by`` must be a total order (include a unique tiebreaker)
+    for a deterministic result. Returns ``df`` plus ``rank_col``
+    (1..k, BIGINT).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    cols = shard_cols if shard_cols is not None else df.columns
+    shard = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_shards))
+    pre_w = Window.partitionBy("__shard").orderBy(*order_by)
+    final_w = Window.orderBy(*order_by)
+    return (
+        df.withColumn("__shard", shard)
+        .withColumn("__prn", F.row_number().over(pre_w))
+        .filter(F.col("__prn") <= k)
+        .withColumn(rank_col, F.row_number().over(final_w).cast("bigint"))
+        .filter(F.col(rank_col) <= k)
+        .drop("__shard", "__prn")
+    )

@@ -329,13 +329,30 @@ def build_ivf_index(
     routed to its nearest centroid). Splitting index BUILD from QUERY
     is what production ANN serving needs — the base-corpus assignment
     scan runs once at ingest, not per query batch."""
-    cents = (
-        centroids
-        if centroids is not None
-        else base.filter(F.col(id_col) < n_centroids).select(
-            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_emb")
+    if centroids is not None:
+        cents = centroids
+    else:
+        # Deterministic default seeding: the n_centroids SMALLEST ids
+        # (not an id-range filter, which silently under-seeds a sparse
+        # or offset id space). sharded_topk keeps the selection a
+        # per-shard prune, never a full-corpus single-partition sort;
+        # for dense 0-based ids this picks exactly the same rows as
+        # the old `id < n` filter, so existing oracles replay it.
+        from .partitioning import sharded_topk
+
+        cents = (
+            sharded_topk(
+                base.select(F.col(id_col), F.col(vec_col)),
+                k=n_centroids,
+                order_by=[F.asc(id_col)],
+                rank_col="__seed_rnk",
+                shard_cols=[id_col],
+            )
+            .select(
+                F.col(id_col).alias("cent_id"),
+                F.col(vec_col).alias("cent_emb"),
+            )
         )
-    )
     lists = _coarse_assign(spread(base), cents, id_col, vec_col, "bucket", 1)
     return {"centroids": cents, "lists": lists}
 

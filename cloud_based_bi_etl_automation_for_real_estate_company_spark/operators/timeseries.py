@@ -153,10 +153,9 @@ def holt_daily(
 
     def step(acc, x):
         lk = F.lit(a) * x["v"] + one_m_a * (acc["l"] + acc["b"])
-        lk_again = F.lit(a) * x["v"] + one_m_a * (acc["l"] + acc["b"])
         return F.struct(
             lk.alias("l"),
-            (F.lit(b_) * (lk_again - acc["l"]) + one_m_b * acc["b"]).alias("b"),
+            (F.lit(b_) * (lk - acc["l"]) + one_m_b * acc["b"]).alias("b"),
         )
 
     state = F.aggregate(

@@ -508,14 +508,12 @@ def q_x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    from pyspark.sql import Window
+    from ..operators.partitioning import sharded_topk
 
     pr = pagerank(edges, iterations=3, damping=0.85)
-    w = Window.orderBy(F.desc("rank"), F.asc("node"))
-    return (
-        pr.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= 100)
-    )
+    # per-shard WindowGroupLimit pre-prune (≤ 32·100 rows reach the
+    # final one-partition rank) — never a full-node-table global sort
+    return sharded_topk(pr, k=100, order_by=[F.desc("rank"), F.asc("node")])
 
 
 def q_x_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:

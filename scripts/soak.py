@@ -62,9 +62,14 @@ def _copy(df, name: str, i: int):
         out = out.withColumn(c, F.col(c) + F.lit(i * OFF))
     if name == "documents" and i > 0:
         toks = F.split(F.trim("text"), " ")
+        # rotate by i % size tokens: at copy counts beyond a doc's
+        # token count the raw i-rotation degenerates to the identity
+        # (empty first slice + whole array), turning short docs into
+        # exact cross-copy dups and inflating dup density
+        rot = F.pmod(F.lit(i), F.greatest(F.size(toks), F.lit(1)))
         rotated = F.concat(
-            F.slice(toks, i + 1, F.greatest(F.size(toks) - i, F.lit(0))),
-            F.slice(toks, 1, F.least(F.lit(i), F.size(toks))),
+            F.slice(toks, rot + 1, F.greatest(F.size(toks) - rot, F.lit(0))),
+            F.slice(toks, 1, F.least(rot, F.size(toks))),
         )
         out = out.withColumn("text", F.array_join(rotated, " "))
     return out
