@@ -105,6 +105,12 @@ _NEW_SINCE_R4: tuple[str, ...] = (
     # driver row) and the CDC→point-in-time compose.
     "t11_interval_join_batch",
     "u7_cdc_asof",
+    # TPC-H shapes Q4/Q7/Q8/Q9 (semi-join EXISTS, bidirectional pair
+    # join, one-pass share-of-total, two-table profit expression).
+    "l19_priority_late_orders",
+    "l20_nation_trade_pairs",
+    "l21_market_share",
+    "l22_nation_profit",
 )
 
 

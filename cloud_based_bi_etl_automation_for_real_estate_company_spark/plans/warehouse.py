@@ -491,6 +491,152 @@ def q_l15_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_l19_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped EXISTS semi-join: 1997-Q1 order counts per
+    priority, counting only orders with ≥1 LATE line (shipped > 60
+    days after order date). The mixed-side predicate rides inside a
+    LeftSemi join — each order contributes once no matter how many
+    late lines it has, with no post-join distinct. At scale the semi
+    join shuffles on o_orderkey like any fact join but carries zero
+    payload columns from the probe side."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > F.date_add(o.o_orderdate, 60)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_late_orders")
+    )
+
+
+def q_l20_nation_trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shaped bidirectional nation-pair trade volume: revenue
+    shipped 1997–1998 between NATION_1 and NATION_2 in either
+    direction, by (supp_nation, cust_nation, year). Both nation dims
+    broadcast; the pair disjunction prunes AFTER the cheap broadcast
+    joins, and the only real shuffles are lineitem⋈orders and the
+    final 4-row aggregation."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+            .alias("volume")
+        )
+    )
+
+
+def q_l21_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped market share: NATION_1 suppliers' slice of
+    STANDARD-part revenue sold to EUROPE customers, per order year —
+    a conditional-sum ÷ total-sum ratio computed in ONE aggregation
+    pass (no self-join against a totals table). Decimal partials keep
+    both sums exact; the final division happens once per year row in
+    identical double algebra in both engines."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    cust_nation = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    supp_nation = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(F.col("p_type") == "STANDARD")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    return (
+        base.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            dsum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(0.0), 6)
+            .alias("nation_volume"),
+            dsum(vol, 6).alias("total_volume"),
+        )
+        .select(
+            "o_year",
+            "nation_volume",
+            "total_volume",
+            F.try_divide(F.col("nation_volume"), F.col("total_volume"))
+            .alias("mkt_share"),
+        )
+    )
+
+
+def q_l22_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped profit rollup: per (supplier nation, year)
+    profit on 'widget' parts, amount = revenue − 0.5·retailprice·qty
+    (the fixture has no partsupp cost; the half-retail stand-in keeps
+    the two-table amount expression of Q9). The p_name filter prunes
+    the broadcast build side before the fact join."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_retailprice")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.5
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        l.join(F.broadcast(p.filter(F.col("p_name").contains("widget"))),
+               l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum(amount, 6).alias("profit"))
+    )
+
+
 ORACLES: dict[str, str] = {
     "l15_disjunctive_revenue": """
         SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
@@ -502,6 +648,71 @@ ORACLES: dict[str, str] = {
                AND l.l_quantity BETWEEN 10 AND 20)
            OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
                AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    "l19_priority_late_orders": """
+        SELECT o_orderpriority, COUNT(*) AS n_late_orders
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-04-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY 1
+    """,
+    "l20_nation_trade_pairs": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS INT) AS l_year,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS volume
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate < TIMESTAMP '1999-01-01'
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY 1, 2, 3
+    """,
+    "l21_market_share": """
+        WITH agg AS (
+            SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+                   CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_1'
+                                 THEN l.l_extendedprice * (1 - l.l_discount)
+                                 ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+                       AS nation_volume,
+                   CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(18,6))) AS DOUBLE) AS total_volume
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            JOIN region r ON cn.n_regionkey = r.r_regionkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+            WHERE p.p_type = 'STANDARD' AND r.r_name = 'EUROPE'
+            GROUP BY 1)
+        SELECT o_year, nation_volume, total_volume,
+               nation_volume / total_volume AS mkt_share
+        FROM agg
+    """,
+    "l22_nation_profit": """
+        SELECT n.n_name AS nation,
+               CAST(year(o.o_orderdate) AS INT) AS o_year,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             - 0.5 * p.p_retailprice * l.l_quantity
+                             AS DECIMAL(18,6))) AS DOUBLE) AS profit
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_name LIKE '%widget%'
+        GROUP BY 1, 2
     """,
     "l12_promo_revenue": """
         SELECT CAST(100.0 * CAST(SUM(CAST(
@@ -768,6 +979,10 @@ QUERIES = {
     "l16_small_qty_brand_revenue": q_l16_small_qty_brand_revenue,
     "l17_dominant_suppliers": q_l17_dominant_suppliers,
     "l18_idle_big_accounts": q_l18_idle_big_accounts,
+    "l19_priority_late_orders": q_l19_priority_late_orders,
+    "l20_nation_trade_pairs": q_l20_nation_trade_pairs,
+    "l21_market_share": q_l21_market_share,
+    "l22_nation_profit": q_l22_nation_profit,
     "l10_order_count_dist": q_l10_order_count_dist,
     "l11_idle_rich_customers": q_l11_idle_rich_customers,
     "l12_promo_revenue": q_l12_promo_revenue,
