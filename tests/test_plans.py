@@ -187,3 +187,26 @@ def test_a30_corr_matches_numpy(spark):
         expect = np.corrcoef(xs, ys)[0, 1]
         assert abs(r["pearson_r"] - expect) < 1e-9
         assert r["n_items"] == len(xs)
+
+
+def test_l19_semi_join_shape(spark):
+    plan = _plan(warehouse.q_l19_priority_late_orders(spark, SF))
+    # EXISTS compiles to a semi join, never a join+distinct
+    assert "LeftSemi" in plan
+    assert "HashAggregate" in plan
+
+
+def test_l20_l21_l22_dimensions_broadcast(spark):
+    for fn, min_bcast in (
+        (warehouse.q_l20_nation_trade_pairs, 4),
+        (warehouse.q_l21_market_share, 6),
+        (warehouse.q_l22_nation_profit, 3),
+    ):
+        plan = _plan(fn(spark, SF))
+        assert plan.count("BroadcastHashJoin") >= min_bcast, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_l19_date_filter_pushed(spark):
+    plan = _explain(warehouse.q_l19_priority_late_orders(spark, SF))
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
