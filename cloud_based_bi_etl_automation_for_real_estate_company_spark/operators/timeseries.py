@@ -175,6 +175,87 @@ def holt_daily(
     )
 
 
+def holt_winters_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    val_col: str = "value",
+    alpha: float = 0.3,
+    beta: float = 0.2,
+    gamma: float = 0.3,
+    period: int = 7,
+) -> DataFrame:
+    """Holt–Winters ADDITIVE triple smoothing: level + trend +
+    ``period``-length seasonality over each key's observed daily
+    series —
+
+        l_k = α(x_k − s_{k−m}) + (1−α)(l_{k−1} + b_{k−1})
+        b_k = β(l_k − l_{k−1}) + (1−β)·b_{k−1}
+        s_k = γ(x_k − l_k) + (1−γ)·s_{k−m}
+
+    with l_1 = x_1, b_1 = 0 and the seasonal queue initialized to
+    zeros (so s_1 = 0 exactly). The accumulator is a struct carrying
+    (l, b, seas) where ``seas`` is the fixed-length queue of the last
+    m seasonal estimates — head = s_{k−m}; each step pops the head and
+    appends s_k, entirely as JVM-side array slice/concat inside the
+    higher-order ``aggregate`` (same one-shuffle-to-daily-grain, one
+    shuffle-to-per-key-arrays shape as :func:`holt_daily`; the state
+    is m+2 doubles, never data-sized). Smoothing constants are
+    evaluated in-engine so the DuckDB recursive-CTE oracle's double
+    arithmetic is bit-identical. Returns one row per observed day:
+    (key, day, day_value, level, trend, seasonal,
+    forecast = l + b + s_{k+1−m})."""
+    a, b_, g = float(alpha), float(beta), float(gamma)
+    m = int(period)
+    daily = df.groupBy(
+        F.col(key_col), F.to_date(F.col(ts_col)).alias("day")
+    ).agg(dsum(val_col, 6).alias("v"))
+    series = daily.groupBy(key_col).agg(
+        F.array_sort(F.collect_list(F.struct("day", "v"))).alias("s")
+    )
+    pos = series.select(key_col, "s", F.posexplode("s").alias("__k", "__x"))
+    one_m_a = F.lit(1.0) - F.lit(a)
+    one_m_b = F.lit(1.0) - F.lit(b_)
+    one_m_g = F.lit(1.0) - F.lit(g)
+
+    def step(acc, x):
+        s_old = F.element_at(acc["seas"], 1)
+        lk = F.lit(a) * (x["v"] - s_old) + one_m_a * (acc["l"] + acc["b"])
+        sk = F.lit(g) * (x["v"] - lk) + one_m_g * s_old
+        return F.struct(
+            lk.alias("l"),
+            (F.lit(b_) * (lk - acc["l"]) + one_m_b * acc["b"]).alias("b"),
+            F.concat(
+                F.slice(acc["seas"], 2, m - 1), F.array(sk)
+            ).alias("seas"),
+        )
+
+    zero_seas = F.array_repeat(F.lit(0.0), m)
+    # k=1 is the init state; its seasonal update s_1 = γ(x_1−l_1) = 0
+    # exactly, so the zero queue ALREADY holds s_1 at the tail slot —
+    # fold the remaining prefix like holt_daily
+    state = F.aggregate(
+        F.slice(F.col("s"), F.lit(2), F.col("__k")),
+        F.struct(
+            F.element_at(F.col("s"), 1)["v"].alias("l"),
+            F.lit(0.0).alias("b"),
+            zero_seas.alias("seas"),
+        ),
+        step,
+    )
+    return pos.select(
+        key_col,
+        F.col("__x")["day"].alias("day"),
+        F.col("__x")["v"].alias("day_value"),
+        state["l"].alias("level"),
+        state["b"].alias("trend"),
+        F.element_at(state["seas"], m).alias("seasonal"),
+        (
+            state["l"] + state["b"] + F.element_at(state["seas"], 1)
+        ).alias("forecast"),
+    )
+
+
 def ewma_daily(
     df: DataFrame,
     key_col: str,

@@ -243,6 +243,22 @@ def q_t11_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_t12_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt–Winters additive triple smoothing (level + trend + weekly
+    seasonality) over the per-event-type daily revenue series — the
+    seasonality-aware upgrade of t10. The m+2-double struct state
+    folds JVM-side; the oracle replays the identical double
+    arithmetic as a recursive CTE carrying the seasonal queue as a
+    LIST column."""
+    from ..operators.timeseries import holt_winters_daily
+
+    ev = t(spark, sf_dir, "events")
+    return holt_winters_daily(
+        ev.select(F.col("event_type").alias("series"), "ts", "value"),
+        key_col="series",
+    )
+
+
 def q_p15_case_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P15 — string case transforms (webhook_app.py:176 account.upper())."""
     c = t(spark, sf_dir, "customer")
@@ -284,6 +300,48 @@ ORACLES: dict[str, str] = {
                f.l AS level,
                f.b AS trend,
                f.l + f.b AS forecast
+        FROM f JOIN ser USING (series)
+    """,
+    "t12_holt_winters": """
+        WITH RECURSIVE daily AS (
+            SELECT event_type AS series, CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+            FROM events GROUP BY 1, 2),
+        ser AS (
+            SELECT series,
+                   list(struct_pack(day := day, v := v) ORDER BY day) AS s
+            FROM daily GROUP BY 1),
+        -- triple-smoothing fold as recursion; seas is the LIST queue
+        -- of the last 7 seasonal estimates (head = s_{k-7}); every
+        -- double expression is written exactly as the Spark lambda
+        -- computes it (inlined, same operation order)
+        f AS (
+            SELECT series, 0 AS k, s[1].v AS l, CAST(0.0 AS DOUBLE) AS b,
+                   [CAST(0.0 AS DOUBLE), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+                       AS seas
+            FROM ser
+            UNION ALL
+            SELECT f.series, f.k + 1,
+                   0.3 * (s[f.k + 2].v - f.seas[1])
+                       + (1.0 - 0.3) * (f.l + f.b),
+                   0.2 * ((0.3 * (s[f.k + 2].v - f.seas[1])
+                           + (1.0 - 0.3) * (f.l + f.b)) - f.l)
+                       + (1.0 - 0.2) * f.b,
+                   list_append(
+                       f.seas[2:7],
+                       0.3 * (s[f.k + 2].v
+                              - (0.3 * (s[f.k + 2].v - f.seas[1])
+                                 + (1.0 - 0.3) * (f.l + f.b)))
+                           + (1.0 - 0.3) * f.seas[1])
+            FROM f JOIN ser USING (series)
+            WHERE f.k + 1 < len(s))
+        SELECT f.series,
+               s[f.k + 1].day AS day,
+               s[f.k + 1].v AS day_value,
+               f.l AS level,
+               f.b AS trend,
+               f.seas[7] AS seasonal,
+               f.l + f.b + f.seas[1] AS forecast
         FROM f JOIN ser USING (series)
     """,
     "t9_anomaly_mad": """
@@ -498,5 +556,6 @@ QUERIES = {
     "t9_anomaly_mad": q_t9_anomaly_mad,
     "t10_holt": q_t10_holt,
     "t11_interval_join_batch": q_t11_interval_join_batch,
+    "t12_holt_winters": q_t12_holt_winters,
     "p15_case_transform": q_p15_case_transform,
 }

@@ -161,3 +161,70 @@ def test_holt_daily_matches_python_fold(spark):
     for d in ref:
         for i in range(3):
             assert abs(got[d][i] - ref[d][i]) < 1e-12
+
+
+def test_holt_winters_matches_python_fold(spark):
+    from pyspark.sql import functions as F
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.timeseries import (
+        holt_winters_daily,
+    )
+
+    # 10 days so the 7-day seasonal queue wraps at least once
+    vals = [10.0, 20.0, 15.0, 30.0, 12.0, 18.0, 25.0, 11.0, 22.0, 16.0]
+    rows = [
+        ("s", f"2024-01-{d + 1:02d} 00:00:00", v) for d, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "series string, ts string, value double").select(
+        "series", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    got = {
+        r["day"].day: (r["level"], r["trend"], r["seasonal"], r["forecast"])
+        for r in holt_winters_daily(df, key_col="series").collect()
+    }
+    a, b_, g, m = 0.3, 0.2, 0.3, 7
+    l, b = vals[0], 0.0
+    seas = [0.0] * m
+    ref = {1: (l, b, seas[-1], l + b + seas[0])}
+    for k, x in enumerate(vals[1:], start=2):
+        s_old = seas[0]
+        lk = a * (x - s_old) + (1.0 - a) * (l + b)
+        sk = g * (x - lk) + (1.0 - g) * s_old
+        b = b_ * (lk - l) + (1.0 - b_) * b
+        l = lk
+        seas = seas[1:] + [sk]
+        ref[k] = (l, b, seas[-1], l + b + seas[0])
+    assert set(got) == set(ref)
+    for d in ref:
+        for i in range(4):
+            assert abs(got[d][i] - ref[d][i]) < 1e-12, (d, i)
+
+
+def test_holt_winters_recovers_weekly_pattern(spark):
+    from pyspark.sql import functions as F
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.timeseries import (
+        holt_winters_daily,
+    )
+
+    # pure period-7 signal: seasonal estimates must converge toward the
+    # weekly offsets while trend stays near zero
+    pattern = [0.0, 10.0, 20.0, 5.0, 15.0, 25.0, 30.0]
+    vals = pattern * 6
+    rows = []
+    for d, v in enumerate(vals):
+        day = d + 1
+        rows.append(
+            ("s", f"2024-{(day - 1) // 28 + 1:02d}-{(day - 1) % 28 + 1:02d} 00:00:00",
+             100.0 + v)
+        )
+    df = spark.createDataFrame(rows, "series string, ts string, value double").select(
+        "series", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    out = sorted(
+        holt_winters_daily(df, key_col="series").collect(),
+        key=lambda r: r["day"],
+    )
+    last_week = out[-7:]
+    offsets = [r["seasonal"] for r in last_week]
+    # seasonal spread should reflect the pattern's spread (30), not 0
+    assert max(offsets) - min(offsets) > 15.0
+    assert abs(out[-1]["trend"]) < 2.0
