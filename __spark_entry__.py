@@ -111,6 +111,9 @@ _NEW_SINCE_R4: tuple[str, ...] = (
     "l20_nation_trade_pairs",
     "l21_market_share",
     "l22_nation_profit",
+    # Holt–Winters triple smoothing and label-propagation communities.
+    "t12_holt_winters",
+    "x_label_prop",
 )
 
 

@@ -86,3 +86,58 @@ def pagerank(
             )
         )
     return ranks.select("node", F.col("r").alias("rank"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over an undirected view of the edge list: every node
+    starts in its own community, then each round adopts the label with
+    the highest total incident edge weight (ties → smallest label).
+    Returns (node, label).
+
+    Spark shape per round: one labels⋈edges join + one (dst, label)
+    hash aggregation + one per-dst WindowGroupLimit argmax — all keyed
+    shuffles on node ids, nothing collects, so a 100 TB edge list runs
+    it like any fact join. A FIXED iteration count (vs. propagate-to-
+    convergence) keeps the result a deterministic function of the
+    edges and lets the DuckDB oracle replay rounds as unrolled CTEs;
+    integer vote sums are exact, so both engines agree bit-for-bit.
+    Synchronous update is the determinism-friendly variant — the
+    async/semi-synchronous forms converge faster but depend on visit
+    order, which has no cross-engine replay."""
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("bigint").alias("w"),
+    )
+    sym = e.unionByName(
+        e.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    from pyspark.sql import Window
+
+    for _ in range(iterations):
+        votes = (
+            sym.join(labels, sym.src == labels.node)
+            .groupBy(F.col("dst"), F.col("label"))
+            .agg(F.sum("w").alias("v"))
+        )
+        wr = Window.partitionBy("dst").orderBy(F.desc("v"), F.asc("label"))
+        labels = (
+            votes.withColumn("__rn", F.row_number().over(wr))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("dst").alias("node"), "label")
+        )
+    return labels

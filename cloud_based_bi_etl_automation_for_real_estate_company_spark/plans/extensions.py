@@ -516,6 +516,28 @@ def q_x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sharded_topk(pr, k=100, order_by=[F.desc("rank"), F.asc("node")])
 
 
+def q_x_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities (Raghavan et al. 2007, 2 sync
+    rounds) over the undirected supplier↔customer trade graph —
+    groups of accounts that trade with the same suppliers collapse
+    into one community. Integer vote sums + min-label ties make both
+    engines agree exactly; the oracle unrolls the rounds as CTEs."""
+    from ..operators.graph import label_propagation
+
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    edges = (
+        l.join(o.select("o_orderkey", "o_custkey"),
+               l.l_orderkey == F.col("o_orderkey"))
+        .groupBy(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return label_propagation(edges, iterations=2)
+
+
 def q_x_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (Z-order) layout key over (user_id, value) — the
     multi-dimensional clustering key zorder_write ranges/sorts on so
@@ -1166,6 +1188,31 @@ ORACLES: dict[str, str] = {
                       / COUNT(*)) AS variance,
                MIN(x) AS lo, MAX(x) AS hi
         FROM vals GROUP BY dim
+    """,
+    "x_label_prop": """
+        WITH e0 AS (
+            SELECT 's' || l_suppkey AS src, 'c' || o_custkey AS dst,
+                   CAST(COUNT(*) AS BIGINT) AS w
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2),
+        sym AS (SELECT src, dst, w FROM e0
+                UNION ALL SELECT dst AS src, src AS dst, w FROM e0),
+        l0 AS (SELECT DISTINCT src AS node FROM sym),
+        v1 AS (SELECT s.dst, l.node AS label, SUM(s.w) AS v
+               FROM sym s JOIN l0 l ON s.src = l.node GROUP BY 1, 2),
+        l1 AS (SELECT dst AS node, label FROM (
+                   SELECT dst, label,
+                          ROW_NUMBER() OVER (PARTITION BY dst
+                              ORDER BY v DESC, label ASC) AS rn
+                   FROM v1) WHERE rn = 1),
+        v2 AS (SELECT s.dst, l.label, SUM(s.w) AS v
+               FROM sym s JOIN l1 l ON s.src = l.node GROUP BY 1, 2),
+        l2 AS (SELECT dst AS node, label FROM (
+                   SELECT dst, label,
+                          ROW_NUMBER() OVER (PARTITION BY dst
+                              ORDER BY v DESC, label ASC) AS rn
+                   FROM v2) WHERE rn = 1)
+        SELECT node, label FROM l2
     """,
     "x_pca_invariants": """
         WITH mu AS (
@@ -2491,4 +2538,5 @@ QUERIES = {
     "x_pca_project": q_x_pca_project,
     "x_pca_invariants": q_x_pca_invariants,
     "x_mmr_first": q_x_mmr_first,
+    "x_label_prop": q_x_label_prop,
 }

@@ -51,3 +51,39 @@ def test_pagerank_partition_invariant(spark):
     one = {r["node"]: r["rank"] for r in pagerank(df.coalesce(1)).collect()}
     many = {r["node"]: r["rank"] for r in pagerank(df.repartition(7)).collect()}
     assert one == many
+
+
+def test_label_propagation_two_communities(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # two triangles joined by one weak bridge edge
+    edges = [
+        ("a", "b", 5), ("b", "c", 5), ("a", "c", 5),
+        ("x", "y", 5), ("y", "z", 5), ("x", "z", 5),
+        ("c", "x", 1),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w bigint")
+    out = {r["node"]: r["label"] for r in label_propagation(df, iterations=3).collect()}
+    assert len(out) == 6
+    # each triangle converges to its own min label; the bridge's weight-1
+    # vote never outvotes the intra-triangle weight-5 majority
+    assert out["a"] == out["b"] == out["c"]
+    assert out["x"] == out["y"] == out["z"]
+    assert out["a"] != out["x"]
+
+
+def test_label_propagation_partition_invariant(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = [
+        (f"n{i}", f"n{(i * 7 + 3) % 40}", (i % 5) + 1) for i in range(120)
+        if i != (i * 7 + 3) % 40
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w bigint")
+    a = sorted(map(tuple, label_propagation(df.repartition(2), 2).collect()))
+    b = sorted(map(tuple, label_propagation(df.repartition(17), 2).collect()))
+    assert a == b
