@@ -114,6 +114,8 @@ _NEW_SINCE_R4: tuple[str, ...] = (
     # Holt–Winters triple smoothing and label-propagation communities.
     "t12_holt_winters",
     "x_label_prop",
+    # DSIR importance weighting (data selection, arXiv:2302.03169).
+    "x_dsir_weights",
 )
 
 

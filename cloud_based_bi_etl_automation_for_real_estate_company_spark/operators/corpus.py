@@ -957,3 +957,71 @@ def zipf_fit(df: DataFrame, text_col: str = "text") -> DataFrame:
         slope.alias("slope"),
         ((F.col("sy") - slope * F.col("sx")) / n).alias("intercept"),
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    is_target,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al., arXiv:2302.03169): score every document by
+    how much more likely its hashed unigram features are under the
+    TARGET distribution than under the raw corpus —
+
+        w(d) = Σ_{tokens} ln( p_target(h(tok)) / p_raw(h(tok)) )
+
+    with features hashed into ``n_buckets`` buckets (md5-derived, the
+    repo's engine-portable hash — not murmur3) and add-one smoothing
+    on both sides so unseen buckets stay finite. High weight = looks
+    like the target slice; resampling by w is the DSIR selection step
+    (compose with ``priority_sample``).
+
+    Scale shape: ONE corpus scan builds the per-(doc, bucket) counts;
+    both LMs derive from that table by re-aggregation (bucket-keyed,
+    ≤ n_buckets rows each — broadcast back); the scoring join is
+    bucket-keyed and uniform BY CONSTRUCTION (the hash spreads hot
+    vocabulary across buckets, so no vocabulary-skew hot keys). The
+    per-(doc,bucket) log terms round at 12 dp into DECIMAL before the
+    per-doc sum — partition-order invariant and oracle-replayable
+    (the unigram_nll convention). ``is_target`` is a boolean Column
+    evaluated on the input row (e.g. ``F.col('lang') == 'en'``).
+    Returns (doc_id, n_tokens, weight)."""
+    feat = F.pmod(
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("bigint"),
+        F.lit(n_buckets),
+    )
+    tok = df.select(
+        F.col(id_col),
+        is_target.alias("__t"),
+        F.explode(tokens(text_col)).alias("term"),
+    ).select(id_col, "__t", feat.alias("bucket"))
+    per = tok.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("tcnt_doc"),
+    )
+    raw = per.groupBy("bucket").agg(
+        F.sum("cnt").cast("bigint").alias("rcnt"),
+        F.sum("tcnt_doc").cast("bigint").alias("tcnt"),
+    )
+    totals = raw.agg(
+        F.sum("rcnt").cast("double").alias("r_total"),
+        F.sum("tcnt").cast("double").alias("t_total"),
+    )
+    b = F.lit(float(n_buckets))
+    log_ratio = F.log(
+        ((F.col("tcnt") + F.lit(1.0)) / (F.col("t_total") + b))
+        / ((F.col("rcnt") + F.lit(1.0)) / (F.col("r_total") + b))
+    )
+    term = F.round(F.col("cnt") * log_ratio, 12).cast("decimal(28,12)")
+    return (
+        per.join(F.broadcast(raw), "bucket")
+        .join(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.sum(term).cast("double").alias("weight"),
+        )
+    )

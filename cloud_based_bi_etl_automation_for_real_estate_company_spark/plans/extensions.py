@@ -538,6 +538,16 @@ def q_x_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, iterations=2)
 
 
+def q_x_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (arXiv:2302.03169) with lang='en' as
+    the target distribution — the data-selection scorer that upweights
+    documents whose hashed-unigram profile matches the target slice.
+    One corpus scan; both LMs are bucket-sized broadcasts."""
+    return C.dsir_weights(
+        t(spark, sf_dir, "documents"), is_target=F.col("lang") == "en"
+    )
+
+
 def q_x_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (Z-order) layout key over (user_id, value) — the
     multi-dimensional clustering key zorder_write ranges/sorts on so
@@ -1188,6 +1198,35 @@ ORACLES: dict[str, str] = {
                       / COUNT(*)) AS variance,
                MIN(x) AS lo, MAX(x) AS hi
         FROM vals GROUP BY dim
+    """,
+    "x_dsir_weights": """
+        WITH occ AS (
+            SELECT doc_id, (lang = 'en') AS t,
+                   UNNEST(string_split(trim(text), ' ')) AS term
+            FROM documents),
+        tokb AS (
+            SELECT doc_id, t,
+                   CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % 1024
+                       AS bucket
+            FROM occ),
+        per AS (
+            SELECT doc_id, bucket, COUNT(*) AS cnt,
+                   SUM(CASE WHEN t THEN 1 ELSE 0 END) AS tcnt_doc
+            FROM tokb GROUP BY 1, 2),
+        raw AS (
+            SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS rcnt,
+                   CAST(SUM(tcnt_doc) AS BIGINT) AS tcnt
+            FROM per GROUP BY 1),
+        tot AS (SELECT CAST(SUM(rcnt) AS DOUBLE) AS r_total,
+                       CAST(SUM(tcnt) AS DOUBLE) AS t_total FROM raw)
+        SELECT per.doc_id,
+               CAST(SUM(per.cnt) AS BIGINT) AS n_tokens,
+               CAST(SUM(CAST(ROUND(per.cnt * ln(
+                       ((raw.tcnt + 1.0) / (tot.t_total + 1024.0))
+                       / ((raw.rcnt + 1.0) / (tot.r_total + 1024.0))), 12)
+                   AS DECIMAL(28,12))) AS DOUBLE) AS weight
+        FROM per JOIN raw USING (bucket) CROSS JOIN tot
+        GROUP BY 1
     """,
     "x_label_prop": """
         WITH e0 AS (
@@ -2539,4 +2578,5 @@ QUERIES = {
     "x_pca_invariants": q_x_pca_invariants,
     "x_mmr_first": q_x_mmr_first,
     "x_label_prop": q_x_label_prop,
+    "x_dsir_weights": q_x_dsir_weights,
 }

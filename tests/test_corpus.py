@@ -459,3 +459,46 @@ def test_interpolated_nll_partition_invariant(spark):
     a = sorted(map(tuple, C.interpolated_nll(sc.repartition(2), tr.repartition(3)).collect()))
     b = sorted(map(tuple, C.interpolated_nll(sc.repartition(13), tr.repartition(1)).collect()))
     assert a == b
+
+
+def test_dsir_weights_favor_target_distribution(spark):
+    from pyspark.sql import functions as F
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.corpus import (
+        dsir_weights,
+    )
+
+    rows = []
+    for i in range(20):
+        rows.append((i, "the quick brown fox jumps over dogs", "en"))
+    for i in range(20, 40):
+        rows.append((i, "el rapido zorro marron salta perros", "es"))
+    # held-out docs of each style, labeled neutrally
+    rows.append((100, "quick brown fox jumps", "xx"))
+    rows.append((101, "rapido zorro marron salta", "xx"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    out = {
+        r["doc_id"]: r["weight"]
+        for r in dsir_weights(df, is_target=F.col("lang") == "en").collect()
+    }
+    # en-styled held-out doc scores above the es-styled one
+    assert out[100] > out[101]
+    # and the target slice itself scores above the off-target slice
+    assert min(out[i] for i in range(20)) > max(out[i] for i in range(20, 40))
+
+
+def test_dsir_weights_partition_invariant(spark):
+    from pyspark.sql import functions as F
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.corpus import (
+        dsir_weights,
+    )
+
+    rows = [
+        (i, " ".join(f"w{(i * j) % 50}" for j in range(1, 12)),
+         "en" if i % 3 == 0 else "es")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    tgt = F.col("lang") == "en"
+    a = sorted(map(tuple, dsir_weights(df.repartition(2), tgt).collect()))
+    b = sorted(map(tuple, dsir_weights(df.repartition(19), tgt).collect()))
+    assert a == b
