@@ -116,6 +116,10 @@ _NEW_SINCE_R4: tuple[str, ...] = (
     "x_label_prop",
     # DSIR importance weighting (data selection, arXiv:2302.03169).
     "x_dsir_weights",
+    # Time-weighted average, Q11 concentration shape, path mining.
+    "t13_twap",
+    "l23_stock_concentration",
+    "a36_top_paths",
 )
 
 

@@ -296,3 +296,55 @@ def ewma_daily(
         F.col("__x")["v"].alias("day_value"),
         ew.alias("ewma"),
     )
+
+
+def twap_daily(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Time-weighted average (Timescale ``time_weight``-class rollup):
+    per (key, day), each observation's value is weighted by how long
+    it REMAINED CURRENT — the duration to the next observation in the
+    same key-day (LOCF weighting; the day's last observation carries
+    no span and drops out, so a key-day needs ≥2 events to produce a
+    row). The arithmetic-mean rollup over-counts bursts; TWAP is the
+    honest "average level over time" for irregular series.
+
+    One (key, day)-keyed window sort computes the lead timestamp;
+    durations are exact BIGINT microseconds and the value·duration
+    products accumulate as rounded DECIMAL, so any partitioning and
+    the single-threaded oracle agree bit-for-bit. Returns
+    (key, day, n_spans, total_us, twap)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col, "day").orderBy(ts_col, "event_id")
+    spans = (
+        df.withColumn("day", F.to_date(ts_col))
+        .withColumn("__next", F.lead(ts_col).over(w))
+        .filter(F.col("__next").isNotNull())
+        .withColumn(
+            "__dt",
+            F.unix_micros(F.col("__next")) - F.unix_micros(F.col(ts_col)),
+        )
+    )
+    contrib = F.round(F.col(val_col) * F.col("__dt"), 6).cast("decimal(28,6)")
+    return (
+        spans.groupBy(key_col, "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("__dt").cast("bigint").alias("total_us"),
+            F.sum(contrib).alias("__num"),
+        )
+        .select(
+            key_col,
+            "day",
+            "n_spans",
+            "total_us",
+            (
+                F.col("__num").cast("double")
+                / F.col("total_us").cast("double")
+            ).alias("twap"),
+        )
+    )

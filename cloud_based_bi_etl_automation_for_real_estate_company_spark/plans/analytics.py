@@ -645,7 +645,62 @@ def q_a35_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a36_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 length-3 event paths (a35's transition matrix extended
+    to path/sequence mining — the Sankey "what journeys actually
+    happen" question). Each user's event sequence is collected once
+    (per-user array, bounded by that user's history), 3-gram windows
+    explode JVM-side via transform over an index sequence, and the
+    path vocabulary (≤ |event_types|³ = 125) aggregates with map-side
+    partials — the final rank window sorts a vocabulary-sized, never
+    corpus-sized, relation."""
+    ev = t(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("s")
+    )
+    idx = F.when(
+        F.size("s") >= 3, F.sequence(F.lit(0), F.size("s") - 3)
+    ).otherwise(F.array().cast("array<int>"))
+    path = F.explode(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                ">",
+                F.element_at(F.col("s"), i + 1)["event_type"],
+                F.element_at(F.col("s"), i + 2)["event_type"],
+                F.element_at(F.col("s"), i + 3)["event_type"],
+            ),
+        )
+    )
+    counts = seq.select(path.alias("path")).groupBy("path").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("path"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 20)
+    )
+
+
 ORACLES: dict[str, str] = {
+    "a36_top_paths": """
+        WITH seq AS (
+            SELECT user_id, list(event_type ORDER BY ts, event_id) AS s
+            FROM events GROUP BY 1),
+        wins AS (
+            SELECT s, UNNEST(range(0, GREATEST(0, len(s) - 2))) AS i
+            FROM seq),
+        paths AS (
+            SELECT s[i + 1] || '>' || s[i + 2] || '>' || s[i + 3] AS path
+            FROM wins),
+        counts AS (SELECT path, COUNT(*) AS n FROM paths GROUP BY 1)
+        SELECT path, n,
+               CAST(ROW_NUMBER() OVER (ORDER BY n DESC, path ASC) AS BIGINT)
+                   AS rnk
+        FROM counts QUALIFY rnk <= 20
+    """,
     "a34_monthly_price_band": """
         SELECT date_trunc('month', o_orderdate) AS month_start,
                quantile_cont(o_totalprice, 0.25) AS p25,
@@ -996,4 +1051,5 @@ QUERIES = {
     "a33_salted_join_revenue": q_a33_salted_join_revenue,
     "a34_monthly_price_band": q_a34_monthly_price_band,
     "a35_transition_matrix": q_a35_transition_matrix,
+    "a36_top_paths": q_a36_top_paths,
 }

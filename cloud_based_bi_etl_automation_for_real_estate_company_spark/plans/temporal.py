@@ -259,6 +259,17 @@ def q_t12_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_t13_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per (user, day) — Timescale's
+    ``time_weight`` rollup class: LOCF spans in exact microseconds,
+    decimal value·duration accumulation, one (user, day) window sort.
+    Restricted to users with id < 200 for a bounded gate payload."""
+    from ..operators.timeseries import twap_daily
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    return twap_daily(ev)
+
+
 def q_p15_case_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P15 — string case transforms (webhook_app.py:176 account.upper())."""
     c = t(spark, sf_dir, "customer")
@@ -301,6 +312,22 @@ ORACLES: dict[str, str] = {
                f.b AS trend,
                f.l + f.b AS forecast
         FROM f JOIN ser USING (series)
+    """,
+    "t13_twap": """
+        WITH spans AS (
+            SELECT user_id, CAST(ts AS DATE) AS day, value,
+                   epoch_us(LEAD(ts) OVER (
+                       PARTITION BY user_id, CAST(ts AS DATE)
+                       ORDER BY ts, event_id)) - epoch_us(ts) AS dt
+            FROM events WHERE user_id < 200)
+        SELECT user_id, day,
+               COUNT(*) AS n_spans,
+               CAST(SUM(dt) AS BIGINT) AS total_us,
+               CAST(SUM(CAST(ROUND(value * dt, 6) AS DECIMAL(28,6)))
+                    AS DOUBLE)
+                   / CAST(CAST(SUM(dt) AS BIGINT) AS DOUBLE) AS twap
+        FROM spans WHERE dt IS NOT NULL
+        GROUP BY 1, 2
     """,
     "t12_holt_winters": """
         WITH RECURSIVE daily AS (
@@ -557,5 +584,6 @@ QUERIES = {
     "t10_holt": q_t10_holt,
     "t11_interval_join_batch": q_t11_interval_join_batch,
     "t12_holt_winters": q_t12_holt_winters,
+    "t13_twap": q_t13_twap,
     "p15_case_transform": q_p15_case_transform,
 }

@@ -637,7 +637,39 @@ def q_l22_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_l23_stock_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-shaped group-sum vs scaled global scalar: parts whose
+    total shipped quantity exceeds 0.07% of ALL shipped quantity — the
+    "concentration" HAVING pattern. The global total is a 1-row
+    broadcast cross-joined into the HAVING filter, so the plan is one
+    partkey hash-agg + one scalar agg over its output — the fact table
+    scans once, and the filter is evaluated map-side on the aggregated
+    (part-sized) relation."""
+    l = t(spark, sf_dir, "lineitem")
+    per_part = l.groupBy("l_partkey").agg(dsum("l_quantity").alias("qty"))
+    total = per_part.agg(F.sum(F.col("qty").cast("decimal(18,2)"))
+                         .cast("double").alias("tot"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("qty") > F.lit(0.0007) * F.col("tot"))
+        .select("l_partkey", "qty")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "l23_stock_concentration": """
+        WITH per_part AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       AS qty
+            FROM lineitem GROUP BY 1),
+        tot AS (
+            SELECT CAST(SUM(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS tot
+            FROM per_part)
+        SELECT l_partkey, qty
+        FROM per_part CROSS JOIN tot
+        WHERE qty > 0.0007 * tot
+    """,
     "l15_disjunctive_revenue": """
         SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
                              AS DECIMAL(18,6))) AS DOUBLE) AS revenue
@@ -983,6 +1015,7 @@ QUERIES = {
     "l20_nation_trade_pairs": q_l20_nation_trade_pairs,
     "l21_market_share": q_l21_market_share,
     "l22_nation_profit": q_l22_nation_profit,
+    "l23_stock_concentration": q_l23_stock_concentration,
     "l10_order_count_dist": q_l10_order_count_dist,
     "l11_idle_rich_customers": q_l11_idle_rich_customers,
     "l12_promo_revenue": q_l12_promo_revenue,
