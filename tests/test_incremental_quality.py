@@ -139,3 +139,43 @@ def test_merge_aggregate_state_equals_from_scratch(spark):
     for k in ref:
         for c in ("n_rows", "v", "lo", "hi"):
             assert got[k][c] == ref[k][c]
+
+
+def test_merge_join_view_equals_from_scratch(spark):
+    from pyspark.sql import functions as F
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.incremental import (
+        merge_join_view,
+    )
+
+    l_old = spark.createDataFrame(
+        [(i, f"l{i}") for i in range(20)], "k bigint, lv string"
+    )
+    dl = spark.createDataFrame(
+        [(i, f"l{i}") for i in range(20, 30)], "k bigint, lv string"
+    )
+    r_old = spark.createDataFrame(
+        [(i % 25, f"r{i}") for i in range(40)], "k bigint, rv string"
+    )
+    dr = spark.createDataFrame(
+        [(i % 28, f"r{i}") for i in range(40, 55)], "k bigint, rv string"
+    )
+    r_new = r_old.unionByName(dr)
+    v_old = l_old.join(r_old, ["k"])
+    got = sorted(
+        map(tuple, merge_join_view(v_old, l_old, dl, r_new, dr, ["k"]).collect())
+    )
+    want = sorted(
+        map(tuple, l_old.unionByName(dl).join(r_new, ["k"]).collect())
+    )
+    assert got == want
+
+
+def test_merge_join_view_initial_build(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.incremental import (
+        merge_join_view,
+    )
+
+    dl = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, lv string")
+    r = spark.createDataFrame([(1, "x"), (3, "y")], "k bigint, rv string")
+    got = merge_join_view(None, None, dl, r, None, ["k"]).collect()
+    assert [(r_["k"], r_["lv"], r_["rv"]) for r_ in got] == [(1, "a", "x")]
