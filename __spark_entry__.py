@@ -120,6 +120,8 @@ _NEW_SINCE_R4: tuple[str, ...] = (
     "t13_twap",
     "l23_stock_concentration",
     "a36_top_paths",
+    # Fellegi–Sunter probabilistic record linkage over blocked pairs.
+    "x_linkage_score",
 )
 
 

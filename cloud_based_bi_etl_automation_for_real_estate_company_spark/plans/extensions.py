@@ -991,6 +991,29 @@ def q_x_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x_linkage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter linkage scores over nation-blocked customer
+    pairs: segment equality, account-balance proximity (<500) and
+    balance band agreement, with fixed (m, u) parameters — the
+    probabilistic upgrade of the binary editdist/sorted-neighborhood
+    candidates. Top-200 by score (ties → id order)."""
+    c = t(spark, sf_dir, "customer")
+    comps = [
+        (F.col("c_mktsegment_a") == F.col("c_mktsegment_b"), 0.9, 0.2),
+        (F.abs(F.col("c_acctbal_a") - F.col("c_acctbal_b")) < 500, 0.7, 0.1),
+        (
+            F.floor(F.col("c_acctbal_a") / 1000)
+            == F.floor(F.col("c_acctbal_b") / 1000),
+            0.8,
+            0.15,
+        ),
+    ]
+    return D.fellegi_sunter_pairs(
+        c, id_col="c_custkey", block_col="c_nationkey",
+        comparisons=comps, top_k=200,
+    )
+
+
 def q_x_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch point queries for the corpus's true top-15
     terms: d=4 x 256 additive counters, estimate = min over rows —
@@ -1198,6 +1221,30 @@ ORACLES: dict[str, str] = {
                       / COUNT(*)) AS variance,
                MIN(x) AS lo, MAX(x) AS hi
         FROM vals GROUP BY dim
+    """,
+    "x_linkage_score": """
+        WITH pairs AS (
+            SELECT x.c_custkey AS id_a, y.c_custkey AS id_b,
+                   (CASE WHEN x.c_mktsegment = y.c_mktsegment
+                         THEN ln(0.9 / 0.2)
+                         ELSE ln((1.0 - 0.9) / (1.0 - 0.2)) END
+                    + CASE WHEN abs(x.c_acctbal - y.c_acctbal) < 500
+                           THEN ln(0.7 / 0.1)
+                           ELSE ln((1.0 - 0.7) / (1.0 - 0.1)) END
+                    + CASE WHEN floor(x.c_acctbal / 1000)
+                                = floor(y.c_acctbal / 1000)
+                           THEN ln(0.8 / 0.15)
+                           ELSE ln((1.0 - 0.8) / (1.0 - 0.15)) END)
+                       AS score
+            FROM customer x JOIN customer y
+              ON x.c_nationkey = y.c_nationkey
+             AND x.c_custkey < y.c_custkey)
+        SELECT id_a, id_b, score, rnk FROM (
+            SELECT id_a, id_b, score,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY score DESC, id_a, id_b) AS BIGINT) AS rnk
+            FROM pairs)
+        WHERE rnk <= 200
     """,
     "x_dsir_weights": """
         WITH occ AS (
@@ -2579,4 +2626,5 @@ QUERIES = {
     "x_mmr_first": q_x_mmr_first,
     "x_label_prop": q_x_label_prop,
     "x_dsir_weights": q_x_dsir_weights,
+    "x_linkage_score": q_x_linkage_score,
 }

@@ -404,3 +404,38 @@ def test_editdist_pairs_partition_invariant(spark):
     a = sorted(map(tuple, D.editdist_pairs(df.repartition(2), "name").collect()))
     b = sorted(map(tuple, D.editdist_pairs(df.repartition(11), "name").collect()))
     assert a == b
+
+
+def test_fellegi_sunter_hand_computed(spark):
+    import math
+    from pyspark.sql import functions as F
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.dedup import (
+        fellegi_sunter_pairs,
+    )
+
+    rows = [
+        (1, "b1", "X", 100.0),
+        (2, "b1", "X", 150.0),   # agrees with 1 on both fields
+        (3, "b1", "Y", 5000.0),  # disagrees with both
+        (4, "b2", "X", 100.0),   # different block: never paired with 1
+    ]
+    df = spark.createDataFrame(rows, "id bigint, blk string, seg string, bal double")
+    comps = [
+        (F.col("seg_a") == F.col("seg_b"), 0.9, 0.2),
+        (F.abs(F.col("bal_a") - F.col("bal_b")) < 500, 0.7, 0.1),
+    ]
+    out = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in fellegi_sunter_pairs(
+            df, id_col="id", block_col="blk", comparisons=comps, top_k=10
+        ).collect()
+    }
+    # only intra-block pairs exist
+    assert set(out) == {(1, 2), (1, 3), (2, 3)}
+    agree_both = math.log(0.9 / 0.2) + math.log(0.7 / 0.1)
+    disagree_both = math.log((1.0 - 0.9) / (1.0 - 0.2)) + math.log(
+        (1.0 - 0.7) / (1.0 - 0.1)
+    )
+    assert abs(out[(1, 2)] - agree_both) < 1e-12
+    assert abs(out[(1, 3)] - disagree_both) < 1e-12
+    assert out[(1, 2)] > out[(2, 3)] > out[(1, 3)] or out[(2, 3)] == out[(1, 3)]
