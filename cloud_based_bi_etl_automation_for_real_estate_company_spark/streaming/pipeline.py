@@ -129,3 +129,41 @@ def replay_batch_equals_stream(
     q.awaitTermination()
     stream_silver_df = spark.read.parquet(stream_out)
     return batch_silver, stream_silver_df
+
+
+def stream_dedup_within_watermark(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """The WATERMARK-BOUNDED dedup variant (S8 for at-least-once
+    sources): ``dropDuplicatesWithinWatermark`` keeps per-id state only
+    until the watermark passes the id's event time, so state size is
+    bounded by the lateness horizon instead of the stream's lifetime —
+    the right trade when retries are near-in-time redeliveries (the
+    reference's webhook double-fires, webhook_app.py:48) rather than
+    long-range content duplicates. Complements
+    ``stream_dedup_documents``: bounded state + bounded guarantee
+    there, all-history guarantee + hash-store cost here.
+    """
+    raw = (
+        spark.readStream.schema(
+            f"{id_col} bigint, {ts_col} timestamp, value double"
+        ).json(in_path)
+    )
+    deduped = raw.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [id_col]
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -185,3 +185,32 @@ def test_push_datasource_stream_flows_to_silver(spark, tmp_path):
     assert got.groupBy("id").count().filter(F.col("count") > 1).count() == 0
     accounts = {r[0] for r in got.select("account").distinct().collect()}
     assert accounts <= {"office_a", "office_b", "office_c"}
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Near-in-time redeliveries collapse; state is watermark-bounded
+    (semantics: duplicates arriving within the horizon dedup)."""
+    import json
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.streaming.pipeline import (
+        stream_dedup_within_watermark,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T10:00:00.000Z", "value": 1.0},
+        {"event_id": 1, "ts": "2024-01-01T10:00:05.000Z", "value": 1.0},  # retry
+        {"event_id": 2, "ts": "2024-01-01T10:01:00.000Z", "value": 2.0},
+        {"event_id": 2, "ts": "2024-01-01T10:01:00.000Z", "value": 2.0},  # retry
+        {"event_id": 3, "ts": "2024-01-01T10:02:00.000Z", "value": 3.0},
+    ]
+    (src / "batch.json").write_text("\n".join(json.dumps(r) for r in rows))
+    out = str(tmp_path / "out")
+    q = stream_dedup_within_watermark(
+        spark, str(src), out, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 3
+    assert {r["event_id"] for r in got.collect()} == {1, 2, 3}
