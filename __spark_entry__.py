@@ -6,7 +6,9 @@ plus the training-data-pipeline extensions, each with a DuckDB oracle
 unless the op is non-SQL-expressible (rows-only by design: SimHash
 bit votes, k-means-trained IVF, HLL binary sketches, MMR greedy
 re-rank, BPE merge training, PCA eigendecomposition — see
-plans/extensions.py).
+plans/extensions.py). Two of those now carry SQL-checkable shadows:
+``x_pca_invariants`` (Parseval check of the full eigenbasis) and
+``x_mmr_first`` (rank-1 == argmax relevance).
 """
 
 from __future__ import annotations
