@@ -129,3 +129,69 @@ def read_pruned(spark, manifest: DataFrame, ranges: dict[str, tuple]) -> DataFra
     if not files:
         raise ValueError("no files match the queried ranges")
     return spark.read.parquet(*files)
+
+
+def build_manifest_bloom(
+    spark,
+    path: str,
+    col: str,
+    m_bits: int = 8192,
+    k: int = 4,
+) -> DataFrame:
+    """Per-FILE Bloom filter manifest over a high-cardinality column —
+    the data-skipping companion to :func:`build_manifest`: min/max
+    intervals prune RANGE predicates but are useless for point lookups
+    on a uniformly distributed key (every file's [lo, hi] covers the
+    probe); a per-file Bloom answers "might this file contain key v?"
+    in O(k) with no false negatives. This is the manifest analog of
+    parquet's bloom_filter_enabled / Delta's bloom index, made
+    explicit and testable.
+
+    One scan: each value hashes to k positions (Kirsch–Mitzenmacher
+    double hashing off one md5 — engine-portable, replayable in
+    Python), positions collect_set per file into a sorted sparse
+    position array (≤ m_bits ints, file-count-sized metadata total).
+    """
+    from .quality import _bloom_hashes
+
+    df = spark.read.parquet(path).withColumn("__file", F.input_file_name())
+    h1, h2 = _bloom_hashes(F.col(col).cast("string"))
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)).cast("int")
+                for i in range(k)
+            ]
+        )
+    )
+    return (
+        df.select(F.col("__file").alias("file"), pos.alias("pos"))
+        .groupBy("file")
+        .agg(F.array_sort(F.collect_set("pos")).alias("bloom_pos"))
+    )
+
+
+def _bloom_positions_py(value, m_bits: int, k: int) -> list[int]:
+    """Driver-side replay of the Spark-side hash (same md5-derived
+    double hashing) for probe values."""
+    import hashlib
+
+    d = hashlib.md5(str(value).encode()).hexdigest()
+    h1 = int(d[:8], 16)
+    h2 = int(d[8:16], 16) * 2 + 1
+    return [(h1 + i * h2) % m_bits for i in range(k)]
+
+
+def prune_files_bloom(
+    manifest: DataFrame, value, m_bits: int = 8192, k: int = 4
+) -> list[str]:
+    """Files that MIGHT contain ``value``: keep a file iff every one
+    of the probe's k bit positions is present in its Bloom position
+    array. No false negatives (the containing file always survives);
+    false-positive rate falls exponentially in k for a given fill.
+    The filter evaluates on the file-count-sized manifest; collecting
+    the survivor list is metadata, not data."""
+    cond = F.lit(True)
+    for p in _bloom_positions_py(value, m_bits, k):
+        cond = cond & F.array_contains(F.col("bloom_pos"), p)
+    return [r["file"] for r in manifest.filter(cond).select("file").collect()]

@@ -129,3 +129,33 @@ def test_manifest_pruning_on_zordered_layout(spark, tmp_path):
     )
     want = df.filter((F.col("a") <= 7) & (F.col("b") <= 7)).count()
     assert got == want == 64
+
+
+def test_bloom_manifest_no_false_negatives_and_skips(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.layout import (
+        build_manifest_bloom,
+        prune_files_bloom,
+    )
+
+    path = str(tmp_path / "bloomed")
+    # 8 files of 500 ids each, disjoint by construction
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("event_id"), (F.col("id") % 97).alias("attr")
+    )
+    df.repartitionByRange(8, "event_id").write.parquet(path)
+    man = build_manifest_bloom(spark, path, "event_id").cache()
+    n_files = man.count()
+    assert n_files == 8
+
+    # every present key's true file must survive (no false negatives)
+    full = spark.read.parquet(path).withColumn("__f", F.input_file_name())
+    for probe in (0, 1234, 3999):
+        true_file = full.filter(F.col("event_id") == probe).select("__f").first()["__f"]
+        survivors = prune_files_bloom(man, probe)
+        assert true_file in survivors, probe
+
+    # absent keys prune: across many absent probes the average survivor
+    # count must be far below the file count (fp-rate bound, k=4)
+    tot = sum(len(prune_files_bloom(man, v)) for v in range(100000, 100020))
+    assert tot < 20 * n_files / 2
