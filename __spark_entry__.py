@@ -124,6 +124,8 @@ _NEW_SINCE_R4: tuple[str, ...] = (
     "a36_top_paths",
     # Fellegi–Sunter probabilistic record linkage over blocked pairs.
     "x_linkage_score",
+    # DDSketch mergeable quantile sketch (exact-replay oracle).
+    "x_dd_quantiles",
 )
 
 

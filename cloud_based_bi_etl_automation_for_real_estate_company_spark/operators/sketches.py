@@ -226,3 +226,74 @@ def cms_estimate(
         .groupBy(*terms.columns)
         .agg(F.min("cnt").alias("cms_count"))
     )
+
+
+def dd_buckets(
+    df: DataFrame,
+    keys: list[str],
+    col: str = "value",
+    alpha: float = 0.01,
+) -> DataFrame:
+    """DDSketch bucket table (Masson et al., VLDB 2019): log-spaced
+    buckets b = ceil(ln(x)/ln(γ)) with γ = (1+α)/(1−α) guarantee every
+    quantile estimate is within relative error α. The bucket table is
+    the SKETCH — per-key counts over ~log_γ(max/min) buckets (a few
+    hundred for any realistic domain), exactly mergeable by adding
+    counts, streamable as an incremental state table. The log ratio is
+    rounded at 9 dp before ceil so both engines (and any future
+    re-bucketing of merged partials) agree on boundary values.
+    Requires x > 0 (shift or reserve a zero bucket upstream)."""
+    g = (1.0 + float(alpha)) / (1.0 - float(alpha))
+    b = F.ceil(F.round(F.log(F.col(col)) / F.log(F.lit(g)), 9))
+    return (
+        df.select(*keys, b.alias("bucket"))
+        .groupBy(*keys, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dd_quantiles(
+    buckets: DataFrame,
+    keys: list[str],
+    qs: list[float],
+    alpha: float = 0.01,
+) -> DataFrame:
+    """Quantile estimates from a DDSketch bucket table: per key, the
+    q-quantile lives in the smallest bucket whose cumulative count
+    reaches ceil(q·n) (n = total count), and the estimate is the
+    bucket's log-midpoint 2γ^b/(γ+1) — within α relative error of the
+    true quantile by construction. One per-key cumulative window over
+    the bucket-sized sketch (never the raw data) computes every
+    requested quantile in a single pass. Returns
+    (keys..., q, est)."""
+    from pyspark.sql import Window
+
+    g = (1.0 + float(alpha)) / (1.0 - float(alpha))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wk = Window.partitionBy(*keys)
+    cum = buckets.select(
+        *keys,
+        "bucket",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wk).alias("n"),
+    )
+    est = (
+        F.lit(2.0)
+        * F.pow(F.lit(g), F.col("bucket").cast("double"))
+        / F.lit(g + 1.0)
+    )
+    out = None
+    for q in qs:
+        need = F.ceil(F.lit(float(q)) * F.col("n"))
+        hit = (
+            cum.filter(F.col("cum") >= need)
+            .groupBy(*keys)
+            .agg(F.min("bucket").alias("bucket"))
+        )
+        one = hit.select(*keys, F.lit(float(q)).alias("q"), est.alias("est"))
+        out = one if out is None else out.unionByName(one)
+    return out

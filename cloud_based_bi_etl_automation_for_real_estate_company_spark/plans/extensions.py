@@ -1014,6 +1014,21 @@ def q_x_linkage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x_dd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch quantiles (Masson et al., VLDB 2019): p50/p95/p99 of
+    event value per event type from the mergeable log-bucket sketch —
+    α=1% relative-error guarantee, sketch table a few hundred rows
+    regardless of corpus size. Fully deterministic (9-dp-rounded log
+    bucketing), so the oracle replays the sketch exactly rather than
+    tolerance-checking it."""
+    from ..operators import sketches as K
+
+    ev = t(spark, sf_dir, "events")
+    b = K.dd_buckets(ev, keys=["event_type"], col="value", alpha=0.01)
+    return K.dd_quantiles(b, keys=["event_type"], qs=[0.5, 0.95, 0.99],
+                          alpha=0.01)
+
+
 def q_x_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch point queries for the corpus's true top-15
     terms: d=4 x 256 additive counters, estimate = min over rows —
@@ -1221,6 +1236,30 @@ ORACLES: dict[str, str] = {
                       / COUNT(*)) AS variance,
                MIN(x) AS lo, MAX(x) AS hi
         FROM vals GROUP BY dim
+    """,
+    "x_dd_quantiles": """
+        WITH b AS (
+            SELECT event_type,
+                   CEIL(ROUND(ln(value)
+                        / ln((1.0 + 0.01) / (1.0 - 0.01)), 9)) AS bucket,
+                   COUNT(*) AS cnt
+            FROM events GROUP BY 1, 2),
+        cum AS (
+            SELECT event_type, bucket,
+                   SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                   SUM(cnt) OVER (PARTITION BY event_type) AS n
+            FROM b),
+        qx AS (SELECT UNNEST([CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE),
+                              CAST(0.99 AS DOUBLE)]) AS q)
+        SELECT event_type, q,
+               2.0 * pow((1.0 + 0.01) / (1.0 - 0.01), bucket)
+                   / ((1.0 + 0.01) / (1.0 - 0.01) + 1.0) AS est
+        FROM (SELECT c.event_type, qx.q, MIN(c.bucket) AS bucket
+              FROM cum c CROSS JOIN qx
+              WHERE c.cum >= CEIL(qx.q * c.n)
+              GROUP BY 1, 2)
     """,
     "x_linkage_score": """
         WITH pairs AS (
@@ -2627,4 +2666,5 @@ QUERIES = {
     "x_label_prop": q_x_label_prop,
     "x_dsir_weights": q_x_dsir_weights,
     "x_linkage_score": q_x_linkage_score,
+    "x_dd_quantiles": q_x_dd_quantiles,
 }

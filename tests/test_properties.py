@@ -131,3 +131,54 @@ def test_bloom_never_misses_property(spark, eval_docs, train_docs):
     exact = {r["doc_id"] for r in Q.contamination_report(tr, ev).collect()}
     for d in exact:
         assert probe[d] == 1
+
+
+def test_ddsketch_relative_error_guarantee(spark):
+    """DDSketch estimates must be within alpha relative error of the
+    exact quantile — the paper's guarantee, checked against numpy."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.sketches import (
+        dd_buckets,
+        dd_quantiles,
+    )
+
+    # deterministic log-normal-ish values via hash, spanning 4 decades
+    vals = [0.1 * (1.1 ** (i % 97)) + (i % 13) for i in range(5000)]
+    df = spark.createDataFrame(
+        [("k", float(v)) for v in vals], "k string, value double"
+    )
+    alpha = 0.02
+    b = dd_buckets(df, keys=["k"], col="value", alpha=alpha)
+    got = {
+        round(r["q"], 2): r["est"]
+        for r in dd_quantiles(b, keys=["k"], qs=[0.5, 0.95, 0.99],
+                              alpha=alpha).collect()
+    }
+    arr = np.array(vals)
+    for q in (0.5, 0.95, 0.99):
+        exact = float(np.quantile(arr, q, method="inverted_cdf"))
+        rel = abs(got[q] - exact) / exact
+        assert rel <= alpha + 1e-9, (q, got[q], exact, rel)
+
+
+def test_ddsketch_buckets_merge_exactly(spark):
+    """Sketch mergeability: bucket tables built on two halves, merged
+    by summing counts, must equal the single-pass sketch."""
+    from pyspark.sql import functions as F
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.sketches import (
+        dd_buckets,
+    )
+
+    rows = [(i, "k", 0.5 + (i % 101) * 1.37) for i in range(2000)]
+    df = spark.createDataFrame(rows, "i bigint, k string, value double")
+    whole = dd_buckets(df, keys=["k"]).collect()
+    h1 = dd_buckets(df.filter(F.col("i") % 2 == 0), keys=["k"])
+    h2 = dd_buckets(df.filter(F.col("i") % 2 == 1), keys=["k"])
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("k", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    )
+    assert sorted(map(tuple, whole)) == sorted(map(tuple, merged))
