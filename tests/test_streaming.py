@@ -214,3 +214,75 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 3
     assert {r["event_id"] for r in got.collect()} == {1, 2, 3}
+
+
+def test_http_receiver_post_to_silver_end_to_end(spark, tmp_path):
+    """A REAL HTTP POST → spool → streaming silver: the live analogue
+    of the reference's Flask receiver, end-to-end through the existing
+    pipeline with no transport-specific Spark code."""
+    import json
+    import urllib.request
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.sources.http_receiver import (
+        WebhookReceiver,
+    )
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.streaming.pipeline import (
+        stream_silver,
+    )
+
+    spool = str(tmp_path / "spool")
+    rx = WebhookReceiver(spool).start()
+    try:
+        def post(path, payload, expect=200):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{rx.port}{path}",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            try:
+                with urllib.request.urlopen(req) as resp:
+                    return resp.status
+            except urllib.error.HTTPError as e:
+                return e.code
+
+        def envelope(eid, event):
+            data = {
+                "id": eid,
+                "title": f"Lead {eid}",
+                "step": "Firmados",
+                "status": "won",
+                "amount": 123.0,
+                "user_id": 7,
+                "updated_at": "2025-09-30T18:00:00.000000Z",
+            }
+            return {
+                "webhook_event": {
+                    "id": eid,
+                    "event": event,
+                    "signature": "sig",
+                    "has_succeeded": True,
+                    "try_count": 1,
+                    "last_returned_code": 200,
+                    "data": data,
+                }
+            }
+
+        # account comes from the URL path, like the reference's route
+        assert post("/webhook/office_a", envelope(1, "lead.created")) == 200
+        assert post("/webhook/office_a", envelope(1, "lead.created")) == 200  # retry
+        assert post("/webhook/office_b", envelope(2, "lead.step.changed")) == 200
+        assert post("/webhook/evil_office", envelope(3, "lead.created")) == 200
+        assert post("/nonsense/route", envelope(4, "lead.created")) == 404
+        assert rx.n_received == 4 and rx.n_rejected == 1
+    finally:
+        rx.stop()
+
+    out = str(tmp_path / "silver")
+    q = stream_silver(spark, spool, out, str(tmp_path / "ckpt"),
+                      available_now=True)
+    q.awaitTermination(120)
+    silver = spark.read.parquet(out)
+    rows = {(r["id"], r["account"]) for r in silver.select("id", "account").collect()}
+    # retry deduped; non-whitelisted account filtered by the pipeline
+    assert rows == {(1, "office_a"), (2, "office_b")}
