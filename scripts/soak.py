@@ -65,7 +65,10 @@ def _copy(df, name: str, i: int):
         # rotate by i % size tokens: at copy counts beyond a doc's
         # token count the raw i-rotation degenerates to the identity
         # (empty first slice + whole array), turning short docs into
-        # exact cross-copy dups and inflating dup density
+        # exact cross-copy dups and inflating dup density. Residual
+        # caveat: copies i and j still collide when i ≡ j mod size —
+        # unavoidable under rotation-only for docs shorter than the
+        # copy count; dup density is bounded, not perfectly constant
         rot = F.pmod(F.lit(i), F.greatest(F.size(toks), F.lit(1)))
         rotated = F.concat(
             F.slice(toks, rot + 1, F.greatest(F.size(toks) - rot, F.lit(0))),
