@@ -152,6 +152,12 @@ def merge_join_view(
     from-scratch join is property-tested in
     tests/test_incremental_quality.py.
     """
+    if delta_right is not None and left_old is None:
+        raise ValueError(
+            "delta_right without left_old would silently drop the "
+            "L_old ⋈ ΔR arm — pass left_old or fold the "
+            "right delta into right_new with delta_right=None"
+        )
     arms = []
     if view is not None:
         arms.append(view)

@@ -89,7 +89,16 @@ def parse_image_header(blob: bytes) -> tuple[int, int, str] | None:
         w, h = struct.unpack("<HH", blob[6:10])
         return int(w), int(h), "gif"
     if len(blob) >= 26 and blob[:2] == b"BM":
+        # "BM" alone is a weak magic (any text starting "BM..."
+        # matches) — require a known DIB header size and sane positive
+        # dimensions before claiming BMP
+        # (BITMAPCOREHEADER dib=12 uses 16-bit dims — out of scope)
+        dib = struct.unpack("<I", blob[14:18])[0]
+        if dib not in (40, 52, 56, 64, 108, 124):
+            return None
         w, h = struct.unpack("<ii", blob[18:26])
+        if w <= 0 or h == 0 or w > 1 << 20 or abs(h) > 1 << 20:
+            return None
         return int(w), abs(int(h)), "bmp"
     return None
 

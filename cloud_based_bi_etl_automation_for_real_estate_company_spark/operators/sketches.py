@@ -286,14 +286,16 @@ def dd_quantiles(
         * F.pow(F.lit(g), F.col("bucket").cast("double"))
         / F.lit(g + 1.0)
     )
-    out = None
-    for q in qs:
-        need = F.ceil(F.lit(float(q)) * F.col("n"))
-        hit = (
-            cum.filter(F.col("cum") >= need)
-            .groupBy(*keys)
-            .agg(F.min("bucket").alias("bucket"))
-        )
-        one = hit.select(*keys, F.lit(float(q)).alias("q"), est.alias("est"))
-        out = one if out is None else out.unionByName(one)
-    return out
+    # one pass for ALL quantiles: explode the q literals against the
+    # bucket-sized cum table and take min-bucket per (keys, q) — the
+    # same shape as the oracle's CROSS JOIN + GROUP BY
+    qlit = F.explode(
+        F.array(*[F.lit(float(q)) for q in qs])
+    ).alias("q")
+    hit = (
+        cum.select(*keys, "bucket", "cum", "n", qlit)
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy(*keys, "q")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    return hit.select(*keys, "q", est.alias("est"))

@@ -303,6 +303,7 @@ def twap_daily(
     key_col: str = "user_id",
     ts_col: str = "ts",
     val_col: str = "value",
+    seq_col: str = "event_id",
 ) -> DataFrame:
     """Time-weighted average (Timescale ``time_weight``-class rollup):
     per (key, day), each observation's value is weighted by how long
@@ -319,7 +320,7 @@ def twap_daily(
     (key, day, n_spans, total_us, twap)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(key_col, "day").orderBy(ts_col, "event_id")
+    w = Window.partitionBy(key_col, "day").orderBy(ts_col, seq_col)
     spans = (
         df.withColumn("day", F.to_date(ts_col))
         .withColumn("__next", F.lead(ts_col).over(w))

@@ -59,6 +59,10 @@ class WebhookReceiver:
                 try:
                     payload = json.loads(body)
                 except Exception:
+                    payload = None
+                if not isinstance(payload, dict):
+                    # valid-but-non-object JSON ("[1]", "5", "null")
+                    # must 400, not crash the handler
                     receiver.n_rejected += 1
                     self.send_response(400)
                     self.end_headers()
@@ -79,14 +83,19 @@ class WebhookReceiver:
 
         self._server = HTTPServer((host, port), Handler)
         self.port = self._server.server_address[1]
+        self._started = False
         self._thread = threading.Thread(
             target=self._server.serve_forever, daemon=True
         )
 
     def start(self) -> "WebhookReceiver":
         self._thread.start()
+        self._started = True
         return self
 
     def stop(self) -> None:
-        self._server.shutdown()
+        # shutdown() blocks on serve_forever()'s completion event —
+        # calling it on a never-started server deadlocks forever
+        if self._started:
+            self._server.shutdown()
         self._server.server_close()

@@ -91,7 +91,7 @@ def _gif_bytes(w: int, h: int) -> bytes:
 def _bmp_bytes(w: int, h: int) -> bytes:
     import struct
 
-    header = b"BM" + b"\x00" * 16
+    header = b"BM" + b"\x00" * 12 + struct.pack("<I", 40)  # BITMAPINFOHEADER
     return header + struct.pack("<ii", w, h) + b"\x00" * 8
 
 
@@ -104,6 +104,9 @@ def test_image_header_parse_pure_python():
     assert M.parse_image_header(_bmp_bytes(77, -88)) == (77, 88, "bmp")
     assert M.parse_image_header(b"plain text") is None
     assert M.parse_image_header(b"") is None
+    # "BM"-prefixed TEXT must not be misread as a bitmap (weak magic
+    # guarded by the DIB header-size check + dimension sanity)
+    assert M.parse_image_header(b"BMW prices rose sharply this year!!") is None
     # Truncated containers must not crash or mis-report
     assert M.parse_image_header(_png_bytes(640, 480)[:12]) is None
     assert M.parse_image_header(b"\xff\xd8\xff") is None
