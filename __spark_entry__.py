@@ -126,6 +126,8 @@ _NEW_SINCE_R4: tuple[str, ...] = (
     "x_linkage_score",
     # DDSketch mergeable quantile sketch (exact-replay oracle).
     "x_dd_quantiles",
+    # Event-time RANGE window frame (trailing interval sum).
+    "w13_range_frame",
 )
 
 

@@ -190,6 +190,31 @@ def q_w12_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_w13_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE window frame: each purchase's trailing-7-day
+    spend for the same user — the time-based frame (`RANGE BETWEEN
+    INTERVAL`) that row-count frames (w5) can't express on irregular
+    event times. Spark form: rangeBetween over exact epoch
+    microseconds, one user-keyed window sort; peers at the same
+    timestamp aggregate together in both engines by RANGE semantics.
+    Decimal sums keep the frame totals engine-exact."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_7d_spend"),
+    )
+
+
 def q_w10_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running DISTINCT user count by day — the "total audience to
     date" line a dashboard draws next to daily actives — here the
@@ -241,6 +266,14 @@ ORACLES: dict[str, str] = {
                COUNT(DISTINCT u.user_id) AS n_active_7d
         FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
         GROUP BY 1
+    """,
+    "w13_range_frame": """
+        SELECT event_id, user_id, ts,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) AS trailing_7d_spend
+        FROM events WHERE event_type = 'purchase'
     """,
     "w11_asof_snapshot": """
         SELECT user_id, event_type AS state_asof, ts AS valid_from
@@ -330,4 +363,5 @@ QUERIES = {
     "w10_cumulative_distinct": q_w10_cumulative_distinct,
     "w11_asof_snapshot": q_w11_asof_snapshot,
     "w12_rolling_distinct": q_w12_rolling_distinct,
+    "w13_range_frame": q_w13_range_frame,
 }
