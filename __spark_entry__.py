@@ -128,6 +128,8 @@ _NEW_SINCE_R4: tuple[str, ...] = (
     "x_dd_quantiles",
     # Event-time RANGE window frame (trailing interval sum).
     "w13_range_frame",
+    # Two-proportion z-test over a deterministic 50/50 split.
+    "a37_ab_test",
 )
 
 

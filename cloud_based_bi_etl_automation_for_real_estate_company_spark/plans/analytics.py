@@ -684,7 +684,107 @@ def q_a36_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a37_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test over a deterministic 50/50 user split
+    (variant = hash(user_id) mod 2 — the bucketing an experimentation
+    platform does): per-variant user and converter counts, conversion
+    rates, and the pooled z statistic. One fact scan → user-keyed
+    flag agg → 2-row conditional rollup; the z arithmetic is the
+    identical double expression tree in both engines (a29/a30
+    convention), counts are exact."""
+    ev = t(spark, sf_dir, "events")
+    # conversion = a HIGH-VALUE purchase (>150): the plain any-purchase
+    # flag saturates to 100% on the fixture, collapsing the pooled
+    # standard error to zero
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    # engine-portable 50/50 bucketing: md5-derived, not Spark-private
+    # xxhash64, so the oracle replays the identical assignment
+    variant = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint"),
+        F.lit(2),
+    ).cast("int")
+    by_variant = (
+        per_user.withColumn("variant", variant)
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+        )
+    )
+    a = by_variant.filter(F.col("variant") == 0).select(
+        F.col("n_users").alias("n_a"), F.col("n_converted").alias("c_a")
+    )
+    b = by_variant.filter(F.col("variant") == 1).select(
+        F.col("n_users").alias("n_b"), F.col("n_converted").alias("c_b")
+    )
+    j = a.crossJoin(b)
+    p_a = F.col("c_a").cast("double") / F.col("n_a").cast("double")
+    p_b = F.col("c_b").cast("double") / F.col("n_b").cast("double")
+    pool = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pool
+        * (F.lit(1.0) - pool)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    return j.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.round((p_a - p_b) / se, 6).alias("z_score"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "a37_ab_test": """
+        WITH per_user AS (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                            THEN 1 ELSE 0 END) AS converted
+            FROM events GROUP BY 1),
+        bv AS (
+            SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 2 AS variant,
+                   converted
+            FROM per_user),
+        counts AS (
+            SELECT variant, COUNT(*) AS n_users,
+                   CAST(SUM(converted) AS BIGINT) AS n_converted
+            FROM bv GROUP BY 1),
+        j AS (
+            SELECT a.n_users AS n_a, a.n_converted AS c_a,
+                   b.n_users AS n_b, b.n_converted AS c_b
+            FROM (SELECT * FROM counts WHERE variant = 0) a
+            CROSS JOIN (SELECT * FROM counts WHERE variant = 1) b)
+        SELECT n_a, c_a, n_b, c_b,
+               ROUND(CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+               ROUND(CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+               ROUND((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                      - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                     / sqrt((CAST(c_a + c_b AS DOUBLE)
+                             / CAST(n_a + n_b AS DOUBLE))
+                            * (1.0 - CAST(c_a + c_b AS DOUBLE)
+                                     / CAST(n_a + n_b AS DOUBLE))
+                            * (1.0 / CAST(n_a AS DOUBLE)
+                               + 1.0 / CAST(n_b AS DOUBLE))), 6) AS z_score
+        FROM j
+    """,
     "a36_top_paths": """
         WITH seq AS (
             SELECT user_id, list(event_type ORDER BY ts, event_id) AS s
@@ -1052,4 +1152,5 @@ QUERIES = {
     "a34_monthly_price_band": q_a34_monthly_price_band,
     "a35_transition_matrix": q_a35_transition_matrix,
     "a36_top_paths": q_a36_top_paths,
+    "a37_ab_test": q_a37_ab_test,
 }
