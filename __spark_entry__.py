@@ -130,6 +130,8 @@ _NEW_SINCE_R4: tuple[str, ...] = (
     "w13_range_frame",
     # Two-proportion z-test over a deterministic 50/50 split.
     "a37_ab_test",
+    # LSH recall audit vs exact ground truth on the audit slice.
+    "x_lsh_recall",
 )
 
 

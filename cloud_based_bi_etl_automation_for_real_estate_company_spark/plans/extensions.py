@@ -114,6 +114,33 @@ def q_x_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other half of the sketch-health pair (x_lsh_precision):
+    RECALL of LSH banding against exact ground truth — what fraction
+    of truly-similar pairs (3-gram Jaccard ≥ 0.2) the candidate set
+    catches. Ground truth needs the exact pair join, so it runs on a
+    bounded audit slice (doc_id < 200), the eval-harness contract: at
+    100 TB the audit samples, production banding never pays the exact
+    join. Output: n_truth, n_caught, recall."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    truth = D.ngram_jaccard_pairs(d, threshold=0.2).select("id_a", "id_b")
+    cands = D.minhash_lsh_pairs(d).select(
+        F.col("id_a").alias("c_a"), F.col("id_b").alias("c_b")
+    )
+    caught = truth.join(
+        cands,
+        (F.col("id_a") == F.col("c_a")) & (F.col("id_b") == F.col("c_b")),
+        "left_semi",
+    )
+    return truth.agg(F.count(F.lit(1)).alias("n_truth")).crossJoin(
+        caught.agg(F.count(F.lit(1)).alias("n_caught"))
+    ).select(
+        "n_truth",
+        "n_caught",
+        F.try_divide(F.col("n_caught"), F.col("n_truth")).alias("recall"),
+    )
+
+
 def q_x_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprinting (winnowing / MOSS): pairs
     sharing ≥2 window-min 3-gram hashes — the guaranteed-coverage
@@ -1477,6 +1504,32 @@ ORACLES: dict[str, str] = {
     "x_dedup_clusters": _CLUSTERS_ORACLE,
     # the star-contraction variant must land on the exact same fixpoint
     "x_dedup_clusters_star": _CLUSTERS_ORACLE,
+    "x_lsh_recall": f"""
+        WITH docs AS (
+            SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        {_LSH_PAIRS_CTES.replace("FROM documents", "FROM docs").strip()},
+        sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+            FROM shingled a JOIN shingled b
+              ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+        truth AS (
+            SELECT i.id_a, i.id_b
+            FROM inter i
+            JOIN sz sa ON sa.doc_id = i.id_a
+            JOIN sz sb ON sb.doc_id = i.id_b
+            WHERE CAST(i.n_common AS DOUBLE)
+                  / (sa.n_sh + sb.n_sh - i.n_common) >= 0.2),
+        caught AS (
+            SELECT t.id_a FROM truth t
+            JOIN pairs p ON p.id_a = t.id_a AND p.id_b = t.id_b)
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM caught) AS n_caught,
+               CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN NULL
+                    ELSE CAST((SELECT COUNT(*) FROM caught) AS DOUBLE)
+                         / (SELECT COUNT(*) FROM truth) END AS recall
+    """,
     "x_ngram_jaccard": f"""
         WITH {_SHINGLES_CTE},
         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id),
@@ -2596,6 +2649,7 @@ QUERIES = {
     "x_dedup_exact": q_x_dedup_exact,
     "x_dedup_minhash_lsh": q_x_dedup_minhash_lsh,
     "x_lsh_precision": q_x_lsh_precision,
+    "x_lsh_recall": q_x_lsh_recall,
     "x_dedup_minhash_est": q_x_dedup_minhash_est,
     "x_dedup_clusters": q_x_dedup_clusters,
     "x_dedup_clusters_star": q_x_dedup_clusters_star,
