@@ -132,6 +132,8 @@ _NEW_SINCE_R4: tuple[str, ...] = (
     "a37_ab_test",
     # LSH recall audit vs exact ground truth on the audit slice.
     "x_lsh_recall",
+    # Winsorized robust stats (p05/p95 clamp + decimal mean).
+    "a38_winsorized_stats",
 )
 
 

@@ -751,7 +751,63 @@ def q_a37_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a38_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics per event type: clip values at the
+    group's exact p05/p95 (the outlier-tolerant mean the raw average
+    isn't — t9's MAD flags outliers, this NEUTRALIZES them). Plan: one
+    exact-percentile aggregation over the group key (tiny), broadcast
+    back, map-side clamp + decimal mean — the fact table scans twice
+    but shuffles once at group grain."""
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clipped = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "lo",
+        "hi",
+        F.col("value"),
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias(
+            "wv"
+        ),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("value") < F.col("lo"), 1)).alias("n_clip_lo"),
+        F.count(F.when(F.col("value") > F.col("hi"), 1)).alias("n_clip_hi"),
+        F.round(F.first("lo"), 6).alias("p05"),
+        F.round(F.first("hi"), 6).alias("p95"),
+        (
+            F.sum(F.round(F.col("wv"), 6).cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("winsorized_mean"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "a38_winsorized_stats": """
+        WITH bounds AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.05) AS lo,
+                   quantile_cont(value, 0.95) AS hi
+            FROM events GROUP BY 1),
+        clipped AS (
+            SELECT e.event_type, b.lo, b.hi, e.value,
+                   LEAST(GREATEST(e.value, b.lo), b.hi) AS wv
+            FROM events e JOIN bounds b USING (event_type))
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(COUNT(*) FILTER (WHERE value < lo) AS BIGINT)
+                   AS n_clip_lo,
+               CAST(COUNT(*) FILTER (WHERE value > hi) AS BIGINT)
+                   AS n_clip_hi,
+               ROUND(MIN(lo), 6) AS p05,
+               ROUND(MIN(hi), 6) AS p95,
+               CAST(SUM(CAST(ROUND(wv, 6) AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(*) AS winsorized_mean
+        FROM clipped GROUP BY 1
+    """,
     "a37_ab_test": """
         WITH per_user AS (
             SELECT user_id,
@@ -1153,4 +1209,5 @@ QUERIES = {
     "a35_transition_matrix": q_a35_transition_matrix,
     "a36_top_paths": q_a36_top_paths,
     "a37_ab_test": q_a37_ab_test,
+    "a38_winsorized_stats": q_a38_winsorized_stats,
 }
