@@ -785,7 +785,44 @@ def q_a38_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a39_whatif_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAX what-if parameter sweep: total revenue under additional
+    discount scenarios {0%, 5%, 10%} computed in ONE fact pass — the
+    parameter table cross-explodes into the aggregation instead of
+    re-running the measure per slider value. Decimal accumulation per
+    (scenario) keeps the 3 sums engine-exact."""
+    l = t(spark, sf_dir, "lineitem")
+    scenarios = F.explode(
+        F.array(F.lit(0.0), F.lit(0.05), F.lit(0.10))
+    ).alias("extra_discount")
+    rev = (
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (F.lit(1.0) - F.col("extra_discount"))
+    )
+    return (
+        l.select("l_extendedprice", "l_discount", scenarios)
+        .groupBy("extra_discount")
+        .agg(
+            F.sum(F.round(rev, 6).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("scenario_revenue")
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "a39_whatif_discount": """
+        WITH sc AS (SELECT UNNEST([CAST(0.0 AS DOUBLE),
+                                   CAST(0.05 AS DOUBLE),
+                                   CAST(0.10 AS DOUBLE)]) AS extra_discount)
+        SELECT sc.extra_discount,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                   * (1.0 - sc.extra_discount), 6)
+                             AS DECIMAL(28,6))) AS DOUBLE) AS scenario_revenue
+        FROM lineitem l CROSS JOIN sc
+        GROUP BY 1
+    """,
     "a38_winsorized_stats": """
         WITH bounds AS (
             SELECT event_type,
@@ -1210,4 +1247,5 @@ QUERIES = {
     "a36_top_paths": q_a36_top_paths,
     "a37_ab_test": q_a37_ab_test,
     "a38_winsorized_stats": q_a38_winsorized_stats,
+    "a39_whatif_discount": q_a39_whatif_discount,
 }
