@@ -134,6 +134,8 @@ _NEW_SINCE_R4: tuple[str, ...] = (
     "x_lsh_recall",
     # Winsorized robust stats (p05/p95 clamp + decimal mean).
     "a38_winsorized_stats",
+    # DAX what-if parameter sweep in one fact pass.
+    "a39_whatif_discount",
 )
 
 
