@@ -136,6 +136,8 @@ _NEW_SINCE_R4: tuple[str, ...] = (
     "a38_winsorized_stats",
     # DAX what-if parameter sweep in one fact pass.
     "a39_whatif_discount",
+    # TPC-H Q6 shape: triple-pushdown forecasting filter.
+    "l24_forecast_revenue",
 )
 
 

@@ -656,7 +656,41 @@ def q_l23_stock_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_l24_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped forecasting filter: revenue delta from a
+    narrow (year × discount-band × quantity-cap) slice — the
+    tight-predicate single-table scan whose whole cost model is
+    PUSHDOWN: all three filters reach the parquet scan (plan-asserted
+    in tests), so at 100 TB the scan reads only row groups whose
+    min/max intersect the slice."""
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), 6)
+            .alias("forecast_revenue_delta"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "l24_forecast_revenue": """
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+                             AS DECIMAL(18,6))) AS DOUBLE)
+                   AS forecast_revenue_delta,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
     "l23_stock_concentration": """
         WITH per_part AS (
             SELECT l_partkey,
@@ -1016,6 +1050,7 @@ QUERIES = {
     "l21_market_share": q_l21_market_share,
     "l22_nation_profit": q_l22_nation_profit,
     "l23_stock_concentration": q_l23_stock_concentration,
+    "l24_forecast_revenue": q_l24_forecast_revenue,
     "l10_order_count_dist": q_l10_order_count_dist,
     "l11_idle_rich_customers": q_l11_idle_rich_customers,
     "l12_promo_revenue": q_l12_promo_revenue,

@@ -210,3 +210,9 @@ def test_l20_l21_l22_dimensions_broadcast(spark):
 def test_l19_date_filter_pushed(spark):
     plan = _explain(warehouse.q_l19_priority_late_orders(spark, SF))
     assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_l24_triple_pushdown(spark):
+    plan = _explain(warehouse.q_l24_forecast_revenue(spark, SF))
+    pushed = plan.split("PushedFilters")[-1].split("]")[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
