@@ -18,6 +18,19 @@ from cloud_based_bi_etl_automation_for_real_estate_company_spark.session import 
 import __spark_entry__ as entrymod
 from bench import HEADLINE
 
+# Non-bench queries whose plan shape is load-bearing enough to keep
+# under review (semi-join pushdown, shard-pruned top-k, broadcast
+# pyramids, RANGE frames) — snapshotted in a second section.
+EXTRAS = [
+    "l19_priority_late_orders",
+    "l21_market_share",
+    "l24_forecast_revenue",
+    "x_label_prop",
+    "x_dsir_weights",
+    "w13_range_frame",
+    "x_pagerank",
+]
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
@@ -37,10 +50,17 @@ def main() -> None:
             df._jdf.queryExecution(), "formatted"
         )
         out += [f"## {name}", "", "```", plan.rstrip(), "```", ""]
+    out += ["# Round-4 extras (non-bench, plan-shape review set)", ""]
+    for name in EXTRAS:
+        df = qs[name](spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        out += [f"## {name}", "", "```", plan.rstrip(), "```", ""]
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(out))
-    print(f"wrote PLANS.md ({len(HEADLINE)} plans)")
+    print(f"wrote PLANS.md ({len(HEADLINE) + len(EXTRAS)} plans)")
 
 
 if __name__ == "__main__":
