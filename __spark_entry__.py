@@ -3,12 +3,13 @@
 ``entry`` runs the flagship dashboard query; ``queries`` /
 ``oracle_sql`` expose every implemented operator from SURVEY.md §2
 plus the training-data-pipeline extensions, each with a DuckDB oracle
-unless the op is non-SQL-expressible (rows-only by design: SimHash
-bit votes, k-means-trained IVF, HLL binary sketches, MMR greedy
-re-rank, BPE merge training, PCA eigendecomposition — see
-plans/extensions.py). Two of those now carry SQL-checkable shadows:
-``x_pca_invariants`` (Parseval check of the full eigenbasis) and
-``x_mmr_first`` (rank-1 == argmax relevance).
+unless the op is non-SQL-expressible (rows-only by design:
+k-means-trained IVF, HLL binary sketches, MMR greedy re-rank, BPE
+merge training and encoding, PCA eigendecomposition — see
+plans/extensions.py; SimHash graduated to a full oracle in round 4).
+PCA and MMR carry SQL-checkable shadows: ``x_pca_invariants``
+(Parseval check of the full eigenbasis) and ``x_mmr_first``
+(rank-1 == argmax relevance).
 """
 
 from __future__ import annotations
@@ -138,6 +139,9 @@ _NEW_SINCE_R4: tuple[str, ...] = (
     "a39_whatif_discount",
     # TPC-H Q6 shape: triple-pushdown forecasting filter.
     "l24_forecast_revenue",
+    # SimHash gains a full oracle (md5 bit votes ARE SQL-replayable) —
+    # re-present so the rows-only r1 row upgrades to a hash check.
+    "x_dedup_simhash",
 )
 
 

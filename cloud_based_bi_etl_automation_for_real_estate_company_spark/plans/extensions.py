@@ -47,9 +47,11 @@ def q_x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (rows-only check: bit-vote aggregation has
-    no clean ANSI-SQL equivalent; verified instead by tests/test_dedup.py
-    against a pure-Python reference implementation)."""
+    """SimHash fingerprints. Oracle-checked as of round 4: the bit
+    votes are md5-derived (engine-portable), so DuckDB replays the
+    full ±1-vote aggregation with shift/mask SQL — earlier rounds
+    wrongly classed this rows-only; the pure-Python reference test in
+    tests/test_dedup.py stays as a second, independent pin."""
     return D.simhash(t(spark, sf_dir, "documents"))
 
 
@@ -1263,6 +1265,25 @@ ORACLES: dict[str, str] = {
                       / COUNT(*)) AS variance,
                MIN(x) AS lo, MAX(x) AS hi
         FROM vals GROUP BY dim
+    """,
+    "x_dedup_simhash": """
+        WITH tok AS (
+            SELECT doc_id, UNNEST(string_split(trim(text), ' ')) AS tok
+            FROM documents),
+        hx AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT) AS h
+            FROM tok),
+        votes AS (
+            SELECT doc_id, i.i,
+                   SUM(CASE WHEN (h >> i.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+            FROM hx CROSS JOIN (SELECT UNNEST(range(16)) AS i) i
+            GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0
+                             THEN CAST(1 AS BIGINT) << i ELSE 0 END)
+                   AS BIGINT) AS simhash
+        FROM votes GROUP BY 1
     """,
     "x_dd_quantiles": """
         WITH b AS (
