@@ -22,8 +22,9 @@ def test_every_oracle_key_has_a_query():
 def test_rows_only_set_is_intentional():
     # queries without an oracle get only the weaker rows-only check;
     # keep this list explicit so a forgotten oracle is loud
+    # x_dedup_simhash graduated to a full oracle in round 4 (the md5
+    # bit votes replay as shift/mask SQL)
     assert set(QUERIES) - set(ORACLES) == {
-        "x_dedup_simhash",
         "x_ann_ivf_trained",
         "x_hll_rollup",
         "x_mmr_rerank",
