@@ -142,6 +142,8 @@ _NEW_SINCE_R4: tuple[str, ...] = (
     # SimHash gains a full oracle (md5 bit votes ARE SQL-replayable) —
     # re-present so the rows-only r1 row upgrades to a hash check.
     "x_dedup_simhash",
+    # Normalized-content dedup key (surface-form duplicate recovery).
+    "x_normalized_dedup",
 )
 
 

@@ -166,3 +166,25 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     return F.when(F.size(toks) >= k, acc).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text normalization — the step every dedup/decontam
+    hash runs AFTER, so near-identical surface forms ("Hello,  World!"
+    vs "hello world") collapse to one canonical key:
+
+      lowercase → strip non-alphanumerics to spaces → collapse
+      whitespace runs → trim.
+
+    Pure JVM column expressions (fuses into the scan), idempotent by
+    construction (property-tested), and written with only regex
+    constructs both Java regex and RE2 share (explicit character
+    classes, no lookaround) so a DuckDB oracle replays it verbatim.
+    ASCII-class scope: [^a-z0-9 ] strips accents/CJK too — the
+    aggressive exact-dedup key, not a display form; swap the class for
+    \\p{L}\\p{N} when a Unicode-preserving key is wanted."""
+    c = F.col(col) if isinstance(col, str) else col
+    lowered = F.lower(c)
+    stripped = F.regexp_replace(lowered, "[^a-z0-9 ]", " ")
+    collapsed = F.regexp_replace(stripped, " +", " ")
+    return F.trim(collapsed)

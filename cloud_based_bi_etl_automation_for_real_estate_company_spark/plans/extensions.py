@@ -46,6 +46,26 @@ def q_x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(pairs)
 
 
+def q_x_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the NORMALIZED content key (lowercase,
+    punctuation→space, collapsed whitespace): catches surface-form
+    duplicates that byte-exact hashing misses. Reports per-source
+    raw-distinct vs normalized-distinct counts — the gap is the
+    surface-dup rate normalization recovers. Map-side key derivation,
+    one agg shuffle."""
+    d = t(spark, sf_dir, "documents")
+    keyed = d.select(
+        "source",
+        F.md5("text").alias("raw_key"),
+        F.md5(T.normalize_text("text")).alias("norm_key"),
+    )
+    return keyed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("raw_key").alias("n_raw_distinct"),
+        F.countDistinct("norm_key").alias("n_norm_distinct"),
+    )
+
+
 def q_x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints. Oracle-checked as of round 4: the bit
     votes are md5-derived (engine-portable), so DuckDB replays the
@@ -1265,6 +1285,17 @@ ORACLES: dict[str, str] = {
                       / COUNT(*)) AS variance,
                MIN(x) AS lo, MAX(x) AS hi
         FROM vals GROUP BY dim
+    """,
+    "x_normalized_dedup": """
+        SELECT source,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT md5(text)) AS n_raw_distinct,
+               COUNT(DISTINCT md5(
+                   trim(regexp_replace(
+                       regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                       ' +', ' ', 'g'))))
+                   AS n_norm_distinct
+        FROM documents GROUP BY 1
     """,
     "x_dedup_simhash": """
         WITH tok AS (
@@ -2742,4 +2773,5 @@ QUERIES = {
     "x_dsir_weights": q_x_dsir_weights,
     "x_linkage_score": q_x_linkage_score,
     "x_dd_quantiles": q_x_dd_quantiles,
+    "x_normalized_dedup": q_x_normalized_dedup,
 }

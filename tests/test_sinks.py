@@ -143,3 +143,24 @@ def test_read_evolving_schema_merges_additive_columns(spark, tmp_path):
     assert set(got.columns) == {"id", "name", "score"}
     rows = {r["id"]: r for r in got.collect()}
     assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
+def test_corrupt_parquet_file_tolerance(spark, tmp_path):
+    """Ops posture for a 100 TB lake: one corrupt data file must not
+    fail the whole scan when ignoreCorruptFiles is on (and MUST fail
+    loudly when it's off — silent default-skipping would be a
+    correctness bug)."""
+    import pytest
+
+    p = str(tmp_path / "tbl")
+    spark.range(0, 100).write.parquet(p)
+    # plant a corrupt file that the reader will pick up
+    with open(p + "/part-corrupt.parquet", "wb") as f:
+        f.write(b"PAR1 this is not a real parquet footer")
+    with pytest.raises(Exception):
+        spark.read.parquet(p).count()
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        assert spark.read.parquet(p).count() == 100
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")

@@ -169,3 +169,31 @@ def test_bloom_short_doc_zero_shingles(spark):
     words = Q.bloom_build(docs)
     r = Q.bloom_probe(docs, words).collect()[0]
     assert r["n_shingles"] == 0 and r["n_hits"] == 0 and r["flagged"] == 0
+
+
+def test_normalize_text_idempotent_and_canonical(spark):
+    from pyspark.sql import functions as F
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.functions.text import (
+        normalize_text,
+    )
+
+    rows = [
+        (1, "Hello,  World!"),
+        (2, "hello world"),
+        (3, "  HELLO -- world??  "),
+        (4, "unrelated text"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    out = {r["id"]: r["n"] for r in df.select("id", normalize_text("text").alias("n")).collect()}
+    # surface variants collapse to one canonical form
+    assert out[1] == out[2] == out[3] == "hello world"
+    assert out[5] == ""
+    # idempotence: normalize(normalize(x)) == normalize(x)
+    twice = {
+        r["id"]: r["n2"]
+        for r in df.select(
+            "id", normalize_text(normalize_text("text")).alias("n2")
+        ).collect()
+    }
+    assert twice == out
