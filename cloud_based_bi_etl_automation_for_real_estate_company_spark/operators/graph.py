@@ -110,7 +110,9 @@ def label_propagation(
     integer vote sums are exact, so both engines agree bit-for-bit.
     Synchronous update is the determinism-friendly variant — the
     async/semi-synchronous forms converge faster but depend on visit
-    order, which has no cross-engine replay."""
+    order, which has no cross-engine replay. Each round's label table
+    is ``localCheckpoint``ed (the CC-loop pattern, dedup.py:244) so
+    plan lineage stays one round deep at any iteration count."""
     e = edges.select(
         F.col(src_col).alias("src"),
         F.col(dst_col).alias("dst"),
@@ -139,5 +141,6 @@ def label_propagation(
             votes.withColumn("__rn", F.row_number().over(wr))
             .filter(F.col("__rn") == 1)
             .select(F.col("dst").alias("node"), "label")
+            .localCheckpoint()
         )
     return labels

@@ -648,34 +648,26 @@ def q_a35_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_a36_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 length-3 event paths (a35's transition matrix extended
     to path/sequence mining — the Sankey "what journeys actually
-    happen" question). Each user's event sequence is collected once
-    (per-user array, bounded by that user's history), 3-gram windows
-    explode JVM-side via transform over an index sequence, and the
+    happen" question). 3-grams derive from two ``lead()``s over the
+    per-user event-time window — the same single (user_id) shuffle a
+    collect_list would cost, but streaming through the sort order
+    with O(1) window state instead of materializing a power user's
+    entire history as one array (the r4 shape's 100 TB hazard). The
     path vocabulary (≤ |event_types|³ = 125) aggregates with map-side
     partials — the final rank window sorts a vocabulary-sized, never
     corpus-sized, relation."""
     ev = t(spark, sf_dir, "events")
-    seq = ev.groupBy("user_id").agg(
-        F.array_sort(
-            F.collect_list(F.struct("ts", "event_id", "event_type"))
-        ).alias("s")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    grams = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
     )
-    idx = F.when(
-        F.size("s") >= 3, F.sequence(F.lit(0), F.size("s") - 3)
-    ).otherwise(F.array().cast("array<int>"))
-    path = F.explode(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                ">",
-                F.element_at(F.col("s"), i + 1)["event_type"],
-                F.element_at(F.col("s"), i + 2)["event_type"],
-                F.element_at(F.col("s"), i + 3)["event_type"],
-            ),
-        )
-    )
-    counts = seq.select(path.alias("path")).groupBy("path").agg(
-        F.count(F.lit(1)).alias("n")
+    counts = (
+        grams.filter(F.col("e3").isNotNull())
+        .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     w = Window.orderBy(F.desc("n"), F.asc("path"))
     return (

@@ -1090,18 +1090,12 @@ def q_x_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cms = K.cms_build(occ, d=4, width=256)
     freq = occ.groupBy("term").agg(F.count(F.lit(1)).alias("true_count"))
-    from pyspark.sql import Window
+    from ..operators.partitioning import sharded_topk
 
-    top = (
-        freq.withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.orderBy(F.col("true_count").desc(), F.col("term"))
-            ),
-        )
-        .filter(F.col("__rn") <= 15)
-        .drop("__rn")
-    )
+    top = sharded_topk(
+        freq, 15, [F.col("true_count").desc(), F.col("term")],
+        rank_col="__rn", shard_cols=["term"],
+    ).drop("__rn")
     return K.cms_estimate(cms, top, d=4, width=256)
 
 
