@@ -654,17 +654,41 @@ def q_x_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_x_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with a TRAINED coarse quantizer — distributed Lloyd's
     k-means (operators/similarity.kmeans_centroids) feeding the same
-    probe plan. Rows-only by design: the trainer is iterative, so
-    there is no clean ANSI-SQL replay (same class as SimHash);
-    convergence and recall are pinned in tests/test_similarity.py.
+    probe plan.
+
+    Graduated from rows-only to a RECALL oracle in r5 (the x_ann_recall
+    pattern): the learned centroids themselves have no ANSI-SQL replay
+    (iterative trainer, same class as x_bpe_train), so the gate row is
+    the audit form — per query, the exact brute-force truth size
+    (SQL-replayable) and the boolean recall@5 ≥ 0.4. Observed recall
+    on the fixtures is 0.6–1.0 (min 3/5 hits at sf0.01), so the 0.4
+    floor has a full hit of margin while still failing on any real
+    routing/training regression. The raw trained top-k surface,
+    convergence, and exact recall values stay pinned in
+    tests/test_similarity.py.
 
     Note the fixture bias when comparing recall to x_ann_ivf: the
     stand-in centroids ARE the query vectors there (vec_id < 8 covers
     the vec_id < 5 queries), centering each query's cell on itself."""
     e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    truth = S.brute_force_topk(e, q, k=5).select("q_id", "vec_id")
     cents = S.kmeans_centroids(e, k=8, iters=3)
-    return S.ivf_topk(
-        e, e.filter(F.col("vec_id") < 5), k=5, n_probes=2, centroids=cents
+    approx = S.ivf_topk(e, q, k=5, n_probes=2, centroids=cents).select(
+        F.col("q_id").alias("a_qid"), F.col("vec_id").alias("a_vid")
+    )
+    hits = truth.join(
+        approx,
+        (F.col("q_id") == F.col("a_qid")) & (F.col("vec_id") == F.col("a_vid")),
+        "left",
+    )
+    return hits.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        (
+            F.count(F.col("a_vid")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            >= 0.4
+        ).alias("recall_ok"),
     )
 
 
@@ -792,34 +816,75 @@ def q_x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.bpe_train(t(spark, sf_dir, "documents"), num_merges=10, min_count=2)
 
 
+# The shipped tokenizer artifact: the 10-merge table bpe_train
+# learns on the sf0.01 corpus, frozen as a literal — exactly how
+# production tokenizers deploy (train once, ship the merge list as
+# static config; retraining per query would make tokenization
+# corpus-dependent). Every pair has a != b and alnum-only symbols,
+# which makes the one-pass lookaround rewrite (bpe_encode) and the
+# RE2-portable two-pass consuming rewrite (the DuckDB oracle — RE2
+# has no lookbehind) produce the identical tokenization: with a != b
+# no two merge sites can share a token, so "merge every site" is
+# unambiguous (tests/test_corpus.py pins the precondition).
+BPE_MERGES_V1: tuple[tuple[str, str], ...] = (
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+)
+
+
+def _bpe_oracle_rewrite(expr: str) -> str:
+    """DuckDB replay of the encode rewrite chain: per merge, the
+    space-consuming pattern ' a b ' -> ' ab ' applied TWICE (RE2 lacks
+    the zero-width lookarounds Spark uses, and a consuming match eats
+    the next site's leading space in runs like 'a b a b'; leftover
+    sites after pass 1 are provably isolated, so pass 2 completes)."""
+    for a, b in BPE_MERGES_V1:
+        one = f"regexp_replace({{}}, ' {a} {b} ', ' {a + b} ', 'g')"
+        expr = one.format(one.format(expr))
+    return expr
+
+
 def q_x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full tokenizer loop: train 10 BPE merges on the corpus,
-    then encode every document with them (per-doc subword counts).
-    Rows-only: the trainer is iterative; encode correctness is pinned
-    by hand-computed tests."""
-    d = t(spark, sf_dir, "documents")
-    merges = [
-        tuple(r["pair"].split(" "))
-        for r in C.bpe_train(d, num_merges=10, min_count=2)
-        .orderBy("merge_rank")
-        .collect()
-    ]
-    return C.bpe_encode(d, merges)
+    """Encode every document with the shipped BPE_MERGES_V1 merge
+    table (per-doc subword counts). Graduated from rows-only in r5:
+    with the merge list a plan constant, encoding is a pure regexp
+    rewrite chain the DuckDB oracle replays exactly. The train->encode
+    composition (learned merges feeding the encoder) stays pinned by
+    hand-computed tests in tests/test_corpus.py; only x_bpe_train
+    itself remains iterative/rows-only."""
+    return C.bpe_encode(t(spark, sf_dir, "documents"), list(BPE_MERGES_V1))
 
 
 def q_x_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count rollup: per-(event_type, day) HLL
     sketches unioned up to per-type estimates — facts scanned once,
     any coarser slice answered from kilobytes of sketch state.
-    Rows-only by design: the DataSketches binary state has no
-    ANSI-SQL replay (DuckDB's approx_count_distinct is a different
-    sketch); merge-consistency and error bounds are pinned in
-    tests/test_scale_paths.py."""
+
+    Graduated from rows-only to a TOLERANCE oracle in r5: the
+    DataSketches binary state still has no ANSI-SQL replay (DuckDB's
+    approx_count_distinct is a different sketch), so the gate row
+    carries the exact distinct count (hash-checkable in both engines)
+    plus the sketch-health boolean |estimate − exact| ≤ 5%·exact —
+    lgK=12 HLL is ~1.6% relative error, and at gate cardinalities the
+    sparse representation is near-exact, so 5% is a loose bound that
+    still catches any real sketch-path regression. Raw estimates and
+    merge-consistency stay pinned in tests/test_scale_paths.py."""
     from ..operators.sketches import distinct_sketch_rollup, merge_distinct_sketches
 
     ev = t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
     fine = distinct_sketch_rollup(ev, ["event_type", "day"], "user_id")
-    return merge_distinct_sketches(fine, ["event_type"])
+    est = merge_distinct_sketches(fine, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("within_tol"),
+    )
 
 
 def q_x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2689,6 +2754,63 @@ ORACLES: dict[str, str] = {
         JOIN vals nb ON nb.name = s.name_b
     """,
 }
+
+
+# --- Round-5 graduations out of the rows-only set ------------------------
+#
+# x_bpe_encode: the full rewrite chain, GENERATED from BPE_MERGES_V1 so
+# the SQL can never drift from the frozen artifact the Spark side ships.
+ORACLES["x_bpe_encode"] = f"""
+    WITH words AS (
+        SELECT doc_id, UNNEST(string_split(trim(text), ' ')) AS w
+        FROM documents),
+    sym AS (
+        SELECT doc_id,
+               ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS s
+        FROM words),
+    enc AS (
+        SELECT doc_id,
+               len(string_split(trim({_bpe_oracle_rewrite("s")}), ' ')) AS n
+        FROM sym)
+    SELECT doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(n) AS BIGINT) AS n_subwords,
+           ROUND(CAST(SUM(n) AS DOUBLE) / COUNT(*), 9) AS subwords_per_word
+    FROM enc GROUP BY 1
+"""
+
+# x_hll_rollup tolerance shadow: exact distinct is hash-checked across
+# engines; within_tol asserts the HLL estimate sits within 5% of it.
+ORACLES["x_hll_rollup"] = """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_distinct,
+           TRUE AS within_tol
+    FROM events GROUP BY 1
+"""
+
+# x_ann_ivf_trained recall shadow: exact brute-force truth replayed in
+# SQL (the x_ann_recall pattern); recall_ok asserts the trained index
+# clears the 0.4 floor (observed 0.6-1.0 on the fixtures).
+ORACLES["x_ann_ivf_trained"] = """
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    tq AS (SELECT vec_id AS q_id, emb AS q_emb FROM base WHERE vec_id < 5),
+    tscored AS (
+        SELECT tq.q_id, b.vec_id,
+               ROUND(list_dot_product(tq.q_emb, b.emb)
+                     / (sqrt(list_dot_product(tq.q_emb, tq.q_emb))
+                        * sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
+        FROM base b CROSS JOIN tq WHERE b.vec_id <> tq.q_id),
+    truth AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY sim DESC, vec_id ASC) AS rnk
+            FROM tscored)
+        WHERE rnk <= 5)
+    SELECT q_id, COUNT(*) AS n_truth, TRUE AS recall_ok
+    FROM truth GROUP BY 1
+"""
 
 
 QUERIES = {

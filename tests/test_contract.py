@@ -23,13 +23,13 @@ def test_rows_only_set_is_intentional():
     # queries without an oracle get only the weaker rows-only check;
     # keep this list explicit so a forgotten oracle is loud
     # x_dedup_simhash graduated to a full oracle in round 4 (the md5
-    # bit votes replay as shift/mask SQL)
+    # bit votes replay as shift/mask SQL); round 5 graduated
+    # x_bpe_encode (frozen merge artifact -> pure regexp replay),
+    # x_hll_rollup (exact-distinct + 5% tolerance boolean), and
+    # x_ann_ivf_trained (recall-floor audit vs SQL-replayed truth)
     assert set(QUERIES) - set(ORACLES) == {
-        "x_ann_ivf_trained",
-        "x_hll_rollup",
         "x_mmr_rerank",
         "x_bpe_train",
-        "x_bpe_encode",
         "x_pca_project",
     }
 

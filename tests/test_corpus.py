@@ -502,3 +502,46 @@ def test_dsir_weights_partition_invariant(spark):
     a = sorted(map(tuple, dsir_weights(df.repartition(2), tgt).collect()))
     b = sorted(map(tuple, dsir_weights(df.repartition(19), tgt).collect()))
     assert a == b
+
+
+def test_bpe_frozen_artifact_preconditions(spark):
+    """BPE_MERGES_V1's full-oracle replay (plans/extensions.py) uses a
+    two-pass CONSUMING rewrite in DuckDB (RE2 has no lookbehind) while
+    Spark keeps the one-pass lookaround chain; the two agree exactly
+    iff every pair has a != b (no self-overlapping merge sites) and
+    symbols are regex-inert. Pin both preconditions, and pin the
+    equivalence on the adversarial consecutive-site run the consuming
+    form handles in its second pass."""
+    import re
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.plans.extensions import (
+        BPE_MERGES_V1,
+    )
+
+    for a, b in BPE_MERGES_V1:
+        assert a != b, (a, b)
+        assert re.fullmatch(r"[a-z0-9]+", a) and re.fullmatch(r"[a-z0-9]+", b)
+    # consecutive sites: "erer..." — pass 1 of a consuming rewrite
+    # merges alternating sites only; the lookaround chain merges all.
+    # bpe_encode (lookaround) must yield the fully-merged count that
+    # the oracle's two passes also reach.
+    df = spark.createDataFrame([(1, "erererer dd", "s")], DOCS)
+    row = C.bpe_encode(df, [("e", "r")]).collect()[0]
+    assert row["n_words"] == 2
+    assert row["n_subwords"] == 4 + 2  # er×4 + d,d
+
+
+def test_bpe_frozen_artifact_matches_sf001_trainer(spark):
+    """The shipped artifact is bpe_train's sf0.01 output; on sf0.001
+    the learned SET of merges matches (rank order differs with corpus
+    statistics — that's why the artifact is frozen, not retrained)."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.plans.extensions import (
+        BPE_MERGES_V1,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    learned = {
+        tuple(r["pair"].split(" "))
+        for r in C.bpe_train(docs, num_merges=10, min_count=2).collect()
+    }
+    assert learned == set(BPE_MERGES_V1)
