@@ -138,10 +138,10 @@ def agent_ranking(snapshot: DataFrame, k: int = 10) -> DataFrame:
         .groupBy("user_email")
         .agg(dsum("amount").alias("monto_firmado"))
     )
-    w = Window.orderBy(F.desc("monto_firmado"), F.asc("user_email"))
-    return (
-        per_agent.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= k)
+    from ..operators.partitioning import sharded_topk
+
+    return sharded_topk(
+        per_agent, k, [F.desc("monto_firmado"), F.asc("user_email")]
     )
 
 

@@ -173,15 +173,12 @@ def q_a6_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c.select("c_custkey", "c_name")),
               F.col("o_custkey") == F.col("c_custkey"))
     )
-    w = Window.orderBy(F.desc("total_signed"), F.asc("c_custkey"))
-    return (
-        per_agent.select(
-            "c_custkey",
-            "c_name",
-            "total_signed",
-            F.row_number().over(w).cast("bigint").alias("rnk"),
-        )
-        .filter(F.col("rnk") <= 10)
+    from ..operators.partitioning import sharded_topk
+
+    return sharded_topk(
+        per_agent.select("c_custkey", "c_name", "total_signed"),
+        10,
+        [F.desc("total_signed"), F.asc("c_custkey")],
     )
 
 

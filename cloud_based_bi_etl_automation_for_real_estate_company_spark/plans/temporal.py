@@ -59,7 +59,7 @@ def q_t3_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     counting at corpus granularity; explode is map-side, the count is
     one hash-agg shuffle on the token)."""
     from ..functions.text import tokens
-    from pyspark.sql import Window
+    from ..operators.partitioning import sharded_topk
 
     d = t(spark, sf_dir, "documents")
     counts = (
@@ -67,10 +67,8 @@ def q_t3_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.orderBy(F.desc("n"), F.asc("token"))
-    return (
-        counts.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= 20)
+    return sharded_topk(
+        counts, 20, [F.desc("n"), F.asc("token")], shard_cols=["token"]
     )
 
 

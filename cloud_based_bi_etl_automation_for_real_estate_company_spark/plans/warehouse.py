@@ -128,11 +128,9 @@ def q_l5_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"))
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
-    return (
-        joined.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= 10)
-    )
+    from ..operators.partitioning import sharded_topk
+
+    return sharded_topk(joined, 10, [F.desc("revenue"), F.asc("o_orderkey")])
 
 
 def q_l6_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -152,10 +150,10 @@ def q_l6_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("lost_revenue"))
     )
-    w = Window.orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
-    return (
-        joined.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= 20)
+    from ..operators.partitioning import sharded_topk
+
+    return sharded_topk(
+        joined, 20, [F.desc("lost_revenue"), F.asc("c_custkey")]
     )
 
 
@@ -298,15 +296,14 @@ def q_l17_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(wp.orderBy(F.desc("qty"), F.asc("l_suppkey")))
         .alias("pos"),
     ).filter(F.col("pos") == 1)
-    wtop = Window.orderBy(F.desc("share"), F.asc("l_partkey"))
-    return (
+    from ..operators.partitioning import sharded_topk
+
+    return sharded_topk(
         ranked.select(
-            "l_partkey",
-            F.col("l_suppkey").alias("top_suppkey"),
-            "share",
-            F.row_number().over(wtop).cast("bigint").alias("rnk"),
-        )
-        .filter(F.col("rnk") <= 100)
+            "l_partkey", F.col("l_suppkey").alias("top_suppkey"), "share"
+        ),
+        100,
+        [F.desc("share"), F.asc("l_partkey")],
     )
 
 
