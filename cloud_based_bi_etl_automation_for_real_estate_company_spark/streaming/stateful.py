@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -275,5 +276,86 @@ def streaming_distinct_rollup(
         )
         .select(
             key_col, F.col("__w.start").alias("window_start"), "approx_distinct"
+        )
+    )
+
+
+def streaming_kmv_distinct(
+    events: DataFrame,
+    key_col: str = "event_type",
+    col: str = "user_id",
+    k: int = 128,
+) -> DataFrame:
+    """ST5 — LIFETIME distinct-count per key via a KMV/theta sketch as
+    explicit ``applyInPandasWithState`` state (the custom-stateful
+    sibling of ``streaming_distinct_rollup``, whose HLL state lives
+    inside a windowed aggregation): per key the state is the k
+    smallest md5 hash fractions seen so far — kilobytes forever, no
+    watermark needed, because the sketch never grows — refreshed each
+    micro-batch and re-estimated with exactly the batch estimator
+    (``operators/sketches.kmv_stats``: exact below k, else
+    (k-1)/u_(k)). Same deterministic md5 hashing as the batch
+    ``_hash_frac``, so after draining the stream the estimate equals
+    the batch ``kmv_estimate`` of the same rows bit-for-bit — asserted
+    in tests/test_stateful_streaming.py.
+
+    Update-mode output: one refreshed row per key per micro-batch
+    (key, n_seen, n_kept, theta, estimate). A discarded fraction is
+    always above the current theta and theta only shrinks, so
+    truncation never loses a final top-k member — insert-order
+    invariant, hence micro-batch-boundary invariant.
+    """
+    import hashlib
+
+    out_schema = StructType(
+        [
+            StructField(key_col, StringType()),
+            StructField("n_seen", LongType()),
+            StructField("n_kept", LongType()),
+            StructField("theta", DoubleType()),
+            StructField("estimate", DoubleType()),
+        ]
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (kv,) = key
+        if state.exists:
+            us_raw, n_seen = state.get
+            kept = set(us_raw)
+        else:
+            kept, n_seen = set(), 0
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            for v in pdf[col]:
+                kept.add(
+                    int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+                    / 4294967296.0
+                )
+        us = sorted(kept)[:k]
+        state.update((us, n_seen))
+        n_kept = len(us)
+        theta = us[-1] if us else None
+        est = float(n_kept) if n_kept < k else float(k - 1) / theta
+        yield pd.DataFrame(
+            {
+                key_col: [kv],
+                "n_seen": [n_seen],
+                "n_kept": [n_kept],
+                "theta": [theta],
+                "estimate": [est],
+            }
+        )
+
+    return (
+        events.select(key_col, col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType="us array<double>, n_seen bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

@@ -499,3 +499,65 @@ def test_watermark_drops_late_rows_observably(spark, tmp_path):
         r["window"]["start"].hour for r in final.select("window").collect()
     }
     assert 11 not in hours
+
+
+def test_streaming_kmv_distinct_matches_batch(spark, tmp_path):
+    """Lifetime KMV-as-state: after draining the stream in single-file
+    micro-batches, each key's LAST emitted estimate must equal the
+    batch kmv_estimate of the same rows bit-for-bit (same md5 hashing,
+    same k-smallest retention, same estimator), and the small-k path
+    must actually engage the (k-1)/theta estimator."""
+    import json as _json
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_kept,
+    )
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.streaming.stateful import (
+        streaming_kmv_distinct,
+    )
+
+    p = tmp_path / "kmv_ev"
+    p.mkdir()
+    # 40 users for type a (> k=16 so the estimator path fires, spread
+    # across files so state must carry between micro-batches), 5 for b
+    rows = [("a", 1000 + i % 40) for i in range(80)] + [
+        ("b", 2000 + i % 5) for i in range(10)
+    ]
+    for fi in range(4):
+        with open(p / f"f{fi}.jsonl", "w") as f:
+            for et, uid in rows[fi::4]:
+                f.write(_json.dumps({"event_type": et, "user_id": uid}) + "\n")
+    schema = "event_type string, user_id bigint"
+    stream = streaming_kmv_distinct(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(p)),
+        k=16,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("kmv_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_kmv"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # multiple update rows per key (one per micro-batch that touched
+    # it); the last one is the full-stream sketch
+    got_rows = spark.sql("SELECT * FROM kmv_state").collect()
+    assert len(got_rows) > len({r["event_type"] for r in got_rows})
+    last = {}
+    for r in got_rows:  # memory sink preserves batch order
+        last[r["event_type"]] = (r["n_kept"], r["theta"], r["estimate"])
+    batch = spark.read.schema(schema).json(str(p))
+    expect = {
+        r["event_type"]: (r["n_kept"], r["theta"], r["estimate"])
+        for r in kmv_estimate(
+            kmv_kept(batch, ["event_type"], "user_id", k=16),
+            ["event_type"],
+            k=16,
+        ).collect()
+    }
+    assert last == expect
+    assert last["b"][0] == 5 and last["b"][2] == 5.0  # exact below k
+    assert last["a"][0] == 16 and last["a"][2] != 40.0  # estimator path
