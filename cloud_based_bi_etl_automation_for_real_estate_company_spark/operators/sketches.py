@@ -299,3 +299,123 @@ def dd_quantiles(
         .agg(F.min("bucket").alias("bucket"))
     )
     return hit.select(*keys, "q", est.alias("est"))
+
+
+# --- t-digest (Dunning & Ertl, arXiv:1902.04023) --------------------------
+#
+# The rank-adaptive sibling of DDSketch above: DDSketch guarantees
+# RELATIVE-VALUE error from fixed log buckets, the t-digest guarantees
+# RANK-space accuracy (tight at the tails, looser in the middle) from
+# data-adaptive centroids bounded by the k1 scale function. Mergeable:
+# a digest is just a (mean, weight) table, and merging digests is the
+# same clustering applied to the union — which is exactly the two-stage
+# Spark shape below (per-shard digest -> union -> re-cluster). The
+# centroid tables are O(delta) rows per key regardless of input size,
+# so the second stage is a bounded-size group no matter the corpus.
+#
+# Cluster assignment uses the one-pass k-space binning variant: sort,
+# take each element's centre rank q, bin by floor(k1(q)) with
+# k1(q) = delta/(2*pi)*asin(2q-1). This is fully vectorized (no
+# sequential accumulation loop) and deterministic under a total sort
+# order; the capacity bound holds for cluster CENTRES (edges can
+# overhang a unit k-interval slightly), which preserves the t-digest
+# accuracy asymptotics — the rank-error tolerance is what tests pin.
+
+
+def _tdigest_cluster(means, weights, delta: int):
+    import numpy as np
+
+    order = np.lexsort((weights, means))
+    m = means[order].astype(float)
+    w = weights[order].astype(float)
+    total = w.sum()
+    cum = np.cumsum(w)
+    qc = (cum - w / 2.0) / total
+    kk = np.floor(delta / (2.0 * np.pi) * np.arcsin(2.0 * qc - 1.0))
+    starts = np.flatnonzero(np.r_[True, kk[1:] != kk[:-1]])
+    ws = np.add.reduceat(w, starts)
+    wm = np.add.reduceat(m * w, starts)
+    return wm / ws, ws
+
+
+def tdigest_centroids(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    delta: int = 100,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Two-stage distributed t-digest build: values shard by value
+    hash (equal values stay together, keeping tie handling exact and
+    the assignment deterministic regardless of Spark partitioning —
+    a constant column would hot-spot one shard, at which point the
+    digest is trivial anyway), each (key, shard) group digests its
+    values with the k-space clustering, and stage 2 re-clusters the
+    unioned per-shard centroids — O(n_shards * delta) rows per key —
+    into the final per-key digest. Returns (*keys, mean, weight)."""
+    import pandas as pd
+
+    shard = F.pmod(F.xxhash64(F.col(col)), F.lit(n_shards)).alias("__shard")
+    key_fields = ", ".join(
+        f"{k} {t}" for k, t in df.select(*keys).dtypes
+    )
+    out_schema = f"{key_fields}, mean double, weight double"
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        m, w = _tdigest_cluster(
+            pdf[col].to_numpy(float),
+            __import__("numpy").ones(len(pdf)),
+            delta,
+        )
+        head = pdf.iloc[:1][keys]
+        out = head.loc[head.index.repeat(len(m))].reset_index(drop=True)
+        out["mean"], out["weight"] = m, w
+        return out
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        m, w = _tdigest_cluster(
+            pdf["mean"].to_numpy(float), pdf["weight"].to_numpy(float), delta
+        )
+        head = pdf.iloc[:1][keys]
+        out = head.loc[head.index.repeat(len(m))].reset_index(drop=True)
+        out["mean"], out["weight"] = m, w
+        return out
+
+    fine = (
+        df.select(*keys, F.col(col), shard)
+        .groupBy(*keys, "__shard")
+        .applyInPandas(build, out_schema)
+    )
+    return fine.groupBy(*keys).applyInPandas(merge, out_schema)
+
+
+def tdigest_quantiles(
+    centroids: DataFrame, keys: list[str], qs: list[float]
+) -> DataFrame:
+    """Quantile estimates from a centroid table: linear interpolation
+    of the target rank over centroid midpoint ranks (the standard
+    t-digest query, clamped at the extreme centroids). One Arrow batch
+    per key over O(delta) rows. Returns (*keys, q, est)."""
+    import numpy as np
+    import pandas as pd
+
+    key_fields = ", ".join(
+        f"{k} {t}" for k, t in centroids.select(*keys).dtypes
+    )
+    out_schema = f"{key_fields}, q double, est double"
+
+    def query(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf["mean"].to_numpy(float)
+        w = pdf["weight"].to_numpy(float)
+        order = np.lexsort((w, m))
+        m, w = m[order], w[order]
+        cum = np.cumsum(w)
+        mid = cum - w / 2.0
+        qa = np.array(qs, dtype=float)
+        est = np.interp(qa * w.sum(), mid, m)
+        head = pdf.iloc[:1][keys]
+        out = head.loc[head.index.repeat(len(qa))].reset_index(drop=True)
+        out["q"], out["est"] = qa, est
+        return out
+
+    return centroids.groupBy(*keys).applyInPandas(query, out_schema)

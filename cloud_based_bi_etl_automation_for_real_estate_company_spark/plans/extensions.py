@@ -1143,6 +1143,44 @@ def q_x_dd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                           alpha=0.01)
 
 
+def q_x_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest quantiles (Dunning & Ertl, arXiv:1902.04023): p50/p95/
+    p99 of event value per event type from the mergeable centroid
+    sketch — the rank-adaptive complement of x_dd_quantiles (DDSketch
+    fixes relative VALUE error; the t-digest fixes RANK error, tight
+    at the tails). The learned centroids are data-adaptive floats with
+    no ANSI-SQL replay, so the gate row is the tolerance-audit form
+    (the x_hll_rollup pattern): per (event_type, q), the exact row
+    count (hash-checked) plus the boolean |rank(est) − q| ≤ 0.05 —
+    a δ=100 digest holds rank error well under 1%, so the 5% bound
+    only fails on a real sketch regression. Exact accuracy, shard
+    invariance, and determinism are pinned in
+    tests/test_scale_paths.py."""
+    from ..operators import sketches as K
+
+    ev = t(spark, sf_dir, "events")
+    cent = K.tdigest_centroids(ev, ["event_type"], "value", delta=100)
+    est = K.tdigest_quantiles(cent, ["event_type"], [0.5, 0.95, 0.99])
+    return (
+        ev.select("event_type", "value")
+        .join(F.broadcast(est), "event_type")
+        .groupBy("event_type", "q")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.abs(
+                    F.sum(
+                        F.when(F.col("value") <= F.col("est"), 1).otherwise(0)
+                    ).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                    - F.col("q")
+                )
+                <= 0.05
+            ).alias("rank_ok"),
+        )
+    )
+
+
 def q_x_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch point queries for the corpus's true top-15
     terms: d=4 x 256 additive counters, estimate = min over rows —
@@ -2779,6 +2817,15 @@ ORACLES["x_bpe_encode"] = f"""
     FROM enc GROUP BY 1
 """
 
+# x_tdigest_quantiles tolerance audit: exact per-(type, q) row counts
+# hash-checked; rank_ok asserts the digest's rank error stays ≤ 5%.
+ORACLES["x_tdigest_quantiles"] = """
+    SELECT event_type, q, COUNT(*) AS n_rows, TRUE AS rank_ok
+    FROM events
+    CROSS JOIN (SELECT UNNEST([0.5, 0.95, 0.99]::DOUBLE[]) AS q) qs
+    GROUP BY 1, 2
+"""
+
 # x_hll_rollup tolerance shadow: exact distinct is hash-checked across
 # engines; within_tol asserts the HLL estimate sits within 5% of it.
 ORACLES["x_hll_rollup"] = """
@@ -2889,5 +2936,6 @@ QUERIES = {
     "x_dsir_weights": q_x_dsir_weights,
     "x_linkage_score": q_x_linkage_score,
     "x_dd_quantiles": q_x_dd_quantiles,
+    "x_tdigest_quantiles": q_x_tdigest_quantiles,
     "x_normalized_dedup": q_x_normalized_dedup,
 }

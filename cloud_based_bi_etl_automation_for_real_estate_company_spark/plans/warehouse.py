@@ -676,7 +676,52 @@ def q_l24_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_l25_priority_mode_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-shaped mode-split conditional aggregation (the
+    reference's fixture lacks Q12's l_shipmode/l_receiptdate columns,
+    so the shape is kept — fact×fact join where the aggregate splits
+    on the OTHER table's attribute — over the columns that exist):
+    per return flag in a one-year ship window, how many lineitems
+    belong to high-priority vs low-priority orders. Plan shape that
+    matters at 100 TB: the date filter pushes into the lineitem scan
+    BEFORE the orderkey join, orders projects two columns, and the
+    priority split is a conditional sum inside one hash aggregate —
+    no second pass, no pivot shuffle."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = l.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).join(
+        o.select("o_orderkey", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return j.groupBy("l_returnflag").agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias(
+            "high_line_count"
+        ),
+        F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias(
+            "low_line_count"
+        ),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "l25_priority_mode_split": """
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                   AS low_line_count
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1
+    """,
     "l24_forecast_revenue": """
         SELECT CAST(SUM(CAST(l_extendedprice * l_discount
                              AS DECIMAL(18,6))) AS DOUBLE)
@@ -1048,6 +1093,7 @@ QUERIES = {
     "l22_nation_profit": q_l22_nation_profit,
     "l23_stock_concentration": q_l23_stock_concentration,
     "l24_forecast_revenue": q_l24_forecast_revenue,
+    "l25_priority_mode_split": q_l25_priority_mode_split,
     "l10_order_count_dist": q_l10_order_count_dist,
     "l11_idle_rich_customers": q_l11_idle_rich_customers,
     "l12_promo_revenue": q_l12_promo_revenue,

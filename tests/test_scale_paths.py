@@ -334,3 +334,67 @@ def test_logreg_train_matches_numpy_and_is_partition_invariant(spark):
     weights = logreg_train(df, ["x1", "x2"], "y", iterations=3)
     scored = logreg_score(df, weights, ["x1", "x2"]).collect()
     assert all(0.0 < r["p"] < 1.0 for r in scored)
+
+
+def test_tdigest_accuracy_determinism_and_merge(spark):
+    """t-digest pins: (1) rank error of p50/p95/p99 well inside the 5%
+    gate tolerance on a skewed distribution, (2) bit-identical output
+    under input repartitioning (shard assignment hashes the value, not
+    the Spark partition), (3) mergeability — re-clustering the union
+    of two halves' digests agrees with the full digest to digest
+    accuracy, (4) centroid table stays O(delta)."""
+    import numpy as np
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.sketches import (
+        _tdigest_cluster,
+        tdigest_centroids,
+        tdigest_quantiles,
+    )
+
+    # deterministic skewed values: exp of a hash-derived uniform
+    n = 20_000
+    vals = np.exp(3.0 * ((np.arange(n) * 2654435761 % 2**32) / 2**32))
+    df = spark.createDataFrame(
+        [("k", float(v), i) for i, v in enumerate(vals)], "g string, v double, i bigint"
+    )
+    cent = tdigest_centroids(df, ["g"], "v", delta=100)
+    rows = cent.collect()
+    assert len(rows) <= 120  # O(delta) centroids
+    qs = [0.5, 0.95, 0.99]
+    est = {
+        r["q"]: r["est"]
+        for r in tdigest_quantiles(cent, ["g"], qs).collect()
+    }
+    sv = np.sort(vals)
+    for q in qs:
+        rank = np.searchsorted(sv, est[q], side="right") / n
+        assert abs(rank - q) < 0.02, (q, rank)
+
+    # determinism under repartitioning
+    a = sorted(map(tuple, rows))
+    b = sorted(
+        map(tuple, tdigest_centroids(df.repartition(17), ["g"], "v", delta=100).collect())
+    )
+    assert a == b
+
+    # mergeability: union of two halves' digests, re-clustered, gives
+    # the same quantiles to digest accuracy
+    half1 = tdigest_centroids(df.filter("i % 2 = 0"), ["g"], "v", delta=100)
+    half2 = tdigest_centroids(df.filter("i % 2 = 1"), ["g"], "v", delta=100)
+    uni = half1.unionByName(half2)
+    m, w = _tdigest_cluster(
+        np.array([r["mean"] for r in uni.collect()]),
+        np.array([r["weight"] for r in uni.collect()]),
+        100,
+    )
+    merged_df = spark.createDataFrame(
+        [("k", float(mm), float(ww)) for mm, ww in zip(m, w)],
+        "g string, mean double, weight double",
+    )
+    est2 = {
+        r["q"]: r["est"]
+        for r in tdigest_quantiles(merged_df, ["g"], qs).collect()
+    }
+    for q in qs:
+        rank = np.searchsorted(sv, est2[q], side="right") / n
+        assert abs(rank - q) < 0.02, (q, rank)
