@@ -59,92 +59,52 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Queries with NO driver CORRECTNESS row yet (round 1 checked exactly
-# the first 50 registered names; these are the other 50, rotated to the
-# front for round 2 — cheapest first, the heaviest sketches/iterative
-# ops and the Python-worker multimodal decode last within the block so
-# a time-budgeted gate maximizes how many it reaches). Once a round's
-# CORRECTNESS file shows a green row for a name, move it out of this
-# list so still-unchecked and newly added queries rotate forward.
+# Round-5 gate front block. Cumulative r1-r4 driver rows cover all
+# 185 previously-registered names (179 green oracle rows, 6 rows-only
+# by design at the time), so the window is now spent on (a) round-5
+# additions and changed queries — anything whose Spark plan or oracle
+# differs from the row the driver last recorded — and (b) permanent
+# regression SENTINELS: the fragile double-arithmetic folds whose
+# bit-exactness is most likely to break silently. Keep rotating: once
+# CORRECTNESS_r05 shows the new rows green, move (a) out and keep (b).
 _GATE_PRIORITY = (
-    # The repo's only red r3 row: DuckDB's window SUM(BIGINT) yielded
-    # HUGEINT which the driver's pandas-side hash renders differently
-    # from Spark's BIGINT; the oracle now CASTs to BIGINT
-    # (plans/windows.py) — re-present it first.
-    "w10_cumulative_distinct",
-    # Same HUGEINT hazard found pre-emptively by the type check in
-    # scripts/check_oracle.py; oracle cast fixed, never driver-checked.
-    "x_dataset_card",
-    # The 17 round-3 session-2 queries the r3 50-slot gate window cut
-    # off after a31_salted_hot_keys — all local-replica green.
-    "a32_windowed_funnel",
-    "x_lsh_precision",
-    "a33_salted_join_revenue",
-    "l17_dominant_suppliers",
-    "l18_idle_big_accounts",
-    "a34_monthly_price_band",
-    "a35_transition_matrix",
-    "x_sorted_neighborhood",
-    "t10_holt",
-    "x_logreg_quality",
-    "x_knn_classify",
-    "x_nb_lang",
-    "w11_asof_snapshot",
-    "x_ann_recall",
-    "w12_rolling_distinct",
-    "x_pagerank",
-)
-
-
-# Queries added in round 4 (no driver row yet) — registered
-# immediately after the unchecked block so the gate window reaches
-# them too; every earlier name already has a green r1–r3 row.
-_NEW_SINCE_R4: tuple[str, ...] = (
-    # Partial oracles shrinking the rows-only set: PCA Parseval check
-    # and MMR rank-1 == argmax relevance.
-    "x_pca_invariants",
-    "x_mmr_first",
-    # Streaming interval-join logic run on batch frames (ST-family
-    # driver row) and the CDC→point-in-time compose.
-    "t11_interval_join_batch",
-    "u7_cdc_asof",
-    # TPC-H shapes Q4/Q7/Q8/Q9 (semi-join EXISTS, bidirectional pair
-    # join, one-pass share-of-total, two-table profit expression).
-    "l19_priority_late_orders",
-    "l20_nation_trade_pairs",
-    "l21_market_share",
-    "l22_nation_profit",
-    # Holt–Winters triple smoothing and label-propagation communities.
-    "t12_holt_winters",
-    "x_label_prop",
-    # DSIR importance weighting (data selection, arXiv:2302.03169).
-    "x_dsir_weights",
-    # Time-weighted average, Q11 concentration shape, path mining.
-    "t13_twap",
-    "l23_stock_concentration",
+    # -- (a) new in round 5 ----------------------------------------------
+    # TPC-H Q12 shape: fact x fact join, conditional split on the other
+    # table's priority attribute in one hash agg.
+    "l25_priority_mode_split",
+    # t-digest mergeable quantiles, rank-tolerance audit form.
+    "x_tdigest_quantiles",
+    # -- (a) graduated out of rows-only this round -------------------------
+    # frozen-artifact BPE encode: full regexp-replay oracle.
+    "x_bpe_encode",
+    # HLL rollup: exact-distinct + 5% tolerance boolean.
+    "x_hll_rollup",
+    # trained IVF: recall-floor audit vs SQL-replayed exact truth.
+    "x_ann_ivf_trained",
+    # -- (a) plan changed this round (same semantics, re-present) ----------
+    # 3-grams now via two lead() windows (no per-user array).
     "a36_top_paths",
-    # Fellegi–Sunter probabilistic record linkage over blocked pairs.
+    # sharded_topk adopted for the final rank.
+    "x_cms_heavy_hitters",
+    "a6_leaderboard",
+    "l5_top_revenue_orders",
+    "l6_returned_customers",
+    "l17_dominant_suppliers",
+    "t3_top_terms",
+    # per-round localCheckpoint added to the label loop.
+    "x_label_prop",
+    # -- (b) permanent sentinels: fragile double-fold bit-exactness --------
+    "t10_holt",
+    "t12_holt_winters",
+    "x_pagerank",
+    "a29_trend_slope",
+    "a30_corr_pairs",
     "x_linkage_score",
-    # DDSketch mergeable quantile sketch (exact-replay oracle).
-    "x_dd_quantiles",
-    # Event-time RANGE window frame (trailing interval sum).
-    "w13_range_frame",
-    # Two-proportion z-test over a deterministic 50/50 split.
-    "a37_ab_test",
-    # LSH recall audit vs exact ground truth on the audit slice.
-    "x_lsh_recall",
-    # Winsorized robust stats (p05/p95 clamp + decimal mean).
-    "a38_winsorized_stats",
-    # DAX what-if parameter sweep in one fact pass.
-    "a39_whatif_discount",
-    # TPC-H Q6 shape: triple-pushdown forecasting filter.
-    "l24_forecast_revenue",
-    # SimHash gains a full oracle (md5 bit votes ARE SQL-replayable) —
-    # re-present so the rows-only r1 row upgrades to a hash check.
-    "x_dedup_simhash",
-    # Normalized-content dedup key (surface-form duplicate recovery).
-    "x_normalized_dedup",
 )
+
+# Spent in round 5 (kept for the registration order only — every name
+# already has a green r4 row; rotation history lives in git).
+_NEW_SINCE_R4: tuple[str, ...] = ()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
