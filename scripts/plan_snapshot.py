@@ -29,6 +29,15 @@ EXTRAS = [
     "x_dsir_weights",
     "w13_range_frame",
     "x_pagerank",
+    # round-5 plan-shape changes under review: lead()-derived 3-grams
+    # (no per-user collect_list), sharded_topk adoptions, the Q12
+    # shape's pre-join pushdown, and the t-digest two-stage build.
+    "a36_top_paths",
+    "a6_leaderboard",
+    "l5_top_revenue_orders",
+    "l17_dominant_suppliers",
+    "l25_priority_mode_split",
+    "x_tdigest_quantiles",
 ]
 
 
