@@ -72,6 +72,8 @@ _GATE_PRIORITY = (
     # TPC-H Q12 shape: fact x fact join, conditional split on the other
     # table's priority attribute in one hash agg.
     "l25_priority_mode_split",
+    # TPC-H Q21 shape: semi + anti double-correlated existence.
+    "l26_waiting_suppliers",
     # t-digest mergeable quantiles, rank-tolerance audit form.
     "x_tdigest_quantiles",
     # -- (a) graduated out of rows-only this round -------------------------

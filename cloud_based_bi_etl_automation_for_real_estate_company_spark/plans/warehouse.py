@@ -676,6 +676,65 @@ def q_l24_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_l26_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped double-correlated existence: suppliers who
+    were the SOLE late shipper on a finished multi-supplier order
+    (late = shipped >90 days after the order date — the fixture lacks
+    Q21's commit/receipt dates, so the lateness predicate adapts while
+    the distinctive plan shape is kept): a candidate set that must
+    pass BOTH an EXISTS against sibling lineitems (another supplier
+    touched the order) and a NOT EXISTS against late sibling lineitems
+    (no other supplier was late). Spark shape: one orders⋈lineitem
+    pass derives the flagged base, then LeftSemi and LeftAnti joins —
+    both keyed on orderkey with a non-equi suppkey guard — prune the
+    candidates without ever materializing the pair expansion, and the
+    supplier dim broadcasts into the final count. Top-50 via
+    sharded_topk."""
+    from ..operators.partitioning import sharded_topk
+
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    s = t(spark, sf_dir, "supplier")
+    base = l.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        o.filter(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_orderdate"
+        ),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    late = base.filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    ).select("l_orderkey", "l_suppkey")
+    cand = late.dropDuplicates(["l_orderkey", "l_suppkey"])
+    others = base.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    waiting = (
+        cand.join(
+            others,
+            (F.col("l_orderkey") == F.col("ok2"))
+            & (F.col("l_suppkey") != F.col("sk2")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == F.col("ok3"))
+            & (F.col("l_suppkey") != F.col("sk3")),
+            "left_anti",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "numwait")
+    )
+    return sharded_topk(waiting, 50, [F.desc("numwait"), F.asc("s_suppkey")])
+
+
 def q_l25_priority_mode_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q12-shaped mode-split conditional aggregation (the
     reference's fixture lacks Q12's l_shipmode/l_receiptdate columns,
@@ -708,6 +767,35 @@ def q_l25_priority_mode_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "l26_waiting_suppliers": """
+        WITH base AS (
+            SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'),
+        late AS (
+            SELECT DISTINCT l_orderkey, l_suppkey
+            FROM base
+            WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY),
+        waiting AS (
+            SELECT c.l_suppkey, COUNT(*) AS numwait
+            FROM late c
+            WHERE EXISTS (
+                    SELECT 1 FROM base b
+                    WHERE b.l_orderkey = c.l_orderkey
+                      AND b.l_suppkey <> c.l_suppkey)
+              AND NOT EXISTS (
+                    SELECT 1 FROM late x
+                    WHERE x.l_orderkey = c.l_orderkey
+                      AND x.l_suppkey <> c.l_suppkey)
+            GROUP BY 1)
+        SELECT s_suppkey, s_name, numwait,
+               CAST(ROW_NUMBER() OVER (ORDER BY numwait DESC, s_suppkey ASC)
+                    AS BIGINT) AS rnk
+        FROM waiting
+        JOIN supplier ON l_suppkey = s_suppkey
+        QUALIFY rnk <= 50
+    """,
     "l25_priority_mode_split": """
         SELECT l_returnflag,
                CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
@@ -1094,6 +1182,7 @@ QUERIES = {
     "l23_stock_concentration": q_l23_stock_concentration,
     "l24_forecast_revenue": q_l24_forecast_revenue,
     "l25_priority_mode_split": q_l25_priority_mode_split,
+    "l26_waiting_suppliers": q_l26_waiting_suppliers,
     "l10_order_count_dist": q_l10_order_count_dist,
     "l11_idle_rich_customers": q_l11_idle_rich_customers,
     "l12_promo_revenue": q_l12_promo_revenue,

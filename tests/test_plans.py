@@ -216,3 +216,21 @@ def test_l24_triple_pushdown(spark):
     plan = _explain(warehouse.q_l24_forecast_revenue(spark, SF))
     pushed = plan.split("PushedFilters")[-1].split("]")[0]
     assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_l26_double_existence_shape(spark):
+    plan = _plan(warehouse.q_l26_waiting_suppliers(spark, SF))
+    # EXISTS → semi join, NOT EXISTS → anti join; neither may compile
+    # to a join + distinct pair expansion, and the supplier dim
+    # broadcasts into the final count
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # top-50 runs through the sharded pre-prune, not one global sort
+    assert "WindowGroupLimit" in plan
+
+
+def test_l25_date_filter_pushed_before_join(spark):
+    plan = _explain(warehouse.q_l25_priority_mode_split(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
