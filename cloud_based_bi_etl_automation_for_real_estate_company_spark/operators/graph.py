@@ -144,3 +144,68 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels
+
+
+def triangles(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Triangle enumeration with DEGREE-ORDERED orientation (the
+    compact-forward / Schank-Wagner trick): every undirected edge is
+    directed from its lower-(degree, id) endpoint to the higher, so
+    wedge expansion happens only among a node's OUT-neighbors — at
+    most O(arboricity) per node instead of O(max-degree). That is the
+    difference between a social-graph hub with 10M neighbors costing
+    10M² wedge pairs and costing ~sqrt(m) — the orientation is what
+    makes relational triangle counting survive skewed degree
+    distributions at 100 TB. Spark shape: degree agg + two keyed
+    self-joins (wedge build, closure probe), nothing collects.
+
+    Emits each triangle exactly once as its id-sorted triple
+    (p1 < p2 < p3) — orientation-independent, so the DuckDB oracle
+    can replay with the simpler id-ordered enumeration and still
+    match bit-for-bit."""
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionByName(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = (
+        e.join(deg.withColumnRenamed("n", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("n", "b").withColumnRenamed("deg", "db"), "b")
+    )
+    fwd = F.struct("da", "a") < F.struct("db", "b")
+    oriented = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    o1 = oriented.select(
+        F.col("u"), F.col("v").alias("v1"), F.col("dv").alias("dv1")
+    )
+    o2 = oriented.select(
+        F.col("u").alias("u2"), F.col("v").alias("v2"), F.col("dv").alias("dv2")
+    )
+    wedges = o1.join(
+        o2,
+        (F.col("u") == F.col("u2"))
+        & (F.struct("dv1", "v1") < F.struct("dv2", "v2")),
+    )
+    o3 = oriented.select(
+        F.col("u").alias("u3"), F.col("v").alias("v3")
+    )
+    tri = wedges.join(
+        o3, (F.col("v1") == F.col("u3")) & (F.col("v2") == F.col("v3")), "left_semi"
+    )
+    ids = F.array_sort(F.array("u", "v1", "v2"))
+    return tri.select(
+        ids[0].alias("p1"), ids[1].alias("p2"), ids[2].alias("p3")
+    )

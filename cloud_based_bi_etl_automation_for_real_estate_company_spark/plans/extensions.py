@@ -587,6 +587,34 @@ def q_x_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, iterations=2)
 
 
+def q_x_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the part co-purchase graph (parts
+    appearing together in ≥2 orders — the min-support floor is the
+    market-basket practice that also prunes the edge list ~30× before
+    any wedge work). Uses the degree-ordered orientation in
+    operators/graph.py:triangles, so hub parts don't explode the wedge
+    join; emits each triangle once as its id-sorted triple, which the
+    oracle replays with plain id-ordered enumeration — identical set
+    either way."""
+    from ..operators.graph import triangles
+
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    r = l.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb")
+    )
+    edges = (
+        l.join(
+            r,
+            (F.col("l_orderkey") == F.col("ok2"))
+            & (F.col("l_partkey") < F.col("pb")),
+        )
+        .groupBy(F.col("l_partkey").alias("pa"), "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    return triangles(edges, "pa", "pb")
+
+
 def q_x_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (arXiv:2302.03169) with lang='en' as
     the target distribution — the data-selection scorer that upweights
@@ -2817,6 +2845,22 @@ ORACLES["x_bpe_encode"] = f"""
     FROM enc GROUP BY 1
 """
 
+# x_triangles: id-ordered enumeration replays the degree-oriented
+# Spark plan's output exactly (the triangle SET is orientation-free).
+ORACLES["x_triangles"] = """
+    WITH pairs AS (
+        SELECT a.l_orderkey, a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    edges AS (
+        SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING COUNT(*) >= 2)
+    SELECT e1.pa AS p1, e1.pb AS p2, eb.pb AS p3
+    FROM edges e1
+    JOIN edges eb ON e1.pb = eb.pa
+    JOIN edges ec ON ec.pa = e1.pa AND ec.pb = eb.pb
+"""
+
 # x_tdigest_quantiles tolerance audit: exact per-(type, q) row counts
 # hash-checked; rank_ok asserts the digest's rank error stays ≤ 5%.
 ORACLES["x_tdigest_quantiles"] = """
@@ -2937,5 +2981,6 @@ QUERIES = {
     "x_linkage_score": q_x_linkage_score,
     "x_dd_quantiles": q_x_dd_quantiles,
     "x_tdigest_quantiles": q_x_tdigest_quantiles,
+    "x_triangles": q_x_triangles,
     "x_normalized_dedup": q_x_normalized_dedup,
 }

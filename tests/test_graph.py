@@ -87,3 +87,27 @@ def test_label_propagation_partition_invariant(spark):
     a = sorted(map(tuple, label_propagation(df.repartition(2), 2).collect()))
     b = sorted(map(tuple, label_propagation(df.repartition(17), 2).collect()))
     assert a == b
+
+
+def test_triangles_hand_computed_and_orientation_invariant(spark):
+    """K4 minus one edge has exactly 2 triangles; a star hub has none.
+    The degree-ordered plan must emit each triangle once as its
+    id-sorted triple regardless of input edge direction or
+    duplication."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.graph import (
+        triangles,
+    )
+
+    edges = [
+        # K4 minus (3,4): triangles (1,2,3) and (1,2,4)
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4),
+        # star hub 10 with leaves (no triangles)
+        (10, 11), (10, 12), (10, 13), (10, 14),
+        # reversed + duplicate edges must not change the result
+        (3, 1), (2, 1),
+    ]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = sorted(
+        (r["p1"], r["p2"], r["p3"]) for r in triangles(df).collect()
+    )
+    assert got == [(1, 2, 3), (1, 2, 4)]
