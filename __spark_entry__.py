@@ -76,6 +76,10 @@ _GATE_PRIORITY = (
     "l26_waiting_suppliers",
     # t-digest mergeable quantiles, rank-tolerance audit form.
     "x_tdigest_quantiles",
+    # degree-oriented triangle enumeration (co-purchase graph).
+    "x_triangles",
+    # CUSUM changepoint fold vs recursive-CTE replay.
+    "t14_cusum",
     # -- (a) graduated out of rows-only this round -------------------------
     # frozen-artifact BPE encode: full regexp-replay oracle.
     "x_bpe_encode",

@@ -230,3 +230,90 @@ def read_binary_dir(spark, path: str, pattern: str = "*") -> DataFrame:
         .load(path)
         .withColumnRenamed("content", "blob")
     )
+
+
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("bits", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("format", StringType()),
+    ]
+)
+
+
+def parse_wav_header(
+    blob: bytes,
+) -> tuple[int, int, int, int, int] | None:
+    """Pure-Python RIFF/WAVE chunk walk — real channels / sample rate /
+    bit depth / frame count / duration from the fmt and data chunks,
+    no audio library required (the audio sibling of
+    ``parse_image_header``; PCM and any fmt-chunked codec whose frame
+    size is channels·bits/8). Chunks are word-aligned per the RIFF
+    spec. Returns (channels, sample_rate, bits, n_frames, duration_ms)
+    or None when the container doesn't parse."""
+    import struct
+
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    i = 12
+    fmt = None
+    data_size = None
+    while i + 8 <= len(blob):
+        cid = blob[i : i + 4]
+        size = struct.unpack("<I", blob[i + 4 : i + 8])[0]
+        if cid == b"fmt " and size >= 16 and i + 24 <= len(blob):
+            _, ch, rate = struct.unpack("<HHI", blob[i + 8 : i + 16])
+            bits = struct.unpack("<H", blob[i + 22 : i + 24])[0]
+            fmt = (ch, rate, bits)
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)
+    if fmt is None or data_size is None:
+        return None
+    ch, rate, bits = fmt
+    if ch == 0 or rate == 0 or bits < 8:
+        return None
+    frame_bytes = ch * (bits // 8)
+    n_frames = data_size // frame_bytes
+    duration_ms = n_frames * 1000 // rate
+    return int(ch), int(rate), int(bits), int(n_frames), int(duration_ms)
+
+
+def decode_audio_metadata(
+    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched audio-metadata extraction over a binary column —
+    same spread + mapInPandas contract as ``decode_metadata``.
+    Unrecognized payloads keep honest NULL metadata with
+    format='unknown' (no synthetic fallback: audio consumers branch on
+    format, they don't need a fake duration)."""
+    from .partitioning import spread
+
+    df = spread(df.select(id_col, blob_col), bytes_per_partition=8 << 20)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col].values, pdf[blob_col]):
+                parsed = parse_wav_header(b)
+                if parsed is None:
+                    rows.append((int(i), len(b), None, None, None, None,
+                                 None, "unknown"))
+                else:
+                    ch, rate, bits, nf, ms = parsed
+                    rows.append((int(i), len(b), ch, rate, bits, nf, ms,
+                                 "wav"))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "channels", "sample_rate",
+                    "bits", "n_frames", "duration_ms", "format",
+                ],
+            )
+
+    return df.mapInPandas(run, AUDIO_META_SCHEMA)

@@ -349,3 +349,64 @@ def twap_daily(
             ).alias("twap"),
         )
     )
+
+
+def cusum_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    val_col: str = "value",
+    slack_frac: float = 0.05,
+    threshold_frac: float = 0.5,
+) -> DataFrame:
+    """One-sided upward CUSUM changepoint detector (Page, Biometrika
+    1954) over each key's daily series — the sequential shift monitor
+    a revenue/volume pipeline runs after the smoothing family
+    (ewma/holt forecast; CUSUM decides WHEN the level actually moved):
+
+        S_1 = max(0, x_1 − t),  S_k = max(0, S_{k−1} + (x_k − t)),
+        t = μ + slack_frac·μ,   alarm_k = S_k > threshold_frac·μ
+
+    with μ the key's own daily mean (decimal-accumulated, so both
+    engines and any partitioning agree exactly). Same scalar-state
+    fold shape as holt_daily: one shuffle to daily grain, one to
+    per-key calendar-bounded arrays, JVM-side ``aggregate`` over the
+    sorted prefix; the slack/threshold arithmetic is kept as the
+    literal expression tree μ + frac·μ so the oracle's doubles are
+    bit-identical. Returns (key, day, day_value, cusum, alarm)."""
+    daily = df.groupBy(
+        F.col(key_col), F.to_date(F.col(ts_col)).alias("day")
+    ).agg(dsum(val_col, 6).alias("v"))
+    mu = daily.groupBy(key_col).agg(
+        (
+            F.sum(F.round(F.col("v"), 6).cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mu")
+    )
+    series = (
+        daily.groupBy(key_col)
+        .agg(F.array_sort(F.collect_list(F.struct("day", "v"))).alias("s"))
+        .join(mu, key_col)
+    )
+    pos = series.select(
+        key_col, "s", "mu", F.posexplode("s").alias("__k", "__x")
+    )
+    target = F.col("mu") + F.lit(float(slack_frac)) * F.col("mu")
+
+    def step(acc, x):
+        return F.greatest(F.lit(0.0), acc + (x["v"] - target))
+
+    state = F.aggregate(
+        F.slice(F.col("s"), F.lit(2), F.col("__k")),
+        F.greatest(
+            F.lit(0.0), F.element_at(F.col("s"), 1)["v"] - target
+        ),
+        step,
+    )
+    return pos.select(
+        key_col,
+        F.col("__x")["day"].alias("day"),
+        F.col("__x")["v"].alias("day_value"),
+        state.alias("cusum"),
+        (state > F.lit(float(threshold_frac)) * F.col("mu")).alias("alarm"),
+    )

@@ -268,6 +268,22 @@ def q_t13_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return twap_daily(ev)
 
 
+def q_t14_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint monitor (Page 1954) on daily
+    revenue per event type — the shift detector that closes the
+    monitoring family (t8 EWMA level, t10/t12 forecasts, t14 decides
+    WHEN the level moved). Scalar-state fold, per-key decimal-exact
+    mean as the in-control target; oracle replays the fold as a
+    recursive CTE with the identical double expression tree."""
+    from ..operators.timeseries import cusum_daily
+
+    ev = t(spark, sf_dir, "events")
+    return cusum_daily(
+        ev.select(F.col("event_type").alias("series"), "ts", "value"),
+        key_col="series",
+    )
+
+
 def q_p15_case_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P15 — string case transforms (webhook_app.py:176 account.upper())."""
     c = t(spark, sf_dir, "customer")
@@ -279,6 +295,36 @@ def q_p15_case_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "t14_cusum": """
+        WITH RECURSIVE daily AS (
+            SELECT event_type AS series, CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+            FROM events GROUP BY 1, 2),
+        mu AS (
+            SELECT series,
+                   CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(28,6))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS mu
+            FROM daily GROUP BY 1),
+        ser AS (
+            SELECT series,
+                   list(struct_pack(day := day, v := v) ORDER BY day) AS s
+            FROM daily GROUP BY 1),
+        f AS (
+            SELECT ser.series, 0 AS k,
+                   GREATEST(0.0, s[1].v - (mu + 0.05 * mu)) AS cs
+            FROM ser JOIN mu USING (series)
+            UNION ALL
+            SELECT f.series, f.k + 1,
+                   GREATEST(0.0, f.cs + (s[f.k + 2].v - (mu + 0.05 * mu)))
+            FROM f JOIN ser USING (series) JOIN mu USING (series)
+            WHERE f.k + 1 < len(s))
+        SELECT f.series,
+               s[f.k + 1].day AS day,
+               s[f.k + 1].v AS day_value,
+               f.cs AS cusum,
+               f.cs > 0.5 * mu AS alarm
+        FROM f JOIN ser USING (series) JOIN mu USING (series)
+    """,
     "t10_holt": """
         WITH RECURSIVE daily AS (
             SELECT event_type AS series, CAST(ts AS DATE) AS day,
@@ -570,6 +616,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "t14_cusum": q_t14_cusum,
     "t1_asof_purchase_click": q_t1_asof_purchase_click,
     "t2_session_stats": q_t2_session_stats,
     "t3_top_terms": q_t3_top_terms,

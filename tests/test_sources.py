@@ -290,3 +290,56 @@ def test_webhook_push_datasource_streams_and_matches_batch_parse(spark, tmp_path
 
     accounts = {r["account"] for r in got.select("account").distinct().collect()}
     assert accounts <= set(ALLOWED_ACCOUNTS)
+
+
+def _wav_bytes(ch: int, rate: int, bits: int, n_frames: int,
+               extra_chunk: bool = False) -> bytes:
+    import struct
+
+    data_size = n_frames * ch * (bits // 8)
+    fmt = struct.pack("<HHIIH H".replace(" ", ""), 1, ch, rate,
+                      rate * ch * bits // 8, ch * bits // 8, bits)
+    body = b"WAVE"
+    if extra_chunk:
+        # odd-sized LIST chunk before fmt: exercises word-alignment
+        body += b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    body += b"fmt " + struct.pack("<I", 16) + fmt
+    body += b"data" + struct.pack("<I", data_size) + b"\x00" * data_size
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + body
+
+
+def test_wav_header_parse_pure_python():
+    # 2ch 16-bit 8kHz, 4000 frames = 500 ms
+    assert M.parse_wav_header(_wav_bytes(2, 8000, 16, 4000)) == (
+        2, 8000, 16, 4000, 500,
+    )
+    # word-aligned odd chunk before fmt must not derail the walk
+    assert M.parse_wav_header(
+        _wav_bytes(1, 44100, 16, 44100, extra_chunk=True)
+    ) == (1, 44100, 16, 44100, 1000)
+    assert M.parse_wav_header(b"RIFFxxxxAVI LIST") is None
+    assert M.parse_wav_header(b"plain text") is None
+    assert M.parse_wav_header(b"") is None
+    # fmt without data (or vice versa) → no metadata claim
+    import struct as _s
+
+    no_data = b"RIFF" + _s.pack("<I", 20) + b"WAVEfmt " + _s.pack("<I", 16) \
+        + _s.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    assert M.parse_wav_header(no_data) is None
+
+
+def test_decode_audio_metadata_mapinpandas(spark):
+    rows = [
+        (1, bytearray(_wav_bytes(2, 16000, 16, 1600))),
+        (2, bytearray(b"not audio at all")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, blob binary")
+    out = {r["doc_id"]: r for r in M.decode_audio_metadata(df).collect()}
+    assert out[1]["format"] == "wav"
+    assert out[1]["channels"] == 2
+    assert out[1]["sample_rate"] == 16000
+    assert out[1]["n_frames"] == 1600
+    assert out[1]["duration_ms"] == 100
+    assert out[2]["format"] == "unknown"
+    assert out[2]["channels"] is None
+    assert out[2]["n_bytes"] == 16

@@ -228,3 +228,37 @@ def test_holt_winters_recovers_weekly_pattern(spark):
     # seasonal spread should reflect the pattern's spread (30), not 0
     assert max(offsets) - min(offsets) > 15.0
     assert abs(out[-1]["trend"]) < 2.0
+
+
+def test_cusum_daily_matches_python_fold_and_detects_shift(spark):
+    """Planted level shift: 10 quiet days at ~100 then 5 days at 200.
+    The CUSUM must stay unalarmed through the noise, accumulate after
+    the shift, and match the literal python fold bit-for-bit
+    (including the μ + 0.05·μ expression shape)."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.timeseries import (
+        cusum_daily,
+    )
+
+    vals = [100.0, 102.0, 98.0, 101.0, 99.0, 100.0, 103.0, 97.0, 100.0,
+            100.0, 200.0, 200.0, 200.0, 200.0, 200.0]
+    rows = [
+        ("k", f"2025-01-{d + 1:02d} 12:00:00", v)
+        for d, v in enumerate(vals)
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "series string, ts_s string, value double")
+    out = cusum_daily(
+        df.select("series", F.to_timestamp("ts_s").alias("ts"), "value"),
+        key_col="series",
+    ).orderBy("day").collect()
+    mu = sum(vals) / len(vals)
+    target = mu + 0.05 * mu
+    s, expect = 0.0, []
+    for v in vals:
+        s = max(0.0, s + (v - target))
+        expect.append((s, s > 0.5 * mu))
+    assert [(r["cusum"], r["alarm"]) for r in out] == expect
+    # quiet days never alarm; the shift does
+    assert not any(a for _, a in expect[:10])
+    assert expect[-1][1]
