@@ -78,6 +78,8 @@ _GATE_PRIORITY = (
     "x_tdigest_quantiles",
     # degree-oriented triangle enumeration (co-purchase graph).
     "x_triangles",
+    # exact prefix-filtered Jaccard self-join (AllPairs/PPJoin family).
+    "x_prefix_join",
     # CUSUM changepoint fold vs recursive-CTE replay.
     "t14_cusum",
     # -- (a) graduated out of rows-only this round -------------------------

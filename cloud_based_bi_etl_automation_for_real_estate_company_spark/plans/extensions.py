@@ -587,6 +587,27 @@ def q_x_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, iterations=2)
 
 
+def q_x_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard ≥ 3/5 similarity self-join via prefix filtering
+    (operators/dedup.prefix_filter_pairs — the zero-false-negative
+    complement of the MinHash/LSH family), summarized per document
+    (neighbor count + max similarity) so the gate payload stays
+    corpus-sized rather than pair-sized; the full pair list is the
+    operator's own output and is hand-pinned in tests. All
+    thresholding is integer rational arithmetic, so both engines
+    agree bit-for-bit."""
+    pairs = D.prefix_filter_pairs(
+        t(spark, sf_dir, "documents"), tau_num=3, tau_den=5
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("doc_id"), "jaccard"
+    ).unionByName(pairs.select(F.col("id_b").alias("doc_id"), "jaccard"))
+    return sym.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_neighbors"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+
+
 def q_x_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle enumeration over the part co-purchase graph (parts
     appearing together in ≥2 orders — the min-support floor is the
@@ -2845,6 +2866,48 @@ ORACLES["x_bpe_encode"] = f"""
     FROM enc GROUP BY 1
 """
 
+# x_prefix_join: the whole pipeline is relational (rank windows,
+# integer rational thresholds), so DuckDB replays it end-to-end.
+ORACLES["x_prefix_join"] = """
+    WITH tok AS (
+        SELECT DISTINCT doc_id AS id,
+               UNNEST(string_split(trim(text), ' ')) AS tk
+        FROM documents),
+    dfreq AS (SELECT tk, COUNT(*) AS df FROM tok GROUP BY 1),
+    ranked AS (
+        SELECT t.id, t.tk,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY df, tk) AS rn,
+               COUNT(*) OVER (PARTITION BY id) AS n
+        FROM tok t JOIN dfreq USING (tk)),
+    pref AS (
+        SELECT id, tk FROM ranked
+        WHERE rn <= n - ((3 * n + 4) // 5) + 1),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM pref a JOIN pref b ON a.tk = b.tk AND a.id < b.id),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS i
+        FROM cand c
+        JOIN tok ta ON ta.id = c.id_a
+        JOIN tok tb ON tb.id = c.id_b AND tb.tk = ta.tk
+        GROUP BY 1, 2),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM tok GROUP BY 1),
+    pairs AS (
+        SELECT id_a, id_b,
+               CAST(i AS DOUBLE)
+                   / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE 5 * i >= 3 * (sa.sz + sb.sz - i)),
+    sym AS (
+        SELECT id_a AS doc_id, jaccard FROM pairs
+        UNION ALL
+        SELECT id_b AS doc_id, jaccard FROM pairs)
+    SELECT doc_id, COUNT(*) AS n_neighbors, MAX(jaccard) AS max_jaccard
+    FROM sym GROUP BY 1
+"""
+
 # x_triangles: id-ordered enumeration replays the degree-oriented
 # Spark plan's output exactly (the triangle SET is orientation-free).
 ORACLES["x_triangles"] = """
@@ -2982,5 +3045,6 @@ QUERIES = {
     "x_dd_quantiles": q_x_dd_quantiles,
     "x_tdigest_quantiles": q_x_tdigest_quantiles,
     "x_triangles": q_x_triangles,
+    "x_prefix_join": q_x_prefix_join,
     "x_normalized_dedup": q_x_normalized_dedup,
 }

@@ -439,3 +439,40 @@ def test_fellegi_sunter_hand_computed(spark):
     assert abs(out[(1, 2)] - agree_both) < 1e-12
     assert abs(out[(1, 3)] - disagree_both) < 1e-12
     assert out[(1, 2)] > out[(2, 3)] > out[(1, 3)] or out[(2, 3)] == out[(1, 3)]
+
+
+def test_prefix_filter_pairs_exact_vs_bruteforce(spark):
+    """Prefix filtering must return EXACTLY the Jaccard ≥ 3/5 pairs a
+    brute-force python check finds — no false negatives (the filter
+    theorem) and no false positives (the verify stage). Includes a
+    pair sitting exactly ON the threshold (J = 3/5 with |A|=5 — the
+    ⌈0.6·5⌉ float-vs-integer hazard the rational arithmetic exists
+    for) and token multisets (duplicate tokens collapse to sets)."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    docs = [
+        (1, "a b c d e"),        # J(1,2) = 4/6 = 0.667 ≥ 0.6
+        (2, "a b c d x"),
+        (3, "a b c d e f g"),    # J(1,3) = 5/7 ≈ 0.714 ≥ 0.6
+        (4, "p q r s"),          # J(4,5): |∩|=3, |∪|=5 → exactly 3/5
+        (5, "p q r u p p"),      # dup tokens collapse: {p,q,r,u}
+        (6, "z z z"),            # singleton set, no neighbors
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["n_union"], r["jaccard"])
+        for r in prefix_filter_pairs(df).collect()
+    }
+    sets = {i: set(t.split()) for i, t in docs}
+    expect = {}
+    for a in sets:
+        for b in sets:
+            if a < b:
+                i = len(sets[a] & sets[b])
+                u = len(sets[a] | sets[b])
+                if 5 * i >= 3 * u:
+                    expect[(a, b)] = (i, u, i / u)
+    assert got == expect
+    assert (4, 5) in got and got[(4, 5)][2] == 0.6  # boundary pair kept
