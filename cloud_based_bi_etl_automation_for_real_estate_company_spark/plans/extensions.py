@@ -591,13 +591,17 @@ def q_x_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT Jaccard ≥ 3/5 similarity self-join via prefix filtering
     (operators/dedup.prefix_filter_pairs — the zero-false-negative
     complement of the MinHash/LSH family), summarized per document
-    (neighbor count + max similarity) so the gate payload stays
-    corpus-sized rather than pair-sized; the full pair list is the
-    operator's own output and is hand-pinned in tests. All
-    thresholding is integer rational arithmetic, so both engines
-    agree bit-for-bit."""
+    (neighbor count + max similarity) and restricted to the
+    doc_id < 500 audit slice (the t13/x_lsh_recall pattern): on this
+    synthetic corpus ~96% of documents are τ-neighbors of each other,
+    so the MATCHING-PAIR set itself is Θ(n²) — no algorithm beats its
+    own output size, and the gate doesn't need the full quadratic
+    payload to certify the pipeline. Thresholding is integer rational
+    arithmetic, so both engines agree bit-for-bit."""
     pairs = D.prefix_filter_pairs(
-        t(spark, sf_dir, "documents"), tau_num=3, tau_den=5
+        t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500),
+        tau_num=3,
+        tau_den=5,
     )
     sym = pairs.select(
         F.col("id_a").alias("doc_id"), "jaccard"
@@ -2872,7 +2876,7 @@ ORACLES["x_prefix_join"] = """
     WITH tok AS (
         SELECT DISTINCT doc_id AS id,
                UNNEST(string_split(trim(text), ' ')) AS tk
-        FROM documents),
+        FROM documents WHERE doc_id < 500),
     dfreq AS (SELECT tk, COUNT(*) AS df FROM tok GROUP BY 1),
     ranked AS (
         SELECT t.id, t.tk,
