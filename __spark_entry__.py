@@ -82,6 +82,10 @@ _GATE_PRIORITY = (
     "x_prefix_join",
     # CUSUM changepoint fold vs recursive-CTE replay.
     "t14_cusum",
+    # last-touch attribution (LOCF as-of window, channel rollup).
+    "a40_attribution",
+    # unpivot/melt — the inverse of a17's pivot.
+    "a41_unpivot_measures",
     # -- (a) graduated out of rows-only this round -------------------------
     # frozen-artifact BPE encode: full regexp-replay oracle.
     "x_bpe_encode",

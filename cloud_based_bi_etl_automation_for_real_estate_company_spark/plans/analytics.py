@@ -803,7 +803,104 @@ def q_a39_whatif_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a40_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the
+    user's most recent NON-purchase event within 7 days (the
+    channel-credit question every funnel dashboard eventually asks;
+    purchases with no in-window touch credit 'none'). One per-user
+    window does the whole as-of lookup — ``last(..., ignorenulls)``
+    over rows-up-to-previous is the LOCF idiom, so no self-join and no
+    per-purchase subquery; the rollup is channel-sized. Revenue sums
+    are decimal-exact (dsum)."""
+    from ..functions.transforms import dsum
+
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type") != "purchase",
+        F.struct(F.col("ts").alias("tts"), F.col("event_type").alias("tet")),
+    )
+    lt = F.last(touch, ignorenulls=True).over(w)
+    pur = ev.select("user_id", "ts", "event_id", "value", "event_type",
+                    lt.alias("lt")).filter(F.col("event_type") == "purchase")
+    channel = F.when(
+        F.col("lt").isNotNull()
+        & (F.col("ts") <= F.col("lt")["tts"] + F.expr("INTERVAL 7 DAYS")),
+        F.col("lt")["tet"],
+    ).otherwise(F.lit("none"))
+    return (
+        pur.select(channel.alias("channel"), "value")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            dsum("value", 6).alias("attributed_revenue"),
+        )
+    )
+
+
+def q_a41_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (the inverse of a17's pivot): the per-event-type
+    wide measure row (n_events, n_users, total_value) melts into the
+    long (event_type, measure, value) table a BI tool binds to a
+    generic measure slicer. Spark's native ``unpivot`` keeps the
+    rewrite metadata-only — the expand happens map-side in the same
+    stage as the aggregation output, no extra shuffle."""
+    ev = t(spark, sf_dir, "events")
+    from ..functions.transforms import dsum
+
+    wide = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.countDistinct("user_id").cast("double").alias("n_users"),
+        dsum("value", 6).alias("total_value"),
+    )
+    return wide.unpivot(
+        ["event_type"], ["n_events", "n_users", "total_value"],
+        "measure", "value",
+    )
+
+
 ORACLES: dict[str, str] = {
+    "a40_attribution": """
+        WITH marked AS (
+            SELECT user_id, ts, event_id, value, event_type,
+                   last_value(CASE WHEN event_type <> 'purchase'
+                                   THEN struct_pack(tts := ts,
+                                                    tet := event_type)
+                              END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS lt
+            FROM events),
+        pur AS (
+            SELECT CASE WHEN lt IS NOT NULL
+                         AND ts <= lt.tts + INTERVAL 7 DAY
+                        THEN lt.tet ELSE 'none' END AS channel,
+                   value
+            FROM marked WHERE event_type = 'purchase')
+        SELECT channel, COUNT(*) AS n_conversions,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   AS attributed_revenue
+        FROM pur GROUP BY 1
+    """,
+    "a41_unpivot_measures": """
+        WITH wide AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS DOUBLE) AS n_events,
+                   CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_users,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS total_value
+            FROM events GROUP BY 1)
+        SELECT event_type, 'n_events' AS measure, n_events AS value
+        FROM wide
+        UNION ALL
+        SELECT event_type, 'n_users', n_users FROM wide
+        UNION ALL
+        SELECT event_type, 'total_value', total_value FROM wide
+    """,
     "a39_whatif_discount": """
         WITH sc AS (SELECT UNNEST([CAST(0.0 AS DOUBLE),
                                    CAST(0.05 AS DOUBLE),
@@ -1240,4 +1337,6 @@ QUERIES = {
     "a37_ab_test": q_a37_ab_test,
     "a38_winsorized_stats": q_a38_winsorized_stats,
     "a39_whatif_discount": q_a39_whatif_discount,
+    "a40_attribution": q_a40_attribution,
+    "a41_unpivot_measures": q_a41_unpivot_measures,
 }

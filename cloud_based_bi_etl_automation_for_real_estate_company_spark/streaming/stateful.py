@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -355,6 +356,67 @@ def streaming_kmv_distinct(
             update,
             outputStructType=out_schema,
             stateStructType="us array<double>, n_seen bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def streaming_cusum(
+    events: DataFrame,
+    key_col: str = "series",
+    val_col: str = "value",
+    target: float = 0.0,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """ST5 — one-sided upward CUSUM (Page 1954) as explicit stream
+    state: per key, the scalar S_k = max(0, S_{k−1} + (x_k − target))
+    folds over every arriving value in stream order, surviving
+    micro-batch boundaries through the GroupState scalar (the
+    streaming sibling of operators/timeseries.cusum_daily, which fits
+    the in-control target in-batch; a monitor KNOWS its target, so
+    here it is a parameter). Update-mode output: one row per key per
+    micro-batch (key, n_seen, cusum, alarm). Parity with the literal
+    python fold over the same rows in arrival order is asserted in
+    tests."""
+    out_schema = StructType(
+        [
+            StructField(key_col, StringType()),
+            StructField("n_seen", LongType()),
+            StructField("cusum", DoubleType()),
+            StructField("alarm", BooleanType()),
+        ]
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (kv,) = key
+        if state.exists:
+            s, n_seen = state.get
+        else:
+            s, n_seen = 0.0, 0
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            for v in pdf[val_col]:
+                s = max(0.0, s + (float(v) - target))
+        state.update((float(s), n_seen))
+        yield pd.DataFrame(
+            {
+                key_col: [kv],
+                "n_seen": [n_seen],
+                "cusum": [float(s)],
+                "alarm": [bool(s > threshold)],
+            }
+        )
+
+    return (
+        events.select(key_col, val_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType="s double, n_seen bigint",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

@@ -561,3 +561,57 @@ def test_streaming_kmv_distinct_matches_batch(spark, tmp_path):
     assert last == expect
     assert last["b"][0] == 5 and last["b"][2] == 5.0  # exact below k
     assert last["a"][0] == 16 and last["a"][2] != 40.0  # estimator path
+
+
+def test_streaming_cusum_matches_python_fold(spark, tmp_path):
+    """CUSUM-as-state: after draining single-file micro-batches in
+    order, each key's last emitted cusum equals the literal python
+    fold over the same values in file order, state carrying across
+    batch boundaries; alarm fires only once the accumulated shift
+    crosses the threshold."""
+    import json as _json
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.streaming.stateful import (
+        streaming_cusum,
+    )
+
+    vals = [1.0, 2.0, 0.5, 3.0, 4.0, 5.0, 4.5, 6.0]
+    p = tmp_path / "cusum_ev"
+    p.mkdir()
+    schema = "series string, value double"
+    # batch ORDER is what CUSUM folds over (the zero-clamp makes it
+    # order-dependent) and the file source picks files up in
+    # MODIFICATION-TIME order, not name order — pin distinct ascending
+    # mtimes so micro-batches replay the intended sequence
+    import os as _os
+
+    for fi in range(4):
+        fp = p / f"f{fi}.jsonl"
+        with open(fp, "w") as f:
+            for v in vals[fi * 2 : fi * 2 + 2]:
+                f.write(_json.dumps({"series": "k", "value": v}) + "\n")
+        _os.utime(fp, (1_700_000_000 + fi, 1_700_000_000 + fi))
+    stream = streaming_cusum(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(p)),
+        target=2.0,
+        threshold=5.0,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cusum_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cusum"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM cusum_state").collect()
+    assert len(rows) == 4  # one update row per micro-batch
+    s, per_batch = 0.0, []
+    for i, v in enumerate(vals):
+        s = max(0.0, s + (v - 2.0))
+        if i % 2 == 1:
+            per_batch.append((i + 1, s, s > 5.0))
+    got = [(r["n_seen"], r["cusum"], r["alarm"]) for r in rows]
+    assert got == per_batch
+    assert got[0][2] is False and got[-1][2] is True
