@@ -93,6 +93,8 @@ _GATE_PRIORITY = (
     "x_hll_rollup",
     # trained IVF: recall-floor audit vs SQL-replayed exact truth.
     "x_ann_ivf_trained",
+    # BPE training: fixed rounds unrolled as CTEs — full oracle.
+    "x_bpe_train",
     # -- (a) plan changed this round (same semantics, re-present) ----------
     # 3-grams now via two lead() windows (no per-user array).
     "a36_top_paths",

@@ -863,10 +863,59 @@ def q_x_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge training (Sennrich et al. 2016) over the corpus
-    vocabulary — 10 merges, deterministic tie-breaks. Rows-only by
-    design (iterative argmax loop, same class as k-means); the merge
-    sequence is pinned by a hand-computed test."""
+    vocabulary — 10 merges, deterministic tie-breaks.
+
+    Graduated from rows-only in r5: the trainer is iterative, but the
+    iteration count is FIXED, so the oracle unrolls all 10 rounds as
+    chained CTEs — each round one weighted pair count, one
+    (n DESC, pair ASC) argmax, and the vocab rewrite replayed with
+    plain (non-regex) two-pass consuming `replace`. Three documented
+    equivalences make the replay exact: (1) batch>1 acceptance equals
+    the sequential trainer (proved by
+    test_bpe_batched_training_matches_sequential), (2) the consuming
+    rewrite equals Spark's lookaround rewrite whenever every learned
+    pair has a != b (pinned for this corpus by
+    test_bpe_frozen_artifact_matches_sf001_trainer — a self-pair merge
+    would be the one thing the oracle can't replay), (3) an early
+    min_count stop would empty the oracle's remaining rounds and fail
+    the row-count match loudly rather than silently diverge."""
     return C.bpe_train(t(spark, sf_dir, "documents"), num_merges=10, min_count=2)
+
+
+def _bpe_train_oracle(rounds: int = 10) -> str:
+    ctes = [
+        """words AS (
+        SELECT UNNEST(string_split(trim(text), ' ')) AS w FROM documents),
+    v1 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS freq,
+               array_to_string(string_split(w, ''), ' ') AS s
+        FROM words GROUP BY w)"""
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""p{i} AS (
+        SELECT freq, string_split(s, ' ') AS tk,
+               UNNEST(range(len(string_split(s, ' ')) - 1)) AS j
+        FROM v{i}),
+    m{i} AS (
+        SELECT tk[j + 1] || ' ' || tk[j + 2] AS pair, SUM(freq) AS n
+        FROM p{i} GROUP BY 1 HAVING SUM(freq) >= 2
+        ORDER BY n DESC, pair ASC LIMIT 1),
+    v{i + 1} AS (
+        SELECT freq,
+               trim(replace(replace(' ' || s || ' ',
+                        ' ' || m.pair || ' ',
+                        ' ' || replace(m.pair, ' ', '') || ' '),
+                    ' ' || m.pair || ' ',
+                    ' ' || replace(m.pair, ' ', '') || ' ')) AS s
+        FROM v{i} CROSS JOIN m{i} m)"""
+        )
+    sel = "\n    UNION ALL\n    ".join(
+        f"SELECT {i} AS merge_rank, pair, replace(pair, ' ', '') AS merged,"
+        f" CAST(n AS BIGINT) AS n FROM m{i}"
+        for i in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + sel
 
 
 # The shipped tokenizer artifact: the 10-merge table bpe_train
@@ -2936,6 +2985,10 @@ ORACLES["x_tdigest_quantiles"] = """
     CROSS JOIN (SELECT UNNEST([0.5, 0.95, 0.99]::DOUBLE[]) AS q) qs
     GROUP BY 1, 2
 """
+
+# x_bpe_train: all 10 training rounds unrolled as chained CTEs (see
+# q_x_bpe_train docstring for the three equivalences this rests on).
+ORACLES["x_bpe_train"] = _bpe_train_oracle(10)
 
 # x_hll_rollup tolerance shadow: exact distinct is hash-checked across
 # engines; within_tol asserts the HLL estimate sits within 5% of it.
