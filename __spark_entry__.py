@@ -95,6 +95,8 @@ _GATE_PRIORITY = (
     "x_ann_ivf_trained",
     # BPE training: fixed rounds unrolled as CTEs — full oracle.
     "x_bpe_train",
+    # MMR: fixed k=5 greedy trajectory unrolled — full oracle.
+    "x_mmr_rerank",
     # -- (a) plan changed this round (same semantics, re-present) ----------
     # 3-grams now via two lead() windows (no per-user array).
     "a36_top_paths",

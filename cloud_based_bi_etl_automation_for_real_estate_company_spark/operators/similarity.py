@@ -752,6 +752,14 @@ def mmr_rerank(
     shuffle; ties break on (score desc, vec_id asc) so output is
     deterministic. Returns (q_id, vec_id, rnk) with rnk 1..k in
     selection order.
+
+    Cosines are rounded to 6 dp before scoring (the ANN-family
+    engine-portability convention): numpy's pairwise-summed dot and a
+    SQL engine's sequential list_dot_product differ in the last ulp,
+    and the greedy argmax would amplify an ulp into a different
+    selection — rounding first makes the whole greedy trajectory
+    bit-replayable, which is what lets x_mmr_rerank carry a full
+    unrolled-CTE oracle (round 5).
     """
     import numpy as np
     import pandas as pd
@@ -772,7 +780,7 @@ def mmr_rerank(
         norm[norm == 0] = 1.0
         mat = mat / norm[:, None]
         qn = q / (np.linalg.norm(q) or 1.0)
-        rel = mat @ qn
+        rel = np.round(mat @ qn, 6)
         # deterministic candidate order: by relevance desc, id asc
         order = np.lexsort((ids, -rel))
         ids, mat, rel = ids[order], mat[order], rel[order]
@@ -787,7 +795,7 @@ def mmr_rerank(
             )
             chosen.append(best)
             picked[best] = True
-            sims = mat @ mat[best]
+            sims = np.round(mat @ mat[best], 6)
             red = sims if step == 0 else np.maximum(red, sims)
         return pd.DataFrame(
             {

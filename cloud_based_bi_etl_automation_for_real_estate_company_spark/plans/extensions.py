@@ -844,15 +844,93 @@ def q_x_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_x_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MMR diversity re-rank (Carbonell & Goldstein 1998) over IVF-PQ
-    candidates — the applyInPandas escape hatch worked end-to-end.
-    Rows-only by design: the greedy per-query argmax is iterative,
-    with no ANSI-SQL replay; relevance anchoring, determinism, and
-    the diversity property are pinned in tests/test_similarity.py."""
+    """MMR diversity re-rank (Carbonell & Goldstein 1998), k=5 over
+    each query's exact top-25 candidates (the x_mmr_first candidate
+    convention; the IVF-PQ → MMR composition stays exercised in
+    tests/test_similarity.py).
+
+    Graduated from rows-only in r5: the greedy loop is sequential but
+    its step count is FIXED (k=5), so the oracle unrolls the whole
+    selection trajectory — per step one redundancy MAX over the
+    selected set and one (score DESC, vec_id ASC) argmax — exactly the
+    x_bpe_train pattern. Replay is bit-exact because mmr_rerank rounds
+    every cosine to 6 dp before scoring (ANN-family convention) and
+    the λ arithmetic is the literal expression tree 0.7·rel −
+    (1.0 − 0.7)·red in both engines."""
     e = t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
-    cands = S.ivf_pq_topk(e, q, k=25, n_probes=2).select("q_id", "vec_id")
+    cands = S.brute_force_topk(e, q, k=25).select("q_id", "vec_id")
     return S.mmr_rerank(e, q, cands, k=5, lam=0.7)
+
+
+def _mmr_oracle(k: int = 5) -> str:
+    cos = (
+        "ROUND(list_dot_product({a}.emb, {b}.emb)"
+        " / (sqrt(list_dot_product({a}.emb, {a}.emb))"
+        " * sqrt(list_dot_product({b}.emb, {b}.emb))), 6)"
+    )
+    ctes = [
+        """base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    tq AS (SELECT vec_id AS q_id, emb FROM base WHERE vec_id < 5),
+    scored AS (
+        SELECT tq.q_id, b.vec_id, """
+        + cos.format(a="tq", b="b")
+        + """ AS rel
+        FROM base b CROSS JOIN tq WHERE b.vec_id <> tq.q_id),
+    cand AS (
+        SELECT q_id, vec_id, rel FROM (
+            SELECT q_id, vec_id, rel,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY rel DESC, vec_id ASC) AS rn
+            FROM scored)
+        WHERE rn <= 25),
+    ps AS (
+        SELECT ca.q_id, ca.vec_id AS va, cb.vec_id AS vb, """
+        + cos.format(a="ea", b="eb")
+        + """ AS sim
+        FROM cand ca
+        JOIN cand cb ON ca.q_id = cb.q_id
+        JOIN base ea ON ea.vec_id = ca.vec_id
+        JOIN base eb ON eb.vec_id = cb.vec_id),
+    s1 AS (
+        SELECT q_id, vec_id, 1 AS rnk FROM (
+            SELECT q_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY (0.7 * rel - (1.0 - 0.7) * 0.0) DESC,
+                                vec_id ASC) AS rn
+            FROM cand)
+        WHERE rn = 1),
+    sel1 AS (SELECT q_id, vec_id FROM s1)"""
+    ]
+    for i in range(2, k + 1):
+        ctes.append(
+            f"""red{i} AS (
+        SELECT c.q_id, c.vec_id, c.rel, MAX(ps.sim) AS red
+        FROM cand c
+        LEFT JOIN sel{i - 1} x
+          ON x.q_id = c.q_id AND x.vec_id = c.vec_id
+        JOIN sel{i - 1} s ON s.q_id = c.q_id
+        JOIN ps ON ps.q_id = c.q_id AND ps.va = c.vec_id
+               AND ps.vb = s.vec_id
+        WHERE x.vec_id IS NULL
+        GROUP BY 1, 2, 3),
+    s{i} AS (
+        SELECT q_id, vec_id, {i} AS rnk FROM (
+            SELECT q_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY (0.7 * rel - (1.0 - 0.7) * red) DESC,
+                                vec_id ASC) AS rn
+            FROM red{i})
+        WHERE rn = 1),
+    sel{i} AS (SELECT q_id, vec_id FROM sel{i - 1}
+               UNION ALL SELECT q_id, vec_id FROM s{i})"""
+        )
+    sel = "\n    UNION ALL\n    ".join(
+        f"SELECT q_id, vec_id, CAST(rnk AS BIGINT) AS rnk FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + sel
 
 
 def q_x_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2989,6 +3067,10 @@ ORACLES["x_tdigest_quantiles"] = """
 # x_bpe_train: all 10 training rounds unrolled as chained CTEs (see
 # q_x_bpe_train docstring for the three equivalences this rests on).
 ORACLES["x_bpe_train"] = _bpe_train_oracle(10)
+
+# x_mmr_rerank: the k=5 greedy trajectory unrolled (see q_x_mmr_rerank
+# docstring; 6-dp-rounded cosines make the argmaxes engine-exact).
+ORACLES["x_mmr_rerank"] = _mmr_oracle(5)
 
 # x_hll_rollup tolerance shadow: exact distinct is hash-checked across
 # engines; within_tol asserts the HLL estimate sits within 5% of it.

@@ -27,12 +27,12 @@ def test_rows_only_set_is_intentional():
     # x_bpe_encode (frozen merge artifact -> pure regexp replay),
     # x_hll_rollup (exact-distinct + 5% tolerance boolean),
     # x_ann_ivf_trained (recall-floor audit vs SQL-replayed truth),
-    # and x_bpe_train (fixed iteration count -> 10 unrolled CTE
-    # rounds). The remaining two are genuinely non-replayable
-    # (greedy re-rank / eigendecomposition) and both carry green SQL
-    # shadows (x_mmr_first, x_pca_invariants).
+    # x_bpe_train (fixed iteration count -> 10 unrolled CTE rounds),
+    # and x_mmr_rerank (fixed k=5 greedy trajectory unrolled over
+    # 6-dp-rounded cosines). The one remaining entry is genuinely
+    # non-replayable — numpy eigh has no SQL form — and carries the
+    # green Parseval shadow x_pca_invariants.
     assert set(QUERIES) - set(ORACLES) == {
-        "x_mmr_rerank",
         "x_pca_project",
     }
 
