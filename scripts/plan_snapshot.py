@@ -38,6 +38,10 @@ EXTRAS = [
     "l17_dominant_suppliers",
     "l25_priority_mode_split",
     "x_tdigest_quantiles",
+    "l26_waiting_suppliers",
+    "x_triangles",
+    "a40_attribution",
+    "x_prefix_join",
 ]
 
 
