@@ -2,14 +2,14 @@
 
 ``entry`` runs the flagship dashboard query; ``queries`` /
 ``oracle_sql`` expose every implemented operator from SURVEY.md §2
-plus the training-data-pipeline extensions, each with a DuckDB oracle
-unless the op is non-SQL-expressible (rows-only by design:
-k-means-trained IVF, HLL binary sketches, MMR greedy re-rank, BPE
-merge training and encoding, PCA eigendecomposition — see
-plans/extensions.py; SimHash graduated to a full oracle in round 4).
-PCA and MMR carry SQL-checkable shadows: ``x_pca_invariants``
-(Parseval check of the full eigenbasis) and ``x_mmr_first``
-(rank-1 == argmax relevance).
+plus the training-data-pipeline extensions, each with a DuckDB
+oracle except the single non-SQL-expressible entry: x_pca_project
+(numpy eigh), which carries the green Parseval shadow
+``x_pca_invariants``. Round-5 graduations out of rows-only: BPE
+encode (frozen merge artifact), BPE train (10 unrolled CTE rounds),
+MMR re-rank (k=5 greedy trajectory unrolled), HLL rollup
+(exact-distinct + tolerance boolean), trained IVF (recall-floor
+audit); SimHash graduated in round 4.
 """
 
 from __future__ import annotations
