@@ -421,3 +421,91 @@ def streaming_cusum(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_tdigest(
+    events: DataFrame,
+    key_col: str = "event_type",
+    val_col: str = "value",
+    delta: int = 100,
+    qs: tuple = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """ST5 — t-digest as explicit stream state, completing the
+    sketch-as-state trio (KMV distinct, HLL windowed, t-digest
+    quantiles): per key the GroupState holds the O(delta) centroid
+    arrays; each micro-batch re-clusters state ∪ new values with the
+    same k-space binning as the batch operator
+    (operators/sketches._tdigest_cluster — one code path, two
+    runtimes), then re-interpolates the requested quantiles.
+    Update-mode output: one row per (key, q) per micro-batch
+    (key, n_seen, n_centroids, q, est). State stays O(delta) forever —
+    the property that makes percentile monitoring over an unbounded
+    stream possible at all."""
+    import numpy as np
+
+    from ..operators.sketches import _tdigest_cluster
+
+    out_schema = StructType(
+        [
+            StructField(key_col, StringType()),
+            StructField("n_seen", LongType()),
+            StructField("n_centroids", LongType()),
+            StructField("q", DoubleType()),
+            StructField("est", DoubleType()),
+        ]
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (kv,) = key
+        if state.exists:
+            means, weights, n_seen = state.get
+            m = np.array(means, dtype=float)
+            w = np.array(weights, dtype=float)
+        else:
+            m = np.zeros(0)
+            w = np.zeros(0)
+            n_seen = 0
+        for pdf in pdfs:
+            vals = pdf[val_col].to_numpy(float)
+            n_seen += len(vals)
+            if len(vals):
+                m = np.concatenate([m, vals])
+                w = np.concatenate([w, np.ones(len(vals))])
+        if len(m):
+            m, w = _tdigest_cluster(m, w, delta)
+        state.update((list(map(float, m)), list(map(float, w)), n_seen))
+        order = np.lexsort((w, m))
+        ms, ws = m[order], w[order]
+        cum = np.cumsum(ws)
+        mid = cum - ws / 2.0
+        qa = np.array(qs, dtype=float)
+        est = (
+            np.interp(qa * ws.sum(), mid, ms)
+            if len(ms)
+            else np.full(len(qa), np.nan)
+        )
+        yield pd.DataFrame(
+            {
+                key_col: [kv] * len(qa),
+                "n_seen": [n_seen] * len(qa),
+                "n_centroids": [len(ms)] * len(qa),
+                "q": qa,
+                "est": est,
+            }
+        )
+
+    return (
+        events.select(key_col, val_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=(
+                "means array<double>, weights array<double>, n_seen bigint"
+            ),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -182,3 +182,75 @@ def test_ddsketch_buckets_merge_exactly(spark):
         .collect()
     )
     assert sorted(map(tuple, whole)) == sorted(map(tuple, merged))
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=1, max_size=8
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+@_SLOW
+def test_prefix_filter_exactness_property(spark, docs):
+    """For ANY corpus over a tiny alphabet (maximally collision-prone
+    prefixes), the prefix-filtered join must equal brute force — the
+    zero-false-negative theorem and the verify stage's zero-false-
+    positive guarantee, as a property."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["id_a"], r["id_b"]) for r in prefix_filter_pairs(df).collect()
+    }
+    sets = {i: set(t.split()) for i, t in rows}
+    expect = {
+        (a, b)
+        for a in sets
+        for b in sets
+        if a < b and 5 * len(sets[a] & sets[b]) >= 3 * len(sets[a] | sets[b])
+    }
+    assert got == expect
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@_SLOW
+def test_triangles_match_bruteforce_property(spark, edges):
+    """Degree-oriented enumeration equals the O(n³) python check on
+    ANY small graph (self-loops and duplicate/reversed edges
+    included)."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.graph import (
+        triangles,
+    )
+
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = sorted(
+        (r["p1"], r["p2"], r["p3"]) for r in triangles(df).collect()
+    )
+    adj = set()
+    nodes = set()
+    for a, b in edges:
+        if a != b:
+            adj.add((min(a, b), max(a, b)))
+            nodes.update((a, b))
+    ns = sorted(nodes)
+    expect = sorted(
+        (x, y, z)
+        for i, x in enumerate(ns)
+        for y in ns[i + 1 :]
+        for z in ns
+        if y < z
+        and (x, y) in adj and (y, z) in adj and (x, z) in adj
+    )
+    assert got == expect

@@ -615,3 +615,55 @@ def test_streaming_cusum_matches_python_fold(spark, tmp_path):
     got = [(r["n_seen"], r["cusum"], r["alarm"]) for r in rows]
     assert got == per_batch
     assert got[0][2] is False and got[-1][2] is True
+
+
+def test_streaming_tdigest_bounded_state_and_accuracy(spark, tmp_path):
+    """t-digest-as-state: after draining micro-batches, the final
+    per-q estimates must hit the exact quantiles within digest
+    accuracy (rank error < 3%), state must stay O(delta) no matter
+    how many rows streamed, and n_seen must count every row."""
+    import json as _json
+
+    import numpy as np
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.streaming.stateful import (
+        streaming_tdigest,
+    )
+
+    n = 6000
+    vals = np.exp(2.0 * ((np.arange(n) * 2654435761 % 2**32) / 2**32))
+    p = tmp_path / "td_ev"
+    p.mkdir()
+    import os as _os
+
+    for fi in range(3):
+        fp = p / f"f{fi}.jsonl"
+        with open(fp, "w") as f:
+            for v in vals[fi::3]:
+                f.write(_json.dumps({"event_type": "k", "value": float(v)}) + "\n")
+        _os.utime(fp, (1_700_000_000 + fi, 1_700_000_000 + fi))
+    schema = "event_type string, value double"
+    stream = streaming_tdigest(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(p)),
+        delta=100,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("td_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_td"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM td_state").collect()
+    assert len(rows) == 9  # 3 micro-batches × 3 quantiles
+    last = {}
+    for r in rows:  # batch order preserved; later rows overwrite
+        last[r["q"]] = (r["n_seen"], r["n_centroids"], r["est"])
+    sv = np.sort(vals)
+    for qq, (n_seen, n_cent, est) in last.items():
+        assert n_seen == n
+        assert n_cent <= 120  # O(delta) state
+        rank = np.searchsorted(sv, est, side="right") / n
+        assert abs(rank - qq) < 0.03, (qq, rank)
