@@ -86,6 +86,12 @@ _GATE_PRIORITY = (
     "a40_attribution",
     # unpivot/melt — the inverse of a17's pivot.
     "a41_unpivot_measures",
+    # MAD robust outlier counts (exact interpolated percentiles).
+    "a42_mad_outliers",
+    # logreg reliability diagram (decile calibration curve).
+    "x_calibration",
+    # NB confusion matrix (x_nb_lang replay, (true, pred) rollup).
+    "x_nb_confusion",
     # -- (a) graduated out of rows-only this round -------------------------
     # frozen-artifact BPE encode: full regexp-replay oracle.
     "x_bpe_encode",

@@ -863,7 +863,54 @@ def q_a41_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a42_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier counts per event type via the median absolute
+    deviation (the heavy-tail-proof sibling of a38's winsorized
+    stats): outlier ⇔ |v − median| > 3·1.4826·MAD (1.4826 is the
+    normal-consistency constant, evaluated in-engine on both sides).
+    Three grouped passes — median, MAD, outlier rollup — each
+    group-sized, with the tiny (event_type, med, mad) frame broadcast
+    back; exact interpolated percentiles match DuckDB's
+    quantile_cont bit-for-bit (the a34 precedent)."""
+    ev = t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type", "med").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias("mad")
+    )
+    thr = F.lit(3.0) * F.lit(1.4826) * F.col("mad")
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                (F.abs(F.col("value") - F.col("med")) > thr).cast("int")
+            ).cast("bigint").alias("n_outliers"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "a42_mad_outliers": """
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY 1),
+        mad AS (
+            SELECT e.event_type, m.med,
+                   quantile_cont(abs(e.value - m.med), 0.5) AS mad
+            FROM events e JOIN med m USING (event_type)
+            GROUP BY 1, 2)
+        SELECT e.event_type, m.med, m.mad,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN abs(e.value - m.med)
+                                  > 3.0 * 1.4826 * m.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM events e JOIN mad m ON e.event_type = m.event_type
+        GROUP BY 1, 2, 3
+    """,
     "a40_attribution": """
         WITH marked AS (
             SELECT user_id, ts, event_id, value, event_type,
@@ -1339,4 +1386,5 @@ QUERIES = {
     "a39_whatif_discount": q_a39_whatif_discount,
     "a40_attribution": q_a40_attribution,
     "a41_unpivot_measures": q_a41_unpivot_measures,
+    "a42_mad_outliers": q_a42_mad_outliers,
 }

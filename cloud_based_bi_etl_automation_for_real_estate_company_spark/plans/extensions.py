@@ -536,6 +536,72 @@ def q_x_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logreg_train(feats, ["x1", "x2"], "y", iterations=3, lr=1.0)
 
 
+def q_x_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve for the in-engine logistic classifier
+    (x_logreg_quality's model): score every document, decile-bucket by
+    predicted probability, and compare mean predicted p against the
+    actual positive rate per decile — the reliability diagram every ML
+    eval harness draws. Probabilities are 9-dp-rounded BEFORE the
+    ntile ordering (exp() ulp differences between engines must not
+    reorder near-ties) with doc_id as the final tiebreak; the decile
+    window is a documented corpus-sized global sort (a23 class — at
+    100 TB bucket by approx quantile cut points instead)."""
+    from pyspark.sql import Window
+
+    from ..operators.ml import logreg_score, logreg_train
+
+    d = t(spark, sf_dir, "documents")
+    feats = d.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("double").alias("y"),
+        (F.col("n_chars").cast("double") / F.lit(1000.0)).alias("x1"),
+        (T.token_count("text").cast("double") / F.lit(100.0)).alias("x2"),
+    )
+    w = logreg_train(feats, ["x1", "x2"], "y", iterations=3, lr=1.0)
+    scored = logreg_score(feats, w, ["x1", "x2"])
+    dec = scored.select(
+        "doc_id",
+        "y",
+        "p",
+        F.ntile(10)
+        .over(Window.orderBy(F.round("p", 9), "doc_id"))
+        .alias("decile"),
+    )
+    return dec.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.round("p", 9).cast("decimal(38,9)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_p"),
+        F.sum(F.col("y").cast("int")).cast("bigint").alias("n_pos"),
+        (
+            F.sum(F.col("y").cast("int")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("pos_rate"),
+    )
+
+
+def q_x_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full confusion matrix for the Naive Bayes language classifier
+    (x_nb_lang reports only the per-class accuracy diagonal; the
+    off-diagonal cells are where a language-ID filter actually leaks
+    training data). Same train/test split and scoring pipeline; the
+    oracle reuses x_nb_lang's replay with a (true, predicted) rollup
+    tail."""
+    from ..operators.ml import nb_score, nb_train
+
+    d = t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    test = d.filter(F.col("doc_id") % 2 == 1)
+    pred = nb_score(nb_train(train), test)
+    truth = test.select("doc_id", F.col("lang").alias("true_lang"))
+    return (
+        pred.join(truth, "doc_id")
+        .groupBy("true_lang", "pred_cls")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def q_x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank (3 iterations, d=0.85) over the bipartite
     supplier→customer trade graph (edge weight = line items shipped).
@@ -3068,6 +3134,54 @@ ORACLES["x_tdigest_quantiles"] = """
 # q_x_bpe_train docstring for the three equivalences this rests on).
 ORACLES["x_bpe_train"] = _bpe_train_oracle(10)
 
+# x_nb_confusion: x_nb_lang's full replay with a (true, pred) rollup
+# tail instead of the accuracy diagonal — derived from the same SQL so
+# the scoring pipeline can never drift between the two oracles.
+ORACLES["x_nb_confusion"] = ORACLES["x_nb_lang"].rsplit(
+    "SELECT d.lang", 1
+)[0] + """SELECT d.lang AS true_lang, p.pred_cls,
+               COUNT(*) AS n_docs
+        FROM pred p JOIN documents d USING (doc_id)
+        GROUP BY 1, 2
+    """
+
+# x_calibration: the logreg training replay (shared _logreg_step CTEs)
+# plus scoring and a 9-dp-rounded decile bucketing tail.
+ORACLES["x_calibration"] = (
+    """
+        WITH feats AS (
+            SELECT doc_id,
+                   CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
+                        ELSE CAST(0.0 AS DOUBLE) END AS y,
+                   CAST(n_chars AS DOUBLE) / 1000.0 AS x1,
+                   CAST(len(string_split(trim(text), ' ')) AS DOUBLE) / 100.0
+                       AS x2
+            FROM documents),
+        nn AS (SELECT COUNT(*) AS n FROM feats),
+        w0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS wx1,
+                      CAST(0.0 AS DOUBLE) AS wx2)"""
+    + "".join(_logreg_step(i) for i in (1, 2, 3))
+    + """,
+        scoredp AS (
+            SELECT f.doc_id, f.y,
+                   1.0 / (1.0 + exp(-(w3.w0 + w3.wx1 * f.x1
+                                      + w3.wx2 * f.x2))) AS p
+            FROM feats f CROSS JOIN w3),
+        dec AS (
+            SELECT doc_id, y, p,
+                   CAST(NTILE(10) OVER (ORDER BY ROUND(p, 9), doc_id)
+                        AS INTEGER) AS decile
+            FROM scoredp)
+        SELECT decile, COUNT(*) AS n_docs,
+               CAST(SUM(CAST(ROUND(p, 9) AS DECIMAL(38,9))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS mean_p,
+               CAST(SUM(CAST(y AS INTEGER)) AS BIGINT) AS n_pos,
+               CAST(SUM(CAST(y AS INTEGER)) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS pos_rate
+        FROM dec GROUP BY 1
+    """
+)
+
 # x_mmr_rerank: the k=5 greedy trajectory unrolled (see q_x_mmr_rerank
 # docstring; 6-dp-rounded cosines make the argmaxes engine-exact).
 ORACLES["x_mmr_rerank"] = _mmr_oracle(5)
@@ -3185,5 +3299,7 @@ QUERIES = {
     "x_tdigest_quantiles": q_x_tdigest_quantiles,
     "x_triangles": q_x_triangles,
     "x_prefix_join": q_x_prefix_join,
+    "x_calibration": q_x_calibration,
+    "x_nb_confusion": q_x_nb_confusion,
     "x_normalized_dedup": q_x_normalized_dedup,
 }
