@@ -92,6 +92,8 @@ _GATE_PRIORITY = (
     "x_calibration",
     # NB confusion matrix (x_nb_lang replay, (true, pred) rollup).
     "x_nb_confusion",
+    # Holt one-step-ahead MAPE backtest (t10 replay + error tail).
+    "t15_backtest",
     # -- (a) graduated out of rows-only this round -------------------------
     # frozen-artifact BPE encode: full regexp-replay oracle.
     "x_bpe_encode",

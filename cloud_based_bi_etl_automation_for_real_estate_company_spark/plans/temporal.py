@@ -284,6 +284,41 @@ def q_t14_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_t15_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest: one-step-ahead MAPE of the Holt model per
+    series (yesterday's level+trend forecast vs today's actual) — the
+    eval harness that decides whether t10's smoothing constants are
+    worth shipping, closing the forecast family the way x_calibration
+    closes the classifier. Reuses the identical fold; the error rollup
+    is one lag window + a 9-dp decimal mean, and the oracle nests
+    t10's recursive replay as a CTE so the two can never drift."""
+    from ..operators.timeseries import holt_daily
+
+    ev = t(spark, sf_dir, "events")
+    h = holt_daily(
+        ev.select(F.col("event_type").alias("series"), "ts", "value"),
+        key_col="series",
+        alpha=0.3,
+        beta=0.2,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("series").orderBy("day")
+    e = h.select(
+        "series",
+        "day_value",
+        F.lag("forecast").over(w).alias("prev_fc"),
+    ).filter(F.col("prev_fc").isNotNull())
+    ape = F.abs(F.col("day_value") - F.col("prev_fc")) / F.col("day_value")
+    return e.groupBy("series").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (
+            F.sum(F.round(ape, 9).cast("decimal(38,9)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mape"),
+    )
+
+
 def q_p15_case_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P15 — string case transforms (webhook_app.py:176 account.upper())."""
     c = t(spark, sf_dir, "customer")
@@ -615,8 +650,29 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+
+# t15_backtest: t10's recursive replay nested as a CTE, plus the
+# one-step-ahead error rollup — derived from the same string so the
+# fold can never drift between the two oracles.
+ORACLES["t15_backtest"] = (
+    "WITH h AS (" + ORACLES["t10_holt"] + """)
+        SELECT series, COUNT(*) AS n_days,
+               CAST(SUM(CAST(ROUND(abs(day_value - prev_fc) / day_value, 9)
+                             AS DECIMAL(38,9))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS mape
+        FROM (SELECT series, day, day_value,
+                     LAG(forecast) OVER (PARTITION BY series
+                                         ORDER BY day) AS prev_fc
+              FROM h)
+        WHERE prev_fc IS NOT NULL
+        GROUP BY 1
+    """
+)
+
+
 QUERIES = {
     "t14_cusum": q_t14_cusum,
+    "t15_backtest": q_t15_backtest,
     "t1_asof_purchase_click": q_t1_asof_purchase_click,
     "t2_session_stats": q_t2_session_stats,
     "t3_top_terms": q_t3_top_terms,
