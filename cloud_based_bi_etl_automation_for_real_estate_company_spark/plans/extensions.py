@@ -1786,10 +1786,12 @@ ORACLES: dict[str, str] = {
             SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         tq AS (SELECT vec_id AS q_id, emb AS q_emb FROM base WHERE vec_id < 5),
         scored AS (
+            -- ROUND 6 matches mmr_rerank's r5 rounding: an unrounded
+            -- ulp difference here could flip the rank-1 argmax
             SELECT tq.q_id, b.vec_id,
-                   list_dot_product(tq.q_emb, b.emb)
+                   ROUND(list_dot_product(tq.q_emb, b.emb)
                        / (sqrt(list_dot_product(tq.q_emb, tq.q_emb))
-                          * sqrt(list_dot_product(b.emb, b.emb))) AS sim
+                          * sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
             FROM base b CROSS JOIN tq WHERE b.vec_id <> tq.q_id)
         SELECT q_id, vec_id, CAST(1 AS BIGINT) AS rnk
         FROM (SELECT q_id, vec_id,
