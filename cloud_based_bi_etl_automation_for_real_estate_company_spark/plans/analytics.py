@@ -868,10 +868,16 @@ def q_a42_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     deviation (the heavy-tail-proof sibling of a38's winsorized
     stats): outlier ⇔ |v − median| > 3·1.4826·MAD (1.4826 is the
     normal-consistency constant, evaluated in-engine on both sides).
-    Three grouped passes — median, MAD, outlier rollup — each
-    group-sized, with the tiny (event_type, med, mad) frame broadcast
-    back; exact interpolated percentiles match DuckDB's
-    quantile_cont bit-for-bit (the a34 precedent)."""
+    Three grouped passes with the tiny (event_type, med, mad) frame
+    broadcast back; exact interpolated percentiles match DuckDB's
+    quantile_cont bit-for-bit (the a34 precedent).
+
+    Scale note (the a23 convention): EXACT percentile aggregation
+    buffers each group's values, so over raw events this is
+    oracle-parity form only — at 100 TB swap ``F.percentile`` for
+    ``approx_percentile`` (same plan shape, tolerance-tested in
+    tests/test_scale_paths.py) or take the median at daily grain the
+    way t9_anomaly_mad does."""
     ev = t(spark, sf_dir, "events")
     med = ev.groupBy("event_type").agg(
         F.percentile("value", 0.5).alias("med")
