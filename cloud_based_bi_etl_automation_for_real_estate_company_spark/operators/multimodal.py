@@ -276,7 +276,9 @@ def parse_wav_header(
     if fmt is None or data_size is None:
         return None
     ch, rate, bits = fmt
-    if ch == 0 or rate == 0 or bits < 8:
+    if ch == 0 or rate == 0 or bits < 8 or bits % 8 != 0:
+        # Packed (non-byte-aligned) depths like 12-bit PCM would make
+        # frame_bytes undercount; report unknown rather than a wrong duration.
         return None
     frame_bytes = ch * (bits // 8)
     n_frames = data_size // frame_bytes

@@ -295,10 +295,13 @@ def streaming_kmv_distinct(
     watermark needed, because the sketch never grows — refreshed each
     micro-batch and re-estimated with exactly the batch estimator
     (``operators/sketches.kmv_stats``: exact below k, else
-    (k-1)/u_(k)). Same deterministic md5 hashing as the batch
-    ``_hash_frac``, so after draining the stream the estimate equals
-    the batch ``kmv_estimate`` of the same rows bit-for-bit — asserted
-    in tests/test_stateful_streaming.py.
+    (k-1)/u_(k)). The hash fraction is computed BEFORE the stateful
+    groupBy with the batch ``_hash_frac`` expression itself (JVM-side
+    md5/conv, whole-stage codegen) — the Python state code only merges
+    float fractions, never hashes — so after draining the stream the
+    estimate equals the batch ``kmv_estimate`` of the same rows
+    bit-for-bit, by construction; asserted in
+    tests/test_stateful_streaming.py.
 
     Update-mode output: one refreshed row per key per micro-batch
     (key, n_seen, n_kept, theta, estimate). A discarded fraction is
@@ -306,7 +309,7 @@ def streaming_kmv_distinct(
     truncation never loses a final top-k member — insert-order
     invariant, hence micro-batch-boundary invariant.
     """
-    import hashlib
+    from ..operators.sketches import _hash_frac
 
     out_schema = StructType(
         [
@@ -329,11 +332,7 @@ def streaming_kmv_distinct(
             kept, n_seen = set(), 0
         for pdf in pdfs:
             n_seen += len(pdf)
-            for v in pdf[col]:
-                kept.add(
-                    int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
-                    / 4294967296.0
-                )
+            kept.update(pdf["__u"].values.tolist())
         us = sorted(kept)[:k]
         state.update((us, n_seen))
         n_kept = len(us)
@@ -350,7 +349,7 @@ def streaming_kmv_distinct(
         )
 
     return (
-        events.select(key_col, col)
+        events.select(key_col, _hash_frac(col).alias("__u"))
         .groupBy(key_col)
         .applyInPandasWithState(
             update,
