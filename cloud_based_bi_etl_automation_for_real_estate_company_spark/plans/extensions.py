@@ -1296,6 +1296,65 @@ def q_x_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return K.kmv_estimate(kept, ["event_type"], k=128)
 
 
+def q_x_kmv_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for the KMV stream-state operator (ST5): run
+    ``streaming.stateful.streaming_kmv_distinct``'s exact state math —
+    JVM-side ``_hash_frac`` then the Python ``_kmv_finalize`` merge —
+    as a one-shot batch group-map, emitting the drained FINAL row per
+    event type: (event_type, n_seen, n_kept, theta, estimate). The
+    sketch's insert-order invariance makes this one-shot drain
+    bit-identical to the drained stream (pinned in
+    tests/test_stateful_streaming.py), and the oracle replays the md5
+    arithmetic relationally — so the streaming code path gets a full
+    DuckDB hash check, not just a pytest. Differs from x_kmv_distinct
+    (the batch kmv_kept/kmv_stats plan) in the code under test: this
+    row executes the streaming update's own merge."""
+    from ..streaming.stateful import kmv_drain_batch
+
+    ev = t(spark, sf_dir, "events")
+    return kmv_drain_batch(ev, "event_type", "user_id", k=128)
+
+
+def q_x_tdigest_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for the t-digest stream-state operator (ST5): run
+    ``streaming.stateful.streaming_tdigest``'s exact per-group math
+    (``_tdigest_cluster`` + ``_tdigest_quantile_rows``) as a one-shot
+    batch group-map, then audit it in the x_tdigest_quantiles
+    tolerance form — per (event_type, q): exact n_seen (hash-checked
+    against COUNT(*)), centroids_ok (≤ 2δ bounded state), and rank_ok
+    (|rank(est) − q| ≤ max(0.05, 1/n)). The t-digest's incremental
+    re-clustering is micro-batch-boundary SENSITIVE, so unlike the
+    KMV/CUSUM drains this is not bitwise the drained stream — both are
+    valid digests of the same rows; the stream side's bounded state
+    and accuracy are pinned in tests/test_stateful_streaming.py."""
+    from ..streaming.stateful import tdigest_drain_batch
+
+    ev = t(spark, sf_dir, "events")
+    d = tdigest_drain_batch(ev, "event_type", "value", delta=100)
+    return (
+        ev.select("event_type", "value")
+        .join(F.broadcast(d), "event_type")
+        .groupBy("event_type", "q")
+        .agg(
+            F.max("n_seen").alias("n_seen"),
+            (F.max("n_centroids") <= F.lit(200)).alias("centroids_ok"),
+            (
+                F.abs(
+                    F.sum(
+                        F.when(F.col("value") <= F.col("est"), 1).otherwise(0)
+                    ).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                    - F.col("q")
+                )
+                <= F.greatest(
+                    F.lit(0.05),
+                    F.lit(1.0) / F.count(F.lit(1)).cast("double"),
+                )
+            ).alias("rank_ok"),
+        )
+    )
+
+
 def q_x_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta-sketch set ALGEBRA over two KMV sketches (view vs click
     users): union = merge + re-truncate, intersection = common hashes
@@ -3138,6 +3197,44 @@ ORACLES["x_tdigest_quantiles"] = """
     GROUP BY 1, 2
 """
 
+# x_kmv_drain: the streaming KMV state op's drained final rows — the
+# x_kmv_distinct md5 replay plus the per-key row count the stream
+# accumulates as n_seen.
+ORACLES["x_kmv_drain"] = """
+    WITH hashed AS (
+        SELECT DISTINCT event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) / 4294967296.0 AS u
+        FROM events),
+    kept AS (
+        SELECT event_type, u FROM (
+            SELECT event_type, u,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY u) AS rn
+            FROM hashed)
+        WHERE rn <= 128),
+    counts AS (
+        SELECT event_type, COUNT(*) AS n_seen FROM events GROUP BY 1)
+    SELECT k.event_type,
+           c.n_seen,
+           COUNT(*) AS n_kept,
+           MAX(u) AS theta,
+           CASE WHEN COUNT(*) < 128 THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE 127.0 / MAX(u) END AS estimate
+    FROM kept k JOIN counts c USING (event_type)
+    GROUP BY 1, 2
+"""
+
+# x_tdigest_drain: tolerance-audit form (the x_tdigest_quantiles
+# pattern) — exact n_seen hash-checked, booleans assert bounded state
+# and ≤ max(5%, 1/n) rank error of the streaming math's digest.
+ORACLES["x_tdigest_drain"] = """
+    SELECT event_type, q, COUNT(*) AS n_seen,
+           TRUE AS centroids_ok, TRUE AS rank_ok
+    FROM events
+    CROSS JOIN (SELECT UNNEST([0.5, 0.95, 0.99]::DOUBLE[]) AS q) qs
+    GROUP BY 1, 2
+"""
+
 # x_bpe_train: all 10 training rounds unrolled as chained CTEs (see
 # q_x_bpe_train docstring for the three equivalences this rests on).
 ORACLES["x_bpe_train"] = _bpe_train_oracle(10)
@@ -3290,6 +3387,8 @@ QUERIES = {
     "x_bigram_nll": q_x_bigram_nll,
     "x_trigram_nll": q_x_trigram_nll,
     "x_kmv_distinct": q_x_kmv_distinct,
+    "x_kmv_drain": q_x_kmv_drain,
+    "x_tdigest_drain": q_x_tdigest_drain,
     "x_kmv_setops": q_x_kmv_setops,
     "x_priority_sample": q_x_priority_sample,
     "x_editdist_pairs": q_x_editdist_pairs,

@@ -319,6 +319,41 @@ def q_t15_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_t16_cusum_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for the CUSUM stream-state operator (ST5): run
+    ``streaming.stateful.streaming_cusum``'s exact Python scalar fold
+    (the shared ``_cusum_fold``) as a one-shot batch group-map and
+    emit the drained FINAL row per series — (series, n_seen, cusum,
+    alarm), the shape a monitor reads after the stream ends. Daily
+    grain and the decimal-exact per-series mean target are identical
+    to t14_cusum, so the oracle reuses t14's recursive replay and
+    keeps only the last recursion row; pytest separately pins
+    drained-stream == batch-drain on the same rows
+    (tests/test_stateful_streaming.py). CUSUM's fold is micro-batch-
+    boundary invariant, which is what makes this one-shot drain THE
+    stream's final answer and not merely similar to it."""
+    from ..streaming.stateful import cusum_drain_batch
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("series"), F.to_date("ts").alias("day")
+    ).agg(dsum("value", 6).alias("v"))
+    mu = daily.groupBy("series").agg(
+        (
+            F.sum(F.round(F.col("v"), 6).cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mu")
+    )
+    prepped = daily.join(F.broadcast(mu), "series").select(
+        "series",
+        "day",
+        "v",
+        (F.col("mu") + F.lit(0.05) * F.col("mu")).alias("target"),
+        (F.lit(0.5) * F.col("mu")).alias("threshold"),
+    )
+    return cusum_drain_batch(prepped)
+
+
 def q_p15_case_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P15 — string case transforms (webhook_app.py:176 account.upper())."""
     c = t(spark, sf_dir, "customer")
@@ -670,7 +705,22 @@ ORACLES["t15_backtest"] = (
 )
 
 
+# t16_cusum_drain: t14's recursive replay with only the LAST recursion
+# row kept per series — derived from the same string so the fold can
+# never drift between the per-day and drained-final oracles.
+ORACLES["t16_cusum_drain"] = ORACLES["t14_cusum"].rsplit(
+    "SELECT f.series", 1
+)[0] + """SELECT f.series,
+               CAST(f.k + 1 AS BIGINT) AS n_seen,
+               f.cs AS cusum,
+               f.cs > 0.5 * mu AS alarm
+        FROM f JOIN ser USING (series) JOIN mu USING (series)
+        WHERE f.k = len(s) - 1
+    """
+
+
 QUERIES = {
+    "t16_cusum_drain": q_t16_cusum_drain,
     "t14_cusum": q_t14_cusum,
     "t15_backtest": q_t15_backtest,
     "t1_asof_purchase_click": q_t1_asof_purchase_click,

@@ -48,6 +48,55 @@ LEAD_STATE_SCHEMA = StructType(
 _STATE_SCHEMA = "ts double, step string, n bigint"
 
 
+# -- shared per-group folds -------------------------------------------------
+# The sketch-as-state trio (KMV, CUSUM, t-digest) keeps its per-group
+# math in these module-level pure functions so the STREAMING update and
+# the BATCH drain operator below run the exact same code — the drain
+# queries give the driver's DuckDB gate a row that exercises the
+# streaming code path (the t11_interval_join_batch precedent), while
+# pytest pins drained-stream == batch-drain on the same rows.
+
+
+def _kmv_finalize(kept: set, k: int):
+    """Truncate a merged fraction set to the k smallest and apply the
+    KMV estimator (exact below k, else (k-1)/u_(k)) — identical
+    arithmetic to operators/sketches.kmv_stats."""
+    us = sorted(kept)[:k]
+    n_kept = len(us)
+    theta = us[-1] if us else None
+    est = float(n_kept) if n_kept < k else float(k - 1) / theta
+    return us, n_kept, theta, est
+
+
+def _cusum_fold(s: float, values, target: float) -> float:
+    """Page's one-sided upward CUSUM scalar fold: S_k = max(0,
+    S_{k-1} + (x_k - target)). IEEE-identical to the JVM
+    ``greatest(0.0, acc + (x - t))`` tree on the same doubles."""
+    for v in values:
+        s = max(0.0, s + (float(v) - target))
+    return s
+
+
+def _tdigest_quantile_rows(m, w, qs):
+    """Interpolate quantile estimates over a centroid set (midpoint
+    ranks, clamped at the extremes) — the query half of the t-digest,
+    shared verbatim between the streaming update and the batch
+    drain."""
+    import numpy as np
+
+    order = np.lexsort((w, m))
+    ms, ws = m[order], w[order]
+    cum = np.cumsum(ws)
+    mid = cum - ws / 2.0
+    qa = np.array(qs, dtype=float)
+    est = (
+        np.interp(qa * ws.sum(), mid, ms)
+        if len(ms)
+        else np.full(len(qa), np.nan)
+    )
+    return qa, est, len(ms)
+
+
 def _update_lead_state(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
@@ -333,11 +382,8 @@ def streaming_kmv_distinct(
         for pdf in pdfs:
             n_seen += len(pdf)
             kept.update(pdf["__u"].values.tolist())
-        us = sorted(kept)[:k]
+        us, n_kept, theta, est = _kmv_finalize(kept, k)
         state.update((us, n_seen))
-        n_kept = len(us)
-        theta = us[-1] if us else None
-        est = float(n_kept) if n_kept < k else float(k - 1) / theta
         yield pd.DataFrame(
             {
                 key_col: [kv],
@@ -397,8 +443,7 @@ def streaming_cusum(
             s, n_seen = 0.0, 0
         for pdf in pdfs:
             n_seen += len(pdf)
-            for v in pdf[val_col]:
-                s = max(0.0, s + (float(v) - target))
+            s = _cusum_fold(s, pdf[val_col], target)
         state.update((float(s), n_seen))
         yield pd.DataFrame(
             {
@@ -475,21 +520,12 @@ def streaming_tdigest(
         if len(m):
             m, w = _tdigest_cluster(m, w, delta)
         state.update((list(map(float, m)), list(map(float, w)), n_seen))
-        order = np.lexsort((w, m))
-        ms, ws = m[order], w[order]
-        cum = np.cumsum(ws)
-        mid = cum - ws / 2.0
-        qa = np.array(qs, dtype=float)
-        est = (
-            np.interp(qa * ws.sum(), mid, ms)
-            if len(ms)
-            else np.full(len(qa), np.nan)
-        )
+        qa, est, n_centroids = _tdigest_quantile_rows(m, w, qs)
         yield pd.DataFrame(
             {
                 key_col: [kv] * len(qa),
                 "n_seen": [n_seen] * len(qa),
-                "n_centroids": [len(ms)] * len(qa),
+                "n_centroids": [n_centroids] * len(qa),
                 "q": qa,
                 "est": est,
             }
@@ -507,4 +543,145 @@ def streaming_tdigest(
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+# -- batch drains of the sketch-as-state trio -------------------------------
+# applyInPandas siblings that run each streaming update's per-group
+# math (the shared fold helpers above) over a whole batch group at
+# once — semantically the drained stream collapsed to one micro-batch.
+# KMV and CUSUM are micro-batch-boundary invariant, so drained-stream
+# == batch-drain exactly (pinned in tests/test_stateful_streaming.py);
+# the t-digest's incremental re-clustering is boundary-SENSITIVE (both
+# sides are valid digests of the same rows), so its drain row is the
+# rank-tolerance audit form. Each drain backs a registered driver gate
+# query, giving the streaming code path an independent DuckDB check —
+# the t11_interval_join_batch precedent.
+
+
+def kmv_drain_batch(
+    df: DataFrame,
+    key_col: str = "event_type",
+    col: str = "user_id",
+    k: int = 128,
+) -> DataFrame:
+    """Run ``streaming_kmv_distinct``'s exact state math (JVM-side
+    ``_hash_frac`` then the ``_kmv_finalize`` merge) as a one-shot
+    batch group-map. Returns the drained final row per key:
+    (key, n_seen, n_kept, theta, estimate)."""
+    from ..operators.sketches import _hash_frac
+
+    out_schema = StructType(
+        [
+            StructField(key_col, StringType()),
+            StructField("n_seen", LongType()),
+            StructField("n_kept", LongType()),
+            StructField("theta", DoubleType()),
+            StructField("estimate", DoubleType()),
+        ]
+    )
+
+    def drain(pdf: pd.DataFrame) -> pd.DataFrame:
+        kept: set = set()
+        kept.update(pdf["__u"].values.tolist())
+        us, n_kept, theta, est = _kmv_finalize(kept, k)
+        return pd.DataFrame(
+            {
+                key_col: [pdf[key_col].iloc[0]],
+                "n_seen": [len(pdf)],
+                "n_kept": [n_kept],
+                "theta": [theta],
+                "estimate": [est],
+            }
+        )
+
+    return (
+        df.select(key_col, _hash_frac(col).alias("__u"))
+        .groupBy(key_col)
+        .applyInPandas(drain, schema=out_schema)
+    )
+
+
+def cusum_drain_batch(
+    daily: DataFrame,
+    key_col: str = "series",
+    day_col: str = "day",
+    val_col: str = "v",
+    target_col: str = "target",
+    threshold_col: str = "threshold",
+) -> DataFrame:
+    """Run ``streaming_cusum``'s exact scalar fold (``_cusum_fold``)
+    over each key's day-ordered batch rows. ``daily`` carries the
+    per-key target/threshold as columns (constant within a key) so
+    per-key in-control levels work where the streaming op — a monitor
+    with ONE configured target — takes scalars. Returns the drained
+    final row per key: (key, n_seen, cusum, alarm)."""
+    out_schema = StructType(
+        [
+            StructField(key_col, StringType()),
+            StructField("n_seen", LongType()),
+            StructField("cusum", DoubleType()),
+            StructField("alarm", BooleanType()),
+        ]
+    )
+
+    def drain(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(day_col)
+        target = float(pdf[target_col].iloc[0])
+        s = _cusum_fold(0.0, pdf[val_col], target)
+        return pd.DataFrame(
+            {
+                key_col: [pdf[key_col].iloc[0]],
+                "n_seen": [len(pdf)],
+                "cusum": [float(s)],
+                "alarm": [bool(s > float(pdf[threshold_col].iloc[0]))],
+            }
+        )
+
+    return daily.groupBy(key_col).applyInPandas(drain, schema=out_schema)
+
+
+def tdigest_drain_batch(
+    df: DataFrame,
+    key_col: str = "event_type",
+    val_col: str = "value",
+    delta: int = 100,
+    qs: tuple = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Run ``streaming_tdigest``'s exact per-group math
+    (``operators/sketches._tdigest_cluster`` then
+    ``_tdigest_quantile_rows``) as a one-shot batch group-map.
+    Returns one row per (key, q): (key, n_seen, n_centroids, q,
+    est)."""
+    import numpy as np
+
+    from ..operators.sketches import _tdigest_cluster
+
+    out_schema = StructType(
+        [
+            StructField(key_col, StringType()),
+            StructField("n_seen", LongType()),
+            StructField("n_centroids", LongType()),
+            StructField("q", DoubleType()),
+            StructField("est", DoubleType()),
+        ]
+    )
+
+    def drain(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pdf[val_col].to_numpy(float)
+        m, w = _tdigest_cluster(vals, np.ones(len(vals)), delta)
+        qa, est, n_centroids = _tdigest_quantile_rows(m, w, qs)
+        return pd.DataFrame(
+            {
+                key_col: [pdf[key_col].iloc[0]] * len(qa),
+                "n_seen": [len(pdf)] * len(qa),
+                "n_centroids": [n_centroids] * len(qa),
+                "q": qa,
+                "est": est,
+            }
+        )
+
+    return (
+        df.select(key_col, val_col)
+        .groupBy(key_col)
+        .applyInPandas(drain, schema=out_schema)
     )

@@ -561,6 +561,23 @@ def test_streaming_kmv_distinct_matches_batch(spark, tmp_path):
     assert last == expect
     assert last["b"][0] == 5 and last["b"][2] == 5.0  # exact below k
     assert last["a"][0] == 16 and last["a"][2] != 40.0  # estimator path
+    # the one-shot batch drain (the x_kmv_drain driver row's operator)
+    # runs the same state math and must equal the drained stream
+    # bit-for-bit, n_seen included
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.streaming.stateful import (
+        kmv_drain_batch,
+    )
+
+    last_full = {}
+    for r in got_rows:
+        last_full[r["event_type"]] = (
+            r["n_seen"], r["n_kept"], r["theta"], r["estimate"],
+        )
+    drained = {
+        r["event_type"]: (r["n_seen"], r["n_kept"], r["theta"], r["estimate"])
+        for r in kmv_drain_batch(batch, "event_type", "user_id", k=16).collect()
+    }
+    assert drained == last_full
 
 
 def test_streaming_cusum_matches_python_fold(spark, tmp_path):
@@ -615,6 +632,19 @@ def test_streaming_cusum_matches_python_fold(spark, tmp_path):
     got = [(r["n_seen"], r["cusum"], r["alarm"]) for r in rows]
     assert got == per_batch
     assert got[0][2] is False and got[-1][2] is True
+    # the one-shot batch drain (the t16_cusum_drain driver row's
+    # operator) folds the same values in explicit order and must equal
+    # the stream's final row bit-for-bit
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.streaming.stateful import (
+        cusum_drain_batch,
+    )
+
+    daily = spark.createDataFrame(
+        [("k", i, v, 2.0, 5.0) for i, v in enumerate(vals)],
+        "series string, day int, v double, target double, threshold double",
+    )
+    d = cusum_drain_batch(daily).collect()
+    assert [(r["n_seen"], r["cusum"], r["alarm"]) for r in d] == [got[-1]]
 
 
 def test_streaming_tdigest_bounded_state_and_accuracy(spark, tmp_path):
@@ -667,3 +697,18 @@ def test_streaming_tdigest_bounded_state_and_accuracy(spark, tmp_path):
         assert n_cent <= 120  # O(delta) state
         rank = np.searchsorted(sv, est, side="right") / n
         assert abs(rank - qq) < 0.03, (qq, rank)
+    # the one-shot batch drain (the x_tdigest_drain driver row's
+    # operator) shares the cluster/interp code; the digest it builds
+    # differs from the incrementally re-clustered stream state (batch
+    # boundaries matter for t-digest) but must satisfy the same
+    # bounded-state and rank-accuracy audit on the same rows
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.streaming.stateful import (
+        tdigest_drain_batch,
+    )
+
+    batch = spark.read.schema(schema).json(str(p))
+    for r in tdigest_drain_batch(batch, "event_type", "value", delta=100).collect():
+        assert r["n_seen"] == n
+        assert r["n_centroids"] <= 120
+        rank = np.searchsorted(sv, r["est"], side="right") / n
+        assert abs(rank - r["q"]) < 0.03, (r["q"], rank)
