@@ -857,6 +857,17 @@ def q_x_sliding_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.sliding_span_dedup(t(spark, sf_dir, "documents"), span=8)
 
 
+def q_x_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-substring inventory (Lee et al. ExactSubstr,
+    restated as duplicated-window runs): per doc, token ranges where
+    every 8-token window repeats somewhere in the corpus, ≥ 15 tokens
+    long — the measurement half of substring dedup (x_sliding_span
+    removes coverage; this reports the maximal spans)."""
+    return D.duplicate_substring_spans(
+        t(spark, sf_dir, "documents"), span=8, min_len=15
+    )
+
+
 def q_x_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-span removal (8-token tiles, first occurrence wins) —
     catches shared boilerplate inside otherwise-distinct documents."""
@@ -2835,6 +2846,31 @@ ORACLES: dict[str, str] = {
                'unknown' AS format
         FROM documents
     """,
+    "x_substring_spans": """
+        WITH base AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+        wins AS (
+            SELECT doc_id, t,
+                   UNNEST(range(0, GREATEST(0, len(t) - 7))) AS w
+            FROM base),
+        wtext AS (
+            SELECT doc_id, w,
+                   array_to_string(t[w + 1 : w + 8], ' ') AS wt
+            FROM wins),
+        dupw AS (
+            SELECT wt FROM wtext GROUP BY wt HAVING COUNT(*) >= 2),
+        pos AS (
+            SELECT x.doc_id, x.w,
+                   x.w - ROW_NUMBER() OVER (
+                       PARTITION BY x.doc_id ORDER BY x.w) AS g
+            FROM wtext x JOIN dupw USING (wt))
+        SELECT doc_id,
+               MIN(w) AS start_tok,
+               MAX(w) + 7 AS end_tok,
+               MAX(w) + 7 - MIN(w) + 1 AS span_len
+        FROM pos GROUP BY doc_id, g
+        HAVING MAX(w) + 7 - MIN(w) + 1 >= 15
+    """,
     "x_sliding_span_dedup": """
         WITH base AS (
             SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
@@ -3383,6 +3419,7 @@ QUERIES = {
     "x_bpe_train": q_x_bpe_train,
     "x_bpe_encode": q_x_bpe_encode,
     "x_sliding_span_dedup": q_x_sliding_span_dedup,
+    "x_substring_spans": q_x_substring_spans,
     "x_ngram_containment": q_x_ngram_containment,
     "x_bigram_nll": q_x_bigram_nll,
     "x_trigram_nll": q_x_trigram_nll,

@@ -476,3 +476,32 @@ def test_prefix_filter_pairs_exact_vs_bruteforce(spark):
                     expect[(a, b)] = (i, u, i / u)
     assert got == expect
     assert (4, 5) in got and got[(4, 5)][2] == 0.6  # boundary pair kept
+
+
+def test_duplicate_substring_spans_hand_computed(spark):
+    """Maximal-run extraction: a 20-token substring shared across two
+    docs yields one maximal span per doc covering exactly its token
+    range; a 10-token shared run stays below min_len=15; a 16-token
+    phrase repeated WITHIN one doc emits both occurrences as separate
+    spans."""
+    S = [f"s{i}" for i in range(20)]          # long shared run
+    S2 = [f"p{i}" for i in range(10)]         # short shared run
+    S3 = [f"r{i}" for i in range(16)]         # self-repeated phrase
+    docs = [
+        (1, " ".join([f"a{i}" for i in range(5)] + S + [f"b{i}" for i in range(5)])),
+        (2, " ".join([f"c{i}" for i in range(5)] + S + [f"d{i}" for i in range(5)])),
+        (3, " ".join(S2 + [f"e{i}" for i in range(10)])),
+        (4, " ".join([f"f{i}" for i in range(10)] + S2)),
+        (5, " ".join(S3 + [f"g{i}" for i in range(4)] + S3)),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        (r["doc_id"], r["start_tok"], r["end_tok"], r["span_len"])
+        for r in D.duplicate_substring_spans(df, span=8, min_len=15).collect()
+    }
+    assert got == {
+        (1, 5, 24, 20),   # S occupies tokens 5..24 in doc 1
+        (2, 5, 24, 20),
+        (5, 0, 15, 16),   # first S3 copy
+        (5, 20, 35, 16),  # second S3 copy after 4 filler tokens
+    }
