@@ -943,3 +943,122 @@ def pca_project(
         for k, comp in enumerate(components)
     ]
     return df.select(F.col(id_col), *cols)
+
+
+def power_iteration_top(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    iters: int = 8,
+) -> DataFrame:
+    """Dominant covariance eigenvector by power iteration, in
+    ENGINE-PORTABLE integer fixed-point arithmetic — the eigensolver
+    variant a SQL oracle can replay exactly, answering the one
+    question ``pca_fit`` (numpy eigh, rows-only by design) leaves
+    open: is the distributed eigen-math itself cross-checkable? It is:
+    every sum here is an exact integer, every double op (divide,
+    sqrt, round) is an IEEE-correctly-rounded function of identical
+    inputs, so after any fixed number of iterations both engines hold
+    the bit-identical vector — converged or not.
+
+    Pipeline (all DataFrame ops, no driver-side numerics):
+      1. quantize embeddings to integers: eq = round(x · 1e3)
+      2. exact integer covariance numerator M = n·Σ(eq_i·eq_j) −
+         (Σeq_i)(Σeq_j), a d²-key aggregate (the pca_fit shape);
+         power iteration is scale-invariant so M's arbitrary scale is
+         harmless
+      3. normalize M to mq = round(M/max|M| · 1e6) — keeps the
+         iterated products inside BIGINT (|mq·vq| ≤ 1e15, summed
+         over d = 64 ≤ 6.4e16)
+      4. iterate v ← round(M·v / ‖M·v‖ · 1e9) with integer
+         matrix-vector products and a decimal-exact norm²
+    Start vector is the uniform unit vector (all 125_000_000 =
+    round(1e9/√64)), so the trajectory is fully deterministic — no
+    random init, no sign convention needed.
+
+    Scale: the d²-key aggregate is the only data-sized pass (one
+    shuffle of n·d² products at worst, partially aggregable); the
+    iterations touch d² = 4096 rows. Quantization costs ~3 decimal
+    digits of input precision — fine for a parity-checkable reference
+    eigenvector; production fits stay on ``pca_fit``'s float eigh.
+    Returns (dim, loading) with Σ loading² ≈ 1.
+    """
+    q = df.select(
+        F.col(id_col),
+        F.posexplode(vec_col).alias("i", "x"),
+    ).select(
+        id_col,
+        "i",
+        F.round(F.col("x").cast("double") * F.lit(1000.0))
+        .cast("bigint")
+        .alias("eq"),
+    )
+    s = q.groupBy("i").agg(
+        F.sum("eq").alias("si"), F.count(F.lit(1)).alias("n")
+    )
+    mm = (
+        q.alias("a")
+        .join(q.alias("b"), id_col)
+        .groupBy(F.col("a.i").alias("mi"), F.col("b.i").alias("mj"))
+        .agg(F.sum(F.col("a.eq") * F.col("b.eq")).alias("sij"))
+    )
+    sa = s.select(F.col("i").alias("mi"), F.col("si").alias("sa_si"), "n")
+    sb = s.select(F.col("i").alias("mj"), F.col("si").alias("sb_si"))
+    m = (
+        mm.join(sa, "mi")
+        .join(sb, "mj")
+        .select(
+            "mi",
+            "mj",
+            (F.col("n") * F.col("sij") - F.col("sa_si") * F.col("sb_si")).alias(
+                "mm"
+            ),
+        )
+    )
+    mx = m.agg(F.max(F.abs("mm")).alias("mx"))
+    mq = m.crossJoin(F.broadcast(mx)).select(
+        "mi",
+        "mj",
+        F.round(
+            F.col("mm").cast("double") / F.col("mx").cast("double")
+            * F.lit(1000000.0)
+        )
+        .cast("bigint")
+        .alias("mq"),
+    )
+    mq = mq.localCheckpoint(eager=True)  # truncate the moment lineage once
+    spark = df.sparkSession
+    v = spark.range(dims).select(
+        F.col("id").cast("int").alias("i"),
+        F.lit(125000000).cast("bigint").alias("vq"),
+    )
+    for _ in range(iters):
+        # each round references w twice (norm² and the update), so
+        # without a cut the lazy plan doubles per round — checkpoint
+        # the 64-row product once per iteration (label_propagation's
+        # loop pattern) to keep the plan linear in iters
+        w = (
+            mq.join(v, mq["mj"] == v["i"])
+            .groupBy(F.col("mi").alias("wi"))
+            .agg(F.sum(F.col("mq") * F.col("vq")).alias("wq"))
+        ).localCheckpoint(eager=True)
+        n2 = w.agg(
+            F.sum(
+                F.col("wq").cast("decimal(38,0)") * F.col("wq").cast("decimal(38,0)")
+            ).alias("n2")
+        )
+        v = w.crossJoin(F.broadcast(n2)).select(
+            F.col("wi").alias("i"),
+            F.round(
+                F.col("wq").cast("double")
+                / F.sqrt(F.col("n2").cast("double"))
+                * F.lit(1000000000.0)
+            )
+            .cast("bigint")
+            .alias("vq"),
+        )
+    return v.select(
+        F.col("i").cast("bigint").alias("dim"),
+        (F.col("vq").cast("double") / F.lit(1000000000.0)).alias("loading"),
+    )

@@ -1540,13 +1540,34 @@ def q_x_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_x_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection of the embedding corpus onto 4 distributed-fit
     principal components (covariance assembled as d^2-key aggregates,
-    eigh on the driver-sized d x d result). Rows-only by design: the
-    eigendecomposition has no ANSI-SQL replay; variance ordering,
-    sign determinism and reconstruction quality are pinned in
-    tests/test_similarity.py."""
+    eigh on the driver-sized d x d result). PERMANENTLY rows-only by
+    decision (round 6): numpy eigh has no ANSI-SQL replay, and
+    swapping it for a SQL-replayable iterative solver would trade
+    eigenbasis fidelity for oracle coverage the catalog already has —
+    the Parseval shadow x_pca_invariants checks this query's centering
+    and basis orthonormality, and x_power_iteration proves the
+    distributed eigen-math itself cross-engine-exact in fixed-point.
+    Variance ordering, sign determinism and reconstruction quality are
+    pinned in tests/test_similarity.py."""
     e = t(spark, sf_dir, "embeddings")
     comps, _, mu = S.pca_fit(e, n_components=4)
     return S.pca_project(e.filter(F.col("vec_id") < 50), comps, mu)
+
+
+def q_x_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant covariance eigenvector by 8 rounds of power iteration
+    in engine-portable integer fixed-point (see
+    operators/similarity.power_iteration_top) — the fully-oracled
+    eigensolver row: exact integer covariance numerator, integer
+    matrix-vector products, IEEE-deterministic normalize, so the
+    DuckDB oracle unrolls the identical 8 rounds as chained CTEs and
+    hash-matches every loading bit-for-bit. Convergence toward eigh's
+    top eigenvector is pinned separately in tests/test_similarity.py;
+    THIS row pins that the distributed eigen-arithmetic cannot drift
+    between engines."""
+    return S.power_iteration_top(
+        t(spark, sf_dir, "embeddings"), dims=64, iters=8
+    )
 
 
 def q_x_pca_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3233,6 +3254,63 @@ ORACLES["x_tdigest_quantiles"] = """
     GROUP BY 1, 2
 """
 
+def _power_iter_oracle(iters: int) -> str:
+    """Unrolled-CTE replay of power_iteration_top (the x_bpe_train
+    pattern): exact integer covariance numerator, then ``iters``
+    chained matrix-vector/normalize rounds with the identical
+    fixed-point arithmetic. DuckDB's SUM(BIGINT) yields HUGEINT, so
+    every integer sum is cast back to BIGINT (TYPEHAZARD rule); the
+    norm² runs in HUGEINT where Spark uses DECIMAL(38,0) — both exact
+    integers, both cast to DOUBLE the same correctly-rounded way."""
+    head = """
+        WITH q AS MATERIALIZED (
+            SELECT e.vec_id, p.i,
+                   CAST(ROUND(CAST(e.embedding[p.i + 1] AS DOUBLE) * 1000.0)
+                        AS BIGINT) AS eq
+            FROM embeddings e
+            CROSS JOIN (SELECT UNNEST(range(64)) AS i) p),
+        s AS MATERIALIZED (
+            SELECT i, CAST(SUM(eq) AS BIGINT) AS si, COUNT(*) AS n
+            FROM q GROUP BY i),
+        mm AS MATERIALIZED (
+            SELECT a.i AS mi, b.i AS mj,
+                   CAST(SUM(a.eq * b.eq) AS BIGINT) AS sij
+            FROM q a JOIN q b USING (vec_id) GROUP BY 1, 2),
+        m AS MATERIALIZED (
+            SELECT mi, mj, sa.n * sij - sa.si * sb.si AS mval
+            FROM mm JOIN s sa ON mi = sa.i JOIN s sb ON mj = sb.i),
+        mx AS MATERIALIZED (SELECT MAX(ABS(mval)) AS mx FROM m),
+        mq AS MATERIALIZED (
+            SELECT mi, mj,
+                   CAST(ROUND(CAST(mval AS DOUBLE) / CAST(mx AS DOUBLE)
+                              * 1000000.0) AS BIGINT) AS mq
+            FROM m, mx),
+        it0 AS MATERIALIZED (
+            SELECT UNNEST(range(64)) AS i,
+                   CAST(125000000 AS BIGINT) AS vq)"""
+    rounds = []
+    for k in range(1, iters + 1):
+        rounds.append(f""",
+        it{k}w AS MATERIALIZED (
+            SELECT m.mi AS i, CAST(SUM(m.mq * v.vq) AS BIGINT) AS wq
+            FROM mq m JOIN it{k - 1} v ON m.mj = v.i GROUP BY 1),
+        it{k}n AS MATERIALIZED (
+            SELECT SQRT(CAST(SUM(CAST(wq AS HUGEINT) * wq) AS DOUBLE)) AS nr
+            FROM it{k}w),
+        it{k} AS MATERIALIZED (
+            SELECT i, CAST(ROUND(CAST(wq AS DOUBLE) / nr * 1000000000.0)
+                           AS BIGINT) AS vq
+            FROM it{k}w, it{k}n)""")
+    tail = f"""
+        SELECT CAST(i AS BIGINT) AS dim,
+               CAST(vq AS DOUBLE) / 1000000000.0 AS loading
+        FROM it{iters}
+    """
+    return head + "".join(rounds) + tail
+
+
+ORACLES["x_power_iteration"] = _power_iter_oracle(8)
+
 # x_kmv_drain: the streaming KMV state op's drained final rows — the
 # x_kmv_distinct md5 replay plus the per-key row count the stream
 # accumulates as n_seen.
@@ -3425,6 +3503,7 @@ QUERIES = {
     "x_trigram_nll": q_x_trigram_nll,
     "x_kmv_distinct": q_x_kmv_distinct,
     "x_kmv_drain": q_x_kmv_drain,
+    "x_power_iteration": q_x_power_iteration,
     "x_tdigest_drain": q_x_tdigest_drain,
     "x_kmv_setops": q_x_kmv_setops,
     "x_priority_sample": q_x_priority_sample,

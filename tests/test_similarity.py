@@ -467,3 +467,32 @@ def test_ivf_index_persistence_roundtrip(spark, tmp_path):
     # the lists scan must carry the bucket partition column for
     # dynamic pruning of unprobed buckets
     assert "bucket" in plan
+
+
+def test_power_iteration_converges_to_eigh_top(spark):
+    """The fixed-point power iteration must converge to numpy eigh's
+    dominant eigenvector of the SAME quantized covariance it iterates
+    (sign-independent cosine ~ 1), stay unit-norm, and be
+    deterministic across partitionings — pinning the math the
+    x_power_iteration oracle replays round-for-round."""
+    import numpy as np
+
+    df = _pca_corpus(spark)
+    got = {
+        r["dim"]: r["loading"]
+        for r in S.power_iteration_top(df, dims=6, iters=25).collect()
+    }
+    v = np.array([got[j] for j in range(6)])
+    assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-6
+    arr = np.array([r["embedding"] for r in df.orderBy("vec_id").collect()])
+    eq = np.round(arr.astype(np.float64) * 1000.0)
+    n = eq.shape[0]
+    m = n * (eq.T @ eq) - np.outer(eq.sum(axis=0), eq.sum(axis=0))
+    evals, evecs = np.linalg.eigh(m)
+    top = evecs[:, -1]
+    assert abs(float(v @ top)) > 0.999
+    again = {
+        r["dim"]: r["loading"]
+        for r in S.power_iteration_top(df.repartition(13), dims=6, iters=25).collect()
+    }
+    assert again == got
