@@ -59,76 +59,121 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Round-5 gate front block. Cumulative r1-r4 driver rows cover all
-# 185 previously-registered names (179 green oracle rows, 6 rows-only
-# by design at the time), so the window is now spent on (a) round-5
-# additions and changed queries — anything whose Spark plan or oracle
-# differs from the row the driver last recorded — and (b) permanent
-# regression SENTINELS: the fragile double-arithmetic folds whose
-# bit-exactness is most likely to break silently. Keep rotating: once
-# CORRECTNESS_r05 shows the new rows green, move (a) out and keep (b).
+# Round-6 gate front block. Every round-5 front name is green in
+# CORRECTNESS_r05, so the 50-slot window now holds: (a) round-6
+# additions, (b) the one plan-changed query, (c) the 6 permanent
+# double-arithmetic SENTINELS, then (d) STALENESS ROTATION — the
+# catalog names whose latest driver-gate row is oldest (r1 vintage;
+# 43 such names exist, the window fits 38 of them — the 5 past slot
+# 50 plus the 35 r2-vintage names are round-7's rotation, listed in
+# _ROTATION_R7).
 _GATE_PRIORITY = (
-    # -- (a) new in round 5 ----------------------------------------------
-    # TPC-H Q12 shape: fact x fact join, conditional split on the other
-    # table's priority attribute in one hash agg.
-    "l25_priority_mode_split",
-    # TPC-H Q21 shape: semi + anti double-correlated existence.
-    "l26_waiting_suppliers",
-    # t-digest mergeable quantiles, rank-tolerance audit form.
+    # -- (a) new in round 6 ----------------------------------------------
+    # streaming-state drains: the stream ops' own math under the gate.
+    "x_kmv_drain",
+    "t16_cusum_drain",
+    "x_tdigest_drain",
+    # maximal duplicated-substring inventory (ExactSubstr run form).
+    "x_substring_spans",
+    # fixed-point power-iteration eigensolver, 8 unrolled-CTE rounds.
+    "x_power_iteration",
+    # -- (b) plan changed this round --------------------------------------
+    # rank_ok tolerance floored at 1/n for tiny groups.
     "x_tdigest_quantiles",
-    # degree-oriented triangle enumeration (co-purchase graph).
-    "x_triangles",
-    # exact prefix-filtered Jaccard self-join (AllPairs/PPJoin family).
-    "x_prefix_join",
-    # CUSUM changepoint fold vs recursive-CTE replay.
-    "t14_cusum",
-    # last-touch attribution (LOCF as-of window, channel rollup).
-    "a40_attribution",
-    # unpivot/melt — the inverse of a17's pivot.
-    "a41_unpivot_measures",
-    # MAD robust outlier counts (exact interpolated percentiles).
-    "a42_mad_outliers",
-    # logreg reliability diagram (decile calibration curve).
-    "x_calibration",
-    # NB confusion matrix (x_nb_lang replay, (true, pred) rollup).
-    "x_nb_confusion",
-    # Holt one-step-ahead MAPE backtest (t10 replay + error tail).
-    "t15_backtest",
-    # -- (a) graduated out of rows-only this round -------------------------
-    # frozen-artifact BPE encode: full regexp-replay oracle.
-    "x_bpe_encode",
-    # HLL rollup: exact-distinct + 5% tolerance boolean.
-    "x_hll_rollup",
-    # trained IVF: recall-floor audit vs SQL-replayed exact truth.
-    "x_ann_ivf_trained",
-    # BPE training: fixed rounds unrolled as CTEs — full oracle.
-    "x_bpe_train",
-    # MMR: fixed k=5 greedy trajectory unrolled — full oracle.
-    "x_mmr_rerank",
-    # -- (a) plan changed this round (same semantics, re-present) ----------
-    # 3-grams now via two lead() windows (no per-user array).
-    "a36_top_paths",
-    # sharded_topk adopted for the final rank.
-    "x_cms_heavy_hitters",
-    "a6_leaderboard",
-    "l5_top_revenue_orders",
-    "l6_returned_customers",
-    "l17_dominant_suppliers",
-    "t3_top_terms",
-    # per-round localCheckpoint added to the label loop.
-    "x_label_prop",
-    # -- (b) permanent sentinels: fragile double-fold bit-exactness --------
+    # -- (c) permanent sentinels: fragile double-fold bit-exactness --------
     "t10_holt",
     "t12_holt_winters",
     "x_pagerank",
     "a29_trend_slope",
     "a30_corr_pairs",
     "x_linkage_score",
+    # -- (d) staleness rotation: latest driver row is round 1 --------------
+    "a1_funnel",
+    "a2_total_amount",
+    "a3_avg_ticket",
+    "a4_conversion_ratios",
+    "a5_goal_progress",
+    "a7_latest_per_key",
+    "a8_rollup_agent_table",
+    "a9_percent_of_total",
+    "a10_monthly_trend",
+    "a11_origin_counts",
+    "a12_agent_measures",
+    "a13_detail_listing",
+    "a14_slicer_filtered",
+    "a15_calendar",
+    "a16_distinct_counts",
+    "a17_pivot_funnel",
+    "a18_percentiles",
+    "a19_above_segment_avg",
+    "a20_cube",
+    "a22_grouping_sets",
+    "j1_gapless_monthly",
+    "j3_enriched_events",
+    "j5_active_anti_deleted",
+    "p3_coalesce_extract",
+    "p8_multiformat_ts",
+    "p9_tz_convert",
+    "p10_format_local",
+    "p11_tags_csv",
+    "p12_bool_cast",
+    "p14_reserialize",
+    "p15_case_transform",
+    "p17_html_strip",
+    "p18_string_kit",
+    "p19_posexplode",
+    "t1_asof_purchase_click",
+    "t2_session_stats",
+    "t4_session_window",
+    "t5_range_join",
 )
 
-# Spent in round 5 (kept for the registration order only — every name
-# already has a green r4 row; rotation history lives in git).
-_NEW_SINCE_R4: tuple[str, ...] = ()
+# Round-7 rotation backlog, oldest first: the 5 r1-vintage names that
+# did not fit round 6's window, then the 35 r2-vintage names. Promote
+# into _GATE_PRIORITY behind round-7 additions + the sentinels.
+_ROTATION_R7: tuple[str, ...] = (
+    "u1_union_offices",
+    "u2_backfill_stream_merge",
+    "u3_except",
+    "u4_intersect",
+    "x_quality_filter",
+    # r2 vintage from here
+    "l14_large_volume_orders",
+    "l15_disjunctive_revenue",
+    "w4_lag_lead",
+    "w5_moving_avg",
+    "w6_distribution_ranks",
+    "w7_growth_rates",
+    "w8_ytd",
+    "x_ann_bruteforce",
+    "x_ann_bucketed",
+    "x_ann_ivf",
+    "x_ann_pq",
+    "x_chunk_documents",
+    "x_decontaminate",
+    "x_dedup_clusters",
+    "x_dedup_clusters_star",
+    "x_dedup_exact",
+    "x_dedup_minhash_est",
+    "x_dedup_minhash_lsh",
+    "x_embed_near_dup",
+    "x_fingerprint",
+    "x_lang_id",
+    "x_length_clip",
+    "x_multimodal_meta",
+    "x_ngram_jaccard",
+    "x_pack_sequences",
+    "x_pii_redact",
+    "x_repetition",
+    "x_source_mixture",
+    "x_source_overlap",
+    "x_stratified_sample",
+    "x_text_stats",
+    "x_tfidf",
+    "x_token_counts",
+    "x_train_split",
+    "x_winnow_pairs",
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -139,7 +184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for mod in (warehouse, windows, extensions, measures, analytics, scalars, temporal):
         all_q.update(mod.QUERIES)
     out = {n: all_q[n] for n in _GATE_PRIORITY if n in all_q}
-    out.update({n: all_q[n] for n in _NEW_SINCE_R4 if n in all_q and n not in out})
+    out.update({n: all_q[n] for n in _ROTATION_R7 if n in all_q and n not in out})
     out.update({n: f for n, f in all_q.items() if n not in out})
     return out
 
