@@ -195,3 +195,94 @@ def prune_files_bloom(
     for p in _bloom_positions_py(value, m_bits, k):
         cond = cond & F.array_contains(F.col("bloom_pos"), p)
     return [r["file"] for r in manifest.filter(cond).select("file").collect()]
+
+
+def _hilbert_tables():
+    """Derive the 2-D Hilbert per-bit state machine from the classic
+    xy2d loop (Warren, Hacker's Delight fig. 16-6 lineage): walking
+    bits MSB-first, the accumulated rotation is always one of FOUR
+    reachable transforms of the remaining sub-square, so the whole
+    curve is a 4-state machine over 2-bit inputs. Returns
+    (digit_table, next_table), each 16 ints indexed by
+    state*4 + (2*bx + by) on the RAW bits.
+
+    A transform is (swap, fx, fy): current_x = fx ^ raw_[y if swap
+    else x], current_y = fy ^ raw_[x if swap else y]. Per step the
+    algorithm reads the TRANSFORMED bits (rx, ry), emits digit
+    (3*rx)^ry, and prepends: ry==0,rx==0 → swap; ry==0,rx==1 → flip
+    both then swap; else identity. States are discovered by BFS from
+    the identity, so the tables are provably consistent with the
+    reference fold (pinned against literal xy2d in
+    tests/test_layout.py)."""
+    def apply(t, bx, by):
+        sw, fx, fy = t
+        cx = fx ^ (by if sw else bx)
+        cy = fy ^ (bx if sw else by)
+        return cx, cy
+
+    def compose_step(t, rx, ry):
+        # new current coords from step applied AFTER t
+        sw, fx, fy = t
+        # write t as: cur_x = fx ^ raw_p1, cur_y = fy ^ raw_p2
+        p1, p2 = ("y", "x") if sw else ("x", "y")
+        if ry == 0 and rx == 0:        # swap(cx, cy)
+            nx = (fy, p2)
+            ny = (fx, p1)
+        elif ry == 0 and rx == 1:      # flip both, then swap
+            nx = (1 ^ fy, p2)
+            ny = (1 ^ fx, p1)
+        else:
+            nx = (fx, p1)
+            ny = (fy, p2)
+        nsw = nx[1] == "y"
+        return (nsw, nx[0], ny[0])
+
+    states = [(False, 0, 0)]
+    digit, nxt = {}, {}
+    i = 0
+    while i < len(states):
+        t = states[i]
+        for bx in (0, 1):
+            for by in (0, 1):
+                rx, ry = apply(t, bx, by)
+                digit[(i, 2 * bx + by)] = (3 * rx) ^ ry
+                t2 = compose_step(t, rx, ry)
+                if t2 not in states:
+                    states.append(t2)
+                nxt[(i, 2 * bx + by)] = states.index(t2)
+        i += 1
+    assert len(states) == 4, states
+    dig_tab = [digit[(s, q)] for s in range(4) for q in range(4)]
+    nxt_tab = [nxt[(s, q)] for s in range(4) for q in range(4)]
+    return dig_tab, nxt_tab
+
+
+HILBERT_DIGIT, HILBERT_NEXT = _hilbert_tables()
+
+
+def hilbert_key(x: Column, y: Column, bits: int = 8) -> Column:
+    """2-D Hilbert curve index of integer grid coords in [0, 2^bits)
+    — the locality-tighter alternative to the Morton key: consecutive
+    key values are always GRID-ADJACENT cells (Morton jumps across
+    the square at power-of-two seams), so range-partitioned files
+    cover more compact rectangles and min/max pruning skips more at
+    the same file count. Pure column arithmetic: per bit, one
+    16-entry constant-array lookup for the output digit and one for
+    the next rotation state — a LINEAR chain of ``bits`` small
+    expressions (no per-step branch doubling), engine-portable, so a
+    SQL oracle replays the identical fold. Columns come from
+    :func:`scale_to_bits`. 2-D only; for 3+ dims compose: hilbert on
+    the two hottest predicates, then interleave coarse bits of the
+    rest (Hamilton's n-D generalization buys little once file counts,
+    not cells, are the pruning unit)."""
+    dig = F.array(*[F.lit(v) for v in HILBERT_DIGIT])
+    nxt = F.array(*[F.lit(v) for v in HILBERT_NEXT])
+    state = F.lit(0).cast("int")
+    d = F.lit(0).cast("bigint")
+    for k in range(bits - 1, -1, -1):
+        bx = F.pmod(F.floor(x / F.lit(float(1 << k))).cast("bigint"), F.lit(2))
+        by = F.pmod(F.floor(y / F.lit(float(1 << k))).cast("bigint"), F.lit(2))
+        sel = (state * 4 + (bx * 2 + by)).cast("int")
+        d = d * 4 + F.element_at(dig, sel + 1).cast("bigint")
+        state = F.element_at(nxt, sel + 1)
+    return d.cast("bigint")

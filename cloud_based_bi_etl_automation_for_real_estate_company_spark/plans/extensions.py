@@ -739,6 +739,29 @@ def q_x_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert layout key over the same (user_id, value) grid as
+    x_zorder_key — the locality-tighter clustering curve (consecutive
+    keys are always grid-adjacent cells, so range-partitioned files
+    cover compact rectangles; Morton jumps at power-of-two seams).
+    The 4-state-machine fold is one constant-array lookup per bit,
+    and the oracle replays the identical 8 steps as chained CTEs —
+    engine-exact, like the zorder bit replay."""
+    from ..operators.layout import hilbert_key, scale_to_bits
+
+    ev = t(spark, sf_dir, "events")
+    hk = hilbert_key(
+        scale_to_bits(F.col("user_id"), 0.0, 1000.0, 8),
+        scale_to_bits(F.col("value"), 0.0, 500.0, 8),
+        bits=8,
+    )
+    return (
+        ev.select("event_id", hk.alias("hkey"))
+        .orderBy("event_id")
+        .limit(1000)
+    )
+
+
 def q_x_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for queries vec_id < 5: top-5 most-similar
     vectors with a different class label."""
@@ -3254,6 +3277,48 @@ ORACLES["x_tdigest_quantiles"] = """
     GROUP BY 1, 2
 """
 
+def _hilbert_oracle(bits: int) -> str:
+    """Chained-CTE replay of q_x_hilbert_key: the same 4-state
+    machine, one list-literal lookup per bit, MSB first."""
+    from ..operators.layout import HILBERT_DIGIT, HILBERT_NEXT
+
+    dig = "[" + ", ".join(str(v) for v in HILBERT_DIGIT) + "]"
+    nxt = "[" + ", ".join(str(v) for v in HILBERT_NEXT) + "]"
+    parts = ["""
+        WITH scaled AS (
+            SELECT event_id,
+                   LEAST(GREATEST(CAST(FLOOR(
+                       (CAST(user_id AS DOUBLE) - 0.0) / 1000.0 * 256.0
+                   ) AS BIGINT), 0), 255) AS a,
+                   LEAST(GREATEST(CAST(FLOOR(
+                       (CAST(value AS DOUBLE) - 0.0) / 500.0 * 256.0
+                   ) AS BIGINT), 0), 255) AS b
+            FROM events),
+        h0 AS (
+            SELECT event_id, a, b, 0 AS st, CAST(0 AS BIGINT) AS d
+            FROM scaled)"""]
+    step = 0
+    for k in range(bits - 1, -1, -1):
+        step += 1
+        parts.append(f""",
+        h{step} AS (
+            SELECT event_id, a, b,
+                   {nxt}[sel + 1] AS st,
+                   d * 4 + CAST({dig}[sel + 1] AS BIGINT) AS d
+            FROM (SELECT event_id, a, b, st, d,
+                         st * 4 + ((a >> {k}) & 1) * 2 + ((b >> {k}) & 1)
+                             AS sel
+                  FROM h{step - 1}))""")
+    parts.append(f"""
+        SELECT event_id, d AS hkey FROM h{step}
+        ORDER BY event_id LIMIT 1000
+    """)
+    return "".join(parts)
+
+
+ORACLES["x_hilbert_key"] = _hilbert_oracle(8)
+
+
 def _power_iter_oracle(iters: int) -> str:
     """Unrolled-CTE replay of power_iteration_top (the x_bpe_train
     pattern): exact integer covariance numerator, then ``iters``
@@ -3504,6 +3569,7 @@ QUERIES = {
     "x_kmv_distinct": q_x_kmv_distinct,
     "x_kmv_drain": q_x_kmv_drain,
     "x_power_iteration": q_x_power_iteration,
+    "x_hilbert_key": q_x_hilbert_key,
     "x_tdigest_drain": q_x_tdigest_drain,
     "x_kmv_setops": q_x_kmv_setops,
     "x_priority_sample": q_x_priority_sample,
