@@ -42,6 +42,11 @@ EXTRAS = [
     "x_triangles",
     "a40_attribution",
     "x_prefix_join",
+    # round-6 plan shapes under review: the gaps-and-islands substring
+    # inventory (one window-text agg + equi-join + per-doc window) and
+    # the linear-chain Hilbert fold (must stay one projection, no join).
+    "x_substring_spans",
+    "x_hilbert_key",
 ]
 
 
