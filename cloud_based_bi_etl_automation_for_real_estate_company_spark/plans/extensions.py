@@ -891,6 +891,31 @@ def q_x_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup admission against a persisted sketch store
+    (operators/dedup.incremental_minhash_dedup): even docs bootstrap
+    the corpus store (signature + band buckets only — text is never
+    re-read), odd docs arrive as the next batch and come back flagged
+    (admitted, max_eq_store). Store lives in a per-call temp dir,
+    removed before returning, so the query is repeatable. All
+    admission arithmetic is integer-exact (n_eq·2 ≥ 8), and the
+    oracle replays both batches' rules — including the bootstrap's
+    own in-batch dominance — from the shared band/signature CTEs."""
+    import shutil
+    import tempfile
+
+    d = t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="spark_graft_incr_neardup_")
+    try:
+        D.incremental_minhash_dedup(d.filter(F.col("doc_id") % 2 == 0), tmp)
+        out = D.incremental_minhash_dedup(
+            d.filter(F.col("doc_id") % 2 == 1), tmp
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_x_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-span removal (8-token tiles, first occurrence wins) —
     catches shared boilerplate inside otherwise-distinct documents."""
@@ -2017,6 +2042,46 @@ ORACLES: dict[str, str] = {
         FROM pairs p
         JOIN sig a ON a.doc_id = p.id_a
         JOIN sig b ON b.doc_id = p.id_b
+    """,
+    "x_incremental_neardup": f"""
+        WITH {_LSH_PAIRS_CTES},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.key = b.key
+             AND a.doc_id <> b.doc_id),
+        eq AS (
+            SELECT c.ida, c.idb,
+                   ({' + '.join(f'(CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END)' for i in range(8))})
+                       AS n_eq
+            FROM cand c
+            JOIN sig a ON a.doc_id = c.ida
+            JOIN sig b ON b.doc_id = c.idb),
+        dom_even AS (
+            SELECT DISTINCT ida AS doc_id FROM eq
+            WHERE ida % 2 = 0 AND idb % 2 = 0 AND idb < ida
+              AND n_eq * 2 >= 8),
+        store AS (
+            SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+              AND doc_id NOT IN (SELECT doc_id FROM dom_even)),
+        eq_store AS (
+            SELECT e.ida AS doc_id, MAX(n_eq) AS max_eq_store,
+                   MAX(CASE WHEN n_eq * 2 >= 8 THEN 1 ELSE 0 END) AS dup_store
+            FROM eq e JOIN store s ON e.idb = s.doc_id
+            WHERE e.ida % 2 = 1
+            GROUP BY 1),
+        dom_batch AS (
+            SELECT DISTINCT ida AS doc_id FROM eq
+            WHERE ida % 2 = 1 AND idb % 2 = 1 AND idb < ida
+              AND n_eq * 2 >= 8)
+        SELECT d.doc_id,
+               (COALESCE(es.dup_store, 0)
+                + (CASE WHEN db.doc_id IS NULL THEN 0 ELSE 1 END)) = 0
+                   AS admitted,
+               es.max_eq_store
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+        LEFT JOIN eq_store es USING (doc_id)
+        LEFT JOIN dom_batch db USING (doc_id)
     """,
     "x_dedup_clusters": _CLUSTERS_ORACLE,
     # the star-contraction variant must land on the exact same fixpoint
@@ -3570,6 +3635,7 @@ QUERIES = {
     "x_kmv_drain": q_x_kmv_drain,
     "x_power_iteration": q_x_power_iteration,
     "x_hilbert_key": q_x_hilbert_key,
+    "x_incremental_neardup": q_x_incremental_neardup,
     "x_tdigest_drain": q_x_tdigest_drain,
     "x_kmv_setops": q_x_kmv_setops,
     "x_priority_sample": q_x_priority_sample,

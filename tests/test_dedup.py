@@ -505,3 +505,46 @@ def test_duplicate_substring_spans_hand_computed(spark):
         (5, 0, 15, 16),   # first S3 copy
         (5, 20, 35, 16),  # second S3 copy after 4 filler tokens
     }
+
+
+def test_incremental_minhash_dedup_across_batches(spark, tmp_path):
+    """Near-dup admission against the sketch store: bootstrap admits
+    the batch-internal survivor only; the next batch is rejected
+    against STORE near-dups and in-batch smaller-id near-dups but
+    admits fresh content; the store grows, so a third batch
+    duplicating batch-2 content is rejected too. The sink receives
+    admitted rows only."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    other = "completely different content about spark shuffles and parquet row groups " * 5
+    third = "yet another unrelated corpus fragment with its own vocabulary entirely " * 5
+    store = str(tmp_path / "neardup_store")
+    b1 = spark.createDataFrame(
+        [(10, base), (12, base + " tail"), (14, other)],
+        "doc_id bigint, text string",
+    )
+    f1 = {r["doc_id"]: r["admitted"] for r in
+          D.incremental_minhash_dedup(b1, store).collect()}
+    assert f1 == {10: True, 12: False, 14: True}  # 12 dominated by 10
+    sunk = []
+    b2 = spark.createDataFrame(
+        [(21, base + " extra"),        # near-dup of stored 10 -> reject
+         (23, third),                  # fresh -> admit
+         (25, third + " suffix")],     # near-dup of smaller 23 -> reject
+        "doc_id bigint, text string",
+    )
+    f2rows = D.incremental_minhash_dedup(
+        b2, store, sink=lambda df: sunk.extend(r["doc_id"] for r in df.collect())
+    ).collect()
+    f2 = {r["doc_id"]: r["admitted"] for r in f2rows}
+    assert f2 == {21: False, 23: True, 25: False}
+    assert sunk == [23]
+    # rejected-vs-store rows carry the evidence column
+    eq21 = {r["doc_id"]: r["max_eq_store"] for r in f2rows}[21]
+    assert eq21 is not None and eq21 * 2 >= 8
+    # store grew with 23's sketch: a copy of `third` now rejects
+    b3 = spark.createDataFrame(
+        [(31, third + " more")], "doc_id bigint, text string"
+    )
+    f3 = {r["doc_id"]: r["admitted"] for r in
+          D.incremental_minhash_dedup(b3, store).collect()}
+    assert f3 == {31: False}
