@@ -60,11 +60,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Round-6 gate front block. Every round-5 front name is green in
-# CORRECTNESS_r05, so the 50-slot window now holds: (a) the 7 round-6
+# CORRECTNESS_r05, so the 50-slot window now holds: (a) the 8 round-6
 # additions, (b) the one plan-changed query, (c) the 6 permanent
 # double-arithmetic SENTINELS, then (d) STALENESS ROTATION — the
 # catalog names whose latest driver-gate row is oldest (r1 vintage;
-# 43 such names exist, the window fits 36 of them — the 7 past slot
+# 43 such names exist, the window fits 35 of them — the 8 past slot
 # 50 plus the 35 r2-vintage names are round-7's rotation, listed in
 # _ROTATION_R7).
 _GATE_PRIORITY = (
@@ -81,6 +81,8 @@ _GATE_PRIORITY = (
     "x_hilbert_key",
     # incremental near-dup admission vs the persisted sketch store.
     "x_incremental_neardup",
+    # TPC-H Q15 shape: global argmax over an aggregated revenue view.
+    "l27_top_supplier",
     # -- (b) plan changed this round --------------------------------------
     # rank_ok tolerance floored at 1/n for tiny groups.
     "x_tdigest_quantiles",
@@ -127,13 +129,13 @@ _GATE_PRIORITY = (
     "p18_string_kit",
     "p19_posexplode",
     "t1_asof_purchase_click",
-    "t2_session_stats",
 )
 
 # Round-7 rotation backlog, oldest first: the 5 r1-vintage names that
 # did not fit round 6's window, then the 35 r2-vintage names. Promote
 # into _GATE_PRIORITY behind round-7 additions + the sentinels.
 _ROTATION_R7: tuple[str, ...] = (
+    "t2_session_stats",
     "t4_session_window",
     "t5_range_join",
     "u1_union_offices",

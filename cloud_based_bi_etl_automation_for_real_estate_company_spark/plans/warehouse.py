@@ -766,7 +766,61 @@ def q_l25_priority_mode_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_l27_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped global argmax over an aggregated view: 1997
+    revenue per supplier, then the supplier(s) achieving the GLOBAL
+    maximum — the "CREATE VIEW revenue / WHERE total = (SELECT MAX)"
+    pattern. Differs from l9's per-GROUP min in that the scalar is one
+    global row, so the plan is agg → 1-row broadcast → equality
+    filter; ties all surface (the spec's deliberate wrinkle), and the
+    decimal-exact revenue sums make cross-engine equality safe where
+    a double sum would make the argmax partition-dependent."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    s = t(spark, sf_dir, "supplier")
+    rev = (
+        l.join(
+            o.select("o_orderkey", "o_orderdate"), l.l_orderkey == o.o_orderkey
+        )
+        .filter(F.year("o_orderdate") == 1997)
+        .groupBy("l_suppkey")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+                "total_revenue"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supplier"),
+            "total_revenue",
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "l27_top_supplier": """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6)
+                                 AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+            GROUP BY 1),
+        mx AS (SELECT MAX(total_revenue) AS mx FROM rev)
+        SELECT s_suppkey AS suppkey, s_name AS supplier, total_revenue
+        FROM rev, mx
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = mx
+    """,
     "l26_waiting_suppliers": """
         WITH base AS (
             SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
@@ -1183,6 +1237,7 @@ QUERIES = {
     "l24_forecast_revenue": q_l24_forecast_revenue,
     "l25_priority_mode_split": q_l25_priority_mode_split,
     "l26_waiting_suppliers": q_l26_waiting_suppliers,
+    "l27_top_supplier": q_l27_top_supplier,
     "l10_order_count_dist": q_l10_order_count_dist,
     "l11_idle_rich_customers": q_l11_idle_rich_customers,
     "l12_promo_revenue": q_l12_promo_revenue,
