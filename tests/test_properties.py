@@ -254,3 +254,46 @@ def test_triangles_match_bruteforce_property(spark, edges):
         and (x, y) in adj and (y, z) in adj and (x, z) in adj
     )
     assert got == expect
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1, max_size=40, unique=True,
+    )
+)
+def test_hilbert_key_matches_reference_property(spark, pts):
+    """For arbitrary grid points at order 8, the column fold equals
+    the literal xy2d loop and stays within [0, 2^16)."""
+    from pyspark.sql import functions as F
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.layout import (
+        hilbert_key,
+    )
+
+    def xy2d(order, x, y):
+        d = 0
+        s = 1 << (order - 1)
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    df = spark.createDataFrame(pts, "x bigint, y bigint")
+    got = {
+        (r["x"], r["y"]): r["d"]
+        for r in df.select(
+            "x", "y", hilbert_key(F.col("x"), F.col("y"), bits=8).alias("d")
+        ).collect()
+    }
+    for (x, y), d in got.items():
+        assert d == xy2d(8, x, y)
+        assert 0 <= d < (1 << 16)
