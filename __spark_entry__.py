@@ -4,12 +4,14 @@
 ``oracle_sql`` expose every implemented operator from SURVEY.md §2
 plus the training-data-pipeline extensions, each with a DuckDB
 oracle except the single non-SQL-expressible entry: x_pca_project
-(numpy eigh), which carries the green Parseval shadow
-``x_pca_invariants``. Round-5 graduations out of rows-only: BPE
-encode (frozen merge artifact), BPE train (10 unrolled CTE rounds),
-MMR re-rank (k=5 greedy trajectory unrolled), HLL rollup
-(exact-distinct + tolerance boolean), trained IVF (recall-floor
-audit); SimHash graduated in round 4.
+(numpy eigh) — PERMANENTLY rows-only by round-6 decision: its
+Parseval shadow ``x_pca_invariants`` checks centering/orthonormality
+in SQL, and ``x_power_iteration`` proves the distributed eigen-math
+cross-engine-exact in integer fixed-point. Round-5 graduations out
+of rows-only: BPE encode (frozen merge artifact), BPE train (10
+unrolled CTE rounds), MMR re-rank (k=5 greedy trajectory unrolled),
+HLL rollup (exact-distinct + tolerance boolean), trained IVF
+(recall-floor audit); SimHash graduated in round 4.
 """
 
 from __future__ import annotations
@@ -60,11 +62,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Round-6 gate front block. Every round-5 front name is green in
-# CORRECTNESS_r05, so the 50-slot window now holds: (a) the 8 round-6
+# CORRECTNESS_r05, so the 50-slot window now holds: (a) the 9 round-6
 # additions, (b) the one plan-changed query, (c) the 6 permanent
 # double-arithmetic SENTINELS, then (d) STALENESS ROTATION — the
 # catalog names whose latest driver-gate row is oldest (r1 vintage;
-# 43 such names exist, the window fits 35 of them — the 8 past slot
+# 43 such names exist, the window fits 34 of them — the 9 past slot
 # 50 plus the 35 r2-vintage names are round-7's rotation, listed in
 # _ROTATION_R7).
 _GATE_PRIORITY = (
@@ -83,6 +85,8 @@ _GATE_PRIORITY = (
     "x_incremental_neardup",
     # TPC-H Q15 shape: global argmax over an aggregated revenue view.
     "l27_top_supplier",
+    # quantile sketch-table rollup: daily digests merged to per-type.
+    "x_tdigest_rollup",
     # -- (b) plan changed this round --------------------------------------
     # rank_ok tolerance floored at 1/n for tiny groups.
     "x_tdigest_quantiles",
@@ -128,13 +132,13 @@ _GATE_PRIORITY = (
     "p17_html_strip",
     "p18_string_kit",
     "p19_posexplode",
-    "t1_asof_purchase_click",
 )
 
-# Round-7 rotation backlog, oldest first: the 5 r1-vintage names that
+# Round-7 rotation backlog, oldest first: the 9 r1-vintage names that
 # did not fit round 6's window, then the 35 r2-vintage names. Promote
 # into _GATE_PRIORITY behind round-7 additions + the sentinels.
 _ROTATION_R7: tuple[str, ...] = (
+    "t1_asof_purchase_click",
     "t2_session_stats",
     "t4_session_window",
     "t5_range_join",

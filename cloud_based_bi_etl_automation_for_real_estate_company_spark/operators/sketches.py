@@ -372,6 +372,32 @@ def tdigest_centroids(
         out["mean"], out["weight"] = m, w
         return out
 
+    fine = (
+        df.select(*keys, F.col(col), shard)
+        .groupBy(*keys, "__shard")
+        .applyInPandas(build, out_schema)
+    )
+    return tdigest_merge(fine, keys, delta)
+
+
+def tdigest_merge(
+    centroids: DataFrame, keys: list[str], delta: int = 100
+) -> DataFrame:
+    """Merge/ROLL UP a centroid table to coarser keys by re-clustering
+    centroids as weighted points — the t-digest's mergeability made a
+    public operator (the quantile sibling of the HLL rollup story):
+    build per-(key, day) digests ONCE, then answer any coarser slice
+    — per-key, per-month, global — from the kilobyte sketch table
+    with no fact re-scan. Also stage 2 of the distributed build, so
+    rollup and build can never disagree on merge semantics. Returns
+    (*keys, mean, weight)."""
+    import pandas as pd
+
+    key_fields = ", ".join(
+        f"{k} {t}" for k, t in centroids.select(*keys).dtypes
+    )
+    out_schema = f"{key_fields}, mean double, weight double"
+
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         m, w = _tdigest_cluster(
             pdf["mean"].to_numpy(float), pdf["weight"].to_numpy(float), delta
@@ -381,12 +407,7 @@ def tdigest_centroids(
         out["mean"], out["weight"] = m, w
         return out
 
-    fine = (
-        df.select(*keys, F.col(col), shard)
-        .groupBy(*keys, "__shard")
-        .applyInPandas(build, out_schema)
-    )
-    return fine.groupBy(*keys).applyInPandas(merge, out_schema)
+    return centroids.groupBy(*keys).applyInPandas(merge, out_schema)
 
 
 def tdigest_quantiles(

@@ -1551,6 +1551,50 @@ def q_x_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x_tdigest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-table ROLLUP for quantiles (the x_hll_rollup story with
+    rank instead of cardinality): per-(event_type, day) t-digests are
+    built once, then the per-type p50/p95/p99 come from merging the
+    DAILY centroid table (operators/sketches.tdigest_merge) — facts
+    are never re-read at query time, which at 100 TB is the
+    difference between a dashboard refresh and a table scan. Audit
+    form: exact n_rows hash-checked, rank_ok ≤ max(0.05, 1/n) —
+    rollup-vs-direct consistency is pinned in
+    tests/test_scale_paths.py."""
+    from ..operators import sketches as K
+
+    ev = t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    # daily slices are already small groups — 4 build shards apiece,
+    # not the default 32 (which exists for whole-corpus keys), keeps
+    # the Arrow group count proportionate
+    daily = K.tdigest_centroids(
+        ev, ["event_type", "day"], "value", delta=100, n_shards=4
+    )
+    merged = K.tdigest_merge(daily, ["event_type"], delta=100)
+    est = K.tdigest_quantiles(merged, ["event_type"], [0.5, 0.95, 0.99])
+    return (
+        ev.select("event_type", "value")
+        .join(F.broadcast(est), "event_type")
+        .groupBy("event_type", "q")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.abs(
+                    F.sum(
+                        F.when(F.col("value") <= F.col("est"), 1).otherwise(0)
+                    ).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                    - F.col("q")
+                )
+                <= F.greatest(
+                    F.lit(0.05),
+                    F.lit(1.0) / F.count(F.lit(1)).cast("double"),
+                )
+            ).alias("rank_ok"),
+        )
+    )
+
+
 def q_x_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch point queries for the corpus's true top-15
     terms: d=4 x 256 additive counters, estimate = min over rows —
@@ -3479,6 +3523,15 @@ ORACLES["x_tdigest_drain"] = """
     GROUP BY 1, 2
 """
 
+# x_tdigest_rollup: the daily→type merged digest audited in the same
+# tolerance form as the direct build.
+ORACLES["x_tdigest_rollup"] = """
+    SELECT event_type, q, COUNT(*) AS n_rows, TRUE AS rank_ok
+    FROM events
+    CROSS JOIN (SELECT UNNEST([0.5, 0.95, 0.99]::DOUBLE[]) AS q) qs
+    GROUP BY 1, 2
+"""
+
 # x_bpe_train: all 10 training rounds unrolled as chained CTEs (see
 # q_x_bpe_train docstring for the three equivalences this rests on).
 ORACLES["x_bpe_train"] = _bpe_train_oracle(10)
@@ -3636,6 +3689,7 @@ QUERIES = {
     "x_power_iteration": q_x_power_iteration,
     "x_hilbert_key": q_x_hilbert_key,
     "x_incremental_neardup": q_x_incremental_neardup,
+    "x_tdigest_rollup": q_x_tdigest_rollup,
     "x_tdigest_drain": q_x_tdigest_drain,
     "x_kmv_setops": q_x_kmv_setops,
     "x_priority_sample": q_x_priority_sample,

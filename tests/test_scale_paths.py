@@ -398,3 +398,32 @@ def test_tdigest_accuracy_determinism_and_merge(spark):
     for q in qs:
         rank = np.searchsorted(sv, est2[q], side="right") / n
         assert abs(rank - q) < 0.02, (q, rank)
+
+
+def test_tdigest_rollup_matches_direct(spark):
+    """Merging per-slice digests to a coarser key (tdigest_merge) must
+    stay within digest accuracy of the DIRECT single-key build: both
+    answer p50/p95/p99 with rank error < 2% on the same 6000 values,
+    and the merged digest keeps O(delta) centroids."""
+    import numpy as np
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators import (
+        sketches as K,
+    )
+
+    n = 6000
+    vals = np.exp(2.0 * ((np.arange(n) * 2654435761 % 2**32) / 2**32))
+    rows = [("k", int(i % 10), float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "key string, slice int, value double")
+    daily = K.tdigest_centroids(df, ["key", "slice"], "value", delta=100,
+                                n_shards=4)
+    merged = K.tdigest_merge(daily, ["key"], delta=100)
+    assert merged.count() <= 120
+    est = {
+        r["q"]: r["est"]
+        for r in K.tdigest_quantiles(merged, ["key"], [0.5, 0.95, 0.99]).collect()
+    }
+    sv = np.sort(vals)
+    for q, e in est.items():
+        rank = np.searchsorted(sv, e, side="right") / n
+        assert abs(rank - q) < 0.02, (q, rank)
