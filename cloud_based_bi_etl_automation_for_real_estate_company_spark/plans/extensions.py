@@ -1595,6 +1595,55 @@ def q_x_tdigest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x_spacesaving_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for the SpaceSaving heavy-hitter stream state
+    (streaming.stateful.streaming_spacesaving — Metwally et al. 2005):
+    the one-shot batch drain runs the same deterministic fold, then
+    the audit checks the sketch's THEOREMS against exact counts — per
+    event_type: exact n_seen and counter count (both hash-checked:
+    n_counters = min(m, distinct items)), every true heavy hitter
+    (count > n/m) present, and est ≥ true ≥ est − err for every kept
+    counter. The summary is m=64 counters per key forever, the
+    frequency sibling of the KMV/t-digest state rows."""
+    from ..streaming.stateful import spacesaving_drain_batch
+
+    ev = t(spark, sf_dir, "events")
+    d = spacesaving_drain_batch(ev, "event_type", "user_id", m=64)
+    truth = ev.groupBy(
+        "event_type", F.col("user_id").cast("string").alias("item")
+    ).agg(F.count(F.lit(1)).alias("true_c"))
+    tot = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_rows"))
+    kept = d.join(truth, ["event_type", "item"])
+    per_key = kept.groupBy("event_type").agg(
+        F.max("n_seen").alias("n_seen"),
+        F.count(F.lit(1)).alias("n_counters"),
+        F.min(
+            (F.col("est") >= F.col("true_c"))
+            & (F.col("est") - F.col("err") <= F.col("true_c"))
+        ).alias("bounds_ok"),
+    )
+    hh = (
+        truth.join(F.broadcast(tot), "event_type")
+        .filter(F.col("true_c") * 64 > F.col("n_rows"))
+        .join(
+            d.select("event_type", "item").withColumn("__kept", F.lit(1)),
+            ["event_type", "item"],
+            "left",
+        )
+        .groupBy("event_type")
+        .agg(F.min(F.coalesce(F.col("__kept"), F.lit(0))).alias("__allkept"))
+    )
+    return per_key.join(hh, "event_type", "left").select(
+        "event_type",
+        "n_seen",
+        "n_counters",
+        F.coalesce(F.col("__allkept") == 1, F.lit(True)).alias(
+            "contains_all_hh"
+        ),
+        "bounds_ok",
+    )
+
+
 def q_x_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch point queries for the corpus's true top-15
     terms: d=4 x 256 additive counters, estimate = min over rows —
@@ -3523,6 +3572,17 @@ ORACLES["x_tdigest_drain"] = """
     GROUP BY 1, 2
 """
 
+# x_spacesaving_drain: the SpaceSaving theorems audited against exact
+# counts; n_seen and the counter count are exact hashed values.
+ORACLES["x_spacesaving_drain"] = """
+    SELECT event_type,
+           COUNT(*) AS n_seen,
+           LEAST(64, COUNT(DISTINCT user_id)) AS n_counters,
+           TRUE AS contains_all_hh,
+           TRUE AS bounds_ok
+    FROM events GROUP BY 1
+"""
+
 # x_tdigest_rollup: the daily→type merged digest audited in the same
 # tolerance form as the direct build.
 ORACLES["x_tdigest_rollup"] = """
@@ -3690,6 +3750,7 @@ QUERIES = {
     "x_hilbert_key": q_x_hilbert_key,
     "x_incremental_neardup": q_x_incremental_neardup,
     "x_tdigest_rollup": q_x_tdigest_rollup,
+    "x_spacesaving_drain": q_x_spacesaving_drain,
     "x_tdigest_drain": q_x_tdigest_drain,
     "x_kmv_setops": q_x_kmv_setops,
     "x_priority_sample": q_x_priority_sample,

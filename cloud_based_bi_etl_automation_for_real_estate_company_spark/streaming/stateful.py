@@ -685,3 +685,145 @@ def tdigest_drain_batch(
         .groupBy(key_col)
         .applyInPandas(drain, schema=out_schema)
     )
+
+
+# -- SpaceSaving heavy hitters (Metwally, Agrawal & El Abbadi 2005) ---------
+
+
+def _spacesaving_fold(counts: dict, errs: dict, items, weights, m: int):
+    """Fold (item, weight) pairs into a bounded SpaceSaving summary of
+    at most ``m`` counters: known items accumulate; new items insert
+    while room remains, else REPLACE the minimum counter, inheriting
+    its count as the new item's error bound. Victims and iteration
+    order are deterministic (min count, then lexicographic item; items
+    folded in sorted order), so stream and batch drain agree given the
+    same batch boundaries. Guarantees, regardless of boundaries:
+    est ≥ true, est − err ≤ true, and every item with true count >
+    n/m is present — the properties the audit oracle checks."""
+    for it, w in sorted(zip(items, weights)):
+        w = int(w)
+        if it in counts:
+            counts[it] += w
+        elif len(counts) < m:
+            counts[it] = w
+            errs[it] = 0
+        else:
+            victim = min(counts, key=lambda k: (counts[k], k))
+            base = counts.pop(victim)
+            errs.pop(victim)
+            counts[it] = base + w
+            errs[it] = base
+    return counts, errs
+
+
+def streaming_spacesaving(
+    events: DataFrame,
+    key_col: str = "event_type",
+    item_col: str = "user_id",
+    m: int = 64,
+) -> DataFrame:
+    """ST5 — per-key heavy hitters via SpaceSaving as explicit stream
+    state, completing the sketch-state family (KMV cardinality, HLL
+    windowed, t-digest rank, CUSUM shift, SpaceSaving FREQUENCY): the
+    GroupState holds at most ``m`` (item, count, err) counters forever
+    while the stream is unbounded. Each micro-batch pre-aggregates
+    its rows to (item, weight) pairs pandas-side (one value_counts —
+    state code folds O(distinct), never O(rows)) and re-emits the
+    current summary. Update-mode output: one row per (key, item) per
+    micro-batch (key, item, est, err, n_seen)."""
+    out_schema = StructType(
+        [
+            StructField(key_col, StringType()),
+            StructField("item", StringType()),
+            StructField("est", LongType()),
+            StructField("err", LongType()),
+            StructField("n_seen", LongType()),
+        ]
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (kv,) = key
+        if state.exists:
+            its, cts, ers, n_seen = state.get
+            counts = dict(zip(its, cts))
+            errs = dict(zip(its, ers))
+        else:
+            counts, errs, n_seen = {}, {}, 0
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            vc = pdf[item_col].astype(str).value_counts()
+            counts, errs = _spacesaving_fold(
+                counts, errs, vc.index.tolist(), vc.values.tolist(), m
+            )
+        its = sorted(counts)
+        state.update(
+            (its, [counts[i] for i in its], [errs[i] for i in its], n_seen)
+        )
+        yield pd.DataFrame(
+            {
+                key_col: [kv] * len(its),
+                "item": its,
+                "est": [counts[i] for i in its],
+                "err": [errs[i] for i in its],
+                "n_seen": [n_seen] * len(its),
+            }
+        )
+
+    return (
+        events.select(key_col, item_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=(
+                "its array<string>, cts array<bigint>, "
+                "ers array<bigint>, n_seen bigint"
+            ),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def spacesaving_drain_batch(
+    df: DataFrame,
+    key_col: str = "event_type",
+    item_col: str = "user_id",
+    m: int = 64,
+) -> DataFrame:
+    """One-shot batch drain of ``streaming_spacesaving`` — the same
+    ``_spacesaving_fold`` over each group's value_counts in a single
+    'micro-batch'. Returns (key, item, est, err, n_seen)."""
+    out_schema = StructType(
+        [
+            StructField(key_col, StringType()),
+            StructField("item", StringType()),
+            StructField("est", LongType()),
+            StructField("err", LongType()),
+            StructField("n_seen", LongType()),
+        ]
+    )
+
+    def drain(pdf: pd.DataFrame) -> pd.DataFrame:
+        vc = pdf[item_col].astype(str).value_counts()
+        counts, errs = _spacesaving_fold(
+            {}, {}, vc.index.tolist(), vc.values.tolist(), m
+        )
+        its = sorted(counts)
+        return pd.DataFrame(
+            {
+                key_col: [pdf[key_col].iloc[0]] * len(its),
+                "item": its,
+                "est": [counts[i] for i in its],
+                "err": [errs[i] for i in its],
+                "n_seen": [len(pdf)] * len(its),
+            }
+        )
+
+    return (
+        df.select(key_col, item_col)
+        .groupBy(key_col)
+        .applyInPandas(drain, schema=out_schema)
+    )

@@ -712,3 +712,91 @@ def test_streaming_tdigest_bounded_state_and_accuracy(spark, tmp_path):
         assert r["n_centroids"] <= 120
         rank = np.searchsorted(sv, r["est"], side="right") / n
         assert abs(rank - r["q"]) < 0.03, (r["q"], rank)
+
+
+def test_streaming_spacesaving_guarantees_and_drain(spark, tmp_path):
+    """SpaceSaving-as-state: after draining micro-batches the final
+    per-key summary must satisfy the sketch theorems against exact
+    counts (est >= true >= est - err; every item with true count >
+    n/m present; <= m counters), and a single-batch stream must equal
+    the batch drain exactly (same fold, same boundaries)."""
+    import json as _json
+    import os as _os
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.streaming.stateful import (
+        spacesaving_drain_batch,
+        streaming_spacesaving,
+    )
+
+    # skewed alphabet: item i appears ~ 200/(i+1) times (Zipf-ish),
+    # 40 distinct items, m=8 counters -> real compression
+    rows = []
+    for i in range(40):
+        rows += [f"it{i:02d}"] * max(1, 200 // (i + 1))
+    p = tmp_path / "ss_ev"
+    p.mkdir()
+    for fi in range(4):
+        fp = p / f"f{fi}.jsonl"
+        with open(fp, "w") as f:
+            for it in rows[fi::4]:
+                f.write(_json.dumps({"k": "a", "item": it}) + "\n")
+        _os.utime(fp, (1_700_000_000 + fi, 1_700_000_000 + fi))
+    schema = "k string, item string"
+    stream = streaming_spacesaving(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(p)),
+        key_col="k", item_col="item", m=8,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ss_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM ss_state").collect()
+    last_n = max(r["n_seen"] for r in out)
+    final = {r["item"]: (r["est"], r["err"]) for r in out if r["n_seen"] == last_n}
+    n = len(rows)
+    assert last_n == n and 0 < len(final) <= 8
+    from collections import Counter
+
+    true_c = Counter(rows)
+    for it, (est, err) in final.items():
+        assert est >= true_c[it] >= est - err, (it, est, err, true_c[it])
+    for it, c in true_c.items():
+        if c * 8 > n:
+            assert it in final, (it, c)
+    # single-batch stream == batch drain (same boundaries -> same fold)
+    batch = spark.read.schema(schema).json(str(p))
+    drained = {
+        r["item"]: (r["est"], r["err"], r["n_seen"])
+        for r in spacesaving_drain_batch(batch, "k", "item", m=8).collect()
+    }
+    p2 = tmp_path / "ss_one"
+    p2.mkdir()
+    with open(p2 / "all.jsonl", "w") as f:
+        for it in rows:
+            f.write(_json.dumps({"k": "a", "item": it}) + "\n")
+    one = streaming_spacesaving(
+        spark.readStream.schema(schema).json(str(p2)), key_col="k",
+        item_col="item", m=8,
+    )
+    q2 = (
+        one.writeStream.format("memory")
+        .queryName("ss_one")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got_one = {
+        r["item"]: (r["est"], r["err"], r["n_seen"])
+        for r in spark.sql("SELECT * FROM ss_one").collect()
+    }
+    # NOTE: the batch read's row order can differ from the stream's
+    # file order, but the fold pre-aggregates to per-batch counts and
+    # folds items in sorted order, so one-batch == one-shot drain
+    assert got_one == drained
