@@ -209,3 +209,60 @@ def triangles(
     return tri.select(
         ids[0].alias("p1"), ids[1].alias("p2"), ids[2].alias("p3")
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 8,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman, Social
+    Networks 1983; the Batagelj–Zaveršnik bulk variant): repeatedly
+    delete every node whose degree in the SURVIVING subgraph is < k.
+    The fixpoint is the k-core — the standard graph-quality filter
+    (spam rings and one-off tails peel away; the dense backbone
+    stays), and the degeneracy-ordering backbone the triangle
+    orientation also leans on.
+
+    Bulk peeling converges in O(peel depth) rounds, each one degree
+    aggregation + one semi-join on the surviving edge list — the same
+    per-round keyed-shuffle shape as the CC loop, with a per-round
+    localCheckpoint keeping the plan linear. ``rounds`` is FIXED (not
+    a convergence loop) so the DuckDB oracle can replay the identical
+    unrolled rounds; convergence-within-rounds is pinned by test
+    (one extra round changes nothing on the fixture), making the
+    fixed-round result THE k-core, not an approximation of it.
+    Returns (node, deg) for surviving nodes with their final in-core
+    degree."""
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("a").alias("n"))
+            .unionByName(e.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("n")
+        e = (
+            e.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") >= k)
+    )
+    return deg

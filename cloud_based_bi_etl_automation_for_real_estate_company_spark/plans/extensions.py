@@ -706,6 +706,34 @@ def q_x_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles(edges, "pa", "pb")
 
 
+def q_x_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the part co-purchase graph (k=3, same edge builder
+    as x_triangles): iterative bulk peeling until only nodes with ≥ 3
+    surviving co-purchase partners remain — the graph-quality filter
+    that strips one-off tails and keeps the dense market backbone.
+    Fixed 8 peeling rounds so the oracle replays the identical
+    unrolled rounds (MATERIALIZED CTEs); convergence within 8 is
+    pinned in tests/test_graph.py, so the fixed-round result IS the
+    k-core."""
+    from ..operators.graph import kcore
+
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    r = l.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb")
+    )
+    edges = (
+        l.join(
+            r,
+            (F.col("l_orderkey") == F.col("ok2"))
+            & (F.col("l_partkey") < F.col("pb")),
+        )
+        .groupBy(F.col("l_partkey").alias("pa"), "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    return kcore(edges, k=3, src_col="pa", dst_col="pb", rounds=8)
+
+
 def q_x_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (arXiv:2302.03169) with lang='en' as
     the target distribution — the data-selection scorer that upweights
@@ -3426,6 +3454,41 @@ ORACLES["x_triangles"] = """
     JOIN edges ec ON ec.pa = e1.pa AND ec.pb = eb.pb
 """
 
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled replay of q_x_kcore's fixed peeling rounds. Every CTE
+    MATERIALIZED — each round references the previous edge set three
+    times (degree count + two semi-join legs), which inlining would
+    re-expand exponentially (the x_power_iteration lesson)."""
+    parts = ["""
+        WITH co AS MATERIALIZED (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a
+            JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        e0 AS MATERIALIZED (SELECT pa AS a, pb AS b FROM co)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+        d{i} AS MATERIALIZED (
+            SELECT n, COUNT(*) AS deg FROM (
+                SELECT a AS n FROM e{i - 1}
+                UNION ALL SELECT b FROM e{i - 1}) GROUP BY 1),
+        k{i} AS MATERIALIZED (SELECT n FROM d{i} WHERE deg >= {k}),
+        e{i} AS MATERIALIZED (
+            SELECT e.a, e.b FROM e{i - 1} e
+            JOIN k{i} ka ON e.a = ka.n
+            JOIN k{i} kb ON e.b = kb.n)""")
+    parts.append(f"""
+        SELECT node, COUNT(*) AS deg FROM (
+            SELECT a AS node FROM e{rounds}
+            UNION ALL SELECT b FROM e{rounds}) GROUP BY 1
+        HAVING COUNT(*) >= {k}
+    """)
+    return "".join(parts)
+
+
+ORACLES["x_kcore"] = _kcore_oracle(3, 8)
+
 # x_tdigest_quantiles tolerance audit: exact per-(type, q) row counts
 # hash-checked; rank_ok asserts the digest's rank error stays ≤ 5%.
 ORACLES["x_tdigest_quantiles"] = """
@@ -3751,6 +3814,7 @@ QUERIES = {
     "x_incremental_neardup": q_x_incremental_neardup,
     "x_tdigest_rollup": q_x_tdigest_rollup,
     "x_spacesaving_drain": q_x_spacesaving_drain,
+    "x_kcore": q_x_kcore,
     "x_tdigest_drain": q_x_tdigest_drain,
     "x_kmv_setops": q_x_kmv_setops,
     "x_priority_sample": q_x_priority_sample,

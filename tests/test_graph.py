@@ -111,3 +111,47 @@ def test_triangles_hand_computed_and_orientation_invariant(spark):
         (r["p1"], r["p2"], r["p3"]) for r in triangles(df).collect()
     )
     assert got == [(1, 2, 3), (1, 2, 4)]
+
+
+def test_kcore_hand_computed(spark):
+    """Classic peeling example: a 4-clique with a pendant path. The
+    3-core is exactly the clique (each member keeps degree 3); the
+    path nodes peel away over successive rounds — including the
+    cascade where removing one tail node drops its neighbor below k."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.graph import kcore
+
+    clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    tail = [(4, 5), (5, 6), (6, 7)]  # chain: peels in cascading rounds
+    df = spark.createDataFrame(clique + tail, "src bigint, dst bigint")
+    got = {r["node"]: r["deg"] for r in kcore(df, k=3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # 2-core: the chain still peels (endpoints have degree 1), clique stays
+    got2 = {r["node"] for r in kcore(df, k=2).collect()}
+    assert got2 == {1, 2, 3, 4}
+
+
+def test_kcore_fixture_converges_within_rounds(spark):
+    """The fixed 8-round gate form must BE the k-core on the fixture:
+    one extra round changes nothing (fixpoint reached), making the
+    unrolled oracle exact rather than approximate."""
+    from pyspark.sql import functions as F
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.graph import kcore
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.plans.measures import t
+
+    l = t(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    r = l.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb"))
+    edges = (
+        l.join(r, (F.col("l_orderkey") == F.col("ok2"))
+               & (F.col("l_partkey") < F.col("pb")))
+        .groupBy(F.col("l_partkey").alias("pa"), "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    r8 = {(x["node"], x["deg"]) for x in
+          kcore(edges, k=3, src_col="pa", dst_col="pb", rounds=8).collect()}
+    r9 = {(x["node"], x["deg"]) for x in
+          kcore(edges, k=3, src_col="pa", dst_col="pb", rounds=9).collect()}
+    assert r8 == r9 and len(r8) > 0
