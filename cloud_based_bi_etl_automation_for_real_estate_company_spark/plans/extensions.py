@@ -1486,6 +1486,47 @@ def q_x_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.editdist_pairs(t(spark, sf_dir, "part"), "p_name", max_dist=2)
 
 
+def q_x_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MDM survivorship capstone — the full entity-resolution pipeline
+    composed end-to-end: word-position blocking → Levenshtein ≤ 2
+    scoring (editdist_pairs) → connected-component clustering → one
+    GOLDEN RECORD per entity cluster with deterministic survivorship
+    rules (canonical id = the cluster's min part key; exact
+    min/max/count attribute merges — no order-dependent sums, so the
+    whole table is engine-exact). Names map to numeric node ids
+    (min p_partkey per name) before clustering — the CC loop's
+    label-sum convergence check needs numeric labels. Singleton
+    entities survive as their own golden record, giving the complete
+    master table a downstream join would consume. Scale: blocking
+    bounds the pair work, CC is the shared min-label loop,
+    survivorship is one hash agg on the cluster key."""
+    p = t(spark, sf_dir, "part")
+    ids = p.groupBy("p_name").agg(F.min("p_partkey").alias("nid"))
+    pairs = D.editdist_pairs(p, "p_name", max_dist=2).select(
+        "name_a", "name_b"
+    )
+    ia = ids.select(F.col("p_name").alias("name_a"), F.col("nid").alias("ida"))
+    ib = ids.select(F.col("p_name").alias("name_b"), F.col("nid").alias("idb"))
+    id_pairs = pairs.join(ia, "name_a").join(ib, "name_b").select("ida", "idb")
+    cc = D.connected_components(id_pairs, src="ida", dst="idb")
+    cmap = ids.join(
+        cc.select(F.col("doc_id").alias("nid"), F.col("cluster_id").alias("__cl")),
+        "nid",
+        "left",
+    ).select(
+        "p_name", F.coalesce(F.col("__cl"), F.col("nid")).alias("cluster_id")
+    )
+    joined = p.join(cmap, "p_name")
+    return joined.groupBy("cluster_id").agg(
+        F.countDistinct("p_name").alias("n_names"),
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("p_brand").alias("canonical_brand"),
+        F.min("p_retailprice").alias("min_price"),
+        F.max("p_retailprice").alias("max_price"),
+        F.max("p_size").alias("max_size"),
+    )
+
+
 def q_x_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood candidate pairs over customer names
     (window 3, Levenshtein <= 2, ranks assigned within 15-char prefix
@@ -3454,6 +3495,55 @@ ORACLES["x_triangles"] = """
     JOIN edges ec ON ec.pa = e1.pa AND ec.pb = eb.pb
 """
 
+# x_golden_records: the x_editdist_pairs blocking/scoring CTEs +
+# recursive min-label clustering (the _CLUSTERS_ORACLE reach pattern)
+# + the survivorship rollup, singletons included via LEFT JOIN.
+ORACLES["x_golden_records"] = """
+    WITH RECURSIVE vals AS (
+        SELECT p_name AS name, COUNT(*) AS n_rows FROM part GROUP BY 1),
+    words AS (
+        SELECT name, UNNEST(range(len(t))) AS pos, UNNEST(t) AS w
+        FROM (SELECT name, string_split_regex(name, '\\s+') AS t FROM vals)),
+    cand AS (
+        SELECT DISTINCT a.name AS name_a, b.name AS name_b
+        FROM words a JOIN words b
+          ON a.pos = b.pos AND a.w = b.w AND a.name < b.name),
+    scored AS (
+        SELECT name_a, name_b FROM cand
+        WHERE levenshtein(name_a, name_b) <= 2),
+    ids AS (
+        SELECT p_name AS name, MIN(p_partkey) AS nid FROM part GROUP BY 1),
+    edges AS (
+        SELECT ia.nid AS u, ib.nid AS v
+        FROM scored s
+        JOIN ids ia ON ia.name = s.name_a
+        JOIN ids ib ON ib.name = s.name_b
+        UNION ALL
+        SELECT ib.nid, ia.nid
+        FROM scored s
+        JOIN ids ia ON ia.name = s.name_a
+        JOIN ids ib ON ib.name = s.name_b),
+    reach(node, label) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v),
+    cl AS (
+        SELECT node AS nid, MIN(label) AS cl FROM reach GROUP BY node),
+    cmap AS (
+        SELECT i.name, COALESCE(c.cl, i.nid) AS cluster_id
+        FROM ids i LEFT JOIN cl c ON c.nid = i.nid)
+    SELECT m.cluster_id,
+           COUNT(DISTINCT p.p_name) AS n_names,
+           COUNT(*) AS n_parts,
+           MIN(p.p_brand) AS canonical_brand,
+           MIN(p.p_retailprice) AS min_price,
+           MAX(p.p_retailprice) AS max_price,
+           MAX(p.p_size) AS max_size
+    FROM part p JOIN cmap m ON m.name = p.p_name
+    GROUP BY 1
+"""
+
+
 def _kcore_oracle(k: int, rounds: int) -> str:
     """Unrolled replay of q_x_kcore's fixed peeling rounds. Every CTE
     MATERIALIZED — each round references the previous edge set three
@@ -3815,6 +3905,7 @@ QUERIES = {
     "x_tdigest_rollup": q_x_tdigest_rollup,
     "x_spacesaving_drain": q_x_spacesaving_drain,
     "x_kcore": q_x_kcore,
+    "x_golden_records": q_x_golden_records,
     "x_tdigest_drain": q_x_tdigest_drain,
     "x_kmv_setops": q_x_kmv_setops,
     "x_priority_sample": q_x_priority_sample,

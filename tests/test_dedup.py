@@ -548,3 +548,46 @@ def test_incremental_minhash_dedup_across_batches(spark, tmp_path):
     f3 = {r["doc_id"]: r["admitted"] for r in
           D.incremental_minhash_dedup(b3, store).collect()}
     assert f3 == {31: False}
+
+
+def test_golden_records_pipeline_hand_computed(spark):
+    """The MDM composition (blocking -> editdist -> CC -> survivorship)
+    on a hand-built dimension: two typo-variants of one entity merge
+    into one golden record carrying min/max merged attributes and the
+    min part key as cluster id; the unrelated entity survives as its
+    own singleton record."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (10, "acme widget red", "B1", 5, 10.0),
+        (11, "acme widget rex", "B2", 7, 12.0),   # 1 edit from the first
+        (12, "zeta gadget blue", "B3", 3, 8.0),
+    ]
+    p = spark.createDataFrame(
+        rows, "p_partkey bigint, p_name string, p_brand string, "
+              "p_size int, p_retailprice double"
+    )
+    ids = p.groupBy("p_name").agg(F.min("p_partkey").alias("nid"))
+    pairs = D.editdist_pairs(p, "p_name", max_dist=2).select("name_a", "name_b")
+    ia = ids.select(F.col("p_name").alias("name_a"), F.col("nid").alias("ida"))
+    ib = ids.select(F.col("p_name").alias("name_b"), F.col("nid").alias("idb"))
+    cc = D.connected_components(
+        pairs.join(ia, "name_a").join(ib, "name_b").select("ida", "idb"),
+        src="ida", dst="idb",
+    )
+    cmap = ids.join(
+        cc.select(F.col("doc_id").alias("nid"), F.col("cluster_id").alias("cl")),
+        "nid", "left",
+    ).select("p_name", F.coalesce("cl", "nid").alias("cluster_id"))
+    golden = {
+        r["cluster_id"]: (r["n"], r["brand"], r["maxp"])
+        for r in p.join(cmap, "p_name")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("p_brand").alias("brand"),
+            F.max("p_retailprice").alias("maxp"),
+        )
+        .collect()
+    }
+    assert golden == {10: (2, "B1", 12.0), 12: (1, "B3", 8.0)}
