@@ -354,6 +354,54 @@ def q_t16_cusum_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_drain_batch(prepped)
 
 
+def q_t17_rolling_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day p50/p95/p99 per event type from MERGED daily
+    t-digests — the monitoring query sketch-table reuse exists for:
+    per-(type, day) centroids are built once (a kilobyte table), and
+    every trailing window is answered by re-merging ≤ 7 digests
+    (operators/sketches.tdigest_merge) instead of re-scanning a
+    window of raw facts — at 100 TB the difference between a
+    dashboard tile and a nightly job. Audit form: per (type, window
+    day, q), the exact window row count (hash-checked) plus the
+    rank_ok ≤ max(0.05, 1/n) boolean against the window's raw rows."""
+    from ..operators import sketches as K
+
+    ev = t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = K.tdigest_centroids(
+        ev, ["event_type", "day"], "value", delta=100, n_shards=4
+    )
+    spine = ev.select("event_type", F.col("day").alias("wday")).distinct()
+    windowed = spine.join(
+        daily.withColumnRenamed("event_type", "et"),
+        (F.col("et") == F.col("event_type"))
+        & (F.col("day") >= F.date_sub(F.col("wday"), 6))
+        & (F.col("day") <= F.col("wday")),
+    ).select("event_type", "wday", "mean", "weight")
+    merged = K.tdigest_merge(windowed, ["event_type", "wday"], delta=100)
+    est = K.tdigest_quantiles(merged, ["event_type", "wday"], [0.5, 0.95, 0.99])
+    win_rows = ev.join(
+        est.withColumnRenamed("event_type", "et"),
+        (F.col("et") == F.col("event_type"))
+        & (F.col("day") >= F.date_sub(F.col("wday"), 6))
+        & (F.col("day") <= F.col("wday")),
+    )
+    return win_rows.groupBy("event_type", "wday", "q").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.abs(
+                F.sum(
+                    F.when(F.col("value") <= F.col("est"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                - F.col("q")
+            )
+            <= F.greatest(
+                F.lit(0.05), F.lit(1.0) / F.count(F.lit(1)).cast("double")
+            )
+        ).alias("rank_ok"),
+    )
+
+
 def q_p15_case_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P15 — string case transforms (webhook_app.py:176 account.upper())."""
     c = t(spark, sf_dir, "customer")
@@ -719,8 +767,25 @@ ORACLES["t16_cusum_drain"] = ORACLES["t14_cusum"].rsplit(
     """
 
 
+# t17_rolling_quantiles audit: exact trailing-window row counts
+# hash-checked; rank_ok asserts the merged digest's window rank error.
+ORACLES["t17_rolling_quantiles"] = """
+    WITH spine AS (
+        SELECT DISTINCT event_type, CAST(ts AS DATE) AS wday FROM events)
+    SELECT s.event_type, s.wday, q,
+           COUNT(*) AS n_rows, TRUE AS rank_ok
+    FROM spine s
+    JOIN events e
+      ON e.event_type = s.event_type
+     AND CAST(e.ts AS DATE) BETWEEN s.wday - 6 AND s.wday
+    CROSS JOIN (SELECT UNNEST([0.5, 0.95, 0.99]::DOUBLE[]) AS q) qs
+    GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "t16_cusum_drain": q_t16_cusum_drain,
+    "t17_rolling_quantiles": q_t17_rolling_quantiles,
     "t14_cusum": q_t14_cusum,
     "t15_backtest": q_t15_backtest,
     "t1_asof_purchase_click": q_t1_asof_purchase_click,
