@@ -167,3 +167,28 @@ def stream_dedup_within_watermark(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_static_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    on: list[str] | str,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream–static enrichment join (the streaming sibling of the
+    batch j3_enriched_events): a streaming frame joined to a BATCH
+    dimension. Spark re-evaluates the static side's plan every
+    micro-batch, so a dimension backed by files picks up appended
+    rows between batches without restarting the query — the standard
+    "enrich the event stream with the current account/agent table"
+    pattern. The dim broadcasts by default (stream-side rows never
+    shuffle for the join); pass broadcast_dim=False when the
+    dimension is genuinely too large, which makes each micro-batch a
+    shuffled join of THAT BATCH only — still bounded by batch size,
+    never by stream history. Drained-stream == batch-join parity is
+    pinned in tests/test_streaming.py."""
+    from pyspark.sql import functions as F
+
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return events.join(d, on, how)

@@ -286,3 +286,77 @@ def test_http_receiver_post_to_silver_end_to_end(spark, tmp_path):
     rows = {(r["id"], r["account"]) for r in silver.select("id", "account").collect()}
     # retry deduped; non-whitelisted account filtered by the pipeline
     assert rows == {(1, "office_a"), (2, "office_b")}
+
+
+def test_stream_static_enrich_matches_batch_and_pins_dim_snapshot(spark, tmp_path):
+    """Stream-static join: draining the enriched stream equals the
+    batch join on the dimension AS OF query start — a plain parquet
+    static side pins its file listing at DataFrame creation, so rows
+    appended mid-stream are NOT seen (the documented semantic; a
+    refreshing dim needs foreachBatch + fresh read)."""
+    import json as _json
+    import os as _os
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.streaming.pipeline import (
+        stream_static_enrich,
+    )
+
+    ddir = tmp_path / "dim"
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "account_id bigint, account_name string"
+    ).write.parquet(str(ddir))
+    edir = tmp_path / "ev"
+    edir.mkdir()
+    batches = [
+        [{"event_id": 10, "account_id": 1}, {"event_id": 11, "account_id": 2}],
+        [{"event_id": 12, "account_id": 3}],  # no dim row at query start
+    ]
+    for fi, rows in enumerate(batches):
+        fp = edir / f"f{fi}.jsonl"
+        with open(fp, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(fp, (1_700_000_000 + fi, 1_700_000_000 + fi))
+    schema = "event_id bigint, account_id bigint"
+    dim = spark.read.schema(
+        "account_id bigint, account_name string"
+    ).parquet(str(ddir))
+    out = stream_static_enrich(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(edir)),
+        dim,
+        on="account_id",
+    )
+    seen = []
+
+    def sink(bdf, bid):
+        seen.append({r["event_id"]: r["account_name"] for r in bdf.collect()})
+        if bid == 0:
+            # appended mid-stream: must NOT become visible (pinned index)
+            spark.createDataFrame(
+                [(3, "gamma")], "account_id bigint, account_name string"
+            ).write.mode("append").parquet(str(ddir))
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    merged = {}
+    for s_ in seen:
+        merged.update(s_)
+    # account 3 enriches to NULL: the dim snapshot is as of query start
+    assert merged == {10: "alpha", 11: "beta", 12: None}
+    # equals the batch left join against the SNAPSHOT dim
+    eb = spark.read.schema(schema).json(str(edir))
+    snap = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "account_id bigint, account_name string"
+    )
+    expect = {
+        r["event_id"]: r["account_name"]
+        for r in eb.join(snap, "account_id", "left").collect()
+    }
+    assert merged == expect
