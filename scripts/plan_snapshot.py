@@ -47,6 +47,9 @@ EXTRAS = [
     # the linear-chain Hilbert fold (must stay one projection, no join).
     "x_substring_spans",
     "x_hilbert_key",
+    "x_kcore",
+    "x_golden_records",
+    "t17_rolling_quantiles",
 ]
 
 
