@@ -217,6 +217,7 @@ def kcore(
     src_col: str = "src",
     dst_col: str = "dst",
     rounds: int = 8,
+    require_convergence: bool = False,
 ) -> DataFrame:
     """k-core decomposition by iterative peeling (Seidman, Social
     Networks 1983; the Batagelj–Zaveršnik bulk variant): repeatedly
@@ -229,13 +230,17 @@ def kcore(
     Bulk peeling converges in O(peel depth) rounds, each one degree
     aggregation + one semi-join on the surviving edge list — the same
     per-round keyed-shuffle shape as the CC loop, with a per-round
-    localCheckpoint keeping the plan linear. ``rounds`` is FIXED (not
-    a convergence loop) so the DuckDB oracle can replay the identical
-    unrolled rounds; convergence-within-rounds is pinned by test
-    (one extra round changes nothing on the fixture), making the
-    fixed-round result THE k-core, not an approximation of it.
-    Returns (node, deg) for surviving nodes with their final in-core
-    degree."""
+    localCheckpoint keeping the plan linear. ``rounds`` bounds the
+    peel; an unchanged surviving-edge count is the fixpoint (one
+    cheap count on the already-checkpointed frame, the CC loop's
+    label-sum trick), so converged graphs exit early with a result
+    identical to running every round — which keeps the fixed-round
+    DuckDB oracle exact. A graph whose peel depth EXCEEDS ``rounds``
+    (e.g. a long path at k=2 peels two endpoints per round) would
+    return a strict superset of the k-core; pass
+    ``require_convergence=True`` to get a loud ValueError instead of
+    a silent superset when the bound might bind. Returns (node, deg)
+    for surviving nodes with their final in-core degree."""
     e = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
@@ -245,7 +250,11 @@ def kcore(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    prev_n = e.count()
+    converged = prev_n == 0
     for _ in range(rounds):
+        if converged:
+            break
         deg = (
             e.select(F.col("a").alias("n"))
             .unionByName(e.select(F.col("b").alias("n")))
@@ -257,6 +266,14 @@ def kcore(
             e.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
             .localCheckpoint(eager=True)
+        )
+        cur_n = e.count()
+        converged = cur_n == prev_n
+        prev_n = cur_n
+    if require_convergence and not converged:
+        raise ValueError(
+            f"k-core peel did not reach a fixpoint within {rounds} rounds; "
+            "the result would be a superset of the k-core"
         )
     deg = (
         e.select(F.col("a").alias("node"))

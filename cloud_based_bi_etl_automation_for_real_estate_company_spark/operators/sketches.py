@@ -396,7 +396,9 @@ def tdigest_merge(
     key_fields = ", ".join(
         f"{k} {t}" for k, t in centroids.select(*keys).dtypes
     )
-    out_schema = f"{key_fields}, mean double, weight double"
+    out_schema = ", ".join(
+        p for p in (key_fields, "mean double, weight double") if p
+    )
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         m, w = _tdigest_cluster(
@@ -408,6 +410,27 @@ def tdigest_merge(
         return out
 
     return centroids.groupBy(*keys).applyInPandas(merge, out_schema)
+
+
+def _tdigest_quantile_rows(m, w, qs):
+    """Interpolate quantile estimates over a centroid set (midpoint
+    ranks, clamped at the extreme centroids) — THE single copy of the
+    t-digest query half, shared by batch ``tdigest_quantiles``, the
+    streaming state op, and the batch drain so tie handling or
+    clamping fixes can never diverge between runtimes."""
+    import numpy as np
+
+    order = np.lexsort((w, m))
+    ms, ws = m[order], w[order]
+    cum = np.cumsum(ws)
+    mid = cum - ws / 2.0
+    qa = np.array(qs, dtype=float)
+    est = (
+        np.interp(qa * ws.sum(), mid, ms)
+        if len(ms)
+        else np.full(len(qa), np.nan)
+    )
+    return qa, est, len(ms)
 
 
 def tdigest_quantiles(
@@ -426,14 +449,9 @@ def tdigest_quantiles(
     out_schema = f"{key_fields}, q double, est double"
 
     def query(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = pdf["mean"].to_numpy(float)
-        w = pdf["weight"].to_numpy(float)
-        order = np.lexsort((w, m))
-        m, w = m[order], w[order]
-        cum = np.cumsum(w)
-        mid = cum - w / 2.0
-        qa = np.array(qs, dtype=float)
-        est = np.interp(qa * w.sum(), mid, m)
+        qa, est, _ = _tdigest_quantile_rows(
+            pdf["mean"].to_numpy(float), pdf["weight"].to_numpy(float), qs
+        )
         head = pdf.iloc[:1][keys]
         out = head.loc[head.index.repeat(len(qa))].reset_index(drop=True)
         out["q"], out["est"] = qa, est

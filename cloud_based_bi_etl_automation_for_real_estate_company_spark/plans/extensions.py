@@ -3703,7 +3703,9 @@ ORACLES["x_kmv_drain"] = """
             FROM hashed)
         WHERE rn <= 128),
     counts AS (
-        SELECT event_type, COUNT(*) AS n_seen FROM events GROUP BY 1)
+        -- COUNT(user_id): the op drops NULL values (COUNT DISTINCT
+        -- semantics), so n_seen counts non-null rows
+        SELECT event_type, COUNT(user_id) AS n_seen FROM events GROUP BY 1)
     SELECT k.event_type,
            c.n_seen,
            COUNT(*) AS n_kept,

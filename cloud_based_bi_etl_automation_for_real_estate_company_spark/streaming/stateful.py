@@ -47,6 +47,11 @@ LEAD_STATE_SCHEMA = StructType(
 
 _STATE_SCHEMA = "ts double, step string, n bigint"
 
+# the t-digest query half lives in operators.sketches — ONE copy for
+# batch, stream, and drain (review finding: a third copy here could
+# silently drift from the batch operator)
+from ..operators.sketches import _tdigest_quantile_rows  # noqa: E402
+
 
 # -- shared per-group folds -------------------------------------------------
 # The sketch-as-state trio (KMV, CUSUM, t-digest) keeps its per-group
@@ -75,26 +80,6 @@ def _cusum_fold(s: float, values, target: float) -> float:
     for v in values:
         s = max(0.0, s + (float(v) - target))
     return s
-
-
-def _tdigest_quantile_rows(m, w, qs):
-    """Interpolate quantile estimates over a centroid set (midpoint
-    ranks, clamped at the extremes) — the query half of the t-digest,
-    shared verbatim between the streaming update and the batch
-    drain."""
-    import numpy as np
-
-    order = np.lexsort((w, m))
-    ms, ws = m[order], w[order]
-    cum = np.cumsum(ws)
-    mid = cum - ws / 2.0
-    qa = np.array(qs, dtype=float)
-    est = (
-        np.interp(qa * ws.sum(), mid, ms)
-        if len(ms)
-        else np.full(len(qa), np.nan)
-    )
-    return qa, est, len(ms)
 
 
 def _update_lead_state(
@@ -395,7 +380,12 @@ def streaming_kmv_distinct(
         )
 
     return (
-        events.select(key_col, _hash_frac(col).alias("__u"))
+        # NULL values contribute neither a fraction nor a row: a NULL
+        # hashes to SQL NULL -> NaN in Arrow, and NaN in the kept set
+        # would make sorted()/theta nondeterministic. Dropping them
+        # matches SQL's COUNT(DISTINCT col), which ignores NULLs.
+        events.filter(F.col(col).isNotNull())
+        .select(key_col, _hash_frac(col).alias("__u"))
         .groupBy(key_col)
         .applyInPandasWithState(
             update,
@@ -595,7 +585,8 @@ def kmv_drain_batch(
         )
 
     return (
-        df.select(key_col, _hash_frac(col).alias("__u"))
+        df.filter(F.col(col).isNotNull())  # same NULL rule as the stream op
+        .select(key_col, _hash_frac(col).alias("__u"))
         .groupBy(key_col)
         .applyInPandas(drain, schema=out_schema)
     )
@@ -626,6 +617,15 @@ def cusum_drain_batch(
 
     def drain(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(day_col)
+        # one row per (key, day) is the input contract: the zero-clamp
+        # makes the fold order-sensitive, and ties in day_col would
+        # fold in Arrow-batch (partition-dependent) order — fail loud
+        # instead of returning a nondeterministic cusum
+        if pdf[day_col].duplicated().any():
+            raise ValueError(
+                "cusum_drain_batch requires one row per key per "
+                f"{day_col!r}; pre-aggregate to daily grain first"
+            )
         target = float(pdf[target_col].iloc[0])
         s = _cusum_fold(0.0, pdf[val_col], target)
         return pd.DataFrame(

@@ -155,3 +155,21 @@ def test_kcore_fixture_converges_within_rounds(spark):
     r9 = {(x["node"], x["deg"]) for x in
           kcore(edges, k=3, src_col="pa", dst_col="pb", rounds=9).collect()}
     assert r8 == r9 and len(r8) > 0
+
+
+def test_kcore_nonconvergence_raises_when_required(spark):
+    """A long path at k=2 peels only its two endpoints per round, so a
+    too-small round budget cannot reach the (empty) fixpoint: the
+    silent-superset hazard must turn into a loud error under
+    require_convergence, while enough rounds converge to empty (and
+    exit early rather than running every budgeted round)."""
+    import pytest as _pytest
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.graph import kcore
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 20)], "src bigint, dst bigint"
+    )
+    with _pytest.raises(ValueError, match="fixpoint"):
+        kcore(path, k=2, rounds=3, require_convergence=True).collect()
+    assert kcore(path, k=2, rounds=30, require_convergence=True).count() == 0

@@ -427,3 +427,35 @@ def test_tdigest_rollup_matches_direct(spark):
     for q, e in est.items():
         rank = np.searchsorted(sv, e, side="right") / n
         assert abs(rank - q) < 0.02, (q, rank)
+
+
+def test_tdigest_merge_global_rollup(spark):
+    """tdigest_merge with keys=[] (the 'global' slice the docstring
+    promises) returns one merged digest whose quantiles stay within
+    digest accuracy."""
+    import numpy as np
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators import (
+        sketches as K,
+    )
+
+    n = 4000
+    vals = (np.arange(n) * 2654435761 % 2**32) / 2**32
+    df = spark.createDataFrame(
+        [(int(i % 5), float(v)) for i, v in enumerate(vals)],
+        "slice int, value double",
+    )
+    per_slice = K.tdigest_centroids(df, ["slice"], "value", delta=100,
+                                    n_shards=4)
+    g = K.tdigest_merge(per_slice, [], delta=100)
+    assert g.count() <= 120
+    est = {
+        r["q"]: r["est"]
+        for r in K.tdigest_quantiles(
+            g.withColumn("k", F.lit(1)), ["k"], [0.5, 0.95]
+        ).collect()
+    }
+    sv = np.sort(vals)
+    for q, e in est.items():
+        rank = np.searchsorted(sv, e, side="right") / n
+        assert abs(rank - q) < 0.02
