@@ -62,11 +62,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Round-6 gate front block. Every round-5 front name is green in
-# CORRECTNESS_r05, so the 50-slot window now holds: (a) the 13 round-6
+# CORRECTNESS_r05, so the 50-slot window now holds: (a) the 15 round-6
 # additions, (b) the one plan-changed query, (c) the 6 permanent
 # double-arithmetic SENTINELS, then (d) STALENESS ROTATION — the
 # catalog names whose latest driver-gate row is oldest (r1 vintage;
-# 43 such names exist, the window fits 30 of them — the 13 past slot
+# 43 such names exist, the window fits 28 of them — the 15 past slot
 # 50 plus the 35 r2-vintage names are round-7's rotation, listed in
 # _ROTATION_R7).
 _GATE_PRIORITY = (
@@ -95,6 +95,10 @@ _GATE_PRIORITY = (
     "x_golden_records",
     # rolling 7-day quantiles from merged daily digests.
     "t17_rolling_quantiles",
+    # maximal-run substring REMOVAL (ExactSubstr's acting half).
+    "x_substring_removal",
+    # RP-tree forest ANN (equi-depth median splits, Annoy family).
+    "x_ann_rptree",
     # -- (b) plan changed this round --------------------------------------
     # rank_ok tolerance floored at 1/n for tiny groups.
     "x_tdigest_quantiles",
@@ -134,14 +138,14 @@ _GATE_PRIORITY = (
     "p9_tz_convert",
     "p10_format_local",
     "p11_tags_csv",
-    "p12_bool_cast",
-    "p14_reserialize",
 )
 
 # Round-7 rotation backlog, oldest first: the 13 r1-vintage names that
 # did not fit round 6's window, then the 35 r2-vintage names. Promote
 # into _GATE_PRIORITY behind round-7 additions + the sentinels.
 _ROTATION_R7: tuple[str, ...] = (
+    "p12_bool_cast",
+    "p14_reserialize",
     "p15_case_transform",
     "p17_html_strip",
     "p18_string_kit",

@@ -172,6 +172,127 @@ def bucketed_ann_topk(
     )
 
 
+def rp_vector(dim: int, a: int, b: int) -> list[float]:
+    """Deterministic integer-valued projection direction for RP-tree
+    splits: component ``i`` is ``((a*i + b) % 11) - 5`` — small signed
+    integers so the dot product is plain double arithmetic both
+    engines reproduce bit-for-bit (float→double casts are exact, and
+    both Spark's ``aggregate`` and DuckDB's ``list_dot_product`` fold
+    left-to-right)."""
+    return [float(((a * i + b) % 11) - 5) for i in range(dim)]
+
+
+def _rp_proj(vec_col: str, direction: list[float]):
+    return F.round(
+        dot(as_double(vec_col), F.array(*[F.lit(v) for v in direction])), 6
+    )
+
+
+def rptree_directions(dim: int, tree: int) -> tuple[list[float], list[float]]:
+    """The two split directions of tree ``tree`` — distinct multipliers
+    per tree give the forest its independence (tree 0 = (7,3)/(13,5))."""
+    return (
+        rp_vector(dim, 7 + 6 * tree, 3 + tree),
+        rp_vector(dim, 13 + 6 * tree, 5 + tree),
+    )
+
+
+def rptree_leaves(
+    base: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    tree: int = 0,
+) -> DataFrame:
+    """Two-level random-projection-tree partitioning (Dasgupta &
+    Freund, STOC 2008 / the Annoy index family): split the corpus at
+    the MEDIAN of a random projection, then split each half again on a
+    SECOND independent direction — four equal-depth leaves. This is
+    the tree family's advantage over sign-LSH bucketing
+    (:func:`bucketed_ann_topk`): splits are data-dependent
+    equi-depth, so leaves stay balanced no matter how the corpus is
+    distributed, where fixed hyperplanes can send 90% of a clustered
+    corpus into one hot bucket.
+
+    Audit form vs scale form: rank-splitting is expressed here with
+    ``ntile`` over the (rounded) projection — engine-exact, which is
+    what the oracle hash needs, but a global-sort window. At 100 TB
+    the thresholds come from ``approx_percentile`` on the projection
+    (one partial-aggregable pass) and routing becomes a map-side
+    comparison against the broadcast cut points — same tree, no global
+    sort; the substitution is tolerance-tested like the equi-depth
+    histogram's (a23). Returns ``(id, embedding, leaf)`` with leaf in
+    {0,1,2,3}.
+    """
+    p1, p2 = rptree_directions(dim, tree)
+    proj = base.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _rp_proj(vec_col, p1).alias("__p1"),
+        _rp_proj(vec_col, p2).alias("__p2"),
+    )
+    w1 = Window.orderBy("__p1", id_col)
+    halves = proj.withColumn("__h", F.ntile(2).over(w1))
+    w2 = Window.partitionBy("__h").orderBy("__p2", id_col)
+    return halves.select(
+        id_col,
+        vec_col,
+        ((F.col("__h") - 1) * 2 + F.ntile(2).over(w2) - 1)
+        .cast("int")
+        .alias("leaf"),
+    )
+
+
+def rptree_topk(
+    base: DataFrame,
+    query_pred,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    trees: int = 1,
+) -> DataFrame:
+    """Approximate top-k via an RP-tree FOREST (the Annoy recipe): each
+    query (selected from the base by ``query_pred`` so its leaf
+    assignment is its own tree membership) is compared against its
+    leaf in each of ``trees`` independent trees — OR-amplification
+    over trees lifts recall while each tree still prunes 4×; a pair
+    colliding in several trees is deduped before ranking, exactly the
+    multi-table pattern of :func:`bucketed_ann_topk`. Returns
+    ``(q_id, vec_id, sim, rnk)``.
+    """
+    per_tree = [
+        rptree_leaves(base, id_col, vec_col, dim, tree=ti).select(
+            F.lit(ti).alias("tree"), F.col(id_col), F.col(vec_col), "leaf"
+        )
+        for ti in range(trees)
+    ]
+    leaves = per_tree[0]
+    for fr in per_tree[1:]:
+        leaves = leaves.unionByName(fr)
+    q = leaves.filter(query_pred).select(
+        F.col("tree").alias("q_tree"),
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_emb"),
+        F.col("leaf").alias("q_leaf"),
+    )
+    scored = (
+        leaves.join(
+            F.broadcast(q),
+            (F.col("tree") == F.col("q_tree"))
+            & (F.col("leaf") == F.col("q_leaf"))
+            & (F.col(id_col) != F.col("q_id")),
+        )
+        .select("q_id", id_col, _sim("q_emb", vec_col).alias("sim"))
+        .distinct()
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def kmeans_centroids(
     base: DataFrame,
     k: int = 8,

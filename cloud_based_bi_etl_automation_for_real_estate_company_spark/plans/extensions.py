@@ -805,6 +805,18 @@ def q_x_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.bucketed_ann_topk(e, e.filter(F.col("vec_id") < 5), k=5, tables=2)
 
 
+def q_x_ann_rptree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection-TREE approximate top-5 (Dasgupta-Freund /
+    Annoy family): two median splits on independent projections → four
+    equi-depth leaves, search confined to the query's own leaf. The
+    tree rung of the ANN ladder — balanced leaves by construction
+    where sign-LSH buckets can hot-spot (rank splits are the
+    engine-exact audit form; approx_percentile cut points are the
+    100 TB routing, see operators/similarity.rptree_leaves)."""
+    e = t(spark, sf_dir, "embeddings")
+    return S.rptree_topk(e, F.col("vec_id") < 5, k=5)
+
+
 def q_x_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-5: coarse-quantizer assignment +
     2-probe inverted-list search (the other scale path besides
@@ -915,6 +927,19 @@ def q_x_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     long — the measurement half of substring dedup (x_sliding_span
     removes coverage; this reports the maximal spans)."""
     return D.duplicate_substring_spans(
+        t(spark, sf_dir, "documents"), span=8, min_len=15
+    )
+
+
+def q_x_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-run substring REMOVAL (Lee et al. ExactSubstr's acting
+    half): every maximal duplicated run (8-token windows, ≥ 15 tokens)
+    is deleted from all but its globally-first occurrence, keyed on
+    the run's own text, and the document is rebuilt around the cuts —
+    atomic-run granularity, the conservative counterpart of
+    x_sliding_span_dedup's window-granular removal. One row per doc
+    with the cleaned text and removal accounting."""
+    return D.substring_removal(
         t(spark, sf_dir, "documents"), span=8, min_len=15
     )
 
@@ -1254,6 +1279,12 @@ _SHINGLES_CTE = """
         FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
     )
 """
+
+# RP-tree projection directions as SQL list literals — generated from
+# the SAME rp_vector formula the Spark operator uses, so the two sides
+# cannot drift.
+_RP1 = ", ".join(str(v) for v in S.rp_vector(64, 7, 3))
+_RP2 = ", ".join(str(v) for v in S.rp_vector(64, 13, 5))
 
 # minhash signature → banded buckets → candidate pairs, as reusable CTE
 # text (shared by the pairs query and the cluster-resolution oracle)
@@ -2876,6 +2907,41 @@ ORACLES: dict[str, str] = {
             FROM scored)
         SELECT q_id, vec_id, sim, rnk FROM ranked WHERE rnk <= 5
     """,
+    "x_ann_rptree": f"""
+        WITH proj AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb,
+                   ROUND(list_dot_product(embedding::DOUBLE[],
+                                          [{_RP1}]::DOUBLE[]), 6) AS p1,
+                   ROUND(list_dot_product(embedding::DOUBLE[],
+                                          [{_RP2}]::DOUBLE[]), 6) AS p2
+            FROM embeddings),
+        halves AS (
+            SELECT vec_id, emb, p2,
+                   NTILE(2) OVER (ORDER BY p1, vec_id) AS h
+            FROM proj),
+        leaves AS (
+            SELECT vec_id, emb,
+                   CAST((h - 1) * 2
+                        + NTILE(2) OVER (PARTITION BY h ORDER BY p2, vec_id)
+                        - 1 AS INT) AS leaf
+            FROM halves),
+        q AS (SELECT vec_id AS q_id, emb AS q_emb, leaf AS q_leaf
+              FROM leaves WHERE vec_id < 5),
+        scored AS (
+            SELECT q.q_id, b.vec_id,
+                   ROUND(list_dot_product(q.q_emb, b.emb)
+                         / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                            * sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim,
+                   b.leaf
+            FROM leaves b JOIN q
+              ON b.leaf = q.q_leaf AND b.vec_id <> q.q_id),
+        ranked AS (
+            SELECT q_id, vec_id, sim, leaf,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rnk
+            FROM scored)
+        SELECT q_id, vec_id, sim, rnk FROM ranked WHERE rnk <= 5
+    """,
     "x_ann_bucketed": """
         WITH withb AS (
             SELECT vec_id, embedding::DOUBLE[] AS emb,
@@ -3141,6 +3207,61 @@ ORACLES: dict[str, str] = {
                MAX(w) + 7 - MIN(w) + 1 AS span_len
         FROM pos GROUP BY doc_id, g
         HAVING MAX(w) + 7 - MIN(w) + 1 >= 15
+    """,
+    "x_substring_removal": """
+        WITH base AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+        wins AS (
+            SELECT doc_id, t,
+                   UNNEST(range(0, GREATEST(0, len(t) - 7))) AS w
+            FROM base),
+        wtext AS (
+            SELECT doc_id, w,
+                   array_to_string(t[w + 1 : w + 8], ' ') AS wt
+            FROM wins),
+        dupw AS (
+            SELECT wt FROM wtext GROUP BY wt HAVING COUNT(*) >= 2),
+        pos AS (
+            SELECT x.doc_id, x.w,
+                   x.w - ROW_NUMBER() OVER (
+                       PARTITION BY x.doc_id ORDER BY x.w) AS g
+            FROM wtext x JOIN dupw USING (wt)),
+        runs AS (
+            SELECT doc_id, MIN(w) AS s, MAX(w) + 7 AS e
+            FROM pos GROUP BY doc_id, g
+            HAVING MAX(w) + 7 - MIN(w) + 1 >= 15),
+        rtext AS (
+            SELECT r.doc_id, r.s, r.e,
+                   array_to_string(b.t[r.s + 1 : r.e + 1], ' ') AS rt
+            FROM runs r JOIN base b USING (doc_id)),
+        ranked AS (
+            SELECT doc_id, s, e,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY rt ORDER BY doc_id, s) AS rn
+            FROM rtext),
+        rem AS (SELECT doc_id, s, e FROM ranked WHERE rn > 1),
+        toksp AS (
+            SELECT doc_id,
+                   UNNEST(list_transform(range(len(t)),
+                          i -> struct_pack(p := i, tok := t[i + 1]))) AS u
+            FROM base),
+        kept AS (
+            SELECT tp.doc_id, (tp.u).tok AS tok, (tp.u).p AS p
+            FROM toksp tp
+            WHERE NOT EXISTS (
+                SELECT 1 FROM rem d
+                WHERE d.doc_id = tp.doc_id AND (tp.u).p BETWEEN d.s AND d.e)),
+        ncuts AS (
+            SELECT doc_id, COUNT(*) AS n_runs FROM rem GROUP BY doc_id)
+        SELECT b.doc_id,
+               COALESCE(string_agg(k.tok, ' ' ORDER BY k.p), '') AS clean_text,
+               CAST(len(b.t) AS BIGINT) AS n_tokens,
+               CAST(len(b.t) - COUNT(k.p) AS BIGINT) AS n_tokens_removed,
+               CAST(COALESCE(MAX(nc.n_runs), 0) AS BIGINT) AS n_runs_removed
+        FROM base b
+        LEFT JOIN kept k USING (doc_id)
+        LEFT JOIN ncuts nc ON nc.doc_id = b.doc_id
+        GROUP BY b.doc_id, len(b.t)
     """,
     "x_sliding_span_dedup": """
         WITH base AS (
@@ -3875,6 +3996,7 @@ QUERIES = {
     "x_dataset_card": q_x_dataset_card,
     "x_profile_table": q_x_profile_table,
     "x_ann_bucketed": q_x_ann_bucketed,
+    "x_ann_rptree": q_x_ann_rptree,
     "x_ann_ivf": q_x_ann_ivf,
     "x_ann_ivf_trained": q_x_ann_ivf_trained,
     "x_ann_pq": q_x_ann_pq,
@@ -3896,6 +4018,7 @@ QUERIES = {
     "x_bpe_encode": q_x_bpe_encode,
     "x_sliding_span_dedup": q_x_sliding_span_dedup,
     "x_substring_spans": q_x_substring_spans,
+    "x_substring_removal": q_x_substring_removal,
     "x_ngram_containment": q_x_ngram_containment,
     "x_bigram_nll": q_x_bigram_nll,
     "x_trigram_nll": q_x_trigram_nll,

@@ -507,6 +507,59 @@ def test_duplicate_substring_spans_hand_computed(spark):
     }
 
 
+def test_substring_removal_hand_computed(spark):
+    """Atomic-run removal: doc 2 loses its copy of the 20-token run S
+    (doc 1 is globally first), doc 5's in-doc repeat loses the second
+    occurrence, short-run docs 3/4 and canonical holders pass through
+    untouched with zero counts."""
+    S = [f"s{i}" for i in range(20)]
+    S2 = [f"p{i}" for i in range(10)]
+    S3 = [f"r{i}" for i in range(16)]
+    docs = [
+        (1, " ".join([f"a{i}" for i in range(5)] + S + [f"b{i}" for i in range(5)])),
+        (2, " ".join([f"c{i}" for i in range(5)] + S + [f"d{i}" for i in range(5)])),
+        (3, " ".join(S2 + [f"e{i}" for i in range(10)])),
+        (4, " ".join([f"f{i}" for i in range(10)] + S2)),
+        (5, " ".join(S3 + [f"g{i}" for i in range(4)] + S3)),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    rows = {r["doc_id"]: r for r in D.substring_removal(df, span=8, min_len=15).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}
+    # canonical holder untouched
+    assert rows[1]["clean_text"] == docs[0][1]
+    assert rows[1]["n_tokens_removed"] == 0 and rows[1]["n_runs_removed"] == 0
+    # doc 2's copy of S removed atomically; surroundings survive
+    assert rows[2]["clean_text"] == " ".join(
+        [f"c{i}" for i in range(5)] + [f"d{i}" for i in range(5)]
+    )
+    assert rows[2]["n_tokens_removed"] == 20 and rows[2]["n_runs_removed"] == 1
+    # short shared run (< min_len): both docs untouched
+    assert rows[3]["n_tokens_removed"] == 0 and rows[4]["n_tokens_removed"] == 0
+    assert rows[3]["clean_text"] == docs[2][1]
+    # in-doc repeat: first occurrence survives, second cut
+    assert rows[5]["clean_text"] == " ".join(S3 + [f"g{i}" for i in range(4)])
+    assert rows[5]["n_tokens_removed"] == 16 and rows[5]["n_runs_removed"] == 1
+
+
+def test_substring_removal_conservative_envelope(spark):
+    """The documented under-removal property: when documents duplicate
+    OVERLAPPING extents, their maximal runs carry different texts and
+    every occurrence survives (runs are keyed on their own full text;
+    nothing is shredded mid-run)."""
+    U = [f"u{i}" for i in range(30)]
+    docs = [
+        (1, " ".join(U)),          # maximal run = all 30 tokens
+        (2, " ".join(U[:20])),     # run text = tokens 0..19
+        (3, " ".join(U[10:])),     # run text = tokens 10..29
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    rows = {r["doc_id"]: r for r in D.substring_removal(df, span=8, min_len=15).collect()}
+    for i, text in docs:
+        assert rows[i]["clean_text"] == text
+        assert rows[i]["n_tokens_removed"] == 0
+        assert rows[i]["n_runs_removed"] == 0
+
+
 def test_incremental_minhash_dedup_across_batches(spark, tmp_path):
     """Near-dup admission against the sketch store: bootstrap admits
     the batch-internal survivor only; the next batch is rejected

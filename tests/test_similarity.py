@@ -496,3 +496,57 @@ def test_power_iteration_converges_to_eigh_top(spark):
         for r in S.power_iteration_top(df.repartition(13), dims=6, iters=25).collect()
     }
     assert again == got
+
+
+def test_rptree_leaves_equi_depth(spark):
+    """The tree family's defining property vs sign-LSH: median splits
+    give equi-depth leaves regardless of the data distribution — on
+    the 500-vector fixture every leaf holds exactly 125, and leaf ids
+    cover {0,1,2,3}."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sizes = {
+        r["leaf"]: r["count"]
+        for r in S.rptree_leaves(e).groupBy("leaf").count().collect()
+    }
+    assert set(sizes) == {0, 1, 2, 3}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_rptree_leaves_balanced_on_clustered_corpus(spark):
+    """The adversarial case for fixed hyperplanes: a corpus where 90%
+    of vectors sit in one tight cluster. Sign-LSH would hot-spot one
+    bucket; RP-tree median splits still cut it into equal quarters."""
+    rows = [(i, [5.0 + (i % 7) * 1e-3, 5.0, 5.0, 5.0]) for i in range(180)]
+    rows += [(200 + i, [-5.0, float(i), 1.0, -3.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    sizes = {
+        r["leaf"]: r["count"]
+        for r in S.rptree_leaves(df, dim=4).groupBy("leaf").count().collect()
+    }
+    assert set(sizes) == {0, 1, 2, 3}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_rptree_forest_recall(spark):
+    """Forest OR-amplification: each tree prunes 4x, more trees lift
+    recall vs the exact top-5 (measured 0.24 / 0.48 / 0.64 for 1/2/3
+    trees on the fixture — deterministic directions, stable)."""
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter("vec_id < 5")
+    exact = {
+        (r["q_id"], r["vec_id"]) for r in S.brute_force_topk(e, q, k=5).collect()
+    }
+
+    def recall(trees):
+        approx = {
+            (r["q_id"], r["vec_id"])
+            for r in S.rptree_topk(e, F.col("vec_id") < 5, k=5, trees=trees).collect()
+        }
+        return len(approx & exact) / len(exact)
+
+    r1, r3 = recall(1), recall(3)
+    assert r1 >= 0.15, r1
+    assert r3 >= 0.5, r3
+    assert r3 > r1  # amplification must actually help
