@@ -1,0 +1,96 @@
+"""Shared percentile-routing helper — the 100 TB substitute for
+global-sort ``ntile``.
+
+Several operators need "assign every row to one of ``n`` equal-count
+buckets": the equi-depth histogram (a23), RFM quartile scoring (a26),
+the calibration-curve deciles (x_calibration), and the RP-tree median
+splits (rptree_leaves). The engine-exact form is ``ntile(n)`` over a
+global ``Window.orderBy`` — a single-task global sort, which is the
+right AUDIT form (DuckDB replays it bit-for-bit) but a scale-killer on
+a corpus-sized frame.
+
+The scale form implemented here is the classic two-pass routing plan:
+
+1. one partial-aggregable pass computes the ``n-1`` interior cut
+   points with ``percentile_approx`` (Greenwald–Khanna sketch —
+   map-side mergeable, bounded memory, no sort);
+2. the bounded cuts frame (1 row, or |keys| rows for grouped
+   bucketing) is broadcast back and every row is routed with a
+   map-side comparison fold over the cut array — no shuffle of the
+   data at all beyond the aggregation's partials.
+
+Bucket semantics: bucket ``b`` (1-based) contains rows with
+``cut[b-1] < v <= cut[b]`` (open below, closed above), matching the
+side ``percentile_approx`` itself uses; ties on a cut value all land
+in the lower bucket, where ``ntile`` would split them by the
+tie-break id — the only systematic divergence between the two forms,
+bounded by the tied mass at each cut (tolerance-tested in
+``tests/test_bucketing.py``). NULL values route to a NULL bucket
+(``ntile`` sorts them first; callers that care filter them first).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_V = "__ab_v"
+_C = "__ab_cuts"
+
+
+def approx_cuts(
+    df: DataFrame,
+    col: str,
+    n: int,
+    keys: list[str] | None = None,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """The ``n-1`` interior cut points of ``col`` as one array column
+    ``__ab_cuts`` — per ``keys`` group if given, else one global row.
+    A bounded artifact (|keys| rows) meant to be broadcast."""
+    probs = F.array(*[F.lit(i / n) for i in range(1, n)])
+    agg = F.percentile_approx(F.col(col).cast("double"), probs, F.lit(accuracy)).alias(_C)
+    return df.groupBy(*keys).agg(agg) if keys else df.agg(agg)
+
+
+def approx_bucket(
+    df: DataFrame,
+    col: str,
+    n: int,
+    keys: list[str] | None = None,
+    bucket_col: str = "bucket",
+    descending: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Append an equal-count bucket id (1..``n``) for ``col`` to
+    ``df`` — the map-side-routed scale form of
+    ``ntile(n).over(Window.orderBy(col))`` (or ``orderBy(desc(col))``
+    with ``descending=True``, bucket 1 = largest values).
+
+    ``keys`` switches to per-group bucketing (the scale form of
+    ``Window.partitionBy(*keys).orderBy(col)``); the per-group cuts
+    frame is |keys|-sized and broadcast-joined, so this is only
+    appropriate when the key cardinality is broadcastable — exactly
+    the regime where the grouped ntile's per-key sort was the
+    alternative.
+
+    Plan shape: one hash-aggregate pass (GK sketch partials), one
+    broadcast join, one map-side ``aggregate`` fold over the cut
+    array. No global sort, no corpus shuffle.
+    """
+    val = F.col(col).cast("double")
+    if descending:
+        val = -val
+    work = df.withColumn(_V, val)
+    cuts = approx_cuts(work, _V, n, keys=keys, accuracy=accuracy)
+    joined = (
+        work.join(F.broadcast(cuts), keys, "left")
+        if keys
+        else work.crossJoin(F.broadcast(cuts))
+    )
+    fold = F.aggregate(
+        F.col(_C),
+        F.lit(1),
+        lambda acc, c: acc + F.when(F.col(_V) > c, 1).otherwise(0),
+    )
+    bucket = F.when(F.col(_V).isNotNull(), fold)
+    return joined.withColumn(bucket_col, bucket.cast("int")).drop(_V, _C)

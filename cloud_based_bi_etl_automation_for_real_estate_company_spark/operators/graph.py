@@ -271,6 +271,19 @@ def kcore(
         converged = cur_n == prev_n
         prev_n = cur_n
     if require_convergence and not converged:
+        # the loop detects a fixpoint only by an UNCHANGED count in a
+        # later round — a peel that lands on the fixpoint exactly at
+        # round `rounds` never gets that later round, so confirm with
+        # one extra degree check before raising (round-6 ADVICE): the
+        # edge set is stable iff no surviving node is under-degree
+        deg = (
+            e.select(F.col("a").alias("n"))
+            .unionByName(e.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        converged = deg.filter(F.col("deg") < k).limit(1).count() == 0
+    if require_convergence and not converged:
         raise ValueError(
             f"k-core peel did not reach a fixpoint within {rounds} rounds; "
             "the result would be a superset of the k-core"

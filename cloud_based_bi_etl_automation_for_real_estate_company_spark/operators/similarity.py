@@ -203,6 +203,7 @@ def rptree_leaves(
     vec_col: str = "embedding",
     dim: int = 64,
     tree: int = 0,
+    mode: str = "exact",
 ) -> DataFrame:
     """Two-level random-projection-tree partitioning (Dasgupta &
     Freund, STOC 2008 / the Annoy index family): split the corpus at
@@ -214,15 +215,23 @@ def rptree_leaves(
     distributed, where fixed hyperplanes can send 90% of a clustered
     corpus into one hot bucket.
 
-    Audit form vs scale form: rank-splitting is expressed here with
-    ``ntile`` over the (rounded) projection — engine-exact, which is
-    what the oracle hash needs, but a global-sort window. At 100 TB
-    the thresholds come from ``approx_percentile`` on the projection
-    (one partial-aggregable pass) and routing becomes a map-side
-    comparison against the broadcast cut points — same tree, no global
-    sort; the substitution is tolerance-tested like the equi-depth
-    histogram's (a23). Returns ``(id, embedding, leaf)`` with leaf in
-    {0,1,2,3}.
+    ``mode`` picks the audit form or the scale form (the
+    ``pack_sequences`` convention):
+
+    - ``"exact"`` — rank-splitting via ``ntile`` over the (rounded)
+      projection: engine-exact (what the oracle hash needs) but a
+      global-sort window.
+    - ``"approx"`` — the 100 TB form: the level-1 median comes from
+      one ``percentile_approx`` pass, the two level-2 medians from
+      one GROUPED ``percentile_approx`` pass keyed by the half; both
+      bounded cut frames are broadcast and rows route with map-side
+      comparisons (:func:`..bucketing.approx_bucket`) — same tree, no
+      global sort. Leaf assignments agree with the exact form except
+      for rows tied AT a median (ntile splits ties by id; routing
+      sends them all one way) — equivalence- and recall-tested in
+      ``tests/test_bucketing.py``.
+
+    Returns ``(id, embedding, leaf)`` with leaf in {0,1,2,3}.
     """
     p1, p2 = rptree_directions(dim, tree)
     proj = base.select(
@@ -231,6 +240,18 @@ def rptree_leaves(
         _rp_proj(vec_col, p1).alias("__p1"),
         _rp_proj(vec_col, p2).alias("__p2"),
     )
+    if mode == "approx":
+        from .bucketing import approx_bucket
+
+        halves = approx_bucket(proj, "__p1", 2, bucket_col="__h")
+        split2 = approx_bucket(halves, "__p2", 2, keys=["__h"], bucket_col="__h2")
+        return split2.select(
+            id_col,
+            vec_col,
+            ((F.col("__h") - 1) * 2 + F.col("__h2") - 1).cast("int").alias("leaf"),
+        )
+    if mode != "exact":
+        raise ValueError(f"mode must be 'exact' or 'approx', got {mode!r}")
     w1 = Window.orderBy("__p1", id_col)
     halves = proj.withColumn("__h", F.ntile(2).over(w1))
     w2 = Window.partitionBy("__h").orderBy("__p2", id_col)
@@ -251,6 +272,7 @@ def rptree_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     trees: int = 1,
+    mode: str = "exact",
 ) -> DataFrame:
     """Approximate top-k via an RP-tree FOREST (the Annoy recipe): each
     query (selected from the base by ``query_pred`` so its leaf
@@ -258,11 +280,13 @@ def rptree_topk(
     leaf in each of ``trees`` independent trees — OR-amplification
     over trees lifts recall while each tree still prunes 4×; a pair
     colliding in several trees is deduped before ranking, exactly the
-    multi-table pattern of :func:`bucketed_ann_topk`. Returns
+    multi-table pattern of :func:`bucketed_ann_topk`. ``mode`` selects
+    the leaf-assignment form (see :func:`rptree_leaves` — ``"approx"``
+    is the no-global-sort 100 TB path). Returns
     ``(q_id, vec_id, sim, rnk)``.
     """
     per_tree = [
-        rptree_leaves(base, id_col, vec_col, dim, tree=ti).select(
+        rptree_leaves(base, id_col, vec_col, dim, tree=ti, mode=mode).select(
             F.lit(ti).alias("tree"), F.col(id_col), F.col(vec_col), "leaf"
         )
         for ti in range(trees)

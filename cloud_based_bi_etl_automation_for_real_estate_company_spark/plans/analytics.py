@@ -218,25 +218,31 @@ def q_p18_string_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SW = ", ".join(f"'{w}'" for w in T.STOPWORDS_EN)
 
-def q_a23_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth (equal-count) histogram of event values: ntile(10)
-    assigns ranks to deciles, then per-bucket bounds/count — the data
-    profile a BI tool draws before choosing axis scales. One global
-    sort window; at 100 TB use approx_percentile cut points instead
-    (tolerance-tested in tests/test_scale_paths.py) — ntile is the
-    exact-parity form the oracle can replay."""
+def q_a23_equidepth_hist(
+    spark: SparkSession, sf_dir: str, mode: str = "exact"
+) -> DataFrame:
+    """Equi-depth (equal-count) histogram of event values: decile
+    ranks, then per-bucket bounds/count — the data profile a BI tool
+    draws before choosing axis scales. ``mode="exact"`` is the
+    oracle-parity form (ntile over one global sort window);
+    ``mode="approx"`` is the 100 TB form — approx_percentile cut
+    points broadcast back and routed map-side
+    (operators/bucketing.approx_bucket), no global sort; the two are
+    equivalence-tested in tests/test_bucketing.py."""
     from .measures import t
 
     ev = t(spark, sf_dir, "events")
-    w = Window.orderBy(F.col("value"), F.col("event_id"))
-    return (
-        ev.select("value", "event_id", F.ntile(10).over(w).alias("bucket"))
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.min("value").alias("lo"),
-            F.max("value").alias("hi"),
-        )
+    if mode == "approx":
+        from ..operators.bucketing import approx_bucket
+
+        b = approx_bucket(ev.select("value", "event_id"), "value", 10)
+    else:
+        w = Window.orderBy(F.col("value"), F.col("event_id"))
+        b = ev.select("value", "event_id", F.ntile(10).over(w).alias("bucket"))
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
     )
 
 
@@ -314,17 +320,23 @@ def q_a25_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_a26_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_a26_rfm(
+    spark: SparkSession, sf_dir: str, mode: str = "exact"
+) -> DataFrame:
     """RFM segmentation (Hughes 1994): per purchasing user, recency =
     days since last purchase (vs the corpus max date), frequency =
     purchase count, monetary = decimal-exact revenue; each scored into
-    ntile(4) quartiles (1 = best: most recent / most frequent /
-    highest spend) and aggregated to segment counts — the customer-
-    value matrix BI tools build off the same fact table.
+    quartiles (1 = best: most recent / most frequent / highest spend)
+    and aggregated to segment counts — the customer-value matrix BI
+    tools build off the same fact table.
 
-    The ntile windows are global sorts, but they run over the
-    PER-USER aggregate (users-sized, orders of magnitude below the
-    fact table); ties break on user_id so ranks are deterministic.
+    ``mode="exact"`` scores with ntile(4) windows — global sorts, but
+    over the PER-USER aggregate (users-sized, orders of magnitude
+    below the fact table), ties broken on user_id so ranks are
+    deterministic. ``mode="approx"`` routes each score through
+    approx_percentile cut points instead
+    (operators/bucketing.approx_bucket, descending for F/M) — no
+    sort at all; equivalence-tested in tests/test_bucketing.py.
     The anchor date is a 1-row broadcast."""
     from ..functions.transforms import dsum
 
@@ -342,17 +354,25 @@ def q_a26_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "monetary",
     )
-    r_w = Window.orderBy(F.col("recency_days"), F.col("user_id"))
-    f_w = Window.orderBy(F.col("frequency").desc(), F.col("user_id"))
-    m_w = Window.orderBy(F.col("monetary").desc(), F.col("user_id"))
-    return (
-        scored.select(
+    if mode == "approx":
+        from ..operators.bucketing import approx_bucket
+
+        b = approx_bucket(scored, "recency_days", 4, bucket_col="r_score")
+        b = approx_bucket(b, "frequency", 4, bucket_col="f_score", descending=True)
+        b = approx_bucket(b, "monetary", 4, bucket_col="m_score", descending=True)
+        quartiled = b.select("r_score", "f_score", "m_score", "monetary")
+    else:
+        r_w = Window.orderBy(F.col("recency_days"), F.col("user_id"))
+        f_w = Window.orderBy(F.col("frequency").desc(), F.col("user_id"))
+        m_w = Window.orderBy(F.col("monetary").desc(), F.col("user_id"))
+        quartiled = scored.select(
             F.ntile(4).over(r_w).alias("r_score"),
             F.ntile(4).over(f_w).alias("f_score"),
             F.ntile(4).over(m_w).alias("m_score"),
             "monetary",
         )
-        .groupBy("r_score", "f_score", "m_score")
+    return (
+        quartiled.groupBy("r_score", "f_score", "m_score")
         .agg(
             F.count(F.lit(1)).alias("n_users"),
             F.sum(F.col("monetary").cast("decimal(18,2)"))

@@ -536,16 +536,20 @@ def q_x_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logreg_train(feats, ["x1", "x2"], "y", iterations=3, lr=1.0)
 
 
-def q_x_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_x_calibration(
+    spark: SparkSession, sf_dir: str, mode: str = "exact"
+) -> DataFrame:
     """Calibration curve for the in-engine logistic classifier
     (x_logreg_quality's model): score every document, decile-bucket by
     predicted probability, and compare mean predicted p against the
     actual positive rate per decile — the reliability diagram every ML
     eval harness draws. Probabilities are 9-dp-rounded BEFORE the
-    ntile ordering (exp() ulp differences between engines must not
-    reorder near-ties) with doc_id as the final tiebreak; the decile
-    window is a documented corpus-sized global sort (a23 class — at
-    100 TB bucket by approx quantile cut points instead)."""
+    decile ordering (exp() ulp differences between engines must not
+    reorder near-ties) with doc_id as the final tiebreak.
+    ``mode="exact"`` buckets with ntile over a corpus-sized global
+    sort (the oracle-parity form); ``mode="approx"`` routes through
+    approx_percentile cut points (operators/bucketing.approx_bucket)
+    with no sort — equivalence-tested in tests/test_bucketing.py."""
     from pyspark.sql import Window
 
     from ..operators.ml import logreg_score, logreg_train
@@ -559,14 +563,24 @@ def q_x_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = logreg_train(feats, ["x1", "x2"], "y", iterations=3, lr=1.0)
     scored = logreg_score(feats, w, ["x1", "x2"])
-    dec = scored.select(
-        "doc_id",
-        "y",
-        "p",
-        F.ntile(10)
-        .over(Window.orderBy(F.round("p", 9), "doc_id"))
-        .alias("decile"),
-    )
+    if mode == "approx":
+        from ..operators.bucketing import approx_bucket
+
+        dec = approx_bucket(
+            scored.select("doc_id", "y", F.round("p", 9).alias("p")),
+            "p",
+            10,
+            bucket_col="decile",
+        )
+    else:
+        dec = scored.select(
+            "doc_id",
+            "y",
+            "p",
+            F.ntile(10)
+            .over(Window.orderBy(F.round("p", 9), "doc_id"))
+            .alias("decile"),
+        )
     return dec.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_docs"),
         (

@@ -729,8 +729,11 @@ def streaming_spacesaving(
     while the stream is unbounded. Each micro-batch pre-aggregates
     its rows to (item, weight) pairs pandas-side (one value_counts —
     state code folds O(distinct), never O(rows)) and re-emits the
-    current summary. Update-mode output: one row per (key, item) per
-    micro-batch (key, item, est, err, n_seen)."""
+    current summary. NULL items are dropped BEFORE the stateful
+    groupBy (the streaming_kmv_distinct NULL rule — a NULL must never
+    occupy a counter as the string 'None'); ``n_seen`` therefore
+    counts non-NULL rows. Update-mode output: one row per (key, item)
+    per micro-batch (key, item, est, err, n_seen)."""
     out_schema = StructType(
         [
             StructField(key_col, StringType()),
@@ -773,6 +776,7 @@ def streaming_spacesaving(
 
     return (
         events.select(key_col, item_col)
+        .filter(F.col(item_col).isNotNull())
         .groupBy(key_col)
         .applyInPandasWithState(
             update,
@@ -795,7 +799,8 @@ def spacesaving_drain_batch(
 ) -> DataFrame:
     """One-shot batch drain of ``streaming_spacesaving`` — the same
     ``_spacesaving_fold`` over each group's value_counts in a single
-    'micro-batch'. Returns (key, item, est, err, n_seen)."""
+    'micro-batch', with the same NULL-item drop before the groupBy.
+    Returns (key, item, est, err, n_seen)."""
     out_schema = StructType(
         [
             StructField(key_col, StringType()),
@@ -824,6 +829,7 @@ def spacesaving_drain_batch(
 
     return (
         df.select(key_col, item_col)
+        .filter(F.col(item_col).isNotNull())
         .groupBy(key_col)
         .applyInPandas(drain, schema=out_schema)
     )

@@ -85,7 +85,11 @@ def main():
     spark = get_spark("soak-triangles")
     out = {"n0": N0, "hub_pct_edges": None, "factors": {}}
     for f in factors:
-        edges = hub_graph(spark, f).localCheckpoint(eager=True)
+        # cache (not localCheckpoint): unpersist() actually frees cache
+        # blocks, where checkpointed RDD blocks linger until GC and a
+        # multi-factor soak would accumulate every factor's edge set in
+        # executor storage (round-6 ADVICE). count() below materializes.
+        edges = hub_graph(spark, f).cache()
         n_edges = edges.count()
         hub_deg = edges.filter((F.col("src") == 0) | (F.col("dst") == 0)).count()
         out["hub_pct_edges"] = round(100.0 * hub_deg / n_edges, 1)

@@ -603,6 +603,67 @@ def test_incremental_minhash_dedup_across_batches(spark, tmp_path):
     assert f3 == {31: False}
 
 
+def test_minhash_store_compaction_lookup_invariance(spark, tmp_path):
+    """compact_minhash_store rewrites the append-grown sigs table into
+    fewer right-sized files; a subsequent batch must see IDENTICAL
+    admission flags and evidence columns through the compacted store
+    (the candidate-lookup invariance the lifecycle job promises)."""
+    import glob
+    import shutil
+
+    base = "shared boilerplate paragraph repeated across batches many times over " * 5
+    fresh = "totally novel subject matter with distinct vocabulary choices " * 5
+    a = str(tmp_path / "store_a")
+    b1 = spark.createDataFrame([(1, base), (2, fresh)], "doc_id bigint, text string")
+    b2 = spark.createDataFrame(
+        [(11, fresh + " coda"), (12, "more new words about columnar file layouts " * 5)],
+        "doc_id bigint, text string",
+    )
+    D.incremental_minhash_dedup(b1, a).collect()
+    D.incremental_minhash_dedup(b2, a).collect()
+    b = str(tmp_path / "store_b")
+    shutil.copytree(a, b)
+    files_before = len(glob.glob(f"{b}/sigs/*.parquet"))
+    D.compact_minhash_store(spark, b)
+    files_after = len(glob.glob(f"{b}/sigs/*.parquet"))
+    assert files_after < files_before, (files_before, files_after)
+    assert not glob.glob(f"{b}/sigs__*")  # no generation debris
+    # same store rows, just fewer files
+    rows_a = sorted(map(tuple, spark.read.parquet(f"{a}/sigs").collect()))
+    rows_b = sorted(map(tuple, spark.read.parquet(f"{b}/sigs").collect()))
+    assert rows_a == rows_b
+    probe = spark.createDataFrame(
+        [(21, base + " tail"), (22, fresh), (23, "never seen anywhere prose " * 5)],
+        "doc_id bigint, text string",
+    )
+    fa = sorted(map(tuple, D.incremental_minhash_dedup(probe, a).collect()))
+    fb = sorted(map(tuple, D.incremental_minhash_dedup(probe, b).collect()))
+    assert fa == fb
+
+
+def test_incremental_minhash_dedup_string_ids(spark, tmp_path):
+    """Round-6 ADVICE: a non-bigint id column must work from the very
+    first (bootstrap) batch — the empty store's schema derives from
+    the incoming signature frame, so the append and the next batch's
+    join agree on the id type."""
+    text = "one single document body with enough words to shingle cleanly " * 5
+    store = str(tmp_path / "str_store")
+    b1 = spark.createDataFrame(
+        [("doc-a", text), ("doc-b", "different material entirely here " * 5)],
+        "doc_id string, text string",
+    )
+    f1 = {r["doc_id"]: r["admitted"] for r in
+          D.incremental_minhash_dedup(b1, store).collect()}
+    assert f1 == {"doc-a": True, "doc-b": True}
+    assert dict(spark.read.parquet(f"{store}/sigs").dtypes)["doc_id"] == "string"
+    b2 = spark.createDataFrame(
+        [("doc-c", text + " tail")], "doc_id string, text string"
+    )
+    f2 = {r["doc_id"]: r["admitted"] for r in
+          D.incremental_minhash_dedup(b2, store).collect()}
+    assert f2 == {"doc-c": False}
+
+
 def test_golden_records_pipeline_hand_computed(spark):
     """The MDM composition (blocking -> editdist -> CC -> survivorship)
     on a hand-built dimension: two typo-variants of one entity merge

@@ -173,3 +173,23 @@ def test_kcore_nonconvergence_raises_when_required(spark):
     with _pytest.raises(ValueError, match="fixpoint"):
         kcore(path, k=2, rounds=3, require_convergence=True).collect()
     assert kcore(path, k=2, rounds=30, require_convergence=True).count() == 0
+
+
+def test_kcore_fixpoint_on_final_round_does_not_raise(spark):
+    """Round-6 ADVICE: a peel that FIRST lands on the fixpoint exactly
+    at the last allowed round has no later round to observe the
+    unchanged count — require_convergence must confirm stability with
+    one extra degree check instead of raising spuriously. A 5-node
+    path at k=2 empties in exactly 2 rounds; a 4-clique + pendant
+    reaches its (non-empty) 2-core fixpoint in exactly 1 round."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.graph import kcore
+
+    path5 = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src bigint, dst bigint"
+    )
+    assert kcore(path5, k=2, rounds=2, require_convergence=True).count() == 0
+    clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    df = spark.createDataFrame(clique, "src bigint, dst bigint")
+    got = {r["node"] for r in
+           kcore(df, k=2, rounds=1, require_convergence=True).collect()}
+    assert got == {1, 2, 3, 4}

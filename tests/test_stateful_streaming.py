@@ -800,3 +800,22 @@ def test_streaming_spacesaving_guarantees_and_drain(spark, tmp_path):
     # file order, but the fold pre-aggregates to per-batch counts and
     # folds items in sorted order, so one-batch == one-shot drain
     assert got_one == drained
+
+
+def test_spacesaving_drain_drops_null_items(spark):
+    """Round-6 ADVICE: NULL items must be dropped before the fold (the
+    streaming_kmv_distinct NULL rule), never counted as the literal
+    string 'None' occupying a counter; n_seen counts non-NULL rows."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.streaming.stateful import (
+        spacesaving_drain_batch,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", None), ("a", "y"), ("a", None)],
+        "k string, item string",
+    )
+    rows = spacesaving_drain_batch(df, "k", "item", m=8).collect()
+    items = {r["item"]: r for r in rows}
+    assert set(items) == {"x", "y"}
+    assert all(r["n_seen"] == 3 for r in rows)
+    assert items["x"]["est"] == 2 and items["y"]["est"] == 1
