@@ -3972,7 +3972,77 @@ ORACLES["x_ann_ivf_trained"] = """
 """
 
 
+def q_x_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed suffix array by prefix doubling
+    (operators/suffixes.py — Manber–Myers via the Flick & Aluru
+    dataflow; ranking with bucket-routed global_row_number, no
+    single-task sort). Gate form runs the bounded audit slice
+    (10 docs × 200 chars); the oracle is the DEFINITION — row_number
+    over suffix strings — so the O(log n) construction is
+    differential-tested against a direct sort."""
+    from ..operators.suffixes import suffix_array
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    return suffix_array(d, max_chars=200)
+
+
+def q_x_suffix_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr's exact character-level duplicate signal: LCP of
+    each suffix with its suffix-array predecessor, kept where ≥ 15 —
+    every emitted (doc, pos, lcp) marks lcp characters that occur
+    verbatim elsewhere in the slice (Lee et al. 2107.06499 §4.1, the
+    exact complement of x_substring_spans's token windows)."""
+    from ..operators.suffixes import duplicated_suffix_lcp
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    return duplicated_suffix_lcp(d, min_len=15, max_chars=200)
+
+
+_SUFFIX_BASE_SQL = """
+    WITH sl AS (
+        SELECT doc_id, substr(text, 1, 200) AS t
+        FROM documents WHERE doc_id < 10),
+    p AS (
+        SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+               substr(t, CAST(u.i AS INT) + 1) AS suf
+        FROM sl, UNNEST(range(length(t))) AS u(i))
+"""
+
+ORACLES["x_suffix_array"] = _SUFFIX_BASE_SQL + """
+    SELECT doc_id, pos,
+           CAST(row_number() OVER (ORDER BY suf, doc_id, pos) AS BIGINT)
+               AS sa_rank
+    FROM p
+"""
+
+ORACLES["x_suffix_lcp"] = _SUFFIX_BASE_SQL + """,
+    sa AS (
+        SELECT doc_id, pos, suf,
+               row_number() OVER (ORDER BY suf, doc_id, pos) AS rnk
+        FROM p),
+    adj AS (
+        SELECT doc_id, pos, suf, lag(suf) OVER (ORDER BY rnk) AS prev
+        FROM sa),
+    l AS (
+        SELECT doc_id, pos,
+               CASE WHEN prev IS NULL
+                         OR least(length(suf), length(prev)) = 0 THEN 0
+                    ELSE COALESCE(
+                        list_min(list_filter(
+                            range(1, least(length(suf), length(prev)) + 1),
+                            i -> suf[CAST(i AS INT)] <> prev[CAST(i AS INT)]))
+                            - 1,
+                        least(length(suf), length(prev)))
+               END AS lcp
+        FROM adj)
+    SELECT doc_id, pos, CAST(lcp AS BIGINT) AS lcp
+    FROM l WHERE lcp >= 15
+"""
+
+
 QUERIES = {
+    "x_suffix_array": q_x_suffix_array,
+    "x_suffix_lcp": q_x_suffix_lcp,
     "x_dedup_exact": q_x_dedup_exact,
     "x_dedup_minhash_lsh": q_x_dedup_minhash_lsh,
     "x_lsh_precision": q_x_lsh_precision,

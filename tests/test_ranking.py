@@ -1,0 +1,98 @@
+"""Exact distributed global ranking (operators/ranking.py):
+bit-equality with the single-task Window forms, NULL placement,
+partition invariance, and the no-global-sort plan property."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.ranking import (
+    global_dense_rank,
+    global_row_number,
+)
+from cloud_based_bi_etl_automation_for_real_estate_company_spark.plans.measures import t
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_global_row_number_equals_window_row_number(spark):
+    o = t(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    got = {
+        r["o_orderkey"]: r["rn"]
+        for r in global_row_number(
+            o, "o_totalprice", tiebreaks=["o_orderkey"], n_buckets=7
+        ).collect()
+    }
+    want = {
+        r["o_orderkey"]: r["rn"]
+        for r in o.select(
+            "o_orderkey",
+            F.row_number()
+            .over(Window.orderBy("o_totalprice", "o_orderkey"))
+            .cast("bigint")
+            .alias("rn"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_row_number_nulls_first_and_ties(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 5.0), (4, 1.0), (5, None)],
+        "id int, v double",
+    )
+    got = {
+        r["id"]: r["rn"]
+        for r in global_row_number(df, "v", tiebreaks=["id"], n_buckets=3).collect()
+    }
+    assert got == {2: 1, 5: 2, 4: 3, 1: 4, 3: 5}
+
+
+def test_global_row_number_partition_invariant(spark):
+    o = t(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    a = sorted(
+        map(tuple, global_row_number(
+            o.repartition(3), "o_totalprice", tiebreaks=["o_orderkey"]
+        ).collect())
+    )
+    b = sorted(
+        map(tuple, global_row_number(
+            o.repartition(13), "o_totalprice", tiebreaks=["o_orderkey"]
+        ).collect())
+    )
+    assert a == b
+
+
+def test_global_row_number_plan_no_single_task_sort(spark):
+    """The point of the operator: no global Sort and no unpartitioned
+    Window anywhere in the physical plan — ranking runs as per-bucket
+    windows behind a broadcast of cut points and offsets."""
+    o = t(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    plan = (
+        global_row_number(o, "o_totalprice", tiebreaks=["o_orderkey"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" not in plan.lower(), plan
+    # windows exist, but every one is keyed on the bucket column
+    for line in plan.splitlines():
+        if "Window" in line and "windowGroupLimit" not in line:
+            assert "__gr_b" in line, line
+
+
+def test_global_dense_rank_equals_window_dense_rank(spark):
+    ev = t(spark, SF, "events").select("event_id", "value")
+    vals = ev.select(F.round("value", 0).alias("v"), "event_id")
+    got = {
+        r["event_id"]: r["rank"]
+        for r in global_dense_rank(vals, "v", n_buckets=5).collect()
+    }
+    want = {
+        r["event_id"]: r["rank"]
+        for r in vals.select(
+            "event_id",
+            F.dense_rank().over(Window.orderBy("v")).cast("bigint").alias("rank"),
+        ).collect()
+    }
+    assert got == want

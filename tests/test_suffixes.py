@@ -1,0 +1,107 @@
+"""Distributed suffix array (operators/suffixes.py): hand-computed
+banana check, differential equality with directly-sorted suffixes,
+cross-document duplicate detection via LCP, partition invariance,
+and the no-global-sort plan property inherited from ranking."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.suffixes import (
+    duplicated_suffix_lcp,
+    suffix_array,
+    suffix_ranks,
+)
+
+
+def _brute_sa(docs: list[tuple[int, str]]) -> dict[tuple[int, int], int]:
+    sufs = [
+        (text[p:], d, p) for d, text in docs for p in range(len(text))
+    ]
+    return {
+        (d, p): i + 1 for i, (_, d, p) in enumerate(sorted(sufs))
+    }
+
+
+def test_suffix_array_banana(spark):
+    """banana: suffixes sorted are a<ana<anana<banana<na<nana →
+    sa ranks by pos: [4,3,6,2,5,1] for pos 0..5."""
+    df = spark.createDataFrame([(1, "banana")], "doc_id bigint, text string")
+    got = {r["pos"]: r["sa_rank"] for r in suffix_array(df).collect()}
+    assert got == {5: 1, 3: 2, 1: 3, 0: 4, 4: 5, 2: 6}
+
+
+def test_suffix_array_matches_brute_force_multi_doc(spark):
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the hat"),
+        (3, "entirely different words"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        (r["doc_id"], r["pos"]): r["sa_rank"] for r in suffix_array(df).collect()
+    }
+    assert got == _brute_sa(docs)
+
+
+def test_suffix_ranks_equal_for_identical_cross_doc_suffixes(spark):
+    """Two docs ending in the same tail: those suffixes must share a
+    dense rank (they ARE equal strings); all unequal suffixes get
+    distinct ranks."""
+    docs = [(1, "xyz common tail"), (2, "abc common tail")]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    rows = suffix_ranks(df).collect()
+    by_suffix: dict[str, set[int]] = {}
+    texts = dict(docs)
+    for r in rows:
+        by_suffix.setdefault(texts[r["doc_id"]][r["pos"]:], set()).add(r["rank"])
+    for suf, ranks in by_suffix.items():
+        assert len(ranks) == 1, (suf, ranks)
+    distinct_sufs = len(by_suffix)
+    distinct_ranks = len({next(iter(v)) for v in by_suffix.values()})
+    assert distinct_ranks == distinct_sufs
+
+
+def test_duplicated_suffix_lcp_finds_exact_repeats(spark):
+    """A 17-char phrase pasted into two docs: every position inside
+    the shared phrase has an SA-neighbor LCP covering the remaining
+    shared characters; unique text yields nothing at min_len=10."""
+    shared = "quick brown foxes"  # 17 chars
+    docs = [
+        (1, f"AAA {shared} BBB"),
+        (2, f"CCC {shared} DDD"),
+        (3, "nothing in common here at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    rows = duplicated_suffix_lcp(df, min_len=10).collect()
+    assert rows, "shared phrase not detected"
+    # every hit is inside doc 1 or 2 and its fragment really does
+    # occur verbatim somewhere else in the corpus
+    texts = dict(docs)
+    for r in rows:
+        assert r["doc_id"] in (1, 2), r
+        d_text = texts[r["doc_id"]]
+        frag = d_text[r["pos"]: r["pos"] + r["lcp"]]
+        occurrences = sum(t.count(frag) for t in texts.values())
+        assert occurrences >= 2, (r, frag)
+    # the best hit covers the full shared phrase
+    assert max(r["lcp"] for r in rows) >= len(shared)
+
+
+def test_suffix_array_partition_invariant(spark):
+    docs = [(i, f"document number {i} with shared boilerplate sentence") for i in range(8)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    a = sorted(map(tuple, suffix_array(df.repartition(2)).collect()))
+    b = sorted(map(tuple, suffix_array(df.repartition(7)).collect()))
+    assert a == b
+
+
+def test_suffix_array_max_chars_truncates(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefghij")], "doc_id bigint, text string"
+    )
+    rows = suffix_array(df, max_chars=4).collect()
+    assert {r["pos"] for r in rows} == {0, 1, 2, 3}
+    got = {r["pos"]: r["sa_rank"] for r in rows}
+    want = {p: rank for (_, p), rank in _brute_sa([(1, "abcd")]).items()}
+    assert got == want
