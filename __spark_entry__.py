@@ -2,8 +2,8 @@
 
 ``entry`` runs the flagship dashboard query; ``queries`` /
 ``oracle_sql`` expose every implemented operator from SURVEY.md §2
-plus the training-data-pipeline extensions, each with a DuckDB
-oracle except the single non-SQL-expressible entry: x_pca_project
+plus the training-data-pipeline extensions — 214 registered queries,
+213 with DuckDB oracles, 1 rows-only: x_pca_project
 (numpy eigh) — PERMANENTLY rows-only by round-6 decision: its
 Parseval shadow ``x_pca_invariants`` checks centering/orthonormality
 in SQL, and ``x_power_iteration`` proves the distributed eigen-math
@@ -61,47 +61,24 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Round-6 gate front block. Every round-5 front name is green in
-# CORRECTNESS_r05, so the 50-slot window now holds: (a) the 15 round-6
-# additions, (b) the one plan-changed query, (c) the 6 permanent
-# double-arithmetic SENTINELS, then (d) STALENESS ROTATION — the
-# catalog names whose latest driver-gate row is oldest (r1 vintage;
-# 43 such names exist, the window fits 28 of them — the 15 past slot
-# 50 plus the 35 r2-vintage names are round-7's rotation, listed in
-# _ROTATION_R7).
+# Round-7 gate front block. Every round-6 front name is green in
+# CORRECTNESS_r06, so the 50-slot window now holds: (a) the 2 round-7
+# additions, (b) the 2 queries whose plan changed this round
+# (SpaceSaving drain gained the NULL-item drop; the incremental
+# near-dup bootstrap now derives its id type), (c) the 6 permanent
+# double-arithmetic SENTINELS, then (d) STALENESS ROTATION — the 40
+# oldest-vintage names from round 6's staged _ROTATION_R7 (15 r1 +
+# 25 r2); the remaining 10 r2-vintage names roll to _ROTATION_R8.
 _GATE_PRIORITY = (
-    # -- (a) new in round 6 ----------------------------------------------
-    # streaming-state drains: the stream ops' own math under the gate.
-    "x_kmv_drain",
-    "t16_cusum_drain",
-    "x_tdigest_drain",
-    # maximal duplicated-substring inventory (ExactSubstr run form).
-    "x_substring_spans",
-    # fixed-point power-iteration eigensolver, 8 unrolled-CTE rounds.
-    "x_power_iteration",
-    # Hilbert layout key (4-state machine fold, chained-CTE replay).
-    "x_hilbert_key",
-    # incremental near-dup admission vs the persisted sketch store.
-    "x_incremental_neardup",
-    # TPC-H Q15 shape: global argmax over an aggregated revenue view.
-    "l27_top_supplier",
-    # quantile sketch-table rollup: daily digests merged to per-type.
-    "x_tdigest_rollup",
-    # SpaceSaving heavy-hitter state drain, theorem-audit form.
-    "x_spacesaving_drain",
-    # k-core peeling (fixed 8 unrolled rounds, exact at fixpoint).
-    "x_kcore",
-    # MDM golden records: block -> editdist -> CC -> survivorship.
-    "x_golden_records",
-    # rolling 7-day quantiles from merged daily digests.
-    "t17_rolling_quantiles",
-    # maximal-run substring REMOVAL (ExactSubstr's acting half).
-    "x_substring_removal",
-    # RP-tree forest ANN (equi-depth median splits, Annoy family).
-    "x_ann_rptree",
+    # -- (a) new in round 7 ----------------------------------------------
+    # distributed suffix array (prefix doubling, bucket-routed exact
+    # global ranking) differential-tested against the definition.
+    "x_suffix_array",
+    # exact character-level duplicated substrings via SA-adjacent LCP.
+    "x_suffix_lcp",
     # -- (b) plan changed this round --------------------------------------
-    # rank_ok tolerance floored at 1/n for tiny groups.
-    "x_tdigest_quantiles",
+    "x_spacesaving_drain",
+    "x_incremental_neardup",
     # -- (c) permanent sentinels: fragile double-fold bit-exactness --------
     "t10_holt",
     "t12_holt_winters",
@@ -109,41 +86,7 @@ _GATE_PRIORITY = (
     "a29_trend_slope",
     "a30_corr_pairs",
     "x_linkage_score",
-    # -- (d) staleness rotation: latest driver row is round 1 --------------
-    "a1_funnel",
-    "a2_total_amount",
-    "a3_avg_ticket",
-    "a4_conversion_ratios",
-    "a5_goal_progress",
-    "a7_latest_per_key",
-    "a8_rollup_agent_table",
-    "a9_percent_of_total",
-    "a10_monthly_trend",
-    "a11_origin_counts",
-    "a12_agent_measures",
-    "a13_detail_listing",
-    "a14_slicer_filtered",
-    "a15_calendar",
-    "a16_distinct_counts",
-    "a17_pivot_funnel",
-    "a18_percentiles",
-    "a19_above_segment_avg",
-    "a20_cube",
-    "a22_grouping_sets",
-    "j1_gapless_monthly",
-    "j3_enriched_events",
-    "j5_active_anti_deleted",
-    "p3_coalesce_extract",
-    "p8_multiformat_ts",
-    "p9_tz_convert",
-    "p10_format_local",
-    "p11_tags_csv",
-)
-
-# Round-7 rotation backlog, oldest first: the 13 r1-vintage names that
-# did not fit round 6's window, then the 35 r2-vintage names. Promote
-# into _GATE_PRIORITY behind round-7 additions + the sentinels.
-_ROTATION_R7: tuple[str, ...] = (
+    # -- (d) staleness rotation: r1 vintage first, then r2 ----------------
     "p12_bool_cast",
     "p14_reserialize",
     "p15_case_transform",
@@ -185,6 +128,12 @@ _ROTATION_R7: tuple[str, ...] = (
     "x_multimodal_meta",
     "x_ngram_jaccard",
     "x_pack_sequences",
+)
+
+# Round-8 rotation backlog: the 10 r2-vintage names that did not fit
+# round 7's window, then the r3-vintage catalog names become next in
+# staleness order. Promote behind round-8 additions + the sentinels.
+_ROTATION_R8: tuple[str, ...] = (
     "x_pii_redact",
     "x_repetition",
     "x_source_mixture",
@@ -206,7 +155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for mod in (warehouse, windows, extensions, measures, analytics, scalars, temporal):
         all_q.update(mod.QUERIES)
     out = {n: all_q[n] for n in _GATE_PRIORITY if n in all_q}
-    out.update({n: all_q[n] for n in _ROTATION_R7 if n in all_q and n not in out})
+    out.update({n: all_q[n] for n in _ROTATION_R8 if n in all_q and n not in out})
     out.update({n: f for n, f in all_q.items() if n not in out})
     return out
 
