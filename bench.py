@@ -87,6 +87,11 @@ HEADLINE = [
     "x_ann_ivf",
     "t2_session_stats",
     "x_quality_filter",
+    # round-7 breadth: the round-5/6 heavies, so regressions in the
+    # graph/MDM/sketch-window families reach the driver series too
+    "x_golden_records",
+    "x_kcore",
+    "t17_rolling_quantiles",
 ]
 
 
