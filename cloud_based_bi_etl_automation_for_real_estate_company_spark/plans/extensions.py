@@ -3972,6 +3972,31 @@ ORACLES["x_ann_ivf_trained"] = """
 """
 
 
+def q_x_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-wide total-order ranking WITHOUT a single-task
+    window (operators/ranking.py:global_row_number — approx cut-point
+    routing, per-bucket windows, broadcast offsets): every order
+    ranked by (o_totalprice, o_orderkey). The oracle is the
+    single-task definition, so the parallel decomposition is
+    hash-proven bit-equal over the full table — unlike the bucketing
+    mode= forms, which are approximate by design, this one has no
+    tolerance to hide behind."""
+    from ..operators.ranking import global_row_number
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return global_row_number(
+        o, "o_totalprice", tiebreaks=["o_orderkey"], rank_col="rn"
+    ).select("o_orderkey", "rn")
+
+
+ORACLES["x_global_rank"] = """
+    SELECT o_orderkey,
+           CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+                AS BIGINT) AS rn
+    FROM orders
+"""
+
+
 def q_x_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed suffix array by prefix doubling
     (operators/suffixes.py — Manber–Myers via the Flick & Aluru
@@ -4043,6 +4068,7 @@ ORACLES["x_suffix_lcp"] = _SUFFIX_BASE_SQL + """,
 QUERIES = {
     "x_suffix_array": q_x_suffix_array,
     "x_suffix_lcp": q_x_suffix_lcp,
+    "x_global_rank": q_x_global_rank,
     "x_dedup_exact": q_x_dedup_exact,
     "x_dedup_minhash_lsh": q_x_dedup_minhash_lsh,
     "x_lsh_precision": q_x_lsh_precision,
