@@ -2,8 +2,8 @@
 
 ``entry`` runs the flagship dashboard query; ``queries`` /
 ``oracle_sql`` expose every implemented operator from SURVEY.md §2
-plus the training-data-pipeline extensions — 215 registered queries,
-214 with DuckDB oracles, 1 rows-only: x_pca_project
+plus the training-data-pipeline extensions — 216 registered queries,
+215 with DuckDB oracles, 1 rows-only: x_pca_project
 (numpy eigh) — PERMANENTLY rows-only by round-6 decision: its
 Parseval shadow ``x_pca_invariants`` checks centering/orthonormality
 in SQL, and ``x_power_iteration`` proves the distributed eigen-math
@@ -62,13 +62,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Round-7 gate front block. Every round-6 front name is green in
-# CORRECTNESS_r06, so the 50-slot window now holds: (a) the 3 round-7
+# CORRECTNESS_r06, so the 50-slot window now holds: (a) the 4 round-7
 # additions, (b) the 2 queries whose plan changed this round
 # (SpaceSaving drain gained the NULL-item drop; the incremental
 # near-dup bootstrap now derives its id type), (c) the 6 permanent
-# double-arithmetic SENTINELS, then (d) STALENESS ROTATION — the 39
+# double-arithmetic SENTINELS, then (d) STALENESS ROTATION — the 38
 # oldest-vintage names from round 6's staged _ROTATION_R7 (15 r1 +
-# 24 r2); the remaining 11 r2-vintage names roll to _ROTATION_R8.
+# 23 r2); the remaining 12 r2-vintage names roll to _ROTATION_R8.
 _GATE_PRIORITY = (
     # -- (a) new in round 7 ----------------------------------------------
     # distributed suffix array (prefix doubling, bucket-routed exact
@@ -78,6 +78,8 @@ _GATE_PRIORITY = (
     "x_suffix_lcp",
     # corpus-wide exact total-order ranking, no single-task window.
     "x_global_rank",
+    # character-exact ExactSubstr removal (SA-first copy survives).
+    "x_suffix_removal",
     # -- (b) plan changed this round --------------------------------------
     "x_spacesaving_drain",
     "x_incremental_neardup",
@@ -128,13 +130,13 @@ _GATE_PRIORITY = (
     "x_lang_id",
     "x_length_clip",
     "x_multimodal_meta",
-    "x_ngram_jaccard",
 )
 
-# Round-8 rotation backlog: the 11 r2-vintage names that did not fit
+# Round-8 rotation backlog: the 12 r2-vintage names that did not fit
 # round 7's window, then the r3-vintage catalog names become next in
 # staleness order. Promote behind round-8 additions + the sentinels.
 _ROTATION_R8: tuple[str, ...] = (
+    "x_ngram_jaccard",
     "x_pack_sequences",
     "x_pii_redact",
     "x_repetition",

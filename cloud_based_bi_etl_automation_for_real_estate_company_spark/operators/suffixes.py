@@ -28,7 +28,7 @@ O(log n) distributed construction equals the definition.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .ranking import global_dense_rank, global_row_number
 
@@ -57,12 +57,68 @@ def suffix_ranks(
     (cross-document included) and rank order is suffix string order.
     Every round localCheckpoints (the frame is referenced twice per
     round — the CC-loop rule); the only driver-side values are the
-    max suffix length and the convergence scalar."""
+    max suffix length, the convergence scalar, and the ALPHABET.
+
+    Round 0 uses the classic pack-w shortcut: the distinct characters
+    are a bounded artifact (collected, dense-ranked driver-side into
+    a broadcast literal map), and the first ``w`` char ranks pack
+    into one base-(A+1) bigint — not with w-1 self-joins but with one
+    explode+sum (each position contributes its rank, scaled, to the
+    ``w`` windows that contain it; absent tail positions contribute 0
+    exactly like the doubling rounds' missing-rank-as-0). One shuffle
+    buys a starting prefix of ``w`` ∈ {8,4,2,1} (largest with
+    (A+1)^w < 2^62), cutting log2(w)+1 dense-rank rounds. A corpus
+    with >10k distinct characters falls back to w=1 codepoint ranks
+    map-side (no collect hazard — the alphabet read is capped)."""
     chars = _suffix_chars(df, text_col, id_col, max_chars)
-    cur = global_dense_rank(
-        chars.withColumn("__c0", F.ascii("__ch")), "__c0", rank_col="rank",
-        n_buckets=n_buckets,
-    ).select(id_col, "pos", "rank").localCheckpoint(eager=True)
+    alpha = sorted(
+        r[0] for r in chars.select("__ch").distinct().limit(10001).collect()
+    )
+    if not alpha:
+        return chars.select(
+            id_col, "pos", F.lit(None).cast("bigint").alias("rank")
+        )
+    A = len(alpha)
+    if A > 10000:
+        # huge alphabet: codepoint ranks map-side, no packing (the
+        # doubling rounds' base is n+1 and never depends on A)
+        ranked0 = chars.select(
+            id_col, "pos", F.ascii("__ch").cast("bigint").alias("__r0")
+        )
+        w = 1
+    else:
+        w = next(wi for wi in (8, 4, 2, 1) if (A + 1) ** wi < 2 ** 62)
+        rmap = F.create_map(
+            *[x for i, c in enumerate(alpha) for x in (F.lit(c), F.lit(i + 1))]
+        )
+        ranked0 = chars.select(
+            id_col, "pos", rmap[F.col("__ch")].cast("bigint").alias("__r0")
+        )
+    if w == 1:
+        key0 = ranked0.withColumnRenamed("__r0", "__key")
+    else:
+        scaled = ranked0.select(
+            id_col,
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        (F.col("pos") - F.lit(j)).alias("pos"),
+                        (F.col("__r0") * F.lit((A + 1) ** (w - 1 - j))).alias("v"),
+                    )
+                    for j in range(w)
+                ])
+            ).alias("__s"),
+        ).select(id_col, F.col("__s.pos").alias("pos"), F.col("__s.v").alias("v"))
+        key0 = (
+            scaled.filter(F.col("pos") >= 0)
+            .groupBy(id_col, "pos")
+            .agg(F.sum("v").alias("__key"))
+        )
+    cur = (
+        global_dense_rank(key0, "__key", rank_col="rank", n_buckets=n_buckets)
+        .select(id_col, "pos", "rank")
+        .localCheckpoint(eager=True)
+    )
     stats = cur.agg(
         F.count(F.lit(1)).alias("n"),
         F.max("rank").alias("r"),
@@ -70,7 +126,7 @@ def suffix_ranks(
     ).collect()[0]
     n, prev_r = stats["n"], stats["r"]
     maxlen = (stats["p"] or 0) + 1
-    k = 1
+    k = w
     while prev_r is not None and prev_r < n and k < maxlen:
         shifted = cur.select(
             id_col,
@@ -172,4 +228,84 @@ def duplicated_suffix_lcp(
         .withColumn("lcp", _lcp_expr(F.col("__suf"), F.col("__prev")))
         .filter(F.col("lcp") >= min_len)
         .select(id_col, "pos", "lcp")
+    )
+
+
+def suffix_removal(
+    df: DataFrame,
+    min_len: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_chars: int | None = None,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Character-exact ExactSubstr REMOVAL (Lee et al. 2107.06499
+    §4.1 acting half, suffix-array grade): every character covered by
+    a ≥ ``min_len`` duplicated block is deleted EXCEPT the block's
+    SA-first occurrence — :func:`duplicated_suffix_lcp` flags
+    ``[pos, pos+lcp)`` for each suffix whose SA-predecessor shares
+    the prefix (adjacent LCP is sufficient: the common prefix of any
+    two suffixes is the min of adjacent LCPs between them), so the
+    predecessor chain's head keeps its copy. The token-window
+    analogue is ``dedup.substring_removal``; this one has no window
+    quantization and no minimum-run granularity beyond ``min_len``.
+
+    Plan shape: LCP spans → per-doc gaps-and-islands interval union
+    (partitioned window over the spans only — spans-sized, not
+    corpus-sized) → bounded per-doc cut list collected into an array
+    → map-side higher-order rebuild over the char array (the
+    ``substring_removal`` rebuild at character grain). Returns one
+    row per input document:
+    ``(id, clean_text, n_chars, n_chars_removed, n_spans)`` with
+    untouched documents at zero counts."""
+    spans = duplicated_suffix_lcp(
+        df, min_len, text_col, id_col, max_chars, n_buckets
+    ).select(id_col, F.col("pos").alias("s"), (F.col("pos") + F.col("lcp")).alias("e"))
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy(id_col).orderBy("s", "e")
+    merged = (
+        spans.withColumn(
+            "__brk",
+            F.when(F.col("s") > F.max("e").over(w_prev), 1).otherwise(0),
+        )
+        .withColumn("__grp", F.sum("__brk").over(w_run))
+        .groupBy(id_col, "__grp")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    cuts = merged.groupBy(id_col).agg(
+        F.collect_list(F.struct("s", "e")).alias("__cuts")
+    )
+    text = F.col(text_col)
+    if max_chars is not None:
+        text = F.substring(text, 1, max_chars)
+    base = df.select(F.col(id_col), F.split(text, "").alias("__t"))
+    joined = base.join(cuts, id_col, "left").select(
+        id_col,
+        "__t",
+        F.coalesce(
+            "__cuts", F.array().cast("array<struct<s:bigint,e:bigint>>")
+        ).alias("__cuts"),
+    )
+    indexed = F.zip_with(
+        F.sequence(F.lit(0).cast("bigint"), (F.size("__t") - 1).cast("bigint")),
+        F.col("__t"),
+        lambda i, x: F.struct(i.alias("p"), x.alias("ch")),
+    )
+    kept = F.filter(
+        indexed,
+        lambda st: ~F.exists(
+            F.col("__cuts"),
+            lambda c: (st["p"] >= c["s"]) & (st["p"] < c["e"]),
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.array_join(F.transform(kept, lambda st: st["ch"]), "").alias("clean_text"),
+        F.size("__t").cast("bigint").alias("n_chars"),
+        (F.size("__t") - F.size(kept)).cast("bigint").alias("n_chars_removed"),
+        F.size("__cuts").cast("bigint").alias("n_spans"),
     )

@@ -4040,6 +4040,79 @@ ORACLES["x_suffix_array"] = _SUFFIX_BASE_SQL + """
     FROM p
 """
 
+def q_x_suffix_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-exact ExactSubstr removal over the audit slice
+    (operators/suffixes.py:suffix_removal — LCP spans → per-doc
+    interval union → map-side char-array rebuild; the SA-first copy
+    of every duplicated block survives). One row per slice document
+    with the rebuilt text and removal counts; the oracle replays
+    spans, gaps-and-islands union, and the rebuild in SQL."""
+    from ..operators.suffixes import suffix_removal
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    return suffix_removal(d, min_len=15, max_chars=200)
+
+
+ORACLES["x_suffix_removal"] = _SUFFIX_BASE_SQL + """,
+    sa AS (
+        SELECT doc_id, pos, suf,
+               row_number() OVER (ORDER BY suf, doc_id, pos) AS rnk
+        FROM p),
+    adj AS (
+        SELECT doc_id, pos, suf, lag(suf) OVER (ORDER BY rnk) AS prev
+        FROM sa),
+    l AS (
+        SELECT doc_id, pos,
+               CASE WHEN prev IS NULL
+                         OR least(length(suf), length(prev)) = 0 THEN 0
+                    ELSE COALESCE(
+                        list_min(list_filter(
+                            range(1, least(length(suf), length(prev)) + 1),
+                            i -> suf[CAST(i AS INT)] <> prev[CAST(i AS INT)]))
+                            - 1,
+                        least(length(suf), length(prev)))
+               END AS lcp
+        FROM adj),
+    spans AS (
+        SELECT doc_id, pos AS s, pos + lcp AS e FROM l WHERE lcp >= 15),
+    brk AS (
+        SELECT doc_id, s, e,
+               CASE WHEN s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS b
+        FROM spans),
+    grp AS (
+        SELECT doc_id, s, e,
+               SUM(b) OVER (PARTITION BY doc_id ORDER BY s, e) AS g
+        FROM brk),
+    mrg AS (
+        SELECT doc_id, g, min(s) AS s, max(e) AS e
+        FROM grp GROUP BY doc_id, g),
+    pchars AS (
+        SELECT doc_id, CAST(u.i AS BIGINT) AS pch,
+               t[CAST(u.i AS INT) + 1] AS ch
+        FROM sl, UNNEST(range(length(t))) AS u(i)),
+    kept AS (
+        SELECT pc.doc_id, pc.pch, pc.ch
+        FROM pchars pc
+        WHERE NOT EXISTS (
+            SELECT 1 FROM mrg m
+            WHERE m.doc_id = pc.doc_id AND pc.pch >= m.s AND pc.pch < m.e)),
+    agg AS (
+        SELECT doc_id, string_agg(ch, '' ORDER BY pch) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id),
+    nsp AS (SELECT doc_id, count(*) AS n_spans FROM mrg GROUP BY doc_id)
+    SELECT sl.doc_id,
+           COALESCE(a.clean_text, '') AS clean_text,
+           CAST(length(sl.t) AS BIGINT) AS n_chars,
+           CAST(length(sl.t) - COALESCE(a.n_kept, 0) AS BIGINT)
+               AS n_chars_removed,
+           CAST(COALESCE(nsp.n_spans, 0) AS BIGINT) AS n_spans
+    FROM sl LEFT JOIN agg a USING (doc_id) LEFT JOIN nsp USING (doc_id)
+"""
+
+
 ORACLES["x_suffix_lcp"] = _SUFFIX_BASE_SQL + """,
     sa AS (
         SELECT doc_id, pos, suf,
@@ -4069,6 +4142,7 @@ QUERIES = {
     "x_suffix_array": q_x_suffix_array,
     "x_suffix_lcp": q_x_suffix_lcp,
     "x_global_rank": q_x_global_rank,
+    "x_suffix_removal": q_x_suffix_removal,
     "x_dedup_exact": q_x_dedup_exact,
     "x_dedup_minhash_lsh": q_x_dedup_minhash_lsh,
     "x_lsh_precision": q_x_lsh_precision,

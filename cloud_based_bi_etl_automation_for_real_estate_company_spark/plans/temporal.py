@@ -363,7 +363,15 @@ def q_t17_rolling_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     window of raw facts — at 100 TB the difference between a
     dashboard tile and a nightly job. Audit form: per (type, window
     day, q), the exact window row count (hash-checked) plus the
-    rank_ok ≤ max(0.05, 1/n) boolean against the window's raw rows."""
+    rank_ok ≤ max(0.05, 1/n) boolean against the window's raw rows.
+
+    Both trailing-window joins are expressed as EXPLODED equi-joins
+    (each small side emits one row per day of its 7-day window, then
+    joins on (type, day)) rather than range predicates: a range join
+    against the fact table plans as a broadcast nested-loop —
+    rows × windows predicate evaluations, the round-7 bench's top
+    cost — where the exploded form is a broadcast hash join the fact
+    scan streams through once."""
     from ..operators import sketches as K
 
     ev = t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
@@ -371,20 +379,33 @@ def q_t17_rolling_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ["event_type", "day"], "value", delta=100, n_shards=4
     )
     spine = ev.select("event_type", F.col("day").alias("wday")).distinct()
-    windowed = spine.join(
-        daily.withColumnRenamed("event_type", "et"),
-        (F.col("et") == F.col("event_type"))
-        & (F.col("day") >= F.date_sub(F.col("wday"), 6))
-        & (F.col("day") <= F.col("wday")),
-    ).select("event_type", "wday", "mean", "weight")
+    # each daily digest contributes to the 7 windows wday = day..day+6;
+    # the spine join keeps only windows that exist in the data
+    contrib = daily.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("wday"),
+        "mean",
+        "weight",
+    )
+    windowed = contrib.join(F.broadcast(spine), ["event_type", "wday"]).select(
+        "event_type", "wday", "mean", "weight"
+    )
     merged = K.tdigest_merge(windowed, ["event_type", "wday"], delta=100)
     est = K.tdigest_quantiles(merged, ["event_type", "wday"], [0.5, 0.95, 0.99])
-    win_rows = ev.join(
-        est.withColumnRenamed("event_type", "et"),
-        (F.col("et") == F.col("event_type"))
-        & (F.col("day") >= F.date_sub(F.col("wday"), 6))
-        & (F.col("day") <= F.col("wday")),
+    # audit: explode each (type, wday, q) estimate into its 7 member
+    # days and hash-join the facts on (type, day) — no nested loop
+    est_days = est.select(
+        "event_type",
+        "wday",
+        "q",
+        "est",
+        F.explode(
+            F.sequence(F.date_sub(F.col("wday"), 6), F.col("wday"))
+        ).alias("day"),
     )
+    win_rows = ev.join(F.broadcast(est_days), ["event_type", "day"])
     return win_rows.groupBy("event_type", "wday", "q").agg(
         F.count(F.lit(1)).alias("n_rows"),
         (

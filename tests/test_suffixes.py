@@ -11,6 +11,7 @@ from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.suffi
     duplicated_suffix_lcp,
     suffix_array,
     suffix_ranks,
+    suffix_removal,
 )
 
 
@@ -105,3 +106,76 @@ def test_suffix_array_max_chars_truncates(spark):
     got = {r["pos"]: r["sa_rank"] for r in rows}
     want = {p: rank for (_, p), rank in _brute_sa([(1, "abcd")]).items()}
     assert got == want
+
+
+def _brute_removal(docs, min_len):
+    """Reference: suffix sort, adjacent LCP, spans, union, rebuild."""
+    sufs = sorted(
+        (text[p:], d, p) for d, text in docs for p in range(len(text))
+    )
+    spans = {}
+    for i in range(1, len(sufs)):
+        a, b = sufs[i - 1][0], sufs[i][0]
+        lcp = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            lcp += 1
+        if lcp >= min_len:
+            _, d, p = sufs[i]
+            spans.setdefault(d, []).append((p, p + lcp))
+    out = {}
+    for d, text in docs:
+        ivs = sorted(spans.get(d, []))
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        removed = set()
+        for s, e in merged:
+            removed.update(range(s, e))
+        clean = "".join(c for i, c in enumerate(text) if i not in removed)
+        out[d] = (clean, len(text), len(removed), len(merged))
+    return out
+
+
+def test_suffix_removal_matches_brute_force(spark):
+    """Full-frame equality with the reference implementation on a
+    corpus mixing a cross-doc shared phrase (SA-first copy survives),
+    an in-doc repeat, and an untouched unique doc."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.suffixes import (
+        suffix_removal,
+    )
+
+    shared = "the exact duplicated clause"
+    docs = [
+        (1, f"alpha {shared} aaa tail one"),
+        (2, f"beta {shared} zzz tail two"),
+        (3, "entirely unique sentence with no repeats"),
+        (4, "echo echo echo echo echo echo echo echo"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (
+            r["clean_text"], r["n_chars"], r["n_chars_removed"], r["n_spans"]
+        )
+        for r in suffix_removal(df, min_len=12).collect()
+    }
+    want = _brute_removal(docs, min_len=12)
+    assert got == want
+    # the unique doc is untouched, and something was removed overall
+    assert got[3] == (docs[2][1], len(docs[2][1]), 0, 0)
+    assert sum(v[2] for v in got.values()) > 0
+
+
+def test_suffix_removal_partition_invariant(spark):
+    docs = [
+        (i, f"copy {i} of the same boilerplate paragraph body")
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    a = sorted(map(tuple, suffix_removal(df.repartition(2), min_len=10).collect()))
+    b = sorted(map(tuple, suffix_removal(df.repartition(5), min_len=10).collect()))
+    assert a == b
