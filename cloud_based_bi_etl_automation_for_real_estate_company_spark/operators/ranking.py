@@ -87,11 +87,16 @@ def global_dense_rank(
 ) -> DataFrame:
     """Exact global ``dense_rank`` over ``order_col`` ascending: rank
     the DISTINCT values (a keyed shuffle + :func:`global_row_number`
-    over the much smaller distinct set), then join back on the value.
-    Equal values share a rank; ranks are dense 1..n_distinct — the
-    re-ranking primitive of each suffix-array doubling round."""
-    keys = df.select(order_col).distinct()
+    over the much smaller distinct set), then join back on the value
+    (null-safely — a NULL order value is a rankable key of its own,
+    sorting first, exactly like ``dense_rank`` over
+    ``asc_nulls_first``). Equal values share a rank; ranks are dense
+    1..n_distinct — the re-ranking primitive of each suffix-array
+    doubling round."""
+    keys = df.select(F.col(order_col).alias("__dr_k")).distinct()
     ranked = global_row_number(
-        keys, order_col, rank_col=rank_col, n_buckets=n_buckets, accuracy=accuracy
+        keys, "__dr_k", rank_col=rank_col, n_buckets=n_buckets, accuracy=accuracy
     )
-    return df.join(ranked, order_col)
+    return df.join(
+        ranked, F.col(order_col).eqNullSafe(F.col("__dr_k"))
+    ).drop("__dr_k")

@@ -171,16 +171,18 @@ def suffix_array(
     ).select(id_col, "pos", "sa_rank")
 
 
-def _lcp_expr(a, b):
-    """Longest-common-prefix length of two string columns, map-side:
-    first mismatching 1-based index minus one, else the shorter
-    length. Guard the empty case (Spark's sequence(1,0) would count
-    DOWN)."""
-    m = F.least(F.length(a), F.length(b))
+def _lcp_expr(aa, bb):
+    """Longest-common-prefix length of two CHAR-ARRAY columns,
+    map-side: first mismatching 1-based index minus one, else the
+    shorter length. Takes pre-split arrays, not strings — a split
+    inside the lambda body would re-evaluate per element (O(len²)
+    per pair). Guard the empty case (Spark's sequence(1,0) would
+    count DOWN)."""
+    m = F.least(F.size(aa), F.size(bb))
     mismatch = F.filter(
         F.sequence(F.lit(1), m),
-        lambda i: F.element_at(F.split(a, ""), i.cast("int"))
-        != F.element_at(F.split(b, ""), i.cast("int")),
+        lambda i: F.element_at(aa, i.cast("int"))
+        != F.element_at(bb, i.cast("int")),
     )
     return F.when(m >= 1, F.coalesce(F.array_min(mismatch) - 1, m)).otherwise(
         F.lit(0)
@@ -218,14 +220,14 @@ def duplicated_suffix_lcp(
         id_col,
         "pos",
         "sa_rank",
-        F.expr("substring(__txt, pos + 1)").alias("__suf"),
+        F.split(F.expr("substring(__txt, pos + 1)"), "").alias("__sufa"),
     )
     prev = suf.select(
-        (F.col("sa_rank") + 1).alias("sa_rank"), F.col("__suf").alias("__prev")
+        (F.col("sa_rank") + 1).alias("sa_rank"), F.col("__sufa").alias("__preva")
     )
     return (
         suf.join(prev, "sa_rank")
-        .withColumn("lcp", _lcp_expr(F.col("__suf"), F.col("__prev")))
+        .withColumn("lcp", _lcp_expr(F.col("__sufa"), F.col("__preva")))
         .filter(F.col("lcp") >= min_len)
         .select(id_col, "pos", "lcp")
     )
