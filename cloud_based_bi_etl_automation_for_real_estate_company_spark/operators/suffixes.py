@@ -51,7 +51,8 @@ def suffix_ranks(
     id_col: str = "doc_id",
     max_chars: int | None = None,
     n_buckets: int | None = None,
-) -> DataFrame:
+    keep_history: bool = False,
+):
     """Dense corpus-wide suffix ranks by prefix doubling: returns
     ``(id, pos, rank)`` where equal ranks mean IDENTICAL suffixes
     (cross-document included) and rank order is suffix string order.
@@ -69,15 +70,25 @@ def suffix_ranks(
     buys a starting prefix of ``w`` ∈ {8,4,2,1} (largest with
     (A+1)^w < 2^62), cutting log2(w)+1 dense-rank rounds. A corpus
     with >10k distinct characters falls back to w=1 codepoint ranks
-    map-side (no collect hazard — the alphabet read is capped)."""
+    map-side (no collect hazard — the alphabet read is capped).
+
+    ``keep_history=True`` returns ``(final_frame, [(L, frame), ...])``
+    — every doubling level's rank table with the prefix length L it
+    resolves, the input to the rank-array LCP mode of
+    :func:`duplicated_suffix_lcp`. Early convergence exits stay valid
+    for that consumer: once the partition stops refining, every
+    still-equal pair is a pair of IDENTICAL suffixes (handled by the
+    final-rank shortcut), and every separated pair's LCP is below the
+    last level, which the greedy descent can always express."""
     chars = _suffix_chars(df, text_col, id_col, max_chars)
     alpha = sorted(
         r[0] for r in chars.select("__ch").distinct().limit(10001).collect()
     )
     if not alpha:
-        return chars.select(
+        empty = chars.select(
             id_col, "pos", F.lit(None).cast("bigint").alias("rank")
         )
+        return (empty, []) if keep_history else empty
     A = len(alpha)
     if A > 10000:
         # huge alphabet: codepoint ranks map-side, no packing (the
@@ -119,6 +130,7 @@ def suffix_ranks(
         .select(id_col, "pos", "rank")
         .localCheckpoint(eager=True)
     )
+    history = [(w, cur)]
     stats = cur.agg(
         F.count(F.lit(1)).alias("n"),
         F.max("rank").alias("r"),
@@ -148,9 +160,10 @@ def suffix_ranks(
         new_r = cur.agg(F.max("rank")).collect()[0][0]
         if new_r == prev_r:  # partition stopped refining: fixpoint
             break
+        history.append((2 * k, cur))
         prev_r = new_r
         k *= 2
-    return cur
+    return (cur, history) if keep_history else cur
 
 
 def suffix_array(
@@ -196,6 +209,7 @@ def duplicated_suffix_lcp(
     id_col: str = "doc_id",
     max_chars: int | None = None,
     n_buckets: int | None = None,
+    mode: str = "strings",
 ) -> DataFrame:
     """ExactSubstr's core signal from the suffix array: for every
     suffix, the longest common prefix with its SA-predecessor; an LCP
@@ -203,14 +217,27 @@ def duplicated_suffix_lcp(
     appear somewhere else in the corpus VERBATIM — the exact
     character-level analogue of ``duplicate_substring_spans``'s
     token-window runs. Returns ``(id, pos, lcp)`` filtered to
-    ``lcp >= min_len``.
+    ``lcp >= min_len``. The neighbor join is an equi-join on
+    sa_rank = sa_rank+1; ``mode`` picks how LCP itself is computed:
 
-    The neighbor join is an equi-join on sa_rank = sa_rank+1; LCP is
-    computed map-side on the two recovered suffix strings (audit
-    form — fine at the bounded slice the gate runs; at 100 TB the
-    rank-array comparison at power-of-two offsets replaces the string
-    rebuild, the same O(log n) tables the construction already
-    produced)."""
+    - ``"strings"`` — rebuild the two suffix strings and scan
+      map-side (audit form: per-pair work O(suffix length), per-pair
+      MEMORY O(suffix length) — fine at a bounded slice, quadratic
+      per document at corpus scale).
+    - ``"ranks"`` — the 100 TB form: greedy descent over the
+      prefix-doubling rank tables the construction already built
+      (``suffix_ranks(keep_history=True)``). Identical suffixes
+      short-circuit on final-rank equality; otherwise each level L
+      (descending) adds L to the LCP iff both positions carry equal
+      level-L ranks at offset ``pos+lcp`` — two keyed left joins per
+      level, O(log maxlen) levels — and the sub-``w`` remainder is a
+      bounded (≤ w-1 chars) substring compare. No suffix string is
+      ever materialized. Equivalence with "strings" is pinned in
+      ``tests/test_suffixes.py``."""
+    if mode == "ranks":
+        return _lcp_via_ranks(df, min_len, text_col, id_col, max_chars, n_buckets)
+    if mode != "strings":
+        raise ValueError(f"mode must be 'strings' or 'ranks', got {mode!r}")
     sa = suffix_array(df, text_col, id_col, max_chars, n_buckets)
     text = F.col(text_col)
     if max_chars is not None:
@@ -233,6 +260,96 @@ def duplicated_suffix_lcp(
     )
 
 
+def _lcp_via_ranks(
+    df: DataFrame,
+    min_len: int,
+    text_col: str,
+    id_col: str,
+    max_chars: int | None,
+    n_buckets: int | None,
+) -> DataFrame:
+    """Rank-array LCP (see :func:`duplicated_suffix_lcp` mode docs)."""
+    final, hist = suffix_ranks(
+        df, text_col, id_col, max_chars, n_buckets, keep_history=True
+    )
+    if not hist:
+        return final.select(id_col, "pos", F.col("rank").alias("lcp")).limit(0)
+    w = hist[0][0]
+    sa = global_row_number(
+        final, "rank", tiebreaks=[id_col, "pos"], rank_col="sa_rank",
+        n_buckets=n_buckets,
+    )
+    a = sa.select(
+        F.col(id_col).alias("__ida"),
+        F.col("pos").alias("__pa"),
+        F.col("rank").alias("__fa"),
+        "sa_rank",
+    )
+    b = sa.select(
+        (F.col("sa_rank") + 1).alias("sa_rank"),
+        F.col(id_col).alias("__idb"),
+        F.col("pos").alias("__pb"),
+        F.col("rank").alias("__fb"),
+    )
+    frame = a.join(b, "sa_rank").withColumn("__lcp", F.lit(0).cast("bigint"))
+    for i, (L, tbl) in enumerate(reversed(hist)):
+        ta = tbl.select(
+            F.col(id_col).alias(f"__ja{i}"),
+            F.col("pos").alias(f"__qa{i}"),
+            F.col("rank").alias(f"__ra{i}"),
+        )
+        tb = tbl.select(
+            F.col(id_col).alias(f"__jb{i}"),
+            F.col("pos").alias(f"__qb{i}"),
+            F.col("rank").alias(f"__rb{i}"),
+        )
+        frame = (
+            frame.join(
+                ta,
+                (F.col("__ida") == F.col(f"__ja{i}"))
+                & (F.col("__pa") + F.col("__lcp") == F.col(f"__qa{i}")),
+                "left",
+            )
+            .join(
+                tb,
+                (F.col("__idb") == F.col(f"__jb{i}"))
+                & (F.col("__pb") + F.col("__lcp") == F.col(f"__qb{i}")),
+                "left",
+            )
+            .withColumn(
+                "__lcp",
+                F.col("__lcp")
+                + F.when(
+                    F.col(f"__ra{i}").isNotNull()
+                    & (F.col(f"__ra{i}") == F.col(f"__rb{i}")),
+                    F.lit(L),
+                ).otherwise(F.lit(0)),
+            )
+            .drop(f"__ja{i}", f"__qa{i}", f"__ra{i}", f"__jb{i}", f"__qb{i}", f"__rb{i}")
+        )
+    text = F.col(text_col)
+    if max_chars is not None:
+        text = F.substring(text, 1, max_chars)
+    docs_a = df.select(F.col(id_col).alias("__ida"), text.alias("__ta"))
+    docs_b = df.select(F.col(id_col).alias("__idb"), text.alias("__tb"))
+    frame = frame.join(docs_a, "__ida").join(docs_b, "__idb")
+    if w > 1:
+        resid = _lcp_expr(
+            F.split(F.expr(f"substring(__ta, __pa + __lcp + 1, {w - 1})"), ""),
+            F.split(F.expr(f"substring(__tb, __pb + __lcp + 1, {w - 1})"), ""),
+        )
+    else:
+        resid = F.lit(0).cast("bigint")
+    lcp = F.when(
+        F.col("__fa") == F.col("__fb"), F.length("__ta") - F.col("__pa")
+    ).otherwise(F.col("__lcp") + resid)
+    return (
+        frame.withColumn("lcp", lcp.cast("bigint"))
+        .filter(F.col("lcp") >= min_len)
+        .select(F.col("__ida").alias(id_col), F.col("__pa").alias("pos"), "lcp")
+    )
+
+
 def suffix_removal(
     df: DataFrame,
     min_len: int = 15,
@@ -240,6 +357,7 @@ def suffix_removal(
     id_col: str = "doc_id",
     max_chars: int | None = None,
     n_buckets: int | None = None,
+    lcp_mode: str = "strings",
 ) -> DataFrame:
     """Character-exact ExactSubstr REMOVAL (Lee et al. 2107.06499
     §4.1 acting half, suffix-array grade): every character covered by
@@ -259,9 +377,11 @@ def suffix_removal(
     ``substring_removal`` rebuild at character grain). Returns one
     row per input document:
     ``(id, clean_text, n_chars, n_chars_removed, n_spans)`` with
-    untouched documents at zero counts."""
+    untouched documents at zero counts. ``lcp_mode`` passes through
+    to :func:`duplicated_suffix_lcp` (``"ranks"`` = the
+    no-string-materialization 100 TB span discovery)."""
     spans = duplicated_suffix_lcp(
-        df, min_len, text_col, id_col, max_chars, n_buckets
+        df, min_len, text_col, id_col, max_chars, n_buckets, mode=lcp_mode
     ).select(id_col, F.col("pos").alias("s"), (F.col("pos") + F.col("lcp")).alias("e"))
     w_prev = (
         Window.partitionBy(id_col)

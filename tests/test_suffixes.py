@@ -179,3 +179,40 @@ def test_suffix_removal_partition_invariant(spark):
     a = sorted(map(tuple, suffix_removal(df.repartition(2), min_len=10).collect()))
     b = sorted(map(tuple, suffix_removal(df.repartition(5), min_len=10).collect()))
     assert a == b
+
+
+def test_lcp_ranks_mode_equals_strings_mode(spark):
+    """The 100 TB rank-array LCP (greedy descent over the doubling
+    history + bounded residual + identical-suffix shortcut) must
+    produce the EXACT same (doc, pos, lcp) frame as the string-scan
+    audit form — on a crafted corpus with cross-doc shares, in-doc
+    repeats, identical tails, and at two min_len settings."""
+    shared = "the exact duplicated clause body"
+    docs = [
+        (1, f"alpha {shared} aaa tail one"),
+        (2, f"beta {shared} zzz tail two"),
+        (3, "entirely unique sentence with no repeats"),
+        (4, "echo echo echo echo echo echo echo echo"),
+        (5, "xyz common ending suffix"),
+        (6, "abc common ending suffix"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    for ml in (8, 15):
+        s = sorted(map(tuple, duplicated_suffix_lcp(df, min_len=ml).collect()))
+        r = sorted(map(tuple, duplicated_suffix_lcp(
+            df, min_len=ml, mode="ranks").collect()))
+        assert s == r, (ml, s[:5], r[:5])
+    assert s, "fixture produced no spans at min_len=15"
+
+
+def test_lcp_ranks_mode_on_fixture_documents(spark):
+    """Same equivalence over real fixture documents (the gate slice)."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 10)
+    )
+    s = sorted(map(tuple, duplicated_suffix_lcp(
+        docs, min_len=15, max_chars=200).collect()))
+    r = sorted(map(tuple, duplicated_suffix_lcp(
+        docs, min_len=15, max_chars=200, mode="ranks").collect()))
+    assert s == r and len(s) > 0
