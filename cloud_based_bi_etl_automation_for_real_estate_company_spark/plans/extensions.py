@@ -4040,6 +4040,19 @@ ORACLES["x_suffix_array"] = _SUFFIX_BASE_SQL + """
     FROM p
 """
 
+def q_x_suffix_lcp_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME duplicated-substring signal computed through the
+    100 TB rank-array path (duplicated_suffix_lcp mode='ranks' —
+    greedy descent over the doubling history, no suffix string
+    materialized) against the SAME definitional oracle as
+    x_suffix_lcp: the driver gate hash-proves the scale form, not
+    just the audit form."""
+    from ..operators.suffixes import duplicated_suffix_lcp
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    return duplicated_suffix_lcp(d, min_len=15, max_chars=200, mode="ranks")
+
+
 def q_x_suffix_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-exact ExactSubstr removal over the audit slice
     (operators/suffixes.py:suffix_removal — LCP spans → per-doc
@@ -4138,11 +4151,15 @@ ORACLES["x_suffix_lcp"] = _SUFFIX_BASE_SQL + """,
 """
 
 
+ORACLES["x_suffix_lcp_ranks"] = ORACLES["x_suffix_lcp"]
+
+
 QUERIES = {
     "x_suffix_array": q_x_suffix_array,
     "x_suffix_lcp": q_x_suffix_lcp,
     "x_global_rank": q_x_global_rank,
     "x_suffix_removal": q_x_suffix_removal,
+    "x_suffix_lcp_ranks": q_x_suffix_lcp_ranks,
     "x_dedup_exact": q_x_dedup_exact,
     "x_dedup_minhash_lsh": q_x_dedup_minhash_lsh,
     "x_lsh_precision": q_x_lsh_precision,

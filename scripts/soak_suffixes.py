@@ -55,6 +55,8 @@ def main() -> None:
             ("sa_s", lambda d: suffix_array(d, max_chars=MAX_CHARS)),
             ("lcp_s", lambda d: duplicated_suffix_lcp(
                 d, min_len=15, max_chars=MAX_CHARS)),
+            ("lcp_ranks_s", lambda d: duplicated_suffix_lcp(
+                d, min_len=15, max_chars=MAX_CHARS, mode="ranks")),
         ):
             best = None
             for _ in range(2):
@@ -67,6 +69,7 @@ def main() -> None:
     f = out["factors"]
     out["sa_ratio_27x"] = round(f[27]["sa_s"] / f[1]["sa_s"], 1)
     out["lcp_ratio_27x"] = round(f[27]["lcp_s"] / f[1]["lcp_s"], 1)
+    out["lcp_ranks_ratio_27x"] = round(f[27]["lcp_ranks_s"] / f[1]["lcp_ranks_s"], 1)
     print(json.dumps(out))
 
 
