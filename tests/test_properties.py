@@ -297,3 +297,37 @@ def test_hilbert_key_matches_reference_property(spark, pts):
     for (x, y), d in got.items():
         assert d == xy2d(8, x, y)
         assert 0 <= d < (1 << 16)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcxy ", min_size=0, max_size=14),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_suffix_array_matches_bruteforce_property(spark, texts):
+    """The O(log n) distributed construction equals the definition
+    (python sorted suffixes) on ANY small corpus — tiny alphabet
+    forces heavy rank ties and identical cross-doc suffixes, the
+    hard paths of the doubling + pack-w machinery. Empty texts are
+    dropped (they have no suffixes)."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.suffixes import (
+        suffix_array,
+    )
+
+    docs = [(i, t) for i, t in enumerate(texts) if t]
+    if not docs:
+        return
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        (r["doc_id"], r["pos"]): r["sa_rank"] for r in suffix_array(df).collect()
+    }
+    sufs = sorted((t[p:], d, p) for d, t in docs for p in range(len(t)))
+    want = {(d, p): i + 1 for i, (_, d, p) in enumerate(sufs)}
+    assert got == want
