@@ -40,6 +40,11 @@ EXTRAS = [
     "x_tdigest_quantiles",
     "l26_waiting_suppliers",
     "x_triangles",
+    # round-7 plan shapes under review: bucket-routed exact ranking
+    # (no rangepartitioning), the approx-bucket fold, and the
+    # exploded equi-join rewrite of the rolling-quantile audit.
+    "x_global_rank",
+    "a23_equidepth_hist",
     "a40_attribution",
     "x_prefix_join",
     # round-6 plan shapes under review: the gaps-and-islands substring
