@@ -43,6 +43,7 @@ def global_row_number(
     rank_col: str = "rn",
     n_buckets: int | None = None,
     accuracy: int = 10000,
+    tie_split: bool = False,
 ) -> DataFrame:
     """Exact 1-based global ``row_number`` over
     ``(order_col, *tiebreaks)`` ascending, NULL order values first —
@@ -54,21 +55,37 @@ def global_row_number(
     ranks into ``r1*(R+1)+r2``). The only driver-side artifact is the
     ``n_buckets``-row size list.
 
-    Skew note (stated, not hidden): routing is deterministic by
-    VALUE, so every row tied on ``order_col`` lands in one bucket —
-    required for correctness (ties must meet to be ordered by the
-    tiebreaks), but a column where one value carries a large share of
-    the corpus makes that bucket's window sort the bottleneck. The
-    suffix-array consumer is safe by construction (tie mass shrinks
-    geometrically per doubling round and the pack-w round 0 already
-    splits most of it); a general caller with a 90%-constant column
-    should pre-split by a secondary routed dimension — round-8
-    backlog in NEXT.md."""
+    Skew note (stated, not hidden): with ``tie_split=False`` routing
+    is deterministic by VALUE, so every row tied on ``order_col``
+    lands in one bucket — a column where one value carries a large
+    share of the corpus makes that bucket's window sort the
+    bottleneck. ``tie_split=True`` fixes exactly that: the cut list
+    is collected (bounded, n_buckets-1 rows) and any value spanning
+    ≥ 2 cut positions — the quantile sketch's free heavy-value
+    detector — gets its cut positions REFINED with that value's own
+    quantiles of ``tiebreaks[0]`` (one grouped percentile pass over
+    the heavy values only, also bounded); routing then compares
+    ``(value, tiebreak)`` lexicographically against composite cut
+    points, so a 90%-constant column spreads across its quantile
+    share of buckets while ranks stay EXACT (ties on the full
+    composite still colocate; one refinement level — a corpus tied
+    on BOTH columns for most rows would need the next tiebreak).
+    Requires a numeric first tiebreak; NULL tiebreaks route as -inf
+    (matching the window's nulls-first order). The suffix-array
+    consumer keeps the default (tie mass shrinks geometrically per
+    doubling round; pack-w round 0 splits most of it)."""
     spark = df.sparkSession
     n_buckets = n_buckets or spark.sparkContext.defaultParallelism
-    b = approx_bucket(
-        df, order_col, n_buckets, bucket_col=_B, accuracy=accuracy
-    ).withColumn(_B, F.coalesce(F.col(_B), F.lit(0)))  # NULLs sort first
+    if tie_split:
+        if not tiebreaks:
+            raise ValueError("tie_split=True requires a numeric tiebreak")
+        b = _composite_bucket(
+            df, order_col, tiebreaks[0], n_buckets, accuracy
+        )
+    else:
+        b = approx_bucket(
+            df, order_col, n_buckets, bucket_col=_B, accuracy=accuracy
+        ).withColumn(_B, F.coalesce(F.col(_B), F.lit(0)))  # NULLs sort first
     sizes = {
         r[_B]: r["n"]
         for r in b.groupBy(_B).agg(F.count(F.lit(1)).alias("n")).collect()
@@ -87,6 +104,92 @@ def global_row_number(
         rank_col,
         (F.element_at(omap, F.col(_B)) + F.row_number().over(w)).cast("bigint"),
     ).drop(_B)
+
+
+def _composite_bucket(
+    df: DataFrame,
+    order_col: str,
+    tb_col: str,
+    n_buckets: int,
+    accuracy: int,
+) -> DataFrame:
+    """tie_split routing (see :func:`global_row_number`): collect the
+    order-column cuts, refine equal cut runs (= heavy values) with
+    per-value tiebreak quantiles, and route every row against the
+    composite ``(value, tiebreak)`` cut points lexicographically.
+    All driver artifacts are ≤ n_buckets-1 rows."""
+    v = F.col(order_col).cast("double")
+    tb = F.coalesce(F.col(tb_col).cast("double"), F.lit(float("-inf")))
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts_row = df.agg(
+        F.percentile_approx(v, F.array(*[F.lit(p) for p in probs]), F.lit(accuracy))
+    ).collect()[0][0]
+    cuts = list(cuts_row or [])
+    runs: dict[float, int] = {}
+    for c in cuts:
+        if c is not None:
+            runs[c] = runs.get(c, 0) + 1
+    heavy = sorted(c for c, m in runs.items() if m >= 2)
+    tb_cuts: dict[float, list[float]] = {}
+    if heavy:
+        m_by_v = {c: runs[c] for c in heavy}
+        hv = df.filter(v.isin(heavy)).select(
+            v.alias("__hv"), tb.alias("__htb")
+        )
+        # per heavy value: its multiplicity m = number of cut slots it
+        # occupies; refine with that value's own m-quantile tiebreaks
+        maxm = max(m_by_v.values())
+        grouped = hv.groupBy("__hv").agg(
+            F.percentile_approx(
+                F.col("__htb"),
+                F.array(*[F.lit(j / (maxm + 1)) for j in range(1, maxm + 1)]),
+                F.lit(accuracy),
+            ).alias("__tcuts")
+        ).collect()
+        for r in grouped:
+            m = m_by_v[r["__hv"]]
+            full = list(r["__tcuts"] or [])
+            # take m evenly-spaced refinements from the maxm computed
+            step = max(1, len(full) // (m + 1)) if full else 1
+            picks = [full[min(len(full) - 1, (j + 1) * step - 1)]
+                     for j in range(m)] if full else [float("inf")] * m
+            tb_cuts[r["__hv"]] = picks
+    inf = float("inf")
+    composite: list[tuple[float, float]] = []
+    used: dict[float, int] = {}
+    for c in cuts:
+        if c is None:
+            continue
+        if c in tb_cuts:
+            i = used.get(c, 0)
+            used[c] = i + 1
+            t = tb_cuts[c][i] if i < len(tb_cuts[c]) else inf
+            composite.append((float(c), float(t) if t is not None else inf))
+        else:
+            composite.append((float(c), inf))
+    cutarr = F.array(*[
+        F.struct(
+            F.lit(cv).cast("double").alias("cv"),
+            F.lit(ct).cast("double").alias("ct"),
+        )
+        for cv, ct in composite
+    ])
+    work = df.withColumn("__cs_v", v).withColumn("__cs_t", tb)
+    if composite:
+        fold = F.aggregate(
+            cutarr,
+            F.lit(1),
+            lambda acc, c: acc
+            + F.when(
+                (F.col("__cs_v") > c["cv"])
+                | ((F.col("__cs_v") == c["cv"]) & (F.col("__cs_t") > c["ct"])),
+                1,
+            ).otherwise(0),
+        )
+    else:
+        fold = F.lit(1)
+    bucket = F.when(F.col("__cs_v").isNotNull(), fold).otherwise(F.lit(0))
+    return work.withColumn(_B, bucket.cast("int")).drop("__cs_v", "__cs_t")
 
 
 def global_dense_rank(

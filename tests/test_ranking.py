@@ -96,3 +96,89 @@ def test_global_dense_rank_equals_window_dense_rank(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_tie_split_exact_on_heavy_skew(spark):
+    """A 90%-constant order column: tie_split=True must still produce
+    the EXACT global row_number while spreading the tie mass across
+    buckets (no bucket holds more than half the rows), with no
+    rangepartitioning in the plan."""
+    rows = [(i, 5.0 if i % 10 else float(i % 7)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    ranked = global_row_number(
+        df, "v", tiebreaks=["id"], n_buckets=8, tie_split=True
+    )
+    got = {r["id"]: r["rn"] for r in ranked.collect()}
+    want = {
+        r["id"]: r["rn"]
+        for r in df.select(
+            "id",
+            F.row_number()
+            .over(Window.orderBy("v", "id"))
+            .cast("bigint")
+            .alias("rn"),
+        ).collect()
+    }
+    assert got == want
+    # the tie mass actually spread: rebuild the internal bucket ids
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.ranking import (
+        _composite_bucket,
+    )
+
+    sizes = [
+        r["n"]
+        for r in _composite_bucket(df, "v", "id", 8, 10000)
+        .groupBy("__gr_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert max(sizes) < 2000, sizes
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_tie_split_equals_default_without_heavy_values(spark):
+    o = t(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    a = {
+        r["o_orderkey"]: r["rn"]
+        for r in global_row_number(
+            o, "o_totalprice", tiebreaks=["o_orderkey"], n_buckets=7
+        ).collect()
+    }
+    b = {
+        r["o_orderkey"]: r["rn"]
+        for r in global_row_number(
+            o, "o_totalprice", tiebreaks=["o_orderkey"], n_buckets=7,
+            tie_split=True,
+        ).collect()
+    }
+    assert a == b
+
+
+def test_tie_split_null_order_and_null_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0, 3.0), (2, None, 1.0), (3, 5.0, None), (4, 5.0, 1.0),
+         (5, 1.0, 9.0)],
+        "id int, v double, tb double",
+    )
+    got = {
+        r["id"]: r["rn"]
+        for r in global_row_number(
+            df, "v", tiebreaks=["tb", "id"], n_buckets=3, tie_split=True
+        ).collect()
+    }
+    want = {
+        r["id"]: r["rn"]
+        for r in df.select(
+            "id",
+            F.row_number()
+            .over(Window.orderBy(
+                F.col("v").asc_nulls_first(),
+                F.col("tb").asc_nulls_first(),
+                "id",
+            ))
+            .cast("bigint")
+            .alias("rn"),
+        ).collect()
+    }
+    assert got == want
