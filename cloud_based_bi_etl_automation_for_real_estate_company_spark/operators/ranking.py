@@ -11,10 +11,12 @@ way ``Window.orderBy`` with no partition key does.
 The plan is the textbook two-phase ranking (the same decomposition
 TeraSort / Spark's own ``sortByKey`` use for total order):
 
-1. route every row to one of ``n_buckets`` value ranges via broadcast
-   ``percentile_approx`` cut points (monotone in the order column, so
-   bucket id is a coarse prefix of the total order) —
-   :func:`..bucketing.approx_bucket`;
+1. route every row to one of ``n_buckets`` value ranges against
+   ``percentile_approx`` cut points COLLECTED once and baked in as
+   literals (monotone in the order column, so bucket id is a coarse
+   prefix of the total order; literals, not a lazy subtree, because
+   the offset job and the output job must route identically — a
+   re-evaluated quantile sketch is not deterministic across jobs);
 2. rank WITHIN each bucket with an ordinary partitioned window;
 3. add each bucket's starting offset — the bucket sizes are a bounded
    (``n_buckets``-row) driver artifact, folded into a broadcast
@@ -30,8 +32,6 @@ it corpus-wide through DuckDB).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
-
-from .bucketing import approx_bucket
 
 _B = "__gr_b"
 
@@ -76,16 +76,16 @@ def global_row_number(
     doubling round; pack-w round 0 splits most of it)."""
     spark = df.sparkSession
     n_buckets = n_buckets or spark.sparkContext.defaultParallelism
-    if tie_split:
-        if not tiebreaks:
-            raise ValueError("tie_split=True requires a numeric tiebreak")
-        b = _composite_bucket(
-            df, order_col, tiebreaks[0], n_buckets, accuracy
-        )
-    else:
-        b = approx_bucket(
-            df, order_col, n_buckets, bucket_col=_B, accuracy=accuracy
-        ).withColumn(_B, F.coalesce(F.col(_B), F.lit(0)))  # NULLs sort first
+    if tie_split and not tiebreaks:
+        raise ValueError("tie_split=True requires a numeric tiebreak")
+    # cut points are COLLECTED and routed as literals in both paths:
+    # the offset-map job and the output job must route identically,
+    # and a lazily re-evaluated percentile sketch is not guaranteed
+    # deterministic across jobs on a cluster (partial-merge order) —
+    # literal cuts make routing a pure function of the row
+    b = _composite_bucket(
+        df, order_col, tiebreaks[0] if tie_split else None, n_buckets, accuracy
+    )
     sizes = {
         r[_B]: r["n"]
         for r in b.groupBy(_B).agg(F.count(F.lit(1)).alias("n")).collect()
@@ -109,17 +109,23 @@ def global_row_number(
 def _composite_bucket(
     df: DataFrame,
     order_col: str,
-    tb_col: str,
+    tb_col: str | None,
     n_buckets: int,
     accuracy: int,
 ) -> DataFrame:
-    """tie_split routing (see :func:`global_row_number`): collect the
-    order-column cuts, refine equal cut runs (= heavy values) with
-    per-value tiebreak quantiles, and route every row against the
-    composite ``(value, tiebreak)`` cut points lexicographically.
-    All driver artifacts are ≤ n_buckets-1 rows."""
+    """Literal-cut routing for :func:`global_row_number`: collect the
+    order-column cuts once (bounded, n_buckets-1 values) and route
+    every row against them as pure literals — deterministic across
+    jobs by construction. With ``tb_col`` set (tie_split), equal cut
+    runs (= heavy values) are refined with per-value tiebreak
+    quantiles and routing compares ``(value, tiebreak)``
+    lexicographically. All driver artifacts are ≤ n_buckets-1 rows."""
     v = F.col(order_col).cast("double")
-    tb = F.coalesce(F.col(tb_col).cast("double"), F.lit(float("-inf")))
+    tb = (
+        F.coalesce(F.col(tb_col).cast("double"), F.lit(float("-inf")))
+        if tb_col is not None
+        else F.lit(float("-inf"))
+    )
     probs = [i / n_buckets for i in range(1, n_buckets)]
     cuts_row = df.agg(
         F.percentile_approx(v, F.array(*[F.lit(p) for p in probs]), F.lit(accuracy))
@@ -129,7 +135,9 @@ def _composite_bucket(
     for c in cuts:
         if c is not None:
             runs[c] = runs.get(c, 0) + 1
-    heavy = sorted(c for c, m in runs.items() if m >= 2)
+    heavy = (
+        sorted(c for c, m in runs.items() if m >= 2) if tb_col is not None else []
+    )
     tb_cuts: dict[float, list[float]] = {}
     if heavy:
         m_by_v = {c: runs[c] for c in heavy}

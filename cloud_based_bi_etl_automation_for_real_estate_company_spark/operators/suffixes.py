@@ -33,6 +33,16 @@ from pyspark.sql import DataFrame, Window, functions as F
 from .ranking import global_dense_rank, global_row_number
 
 
+def _char_array(text):
+    """Char array of ``text`` with the empty case correct: Spark's
+    ``split('', '')`` returns ``['']`` (one phantom element), where
+    the suffix-array definition (and the DuckDB oracle's
+    ``range(length(t))``) has NO suffixes for length-0 text."""
+    return F.when(F.length(text) > 0, F.split(text, "")).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def _suffix_chars(
     df: DataFrame, text_col: str, id_col: str, max_chars: int | None
 ) -> DataFrame:
@@ -41,7 +51,7 @@ def _suffix_chars(
         text = F.substring(text, 1, max_chars)
     return df.select(
         F.col(id_col),
-        F.posexplode(F.split(text, "")).alias("pos", "__ch"),
+        F.posexplode(_char_array(text)).alias("pos", "__ch"),
     ).select(id_col, F.col("pos").cast("bigint").alias("pos"), "__ch")
 
 
@@ -335,8 +345,8 @@ def _lcp_via_ranks(
     frame = frame.join(docs_a, "__ida").join(docs_b, "__idb")
     if w > 1:
         resid = _lcp_expr(
-            F.split(F.expr(f"substring(__ta, __pa + __lcp + 1, {w - 1})"), ""),
-            F.split(F.expr(f"substring(__tb, __pb + __lcp + 1, {w - 1})"), ""),
+            _char_array(F.expr(f"substring(__ta, __pa + __lcp + 1, {w - 1})")),
+            _char_array(F.expr(f"substring(__tb, __pb + __lcp + 1, {w - 1})")),
         )
     else:
         resid = F.lit(0).cast("bigint")
@@ -404,7 +414,7 @@ def suffix_removal(
     text = F.col(text_col)
     if max_chars is not None:
         text = F.substring(text, 1, max_chars)
-    base = df.select(F.col(id_col), F.split(text, "").alias("__t"))
+    base = df.select(F.col(id_col), _char_array(text).alias("__t"))
     joined = base.join(cuts, id_col, "left").select(
         id_col,
         "__t",
@@ -412,11 +422,15 @@ def suffix_removal(
             "__cuts", F.array().cast("array<struct<s:bigint,e:bigint>>")
         ).alias("__cuts"),
     )
-    indexed = F.zip_with(
-        F.sequence(F.lit(0).cast("bigint"), (F.size("__t") - 1).cast("bigint")),
-        F.col("__t"),
-        lambda i, x: F.struct(i.alias("p"), x.alias("ch")),
-    )
+    # guard the empty doc: sequence(0, -1) counts DOWN in Spark
+    indexed = F.when(
+        F.size("__t") > 0,
+        F.zip_with(
+            F.sequence(F.lit(0).cast("bigint"), (F.size("__t") - 1).cast("bigint")),
+            F.col("__t"),
+            lambda i, x: F.struct(i.alias("p"), x.alias("ch")),
+        ),
+    ).otherwise(F.array().cast("array<struct<p:bigint,ch:string>>"))
     kept = F.filter(
         indexed,
         lambda st: ~F.exists(

@@ -3866,7 +3866,7 @@ ORACLES["x_tdigest_drain"] = """
 # counts; n_seen and the counter count are exact hashed values.
 ORACLES["x_spacesaving_drain"] = """
     SELECT event_type,
-           COUNT(*) AS n_seen,
+           COUNT(user_id) AS n_seen,
            LEAST(64, COUNT(DISTINCT user_id)) AS n_counters,
            TRUE AS contains_all_hh,
            TRUE AS bounds_ok

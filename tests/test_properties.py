@@ -315,15 +315,14 @@ def test_suffix_array_matches_bruteforce_property(spark, texts):
     """The O(log n) distributed construction equals the definition
     (python sorted suffixes) on ANY small corpus — tiny alphabet
     forces heavy rank ties and identical cross-doc suffixes, the
-    hard paths of the doubling + pack-w machinery. Empty texts are
-    dropped (they have no suffixes)."""
+    hard paths of the doubling + pack-w machinery; empty texts stay
+    IN the corpus and must contribute zero suffixes (the
+    split('','') phantom-element hazard)."""
     from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.suffixes import (
         suffix_array,
     )
 
-    docs = [(i, t) for i, t in enumerate(texts) if t]
-    if not docs:
-        return
+    docs = list(enumerate(texts))
     df = spark.createDataFrame(docs, "doc_id bigint, text string")
     got = {
         (r["doc_id"], r["pos"]): r["sa_rank"] for r in suffix_array(df).collect()
