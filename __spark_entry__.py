@@ -2,8 +2,8 @@
 
 ``entry`` runs the flagship dashboard query; ``queries`` /
 ``oracle_sql`` expose every implemented operator from SURVEY.md §2
-plus the training-data-pipeline extensions — 217 registered queries,
-216 with DuckDB oracles, 1 rows-only: x_pca_project
+plus the training-data-pipeline extensions — 218 registered queries,
+217 with DuckDB oracles, 1 rows-only: x_pca_project
 (numpy eigh) — PERMANENTLY rows-only by round-6 decision: its
 Parseval shadow ``x_pca_invariants`` checks centering/orthonormality
 in SQL, and ``x_power_iteration`` proves the distributed eigen-math
@@ -62,13 +62,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Round-7 gate front block. Every round-6 front name is green in
-# CORRECTNESS_r06, so the 50-slot window now holds: (a) the 5 round-7
+# CORRECTNESS_r06, so the 50-slot window now holds: (a) the 6 round-7
 # additions, (b) the 2 queries whose plan changed this round
 # (SpaceSaving drain gained the NULL-item drop; the incremental
 # near-dup bootstrap now derives its id type), (c) the 6 permanent
-# double-arithmetic SENTINELS, then (d) STALENESS ROTATION — the 37
+# double-arithmetic SENTINELS, then (d) STALENESS ROTATION — the 36
 # oldest-vintage names from round 6's staged _ROTATION_R7 (15 r1 +
-# 22 r2); the remaining 13 r2-vintage names roll to _ROTATION_R8.
+# 21 r2); the remaining 14 r2-vintage names roll to _ROTATION_R8.
 _GATE_PRIORITY = (
     # -- (a) new in round 7 ----------------------------------------------
     # distributed suffix array (prefix doubling, bucket-routed exact
@@ -82,6 +82,8 @@ _GATE_PRIORITY = (
     "x_suffix_removal",
     # the rank-array LCP scale form against the same definitional oracle.
     "x_suffix_lcp_ranks",
+    # per-domain document cap (C4/RefinedWeb curation step).
+    "x_domain_cap",
     # -- (b) plan changed this round --------------------------------------
     "x_spacesaving_drain",
     "x_incremental_neardup",
@@ -130,13 +132,13 @@ _GATE_PRIORITY = (
     "x_embed_near_dup",
     "x_fingerprint",
     "x_lang_id",
-    "x_length_clip",
 )
 
-# Round-8 rotation backlog: the 13 r2-vintage names that did not fit
+# Round-8 rotation backlog: the 14 r2-vintage names that did not fit
 # round 7's window, then the r3-vintage catalog names become next in
 # staleness order. Promote behind round-8 additions + the sentinels.
 _ROTATION_R8: tuple[str, ...] = (
+    "x_length_clip",
     "x_multimodal_meta",
     "x_ngram_jaccard",
     "x_pack_sequences",

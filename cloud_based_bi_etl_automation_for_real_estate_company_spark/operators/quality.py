@@ -450,3 +450,35 @@ def quality_gate(df: DataFrame, text_col: str = "text") -> DataFrame:
         & (T.avg_token_len(text_col) <= 12.0)
         & (T.stopword_ratio(text_col) >= 0.01)
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    max_per_domain: int,
+    domain_col: str = "source",
+    order_by: Sequence[Column | str] | None = None,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Per-domain document cap — the web-curation step (C4, RefinedWeb,
+    Gopher all apply one) that stops a handful of boilerplate-heavy
+    hosts from owning the training mixture: keep at most
+    ``max_per_domain`` documents per ``domain_col``, chosen by
+    ``order_by`` priority (default: longest ``n_chars`` first, doc_id
+    tie-break — deterministic under any partitioning).
+
+    Plan shape: one rank-filtered window per domain. The rank filter
+    is a WindowGroupLimit — each task prunes to its local top
+    ``max_per_domain`` per domain BEFORE the exchange, so the shuffle
+    carries O(domains x cap x tasks) candidate rows, not the corpus;
+    domain skew (one host with 30% of the crawl — the scenario the
+    cap exists for) therefore bounds the skewed reducer at cap rows,
+    not at the domain's share of the corpus. Returns the surviving
+    rows with their priority rank appended."""
+    order = list(order_by) if order_by is not None else [
+        F.col("n_chars").desc(), F.col("doc_id").asc(),
+    ]
+    w = Window.partitionBy(domain_col).orderBy(*order)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w).cast("bigint"))
+        .filter(F.col(rank_col) <= max_per_domain)
+    )

@@ -4040,6 +4040,28 @@ ORACLES["x_suffix_array"] = _SUFFIX_BASE_SQL + """
     FROM p
 """
 
+def q_x_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (operators/quality.py:domain_cap —
+    the C4/RefinedWeb curation step): at most 10 documents per
+    source, longest-first with doc_id tie-break; WindowGroupLimit
+    prunes map-side so the shuffle carries caps, not the corpus."""
+    from ..operators.quality import domain_cap
+
+    d = t(spark, sf_dir, "documents")
+    return domain_cap(d, 10).select("doc_id", "source", "rk")
+
+
+ORACLES["x_domain_cap"] = """
+    SELECT doc_id, source, rk FROM (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rk
+        FROM documents)
+    WHERE rk <= 10
+"""
+
+
 def q_x_suffix_lcp_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME duplicated-substring signal computed through the
     100 TB rank-array path (duplicated_suffix_lcp mode='ranks' —
@@ -4160,6 +4182,7 @@ QUERIES = {
     "x_global_rank": q_x_global_rank,
     "x_suffix_removal": q_x_suffix_removal,
     "x_suffix_lcp_ranks": q_x_suffix_lcp_ranks,
+    "x_domain_cap": q_x_domain_cap,
     "x_dedup_exact": q_x_dedup_exact,
     "x_dedup_minhash_lsh": q_x_dedup_minhash_lsh,
     "x_lsh_precision": q_x_lsh_precision,

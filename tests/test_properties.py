@@ -330,3 +330,67 @@ def test_suffix_array_matches_bruteforce_property(spark, texts):
     sufs = sorted((t[p:], d, p) for d, t in docs for p in range(len(t)))
     want = {(d, p): i + 1 for i, (_, d, p) in enumerate(sufs)}
     assert got == want
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab x", min_size=0, max_size=12),
+        min_size=1,
+        max_size=5,
+    ),
+    st.integers(2, 5),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_lcp_ranks_equals_strings_property(spark, texts, min_len):
+    """The rank-array LCP greedy (identical-suffix shortcut + level
+    descent + bounded residual) equals the string-scan form on ANY
+    small corpus — the 3-char alphabet maximizes identical cross-doc
+    suffixes and mid-greedy 'identical shorter tail' pairs, the
+    subtle paths of the overshoot argument."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.suffixes import (
+        duplicated_suffix_lcp,
+    )
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    s = sorted(map(tuple, duplicated_suffix_lcp(df, min_len=min_len).collect()))
+    r = sorted(map(tuple, duplicated_suffix_lcp(
+        df, min_len=min_len, mode="ranks").collect()))
+    assert s == r
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab x", min_size=0, max_size=12),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_suffix_removal_matches_reference_property(spark, texts):
+    """suffix_removal equals the python reference (suffix sort →
+    adjacent LCP → interval union → rebuild) on ANY small corpus,
+    empty documents included (zero counts, empty clean_text)."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.suffixes import (
+        suffix_removal,
+    )
+    from tests.test_suffixes import _brute_removal
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (
+            r["clean_text"], r["n_chars"], r["n_chars_removed"], r["n_spans"]
+        )
+        for r in suffix_removal(df, min_len=4).collect()
+    }
+    want = _brute_removal(docs, min_len=4)
+    assert got == want

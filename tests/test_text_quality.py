@@ -197,3 +197,40 @@ def test_normalize_text_idempotent_and_canonical(spark):
         ).collect()
     }
     assert twice == out
+
+
+def test_domain_cap_keeps_top_k_per_domain(spark):
+    """domain_cap: at most k rows per domain, longest-first with id
+    tie-break; plan prunes map-side (WindowGroupLimit); deterministic
+    under repartitioning."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        domain_cap,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, f"s{i % 3}", (i * 7) % 50 + 10) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n_chars bigint")
+    out = domain_cap(df, 5).collect()
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == {"s0", "s1", "s2"}
+    truth = {}
+    for i, s, n in rows:
+        truth.setdefault(s, []).append((-n, i))
+    for s, rs in by_src.items():
+        assert len(rs) == 5
+        want_ids = [i for _, i in sorted(truth[s])[:5]]
+        got = {r["doc_id"]: r["rk"] for r in rs}
+        assert sorted(got) == sorted(want_ids)
+        for rank, i in enumerate(want_ids, start=1):
+            assert got[i] == rank, (s, i, rank, got)
+    plan = (
+        domain_cap(df, 5)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
+    a = sorted(map(tuple, domain_cap(df.repartition(2), 5).collect()))
+    b = sorted(map(tuple, domain_cap(df.repartition(7), 5).collect()))
+    assert a == b
