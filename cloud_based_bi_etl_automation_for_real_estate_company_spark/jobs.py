@@ -86,6 +86,8 @@ def run_curation_pipeline(
     entropy_gate: tuple[float, float] | None = None,
     span_dedup_spans: int | None = None,
     mixture_alpha: float | None = None,
+    substring_min_len: int | None = None,
+    domain_cap_per_source: int | None = None,
 ) -> DataFrame:
     """End-to-end training-data curation — the composition the
     individual oracle-checked operators exist for:
@@ -123,7 +125,16 @@ def run_curation_pipeline(
     for provenance) and fed back through ``mixture_apply``, so the
     rebalance pass itself scans the corpus exactly once — the
     single-scan 100 TB path, plan-asserted in
-    tests/test_curation.py.
+    tests/test_curation.py. ``substring_min_len=L`` rewrites text
+    with CHARACTER-exact duplicated blocks ≥ L chars removed
+    (operators/suffixes.suffix_removal — the SA-grade alternative to
+    ``span_dedup_spans``; same pipeline position, before exact dedup,
+    since cleaning changes content hashes; mutually exclusive with
+    ``span_dedup_spans``). ``domain_cap_per_source=k`` caps each
+    source at its k longest SURVIVING documents (C4/RefinedWeb
+    practice) right after decontamination — the cap counts unique,
+    clean content, not crawl duplicates — and before redaction, so
+    the regexes only touch capped survivors.
     """
     from pyspark.sql import functions as F
 
@@ -163,12 +174,21 @@ def run_curation_pipeline(
             .select("doc_id")
         )
         gated = gated.join(ok, "doc_id", "left_semi")
-    if span_dedup_spans is not None:
-        from .operators.dedup import span_dedup
-
-        cleaned = span_dedup(gated, span=span_dedup_spans).select(
-            "doc_id", F.col("clean_text").alias("__clean")
+    if span_dedup_spans is not None and substring_min_len is not None:
+        raise ValueError(
+            "span_dedup_spans and substring_min_len are alternative "
+            "cleaning stages — pass one"
         )
+    if span_dedup_spans is not None or substring_min_len is not None:
+        if span_dedup_spans is not None:
+            from .operators.dedup import span_dedup
+
+            cleaned = span_dedup(gated, span=span_dedup_spans)
+        else:
+            from .operators.suffixes import suffix_removal
+
+            cleaned = suffix_removal(gated, min_len=substring_min_len)
+        cleaned = cleaned.select("doc_id", F.col("clean_text").alias("__clean"))
         gated = (
             gated.join(cleaned, "doc_id")
             .withColumn("text", F.col("__clean"))
@@ -193,6 +213,14 @@ def run_curation_pipeline(
     pruned = decontaminate(
         pruned.filter(F.col("doc_id") % 50 != 0), eval_docs, k=8
     )
+    if domain_cap_per_source is not None:
+        from .operators.quality import domain_cap
+
+        pruned = domain_cap(
+            pruned.withColumn("__len", F.length("text")),
+            domain_cap_per_source,
+            order_by=[F.col("__len").desc(), F.col("doc_id").asc()],
+        ).drop("__len", "rk")
     pruned = pruned.withColumn("text", redact_pii(F.col("text")))
     if mixture_alpha is not None:
         from .operators.corpus import mixture_apply, source_mixture
