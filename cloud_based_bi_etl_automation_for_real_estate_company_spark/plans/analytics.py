@@ -618,17 +618,22 @@ def q_a33_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_a34_monthly_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Boxplot time series: exact p25/p50/p75 order-value band per
-    month — the candlestick/box measure BI tools draw under a trend
-    line. One hash agg on the month key; exact percentiles buffer one
-    month of values per reducer (calendar-bounded — at 100 TB swap to
-    approx_percentile like a23's documented escape hatch)."""
+def q_a34_monthly_price_band(
+    spark: SparkSession, sf_dir: str, mode: str = "exact"
+) -> DataFrame:
+    """Boxplot time series: p25/p50/p75 order-value band per month —
+    the candlestick/box measure BI tools draw under a trend line. One
+    hash agg on the month key. ``mode="exact"`` (oracle parity)
+    buffers one month of values per reducer — calendar-bounded;
+    ``mode="approx"`` is the 100 TB form: approx_percentile's GK
+    sketch partial-aggregates map-side, same plan shape
+    (mode-equivalence tolerance-tested in tests/test_bucketing.py)."""
+    fn = "percentile" if mode == "exact" else "approx_percentile"
     o = t(spark, sf_dir, "orders")
     return o.groupBy(F.trunc("o_orderdate", "month").alias("month_start")).agg(
-        F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
-        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
-        F.expr("percentile(o_totalprice, 0.75)").alias("p75"),
+        F.expr(f"{fn}(o_totalprice, 0.25)").alias("p25"),
+        F.expr(f"{fn}(o_totalprice, 0.5)").alias("p50"),
+        F.expr(f"{fn}(o_totalprice, 0.75)").alias("p75"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
@@ -883,28 +888,34 @@ def q_a41_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_a42_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_a42_mad_outliers(
+    spark: SparkSession, sf_dir: str, mode: str = "exact"
+) -> DataFrame:
     """Robust outlier counts per event type via the median absolute
     deviation (the heavy-tail-proof sibling of a38's winsorized
     stats): outlier ⇔ |v − median| > 3·1.4826·MAD (1.4826 is the
     normal-consistency constant, evaluated in-engine on both sides).
     Three grouped passes with the tiny (event_type, med, mad) frame
-    broadcast back; exact interpolated percentiles match DuckDB's
-    quantile_cont bit-for-bit (the a34 precedent).
+    broadcast back. ``mode="exact"`` matches DuckDB's quantile_cont
+    bit-for-bit (the a34 precedent) but buffers each group's values;
+    ``mode="approx"`` is the 100 TB form — both medians from
+    percentile_approx, same plan shape, map-side-mergeable sketch
+    partials (mode-equivalence tolerance-tested in
+    tests/test_bucketing.py; the daily-grain alternative is
+    t9_anomaly_mad)."""
 
-    Scale note (the a23 convention): EXACT percentile aggregation
-    buffers each group's values, so over raw events this is
-    oracle-parity form only — at 100 TB swap ``F.percentile`` for
-    ``approx_percentile`` (same plan shape, tolerance-tested in
-    tests/test_scale_paths.py) or take the median at daily grain the
-    way t9_anomaly_mad does."""
+    def med_of(col):
+        return (
+            F.percentile(col, 0.5)
+            if mode == "exact"
+            else F.percentile_approx(col, 0.5, 10000)
+        )
+
     ev = t(spark, sf_dir, "events")
-    med = ev.groupBy("event_type").agg(
-        F.percentile("value", 0.5).alias("med")
-    )
+    med = ev.groupBy("event_type").agg(med_of(F.col("value")).alias("med"))
     dev = ev.join(F.broadcast(med), "event_type")
     mad = dev.groupBy("event_type", "med").agg(
-        F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias("mad")
+        med_of(F.abs(F.col("value") - F.col("med"))).alias("mad")
     )
     thr = F.lit(3.0) * F.lit(1.4826) * F.col("mad")
     return (

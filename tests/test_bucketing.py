@@ -245,3 +245,51 @@ def test_rptree_topk_approx_recall_vs_exact_mode(spark):
 
     r_exact, r_approx = recall("exact"), recall("approx")
     assert r_approx >= r_exact - 0.10, (r_exact, r_approx)
+
+
+def test_a34_and_a42_approx_modes_track_exact(spark):
+    """The two remaining exact-percentile gate queries carry their
+    100 TB swap as a mode parameter: the approx forms must track the
+    exact band/threshold values within GK-sketch tolerance and keep
+    identical grouping/row counts."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.plans.analytics import (
+        q_a34_monthly_price_band,
+        q_a42_mad_outliers,
+    )
+
+    e34 = {r["month_start"]: r for r in q_a34_monthly_price_band(spark, SF).collect()}
+    a34 = {
+        r["month_start"]: r
+        for r in q_a34_monthly_price_band(spark, SF, mode="approx").collect()
+    }
+    assert set(e34) == set(a34)
+    # exact interpolates, approx returns observed values, so the right
+    # tolerance is RANK error within the month, not value distance
+    vals: dict = {}
+    for r in (
+        t(spark, SF, "orders")
+        .select(F.trunc("o_orderdate", "month").alias("m"), "o_totalprice")
+        .collect()
+    ):
+        vals.setdefault(r["m"], []).append(r["o_totalprice"])
+    for m in e34:
+        assert e34[m]["n_orders"] == a34[m]["n_orders"]
+        sv = sorted(vals[m])
+        for c, q in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75)):
+            below = sum(1 for v in sv if v <= a34[m][c])
+            rank = below / len(sv)
+            assert abs(rank - q) <= max(0.02, 1.5 / len(sv)), (m, c, rank)
+
+    e42 = {r["event_type"]: r for r in q_a42_mad_outliers(spark, SF).collect()}
+    a42 = {
+        r["event_type"]: r
+        for r in q_a42_mad_outliers(spark, SF, mode="approx").collect()
+    }
+    assert set(e42) == set(a42)
+    for k in e42:
+        assert e42[k]["n_rows"] == a42[k]["n_rows"]
+        assert abs(e42[k]["med"] - a42[k]["med"]) / max(abs(e42[k]["med"]), 1.0) < 0.10
+        # outlier counts shift only by threshold-boundary rows
+        assert abs(e42[k]["n_outliers"] - a42[k]["n_outliers"]) <= max(
+            3, 0.1 * e42[k]["n_rows"]
+        ), (k, e42[k]["n_outliers"], a42[k]["n_outliers"])
