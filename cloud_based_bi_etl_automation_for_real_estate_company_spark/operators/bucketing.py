@@ -82,11 +82,21 @@ def approx_bucket(
         val = -val
     work = df.withColumn(_V, val)
     cuts = approx_cuts(work, _V, n, keys=keys, accuracy=accuracy)
-    joined = (
-        work.join(F.broadcast(cuts), keys, "left")
-        if keys
-        else work.crossJoin(F.broadcast(cuts))
-    )
+    if keys:
+        # null-safe key equality: approx_cuts' groupBy DOES produce a
+        # NULL-key cuts group, and a plain left join would never match
+        # it — silently handing every NULL-keyed row a NULL bucket
+        renamed = cuts.select(
+            *[F.col(k).alias(f"__ab_k{i}") for i, k in enumerate(keys)], _C
+        )
+        cond = F.lit(True)
+        for i, k in enumerate(keys):
+            cond = cond & F.col(k).eqNullSafe(F.col(f"__ab_k{i}"))
+        joined = work.join(F.broadcast(renamed), cond, "left").drop(
+            *[f"__ab_k{i}" for i in range(len(keys))]
+        )
+    else:
+        joined = work.crossJoin(F.broadcast(cuts))
     fold = F.aggregate(
         F.col(_C),
         F.lit(1),

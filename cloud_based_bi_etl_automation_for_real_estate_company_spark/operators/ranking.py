@@ -32,8 +32,17 @@ it corpus-wide through DuckDB).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import types as T
 
 _B = "__gr_b"
+
+# Largest integer exactly representable as a double; an order column
+# whose integral values exceed this can alias under the double cast
+# used for bucket routing. Harmless with tie_split=False (aliased
+# values share a bucket and the window re-sorts exactly) but fatal
+# with tie_split=True (aliased values may route by TIEBREAK into
+# different buckets while the window orders by the exact values).
+_DOUBLE_EXACT_INT = 1 << 53
 
 
 def global_row_number(
@@ -73,7 +82,18 @@ def global_row_number(
     Requires a numeric first tiebreak; NULL tiebreaks route as -inf
     (matching the window's nulls-first order). The suffix-array
     consumer keeps the default (tie mass shrinks geometrically per
-    doubling round; pack-w round 0 splits most of it)."""
+    doubling round; pack-w round 0 splits most of it).
+
+    Precision bound (``tie_split=True`` only): composite routing
+    compares DOUBLE-cast order values, so two distinct integers above
+    2^53 that collapse to the same double could route by tiebreak into
+    different buckets while the window orders them by the exact
+    original values — breaking exactness. Integral order columns are
+    therefore range-checked (|v| < 2^53, one extra max-abs in the
+    existing cuts aggregate — raises loudly) and decimal columns with
+    precision > 15 are rejected up front. ``tie_split=False`` needs no
+    bound: routing there is monotone under double collapse (aliased
+    values co-bucket and the window re-sorts them exactly)."""
     spark = df.sparkSession
     n_buckets = n_buckets or spark.sparkContext.defaultParallelism
     if tie_split and not tiebreaks:
@@ -126,11 +146,39 @@ def _composite_bucket(
         if tb_col is not None
         else F.lit(float("-inf"))
     )
+    check_range = False
+    if tb_col is not None:
+        try:
+            dt = df.schema[order_col].dataType
+        except Exception:
+            dt = None
+        if isinstance(dt, T.DecimalType) and dt.precision > 15:
+            raise ValueError(
+                "tie_split=True routes on double-cast order values; "
+                f"decimal({dt.precision},{dt.scale}) can alias above 15 "
+                "significant digits, which would break rank exactness. "
+                "Cast the order column down or use tie_split=False."
+            )
+        # only LongType can hold integers >= 2^53 (int/short/byte max
+        # out below it; float/double casts are injective widenings)
+        check_range = isinstance(dt, T.LongType)
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts_row = df.agg(
-        F.percentile_approx(v, F.array(*[F.lit(p) for p in probs]), F.lit(accuracy))
-    ).collect()[0][0]
-    cuts = list(cuts_row or [])
+    aggs = [
+        F.percentile_approx(
+            v, F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
+        ).alias("__cuts")
+    ]
+    if check_range:
+        aggs.append(F.max(F.abs(F.col(order_col))).alias("__maxabs"))
+    row0 = df.agg(*aggs).collect()[0]
+    if check_range and (row0["__maxabs"] or 0) >= _DOUBLE_EXACT_INT:
+        raise ValueError(
+            "tie_split=True routes on double-cast order values; "
+            f"|{order_col}| reaches {row0['__maxabs']} >= 2^53, where "
+            "distinct integers alias as doubles and composite routing "
+            "would break rank exactness. Use tie_split=False."
+        )
+    cuts = list(row0["__cuts"] or [])
     runs: dict[float, int] = {}
     for c in cuts:
         if c is not None:
@@ -222,3 +270,40 @@ def global_dense_rank(
     return df.join(
         ranked, F.col(order_col).eqNullSafe(F.col("__dr_k"))
     ).drop("__dr_k")
+
+
+def global_dense_rank_pair(
+    df: DataFrame,
+    col1: str,
+    col2: str,
+    rank_col: str = "rank",
+    n_buckets: int | None = None,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Exact global ``dense_rank`` over the ``(col1, col2)`` PAIR
+    ascending, NULLs first in each component — the overflow-safe form
+    of packing two ranks into one bigint ``r1*(R+1)+r2``, which wraps
+    silently (ANSI off) once ``R+1`` exceeds floor(sqrt(2^63)) ≈
+    3.04e9. Rank the DISTINCT pairs with :func:`global_row_number`
+    (bucket-routed on ``col1``, within-bucket window ordered by the
+    exact pair), then join back null-safely on both columns. The
+    NULLs-first component order matches ``coalesce(r2, 0)`` packing
+    when real ranks start at 1 — the suffix-array doubling round's
+    contract (:mod:`.suffixes` switches to this path automatically
+    above the pack-safe bound)."""
+    keys = df.select(
+        F.col(col1).alias("__dr_k1"), F.col(col2).alias("__dr_k2")
+    ).distinct()
+    ranked = global_row_number(
+        keys,
+        "__dr_k1",
+        tiebreaks=["__dr_k2"],
+        rank_col=rank_col,
+        n_buckets=n_buckets,
+        accuracy=accuracy,
+    )
+    return df.join(
+        ranked,
+        F.col(col1).eqNullSafe(F.col("__dr_k1"))
+        & F.col(col2).eqNullSafe(F.col("__dr_k2")),
+    ).drop("__dr_k1", "__dr_k2")

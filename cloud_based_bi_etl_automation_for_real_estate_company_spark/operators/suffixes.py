@@ -8,10 +8,13 @@ length with no window quantization.
 Construction is prefix doubling (Manber–Myers; the distributed
 formulation of Flick & Aluru, SC 2015): every suffix carries a rank
 for its first ``2^j`` characters; one round joins each position to
-its ``+2^j`` neighbor's rank, packs the pair into one bigint, and
-dense-re-ranks — O(log maxlen) rounds, each a keyed shuffle, with
-dense ranking done by :func:`..ranking.global_dense_rank` (bucket-
-routed, NO single-task global sort anywhere). Convergence: each
+its ``+2^j`` neighbor's rank and dense-re-ranks the pair — packed
+into one bigint ``r1*(n+1)+r2`` while ``n`` is below the pack-safe
+bound (floor(sqrt(2^63))-1 ≈ 3.04e9 positions ≈ 3 GB of text), and
+via the two-column :func:`..ranking.global_dense_rank_pair` above it
+(the packed key would silently wrap with ANSI off) — O(log maxlen)
+rounds, each a keyed shuffle, with dense ranking bucket-routed, NO
+single-task global sort anywhere. Convergence: each
 round's rank partition strictly refines or is final, so an unchanged
 distinct-rank count is the fixpoint (identical cross-doc suffixes
 keep equal dense ranks forever — correct, they ARE equal) and a
@@ -30,7 +33,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .ranking import global_dense_rank, global_row_number
+from .ranking import global_dense_rank, global_dense_rank_pair, global_row_number
+
+# Largest total suffix-position count n for which the doubling-round
+# key ``rank*(n+1)+coalesce(r2,0)`` (rank, r2 <= n) stays below 2^63:
+# (n+1)^2 - 1 < 2^63  =>  n <= floor(sqrt(2^63)) - 1. Beyond it the
+# packed bigint would wrap silently (ANSI off) and corrupt ranks, so
+# the round switches to the two-column pair rank instead.
+_PACK_SAFE_N = 3_037_000_498
 
 
 def _char_array(text):
@@ -62,6 +72,7 @@ def suffix_ranks(
     max_chars: int | None = None,
     n_buckets: int | None = None,
     keep_history: bool = False,
+    pair_rank: bool | None = None,
 ):
     """Dense corpus-wide suffix ranks by prefix doubling: returns
     ``(id, pos, rank)`` where equal ranks mean IDENTICAL suffixes
@@ -89,7 +100,14 @@ def suffix_ranks(
     for that consumer: once the partition stops refining, every
     still-equal pair is a pair of IDENTICAL suffixes (handled by the
     final-rank shortcut), and every separated pair's LCP is below the
-    last level, which the greedy descent can always express."""
+    last level, which the greedy descent can always express.
+
+    ``pair_rank`` controls the doubling-round key form: ``None``
+    (default) packs ``(rank, r2)`` into one bigint while the position
+    count is <= ``_PACK_SAFE_N`` and switches to the overflow-safe
+    two-column :func:`..ranking.global_dense_rank_pair` above it;
+    ``True``/``False`` force one form (tests differential-check the
+    two produce identical ranks)."""
     chars = _suffix_chars(df, text_col, id_col, max_chars)
     alpha = sorted(
         r[0] for r in chars.select("__ch").distinct().limit(10001).collect()
@@ -148,6 +166,7 @@ def suffix_ranks(
     ).collect()[0]
     n, prev_r = stats["n"], stats["r"]
     maxlen = (stats["p"] or 0) + 1
+    use_pack = (n <= _PACK_SAFE_N) if pair_rank is None else (not pair_rank)
     k = w
     while prev_r is not None and prev_r < n and k < maxlen:
         shifted = cur.select(
@@ -155,16 +174,24 @@ def suffix_ranks(
             (F.col("pos") - F.lit(k)).alias("pos"),
             F.col("rank").alias("__r2"),
         )
-        paired = (
-            cur.join(shifted, [id_col, "pos"], "left")
-            .withColumn(
+        paired = cur.join(shifted, [id_col, "pos"], "left")
+        if use_pack:
+            keyed = paired.withColumn(
                 "__key",
                 F.col("rank") * F.lit(n + 1) + F.coalesce(F.col("__r2"), F.lit(0)),
             )
-        )
+            reranked = global_dense_rank(
+                keyed, "__key", rank_col="__nr", n_buckets=n_buckets
+            )
+        else:
+            # pair rank orders (rank asc, __r2 asc nulls first) —
+            # exactly the packed key's order, since coalesce(r2,0)=0
+            # sorts before every real rank >= 1
+            reranked = global_dense_rank_pair(
+                paired, "rank", "__r2", rank_col="__nr", n_buckets=n_buckets
+            )
         cur = (
-            global_dense_rank(paired, "__key", rank_col="__nr", n_buckets=n_buckets)
-            .select(id_col, "pos", F.col("__nr").alias("rank"))
+            reranked.select(id_col, "pos", F.col("__nr").alias("rank"))
             .localCheckpoint(eager=True)
         )
         new_r = cur.agg(F.max("rank")).collect()[0][0]

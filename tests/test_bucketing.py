@@ -293,3 +293,21 @@ def test_a34_and_a42_approx_modes_track_exact(spark):
         assert abs(e42[k]["n_outliers"] - a42[k]["n_outliers"]) <= max(
             3, 0.1 * e42[k]["n_rows"]
         ), (k, e42[k]["n_outliers"], a42[k]["n_outliers"])
+
+
+def test_approx_bucket_grouped_null_key_routes(spark):
+    """ADVICE r7: a NULL group key is a real group (approx_cuts'
+    groupBy produces its cuts row); null-safe join keys must route its
+    rows to real buckets instead of silently handing back NULL."""
+    rows = [(None, float(i)) for i in range(40)] + [
+        ("a", float(i) * 10) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = approx_bucket(df, "v", 4, keys=["k"])
+    per = {
+        (r["k"], r["bucket"]): r["n"]
+        for r in out.groupBy("k", "bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for k in (None, "a"):
+        got = {b for (kk, b) in per if kk == k}
+        assert got == {1, 2, 3, 4}, (k, per)

@@ -733,3 +733,13 @@ def test_round6_ops_partition_invariant(spark):
     )
     core = lambda e: {tuple(r) for r in kcore(e, k=3).collect()}
     assert core(edges) == core(edges.repartition(7))
+
+
+def test_compact_minhash_store_rejects_remote_store(spark, tmp_path):
+    """ADVICE r7: the generation swap is os.rename — a non-local store
+    URI must raise BEFORE any rewrite happens (no orphaned
+    sigs__compacting directory on object stores)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="local filesystem"):
+        D.compact_minhash_store(spark, "s3://bucket/minhash-store")

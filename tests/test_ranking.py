@@ -182,3 +182,71 @@ def test_tie_split_null_order_and_null_tiebreak(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_global_dense_rank_pair_equals_packed_key(spark):
+    """The overflow-safe pair form must order exactly like the packed
+    bigint r1*(R+1)+coalesce(r2,0): r1 asc, then r2 asc NULLs first."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.ranking import (
+        global_dense_rank_pair,
+    )
+
+    rows = [
+        (1, 3, 7), (2, 3, None), (3, 1, 2), (4, 3, 7), (5, 1, None),
+        (6, 2, 1), (7, 1, 2), (8, 2, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, r1 bigint, r2 bigint")
+    got = {
+        r["id"]: r["rank"]
+        for r in global_dense_rank_pair(df, "r1", "r2", n_buckets=3).collect()
+    }
+    packed = df.withColumn(
+        "__k", F.col("r1") * F.lit(100) + F.coalesce(F.col("r2"), F.lit(0))
+    )
+    want = {
+        r["id"]: r["rank"]
+        for r in packed.select(
+            "id",
+            F.dense_rank().over(Window.orderBy("__k")).cast("bigint").alias("rank"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_tie_split_rejects_unsafe_long_order_values(spark):
+    """ADVICE r7: composite routing compares double-cast values, so a
+    LongType order column reaching 2^53 must raise loudly under
+    tie_split=True (distinct integers alias as doubles there) while
+    tie_split=False stays exact under the monotone collapse."""
+    import pytest
+
+    big = 1 << 53
+    df = spark.createDataFrame(
+        [(i, big + (i % 3)) for i in range(30)], "id bigint, v bigint"
+    )
+    with pytest.raises(ValueError, match="2\\^53"):
+        global_row_number(
+            df, "v", tiebreaks=["id"], n_buckets=3, tie_split=True
+        ).collect()
+    got = {
+        r["id"]: r["rn"]
+        for r in global_row_number(df, "v", tiebreaks=["id"], n_buckets=3).collect()
+    }
+    want = {
+        r["id"]: r["rn"]
+        for r in df.select(
+            "id",
+            F.row_number().over(Window.orderBy("v", "id")).cast("bigint").alias("rn"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_tie_split_rejects_wide_decimal(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, i) for i in range(10)], "id bigint, v bigint"
+    ).select("id", F.col("v").cast("decimal(20,0)").alias("v"))
+    with pytest.raises(ValueError, match="decimal"):
+        global_row_number(df, "v", tiebreaks=["id"], n_buckets=3, tie_split=True)

@@ -216,3 +216,24 @@ def test_lcp_ranks_mode_on_fixture_documents(spark):
     r = sorted(map(tuple, duplicated_suffix_lcp(
         docs, min_len=15, max_chars=200, mode="ranks").collect()))
     assert s == r and len(s) > 0
+
+
+def test_suffix_ranks_pair_rank_equals_packed(spark):
+    """ADVICE r7: above ~3e9 positions the packed doubling key
+    r1*(n+1)+r2 would wrap int64, so suffix_ranks switches to the
+    two-column pair rank. Forcing each form on the same corpus must
+    yield identical ranks (the NULLs-first pair order IS the packed
+    order)."""
+    docs = [(1, "banana band"), (2, "ananas banana"), (3, "")]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    packed = {
+        (r["doc_id"], r["pos"]): r["rank"]
+        for r in suffix_ranks(df, pair_rank=False).collect()
+    }
+    paired = {
+        (r["doc_id"], r["pos"]): r["rank"]
+        for r in suffix_ranks(df, pair_rank=True).collect()
+    }
+    assert packed == paired and len(packed) == len("banana band") + len(
+        "ananas banana"
+    )
