@@ -31,7 +31,7 @@ bounded by the tied mass at each cut (tolerance-tested in
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 _V = "__ab_v"
 _C = "__ab_cuts"
@@ -104,3 +104,81 @@ def approx_bucket(
     )
     bucket = F.when(F.col(_V).isNotNull(), fold)
     return joined.withColumn(bucket_col, bucket.cast("int")).drop(_V, _C)
+
+
+def bucket_rank_audit(
+    bucketed: DataFrame,
+    col: str,
+    n: int,
+    bucket_col: str = "bucket",
+    tol: float = 0.005,
+    descending: bool = False,
+) -> DataFrame:
+    """Tie-robust rank audit of :func:`approx_bucket`'s routing — the
+    driver-gate form of the scale path (the ``x_tdigest_quantiles``
+    pattern: exact hash-checkable counts plus booleans that only fail
+    on a real sketch regression).
+
+    For each bucket ``b`` (full 1..``n`` spine — duplicate cut values
+    under heavy ties legitimately yield EMPTY buckets), let ``cum(b)``
+    be the rows routed to buckets ``<= b``, ``rmax(b)`` the running
+    max routed value, and ``tmass(b)`` the tied mass AT ``rmax(b)``.
+    Because routing is monotone and ties co-bucket,
+    ``cum(b) = count(v <= cut_b)`` and ``cum(b) - tmass(b) =
+    count(v < cut_b)`` exactly, so the Greenwald–Khanna guarantee
+    (|rank(cut_b) − b·N/n| ≤ εN for a rank consistent with ties)
+    becomes two one-sided checks that hold for ANY tie distribution::
+
+        cum(b)            >= (b/n − tol)·N      -- rank_max side
+        cum(b) − tmass(b) <= (b/n + tol)·N      -- rank_min side
+
+    ``tol`` is floored at ``2/N`` (with N rows the achievable rank
+    granularity is 1/N — small groups would otherwise fail on index
+    conventions, not sketch health; the x_tdigest_quantiles floor).
+    Returns one row per bucket: ``(bucket, n_total, rank_ok)`` with
+    ``n_total`` the exact non-null row count (hash-checked by the
+    oracle) — an ``n``-row frame, so the spine windows are bounded.
+    """
+    spark = bucketed.sparkSession
+    v = F.col(col).cast("double")
+    if descending:
+        v = -v
+    work = bucketed.filter(F.col(col).isNotNull()).select(
+        v.alias("__v"), F.col(bucket_col).cast("int").alias("__b")
+    )
+    per = work.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__n"), F.max("__v").alias("__hi")
+    )
+    ties = (
+        work.join(F.broadcast(per), "__b")
+        .filter(F.col("__v") == F.col("__hi"))
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__t"))
+    )
+    stats = per.join(ties, "__b")
+    spine = spark.range(1, n + 1).select(F.col("id").cast("int").alias("__sb"))
+    joined = spine.join(
+        F.broadcast(stats), F.col("__sb") == F.col("__b"), "left"
+    )
+    w = Window.orderBy("__sb").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("__sb").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = F.sum(F.coalesce(F.col("__n"), F.lit(0))).over(w)
+    # the running max is always achieved at the LAST non-empty bucket
+    # (routing is monotone), so its tied mass is that bucket's __t
+    tmass = F.last("__t", ignorenulls=True).over(w)
+    total = F.sum(F.coalesce(F.col("__n"), F.lit(0))).over(wall)
+    eff_tol = F.greatest(F.lit(float(tol)), F.lit(2.0) / total.cast("double"))
+    frac = F.col("__sb").cast("double") / F.lit(float(n))
+    rank_ok = (
+        cum.cast("double") >= (frac - eff_tol) * total.cast("double")
+    ) & (
+        (cum - F.coalesce(tmass, F.lit(0))).cast("double")
+        <= (frac + eff_tol) * total.cast("double")
+    )
+    return joined.select(
+        F.col("__sb").alias(bucket_col),
+        total.alias("n_total"),
+        rank_ok.alias("rank_ok"),
+    )

@@ -930,7 +930,189 @@ def q_a42_mad_outliers(
     )
 
 
+def q_a23_equidepth_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate row for a23's 100 TB form (``mode="approx"`` —
+    operators/bucketing.approx_bucket, no global sort): the tie-robust
+    rank audit of the decile routing (bucket_rank_audit — cum count at
+    each cut within GK tolerance of b/10, exact n_total hash-checked).
+    The exact↔approx equivalence is separately pinned in
+    tests/test_bucketing.py; this row keeps the SCALE plan itself
+    under the per-round correctness gate."""
+    from ..operators.bucketing import approx_bucket, bucket_rank_audit
+
+    ev = t(spark, sf_dir, "events")
+    b = approx_bucket(ev.select("value", "event_id"), "value", 10)
+    return bucket_rank_audit(b, "value", 10)
+
+
+def q_a26_rfm_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate row for a26's 100 TB form: each RFM score dimension
+    (recency asc, frequency/monetary desc) routed through
+    approx_bucket and rank-audited per quartile — 12 rows
+    (dim × score) with the exact purchasing-user count hash-checked.
+    Frequency is heavily tied (small integer purchase counts), which
+    is exactly what the audit's tie-robust one-sided bounds absorb —
+    and why per-quartile DEPTHS would be the wrong audit."""
+    from ..functions.transforms import dsum
+    from ..operators.bucketing import approx_bucket, bucket_rank_audit
+
+    ev = t(spark, sf_dir, "events")
+    pur = ev.filter(F.col("event_type") == "purchase")
+    anchor = pur.agg(F.max(F.to_date("ts")).alias("anchor_day"))
+    per_user = pur.groupBy("user_id").agg(
+        F.max(F.to_date("ts")).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum("value").alias("monetary"),
+    )
+    scored = per_user.join(F.broadcast(anchor)).select(
+        "user_id",
+        F.datediff("anchor_day", "last_day").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    b = approx_bucket(scored, "recency_days", 4, bucket_col="r_score")
+    b = approx_bucket(b, "frequency", 4, bucket_col="f_score", descending=True)
+    b = approx_bucket(b, "monetary", 4, bucket_col="m_score", descending=True)
+    parts = []
+    for dim, col, bcol, desc in [
+        ("r", "recency_days", "r_score", False),
+        ("f", "frequency", "f_score", True),
+        ("m", "monetary", "m_score", True),
+    ]:
+        parts.append(
+            bucket_rank_audit(b, col, 4, bucket_col=bcol, descending=desc)
+            .select(
+                F.lit(dim).alias("dim"),
+                F.col(bcol).alias("score"),
+                "n_total",
+                "rank_ok",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_a34_price_band_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate row for a34's 100 TB form (approx_percentile's GK
+    sketch instead of exact per-group buffering): per (month, q) the
+    exact order count is hash-checked and rank_ok asserts the
+    estimate's rank sits within tolerance of q — tie-robustly
+    (count(v <= est) can't be below, count(v < est) can't be above),
+    with the 2/n floor because small months (~19 orders at sf0.001)
+    only achieve 1/n rank granularity."""
+    o = t(spark, sf_dir, "orders")
+    est = o.groupBy(F.trunc("o_orderdate", "month").alias("month_start")).agg(
+        F.expr(
+            "approx_percentile(o_totalprice, array(0.25D, 0.5D, 0.75D), 10000)"
+        ).alias("__e")
+    )
+    qs = est.select(
+        "month_start",
+        F.explode(
+            F.arrays_zip(
+                F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)).alias("q"),
+                F.col("__e").alias("est"),
+            )
+        ).alias("z"),
+    ).select("month_start", F.col("z.q").alias("q"), F.col("z.est").alias("est"))
+    v = F.col("o_totalprice").cast("double")
+    n = F.count(F.lit(1))
+    tol = F.greatest(F.lit(0.005), F.lit(2.0) / n.cast("double"))
+    return (
+        o.join(F.broadcast(qs), F.trunc("o_orderdate", "month") == F.col("month_start"))
+        .groupBy("month_start", "q", "est")
+        .agg(
+            n.alias("n_orders"),
+            (
+                (
+                    F.sum((v <= F.col("est")).cast("int")).cast("double")
+                    >= (F.col("q") - tol) * n.cast("double")
+                )
+                & (
+                    F.sum((v < F.col("est")).cast("int")).cast("double")
+                    <= (F.col("q") + tol) * n.cast("double")
+                )
+            ).alias("rank_ok"),
+        )
+        .drop("est")
+    )
+
+
+def q_a42_mad_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate row for a42's 100 TB form: both robust location
+    estimates (median of value, median absolute deviation) come from
+    percentile_approx's mergeable sketch; the audit rescans once with
+    the tiny (event_type, med, mad) frame broadcast and asserts each
+    estimate's RANK in its own distribution — med against value, mad
+    against |value − med| — sits at 0.5 within tie-robust GK
+    tolerance. Exact per-type row counts are hash-checked."""
+    ev = t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type", "med").agg(
+        F.percentile_approx(F.abs(F.col("value") - F.col("med")), 0.5, 10000).alias(
+            "mad"
+        )
+    )
+    v = F.col("value").cast("double")
+    d = F.abs(v - F.col("med"))
+    n = F.count(F.lit(1))
+    tol = F.greatest(F.lit(0.005), F.lit(2.0) / n.cast("double"))
+
+    def rank_ok(expr, target):
+        return (
+            F.sum((expr <= target).cast("int")).cast("double")
+            >= (F.lit(0.5) - tol) * n.cast("double")
+        ) & (
+            F.sum((expr < target).cast("int")).cast("double")
+            <= (F.lit(0.5) + tol) * n.cast("double")
+        )
+
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            n.alias("n_rows"),
+            rank_ok(v, F.col("med")).alias("med_ok"),
+            rank_ok(d, F.col("mad")).alias("mad_ok"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "a23_equidepth_approx": """
+        SELECT CAST(u.i + 1 AS INT) AS bucket,
+               (SELECT COUNT(*) FROM events WHERE value IS NOT NULL)
+                   AS n_total,
+               TRUE AS rank_ok
+        FROM UNNEST(range(10)) AS u(i)
+    """,
+    "a26_rfm_approx": """
+        WITH n AS (
+            SELECT COUNT(DISTINCT user_id) AS n_total
+            FROM events WHERE event_type = 'purchase')
+        SELECT d.dim, CAST(u.i + 1 AS INT) AS score, n.n_total,
+               TRUE AS rank_ok
+        FROM (VALUES ('r'), ('f'), ('m')) d(dim)
+        CROSS JOIN UNNEST(range(4)) AS u(i)
+        CROSS JOIN n
+    """,
+    "a34_price_band_approx": """
+        SELECT m.month_start, u.q, m.n_orders, TRUE AS rank_ok
+        FROM (SELECT date_trunc('month', o_orderdate) AS month_start,
+                     COUNT(*) AS n_orders
+              FROM orders GROUP BY 1) m
+        CROSS JOIN (SELECT UNNEST([0.25, 0.5, 0.75]::DOUBLE[]) AS q) u
+    """,
+    "a42_mad_approx": """
+        SELECT event_type, COUNT(*) AS n_rows,
+               TRUE AS med_ok, TRUE AS mad_ok
+        FROM events GROUP BY 1
+    """,
     "a42_mad_outliers": """
         WITH med AS (
             SELECT event_type, quantile_cont(value, 0.5) AS med
@@ -1424,4 +1606,8 @@ QUERIES = {
     "a40_attribution": q_a40_attribution,
     "a41_unpivot_measures": q_a41_unpivot_measures,
     "a42_mad_outliers": q_a42_mad_outliers,
+    "a23_equidepth_approx": q_a23_equidepth_approx,
+    "a26_rfm_approx": q_a26_rfm_approx,
+    "a34_price_band_approx": q_a34_price_band_approx,
+    "a42_mad_approx": q_a42_mad_approx,
 }

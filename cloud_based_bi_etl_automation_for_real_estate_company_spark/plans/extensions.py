@@ -4176,12 +4176,67 @@ ORACLES["x_suffix_lcp"] = _SUFFIX_BASE_SQL + """,
 ORACLES["x_suffix_lcp_ranks"] = ORACLES["x_suffix_lcp"]
 
 
+def q_x_suffix_removal_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x_suffix_removal recomputed END-TO-END through the 100 TB LCP
+    path (``lcp_mode="ranks"`` — greedy descent over the doubling
+    history, no suffix string ever materialized) against the SAME
+    full-replay oracle: the driver gate hash-proves the whole removal
+    pipeline in its scale form, not just the LCP leg
+    (x_suffix_lcp_ranks)."""
+    from ..operators.suffixes import suffix_removal
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    return suffix_removal(d, min_len=15, max_chars=200, lcp_mode="ranks")
+
+
+ORACLES["x_suffix_removal_ranks"] = ORACLES["x_suffix_removal"]
+
+
+def q_x_calibration_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate row for x_calibration's 100 TB form: the same
+    trained scores decile-routed through approx_bucket (no global
+    sort), then tie-robust rank-audited per decile
+    (operators/bucketing.bucket_rank_audit) — exact document count
+    hash-checked, rank_ok only fails on a real sketch regression.
+    Identical-feature documents produce tied 9-dp scores, which the
+    audit's one-sided bounds absorb by construction."""
+    from ..operators.bucketing import approx_bucket, bucket_rank_audit
+    from ..operators.ml import logreg_score, logreg_train
+
+    d = t(spark, sf_dir, "documents")
+    feats = d.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("double").alias("y"),
+        (F.col("n_chars").cast("double") / F.lit(1000.0)).alias("x1"),
+        (T.token_count("text").cast("double") / F.lit(100.0)).alias("x2"),
+    )
+    w = logreg_train(feats, ["x1", "x2"], "y", iterations=3, lr=1.0)
+    scored = logreg_score(feats, w, ["x1", "x2"])
+    dec = approx_bucket(
+        scored.select("doc_id", F.round("p", 9).alias("p")),
+        "p",
+        10,
+        bucket_col="decile",
+    )
+    return bucket_rank_audit(dec, "p", 10, bucket_col="decile")
+
+
+ORACLES["x_calibration_approx"] = """
+    SELECT CAST(u.i + 1 AS INT) AS decile,
+           (SELECT COUNT(*) FROM documents) AS n_total,
+           TRUE AS rank_ok
+    FROM UNNEST(range(10)) AS u(i)
+"""
+
+
 QUERIES = {
     "x_suffix_array": q_x_suffix_array,
     "x_suffix_lcp": q_x_suffix_lcp,
     "x_global_rank": q_x_global_rank,
     "x_suffix_removal": q_x_suffix_removal,
     "x_suffix_lcp_ranks": q_x_suffix_lcp_ranks,
+    "x_suffix_removal_ranks": q_x_suffix_removal_ranks,
+    "x_calibration_approx": q_x_calibration_approx,
     "x_domain_cap": q_x_domain_cap,
     "x_dedup_exact": q_x_dedup_exact,
     "x_dedup_minhash_lsh": q_x_dedup_minhash_lsh,
