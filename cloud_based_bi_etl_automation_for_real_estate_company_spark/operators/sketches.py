@@ -338,6 +338,47 @@ def _tdigest_cluster(means, weights, delta: int):
     return wm / ws, ws
 
 
+def _cluster_grouped(
+    df: DataFrame, keys: list[str], val_col: str, w_col: str, delta: int
+) -> DataFrame:
+    """JVM-side k-space binning (the same variant `_tdigest_cluster`
+    runs in numpy for the streaming state op, re-expressed as one
+    partitioned running-sum window + one hash aggregate so the batch
+    path never leaves whole-stage codegen — the round-8 change that
+    removed ~3 s of Arrow/Python overhead from the t17 bench leg).
+    Within each ``keys`` group: sort by (value, weight), take each
+    point's centre rank qc, bin by floor(delta/(2π)·asin(2qc−1)),
+    then one weighted-mean aggregate per bin. Tie permutations can't
+    change the result (equal values share a value, so only the COUNT
+    per bin matters, which cumulative positions fix), keeping the
+    build bit-deterministic under any Spark partitioning. The window
+    partitions on the full ``keys`` (callers bound group size via the
+    value-hash shard key), never a global sort."""
+    import math
+
+    part = [F.col(k) for k in keys] if keys else [F.lit(1)]
+    order = Window.partitionBy(*part).orderBy(val_col, w_col)
+    wseq = order.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy(*part)
+    cum = F.sum(w_col).over(wseq)
+    total = F.sum(w_col).over(wall)
+    qc = (cum - F.col(w_col) / F.lit(2.0)) / total
+    kk = F.floor(
+        F.lit(delta / (2.0 * math.pi)) * F.asin(F.lit(2.0) * qc - F.lit(1.0))
+    )
+    return (
+        df.withColumn("__td_kk", kk)
+        .groupBy(*keys, "__td_kk")
+        .agg(
+            (
+                F.sum(F.col(val_col) * F.col(w_col)) / F.sum(w_col)
+            ).alias("__td_mean"),
+            F.sum(w_col).alias("weight"),
+        )
+        .select(*keys, F.col("__td_mean").alias("mean"), "weight")
+    )
+
+
 def tdigest_centroids(
     df: DataFrame,
     keys: list[str],
@@ -352,32 +393,20 @@ def tdigest_centroids(
     digest is trivial anyway), each (key, shard) group digests its
     values with the k-space clustering, and stage 2 re-clusters the
     unioned per-shard centroids — O(n_shards * delta) rows per key —
-    into the final per-key digest. Returns (*keys, mean, weight)."""
-    import pandas as pd
-
-    shard = F.pmod(F.xxhash64(F.col(col)), F.lit(n_shards)).alias("__shard")
-    key_fields = ", ".join(
-        f"{k} {t}" for k, t in df.select(*keys).dtypes
+    into the final per-key digest. Both stages run JVM-side
+    (`_cluster_grouped`); the shard key bounds every window sort to
+    ~1/n_shards of a key's rows. Returns (*keys, mean, weight)."""
+    shard = F.pmod(F.xxhash64(F.col(col)), F.lit(n_shards)).alias("__td_shard")
+    fine = _cluster_grouped(
+        df.select(*keys, F.col(col), shard).withColumn(
+            "__td_w", F.lit(1.0)
+        ),
+        [*keys, "__td_shard"],
+        col,
+        "__td_w",
+        delta,
     )
-    out_schema = f"{key_fields}, mean double, weight double"
-
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        m, w = _tdigest_cluster(
-            pdf[col].to_numpy(float),
-            __import__("numpy").ones(len(pdf)),
-            delta,
-        )
-        head = pdf.iloc[:1][keys]
-        out = head.loc[head.index.repeat(len(m))].reset_index(drop=True)
-        out["mean"], out["weight"] = m, w
-        return out
-
-    fine = (
-        df.select(*keys, F.col(col), shard)
-        .groupBy(*keys, "__shard")
-        .applyInPandas(build, out_schema)
-    )
-    return tdigest_merge(fine, keys, delta)
+    return tdigest_merge(fine.select(*keys, "mean", "weight"), keys, delta)
 
 
 def tdigest_merge(
@@ -389,27 +418,11 @@ def tdigest_merge(
     build per-(key, day) digests ONCE, then answer any coarser slice
     — per-key, per-month, global — from the kilobyte sketch table
     with no fact re-scan. Also stage 2 of the distributed build, so
-    rollup and build can never disagree on merge semantics. Returns
+    rollup and build can never disagree on merge semantics. The
+    centroid table is O(delta)-per-key-sized, so the unpartitioned
+    window in the keys=[] global-rollup form is bounded. Returns
     (*keys, mean, weight)."""
-    import pandas as pd
-
-    key_fields = ", ".join(
-        f"{k} {t}" for k, t in centroids.select(*keys).dtypes
-    )
-    out_schema = ", ".join(
-        p for p in (key_fields, "mean double, weight double") if p
-    )
-
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        m, w = _tdigest_cluster(
-            pdf["mean"].to_numpy(float), pdf["weight"].to_numpy(float), delta
-        )
-        head = pdf.iloc[:1][keys]
-        out = head.loc[head.index.repeat(len(m))].reset_index(drop=True)
-        out["mean"], out["weight"] = m, w
-        return out
-
-    return centroids.groupBy(*keys).applyInPandas(merge, out_schema)
+    return _cluster_grouped(centroids, keys, "mean", "weight", delta)
 
 
 def _tdigest_quantile_rows(m, w, qs):
@@ -438,23 +451,54 @@ def tdigest_quantiles(
 ) -> DataFrame:
     """Quantile estimates from a centroid table: linear interpolation
     of the target rank over centroid midpoint ranks (the standard
-    t-digest query, clamped at the extreme centroids). One Arrow batch
-    per key over O(delta) rows. Returns (*keys, q, est)."""
-    import numpy as np
-    import pandas as pd
-
-    key_fields = ", ".join(
-        f"{k} {t}" for k, t in centroids.select(*keys).dtypes
+    t-digest query, clamped at the extreme centroids — the same
+    semantics `_tdigest_quantile_rows` runs in numpy for the streaming
+    drain). JVM-side: midpoint ranks are a running-sum window over the
+    O(delta)-per-key centroid table, each target rank q·W picks its
+    single bracketing centroid pair by filter (midpoints STRICTLY
+    increase — consecutive mids differ by (w_i+w_{i+1})/2 > 0 — so
+    exactly one row survives per (key, q)), then one projection
+    interpolates. Returns (*keys, q, est)."""
+    part = [F.col(k) for k in keys] if keys else [F.lit(1)]
+    order = Window.partitionBy(*part).orderBy("mean", "weight")
+    wseq = order.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy(*part)
+    c = centroids.select(
+        *keys,
+        "mean",
+        (F.sum("weight").over(wseq) - F.col("weight") / F.lit(2.0)).alias(
+            "__mid"
+        ),
+        F.sum("weight").over(wall).alias("__w_tot"),
+        F.row_number().over(order).alias("__rn"),
+        F.lead("mean").over(order).alias("__next_mean"),
+        (
+            F.lead(
+                F.sum("weight").over(wseq) - F.col("weight") / F.lit(2.0)
+            ).over(order)
+        ).alias("__next_mid"),
     )
-    out_schema = f"{key_fields}, q double, est double"
-
-    def query(pdf: pd.DataFrame) -> pd.DataFrame:
-        qa, est, _ = _tdigest_quantile_rows(
-            pdf["mean"].to_numpy(float), pdf["weight"].to_numpy(float), qs
+    qd = c.select(
+        "*", F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    ).withColumn("__tgt", F.col("q") * F.col("__w_tot"))
+    picked = qd.filter(
+        (
+            (F.col("__mid") <= F.col("__tgt"))
+            & (
+                F.col("__next_mid").isNull()
+                | (F.col("__tgt") < F.col("__next_mid"))
+            )
         )
-        head = pdf.iloc[:1][keys]
-        out = head.loc[head.index.repeat(len(qa))].reset_index(drop=True)
-        out["q"], out["est"] = qa, est
-        return out
-
-    return centroids.groupBy(*keys).applyInPandas(query, out_schema)
+        | ((F.col("__rn") == 1) & (F.col("__tgt") < F.col("__mid")))
+    )
+    est = (
+        F.when(F.col("__tgt") < F.col("__mid"), F.col("mean"))  # low clamp
+        .when(F.col("__next_mid").isNull(), F.col("mean"))  # high clamp
+        .otherwise(
+            F.col("mean")
+            + (F.col("__tgt") - F.col("__mid"))
+            / (F.col("__next_mid") - F.col("__mid"))
+            * (F.col("__next_mean") - F.col("mean"))
+        )
+    )
+    return picked.select(*keys, "q", est.alias("est"))
