@@ -721,14 +721,17 @@ def q_x_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_x_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-core of the part co-purchase graph (k=3, same edge builder
-    as x_triangles): iterative bulk peeling until only nodes with ≥ 3
+    """k-core of the part co-purchase graph (k=2, same edge builder
+    as x_triangles): iterative bulk peeling until only nodes with ≥ 2
     surviving co-purchase partners remain — the graph-quality filter
     that strips one-off tails and keeps the dense market backbone.
-    Fixed 8 peeling rounds so the oracle replays the identical
-    unrolled rounds (MATERIALIZED CTEs); convergence within 8 is
-    pinned in tests/test_graph.py, so the fixed-round result IS the
-    k-core."""
+    k=2 rather than 3 because the repeated-pair (n ≥ 2) graph thins
+    as part cardinality scales — the 3-core is empty at sf0.1, and an
+    empty bench leg under-measures output materialization (round-7
+    verdict); the 2-core is non-empty at every fixture scale. Fixed 8
+    peeling rounds so the oracle replays the identical unrolled
+    rounds (MATERIALIZED CTEs); convergence within 8 is pinned in
+    tests/test_graph.py, so the fixed-round result IS the k-core."""
     from ..operators.graph import kcore
 
     l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -745,7 +748,7 @@ def q_x_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 2)
     )
-    return kcore(edges, k=3, src_col="pa", dst_col="pb", rounds=8)
+    return kcore(edges, k=2, src_col="pa", dst_col="pb", rounds=8)
 
 
 def q_x_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3712,7 +3715,7 @@ def _kcore_oracle(k: int, rounds: int) -> str:
     return "".join(parts)
 
 
-ORACLES["x_kcore"] = _kcore_oracle(3, 8)
+ORACLES["x_kcore"] = _kcore_oracle(2, 8)
 
 # x_tdigest_quantiles tolerance audit: exact per-(type, q) row counts
 # hash-checked; rank_ok asserts the digest's rank error stays ≤ 5%.
