@@ -307,3 +307,56 @@ def global_dense_rank_pair(
         F.col(col1).eqNullSafe(F.col("__dr_k1"))
         & F.col(col2).eqNullSafe(F.col("__dr_k2")),
     ).drop("__dr_k1", "__dr_k2")
+
+
+def sorted_write(
+    df: DataFrame,
+    order_col: str,
+    path: str,
+    tiebreaks: list[str] | tuple[str, ...] = (),
+    n_files: int | None = None,
+    accuracy: int = 10000,
+    tie_split: bool = False,
+    mode: str = "overwrite",
+) -> None:
+    """Globally-sorted parquet write — the TeraSort layout as a sink:
+    output files tile the ``order_col`` range (file i's max ≤ file
+    i+1's min), so a range predicate prunes to O(1) files via the
+    :mod:`.layout` min/max manifest, and every file is internally
+    sorted (tight parquet row-group stats for row-level skipping).
+
+    The total order reuses :func:`_composite_bucket`'s LITERAL cut
+    points (this module's ranking primitive) instead of ``df.sort``'s
+    internal range sampler: VALUE→bucket routing is a pure
+    deterministic function of the row (the range partitioner under it
+    only ever merges ADJACENT buckets, never reorders or splits one),
+    and the same ``tie_split`` heavy-value refinement is available
+    when one value carries a large share of the corpus. The bucket id is
+    monotone in ``(order_col, tiebreaks)``, so range-repartitioning
+    on it (a bounded int key — the sampler sees n_files distinct
+    values, and equal keys never straddle partitions) puts adjacent
+    value ranges in order-preserving partitions; the within-partition
+    sort then yields a globally sorted file sequence.
+
+    With ``tie_split=True`` a heavy value legitimately spans adjacent
+    files (split by tiebreak quantiles): file min/max intervals then
+    OVERLAP at exactly that value — manifest pruning stays correct
+    (interval intersection), only the disjoint-tiling property is
+    relaxed. NULL order values route to the first file, matching
+    ``asc_nulls_first``."""
+    spark = df.sparkSession
+    n_files = n_files or spark.sparkContext.defaultParallelism
+    if tie_split and not tiebreaks:
+        raise ValueError("tie_split=True requires a numeric tiebreak")
+    b = _composite_bucket(
+        df, order_col, tiebreaks[0] if tie_split else None, n_files, accuracy
+    )
+    (
+        b.repartitionByRange(n_files, _B)
+        .sortWithinPartitions(
+            F.col(order_col).asc_nulls_first(), *[F.col(c) for c in tiebreaks]
+        )
+        .drop(_B)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -250,3 +250,103 @@ def test_tie_split_rejects_wide_decimal(spark):
     ).select("id", F.col("v").cast("decimal(20,0)").alias("v"))
     with pytest.raises(ValueError, match="decimal"):
         global_row_number(df, "v", tiebreaks=["id"], n_buckets=3, tie_split=True)
+
+
+def _file_spans(spark, path, col):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.layout import (
+        build_manifest,
+    )
+
+    return sorted(
+        (r[f"lo_{col}"], r[f"hi_{col}"], r["file"], r["n_rows"])
+        for r in build_manifest(spark, path, [col]).collect()
+    )
+
+
+def test_sorted_write_tiles_and_prunes(spark, tmp_path):
+    """sorted_write's output files must tile the order column (file
+    i's max <= file i+1's min — the TeraSort layout), preserve every
+    row, keep each file internally sorted, and make layout.prune_files
+    skip most files for a narrow range predicate."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.layout import (
+        build_manifest,
+        prune_files,
+    )
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.ranking import (
+        sorted_write,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float((i * 2654435761) % 10_000)) for i in range(5_000)],
+        "id bigint, v double",
+    )
+    path = str(tmp_path / "sorted")
+    sorted_write(df, "v", path, tiebreaks=["id"], n_files=8)
+
+    spans = _file_spans(spark, path, "v")
+    # the range partitioner may MERGE adjacent buckets (documented),
+    # so the file count is bounded by n_files, not pinned to it
+    assert 4 <= len(spans) <= 8
+    assert sum(s[3] for s in spans) == 5_000
+    for (lo1, hi1, _, _), (lo2, _, _, _) in zip(spans, spans[1:]):
+        assert lo1 <= hi1 <= lo2
+    # per-file internal sortedness
+    import pyspark.sql.functions as F_
+
+    one = spark.read.parquet(spans[3][2]).select("v").collect()
+    vals = [r["v"] for r in one]
+    assert vals == sorted(vals)
+    # manifest pruning: a narrow range hits few files
+    man = build_manifest(spark, path, ["v"])
+    lo, hi = spans[2][0], spans[2][1]
+    kept = prune_files(man, {"v": (lo + (hi - lo) * 0.4, lo + (hi - lo) * 0.6)})
+    assert 1 <= len(kept) <= 2
+    # round trip: same multiset of rows
+    back = spark.read.parquet(path)
+    assert back.count() == 5_000
+    assert back.agg(F_.sum("id")).collect()[0][0] == sum(range(5_000))
+
+
+def test_sorted_write_tie_split_overlaps_only_on_heavy_value(spark, tmp_path):
+    """With tie_split=True a 90%-tied column spreads across files
+    split by the tiebreak; file intervals may overlap ONLY at the
+    heavy value, and every row survives."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.ranking import (
+        sorted_write,
+    )
+
+    rows = [(i, 42.0 if i % 10 else float(i)) for i in range(2_000)]
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    path = str(tmp_path / "tied")
+    sorted_write(df, "v", path, tiebreaks=["id"], n_files=6, tie_split=True)
+    spans = _file_spans(spark, path, "v")
+    assert sum(s[3] for s in spans) == 2_000
+    for (lo1, hi1, _, _), (lo2, _, _, _) in zip(spans, spans[1:]):
+        # tiling may relax only at the heavy value itself
+        assert hi1 <= lo2 or (hi1 == 42.0 and lo2 == 42.0)
+    assert spark.read.parquet(path).count() == 2_000
+
+
+def test_sorted_write_null_order_values_route_first(spark, tmp_path):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.ranking import (
+        sorted_write,
+    )
+
+    rows = [(i, None if i < 50 else float(i)) for i in range(1_000)]
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    path = str(tmp_path / "nulls")
+    sorted_write(df, "v", path, tiebreaks=["id"], n_files=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 1_000 and back.filter("v IS NULL").count() == 50
+    # the file holding NULLs is the one whose non-null minimum is the
+    # global minimum (NULLs sort first)
+    import pyspark.sql.functions as F_
+
+    withf = back.withColumn("f", F_.input_file_name())
+    null_files = {r["f"] for r in withf.filter("v IS NULL").select("f").distinct().collect()}
+    assert len(null_files) == 1
+    mins = {
+        r["f"]: r["lo"]
+        for r in withf.groupBy("f").agg(F_.min("v").alias("lo")).collect()
+    }
+    assert mins[next(iter(null_files))] == min(v for v in mins.values())
