@@ -2,8 +2,8 @@
 
 ``entry`` runs the flagship dashboard query; ``queries`` /
 ``oracle_sql`` expose every implemented operator from SURVEY.md §2
-plus the training-data-pipeline extensions — 218 registered queries,
-217 with DuckDB oracles, 1 rows-only: x_pca_project
+plus the training-data-pipeline extensions — 224 registered queries,
+223 with DuckDB oracles, 1 rows-only: x_pca_project
 (numpy eigh) — PERMANENTLY rows-only by round-6 decision: its
 Parseval shadow ``x_pca_invariants`` checks centering/orthonormality
 in SQL, and ``x_power_iteration`` proves the distributed eigen-math
@@ -61,32 +61,31 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Round-7 gate front block. Every round-6 front name is green in
-# CORRECTNESS_r06, so the 50-slot window now holds: (a) the 6 round-7
-# additions, (b) the 2 queries whose plan changed this round
-# (SpaceSaving drain gained the NULL-item drop; the incremental
-# near-dup bootstrap now derives its id type), (c) the 6 permanent
-# double-arithmetic SENTINELS, then (d) STALENESS ROTATION — the 36
-# oldest-vintage names from round 6's staged _ROTATION_R7 (15 r1 +
-# 21 r2); the remaining 14 r2-vintage names roll to _ROTATION_R8.
+# Round-8 gate front block. Every round-7 front name is green in
+# CORRECTNESS_r07, so the 50-slot window now holds: (a) the 6 round-8
+# additions — the SCALE-MODE gate rows the round-7 verdict ordered
+# (tie-robust rank audits of the approx bucketing/percentile paths,
+# plus the end-to-end ranks-mode suffix removal), (b) the 4 queries
+# whose plan changed this round (batch t-digest build/merge/quantiles
+# moved JVM-side; x_kcore moved to the scale-robust 2-core), (c) the
+# 6 permanent double-arithmetic SENTINELS, then (d) STALENESS
+# ROTATION — the 14 r2-vintage names staged as _ROTATION_R8 last
+# round, followed by the 20 alphabetically-first r3-vintage names;
+# the remaining r3 names roll to _ROTATION_R9. After this window no
+# catalog name's newest driver row is older than r3.
 _GATE_PRIORITY = (
-    # -- (a) new in round 7 ----------------------------------------------
-    # distributed suffix array (prefix doubling, bucket-routed exact
-    # global ranking) differential-tested against the definition.
-    "x_suffix_array",
-    # exact character-level duplicated substrings via SA-adjacent LCP.
-    "x_suffix_lcp",
-    # corpus-wide exact total-order ranking, no single-task window.
-    "x_global_rank",
-    # character-exact ExactSubstr removal (SA-first copy survives).
-    "x_suffix_removal",
-    # the rank-array LCP scale form against the same definitional oracle.
-    "x_suffix_lcp_ranks",
-    # per-domain document cap (C4/RefinedWeb curation step).
-    "x_domain_cap",
-    # -- (b) plan changed this round --------------------------------------
-    "x_spacesaving_drain",
-    "x_incremental_neardup",
+    # -- (a) new in round 8: scale modes under the gate --------------------
+    "a23_equidepth_approx",
+    "a26_rfm_approx",
+    "a34_price_band_approx",
+    "a42_mad_approx",
+    "x_calibration_approx",
+    "x_suffix_removal_ranks",
+    # -- (b) plan changed this round ---------------------------------------
+    "x_tdigest_quantiles",
+    "x_tdigest_rollup",
+    "t17_rolling_quantiles",
+    "x_kcore",
     # -- (c) permanent sentinels: fragile double-fold bit-exactness --------
     "t10_holt",
     "t12_holt_winters",
@@ -94,50 +93,7 @@ _GATE_PRIORITY = (
     "a29_trend_slope",
     "a30_corr_pairs",
     "x_linkage_score",
-    # -- (d) staleness rotation: r1 vintage first, then r2 ----------------
-    "p12_bool_cast",
-    "p14_reserialize",
-    "p15_case_transform",
-    "p17_html_strip",
-    "p18_string_kit",
-    "p19_posexplode",
-    "t1_asof_purchase_click",
-    "t2_session_stats",
-    "t4_session_window",
-    "t5_range_join",
-    "u1_union_offices",
-    "u2_backfill_stream_merge",
-    "u3_except",
-    "u4_intersect",
-    "x_quality_filter",
-    # r2 vintage from here
-    "l14_large_volume_orders",
-    "l15_disjunctive_revenue",
-    "w4_lag_lead",
-    "w5_moving_avg",
-    "w6_distribution_ranks",
-    "w7_growth_rates",
-    "w8_ytd",
-    "x_ann_bruteforce",
-    "x_ann_bucketed",
-    "x_ann_ivf",
-    "x_ann_pq",
-    "x_chunk_documents",
-    "x_decontaminate",
-    "x_dedup_clusters",
-    "x_dedup_clusters_star",
-    "x_dedup_exact",
-    "x_dedup_minhash_est",
-    "x_dedup_minhash_lsh",
-    "x_embed_near_dup",
-    "x_fingerprint",
-    "x_lang_id",
-)
-
-# Round-8 rotation backlog: the 14 r2-vintage names that did not fit
-# round 7's window, then the r3-vintage catalog names become next in
-# staleness order. Promote behind round-8 additions + the sentinels.
-_ROTATION_R8: tuple[str, ...] = (
+    # -- (d) staleness rotation: the staged r2 vintage ---------------------
     "x_length_clip",
     "x_multimodal_meta",
     "x_ngram_jaccard",
@@ -152,6 +108,56 @@ _ROTATION_R8: tuple[str, ...] = (
     "x_token_counts",
     "x_train_split",
     "x_winnow_pairs",
+    # r3 vintage from here (alphabetical; x_pca_project excluded —
+    # rows-only by permanent decision, a slot spent on it re-checks
+    # nothing the Parseval shadow doesn't already cover)
+    "a21_collect_list",
+    "a23_equidepth_hist",
+    "a24_cohort_retention",
+    "a25_attribution",
+    "a26_rfm",
+    "a27_benford_audit",
+    "a28_ordered_funnel",
+    "a31_salted_hot_keys",
+    "p20_unpivot",
+    "t6_ohlc_downsample",
+    "t7_gap_fill",
+    "t8_ewma",
+    "t9_anomaly_mad",
+    "u5_cdc_apply",
+    "u6_dq_checks",
+    "w9_scd2_history",
+    "x_ann_ivf_pq",
+    "x_ann_refine",
+    "x_backoff_nll",
+    "x_bigram_nll",
+)
+
+# Round-9 rotation backlog: the 21 remaining r3-vintage names (oldest
+# staleness tier after round 8). Promote behind round-9 additions +
+# the sentinels; r4-vintage names (see CORRECTNESS_r04) come next.
+_ROTATION_R9: tuple[str, ...] = (
+    "x_bloom_decontaminate",
+    "x_collocations",
+    "x_doc_entropy",
+    "x_editdist_pairs",
+    "x_embed_stats",
+    "x_hard_negatives",
+    "x_kmv_distinct",
+    "x_kmv_setops",
+    "x_mixture_sample",
+    "x_ngram_containment",
+    "x_pca_project",
+    "x_priority_sample",
+    "x_profile_table",
+    "x_semdedup",
+    "x_sliding_span_dedup",
+    "x_span_dedup",
+    "x_token_spectrum",
+    "x_trigram_nll",
+    "x_unigram_nll",
+    "x_zipf_fit",
+    "x_zorder_key",
 )
 
 
@@ -163,7 +169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for mod in (warehouse, windows, extensions, measures, analytics, scalars, temporal):
         all_q.update(mod.QUERIES)
     out = {n: all_q[n] for n in _GATE_PRIORITY if n in all_q}
-    out.update({n: all_q[n] for n in _ROTATION_R8 if n in all_q and n not in out})
+    out.update({n: all_q[n] for n in _ROTATION_R9 if n in all_q and n not in out})
     out.update({n: f for n, f in all_q.items() if n not in out})
     return out
 

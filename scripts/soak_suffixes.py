@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.suffixes import (
     duplicated_suffix_lcp,
     suffix_array,
+    suffix_removal,
 )
 from cloud_based_bi_etl_automation_for_real_estate_company_spark.plans.measures import t
 from cloud_based_bi_etl_automation_for_real_estate_company_spark.session import get_spark
@@ -57,6 +58,11 @@ def main() -> None:
                 d, min_len=15, max_chars=MAX_CHARS)),
             ("lcp_ranks_s", lambda d: duplicated_suffix_lcp(
                 d, min_len=15, max_chars=MAX_CHARS, mode="ranks")),
+            # END-TO-END removal through the ranks discovery path —
+            # the full 100 TB ExactSubstr pipeline (spans → interval
+            # union → char rebuild), round-8 verdict item 6
+            ("removal_ranks_s", lambda d: suffix_removal(
+                d, min_len=15, max_chars=MAX_CHARS, lcp_mode="ranks")),
         ):
             best = None
             for _ in range(2):
@@ -70,6 +76,9 @@ def main() -> None:
     out["sa_ratio_27x"] = round(f[27]["sa_s"] / f[1]["sa_s"], 1)
     out["lcp_ratio_27x"] = round(f[27]["lcp_s"] / f[1]["lcp_s"], 1)
     out["lcp_ranks_ratio_27x"] = round(f[27]["lcp_ranks_s"] / f[1]["lcp_ranks_s"], 1)
+    out["removal_ranks_ratio_27x"] = round(
+        f[27]["removal_ranks_s"] / f[1]["removal_ranks_s"], 1
+    )
     print(json.dumps(out))
 
 
