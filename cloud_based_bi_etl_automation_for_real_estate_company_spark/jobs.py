@@ -88,6 +88,7 @@ def run_curation_pipeline(
     mixture_alpha: float | None = None,
     substring_min_len: int | None = None,
     domain_cap_per_source: int | None = None,
+    sort_output_by: str | None = None,
 ) -> DataFrame:
     """End-to-end training-data curation — the composition the
     individual oracle-checked operators exist for:
@@ -134,7 +135,12 @@ def run_curation_pipeline(
     source at its k longest SURVIVING documents (C4/RefinedWeb
     practice) right after decontamination — the cap counts unique,
     clean content, not crawl duplicates — and before redaction, so
-    the regexes only touch capped survivors.
+    the regexes only touch capped survivors. ``sort_output_by=col``
+    writes each split directory with operators/ranking.sorted_write
+    instead of the plain partitioned write: output files TILE the
+    column (globally sorted layout), so downstream range reads over
+    the curated corpus prune to O(1) files via the layout manifest —
+    the write-side half of the file-skipping story.
     """
     from pyspark.sql import functions as F
 
@@ -240,8 +246,22 @@ def run_curation_pipeline(
         .when(bucket < 90, F.lit("val"))
         .otherwise(F.lit("test")),
     )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    curated.write.mode("overwrite").partitionBy("split").parquet(out_path)
+    if sort_output_by is not None:
+        from .operators.ranking import sorted_write
+
+        for split in ("train", "val", "test"):
+            part = curated.filter(F.col("split") == split).drop("split")
+            sorted_write(
+                part,
+                sort_output_by,
+                os.path.join(out_path, f"split={split}"),
+                tiebreaks=["doc_id"] if sort_output_by != "doc_id" else (),
+            )
+    else:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        curated.write.mode("overwrite").partitionBy("split").parquet(out_path)
     # the write above is the last action over the near-dup candidates;
     # release the MinHash signature cache they pinned
     release_cached(near)

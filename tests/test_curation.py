@@ -212,3 +212,34 @@ def test_curation_pipeline_suffix_and_domain_cap_stages(spark, tmp_path):
             spark, SF, str(tmp_path / "c_bad"),
             span_dedup_spans=8, substring_min_len=15,
         )
+
+
+def test_curation_pipeline_sorted_output_layout(spark, tmp_path):
+    """sort_output_by writes each split as a globally-sorted file
+    sequence (round-8 sorted_write integration): per split directory
+    the file min/max doc_id intervals tile, the readback matches the
+    default write's row set exactly, and split partition discovery
+    still works."""
+    from pyspark.sql import functions as F
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.layout import (
+        build_manifest,
+    )
+
+    out_sorted = str(tmp_path / "c_sorted")
+    got = run_curation_pipeline(spark, SF, out_sorted, sort_output_by="doc_id")
+    base = run_curation_pipeline(spark, SF, str(tmp_path / "c_plain"))
+    assert {tuple(sorted(r.asDict().items())) for r in got.collect()} == {
+        tuple(sorted(r.asDict().items())) for r in base.collect()
+    }
+    for split in ("train", "val", "test"):
+        d = f"{out_sorted}/split={split}"
+        n = got.filter(F.col("split") == split).count()
+        if n == 0:
+            continue
+        spans = sorted(
+            (r["lo_doc_id"], r["hi_doc_id"])
+            for r in build_manifest(spark, d, ["doc_id"]).collect()
+        )
+        for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+            assert lo1 <= hi1 <= lo2, (split, spans)
