@@ -169,7 +169,14 @@ def bucket_rank_audit(
     # (routing is monotone), so its tied mass is that bucket's __t
     tmass = F.last("__t", ignorenulls=True).over(w)
     total = F.sum(F.coalesce(F.col("__n"), F.lit(0))).over(wall)
-    eff_tol = F.greatest(F.lit(float(tol)), F.lit(2.0) / total.cast("double"))
+    # max(total, 1) only guards the tolerance division on an EMPTY
+    # input (total = 0): the rank bounds themselves then read
+    # 0 >= -tol*0 and 0 <= tol*0 — trivially TRUE, the right verdict
+    # for auditing nothing
+    eff_tol = F.greatest(
+        F.lit(float(tol)),
+        F.lit(2.0) / F.greatest(total, F.lit(1)).cast("double"),
+    )
     frac = F.col("__sb").cast("double") / F.lit(float(n))
     rank_ok = (
         cum.cast("double") >= (frac - eff_tol) * total.cast("double")
