@@ -394,3 +394,37 @@ def test_suffix_removal_matches_reference_property(spark, texts):
     }
     want = _brute_removal(docs, min_len=4)
     assert got == want
+
+
+@given(
+    st.lists(
+        # values drawn from a SMALL pool so heavy tie masses (the
+        # audit's hard case) occur constantly, mixed with a wide pool
+        st.one_of(st.integers(0, 3), st.integers(0, 1000)),
+        min_size=4,
+        max_size=120,
+    ),
+    st.integers(2, 8),
+)
+@_SLOW
+def test_bucket_rank_audit_always_true_on_approx_bucket(spark, vals, n):
+    """Property behind the round-8 scale-mode gates: for ANY data —
+    including degenerate all-tied columns and duplicate cut points
+    with empty buckets — bucket_rank_audit over approx_bucket's own
+    routing must return rank_ok TRUE for every bucket of the full
+    spine, with n_total exact. (The audit's one-sided bounds are
+    constructed to be tie-robust; this is the claim under fire.)"""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.bucketing import (
+        approx_bucket,
+        bucket_rank_audit,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "id bigint, v double"
+    )
+    rows = bucket_rank_audit(approx_bucket(df, "v", n), "v", n).collect()
+    assert len(rows) == n
+    assert all(r["n_total"] == len(vals) for r in rows)
+    assert all(r["rank_ok"] for r in rows), [
+        (r["bucket"], r["rank_ok"]) for r in rows
+    ]
