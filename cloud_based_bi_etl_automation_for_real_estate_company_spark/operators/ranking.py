@@ -318,6 +318,7 @@ def sorted_write(
     accuracy: int = 10000,
     tie_split: bool = False,
     mode: str = "overwrite",
+    drop_order_col: bool = False,
 ) -> None:
     """Globally-sorted parquet write — the TeraSort layout as a sink:
     output files tile the ``order_col`` range (file i's max ≤ file
@@ -343,7 +344,11 @@ def sorted_write(
     OVERLAP at exactly that value — manifest pruning stays correct
     (interval intersection), only the disjoint-tiling property is
     relaxed. NULL order values route to the first file, matching
-    ``asc_nulls_first``."""
+    ``asc_nulls_first``. ``drop_order_col=True`` projects the order
+    column away AFTER the sort (for synthetic keys — the row order
+    survives the projection): the written files are then ordered by a
+    column they don't contain, which is :func:`shuffled_write`'s
+    contract."""
     spark = df.sparkSession
     n_files = n_files or spark.sparkContext.defaultParallelism
     if tie_split and not tiebreaks:
@@ -351,12 +356,48 @@ def sorted_write(
     b = _composite_bucket(
         df, order_col, tiebreaks[0] if tie_split else None, n_files, accuracy
     )
-    (
-        b.repartitionByRange(n_files, _B)
-        .sortWithinPartitions(
-            F.col(order_col).asc_nulls_first(), *[F.col(c) for c in tiebreaks]
-        )
-        .drop(_B)
-        .write.mode(mode)
-        .parquet(path)
+    out = b.repartitionByRange(n_files, _B).sortWithinPartitions(
+        F.col(order_col).asc_nulls_first(), *[F.col(c) for c in tiebreaks]
+    ).drop(_B)
+    if drop_order_col:
+        out = out.drop(order_col)
+    out.write.mode(mode).parquet(path)
+
+
+def shuffled_write(
+    df: DataFrame,
+    id_col: str,
+    path: str,
+    seed: int = 0,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Deterministic global corpus shuffle as a sink — the "shuffle
+    the training data" step every LLM pipeline runs before packing:
+    rows are written in the total order of ``xxhash64(id_col, seed)``,
+    a pseudo-random permutation that is (a) DETERMINISTIC — re-runs
+    and reshards produce the identical global row sequence when files
+    are read in part order (boundaries may merge adjacent ranges, the
+    sequence cannot change), so a training run is reproducible from
+    (corpus, seed) alone, (b) seed-switchable for
+    epoch reshuffles without re-reading anything but the corpus, and
+    (c) free of source locality — adjacent input documents (same
+    crawl, same domain, same shard) land ~uniformly far apart, which
+    is the point: gradient batches see decorrelated samples.
+
+    Implementation is one :func:`sorted_write` over the hash key
+    (bucket-routed range partition + within-partition sort — no
+    single-task global sort), with the id as tiebreak so hash
+    collisions stay deterministic. The hash key column itself is not
+    written."""
+    key = F.xxhash64(F.col(id_col), F.lit(seed))
+    work = df.withColumn("__shuffle_key", key)
+    sorted_write(
+        work,
+        "__shuffle_key",
+        path,
+        tiebreaks=[id_col],
+        n_files=n_files,
+        mode=mode,
+        drop_order_col=True,
     )

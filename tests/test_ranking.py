@@ -350,3 +350,55 @@ def test_sorted_write_null_order_values_route_first(spark, tmp_path):
         for r in withf.groupBy("f").agg(F_.min("v").alias("lo")).collect()
     }
     assert mins[next(iter(null_files))] == min(v for v in mins.values())
+
+
+def test_shuffled_write_deterministic_decorrelated_complete(spark, tmp_path):
+    """shuffled_write: (1) the hash key is NOT in the output schema,
+    (2) every row survives, (3) re-runs produce the IDENTICAL global
+    row sequence when files are read in part order — reproducible
+    epochs (file BOUNDARIES may merge adjacent ranges, the sequence
+    cannot change), (4) a different seed produces a different
+    sequence, (5) source-adjacent ids land decorrelated — no sequence
+    chunk is dominated by one contiguous input block."""
+    import os as _os
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.ranking import (
+        shuffled_write,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc{i}") for i in range(4_000)], "doc_id bigint, text string"
+    )
+    p1, p2, p3 = (str(tmp_path / n) for n in ("s1", "s2", "s3"))
+    shuffled_write(df, "doc_id", p1, seed=0, n_files=8)
+    shuffled_write(df, "doc_id", p2, seed=0, n_files=8)
+    shuffled_write(df, "doc_id", p3, seed=1, n_files=8)
+
+    back = spark.read.parquet(p1)
+    assert back.columns == ["doc_id", "text"]
+    assert back.count() == 4_000
+
+    def sequence_of(path):
+        seq = []
+        for f in sorted(_os.listdir(path)):
+            if f.endswith(".parquet"):
+                # one small file = one scan partition: collect order
+                # is the written row order
+                seq.extend(
+                    r["doc_id"]
+                    for r in spark.read.parquet(_os.path.join(path, f))
+                    .select("doc_id")
+                    .collect()
+                )
+        return seq
+
+    s1 = sequence_of(p1)
+    assert sorted(s1) == list(range(4_000))
+    assert s1 == sequence_of(p2)
+    assert s1 != sequence_of(p3)
+    # decorrelation: each eighth of the epoch sequence draws ~evenly
+    # from the first contiguous 500-id input block, never swallows it
+    for c in range(8):
+        chunk = s1[c * 500 : (c + 1) * 500]
+        block = sum(1 for i in chunk if i < 500)
+        assert block < 250, (c, block)
