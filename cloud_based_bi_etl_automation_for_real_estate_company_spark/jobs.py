@@ -249,14 +249,27 @@ def run_curation_pipeline(
     if sort_output_by is not None:
         from .operators.ranking import sorted_write
 
-        for split in ("train", "val", "test"):
-            part = curated.filter(F.col("split") == split).drop("split")
-            sorted_write(
-                part,
-                sort_output_by,
-                os.path.join(out_path, f"split={split}"),
-                tiebreaks=["doc_id"] if sort_output_by != "doc_id" else (),
-            )
+        # sorted_write runs ~2 actions per split (cuts aggregate +
+        # write); without a pin the whole curation lineage — exact
+        # dedup, connected components, decontamination — recomputes
+        # each time (only the MinHash signature cache is persisted).
+        # localCheckpoint truncates the lineage once; released below.
+        curated = curated.localCheckpoint(eager=True)
+        try:
+            for split in ("train", "val", "test"):
+                part = curated.filter(F.col("split") == split).drop(
+                    "split"
+                )
+                sorted_write(
+                    part,
+                    sort_output_by,
+                    os.path.join(out_path, f"split={split}"),
+                    tiebreaks=(
+                        ["doc_id"] if sort_output_by != "doc_id" else ()
+                    ),
+                )
+        finally:
+            curated.unpersist()
     else:
         spark.conf.set(
             "spark.sql.sources.partitionOverwriteMode", "dynamic"

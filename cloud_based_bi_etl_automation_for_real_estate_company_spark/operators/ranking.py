@@ -279,6 +279,7 @@ def global_dense_rank_pair(
     rank_col: str = "rank",
     n_buckets: int | None = None,
     accuracy: int = 10000,
+    tie_split: bool = True,
 ) -> DataFrame:
     """Exact global ``dense_rank`` over the ``(col1, col2)`` PAIR
     ascending, NULLs first in each component — the overflow-safe form
@@ -290,7 +291,19 @@ def global_dense_rank_pair(
     NULLs-first component order matches ``coalesce(r2, 0)`` packing
     when real ranks start at 1 — the suffix-array doubling round's
     contract (:mod:`.suffixes` switches to this path automatically
-    above the pack-safe bound)."""
+    above the pack-safe bound).
+
+    ``tie_split`` defaults to True (unlike the scalar entry points):
+    this path only activates above ~3e9 positions, where a
+    low-cardinality ``col1`` — an early doubling round's rank column
+    — could concentrate billions of distinct ``(col1, col2)`` pairs
+    tied on one heavy ``col1`` value into a single window task, the
+    exact single-task-sort regime this module exists to avoid.
+    tie_split refines the heavy values' cuts by ``col2`` quantiles
+    (bigint in the suffix consumer), so they spread across buckets
+    while ranks stay exact. Requires a numeric ``col2``; pass
+    ``tie_split=False`` for a non-numeric pair component and accept
+    the documented one-bucket-per-heavy-``col1``-value bound."""
     keys = df.select(
         F.col(col1).alias("__dr_k1"), F.col(col2).alias("__dr_k2")
     ).distinct()
@@ -301,6 +314,7 @@ def global_dense_rank_pair(
         rank_col=rank_col,
         n_buckets=n_buckets,
         accuracy=accuracy,
+        tie_split=tie_split,
     )
     return df.join(
         ranked,

@@ -395,10 +395,18 @@ def tdigest_centroids(
     unioned per-shard centroids — O(n_shards * delta) rows per key —
     into the final per-key digest. Both stages run JVM-side
     (`_cluster_grouped`); the shard key bounds every window sort to
-    ~1/n_shards of a key's rows. Returns (*keys, mean, weight)."""
+    ~1/n_shards of a key's rows. NULL values are dropped up front —
+    the same skip-null semantics as ``percentile_approx`` /
+    ``approx_bucket`` — because without the filter a null row adds
+    to F.sum(w) in `_cluster_grouped` yet vanishes from the
+    weighted-mean numerator, silently deflating every quantile. A
+    group that is all-NULL yields zero centroid rows, hence zero
+    quantile rows downstream. Returns (*keys, mean, weight)."""
     shard = F.pmod(F.xxhash64(F.col(col)), F.lit(n_shards)).alias("__td_shard")
     fine = _cluster_grouped(
-        df.select(*keys, F.col(col), shard).withColumn(
+        df.filter(F.col(col).isNotNull())
+        .select(*keys, F.col(col), shard)
+        .withColumn(
             "__td_w", F.lit(1.0)
         ),
         [*keys, "__td_shard"],
@@ -420,9 +428,20 @@ def tdigest_merge(
     with no fact re-scan. Also stage 2 of the distributed build, so
     rollup and build can never disagree on merge semantics. The
     centroid table is O(delta)-per-key-sized, so the unpartitioned
-    window in the keys=[] global-rollup form is bounded. Returns
+    window in the keys=[] global-rollup form is bounded. NULL-mean
+    rows are dropped before clustering: `tdigest_centroids` never
+    emits them (it filters null values up front), so one here means a
+    hand-built or corrupted centroid table — skipping matches the
+    build path's null semantics rather than letting a null mean
+    poison the weighted average of its whole bin. Returns
     (*keys, mean, weight)."""
-    return _cluster_grouped(centroids, keys, "mean", "weight", delta)
+    return _cluster_grouped(
+        centroids.filter(F.col("mean").isNotNull()),
+        keys,
+        "mean",
+        "weight",
+        delta,
+    )
 
 
 def _tdigest_quantile_rows(m, w, qs):

@@ -402,3 +402,46 @@ def test_shuffled_write_deterministic_decorrelated_complete(spark, tmp_path):
         chunk = s1[c * 500 : (c + 1) * 500]
         block = sum(1 for i in chunk if i < 500)
         assert block < 250, (c, block)
+
+
+def test_global_dense_rank_pair_heavy_col1_splits_buckets(spark):
+    """Round-9 ADVICE fix: with tie_split on by default, a heavy col1
+    value (one rank shared by most pairs — a low-cardinality early
+    doubling round) must spread across >= 2 routing buckets by col2
+    quantiles instead of sorting in a single window task, and ranks
+    must stay exactly the packed-key dense_rank."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.ranking import (
+        _B,
+        _composite_bucket,
+        global_dense_rank_pair,
+    )
+
+    # 400 pairs: 90% share one col1 value with distinct col2s
+    rows = [(i, 7, i) for i in range(360)]
+    rows += [(400 + j, int(j % 5), None) for j in range(40)]
+    df = spark.createDataFrame(rows, "id int, r1 bigint, r2 bigint")
+    got = {
+        r["id"]: r["rank"]
+        for r in global_dense_rank_pair(df, "r1", "r2", n_buckets=8).collect()
+    }
+    packed = df.withColumn(
+        "__k", F.col("r1") * F.lit(1000) + F.coalesce(F.col("r2"), F.lit(0))
+    )
+    want = {
+        r["id"]: r["rank"]
+        for r in packed.select(
+            "id",
+            F.dense_rank().over(Window.orderBy("__k")).cast("bigint").alias("rank"),
+        ).collect()
+    }
+    assert got == want
+    # the heavy value's distinct pairs span >= 2 buckets under the
+    # composite routing global_dense_rank_pair now uses by default
+    keys = df.select(
+        F.col("r1").alias("__dr_k1"), F.col("r2").alias("__dr_k2")
+    ).distinct()
+    b = _composite_bucket(keys, "__dr_k1", "__dr_k2", 8, 10000)
+    n_heavy_buckets = (
+        b.filter("__dr_k1 = 7").select(_B).distinct().count()
+    )
+    assert n_heavy_buckets >= 2

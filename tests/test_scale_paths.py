@@ -459,3 +459,42 @@ def test_tdigest_merge_global_rollup(spark):
     for q, e in est.items():
         rank = np.searchsorted(sv, e, side="right") / n
         assert abs(rank - q) < 0.02
+
+
+def test_tdigest_skips_nulls_like_percentile_approx(spark):
+    """NULL values must not bias the digest (round-9 ADVICE fix): a
+    column of 0..99 plus 50 NULL rows has q50 ≈ 49.5 under skip-null
+    semantics; before the isNotNull filter the nulls contributed
+    weight but not mass and q50 came back ≈ 24.5. Also: an all-NULL
+    group yields zero centroid (and zero quantile) rows, matching
+    percentile_approx, and tdigest_merge drops hand-built NULL-mean
+    centroid rows rather than poisoning their bin."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators import (
+        sketches as K,
+    )
+
+    rows = [("a", float(i)) for i in range(100)]
+    rows += [("a", None)] * 50
+    rows += [("b", None)] * 7  # all-NULL group
+    df = spark.createDataFrame(rows, "g string, v double")
+    cent = K.tdigest_centroids(df, ["g"], "v", delta=100, n_shards=4)
+    assert cent.filter("g = 'b'").count() == 0
+    q = K.tdigest_quantiles(cent, ["g"], [0.5]).collect()
+    assert len(q) == 1 and q[0]["g"] == "a"
+    assert abs(q[0]["est"] - 49.5) < 2.0
+    # percentile_approx agreement on the same frame
+    pa = df.groupBy("g").agg(
+        F.percentile_approx("v", 0.5).alias("p50")
+    ).collect()
+    ref = {r["g"]: r["p50"] for r in pa}
+    assert ref["b"] is None
+    assert abs(q[0]["est"] - ref["a"]) < 2.0
+    # merge guard: a NULL-mean centroid row is dropped, not averaged in
+    bad = cent.unionByName(
+        spark.createDataFrame(
+            [("a", None, 1000.0)], "g string, mean double, weight double"
+        )
+    )
+    merged = K.tdigest_merge(bad, ["g"], delta=100)
+    q2 = K.tdigest_quantiles(merged, ["g"], [0.5]).collect()
+    assert abs(q2[0]["est"] - 49.5) < 2.0
