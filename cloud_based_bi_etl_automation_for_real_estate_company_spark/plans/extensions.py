@@ -700,23 +700,14 @@ def q_x_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/graph.py:triangles, so hub parts don't explode the wedge
     join; emits each triangle once as its id-sorted triple, which the
     oracle replays with plain id-ordered enumeration — identical set
-    either way."""
-    from ..operators.graph import triangles
+    either way. The edge list comes from the shared basket-capped
+    builder (operators/graph.py:copurchase_edges) so one mega-order
+    can't quadratically dominate a task; the cap excludes nothing at
+    fixture basket sizes and is replayed in the oracle."""
+    from ..operators.graph import copurchase_edges, triangles
 
     l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    r = l.select(
-        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb")
-    )
-    edges = (
-        l.join(
-            r,
-            (F.col("l_orderkey") == F.col("ok2"))
-            & (F.col("l_partkey") < F.col("pb")),
-        )
-        .groupBy(F.col("l_partkey").alias("pa"), "pb")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-    )
+    edges = copurchase_edges(l, "l_orderkey", "l_partkey", min_support=2)
     return triangles(edges, "pa", "pb")
 
 
@@ -731,23 +722,15 @@ def q_x_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict); the 2-core is non-empty at every fixture scale. Fixed 8
     peeling rounds so the oracle replays the identical unrolled
     rounds (MATERIALIZED CTEs); convergence within 8 is pinned in
-    tests/test_graph.py, so the fixed-round result IS the k-core."""
-    from ..operators.graph import kcore
+    tests/test_graph.py, so the fixed-round result IS the k-core.
+    Edges come from the shared basket-capped builder
+    (operators/graph.py:copurchase_edges) — no-op at fixture basket
+    sizes, replayed in the oracle, bounds any hot order's pair
+    expansion at basket_cap²."""
+    from ..operators.graph import copurchase_edges, kcore
 
     l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    r = l.select(
-        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb")
-    )
-    edges = (
-        l.join(
-            r,
-            (F.col("l_orderkey") == F.col("ok2"))
-            & (F.col("l_partkey") < F.col("pb")),
-        )
-        .groupBy(F.col("l_partkey").alias("pa"), "pb")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-    )
+    edges = copurchase_edges(l, "l_orderkey", "l_partkey", min_support=2)
     return kcore(edges, k=2, src_col="pa", dst_col="pb", rounds=8)
 
 
@@ -3620,10 +3603,15 @@ ORACLES["x_prefix_join"] = """
 # x_triangles: id-ordered enumeration replays the degree-oriented
 # Spark plan's output exactly (the triangle SET is orientation-free).
 ORACLES["x_triangles"] = """
-    WITH pairs AS (
+    WITH mega AS (
+        SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING COUNT(*) > 1024),
+    li AS (
+        SELECT l_orderkey, l_partkey FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT l_orderkey FROM mega)),
+    pairs AS (
         SELECT a.l_orderkey, a.l_partkey AS pa, b.l_partkey AS pb
-        FROM lineitem a
-        JOIN lineitem b
+        FROM li a
+        JOIN li b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
     edges AS (
         SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING COUNT(*) >= 2)
@@ -3688,10 +3676,16 @@ def _kcore_oracle(k: int, rounds: int) -> str:
     times (degree count + two semi-join legs), which inlining would
     re-expand exponentially (the x_power_iteration lesson)."""
     parts = ["""
-        WITH co AS MATERIALIZED (
+        WITH mega AS MATERIALIZED (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY 1 HAVING COUNT(*) > 1024),
+        li AS MATERIALIZED (
+            SELECT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT l_orderkey FROM mega)),
+        co AS MATERIALIZED (
             SELECT a.l_partkey AS pa, b.l_partkey AS pb
-            FROM lineitem a
-            JOIN lineitem b
+            FROM li a
+            JOIN li b
               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
             GROUP BY 1, 2 HAVING COUNT(*) >= 2),
         e0 AS MATERIALIZED (SELECT pa AS a, pb AS b FROM co)"""]

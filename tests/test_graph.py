@@ -197,3 +197,32 @@ def test_kcore_fixpoint_on_final_round_does_not_raise(spark):
     got = {r["node"] for r in
            kcore(df, k=2, rounds=1, require_convergence=True).collect()}
     assert got == {1, 2, 3, 4}
+
+
+def test_copurchase_edges_caps_hot_baskets(spark):
+    """Round-9 skew fix: one mega-order must be excluded by
+    basket_cap (bounding any task's pair expansion at cap²), while
+    normal orders keep exact multiplicity-counting pair semantics."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.graph import (
+        copurchase_edges,
+    )
+
+    rows = [(1, 10), (1, 20), (1, 30), (2, 10), (2, 20), (2, 20)]
+    # order 99 is a 50-line mega-basket over items 100..149
+    rows += [(99, 100 + i) for i in range(50)]
+    df = spark.createDataFrame(rows, "ok int, item int")
+    got = {
+        (r["pa"], r["pb"]): r["n"]
+        for r in copurchase_edges(
+            df, "ok", "item", min_support=1, basket_cap=10
+        ).collect()
+    }
+    # order 99's C(50,2)=1225 pairs are gone; order 2's duplicate
+    # item 20 line doubles the (10, 20) contribution from that order
+    assert got == {(10, 20): 3, (10, 30): 1, (20, 30): 1}
+    # cap-inclusive boundary: exactly cap lines still count
+    at_cap = copurchase_edges(
+        df.filter("ok = 99").limit(10), "ok", "item",
+        min_support=1, basket_cap=10,
+    )
+    assert at_cap.count() == 45  # C(10,2)
