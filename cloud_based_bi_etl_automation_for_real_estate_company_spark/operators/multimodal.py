@@ -105,14 +105,18 @@ def parse_image_header(blob: bytes) -> tuple[int, int, str] | None:
 
 def _decode_one(blob: bytes) -> tuple[int, int, int, str]:
     """Decode one payload's metadata: real container-header parse for
-    recognized image formats; deterministic synthetic metadata (from
-    byte length) for unrecognized bytes so non-media fixtures remain
-    SQL-replayable in the oracle."""
+    recognized image formats, then ISO-BMFF video (presentation
+    width/height from the tkhd walk — format 'mp4'); deterministic
+    synthetic metadata (from byte length) for unrecognized bytes so
+    non-media fixtures remain SQL-replayable in the oracle."""
     n = len(blob)
     parsed = parse_image_header(blob)
     if parsed is not None:
         width, height, fmt = parsed
         return n, width, height, fmt
+    vid = parse_video_header(blob)
+    if vid is not None:
+        return n, vid[0], vid[1], "mp4"
     return n, 320 + (n % 320), 240 + (n % 240), "unknown"
 
 
@@ -217,6 +221,39 @@ def with_blob(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("blob", F.encode(F.col(text_col), "utf-8"))
 
 
+def with_media_blob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fixture blob builder with a REAL media slice: rows where
+    ``doc_id % 5 == 0`` carry a valid minimal MP4 (built by
+    ``build_minimal_mp4`` with doc_id-derived width/height/duration/
+    pad, so every field is SQL-replayable arithmetic), the rest keep
+    the utf-8 text stand-in. This is how x_multimodal_meta exercises
+    the ISO-BMFF walk under the DuckDB oracle without media files in
+    the container."""
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def _build(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        out = []
+        for i, txt in zip(ids, texts):
+            i = int(i)
+            if i % 5 == 0:
+                out.append(
+                    build_minimal_mp4(
+                        16 * (1 + i % 64),
+                        16 * (1 + i % 36),
+                        500 + i % 4000,
+                        pad=i % 256,
+                    )
+                )
+            else:
+                out.append(("" if txt is None else txt).encode("utf-8"))
+        return pd.Series(out)
+
+    return df.withColumn("blob", _build(F.col(id_col), F.col(text_col)))
+
+
 def read_binary_dir(spark, path: str, pattern: str = "*") -> DataFrame:
     """Ingest a directory of media files as binary rows via Spark's
     binaryFile source: (path, modificationTime, length, content).
@@ -319,3 +356,218 @@ def decode_audio_metadata(
             )
 
     return df.mapInPandas(run, AUDIO_META_SCHEMA)
+
+
+VIDEO_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("n_video_tracks", IntegerType()),
+        StructField("n_audio_tracks", IntegerType()),
+        StructField("brand", StringType()),
+        StructField("format", StringType()),
+    ]
+)
+
+
+def _walk_boxes(blob: bytes, start: int, end: int):
+    """Yield (type, payload_start, box_end) for each ISO-BMFF box in
+    blob[start:end] — the one traversal primitive the whole MP4 parse
+    reuses (top level, moov, trak, mdia are all plain box sequences).
+    Handles 64-bit largesize (size==1) and to-end-of-file (size==0)
+    per ISO/IEC 14496-12 §4.2; stops, rather than raises, on a
+    truncated or lying size so corrupt payloads degrade to None."""
+    import struct
+
+    i = start
+    while i + 8 <= end:
+        size = struct.unpack(">I", blob[i : i + 4])[0]
+        btype = blob[i + 4 : i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            size = struct.unpack(">Q", blob[i + 8 : i + 16])[0]
+            hdr = 16
+        elif size == 0:
+            size = end - i
+        if size < hdr or i + size > end:
+            return
+        yield btype, i + hdr, i + size
+        i += size
+
+
+def parse_video_header(
+    blob: bytes,
+) -> tuple[int, int, int, int, int, str] | None:
+    """Pure-Python ISO-BMFF (MP4/MOV/M4A) box walk — the video sibling
+    of ``parse_image_header``/``parse_wav_header``, completing the
+    multimodal header trio with no media library: sniff the ``ftyp``
+    box, then walk ``moov`` for ``mvhd`` (movie timescale + duration),
+    each ``trak``'s ``tkhd`` (16.16 fixed-point presentation
+    width/height) and ``mdia``/``hdlr`` (vide/soun track
+    classification). Returns (width, height, duration_ms,
+    n_video_tracks, n_audio_tracks, major_brand) or None when the
+    container doesn't parse; an audio-only ISO-BMFF (m4a) parses with
+    width=height=0 and n_video_tracks=0 — format branching is the
+    caller's call, same contract as the WAV walk."""
+    import struct
+
+    if len(blob) < 12 or blob[4:8] != b"ftyp":
+        return None
+    brand = blob[8:12].decode("ascii", errors="replace").strip()
+    width = height = 0
+    duration_ms = -1
+    n_video = n_audio = 0
+    saw_moov = False
+    for btype, p, e in _walk_boxes(blob, 0, len(blob)):
+        if btype != b"moov":
+            continue
+        saw_moov = True
+        for t2, p2, e2 in _walk_boxes(blob, p, e):
+            if t2 == b"mvhd" and p2 + 4 <= e2:
+                ver = blob[p2]
+                if ver == 1 and p2 + 32 <= e2:
+                    ts = struct.unpack(">I", blob[p2 + 20 : p2 + 24])[0]
+                    dur = struct.unpack(">Q", blob[p2 + 24 : p2 + 32])[0]
+                elif ver == 0 and p2 + 20 <= e2:
+                    ts, dur = struct.unpack(
+                        ">II", blob[p2 + 12 : p2 + 20]
+                    )
+                else:
+                    continue
+                if ts:
+                    duration_ms = dur * 1000 // ts
+            elif t2 == b"trak":
+                t_w = t_h = 0
+                kind = None
+                for t3, p3, e3 in _walk_boxes(blob, p2, e2):
+                    if t3 == b"tkhd" and p3 + 4 <= e3:
+                        off = p3 + (88 if blob[p3] == 1 else 76)
+                        if off + 8 <= e3:
+                            wfx, hfx = struct.unpack(
+                                ">II", blob[off : off + 8]
+                            )
+                            t_w, t_h = wfx >> 16, hfx >> 16
+                    elif t3 == b"mdia":
+                        for t4, p4, e4 in _walk_boxes(blob, p3, e3):
+                            if t4 == b"hdlr" and p4 + 12 <= e4:
+                                kind = blob[p4 + 8 : p4 + 12]
+                if kind == b"vide":
+                    n_video += 1
+                    width, height = max(width, t_w), max(height, t_h)
+                elif kind == b"soun":
+                    n_audio += 1
+                elif kind is None and t_w and t_h:
+                    # header-only trak without an hdlr: dimensioned ⇒
+                    # treat as video (hand-trimmed fixtures)
+                    n_video += 1
+                    width, height = max(width, t_w), max(height, t_h)
+    if not saw_moov:
+        return None
+    return (
+        int(width),
+        int(height),
+        int(duration_ms),
+        int(n_video),
+        int(n_audio),
+        brand,
+    )
+
+
+def build_minimal_mp4(
+    width: int,
+    height: int,
+    duration_ms: int,
+    pad: int = 0,
+    track_kind: bytes = b"vide",
+) -> bytes:
+    """Deterministic minimal-but-valid ISO-BMFF builder — the video
+    counterpart of ``with_blob``'s utf-8 stand-in, used by tests and
+    the mp4 fixture rows of x_multimodal_meta (no media libs in this
+    container, so fixtures are built, not decoded). Fixed layout:
+    ftyp(20) + moov(8 + mvhd(108) + trak(8 + tkhd(92) + mdia(8 +
+    mdhd(32) + hdlr(33)))) + mdat(8 + pad) = 317 + pad bytes — the
+    literal the SQL oracle replays for n_bytes. mvhd timescale is
+    1000, so the duration field IS duration_ms."""
+    import struct
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom")
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">IIII", 0, 0, 1000, duration_ms)
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)  # volume 1.0
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x07"
+        + struct.pack(">IIIII", 0, 0, 1, 0, duration_ms)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = box(
+        b"mdhd",
+        b"\x00\x00\x00\x00"
+        + struct.pack(">IIII", 0, 0, 1000, duration_ms)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+    )
+    hdlr = box(
+        b"hdlr",
+        b"\x00\x00\x00\x00" + b"\x00" * 4 + track_kind + b"\x00" * 12
+        + b"\x00",
+    )
+    mdia = box(b"mdia", mdhd + hdlr)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    mdat = box(b"mdat", b"\x00" * pad)
+    return ftyp + moov + mdat
+
+
+def decode_video_metadata(
+    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched video-metadata extraction over a binary column —
+    same spread + mapInPandas contract as ``decode_metadata`` /
+    ``decode_audio_metadata``. Unrecognized payloads keep honest NULL
+    metadata with format='unknown' (no synthetic fallback, matching
+    the audio path)."""
+    from .partitioning import spread
+
+    df = spread(df.select(id_col, blob_col), bytes_per_partition=8 << 20)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col].values, pdf[blob_col]):
+                parsed = parse_video_header(b)
+                if parsed is None:
+                    rows.append((int(i), len(b), None, None, None, None,
+                                 None, None, "unknown"))
+                else:
+                    w, h, ms, nv, na, brand = parsed
+                    rows.append((int(i), len(b), w, h,
+                                 None if ms < 0 else ms, nv, na, brand,
+                                 "mp4"))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "width", "height", "duration_ms",
+                    "n_video_tracks", "n_audio_tracks", "brand", "format",
+                ],
+            )
+
+    return df.mapInPandas(run, VIDEO_META_SCHEMA)

@@ -907,10 +907,25 @@ def q_x_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_x_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column decode metadata via mapInPandas (stub decoder with
-    deterministic arithmetic — oracle replays it from octet_length)."""
-    d = M.with_blob(t(spark, sf_dir, "documents"))
+    """Binary-column decode metadata via mapInPandas. doc_id % 5 == 0
+    rows carry a REAL minimal MP4 container (with_media_blob), so the
+    ISO-BMFF tkhd/mvhd walk runs under the oracle gate — the oracle
+    replays those rows' width/height/n_bytes from the builder's
+    doc_id arithmetic (fixed 317-byte layout + pad) and the remaining
+    rows' stub arithmetic from octet_length."""
+    d = M.with_media_blob(t(spark, sf_dir, "documents"))
     return M.decode_metadata(d)
+
+
+def q_x_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full video-metadata decode (operators/multimodal.py:
+    decode_video_metadata): the ISO-BMFF mvhd/tkhd/hdlr walk over the
+    same mixed fixture as x_multimodal_meta — mp4 rows (doc_id % 5 ==
+    0, built by build_minimal_mp4) come back with real duration and
+    track classification, text rows stay honestly NULL with
+    format='unknown'. Oracle replays the builder arithmetic."""
+    d = M.with_media_blob(t(spark, sf_dir, "documents"))
+    return M.decode_video_metadata(d)
 
 
 def q_x_sliding_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3177,10 +3192,37 @@ ORACLES: dict[str, str] = {
     """,
     "x_multimodal_meta": """
         SELECT doc_id,
-               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-               CAST(320 + octet_length(encode(text)) % 320 AS INT) AS width,
-               CAST(240 + octet_length(encode(text)) % 240 AS INT) AS height,
-               'unknown' AS format
+               CAST(CASE WHEN doc_id % 5 = 0 THEN 317 + doc_id % 256
+                    ELSE octet_length(encode(text)) END AS BIGINT)
+                   AS n_bytes,
+               CAST(CASE WHEN doc_id % 5 = 0 THEN 16 * (1 + doc_id % 64)
+                    ELSE 320 + octet_length(encode(text)) % 320 END
+                   AS INT) AS width,
+               CAST(CASE WHEN doc_id % 5 = 0 THEN 16 * (1 + doc_id % 36)
+                    ELSE 240 + octet_length(encode(text)) % 240 END
+                   AS INT) AS height,
+               CASE WHEN doc_id % 5 = 0 THEN 'mp4' ELSE 'unknown' END
+                   AS format
+        FROM documents
+    """,
+    "x_video_meta": """
+        SELECT doc_id,
+               CAST(CASE WHEN doc_id % 5 = 0 THEN 317 + doc_id % 256
+                    ELSE octet_length(encode(text)) END AS BIGINT)
+                   AS n_bytes,
+               CAST(CASE WHEN doc_id % 5 = 0 THEN 16 * (1 + doc_id % 64)
+                    END AS INT) AS width,
+               CAST(CASE WHEN doc_id % 5 = 0 THEN 16 * (1 + doc_id % 36)
+                    END AS INT) AS height,
+               CAST(CASE WHEN doc_id % 5 = 0 THEN 500 + doc_id % 4000
+                    END AS BIGINT) AS duration_ms,
+               CAST(CASE WHEN doc_id % 5 = 0 THEN 1 END AS INT)
+                   AS n_video_tracks,
+               CAST(CASE WHEN doc_id % 5 = 0 THEN 0 END AS INT)
+                   AS n_audio_tracks,
+               CASE WHEN doc_id % 5 = 0 THEN 'isom' END AS brand,
+               CASE WHEN doc_id % 5 = 0 THEN 'mp4' ELSE 'unknown' END
+                   AS format
         FROM documents
     """,
     "x_substring_spans": """
@@ -4280,6 +4322,7 @@ QUERIES = {
     "x_ann_refine": q_x_ann_refine,
     "x_embed_near_dup": q_x_embed_near_dup,
     "x_multimodal_meta": q_x_multimodal_meta,
+    "x_video_meta": q_x_video_meta,
     "x_span_dedup": q_x_span_dedup,
     "x_token_spectrum": q_x_token_spectrum,
     "x_doc_entropy": q_x_doc_entropy,
