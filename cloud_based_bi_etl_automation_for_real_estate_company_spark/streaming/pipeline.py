@@ -178,11 +178,12 @@ def stream_static_enrich(
 ) -> DataFrame:
     """Stream–static enrichment join (the streaming sibling of the
     batch j3_enriched_events): a streaming frame joined to a BATCH
-    dimension. Spark re-evaluates the static side's plan every
-    micro-batch, so a dimension backed by files picks up appended
-    rows between batches without restarting the query — the standard
-    "enrich the event stream with the current account/agent table"
-    pattern. The dim broadcasts by default (stream-side rows never
+    dimension. Snapshot semantics: a file-backed static side pins its
+    FILE LISTING when the DataFrame is created, so dim rows appended
+    mid-stream are NOT visible for the life of the query (pinned in
+    tests/test_streaming.py) — use :func:`stream_enrich_refreshing`
+    for the slowly-changing "enrich with the CURRENT account/agent
+    table" pattern. The dim broadcasts by default (stream-side rows never
     shuffle for the join); pass broadcast_dim=False when the
     dimension is genuinely too large, which makes each micro-batch a
     shuffled join of THAT BATCH only — still bounded by batch size,
@@ -192,3 +193,49 @@ def stream_static_enrich(
 
     d = F.broadcast(dim) if broadcast_dim else dim
     return events.join(d, on, how)
+
+
+def stream_enrich_refreshing(
+    events: DataFrame,
+    read_dim,
+    on: list[str] | str,
+    sink,
+    checkpoint: str,
+    how: str = "left",
+    broadcast_dim: bool = True,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream–static enrichment against a REFRESHING dimension — the
+    variant :func:`stream_static_enrich`'s docstring promises: a
+    parquet-backed static side pins its FILE LISTING when the
+    DataFrame is created, so dim rows appended mid-stream are
+    invisible to the plain join for the life of the query. Here the
+    dimension is re-read inside ``foreachBatch`` — ``read_dim`` is a
+    zero-arg callable (e.g. ``lambda: spark.read.parquet(dim_path)``)
+    invoked PER MICRO-BATCH, so each batch joins against the
+    dimension's files as of THAT batch — the slowly-changing
+    account/agent table pattern (the reference re-reads its CRM table
+    per run, Lead_Ingestion_CRM_SQLite.py's refresh loop; this is the
+    streaming equivalent).
+
+    ``sink(enriched_df, batch_id)`` receives each enriched batch —
+    foreachBatch's at-least-once semantics are the caller's to absorb,
+    same contract as every other sink in this module. The dim
+    broadcasts by default; the join is a batch join of one
+    micro-batch, so cost is bounded by batch size, never stream
+    history. Snapshot-vs-refreshing divergence is pinned in
+    tests/test_streaming.py."""
+    from pyspark.sql import functions as F
+
+    def run(batch_df: DataFrame, batch_id: int) -> None:
+        d = read_dim()
+        if broadcast_dim:
+            d = F.broadcast(d)
+        sink(batch_df.join(d, on, how), batch_id)
+
+    writer = events.writeStream.foreachBatch(run).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -360,3 +360,60 @@ def test_stream_static_enrich_matches_batch_and_pins_dim_snapshot(spark, tmp_pat
         for r in eb.join(snap, "account_id", "left").collect()
     }
     assert merged == expect
+
+
+def test_stream_enrich_refreshing_sees_mid_stream_dim_append(spark, tmp_path):
+    """Round-9: the refreshing-dim variant (foreachBatch + per-batch
+    fresh read) MUST see a dim row appended mid-stream — the exact
+    divergence from stream_static_enrich's pinned snapshot that the
+    sibling test pins the other way."""
+    import json as _json
+    import os as _os
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.streaming.pipeline import (
+        stream_enrich_refreshing,
+    )
+
+    ddir = tmp_path / "dim"
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "account_id bigint, account_name string"
+    ).write.parquet(str(ddir))
+    edir = tmp_path / "ev"
+    edir.mkdir()
+    batches = [
+        [{"event_id": 10, "account_id": 1}, {"event_id": 11, "account_id": 2}],
+        [{"event_id": 12, "account_id": 3}],  # dim row appended after batch 0
+    ]
+    for fi, rows in enumerate(batches):
+        fp = edir / f"f{fi}.jsonl"
+        with open(fp, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(fp, (1_700_000_000 + fi, 1_700_000_000 + fi))
+    schema = "event_id bigint, account_id bigint"
+    seen = []
+
+    def sink(bdf, bid):
+        seen.append({r["event_id"]: r["account_name"] for r in bdf.collect()})
+        if bid == 0:
+            spark.createDataFrame(
+                [(3, "gamma")], "account_id bigint, account_name string"
+            ).write.mode("append").parquet(str(ddir))
+
+    q = stream_enrich_refreshing(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(edir)),
+        lambda: spark.read.schema(
+            "account_id bigint, account_name string"
+        ).parquet(str(ddir)),
+        on="account_id",
+        sink=sink,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    merged = {}
+    for s_ in seen:
+        merged.update(s_)
+    # the refreshing variant DOES see gamma — the snapshot one does not
+    assert merged == {10: "alpha", 11: "beta", 12: "gamma"}
