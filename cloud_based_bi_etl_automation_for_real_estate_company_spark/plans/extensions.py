@@ -38,12 +38,17 @@ def q_x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH pairs resolved to duplicate clusters: iterative min-label
-    connected components (each doc labeled with its component's
-    smallest doc_id — the canonical survivor). Oracle is a recursive
-    CTE over the same pair set."""
+    """LSH pairs resolved to duplicate clusters (each doc labeled with
+    its component's smallest doc_id — the canonical survivor). Runs
+    the large-star/small-star contraction (O(log diameter) rounds —
+    Kiveris et al., "Connected Components in MapReduce and Beyond"),
+    promoted round 9 to be THE headline/bench form since it is the
+    algorithm a 100 TB corpus needs; the O(diameter) min-label
+    propagation variant stays gated as x_dedup_clusters_minlabel and
+    equivalence-tested in tests/test_dedup.py. Oracle is a recursive
+    CTE over the same pair set — identical for any correct CC."""
     pairs = D.minhash_lsh_pairs(t(spark, sf_dir, "documents"))
-    return D.connected_components(pairs)
+    return D.connected_components_star(pairs)
 
 
 def q_x_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -263,12 +268,16 @@ def q_x_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_x_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same duplicate clusters via large-star/small-star contraction —
-    the O(log diameter) scale path; must match the identical recursive
-    CTE the propagation variant matches."""
+def q_x_dedup_clusters_minlabel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Same duplicate clusters via iterative min-label propagation —
+    the O(diameter) simple form, kept registered (renamed from
+    x_dedup_clusters_star in round 9 when star contraction became the
+    headline x_dedup_clusters) so both algorithms stay under the
+    oracle gate; must match the identical recursive CTE."""
     pairs = D.minhash_lsh_pairs(t(spark, sf_dir, "documents"))
-    return D.connected_components_star(pairs)
+    return D.connected_components(pairs)
 
 
 def q_x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2293,7 +2302,7 @@ ORACLES: dict[str, str] = {
     """,
     "x_dedup_clusters": _CLUSTERS_ORACLE,
     # the star-contraction variant must land on the exact same fixpoint
-    "x_dedup_clusters_star": _CLUSTERS_ORACLE,
+    "x_dedup_clusters_minlabel": _CLUSTERS_ORACLE,
     "x_lsh_recall": f"""
         WITH docs AS (
             SELECT doc_id, text FROM documents WHERE doc_id < 200),
@@ -4283,7 +4292,7 @@ QUERIES = {
     "x_lsh_recall": q_x_lsh_recall,
     "x_dedup_minhash_est": q_x_dedup_minhash_est,
     "x_dedup_clusters": q_x_dedup_clusters,
-    "x_dedup_clusters_star": q_x_dedup_clusters_star,
+    "x_dedup_clusters_minlabel": q_x_dedup_clusters_minlabel,
     "x_dedup_simhash": q_x_dedup_simhash,
     "x_ngram_jaccard": q_x_ngram_jaccard,
     "x_winnow_pairs": q_x_winnow_pairs,
