@@ -2,8 +2,8 @@
 
 ``entry`` runs the flagship dashboard query; ``queries`` /
 ``oracle_sql`` expose every implemented operator from SURVEY.md §2
-plus the training-data-pipeline extensions — 224 registered queries,
-223 with DuckDB oracles, 1 rows-only: x_pca_project
+plus the training-data-pipeline extensions — 225 registered queries,
+224 with DuckDB oracles, 1 rows-only: x_pca_project
 (numpy eigh) — PERMANENTLY rows-only by round-6 decision: its
 Parseval shadow ``x_pca_invariants`` checks centering/orthonormality
 in SQL, and ``x_power_iteration`` proves the distributed eigen-math
@@ -61,31 +61,31 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Round-8 gate front block. Every round-7 front name is green in
-# CORRECTNESS_r07, so the 50-slot window now holds: (a) the 6 round-8
-# additions — the SCALE-MODE gate rows the round-7 verdict ordered
-# (tie-robust rank audits of the approx bucketing/percentile paths,
-# plus the end-to-end ranks-mode suffix removal), (b) the 4 queries
-# whose plan changed this round (batch t-digest build/merge/quantiles
-# moved JVM-side; x_kcore moved to the scale-robust 2-core), (c) the
-# 6 permanent double-arithmetic SENTINELS, then (d) STALENESS
-# ROTATION — the 14 r2-vintage names staged as _ROTATION_R8 last
-# round, followed by the 20 alphabetically-first r3-vintage names;
-# the remaining r3 names roll to _ROTATION_R9. After this window no
-# catalog name's newest driver row is older than r3.
+# Round-9 gate front block. Every round-8 front name is green in
+# CORRECTNESS_r08, so the 50-slot window now holds: (a) the round-9
+# addition (the ISO-BMFF video-metadata surface), (b) the 8 queries
+# whose plan changed this round (mp4 fixture rows in the multimodal
+# decode; star-contraction CC promoted to the headline name and the
+# min-label variant re-registered under its honest name; the
+# basket-capped co-purchase edge builder behind kcore/triangles; the
+# t-digest NULL filter upstream of the three digest rows), (c) the 6
+# permanent double-arithmetic SENTINELS, then (d) STALENESS ROTATION
+# — the 21 r3-vintage names staged as _ROTATION_R9 last round,
+# followed by the 14 alphabetically-first r4-vintage names; the
+# remaining 14 r4 names stage as _ROTATION_R10. After this window no
+# catalog name's newest driver row is older than r4.
 _GATE_PRIORITY = (
-    # -- (a) new in round 8: scale modes under the gate --------------------
-    "a23_equidepth_approx",
-    "a26_rfm_approx",
-    "a34_price_band_approx",
-    "a42_mad_approx",
-    "x_calibration_approx",
-    "x_suffix_removal_ranks",
+    # -- (a) new in round 9 -------------------------------------------------
+    "x_video_meta",
     # -- (b) plan changed this round ---------------------------------------
+    "x_multimodal_meta",
+    "x_dedup_clusters",
+    "x_dedup_clusters_minlabel",
+    "x_kcore",
+    "x_triangles",
     "x_tdigest_quantiles",
     "x_tdigest_rollup",
     "t17_rolling_quantiles",
-    "x_kcore",
     # -- (c) permanent sentinels: fragile double-fold bit-exactness --------
     "t10_holt",
     "t12_holt_winters",
@@ -93,50 +93,9 @@ _GATE_PRIORITY = (
     "a29_trend_slope",
     "a30_corr_pairs",
     "x_linkage_score",
-    # -- (d) staleness rotation: the staged r2 vintage ---------------------
-    "x_length_clip",
-    "x_multimodal_meta",
-    "x_ngram_jaccard",
-    "x_pack_sequences",
-    "x_pii_redact",
-    "x_repetition",
-    "x_source_mixture",
-    "x_source_overlap",
-    "x_stratified_sample",
-    "x_text_stats",
-    "x_tfidf",
-    "x_token_counts",
-    "x_train_split",
-    "x_winnow_pairs",
-    # r3 vintage from here (alphabetical; x_pca_project excluded —
-    # rows-only by permanent decision, a slot spent on it re-checks
-    # nothing the Parseval shadow doesn't already cover)
-    "a21_collect_list",
-    "a23_equidepth_hist",
-    "a24_cohort_retention",
-    "a25_attribution",
-    "a26_rfm",
-    "a27_benford_audit",
-    "a28_ordered_funnel",
-    "a31_salted_hot_keys",
-    "p20_unpivot",
-    "t6_ohlc_downsample",
-    "t7_gap_fill",
-    "t8_ewma",
-    "t9_anomaly_mad",
-    "u5_cdc_apply",
-    "u6_dq_checks",
-    "w9_scd2_history",
-    "x_ann_ivf_pq",
-    "x_ann_refine",
-    "x_backoff_nll",
-    "x_bigram_nll",
-)
-
-# Round-9 rotation backlog: the 21 remaining r3-vintage names (oldest
-# staleness tier after round 8). Promote behind round-9 additions +
-# the sentinels; r4-vintage names (see CORRECTNESS_r04) come next.
-_ROTATION_R9: tuple[str, ...] = (
+    # -- (d) staleness rotation: the staged r3 vintage (x_pca_project
+    # keeps its slot here — rows-only by permanent decision, but the
+    # rows-only row still proves the query executes) ------------------------
     "x_bloom_decontaminate",
     "x_collocations",
     "x_doc_entropy",
@@ -158,6 +117,41 @@ _ROTATION_R9: tuple[str, ...] = (
     "x_unigram_nll",
     "x_zipf_fit",
     "x_zorder_key",
+    # r4 vintage from here (alphabetical first half)
+    "a32_windowed_funnel",
+    "a33_salted_join_revenue",
+    "a34_monthly_price_band",
+    "a35_transition_matrix",
+    "a37_ab_test",
+    "a38_winsorized_stats",
+    "a39_whatif_discount",
+    "t11_interval_join_batch",
+    "t13_twap",
+    "u7_cdc_asof",
+    "w10_cumulative_distinct",
+    "w11_asof_snapshot",
+    "w12_rolling_distinct",
+    "w13_range_frame",
+)
+
+# Round-10 rotation backlog: the 14 remaining r4-vintage names (oldest
+# staleness tier after round 9). Promote behind round-10 additions +
+# the sentinels; r5-vintage names (see CORRECTNESS_r05) come next.
+_ROTATION_R10: tuple[str, ...] = (
+    "x_ann_recall",
+    "x_dataset_card",
+    "x_dd_quantiles",
+    "x_dedup_simhash",
+    "x_dsir_weights",
+    "x_knn_classify",
+    "x_logreg_quality",
+    "x_lsh_precision",
+    "x_lsh_recall",
+    "x_mmr_first",
+    "x_nb_lang",
+    "x_normalized_dedup",
+    "x_pca_invariants",
+    "x_sorted_neighborhood",
 )
 
 
@@ -169,7 +163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for mod in (warehouse, windows, extensions, measures, analytics, scalars, temporal):
         all_q.update(mod.QUERIES)
     out = {n: all_q[n] for n in _GATE_PRIORITY if n in all_q}
-    out.update({n: all_q[n] for n in _ROTATION_R9 if n in all_q and n not in out})
+    out.update({n: all_q[n] for n in _ROTATION_R10 if n in all_q and n not in out})
     out.update({n: f for n, f in all_q.items() if n not in out})
     return out
 
