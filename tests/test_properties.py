@@ -428,3 +428,38 @@ def test_bucket_rank_audit_always_true_on_approx_bucket(spark, vals, n):
     assert all(r["rank_ok"] for r in rows), [
         (r["bucket"], r["rank_ok"]) for r in rows
     ]
+
+
+@given(
+    blob=st.binary(max_size=400),
+    w=st.integers(0, 4000),
+    h=st.integers(0, 4000),
+    dur=st.integers(0, 10**7),
+    cut=st.integers(0, 400),
+    flip=st.integers(0, 399),
+)
+@settings(max_examples=60, deadline=None)
+def test_video_header_parse_total_never_throws(blob, w, h, dur, cut, flip):
+    """parse_video_header is TOTAL over bytes: arbitrary garbage,
+    truncated builders, and single-byte corruptions (which can lie
+    about box sizes) must return a tuple or None, never raise — the
+    contract a 100 TB binary scan needs, since one malformed blob
+    must not kill a task."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.multimodal import (
+        build_minimal_mp4,
+        parse_video_header,
+    )
+
+    for payload in (
+        blob,
+        build_minimal_mp4(w, h, dur)[:cut],
+        bytes(
+            b ^ (1 << (flip % 8)) if i == flip % max(1, cut or 1) else b
+            for i, b in enumerate(build_minimal_mp4(w, h, dur, pad=7))
+        ),
+    ):
+        got = parse_video_header(payload)
+        assert got is None or (len(got) == 6 and isinstance(got[5], str))
+    # the untruncated, uncorrupted build always round-trips
+    full = parse_video_header(build_minimal_mp4(w, h, dur))
+    assert full is not None and full[0] == w and full[1] == h
