@@ -147,10 +147,15 @@ def decode_metadata(df: DataFrame, blob_col: str = "blob",
 
 
 def frame_sample_stub(df: DataFrame, blob_col: str = "blob",
-                      id_col: str = "doc_id", every_n: int = 10) -> DataFrame:
-    """STUB video frame sampler: emits (doc_id, frame_idx) rows for a
-    fake frame count derived from byte length; the mapInPandas 1→N
-    row-explosion shape is the real contract a decoder would use."""
+                      id_col: str = "doc_id", every_n: int = 10,
+                      fps: int = 30) -> DataFrame:
+    """Video frame sampler, mapInPandas 1→N row-explosion. The frame
+    COUNT is real for ISO-BMFF payloads since round 9 — derived from
+    the parsed mvhd duration at a nominal ``fps`` (no decoder in this
+    container, so the pixel DECODE stays stubbed; a real sampler
+    replaces the emit loop body, not the Spark contract). Payloads
+    that aren't parseable video keep the byte-length-derived fake
+    count so non-media fixtures stay deterministic."""
     from .partitioning import spread
 
     df = spread(df.select(id_col, blob_col), bytes_per_partition=8 << 20)
@@ -159,7 +164,11 @@ def frame_sample_stub(df: DataFrame, blob_col: str = "blob",
         for pdf in batches:
             ids, idxs = [], []
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
-                n_frames = max(1, len(blob) // 100)
+                vid = parse_video_header(blob)
+                if vid is not None and vid[2] >= 0:
+                    n_frames = max(1, vid[2] * fps // 1000)
+                else:
+                    n_frames = max(1, len(blob) // 100)
                 for i in range(0, n_frames, every_n):
                     ids.append(doc_id)
                     idxs.append(i)

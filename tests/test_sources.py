@@ -135,6 +135,14 @@ def test_multimodal_frame_sample(spark):
     out = M.frame_sample_stub(M.with_blob(docs), every_n=3).collect()
     # 1000 bytes → 10 fake frames → sampled at 0,3,6,9
     assert sorted(r["frame_idx"] for r in out) == [0, 3, 6, 9]
+    # real mp4 payload: frame count comes from the parsed duration
+    # (1 s at 30 fps → 30 frames → sampled at 0,10,20), not byte length
+    vids = spark.createDataFrame(
+        [(2, bytearray(M.build_minimal_mp4(320, 240, 1000)))],
+        "doc_id bigint, blob binary",
+    )
+    vout = M.frame_sample_stub(vids, every_n=10).collect()
+    assert sorted(r["frame_idx"] for r in vout) == [0, 10, 20]
 
 
 def test_binary_file_source(spark, tmp_path):
