@@ -164,6 +164,13 @@ def triangles(
     (p1 < p2 < p3) — orientation-independent, so the DuckDB oracle
     can replay with the simpler id-ordered enumeration and still
     match bit-for-bit."""
+    # e feeds the degree agg AND both join legs, deg is joined twice,
+    # and oriented is read three times (two wedge legs + the closure
+    # probe): without materialization Spark re-expands each
+    # multi-referenced subtree per reference — including the caller's
+    # whole edge-builder lineage — and exchange reuse does NOT
+    # recover it (121-exchange plan, 0 reused, observed round 9).
+    # Two checkpoints pin the fan-out points; values are unaffected.
     e = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
@@ -171,6 +178,7 @@ def triangles(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("a").alias("n"))
@@ -187,7 +195,7 @@ def triangles(
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    )
+    ).localCheckpoint(eager=True)
     o1 = oriented.select(
         F.col("u"), F.col("v").alias("v1"), F.col("dv").alias("dv1")
     )
