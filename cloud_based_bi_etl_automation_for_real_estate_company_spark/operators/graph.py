@@ -258,39 +258,41 @@ def kcore(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    prev_n = e.count()
-    converged = prev_n == 0
-    for _ in range(rounds):
-        if converged:
-            break
-        deg = (
-            e.select(F.col("a").alias("n"))
-            .unionByName(e.select(F.col("b").alias("n")))
+    def _degrees(ed: DataFrame) -> DataFrame:
+        return (
+            ed.select(F.col("a").alias("n"))
+            .unionByName(ed.select(F.col("b").alias("n")))
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        keep = deg.filter(F.col("deg") >= k).select("n")
+
+    # fixpoint is checked structurally BEFORE each round — the edge
+    # set is stable iff no surviving node is under-degree — so a
+    # converged peel never pays a confirmation round of semi-joins +
+    # checkpoint to observe an unchanged count (round-9, the same
+    # change as the star-CC loop), and an input already inside its
+    # k-core does zero rounds. The check is one degree agg + isEmpty
+    # over the checkpointed edges; the round recomputes the same agg
+    # for `keep` (one exchange over a checkpoint scan — cheaper than
+    # materializing deg itself).
+    converged = False
+    for _ in range(rounds):
+        if e.isEmpty() or _degrees(e).filter(F.col("deg") < k).isEmpty():
+            converged = True
+            break
+        keep = _degrees(e).filter(F.col("deg") >= k).select("n")
         e = (
             e.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
             .localCheckpoint(eager=True)
         )
-        cur_n = e.count()
-        converged = cur_n == prev_n
-        prev_n = cur_n
     if require_convergence and not converged:
-        # the loop detects a fixpoint only by an UNCHANGED count in a
-        # later round — a peel that lands on the fixpoint exactly at
-        # round `rounds` never gets that later round, so confirm with
-        # one extra degree check before raising (round-6 ADVICE): the
-        # edge set is stable iff no surviving node is under-degree
-        deg = (
-            e.select(F.col("a").alias("n"))
-            .unionByName(e.select(F.col("b").alias("n")))
-            .groupBy("n")
-            .agg(F.count(F.lit(1)).alias("deg"))
+        # a peel that lands on the fixpoint exactly at round `rounds`
+        # exits the loop without the pre-round check — confirm with
+        # one extra degree pass before raising (round-6 ADVICE)
+        converged = (
+            _degrees(e).filter(F.col("deg") < k).limit(1).count() == 0
         )
-        converged = deg.filter(F.col("deg") < k).limit(1).count() == 0
     if require_convergence and not converged:
         raise ValueError(
             f"k-core peel did not reach a fixpoint within {rounds} rounds; "
