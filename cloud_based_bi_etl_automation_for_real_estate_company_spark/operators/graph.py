@@ -46,13 +46,20 @@ def pagerank(
         F.col(dst_col).alias("dst"),
         F.col(weight_col).cast("double").alias("w"),
     )
+    # e and nodes are re-referenced EVERY iteration (contrib join +
+    # rank rebuild); without pinning, each reference re-expands the
+    # caller's whole edge-builder lineage and the plan grows
+    # multiplicatively with iterations (70 exchanges observed for 3
+    # rounds at round 9, 0 reused). Checkpointing both makes the
+    # iteration chain linear; values are unaffected.
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
-    e = e.join(outw, "src")
+    e = e.join(outw, "src").localCheckpoint(eager=True)
     n = nodes.agg(F.count(F.lit(1)).alias("n"))
     ranks = nodes.join(F.broadcast(n)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("r")
@@ -118,11 +125,14 @@ def label_propagation(
         F.col(dst_col).alias("dst"),
         F.col(weight_col).cast("bigint").alias("w"),
     )
+    # pinned: every round's vote join re-reads sym, so without the
+    # checkpoint the caller's edge-builder lineage re-executes once
+    # per iteration (plus once for the label init)
     sym = e.unionByName(
         e.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
         )
-    )
+    ).localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()

@@ -43,10 +43,15 @@ def logreg_train(
     aggregation of d+1 decimal gradient sums — at 100 TB that is d+1
     numbers of shuffle traffic per step."""
     feats = list(feature_cols)
+    # pinned: every gradient step re-reads data, so without the
+    # checkpoint the caller's feature lineage re-executes once per
+    # iteration (nested inside the chained weight plan, it actually
+    # multiplies — round-9 plan audit); the count below was already
+    # paying a materializing action anyway
     data = df.select(
         F.col(label_col).cast("double").alias("__y"),
         *[F.col(c).cast("double").alias(c) for c in feats],
-    )
+    ).localCheckpoint(eager=True)
     n = data.count()
     weights = data.sparkSession.range(1).select(
         F.lit(0.0).alias("w0"), *[F.lit(0.0).alias(f"w_{c}") for c in feats]

@@ -973,6 +973,10 @@ def q_a26_rfm_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = approx_bucket(scored, "recency_days", 4, bucket_col="r_score")
     b = approx_bucket(b, "frequency", 4, bucket_col="f_score", descending=True)
     b = approx_bucket(b, "monetary", 4, bucket_col="m_score", descending=True)
+    # pinned: each of the 3 audits references b several times, and
+    # without materialization every reference re-expands the whole
+    # triple-bucket chain (a 360-exchange plan observed round 9)
+    b = b.localCheckpoint(eager=True)
     parts = []
     for dim, col, bcol, desc in [
         ("r", "recency_days", "r_score", False),

@@ -4260,12 +4260,14 @@ def q_x_calibration_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = logreg_train(feats, ["x1", "x2"], "y", iterations=3, lr=1.0)
     scored = logreg_score(feats, w, ["x1", "x2"])
+    # pinned: the audit references dec several times; unmaterialized,
+    # each reference re-expands the train+score+bucket chain
     dec = approx_bucket(
         scored.select("doc_id", F.round("p", 9).alias("p")),
         "p",
         10,
         bucket_col="decile",
-    )
+    ).localCheckpoint(eager=True)
     return bucket_rank_audit(dec, "p", 10, bucket_col="decile")
 
 
