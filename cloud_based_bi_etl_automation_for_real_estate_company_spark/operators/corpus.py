@@ -441,10 +441,15 @@ def mixture_sample(
     weight-computation scan: the corpus is then read exactly ONCE,
     which is the 100 TB path.
     """
+    # the slices-sized mixture table is referenced more than once by
+    # the rate normalization — pin the internally-computed form so the
+    # corpus-wide token-share scan behind it runs exactly once
     mix = (
         mixture
         if mixture is not None
-        else source_mixture(df, text_col, group_col, alpha)
+        else source_mixture(df, text_col, group_col, alpha).localCheckpoint(
+            eager=True
+        )
     )
     rates = _mixture_rates(mix, group_col)
     frac = _content_frac(text_col)

@@ -150,7 +150,11 @@ def q_x_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the audit samples, production banding never pays the exact
     join. Output: n_truth, n_caught, recall."""
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    truth = D.ngram_jaccard_pairs(d, threshold=0.2).select("id_a", "id_b")
+    # pinned: truth feeds both the semi-join and its own count — the
+    # exact pair join must not run twice
+    truth = D.ngram_jaccard_pairs(d, threshold=0.2).select(
+        "id_a", "id_b"
+    ).localCheckpoint(eager=True)
     cands = D.minhash_lsh_pairs(d).select(
         F.col("id_a").alias("c_a"), F.col("id_b").alias("c_b")
     )
