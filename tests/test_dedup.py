@@ -743,3 +743,35 @@ def test_compact_minhash_store_rejects_remote_store(spark, tmp_path):
 
     with pytest.raises(ValueError, match="local filesystem"):
         D.compact_minhash_store(spark, "s3://bucket/minhash-store")
+
+
+def test_connected_components_require_convergence(spark):
+    """Round-9: min-label propagation on a path whose diameter exceeds
+    max_iter silently under-merges — require_convergence must raise
+    loudly; the star variant converges in O(log d) rounds on the same
+    graph and labels every node with the path head."""
+    import pytest
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(ValueError, match="did not converge"):
+        connected_components(path, max_iter=5, require_convergence=True)
+    # silent default: returns labels, provably under-merged
+    part = connected_components(path, max_iter=5)
+    assert part.select("cluster_id").distinct().count() > 1
+    # star: same graph, full merge within the default bound
+    star = connected_components_star(path)
+    got = {r["doc_id"]: r["cluster_id"] for r in star.collect()}
+    assert set(got) == set(range(31)) and set(got.values()) == {0}
+    # converged propagation does not raise under the strict flag
+    ok = connected_components(
+        spark.createDataFrame([(1, 2), (2, 3)], "id_a bigint, id_b bigint"),
+        require_convergence=True,
+    )
+    assert {r["cluster_id"] for r in ok.collect()} == {1}
