@@ -205,8 +205,14 @@ def run_curation_pipeline(
     uniq = gated.join(canon, "doc_id", "left_semi")
     near = minhash_estimate_pairs(uniq, threshold=0.5)
     near_pairs = near.select("id_a", "id_b")
+    # require_convergence (round 9): near-dup graphs are usually
+    # tiny-diameter cliques, but a drifting-text CHAIN longer than the
+    # propagation bound would silently under-merge — i.e. ship
+    # duplicates into the training set. Raising loudly is the right
+    # failure; a corpus that trips it should cluster with
+    # connected_components_star instead.
     losers = (
-        connected_components(near_pairs)
+        connected_components(near_pairs, require_convergence=True)
         .filter(F.col("doc_id") != F.col("cluster_id"))
         .select("doc_id")
     )

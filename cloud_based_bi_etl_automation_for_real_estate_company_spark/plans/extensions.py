@@ -1567,7 +1567,12 @@ def q_x_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     ia = ids.select(F.col("p_name").alias("name_a"), F.col("nid").alias("ida"))
     ib = ids.select(F.col("p_name").alias("name_b"), F.col("nid").alias("idb"))
     id_pairs = pairs.join(ia, "name_a").join(ib, "name_b").select("ida", "idb")
-    cc = D.connected_components(id_pairs, src="ida", dst="idb")
+    # strict: an edit-distance chain (a → ab → abc …) longer than the
+    # propagation bound must raise, not silently split one entity
+    # into several golden records
+    cc = D.connected_components(
+        id_pairs, src="ida", dst="idb", require_convergence=True
+    )
     cmap = ids.join(
         cc.select(F.col("doc_id").alias("nid"), F.col("cluster_id").alias("__cl")),
         "nid",
