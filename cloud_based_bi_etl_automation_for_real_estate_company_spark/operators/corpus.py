@@ -1030,3 +1030,48 @@ def dsir_weights(
             F.sum(term).cast("double").alias("weight"),
         )
     )
+
+
+def cluster_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: the split unit is the
+    near-duplicate CLUSTER, not the document. A plain per-doc modulus
+    split (x_train_split) puts two near-identical documents on
+    opposite sides of the train/test boundary, silently leaking
+    training text into evaluation — the contamination mode dataset
+    audits (The Pile, C4 dedup reports, Lee et al. 2022 §6) call out.
+    Here every document inherits its cluster's canonical id
+    (connected components over the near-dup ``pairs``; singletons key
+    by their own id), and the split modulus is taken on THAT key, so
+    a whole near-dup family lands in one split by construction.
+
+    Clustering uses the O(log d) star contraction — pairs chains of
+    any depth cannot straddle the boundary, which the min-label loop
+    could not guarantee past its round bound. Spark shape: the CC
+    rounds (keyed aggs over the checkpointed pair list) + one
+    broadcast-size left join back to the corpus + a map-side modulus;
+    the corpus itself is scanned once. Returns ``df``'s rows with
+    ``cluster_id`` and ``split`` appended.
+    """
+    from .dedup import connected_components_star
+
+    cc = connected_components_star(pairs, src=src_col, dst=dst_col).select(
+        F.col("doc_id").alias(id_col), "cluster_id"
+    )
+    keyed = df.join(cc, id_col, "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    bucket = F.pmod(F.col("cluster_id"), F.lit(100))
+    return keyed.withColumn(
+        "split",
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

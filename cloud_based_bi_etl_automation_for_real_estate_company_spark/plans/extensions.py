@@ -284,6 +284,23 @@ def q_x_dedup_clusters_minlabel(
     return D.connected_components(pairs)
 
 
+def q_x_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (operators/corpus.py:
+    cluster_split): the split unit is the near-dup CLUSTER — a plain
+    per-doc modulus split puts near-identical documents on opposite
+    sides of the train/test boundary (the contamination mode Lee et
+    al. 2022 §6 measures); here every doc inherits its cluster's
+    canonical id before the modulus, so whole near-dup families land
+    in one split by construction. Per-doc assignment output; the
+    oracle replays clustering with the recursive reach CTE and the
+    identical modulus arithmetic."""
+    from ..operators.corpus import cluster_split
+
+    d = t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(d)
+    return cluster_split(d, pairs).select("doc_id", "cluster_id", "split")
+
+
 def q_x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified downsampling: keep 100% of en, 50% of
     zh, 25% of everything else, by content-hash bucket; reported as
@@ -2312,6 +2329,31 @@ ORACLES: dict[str, str] = {
     "x_dedup_clusters": _CLUSTERS_ORACLE,
     # the star-contraction variant must land on the exact same fixpoint
     "x_dedup_clusters_minlabel": _CLUSTERS_ORACLE,
+    # x_cluster_split: the reach-CTE clustering + the x_train_split
+    # modulus, taken on the cluster's canonical id (singletons keep
+    # their own doc_id) — leakage-safe by construction in both engines
+    "x_cluster_split": f"""
+        WITH RECURSIVE {_LSH_PAIRS_CTES},
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs),
+        reach(node, label) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v),
+        cl AS (
+            SELECT node AS doc_id, MIN(label) AS cluster_id
+            FROM reach GROUP BY node)
+        SELECT d.doc_id,
+               COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+               CASE WHEN COALESCE(c.cluster_id, d.doc_id) % 100 < 80
+                    THEN 'train'
+                    WHEN COALESCE(c.cluster_id, d.doc_id) % 100 < 90
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents d LEFT JOIN cl c USING (doc_id)
+    """,
     "x_lsh_recall": f"""
         WITH docs AS (
             SELECT doc_id, text FROM documents WHERE doc_id < 200),
@@ -4316,6 +4358,7 @@ QUERIES = {
     "x_source_overlap": q_x_source_overlap,
     "x_source_mixture": q_x_source_mixture,
     "x_train_split": q_x_train_split,
+    "x_cluster_split": q_x_cluster_split,
     "x_stratified_sample": q_x_stratified_sample,
     "x_lang_id": q_x_lang_id,
     "x_fingerprint": q_x_fingerprint,

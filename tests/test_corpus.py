@@ -545,3 +545,38 @@ def test_bpe_frozen_artifact_matches_sf001_trainer(spark):
         for r in C.bpe_train(docs, num_merges=10, min_count=2).collect()
     }
     assert learned == set(BPE_MERGES_V1)
+
+
+def test_cluster_split_is_leakage_safe(spark):
+    """Round-9: every near-dup pair must land in ONE split (the whole
+    point), chains included — doc 79 pulls docs 80/81 into 'train'
+    because the cluster keys by its min id (79 % 100 < 80), while a
+    per-doc modulus would have put them in 'val'. Singletons key by
+    their own id."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.corpus import (
+        cluster_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (79, 80, 81, 85, 95, 3)],
+        "doc_id bigint, text string",
+    )
+    # chain 79-80-81 (diameter 2), pair (85, 95), singleton 3
+    pairs = spark.createDataFrame(
+        [(79, 80), (80, 81), (85, 95)], "id_a bigint, id_b bigint"
+    )
+    out = {r["doc_id"]: r for r in cluster_split(docs, pairs).collect()}
+    assert {out[i]["split"] for i in (79, 80, 81)} == {"train"}
+    assert {out[i]["cluster_id"] for i in (79, 80, 81)} == {79}
+    assert out[85]["split"] == out[95]["split"] == "val"
+    assert out[3]["cluster_id"] == 3 and out[3]["split"] == "train"
+    # no pair straddles splits — assert directly over the edge list
+    sp = cluster_split(docs, pairs).select("doc_id", "split")
+    a = sp.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+        "split", "sa"
+    )
+    b = sp.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+        "split", "sb"
+    )
+    straddle = pairs.join(a, "id_a").join(b, "id_b").filter("sa <> sb")
+    assert straddle.count() == 0
