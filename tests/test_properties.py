@@ -463,3 +463,54 @@ def test_video_header_parse_total_never_throws(blob, w, h, dur, cut, flip):
     # the untruncated, uncorrupted build always round-trips
     full = parse_video_header(build_minimal_mp4(w, h, dur))
     assert full is not None and full[0] == w and full[1] == h
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        max_size=20,
+    ),
+    extra=st.sets(st.integers(0, 40), max_size=8),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cluster_split_never_straddles_property(spark, edges, extra):
+    """For ANY pair graph (self-loops, duplicates, chains, disjoint
+    docs): connected docs share a split AND cluster_id equals the
+    component minimum — the leakage-safety invariant as a property."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.corpus import (
+        cluster_split,
+    )
+
+    ids = sorted({u for e in edges for u in e} | extra)
+    if not ids:
+        return
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in ids], "doc_id bigint, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(ids[0], ids[0])],
+        "id_a bigint, id_b bigint",
+    )
+    out = {r["doc_id"]: r for r in cluster_split(docs, pairs).collect()}
+    # reference components via union-find
+    parent = {i: i for i in ids}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        if a in parent and b in parent:
+            parent[find(a)] = find(b)
+    comp = {}
+    for i in ids:
+        comp.setdefault(find(i), []).append(i)
+    for members in comp.values():
+        want = min(members)
+        got = {out[i]["cluster_id"] for i in members}
+        assert got == {want}
+        assert len({out[i]["split"] for i in members}) == 1
