@@ -234,3 +234,33 @@ def test_l26_double_existence_shape(spark):
 def test_l25_date_filter_pushed_before_join(spark):
     plan = _explain(warehouse.q_l25_priority_mode_split(spark, SF))
     assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        # round-9 plan-expansion regression guards: these queries'
+        # FINAL plans once re-expanded multi-referenced subtrees per
+        # reference (360/144/70/43 exchanges); the pins hold them at
+        # a small constant. Ceilings are ~2x the observed fixed plan
+        # so legitimate evolution has headroom while a re-expansion
+        # (which multiplies counts) still trips.
+        ("x_pagerank", 40),
+        ("a26_rfm_approx", 40),
+        ("x_calibration_approx", 20),
+        ("x_prefix_join", 34),
+        ("x_lsh_recall", 56),
+    ],
+)
+def test_multi_reference_plans_stay_pinned(spark, name, max_exchanges):
+    import re
+
+    df = entrymod.queries()[name](spark, SF)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = len(re.findall(r"Exchange", plan))
+    assert n <= max_exchanges, (
+        f"{name}: {n} exchanges in the executed plan — a "
+        "multi-referenced frame likely lost its localCheckpoint "
+        "(see PERF.md round 9)"
+    )
