@@ -138,11 +138,63 @@ PII_PATTERNS: tuple[tuple[str, str], ...] = (
 )
 
 
-def redact_pii(col: Column | str) -> Column:
-    """Replace every URL / email / phone-shaped span with a typed
-    placeholder token. Pure regexp_replace chain — JVM-side, fuses into
-    the scan; at 100 TB this is a map-only pass with zero shuffle."""
+PII_CARD = "\\b[0-9]{13,19}\\b"
+
+
+def luhn_valid(col: Column | str) -> Column:
+    """Luhn checksum (ISO/IEC 7812) as a pure JVM expression: strip
+    non-digits, reverse, double every second digit (−9 past 9), sum,
+    valid iff ≡ 0 (mod 10) and the digit count is card-shaped
+    (13–19). Built-ins only — split/transform-with-index/aggregate —
+    so it runs inside whole-stage codegen AND inside higher-order
+    lambdas (redact_cards filters candidate spans with it), and the
+    identical arithmetic replays in the SQL oracle."""
     c = F.col(col) if isinstance(col, str) else col
+    ds = F.regexp_replace(c, "[^0-9]", "")
+    digits = F.filter(
+        F.split(F.reverse(ds), ""), lambda x: x != F.lit("")
+    )
+    terms = F.transform(
+        digits,
+        lambda x, i: F.when(i % 2 == 0, x.cast("int")).otherwise(
+            F.when(x.cast("int") * 2 < 10, x.cast("int") * 2).otherwise(
+                x.cast("int") * 2 - 9
+            )
+        ),
+    )
+    total = F.aggregate(terms, F.lit(0), lambda a, b: a + b)
+    return (
+        F.length(ds).between(13, 19) & (total % 10 == 0)
+    )
+
+
+def redact_cards(col: Column | str) -> Column:
+    """Replace card-shaped digit runs with <CARD> ONLY when they pass
+    the Luhn checksum — a bare \\b[0-9]{13,19}\\b regex would also
+    eat order numbers, tracking ids, and timestamps-as-ints, which is
+    exactly the over-redaction that degrades training text (~10% of
+    random digit runs pass Luhn, so the checksum removes ~90% of the
+    false redactions). regexp cannot branch on a checksum, so the
+    shape is: extract candidate spans → filter by ``luhn_valid`` →
+    fold literal replaces — all higher-order built-ins on the row's
+    own candidate array (bounded by the text's digit-run count), still
+    map-only/JVM-side, zero shuffle at any scale."""
+    c = F.col(col) if isinstance(col, str) else col
+    cands = F.array_distinct(F.regexp_extract_all(c, F.lit(PII_CARD), F.lit(0)))
+    valid = F.filter(cands, luhn_valid)
+    return F.aggregate(
+        valid, c, lambda acc, s: F.replace(acc, s, F.lit("<CARD>"))
+    )
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every Luhn-valid card number, then every URL / email /
+    phone-shaped span, with a typed placeholder token. Cards run FIRST
+    (Luhn-gated, see ``redact_cards``) because the phone pattern would
+    otherwise swallow card-shaped runs under the wrong token; the rest
+    is a pure regexp_replace chain. JVM-side, fuses into the scan; at
+    100 TB this is a map-only pass with zero shuffle."""
+    c = redact_cards(col)
     for pat, repl in PII_PATTERNS:
         c = F.regexp_replace(c, pat, repl)
     return c

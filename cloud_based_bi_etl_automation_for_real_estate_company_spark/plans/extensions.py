@@ -360,6 +360,26 @@ def q_x_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x_card_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-gated card redaction (functions/text.py:redact_cards):
+    every doc gets a deterministic 16-digit card-shaped span
+    ('4' + 15 doc_id-derived digits); both engines independently run
+    the Luhn checksum and the span is replaced with <CARD> only when
+    it validates — proving checksum arithmetic AND the
+    extract→filter→fold-replace chain byte-for-byte (a bare regex
+    would redact every span; ~10% of these pass Luhn)."""
+    d = t(spark, sf_dir, "documents")
+    base = F.pmod((F.col("doc_id") + 7) * 1000003, F.lit(10**15))
+    card = F.concat(F.lit("4"), F.lpad(base.cast("string"), 15, "0"))
+    txt = F.concat(F.lit("pay "), card, F.lit(" now ref 12345"))
+    return d.select(
+        "doc_id",
+        card.alias("card"),
+        T.luhn_valid(card).alias("is_valid"),
+        T.redact_cards(txt).alias("redacted"),
+    )
+
+
 def q_x_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (dup-token / dup-bigram
     ratios, top-token share) per document."""
@@ -2754,6 +2774,33 @@ ORACLES: dict[str, str] = {
                COUNT(*) AS n_docs
         FROM documents GROUP BY 1
     """,
+    # x_card_redact: DuckDB replays the Luhn sum with list ops over
+    # the reversed digit chars (1-based constant-list indexing) and
+    # the same conditional literal replace
+    "x_card_redact": """
+        WITH c AS (
+            SELECT doc_id,
+                   '4' || lpad(((doc_id + 7) * 1000003 %
+                               1000000000000000)::VARCHAR, 15, '0')
+                       AS card
+            FROM documents),
+        lv AS (
+            SELECT doc_id, card,
+                   list_sum(list_transform(range(16), i ->
+                       CASE WHEN i % 2 = 0
+                            THEN string_split(reverse(card), '')[i + 1]::INT
+                            ELSE CASE
+                                WHEN string_split(reverse(card), '')[i + 1]::INT * 2 < 10
+                                THEN string_split(reverse(card), '')[i + 1]::INT * 2
+                                ELSE string_split(reverse(card), '')[i + 1]::INT * 2 - 9
+                            END END)) % 10 = 0 AS is_valid
+            FROM c)
+        SELECT doc_id, card, is_valid,
+               CASE WHEN is_valid
+                    THEN 'pay <CARD> now ref 12345'
+                    ELSE 'pay ' || card || ' now ref 12345' END AS redacted
+        FROM lv
+    """,
     "x_pii_redact": """
         WITH pii AS (
             SELECT doc_id,
@@ -4363,6 +4410,7 @@ QUERIES = {
     "x_lang_id": q_x_lang_id,
     "x_fingerprint": q_x_fingerprint,
     "x_pii_redact": q_x_pii_redact,
+    "x_card_redact": q_x_card_redact,
     "x_repetition": q_x_repetition,
     "x_decontaminate": q_x_decontaminate,
     "x_bloom_decontaminate": q_x_bloom_decontaminate,

@@ -70,3 +70,44 @@ def test_a4_ratio_zero_denominator_null(spark):
     df = spark.createDataFrame([(1, 0), (4, 2)], "num int, den int")
     out = [r[0] for r in df.select(X.ratio(F.col("num"), F.col("den"))).collect()]
     assert out == [None, 2.0]
+
+
+def test_luhn_card_redaction(spark):
+    """Round-9: redact_cards replaces card-shaped digit runs ONLY when
+    the Luhn checksum validates; invalid runs keep their bytes (and
+    fall through to the phone pattern in the full redact_pii chain,
+    the pre-existing behavior). Known vectors: 4532015112830366 and
+    1234567890123452 validate; flipping one digit breaks each."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.functions.text import (
+        luhn_valid,
+        redact_cards,
+        redact_pii,
+    )
+
+    rows = [
+        (1, "pay 4532015112830366 now"),
+        (2, "order 4532015112830367 shipped"),
+        (3, "ref 1234567890123452 ok"),
+        (4, "short 123456 long 12345678901234567890"),
+        (5, "two 4532015112830366 and 1234567890123452 here"),
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    got = {
+        r["id"]: (r["lv"], r["rc"], r["rp"])
+        for r in df.select(
+            "id",
+            luhn_valid("t").alias("lv"),
+            redact_cards("t").alias("rc"),
+            redact_pii("t").alias("rp"),
+        ).collect()
+    }
+    assert got[1][1] == "pay <CARD> now"
+    assert got[2][1] == "order 4532015112830367 shipped"
+    assert got[2][2] == "order <PHONE> shipped"  # chain fallback intact
+    assert got[3][1] == "ref <CARD> ok"
+    assert got[4][1] == rows[3][1]  # 6 and 20 digits: not card-shaped
+    assert got[5][1] == "two <CARD> and <CARD> here"
+    # luhn_valid over the whole string strips non-digits first: row 1
+    # has exactly one 16-digit run -> True; row 4 concatenates to 26
+    # digits -> False by the 13-19 length gate
+    assert got[1][0] is True and got[4][0] is False
