@@ -2,8 +2,8 @@
 
 ``entry`` runs the flagship dashboard query; ``queries`` /
 ``oracle_sql`` expose every implemented operator from SURVEY.md §2
-plus the training-data-pipeline extensions — 227 registered queries,
-226 with DuckDB oracles, 1 rows-only: x_pca_project
+plus the training-data-pipeline extensions — 228 registered queries,
+227 with DuckDB oracles, 1 rows-only: x_pca_project
 (numpy eigh) — PERMANENTLY rows-only by round-6 decision: its
 Parseval shadow ``x_pca_invariants`` checks centering/orthonormality
 in SQL, and ``x_power_iteration`` proves the distributed eigen-math
@@ -79,6 +79,7 @@ _GATE_PRIORITY = (
     "x_video_meta",
     "x_cluster_split",
     "x_card_redact",
+    "x_softdedup_weights",
     # -- (b) plan changed this round ---------------------------------------
     "x_multimodal_meta",
     "x_dedup_clusters",
@@ -131,13 +132,13 @@ _GATE_PRIORITY = (
     "t13_twap",
     "u7_cdc_asof",
     "w10_cumulative_distinct",
-    "w11_asof_snapshot",
 )
 
 # Round-10 rotation backlog: the 14 remaining r4-vintage names (oldest
 # staleness tier after round 9). Promote behind round-10 additions +
 # the sentinels; r5-vintage names (see CORRECTNESS_r05) come next.
 _ROTATION_R10: tuple[str, ...] = (
+    "w11_asof_snapshot",
     "w12_rolling_distinct",
     "w13_range_frame",
     "x_ann_recall",

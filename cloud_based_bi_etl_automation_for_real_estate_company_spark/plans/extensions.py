@@ -301,6 +301,34 @@ def q_x_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_split(d, pairs).select("doc_id", "cluster_id", "split")
 
 
+def q_x_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT deduplication: instead of dropping near-duplicates, every
+    document gets sampling weight 1/|its near-dup cluster| — total
+    probability mass per distinct content stays ~constant while no
+    text is discarded (the soft alternative to hard dedup used when
+    duplicates carry signal, e.g. quality-correlated repetition).
+    Same star-CC clustering as x_cluster_split; singletons weigh 1.
+    Weight arithmetic is one double division, rounded 9 dp for the
+    cross-engine hash."""
+    d = t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(d)
+    cc = D.connected_components_star(pairs).select(
+        "doc_id", "cluster_id"
+    )
+    keyed = d.select("doc_id").join(cc, "doc_id", "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    )
+    sizes = keyed.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_dups")
+    )
+    return keyed.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "n_dups",
+        F.round(F.lit(1.0) / F.col("n_dups"), 9).alias("weight"),
+    )
+
+
 def q_x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified downsampling: keep 100% of en, 50% of
     zh, 25% of everything else, by content-hash bucket; reported as
@@ -2801,6 +2829,32 @@ ORACLES: dict[str, str] = {
                     ELSE 'pay ' || card || ' now ref 12345' END AS redacted
         FROM lv
     """,
+    # x_softdedup_weights: the reach-CTE clustering + per-cluster
+    # count + the identical rounded double division
+    "x_softdedup_weights": f"""
+        WITH RECURSIVE {_LSH_PAIRS_CTES},
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs),
+        reach(node, label) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v),
+        cl AS (
+            SELECT node AS doc_id, MIN(label) AS cluster_id
+            FROM reach GROUP BY node),
+        keyed AS (
+            SELECT d.doc_id,
+                   COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN cl c USING (doc_id)),
+        sizes AS (
+            SELECT cluster_id, COUNT(*) AS n_dups
+            FROM keyed GROUP BY cluster_id)
+        SELECT k.doc_id, k.cluster_id, s.n_dups,
+               ROUND(CAST(1.0 AS DOUBLE) / s.n_dups, 9) AS weight
+        FROM keyed k JOIN sizes s USING (cluster_id)
+    """,
     "x_pii_redact": """
         WITH pii AS (
             SELECT doc_id,
@@ -4406,6 +4460,7 @@ QUERIES = {
     "x_source_mixture": q_x_source_mixture,
     "x_train_split": q_x_train_split,
     "x_cluster_split": q_x_cluster_split,
+    "x_softdedup_weights": q_x_softdedup_weights,
     "x_stratified_sample": q_x_stratified_sample,
     "x_lang_id": q_x_lang_id,
     "x_fingerprint": q_x_fingerprint,
