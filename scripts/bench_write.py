@@ -90,7 +90,7 @@ def main() -> None:
                 .filter((F.col("value") >= lo) & (F.col("value") < hi))
                 .count()
             )
-            out["queries"]["_prune_rows"] = got
+            out["prune_rows"] = got
 
         out["queries"]["sorted_read_prune"] = timed(prune_read)
         out["n_sorted_files"] = n_files
