@@ -164,3 +164,51 @@ def test_mllib_minhash_crosscheck(spark):
         for r in sim.filter(F2.col("datasetA.doc_id") < F2.col("datasetB.doc_id")).collect()
     }
     assert (1, 2) in mllib_pairs
+
+
+def test_copurchase_edges_hot_order_stays_bounded(spark):
+    """Round-9 verdict closure: one pathologically hot order (5k
+    lines — 12.5M pairs if expanded) must be excluded by the cap, so
+    the edge list equals the baseline WITHOUT the hot order and the
+    join never materializes the quadratic blowup. An at-cap order
+    (32 lines) still contributes its C(32,2) pairs."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.graph import (
+        copurchase_edges,
+    )
+
+    normal = spark.range(2000).select(
+        (F.col("id") % 500).alias("ok"),
+        (F.pmod(F.col("id") * 2654435761, F.lit(200))).alias("item"),
+    )
+    hot = spark.range(5000).select(
+        F.lit(999_999).alias("ok"),
+        (F.col("id") % 4000 + 10_000).alias("item"),
+    )
+    at_cap = spark.range(32).select(
+        F.lit(888_888).alias("ok"), (F.col("id") + 50_000).alias("item")
+    )
+    full = normal.unionByName(hot).unionByName(at_cap)
+    t0 = time.time()
+    capped = {
+        (r["pa"], r["pb"]): r["n"]
+        for r in copurchase_edges(
+            full, "ok", "item", min_support=1, basket_cap=32
+        ).collect()
+    }
+    elapsed = time.time() - t0
+    base = {
+        (r["pa"], r["pb"]): r["n"]
+        for r in copurchase_edges(
+            normal.unionByName(at_cap), "ok", "item",
+            min_support=1, basket_cap=32,
+        ).collect()
+    }
+    assert capped == base  # the hot order contributed nothing
+    assert sum(1 for (a, b) in capped if a >= 50_000) == 32 * 31 // 2
+    # sanity ceiling: the capped run cannot have paid the 12.5M-pair
+    # single-task expansion (which takes far longer than this bound)
+    assert elapsed < 60
