@@ -182,8 +182,19 @@ def redact_cards(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     cands = F.array_distinct(F.regexp_extract_all(c, F.lit(PII_CARD), F.lit(0)))
     valid = F.filter(cands, luhn_valid)
+    # fold with \b-anchored regexp_replace, NOT a literal substring
+    # replace: the candidates were extracted at word boundaries, and a
+    # boundary-less fold would also rewrite the same digit run when it
+    # appears INSIDE a longer run elsewhere in the text (e.g. a
+    # 20-digit order id containing the card's 16 digits), corrupting
+    # non-card text. Candidates are digits-only, so they are
+    # regex-metacharacter-safe to embed verbatim.
     return F.aggregate(
-        valid, c, lambda acc, s: F.replace(acc, s, F.lit("<CARD>"))
+        valid,
+        c,
+        lambda acc, s: F.regexp_replace(
+            acc, F.concat(F.lit("\\b"), s, F.lit("\\b")), F.lit("<CARD>")
+        ),
     )
 
 

@@ -89,6 +89,7 @@ def run_curation_pipeline(
     substring_min_len: int | None = None,
     domain_cap_per_source: int | None = None,
     sort_output_by: str | None = None,
+    soft_dedup: bool = False,
 ) -> DataFrame:
     """End-to-end training-data curation — the composition the
     individual oracle-checked operators exist for:
@@ -141,6 +142,15 @@ def run_curation_pipeline(
     column (globally sorted layout), so downstream range reads over
     the curated corpus prune to O(1) files via the layout manifest —
     the write-side half of the file-skipping story.
+    ``soft_dedup=True`` switches stage 4 from hard pruning to SOFT
+    deduplication: near-duplicates are RETAINED with sampling weight
+    1/|near-dup cluster| (the x_softdedup_weights semantics — used
+    when duplicates carry signal), and — because retained near-dups
+    make the per-doc modulus split leak near-identical text across
+    the train/test boundary — stage 8 splits by the near-dup CLUSTER
+    via operators/corpus.cluster_split, reusing the components
+    already computed here. A whole near-dup family lands in one
+    split by construction (tested in test_curation.py).
     """
     from pyspark.sql import functions as F
 
@@ -211,12 +221,28 @@ def run_curation_pipeline(
     # duplicates into the training set. Raising loudly is the right
     # failure; a corpus that trips it should cluster with
     # connected_components_star instead.
-    losers = (
-        connected_components(near_pairs, require_convergence=True)
-        .filter(F.col("doc_id") != F.col("cluster_id"))
-        .select("doc_id")
-    )
-    pruned = uniq.join(losers, "doc_id", "left_anti")
+    components = None
+    if soft_dedup:
+        from .operators.dedup import connected_components_star
+
+        # KEEP near-dups (soft dedup): no pruning here — the cluster
+        # components are computed once (star CC always converges, so
+        # no require_convergence knob) and reused below both as the
+        # leakage-safe split key and as the 1/|cluster| weight key.
+        # Weights are assigned at the END, over the documents that
+        # actually survive decontamination + sampling, so per-cluster
+        # probability mass in the DELIVERED corpus sums to exactly 1.
+        components = connected_components_star(near_pairs).select(
+            "doc_id", "cluster_id"
+        )
+        pruned = uniq
+    else:
+        losers = (
+            connected_components(near_pairs, require_convergence=True)
+            .filter(F.col("doc_id") != F.col("cluster_id"))
+            .select("doc_id")
+        )
+        pruned = uniq.join(losers, "doc_id", "left_anti")
     # pseudo eval split: the held-out benchmark the training set must
     # not leak (same doc_id % 50 convention as x_decontaminate)
     eval_docs = d.filter(F.col("doc_id") % 50 == 0)
@@ -245,13 +271,40 @@ def run_curation_pipeline(
     sampled = stratified_sample(
         pruned, "lang", {"en": 100, "zh": 50}, default_rate=50
     )
-    bucket = F.pmod(F.col("doc_id"), F.lit(100))
-    curated = sampled.withColumn(
-        "split",
-        F.when(bucket < 80, F.lit("train"))
-        .when(bucket < 90, F.lit("val"))
-        .otherwise(F.lit("test")),
-    )
+    if soft_dedup:
+        from pyspark import StorageLevel
+
+        from .operators.corpus import cluster_split
+
+        # near-dups were RETAINED above — a per-doc modulus would put
+        # two near-identical documents on opposite sides of the
+        # train/test boundary. Split by the near-dup CLUSTER instead
+        # (corpus.cluster_split), reusing the components star CC
+        # already produced, then weight each doc 1/|cluster ∩ final
+        # corpus|. The labeled frame is referenced twice (size agg +
+        # join-back), so pin it once — unpersisted with the signature
+        # cache below.
+        labeled = cluster_split(sampled, near_pairs, cc=components)
+        labeled = labeled.persist(StorageLevel.MEMORY_AND_DISK)
+        sizes = labeled.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias("__n_dups")
+        )
+        curated = (
+            labeled.join(sizes, "cluster_id")
+            .withColumn("weight", F.round(F.lit(1.0) / F.col("__n_dups"), 9))
+            .drop("__n_dups")
+        )
+    else:
+        # losers were dropped at the near-dup stage, so no surviving
+        # pair of near-identical docs exists to straddle the boundary
+        # and the cheap per-doc modulus is leakage-safe here
+        bucket = F.pmod(F.col("doc_id"), F.lit(100))
+        curated = sampled.withColumn(
+            "split",
+            F.when(bucket < 80, F.lit("train"))
+            .when(bucket < 90, F.lit("val"))
+            .otherwise(F.lit("test")),
+        )
     if sort_output_by is not None:
         from .operators.ranking import sorted_write
 
@@ -259,8 +312,13 @@ def run_curation_pipeline(
         # write); without a pin the whole curation lineage — exact
         # dedup, connected components, decontamination — recomputes
         # each time (only the MinHash signature cache is persisted).
-        # localCheckpoint truncates the lineage once; released below.
-        curated = curated.localCheckpoint(eager=True)
+        # persist + eager count pins it once; unlike localCheckpoint
+        # (whose RDD blocks DataFrame.unpersist cannot release), the
+        # finally-block unpersist below actually frees the storage.
+        from pyspark import StorageLevel
+
+        curated = curated.persist(StorageLevel.MEMORY_AND_DISK)
+        curated.count()
         try:
             for split in ("train", "val", "test"):
                 part = curated.filter(F.col("split") == split).drop(
@@ -282,8 +340,11 @@ def run_curation_pipeline(
         )
         curated.write.mode("overwrite").partitionBy("split").parquet(out_path)
     # the write above is the last action over the near-dup candidates;
-    # release the MinHash signature cache they pinned
+    # release the MinHash signature cache they pinned (and the soft-
+    # dedup path's pinned labeled frame)
     release_cached(near)
+    if soft_dedup:
+        labeled.unpersist()
     return spark.read.parquet(out_path)
 
 

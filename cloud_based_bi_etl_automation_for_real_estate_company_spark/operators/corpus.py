@@ -1040,6 +1040,7 @@ def cluster_split(
     dst_col: str = "id_b",
     train_pct: int = 80,
     val_pct: int = 10,
+    cc: DataFrame | None = None,
 ) -> DataFrame:
     """LEAKAGE-SAFE train/val/test split: the split unit is the
     near-duplicate CLUSTER, not the document. A plain per-doc modulus
@@ -1059,12 +1060,17 @@ def cluster_split(
     broadcast-size left join back to the corpus + a map-side modulus;
     the corpus itself is scanned once. Returns ``df``'s rows with
     ``cluster_id`` and ``split`` appended.
-    """
-    from .dedup import connected_components_star
 
-    cc = connected_components_star(pairs, src=src_col, dst=dst_col).select(
-        F.col("doc_id").alias(id_col), "cluster_id"
-    )
+    ``cc`` short-circuits the clustering with precomputed components
+    (``(doc_id, cluster_id)`` rows) — callers that already ran star
+    CC over the same pairs (run_curation_pipeline's soft-dedup path)
+    pass it to avoid a second fixpoint loop.
+    """
+    if cc is None:
+        from .dedup import connected_components_star
+
+        cc = connected_components_star(pairs, src=src_col, dst=dst_col)
+    cc = cc.select(F.col("doc_id").alias(id_col), "cluster_id")
     keyed = df.join(cc, id_col, "left").withColumn(
         "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
     )

@@ -165,7 +165,11 @@ def frame_sample_stub(df: DataFrame, blob_col: str = "blob",
             ids, idxs = [], []
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
                 vid = parse_video_header(blob)
-                if vid is not None and vid[2] >= 0:
+                # real-duration frame counts ONLY for containers with
+                # at least one vide track — an audio-only ISO-BMFF
+                # (m4a) has no video frames to sample, so it keeps the
+                # byte-length stub path like any other non-video blob
+                if vid is not None and vid[2] >= 0 and vid[3] > 0:
                     n_frames = max(1, vid[2] * fps // 1000)
                 else:
                     n_frames = max(1, len(blob) // 100)

@@ -243,3 +243,54 @@ def test_curation_pipeline_sorted_output_layout(spark, tmp_path):
         )
         for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
             assert lo1 <= hi1 <= lo2, (split, spans)
+
+
+def test_curation_soft_dedup_retains_weights_and_splits_by_cluster(
+    spark, tmp_path
+):
+    """soft_dedup=True keeps near-duplicates with 1/cluster-size
+    weights AND splits by near-dup cluster — no surviving near-dup
+    pair may straddle the train/val/test boundary (the leakage mode
+    the per-doc modulus has when losers are retained)."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.dedup import (
+        minhash_estimate_pairs,
+    )
+
+    hard = run_curation_pipeline(spark, SF, str(tmp_path / "hard"))
+    soft = run_curation_pipeline(
+        spark, SF, str(tmp_path / "soft"), soft_dedup=True
+    )
+    # near-dup losers are retained, so the soft corpus is strictly
+    # larger than the hard-pruned one and carries the weight columns
+    assert soft.count() > hard.count()
+    assert {"weight", "cluster_id", "split"} <= set(soft.columns)
+    # weight == 1/|cluster| exactly, singletons weigh 1.0
+    sizes = soft.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n"), F.first("weight").alias("w")
+    )
+    bad = sizes.filter(
+        F.abs(F.col("w") - F.round(F.lit(1.0) / F.col("n"), 9)) > 1e-12
+    )
+    assert bad.isEmpty()
+    # every cluster lands in exactly ONE split (construction), and the
+    # independent check: re-detect near-dup pairs over the curated
+    # docs — both endpoints of every pair must share a split
+    per_cluster = soft.groupBy("cluster_id").agg(
+        F.countDistinct("split").alias("ns")
+    )
+    assert per_cluster.filter(F.col("ns") > 1).isEmpty()
+    pairs = minhash_estimate_pairs(soft, threshold=0.5).select("id_a", "id_b")
+    lab = soft.select("doc_id", "split")
+    straddle = (
+        pairs.join(lab.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumnRenamed("split", "split_a")
+        .join(lab.withColumnRenamed("doc_id", "id_b"), "id_b")
+        .filter(F.col("split_a") != F.col("split"))
+    )
+    # the fixture corpus is near-dup heavy: the pair set must be
+    # non-empty for this check to mean anything
+    assert not pairs.isEmpty()
+    assert straddle.isEmpty()
+    # weights conserve probability mass: sum over each cluster == 1
+    mass = soft.groupBy("cluster_id").agg(F.sum("weight").alias("m"))
+    assert mass.filter(F.abs(F.col("m") - 1.0) > 1e-6).isEmpty()

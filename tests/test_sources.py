@@ -143,6 +143,15 @@ def test_multimodal_frame_sample(spark):
     )
     vout = M.frame_sample_stub(vids, every_n=10).collect()
     assert sorted(r["frame_idx"] for r in vout) == [0, 10, 20]
+    # audio-only ISO-BMFF (m4a): parseable container but ZERO vide
+    # tracks — there are no video frames to sample, so it must take
+    # the byte-length stub path, not duration*fps (round-10 fix)
+    m4a_bytes = M.build_minimal_mp4(0, 0, 5000, track_kind=b"soun")
+    m4a = spark.createDataFrame(
+        [(3, bytearray(m4a_bytes))], "doc_id bigint, blob binary"
+    )
+    aout = M.frame_sample_stub(m4a, every_n=1).collect()
+    assert len(aout) == max(1, len(m4a_bytes) // 100)  # not 150 (=5s*30fps)
 
 
 def test_binary_file_source(spark, tmp_path):

@@ -107,6 +107,15 @@ def test_luhn_card_redaction(spark):
     assert got[3][1] == "ref <CARD> ok"
     assert got[4][1] == rows[3][1]  # 6 and 20 digits: not card-shaped
     assert got[5][1] == "two <CARD> and <CARD> here"
+    # round-10: the fold replaces at WORD BOUNDARIES only — a valid
+    # card that also occurs inside a longer digit run (order id) must
+    # not be rewritten mid-token
+    emb = spark.createDataFrame(
+        [(9, "card 4532015112830366 ref 94532015112830366321")],
+        "id int, t string",
+    )
+    got9 = emb.select(redact_cards("t").alias("rc")).collect()[0]["rc"]
+    assert got9 == "card <CARD> ref 94532015112830366321"
     # luhn_valid over the whole string strips non-digits first: row 1
     # has exactly one 16-digit run -> True; row 4 concatenates to 26
     # digits -> False by the 13-19 length gate
