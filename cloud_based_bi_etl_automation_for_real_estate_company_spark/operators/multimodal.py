@@ -116,7 +116,7 @@ def _decode_one(blob: bytes) -> tuple[int, int, int, str]:
         return n, width, height, fmt
     vid = parse_video_header(blob)
     if vid is not None:
-        return n, vid[0], vid[1], "mp4"
+        return n, vid[0], vid[1], "mp4-frag" if vid[6] else "mp4"
     return n, 320 + (n % 320), 240 + (n % 240), "unknown"
 
 
@@ -235,7 +235,8 @@ def with_blob(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def with_media_blob(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    frag_mod: int | None = None,
 ) -> DataFrame:
     """Fixture blob builder with a REAL media slice: rows where
     ``doc_id % 5 == 0`` carry a valid minimal MP4 (built by
@@ -243,7 +244,10 @@ def with_media_blob(
     pad, so every field is SQL-replayable arithmetic), the rest keep
     the utf-8 text stand-in. This is how x_multimodal_meta exercises
     the ISO-BMFF walk under the DuckDB oracle without media files in
-    the container."""
+    the container. ``frag_mod=r`` additionally makes ``doc_id % 5 ==
+    r`` rows carry a fragmented-MP4 media segment (build_minimal_fmp4,
+    doc_id-derived duration/pad) — x_video_meta passes 1 to pin the
+    fMP4 detection path under the oracle."""
     from pyspark.sql.types import BinaryType
 
     @F.pandas_udf(BinaryType())
@@ -259,6 +263,10 @@ def with_media_blob(
                         500 + i % 4000,
                         pad=i % 256,
                     )
+                )
+            elif frag_mod is not None and i % 5 == frag_mod:
+                out.append(
+                    build_minimal_fmp4(1000 + i % 3000, pad=i % 128)
                 )
             else:
                 out.append(("" if txt is None else txt).encode("utf-8"))
@@ -415,33 +423,84 @@ def _walk_boxes(blob: bytes, start: int, end: int):
 
 def parse_video_header(
     blob: bytes,
-) -> tuple[int, int, int, int, int, str] | None:
+) -> tuple[int, int, int, int, int, str, int] | None:
     """Pure-Python ISO-BMFF (MP4/MOV/M4A) box walk — the video sibling
     of ``parse_image_header``/``parse_wav_header``, completing the
     multimodal header trio with no media library: sniff the ``ftyp``
-    box, then walk ``moov`` for ``mvhd`` (movie timescale + duration),
-    each ``trak``'s ``tkhd`` (16.16 fixed-point presentation
-    width/height) and ``mdia``/``hdlr`` (vide/soun track
-    classification). Returns (width, height, duration_ms,
-    n_video_tracks, n_audio_tracks, major_brand) or None when the
-    container doesn't parse; an audio-only ISO-BMFF (m4a) parses with
-    width=height=0 and n_video_tracks=0 — format branching is the
-    caller's call, same contract as the WAV walk."""
+    (or a media segment's ``styp``) box, then walk ``moov`` for
+    ``mvhd`` (movie timescale + duration), each ``trak``'s ``tkhd``
+    (16.16 fixed-point presentation width/height) and ``mdia``/
+    ``hdlr`` (vide/soun track classification). Returns (width, height,
+    duration_ms, n_video_tracks, n_audio_tracks, major_brand,
+    fragmented) or None when the container doesn't parse; an
+    audio-only ISO-BMFF (m4a) parses with width=height=0 and
+    n_video_tracks=0 — format branching is the caller's call, same
+    contract as the WAV walk.
+
+    Fragmented MP4 (round-10): a container whose samples live in
+    ``moof`` fragments — detected via ``mvex`` inside moov, or a
+    moov-less ``styp``/``moof``/``sidx`` media segment — sets
+    ``fragmented=1`` instead of parsing as corrupt, so a 100 TB video
+    crawl can route fMP4 to a segment-aware path rather than silently
+    bucketing it with garbage. Duration falls back through mvhd →
+    mehd (fragment_duration, mvex) → sidx (sum of subsegment
+    durations over the sidx timescale)."""
     import struct
 
-    if len(blob) < 12 or blob[4:8] != b"ftyp":
+    if len(blob) < 12 or blob[4:8] not in (b"ftyp", b"styp"):
         return None
     brand = blob[8:12].decode("ascii", errors="replace").strip()
     width = height = 0
     duration_ms = -1
     n_video = n_audio = 0
     saw_moov = False
+    fragmented = False
+    mvhd_ts = 0
+    mehd_dur = -1
+    sidx_ms = -1
     for btype, p, e in _walk_boxes(blob, 0, len(blob)):
+        if btype == b"moof":
+            fragmented = True
+            continue
+        if btype == b"sidx" and p + 4 <= e:
+            fragmented = True
+            ver = blob[p]
+            body = p + 12  # past ver/flags + reference_ID
+            if body <= e:
+                ts = (
+                    struct.unpack(">I", blob[p + 8 : p + 12])[0]
+                    if p + 12 <= e
+                    else 0
+                )
+                q = body + (8 if ver == 0 else 16)  # earliest + offset
+                if ts and q + 4 <= e:
+                    n_refs = struct.unpack(">H", blob[q + 2 : q + 4])[0]
+                    q += 4
+                    total = 0
+                    for _ in range(n_refs):
+                        if q + 12 > e:
+                            break
+                        total += struct.unpack(">I", blob[q + 4 : q + 8])[0]
+                        q += 12
+                    sidx_ms = total * 1000 // ts
+            continue
         if btype != b"moov":
             continue
         saw_moov = True
         for t2, p2, e2 in _walk_boxes(blob, p, e):
-            if t2 == b"mvhd" and p2 + 4 <= e2:
+            if t2 == b"mvex":
+                fragmented = True
+                for t3, p3, e3 in _walk_boxes(blob, p2, e2):
+                    if t3 == b"mehd" and p3 + 4 <= e3:
+                        if blob[p3] == 1 and p3 + 12 <= e3:
+                            mehd_dur = struct.unpack(
+                                ">Q", blob[p3 + 4 : p3 + 12]
+                            )[0]
+                        elif blob[p3] == 0 and p3 + 8 <= e3:
+                            mehd_dur = struct.unpack(
+                                ">I", blob[p3 + 4 : p3 + 8]
+                            )[0]
+            elif t2 == b"mvhd" and p2 + 4 <= e2:
                 ver = blob[p2]
                 if ver == 1 and p2 + 32 <= e2:
                     ts = struct.unpack(">I", blob[p2 + 20 : p2 + 24])[0]
@@ -453,6 +512,7 @@ def parse_video_header(
                 else:
                     continue
                 if ts:
+                    mvhd_ts = ts
                     duration_ms = dur * 1000 // ts
             elif t2 == b"trak":
                 t_w = t_h = 0
@@ -479,8 +539,16 @@ def parse_video_header(
                     # treat as video (hand-trimmed fixtures)
                     n_video += 1
                     width, height = max(width, t_w), max(height, t_h)
-    if not saw_moov:
+    if not saw_moov and not fragmented:
         return None
+    # fragmented duration fallback: a fragmented movie's mvhd duration
+    # is typically 0 (samples live in moof boxes) — prefer mehd's
+    # fragment_duration, then the sidx subsegment sum
+    if fragmented and duration_ms <= 0:
+        if mehd_dur >= 0 and mvhd_ts:
+            duration_ms = mehd_dur * 1000 // mvhd_ts
+        elif sidx_ms >= 0:
+            duration_ms = sidx_ms
     return (
         int(width),
         int(height),
@@ -488,6 +556,7 @@ def parse_video_header(
         int(n_video),
         int(n_audio),
         brand,
+        int(fragmented),
     )
 
 
@@ -550,6 +619,38 @@ def build_minimal_mp4(
     return ftyp + moov + mdat
 
 
+def build_minimal_fmp4(duration_ms: int, pad: int = 0) -> bytes:
+    """Deterministic fragmented-MP4 MEDIA SEGMENT builder (round-10):
+    styp + sidx + moof(mfhd) + mdat — no moov at all, the shape a DASH
+    /CMAF segment has on disk. Fixed layout: styp(20) + sidx(56, two
+    references at timescale 1000 whose subsegment durations sum to
+    ``duration_ms``) + moof(8 + mfhd(16)) + mdat(8 + pad) = 108 + pad
+    bytes — the literal the SQL oracle replays for n_bytes. Exercises
+    parse_video_header's fragmented path: brand from styp, duration
+    from the sidx subsegment sum, fragmented=1."""
+    import struct
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    styp = box(b"styp", b"msdh" + struct.pack(">I", 0) + b"msdh")
+    d1 = duration_ms // 2
+    d2 = duration_ms - d1
+    sidx = box(
+        b"sidx",
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 1, 1000)  # reference_ID, timescale
+        + struct.pack(">II", 0, 0)  # earliest_pts, first_offset
+        + struct.pack(">HH", 0, 2)  # reserved, reference_count
+        + struct.pack(">III", 100, d1, 0x90000000)
+        + struct.pack(">III", 100, d2, 0x90000000),
+    )
+    mfhd = box(b"mfhd", b"\x00\x00\x00\x00" + struct.pack(">I", 1))
+    moof = box(b"moof", mfhd)
+    mdat = box(b"mdat", b"\x00" * pad)
+    return styp + sidx + moof + mdat
+
+
 def decode_video_metadata(
     df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -571,10 +672,10 @@ def decode_video_metadata(
                     rows.append((int(i), len(b), None, None, None, None,
                                  None, None, "unknown"))
                 else:
-                    w, h, ms, nv, na, brand = parsed
+                    w, h, ms, nv, na, brand, frag = parsed
                     rows.append((int(i), len(b), w, h,
                                  None if ms < 0 else ms, nv, na, brand,
-                                 "mp4"))
+                                 "mp4-frag" if frag else "mp4"))
             yield pd.DataFrame(
                 rows,
                 columns=[

@@ -1000,9 +1000,13 @@ def q_x_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode_video_metadata): the ISO-BMFF mvhd/tkhd/hdlr walk over the
     same mixed fixture as x_multimodal_meta — mp4 rows (doc_id % 5 ==
     0, built by build_minimal_mp4) come back with real duration and
-    track classification, text rows stay honestly NULL with
-    format='unknown'. Oracle replays the builder arithmetic."""
-    d = M.with_media_blob(t(spark, sf_dir, "documents"))
+    track classification, fragmented-MP4 media segments (doc_id % 5
+    == 1, built by build_minimal_fmp4: styp+sidx+moof, NO moov) come
+    back tagged format='mp4-frag' with the sidx-summed duration
+    instead of being bucketed as corrupt (round-10), and text rows
+    stay honestly NULL with format='unknown'. Oracle replays the
+    builder arithmetic."""
+    d = M.with_media_blob(t(spark, sf_dir, "documents"), frag_mod=1)
     return M.decode_video_metadata(d)
 
 
@@ -3369,21 +3373,28 @@ ORACLES: dict[str, str] = {
     "x_video_meta": """
         SELECT doc_id,
                CAST(CASE WHEN doc_id % 5 = 0 THEN 317 + doc_id % 256
+                    WHEN doc_id % 5 = 1 THEN 108 + doc_id % 128
                     ELSE octet_length(encode(text)) END AS BIGINT)
                    AS n_bytes,
                CAST(CASE WHEN doc_id % 5 = 0 THEN 16 * (1 + doc_id % 64)
+                    WHEN doc_id % 5 = 1 THEN 0
                     END AS INT) AS width,
                CAST(CASE WHEN doc_id % 5 = 0 THEN 16 * (1 + doc_id % 36)
+                    WHEN doc_id % 5 = 1 THEN 0
                     END AS INT) AS height,
                CAST(CASE WHEN doc_id % 5 = 0 THEN 500 + doc_id % 4000
+                    WHEN doc_id % 5 = 1 THEN 1000 + doc_id % 3000
                     END AS BIGINT) AS duration_ms,
-               CAST(CASE WHEN doc_id % 5 = 0 THEN 1 END AS INT)
+               CAST(CASE WHEN doc_id % 5 = 0 THEN 1
+                    WHEN doc_id % 5 = 1 THEN 0 END AS INT)
                    AS n_video_tracks,
-               CAST(CASE WHEN doc_id % 5 = 0 THEN 0 END AS INT)
+               CAST(CASE WHEN doc_id % 5 IN (0, 1) THEN 0 END AS INT)
                    AS n_audio_tracks,
-               CASE WHEN doc_id % 5 = 0 THEN 'isom' END AS brand,
-               CASE WHEN doc_id % 5 = 0 THEN 'mp4' ELSE 'unknown' END
-                   AS format
+               CASE WHEN doc_id % 5 = 0 THEN 'isom'
+                    WHEN doc_id % 5 = 1 THEN 'msdh' END AS brand,
+               CASE WHEN doc_id % 5 = 0 THEN 'mp4'
+                    WHEN doc_id % 5 = 1 THEN 'mp4-frag'
+                    ELSE 'unknown' END AS format
         FROM documents
     """,
     "x_substring_spans": """

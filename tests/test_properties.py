@@ -459,7 +459,7 @@ def test_video_header_parse_total_never_throws(blob, w, h, dur, cut, flip):
         ),
     ):
         got = parse_video_header(payload)
-        assert got is None or (len(got) == 6 and isinstance(got[5], str))
+        assert got is None or (len(got) == 7 and isinstance(got[5], str))
     # the untruncated, uncorrupted build always round-trips
     full = parse_video_header(build_minimal_mp4(w, h, dur))
     assert full is not None and full[0] == w and full[1] == h

@@ -370,10 +370,10 @@ def test_mp4_header_parse_pure_python():
 
     b = M.build_minimal_mp4(1280, 720, 3456, pad=9)
     assert len(b) == 317 + 9
-    assert M.parse_video_header(b) == (1280, 720, 3456, 1, 0, "isom")
+    assert M.parse_video_header(b) == (1280, 720, 3456, 1, 0, "isom", 0)
     # audio-only container: parses, no dims, classified soun
     a = M.build_minimal_mp4(0, 0, 1200, track_kind=b"soun")
-    assert M.parse_video_header(a) == (0, 0, 1200, 0, 1, "isom")
+    assert M.parse_video_header(a) == (0, 0, 1200, 0, 1, "isom", 0)
     # 64-bit largesize on the mdat must not derail the walk
     big = M.build_minimal_mp4(320, 240, 100)
     largesize_mdat = (
@@ -387,13 +387,48 @@ def test_mp4_header_parse_pure_python():
     )
     moov = _s.pack(">I", 8 + len(mvhd_v1)) + b"moov" + mvhd_v1
     ftyp = _s.pack(">I", 16) + b"ftyp" + b"mp42" + _s.pack(">I", 0)
-    assert M.parse_video_header(ftyp + moov) == (0, 0, 7777, 0, 0, "mp42")
+    assert M.parse_video_header(ftyp + moov) == (0, 0, 7777, 0, 0, "mp42", 0)
     # rejection: no ftyp magic / ftyp without moov / lying box size
     assert M.parse_video_header(b"\x89PNG\r\n\x1a\n" + b"\x00" * 24) is None
     assert M.parse_video_header(ftyp) is None
     lying = ftyp + _s.pack(">I", 10 ** 6) + b"moov"
     assert M.parse_video_header(lying) is None
     assert M.parse_video_header(b"") is None
+
+
+def test_fmp4_header_parse_pure_python():
+    """Round-10 fragmented-MP4 awareness: a moov-less styp+sidx+moof
+    media segment parses with fragmented=1 and the sidx-summed
+    duration (NOT None-as-corrupt); a fragmented MOVIE (moov + mvex +
+    mehd, mvhd duration 0) reports mehd's fragment_duration; an
+    unfragmented file keeps fragmented=0."""
+    import struct as _s
+
+    seg = M.build_minimal_fmp4(2500, pad=11)
+    assert len(seg) == 108 + 11
+    assert M.parse_video_header(seg) == (0, 0, 2500, 0, 0, "msdh", 1)
+    # fragmented movie: mvhd duration 0, mvex/mehd carries the truth
+    def box(btype, payload):
+        return _s.pack(">I", 8 + len(payload)) + btype + payload
+
+    ftyp = box(b"ftyp", b"isom" + _s.pack(">I", 0) + b"isom")
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + _s.pack(">IIII", 0, 0, 600, 0)
+        + b"\x00" * 80 + _s.pack(">I", 2),
+    )
+    mehd = box(b"mehd", b"\x00\x00\x00\x00" + _s.pack(">I", 1800))
+    mvex = box(b"mvex", mehd)
+    moov = box(b"moov", mvhd + mvex)
+    got = M.parse_video_header(ftyp + moov)
+    # 1800 ticks at timescale 600 → 3000 ms, fragmented flag set
+    assert got == (0, 0, 3000, 0, 0, "isom", 1)
+    # moof without sidx: fragmented recognized, duration honestly -1
+    mfhd = box(b"mfhd", b"\x00" * 8)
+    seg2 = box(b"styp", b"msdh" + _s.pack(">I", 0) + b"msdh") + box(
+        b"moof", mfhd
+    )
+    assert M.parse_video_header(seg2) == (0, 0, -1, 0, 0, "msdh", 1)
 
 
 def test_decode_video_metadata_mapinpandas(spark):
