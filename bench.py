@@ -166,6 +166,29 @@ def main() -> None:
                 )
 
     total = round(sum(times.values()), 3)
+
+    # Write-side series (round 10): record the layout-sink legs in the
+    # same per-round artifact — UNTIMED relative to the headline total
+    # (separate sub-object), so the headline series stays comparable.
+    write_bench = None
+    if not os.environ.get("SPARK_GRAFT_NO_WRITE_BENCH"):
+        try:
+            sys.path.insert(
+                0,
+                os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"),
+            )
+            import bench_write
+
+            wb = bench_write.run(spark, sf_dir)
+            write_bench = {
+                "queries": wb["queries"],
+                "n_rows": wb["n_rows"],
+                "n_sorted_files": wb.get("n_sorted_files"),
+                "prune_rows": wb.get("prune_rows"),
+            }
+        except Exception as exc:  # the secondary series must never
+            write_bench = {"error": str(exc)[:200]}  # sink the headline
+
     print(
         json.dumps(
             {
@@ -174,6 +197,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "write_bench": write_bench,
                 "load": {
                     "pre_spark_1m": round(load_pre, 2),
                     "batch_start_1m": batch_loads,

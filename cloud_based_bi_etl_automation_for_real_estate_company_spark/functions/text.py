@@ -211,6 +211,57 @@ def redact_pii(col: Column | str) -> Column:
     return c
 
 
+# Mojibake digraphs: the UTF-8-decoded-as-Latin-1 double-encoding
+# signatures of common Western characters (é → 'Ã©', ’ → 'â€™', …)
+# plus the replacement char a lossy decode leaves behind. Literal
+# substrings, NOT regexes — detection and repair use replace
+# arithmetic, identical in Spark and the DuckDB oracle. Longest
+# first so the repair chain's overlapping prefixes ('â€œ' vs 'â€™')
+# consume deterministically in both engines.
+MOJIBAKE_MAP: tuple[tuple[str, str], ...] = (
+    ("â€™", "’"),  # â€™ → ’
+    ("â€œ", "“"),  # â€œ → “
+    ("â€“", "–"),  # â€“ → –
+    ("Ã©", "é"),  # Ã© → é
+    ("Ã¨", "è"),  # Ã¨ → è
+    ("Ã¼", "ü"),  # Ã¼ → ü
+    ("Ã±", "ñ"),  # Ã± → ñ
+    ("Ã¶", "ö"),  # Ã¶ → ö
+    ("Ã ", "à"),  # Ã  → à
+)
+REPLACEMENT_CHAR = "�"
+
+
+def mojibake_count(col: Column | str) -> Column:
+    """Number of mojibake-signature hits in the text: occurrences of
+    the double-encoding digraphs in MOJIBAKE_MAP plus lossy-decode
+    replacement chars. Pure length/replace arithmetic (no regex, no
+    UDF) so it fuses into the scan and replays integer-exactly in the
+    SQL oracle — the cheap encoding-QA gate a web-crawl curation pass
+    runs before any model sees the text."""
+    c = F.col(col) if isinstance(col, str) else col
+    total = F.lit(0)
+    for bad, _ in MOJIBAKE_MAP + ((REPLACEMENT_CHAR, ""),):
+        total = total + (
+            F.length(c) - F.length(F.replace(c, F.lit(bad), F.lit("")))
+        ) / len(bad)
+    return total.cast("bigint")
+
+
+def demojibake(col: Column | str) -> Column:
+    """Repair the enumerated double-encoding digraphs (replace chain
+    in MOJIBAKE_MAP order) and strip replacement chars — the bounded,
+    SQL-replayable repair for the dominant Latin-1/UTF-8 confusion
+    class. A full generic repair (re-encode latin-1, re-decode utf-8)
+    is NOT expressible as JVM builtins and genuinely needs a Pandas
+    UDF; this chain covers the high-frequency signatures without
+    leaving whole-stage codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    for bad, good in MOJIBAKE_MAP:
+        c = F.replace(c, F.lit(bad), F.lit(good))
+    return F.replace(c, F.lit(REPLACEMENT_CHAR), F.lit(""))
+
+
 def shingles(col: Column | str, k: int = 3) -> Column:
     """Word k-gram shingles as an array<string>; [] when < k tokens.
 

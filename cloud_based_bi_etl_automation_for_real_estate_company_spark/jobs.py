@@ -94,6 +94,9 @@ def run_curation_pipeline(
     """End-to-end training-data curation — the composition the
     individual oracle-checked operators exist for:
 
+    0. encoding hygiene (mojibake digraph repair + replacement-char
+       strip — map-only replace chain, so mis-decoded crawls of the
+       same document hash together at the dedup stages);
     1. quality gate (map-side column filter, fuses into the scan);
     2. repetition gate (Gopher-style dup-token/bigram thresholds);
     3. exact dedup (one content-hash groupBy; canonical = min doc_id);
@@ -170,6 +173,15 @@ def run_curation_pipeline(
     from .plans.measures import t
 
     d = t(spark, sf_dir, "documents")
+    # stage 0 (round 10): encoding hygiene — repair double-encoding
+    # mojibake digraphs and strip replacement chars BEFORE any hash is
+    # taken, so the same document crawled once clean and once
+    # mis-decoded dedups together. Map-only replace chain, fuses into
+    # the scan (functions/text.demojibake; x_mojibake oracle-gates the
+    # arithmetic).
+    from .functions.text import demojibake
+
+    d = d.withColumn("text", demojibake(F.col("text")))
     gated = quality_gate(d)
     repetitive = (
         repetition_stats(gated)

@@ -408,6 +408,38 @@ def q_x_card_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-QA gate (round 10, functions/text.py mojibake_count /
+    demojibake): detect UTF-8-decoded-as-Latin-1 double-encoding
+    signatures ('Ã©', 'â€™', …) and lossy-decode replacement chars,
+    and repair the enumerated digraphs with a replace chain — the
+    cheap pre-model encoding hygiene pass a web-crawl curation runs.
+    Fixture: doc_id % 7 == 3 rows get a mojibake suffix (5 signature
+    hits), % 7 == 5 rows get a replacement char; everything is
+    length/replace arithmetic, zero regex, zero UDF, and the oracle
+    replays it literally."""
+    d = t(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 3,
+            F.concat(F.col("text"), F.lit(" cafÃ© â€™quoteâ€œ Ã¼ber Ã±")),
+        )
+        .when(
+            F.col("doc_id") % 7 == 5,
+            F.concat(F.col("text"), F.lit(" bad�byte")),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    return injected.select(
+        "doc_id",
+        T.mojibake_count(F.col("t")).alias("n_moji"),
+        (T.mojibake_count(F.col("t")) == 0).alias("clean"),
+        F.md5(T.demojibake(F.col("t"))).alias("repaired_hash"),
+    )
+
+
 def q_x_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (dup-token / dup-bigram
     ratios, top-token share) per document."""
@@ -2806,6 +2838,40 @@ ORACLES: dict[str, str] = {
                COUNT(*) AS n_docs
         FROM documents GROUP BY 1
     """,
+    # x_mojibake: identical injection + length/replace counting
+    # arithmetic + the same ordered repair chain — literal substrings
+    # only, so no regex-engine divergence is possible
+    "x_mojibake": """
+        WITH inj AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 3
+                        THEN text || ' cafÃ© â€™quoteâ€œ Ã¼ber Ã±'
+                        WHEN doc_id % 7 = 5 THEN text || ' bad�byte'
+                        ELSE text END AS t
+            FROM documents),
+        cnt AS (
+            SELECT doc_id, t,
+                   CAST(
+                     (length(t) - length(replace(t, 'â€™', ''))) / 3
+                   + (length(t) - length(replace(t, 'â€œ', ''))) / 3
+                   + (length(t) - length(replace(t, 'â€“', ''))) / 3
+                   + (length(t) - length(replace(t, 'Ã©', ''))) / 2
+                   + (length(t) - length(replace(t, 'Ã¨', ''))) / 2
+                   + (length(t) - length(replace(t, 'Ã¼', ''))) / 2
+                   + (length(t) - length(replace(t, 'Ã±', ''))) / 2
+                   + (length(t) - length(replace(t, 'Ã¶', ''))) / 2
+                   + (length(t) - length(replace(t, 'Ã ', ''))) / 2
+                   + (length(t) - length(replace(t, '�', '')))
+                   AS BIGINT) AS n_moji
+            FROM inj)
+        SELECT doc_id, n_moji, n_moji = 0 AS clean,
+               md5(replace(replace(replace(replace(replace(replace(
+                   replace(replace(replace(replace(
+                   t, 'â€™', '’'), 'â€œ', '“'), 'â€“', '–'), 'Ã©', 'é'),
+                   'Ã¨', 'è'), 'Ã¼', 'ü'), 'Ã±', 'ñ'), 'Ã¶', 'ö'),
+                   'Ã ', 'à'), '�', '')) AS repaired_hash
+        FROM cnt
+    """,
     # x_card_redact: DuckDB replays the Luhn sum with list ops over
     # the reversed digit chars (1-based constant-list indexing) and
     # the same conditional literal replace
@@ -4477,6 +4543,7 @@ QUERIES = {
     "x_fingerprint": q_x_fingerprint,
     "x_pii_redact": q_x_pii_redact,
     "x_card_redact": q_x_card_redact,
+    "x_mojibake": q_x_mojibake,
     "x_repetition": q_x_repetition,
     "x_decontaminate": q_x_decontaminate,
     "x_bloom_decontaminate": q_x_bloom_decontaminate,

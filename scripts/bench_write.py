@@ -52,17 +52,20 @@ def timed(fn) -> float:
     return round(best, 3)
 
 
-def main() -> None:
-    spark = get_spark("bench-write")
-    spark.sparkContext.setLogLevel("ERROR")
+def run(spark, src: str) -> dict:
+    """Run the four write-side legs and return the result dict —
+    callable both standalone (main below) and from bench.py, which
+    folds the row into the per-round BENCH artifact (round-10: the
+    write series gets a recorded point every round, same quiet-host
+    discipline as the headline numbers)."""
     ev = (
-        t(spark, SRC, "events")
+        t(spark, src, "events")
         .select("event_id", "user_id", "event_type", "value", "ts")
         .localCheckpoint(eager=True)  # isolate write cost from scan
     )
     n = ev.count()
     root = tempfile.mkdtemp(prefix="spark_graft_bench_write_")
-    out = {"metric": "write_side_bench", "n_rows": n, "sf_dir": SRC,
+    out = {"metric": "write_side_bench", "n_rows": n, "sf_dir": src,
            "queries": {}}
     try:
         out["queries"]["plain_write"] = timed(
@@ -96,7 +99,13 @@ def main() -> None:
         out["n_sorted_files"] = n_files
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    print(json.dumps(out))
+    return out
+
+
+def main() -> None:
+    spark = get_spark("bench-write")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps(run(spark, SRC)))
 
 
 if __name__ == "__main__":

@@ -120,3 +120,36 @@ def test_luhn_card_redaction(spark):
     # has exactly one 16-digit run -> True; row 4 concatenates to 26
     # digits -> False by the 13-19 length gate
     assert got[1][0] is True and got[4][0] is False
+
+
+def test_mojibake_count_and_repair(spark):
+    """Round-10 encoding QA: mojibake_count counts double-encoding
+    digraphs + replacement chars; demojibake repairs the enumerated
+    digraphs and strips replacement chars — pure replace arithmetic."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.functions.text import (
+        demojibake,
+        mojibake_count,
+    )
+
+    rows = [
+        (1, "clean text"),
+        (2, "cafÃ© and â€™quotesâ€œ"),
+        (3, "bad � byte �"),
+        # the 'à' digraph is 'Ã' + NBSP (U+00C3 U+00A0) — written as
+        # escapes because an editor normalizing NBSP→space would
+        # silently change the fixture
+        (4, "Ã¼ber naÃ±a Ã¶ko \u00c3\u00a0la carte"),
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    got = {
+        r["id"]: (r["n"], r["fix"])
+        for r in df.select(
+            "id",
+            mojibake_count("t").alias("n"),
+            demojibake("t").alias("fix"),
+        ).collect()
+    }
+    assert got[1] == (0, "clean text")
+    assert got[2] == (3, "café and ’quotes“")
+    assert got[3] == (2, "bad  byte ")
+    assert got[4] == (4, "über naña öko àla carte")
