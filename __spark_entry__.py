@@ -2,8 +2,8 @@
 
 ``entry`` runs the flagship dashboard query; ``queries`` /
 ``oracle_sql`` expose every implemented operator from SURVEY.md §2
-plus the training-data-pipeline extensions — 228 registered queries,
-227 with DuckDB oracles, 1 rows-only: x_pca_project
+plus the training-data-pipeline extensions — 229 registered queries,
+228 with DuckDB oracles, 1 rows-only: x_pca_project
 (numpy eigh) — PERMANENTLY rows-only by round-6 decision: its
 Parseval shadow ``x_pca_invariants`` checks centering/orthonormality
 in SQL, and ``x_power_iteration`` proves the distributed eigen-math
@@ -61,34 +61,28 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Round-9 gate front block. Every round-8 front name is green in
-# CORRECTNESS_r08, so the 50-slot window now holds: (a) the round-9
-# addition (the ISO-BMFF video-metadata surface), (b) the 8 queries
-# whose plan changed this round (mp4 fixture rows in the multimodal
-# decode; star-contraction CC promoted to the headline name and the
-# min-label variant re-registered under its honest name; the
-# basket-capped co-purchase edge builder behind kcore/triangles; the
-# t-digest NULL filter upstream of the three digest rows), (c) the 6
-# permanent double-arithmetic SENTINELS, then (d) STALENESS ROTATION
-# — the 21 r3-vintage names staged as _ROTATION_R9 last round,
-# followed by the 14 alphabetically-first r4-vintage names; the
-# remaining 14 r4 names stage as _ROTATION_R10. After this window no
-# catalog name's newest driver row is older than r4.
+# Round-10 gate front block. Every round-9 front name is green in
+# CORRECTNESS_r09, so the 50-slot window now holds: (a) the 1 round-10
+# addition (the mojibake encoding-QA surface), (b) the 6 queries whose
+# plan changed this round (fMP4 media-segment rows + the fragmented
+# flag in the video/multimodal decodes; the word-boundary fold in the
+# card redaction; the fused star-forest check inside star-contraction
+# CC, which also feeds cluster_split and the soft-dedup weights),
+# (c) the 6 permanent double-arithmetic SENTINELS, then (d) STALENESS
+# ROTATION — the 17 r4-vintage names staged as _ROTATION_R10 last
+# round, followed by the 20 alphabetically-first r5-vintage names;
+# the remaining 22 r5 names stage as _ROTATION_R11. After this window
+# no catalog name's newest driver row is older than r5.
 _GATE_PRIORITY = (
-    # -- (a) new in round 9 -------------------------------------------------
-    "x_video_meta",
-    "x_cluster_split",
-    "x_card_redact",
-    "x_softdedup_weights",
+    # -- (a) new in round 10 ------------------------------------------------
+    "x_mojibake",
     # -- (b) plan changed this round ---------------------------------------
+    "x_video_meta",
     "x_multimodal_meta",
+    "x_card_redact",
     "x_dedup_clusters",
-    "x_dedup_clusters_minlabel",
-    "x_kcore",
-    "x_triangles",
-    "x_tdigest_quantiles",
-    "x_tdigest_rollup",
-    "t17_rolling_quantiles",
+    "x_cluster_split",
+    "x_softdedup_weights",
     # -- (c) permanent sentinels: fragile double-fold bit-exactness --------
     "t10_holt",
     "t12_holt_winters",
@@ -96,48 +90,7 @@ _GATE_PRIORITY = (
     "a29_trend_slope",
     "a30_corr_pairs",
     "x_linkage_score",
-    # -- (d) staleness rotation: the staged r3 vintage (x_pca_project
-    # keeps its slot here — rows-only by permanent decision, but the
-    # rows-only row still proves the query executes) ------------------------
-    "x_bloom_decontaminate",
-    "x_collocations",
-    "x_doc_entropy",
-    "x_editdist_pairs",
-    "x_embed_stats",
-    "x_hard_negatives",
-    "x_kmv_distinct",
-    "x_kmv_setops",
-    "x_mixture_sample",
-    "x_ngram_containment",
-    "x_pca_project",
-    "x_priority_sample",
-    "x_profile_table",
-    "x_semdedup",
-    "x_sliding_span_dedup",
-    "x_span_dedup",
-    "x_token_spectrum",
-    "x_trigram_nll",
-    "x_unigram_nll",
-    "x_zipf_fit",
-    "x_zorder_key",
-    # r4 vintage from here (alphabetical first half)
-    "a32_windowed_funnel",
-    "a33_salted_join_revenue",
-    "a34_monthly_price_band",
-    "a35_transition_matrix",
-    "a37_ab_test",
-    "a38_winsorized_stats",
-    "a39_whatif_discount",
-    "t11_interval_join_batch",
-    "t13_twap",
-    "u7_cdc_asof",
-    "w10_cumulative_distinct",
-)
-
-# Round-10 rotation backlog: the 14 remaining r4-vintage names (oldest
-# staleness tier after round 9). Promote behind round-10 additions +
-# the sentinels; r5-vintage names (see CORRECTNESS_r05) come next.
-_ROTATION_R10: tuple[str, ...] = (
+    # -- (d) staleness rotation: the 17 staged r4-vintage names -------------
     "w11_asof_snapshot",
     "w12_rolling_distinct",
     "w13_range_frame",
@@ -155,6 +108,55 @@ _ROTATION_R10: tuple[str, ...] = (
     "x_normalized_dedup",
     "x_pca_invariants",
     "x_sorted_neighborhood",
+    # r5 vintage from here (alphabetical first 20 of 42)
+    "a36_top_paths",
+    "a40_attribution",
+    "a41_unpivot_measures",
+    "a42_mad_outliers",
+    "a6_leaderboard",
+    "l10_order_count_dist",
+    "l11_idle_rich_customers",
+    "l12_promo_revenue",
+    "l13_small_qty_revenue",
+    "l16_small_qty_brand_revenue",
+    "l17_dominant_suppliers",
+    "l18_idle_big_accounts",
+    "l19_priority_late_orders",
+    "l1_pricing_summary",
+    "l20_nation_trade_pairs",
+    "l21_market_share",
+    "l22_nation_profit",
+    "l23_stock_concentration",
+    "l24_forecast_revenue",
+    "l25_priority_mode_split",
+)
+
+# Round-11 rotation backlog: the 22 remaining r5-vintage names (oldest
+# staleness tier after round 10). Promote behind round-11 additions +
+# the sentinels; r6-vintage names (see CORRECTNESS_r06) come next.
+_ROTATION_R11: tuple[str, ...] = (
+    "l26_waiting_suppliers",
+    "l2_revenue_by_nation",
+    "l3_top_parts",
+    "l4_order_lifecycle",
+    "l5_top_revenue_orders",
+    "l6_returned_customers",
+    "l7_lone_late_suppliers",
+    "l8_supplier_variety",
+    "l9_groupwise_min",
+    "t14_cusum",
+    "t15_backtest",
+    "t3_top_terms",
+    "x_ann_ivf_trained",
+    "x_bpe_encode",
+    "x_bpe_train",
+    "x_calibration",
+    "x_cms_heavy_hitters",
+    "x_hll_rollup",
+    "x_label_prop",
+    "x_mmr_rerank",
+    "x_nb_confusion",
+    "x_prefix_join",
 )
 
 
@@ -166,7 +168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for mod in (warehouse, windows, extensions, measures, analytics, scalars, temporal):
         all_q.update(mod.QUERIES)
     out = {n: all_q[n] for n in _GATE_PRIORITY if n in all_q}
-    out.update({n: all_q[n] for n in _ROTATION_R10 if n in all_q and n not in out})
+    out.update({n: all_q[n] for n in _ROTATION_R11 if n in all_q and n not in out})
     out.update({n: f for n, f in all_q.items() if n not in out})
     return out
 
