@@ -59,7 +59,16 @@ def main() -> None:
         n_edges = edges.count()
         rec = {"n_edges": n_edges, "path_len": path_len}
         for fn, name in (
-            (connected_components_star, "star"),
+            # star runs with the local finish DISABLED: this soak
+            # measures the distributed fixpoint loop's diameter
+            # scaling, which the size-gated union-find would bypass
+            # at these edge counts
+            (
+                lambda e: connected_components_star(
+                    e, local_finish_max_edges=0
+                ),
+                "star",
+            ),
             (connected_components, "minlabel"),
         ):
             best = None

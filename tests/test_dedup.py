@@ -775,3 +775,36 @@ def test_connected_components_require_convergence(spark):
         require_convergence=True,
     )
     assert {r["cluster_id"] for r in ok.collect()} == {1}
+
+
+def test_star_cc_local_finish_matches_distributed(spark):
+    """Round-10: the size-gated driver-side union-find finish must be
+    OUTPUT-IDENTICAL to the all-distributed star fixpoint — same
+    (doc_id, cluster_id=component min) rows on a graph mixing cliques,
+    a long path, and singleton-free isolated pairs."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    edges = (
+        [(i, i + 1) for i in range(40)]  # path: component min 0
+        + [(100 + i, 100 + j) for i in range(4) for j in range(i + 1, 4)]
+        + [(200, 201), (300, 301), (301, 302), (50, 25)]  # merges into path
+        + [(999, 999)]  # self-loop on an otherwise-absent node
+    )
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    local = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components_star(df).collect()
+    }
+    dist = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components_star(
+            df, local_finish_max_edges=0
+        ).collect()
+    }
+    assert local == dist
+    # spot semantics: the 100-clique labels to 100, the pair to 200
+    lab = dict(local)
+    assert lab[103] == 100 and lab[201] == 200 and lab[302] == 300
+    assert lab[50] == 0 and 999 not in lab  # self-loop contributes no node
