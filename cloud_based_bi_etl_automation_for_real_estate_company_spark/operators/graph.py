@@ -229,6 +229,54 @@ def triangles(
     )
 
 
+def _local_kcore(
+    e: DataFrame,
+    k: int,
+    rounds_left: int,
+    require_convergence: bool,
+    rounds: int,
+) -> DataFrame:
+    """Driver-side bulk peel over a BOUNDED surviving edge list —
+    replays the distributed loop's exact semantics (pre-round fixpoint
+    check, at most ``rounds_left`` further peels, final deg ≥ k
+    filter, the same require_convergence confirmation + error) so the
+    switch is invisible to callers and to the fixed-round oracle."""
+    from collections import Counter
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    id_type = e.schema["a"].dataType
+    cur = [(r[0], r[1]) for r in e.collect()]
+    converged = False
+    for _ in range(rounds_left):
+        deg = Counter()
+        for a, b in cur:
+            deg[a] += 1
+            deg[b] += 1
+        under = {n for n, d in deg.items() if d < k}
+        if not cur or not under:
+            converged = True
+            break
+        cur = [(a, b) for a, b in cur if a not in under and b not in under]
+    deg = Counter()
+    for a, b in cur:
+        deg[a] += 1
+        deg[b] += 1
+    if require_convergence and not converged:
+        converged = all(d >= k for d in deg.values())
+    if require_convergence and not converged:
+        raise ValueError(
+            f"k-core peel did not reach a fixpoint within {rounds} rounds; "
+            "the result would be a superset of the k-core"
+        )
+    schema = StructType(
+        [StructField("node", id_type), StructField("deg", LongType())]
+    )
+    return e.sparkSession.createDataFrame(
+        [(n, d) for n, d in deg.items() if d >= k], schema
+    )
+
+
 def kcore(
     edges: DataFrame,
     k: int,
@@ -236,6 +284,7 @@ def kcore(
     dst_col: str = "dst",
     rounds: int = 8,
     require_convergence: bool = False,
+    local_finish_max_edges: int = 100_000,
 ) -> DataFrame:
     """k-core decomposition by iterative peeling (Seidman, Social
     Networks 1983; the Batagelj–Zaveršnik bulk variant): repeatedly
@@ -286,7 +335,19 @@ def kcore(
     # for `keep` (one exchange over a checkpoint scan — cheaper than
     # materializing deg itself).
     converged = False
-    for _ in range(rounds):
+    for i in range(rounds):
+        # local finish (round 10, same move as connected_components_
+        # star): peeling shrinks the surviving edge list monotonically,
+        # so once it fits a constant driver budget the remaining
+        # rounds are job-launch overhead — collect (provably bounded
+        # by the count gate) and bulk-peel locally, honoring the SAME
+        # remaining-round bound so a deep-peel graph returns exactly
+        # what the distributed loop would (the fixed-round oracle
+        # contract). Pass local_finish_max_edges=0 for all-distributed.
+        if local_finish_max_edges and e.count() <= local_finish_max_edges:
+            return _local_kcore(
+                e, k, rounds - i, require_convergence, rounds
+            )
         if e.isEmpty() or _degrees(e).filter(F.col("deg") < k).isEmpty():
             converged = True
             break

@@ -226,3 +226,42 @@ def test_copurchase_edges_caps_hot_baskets(spark):
         min_support=1, basket_cap=10,
     )
     assert at_cap.count() == 45  # C(10,2)
+
+
+def test_kcore_local_finish_matches_distributed(spark):
+    """Round-10: the size-gated local bulk peel must be OUTPUT- and
+    CONTRACT-identical to the distributed loop — same surviving
+    (node, deg) rows, same bounded-round superset on a deep-peel
+    graph, same require_convergence error."""
+    import pytest
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.graph import (
+        kcore,
+    )
+
+    # clique of 5 (4-core) + a tail that peels away at k=3
+    edges = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    edges += [(4, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    get = lambda **kw: {
+        (r["node"], r["deg"]) for r in kcore(df, 3, **kw).collect()
+    }
+    assert get() == get(local_finish_max_edges=0)
+    assert {n for n, _ in get()} == {0, 1, 2, 3, 4}
+    # deep peel at a tight round bound: both paths return the SAME
+    # bounded superset (a 12-path at k=2 peels 2 endpoints/round)
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src bigint, dst bigint"
+    )
+    bounded = lambda **kw: {
+        (r["node"], r["deg"]) for r in kcore(path, 2, rounds=2, **kw).collect()
+    }
+    assert bounded() == bounded(local_finish_max_edges=0)
+    assert bounded()  # non-empty superset after only 2 rounds
+    # ... and both raise identically under require_convergence
+    for lf in (100_000, 0):
+        with pytest.raises(ValueError, match="did not reach a fixpoint"):
+            kcore(
+                path, 2, rounds=2, require_convergence=True,
+                local_finish_max_edges=lf,
+            ).collect()
