@@ -63,16 +63,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Round-10 gate front block. Every round-9 front name is green in
 # CORRECTNESS_r09, so the 50-slot window now holds: (a) the 1 round-10
-# addition (the mojibake encoding-QA surface), (b) the 7 queries whose
+# addition (the mojibake encoding-QA surface), (b) the 8 queries whose
 # plan changed this round (fMP4 media-segment rows + the fragmented
 # flag in the video/multimodal decodes; the word-boundary fold in the
 # card redaction; the fused star-forest check + size-gated local
-# finish inside star-contraction CC, which also feeds cluster_split
-# and the soft-dedup weights; the same local finish in the k-core
-# peel), (c) the 6 permanent double-arithmetic SENTINELS, then (d)
+# finish inside star-contraction CC, which also feeds cluster_split,
+# the soft-dedup weights, and — new this round — the golden-records
+# entity clustering; the same local finish in the k-core peel),
+# (c) the 6 permanent double-arithmetic SENTINELS, then (d)
 # STALENESS ROTATION — the 17 r4-vintage names staged as
-# _ROTATION_R10 last round, followed by the 19 alphabetically-first
-# r5-vintage names; the remaining 23 r5 names stage as _ROTATION_R11.
+# _ROTATION_R10 last round, followed by the 18 alphabetically-first
+# r5-vintage names; the remaining 24 r5 names stage as _ROTATION_R11.
 # After this window no catalog name's newest driver row is older
 # than r5.
 _GATE_PRIORITY = (
@@ -86,6 +87,7 @@ _GATE_PRIORITY = (
     "x_cluster_split",
     "x_softdedup_weights",
     "x_kcore",
+    "x_golden_records",
     # -- (c) permanent sentinels: fragile double-fold bit-exactness --------
     "t10_holt",
     "t12_holt_winters",
@@ -130,13 +132,13 @@ _GATE_PRIORITY = (
     "l21_market_share",
     "l22_nation_profit",
     "l23_stock_concentration",
-    "l24_forecast_revenue",
 )
 
-# Round-11 rotation backlog: the 23 remaining r5-vintage names (oldest
+# Round-11 rotation backlog: the 24 remaining r5-vintage names (oldest
 # staleness tier after round 10). Promote behind round-11 additions +
 # the sentinels; r6-vintage names (see CORRECTNESS_r06) come next.
 _ROTATION_R11: tuple[str, ...] = (
+    "l24_forecast_revenue",
     "l25_priority_mode_split",
     "l26_waiting_suppliers",
     "l2_revenue_by_nation",

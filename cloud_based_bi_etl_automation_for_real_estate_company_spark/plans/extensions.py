@@ -1658,8 +1658,11 @@ def q_x_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     label-sum convergence check needs numeric labels. Singleton
     entities survive as their own golden record, giving the complete
     master table a downstream join would consume. Scale: blocking
-    bounds the pair work, CC is the shared min-label loop,
-    survivorship is one hash agg on the cluster key."""
+    bounds the pair work, CC is star contraction (round 10 — O(log d)
+    rounds + the size-gated local finish, so an edit-distance chain of
+    ANY depth merges into one entity, which min-label's bounded
+    propagation could only guarantee by raising), survivorship is one
+    hash agg on the cluster key."""
     p = t(spark, sf_dir, "part")
     ids = p.groupBy("p_name").agg(F.min("p_partkey").alias("nid"))
     pairs = D.editdist_pairs(p, "p_name", max_dist=2).select(
@@ -1668,12 +1671,11 @@ def q_x_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     ia = ids.select(F.col("p_name").alias("name_a"), F.col("nid").alias("ida"))
     ib = ids.select(F.col("p_name").alias("name_b"), F.col("nid").alias("idb"))
     id_pairs = pairs.join(ia, "name_a").join(ib, "name_b").select("ida", "idb")
-    # strict: an edit-distance chain (a → ab → abc …) longer than the
-    # propagation bound must raise, not silently split one entity
-    # into several golden records
-    cc = D.connected_components(
-        id_pairs, src="ida", dst="idb", require_convergence=True
-    )
+    # star contraction converges on any diameter (no require_
+    # convergence knob needed — the bound min-label had to guard with
+    # a raise, star simply satisfies), and the local finish makes the
+    # post-blocking graph cheap
+    cc = D.connected_components_star(id_pairs, src="ida", dst="idb")
     cmap = ids.join(
         cc.select(F.col("doc_id").alias("nid"), F.col("cluster_id").alias("__cl")),
         "nid",
