@@ -159,7 +159,6 @@ def run_curation_pipeline(
 
     from .operators.cacheutil import release_cached
     from .operators.dedup import (
-        connected_components,
         exact_dedup,
         minhash_estimate_pairs,
     )
@@ -227,12 +226,12 @@ def run_curation_pipeline(
     uniq = gated.join(canon, "doc_id", "left_semi")
     near = minhash_estimate_pairs(uniq, threshold=0.5)
     near_pairs = near.select("id_a", "id_b")
-    # require_convergence (round 9): near-dup graphs are usually
-    # tiny-diameter cliques, but a drifting-text CHAIN longer than the
-    # propagation bound would silently under-merge — i.e. ship
-    # duplicates into the training set. Raising loudly is the right
-    # failure; a corpus that trips it should cluster with
-    # connected_components_star instead.
+    # Both dedup modes cluster with star contraction (round 10): a
+    # drifting-text CHAIN longer than min-label's propagation bound
+    # would silently under-merge — ship duplicates into the training
+    # set — which round 9 guarded with require_convergence's loud
+    # raise; star converges on any diameter, so the failure mode is
+    # gone rather than detected.
     components = None
     if soft_dedup:
         from .operators.dedup import connected_components_star
@@ -249,8 +248,16 @@ def run_curation_pipeline(
         )
         pruned = uniq
     else:
+        from .operators.dedup import connected_components_star as _star
+
+        # round 10: star contraction replaces the strict min-label
+        # loop — it converges on ANY chain diameter (the failure mode
+        # require_convergence existed to catch) and the size-gated
+        # local finish makes the post-LSH graph cheap. Same output
+        # contract (cluster_id = component min), so losers are
+        # identical rows.
         losers = (
-            connected_components(near_pairs, require_convergence=True)
+            _star(near_pairs)
             .filter(F.col("doc_id") != F.col("cluster_id"))
             .select("doc_id")
         )
