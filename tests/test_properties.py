@@ -450,6 +450,10 @@ def test_video_header_parse_total_never_throws(blob, w, h, dur, cut, flip):
         parse_video_header,
     )
 
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.multimodal import (
+        build_minimal_fmp4,
+    )
+
     for payload in (
         blob,
         build_minimal_mp4(w, h, dur)[:cut],
@@ -457,12 +461,21 @@ def test_video_header_parse_total_never_throws(blob, w, h, dur, cut, flip):
             b ^ (1 << (flip % 8)) if i == flip % max(1, cut or 1) else b
             for i, b in enumerate(build_minimal_mp4(w, h, dur, pad=7))
         ),
+        # round-10: the fragmented-segment walk (styp/sidx/moof) obeys
+        # the same totality contract under truncation + bit flips
+        build_minimal_fmp4(dur % 10**6)[:cut],
+        bytes(
+            b ^ (1 << (flip % 8)) if i == flip % max(1, cut or 1) else b
+            for i, b in enumerate(build_minimal_fmp4(dur % 10**6, pad=5))
+        ),
     ):
         got = parse_video_header(payload)
         assert got is None or (len(got) == 7 and isinstance(got[5], str))
-    # the untruncated, uncorrupted build always round-trips
+    # the untruncated, uncorrupted builds always round-trip
     full = parse_video_header(build_minimal_mp4(w, h, dur))
     assert full is not None and full[0] == w and full[1] == h
+    frag = parse_video_header(build_minimal_fmp4(dur % 10**6))
+    assert frag is not None and frag[6] == 1 and frag[2] == dur % 10**6
 
 
 @given(
