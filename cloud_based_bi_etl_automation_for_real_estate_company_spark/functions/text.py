@@ -262,6 +262,78 @@ def demojibake(col: Column | str) -> Column:
     return F.replace(c, F.lit(REPLACEMENT_CHAR), F.lit(""))
 
 
+def repair_mojibake_text(s: str, max_rounds: int = 3) -> str:
+    """FULL generic mojibake repair for one string (driver/worker-side
+    pure function — the Python body ``demojibake_full`` ships to
+    executors): strip replacement chars, then repair each
+    space-delimited word by the cp1252→UTF-8 round trip (encode the
+    word back to the bytes a Windows-1252 mis-decode would have read,
+    re-decode them as UTF-8), iterated to a fixpoint so double-encoded
+    text ('ÃƒÂ©' → 'Ã©' → 'é') also recovers. Word-wise, because a
+    plain space (0x20) can never be produced by mis-decoding a UTF-8
+    multi-byte sequence (lead bytes are ≥0xC2, continuations
+    0x80–0xBF), so spaces are safe segment boundaries — a word that
+    cannot encode to cp1252/latin-1 (e.g. CJK) or whose bytes are not
+    valid UTF-8 (e.g. genuine 'café') is left untouched. ASCII words
+    are identity by construction. cp1252 first (the 0x80–0x9F
+    smart-quote block 'â€™' needs it), latin-1 as fallback for the
+    five codepoints cp1252 lacks."""
+    s = s.replace(REPLACEMENT_CHAR, "")
+    out = []
+    for w in s.split(" "):
+        for _ in range(max_rounds):
+            try:
+                b = w.encode("cp1252")
+            except UnicodeEncodeError:
+                try:
+                    b = w.encode("latin-1")
+                except UnicodeEncodeError:
+                    break
+            try:
+                w2 = b.decode("utf-8")
+            except UnicodeDecodeError:
+                break
+            if w2 == w:
+                break
+            w = w2
+        out.append(w)
+    return " ".join(out)
+
+
+def demojibake_full(df, text_col: str = "text"):
+    """Opt-in FULL mojibake repair over a DataFrame (round 11 — the
+    tail-closer behind the enumerated ``demojibake`` chain): rows
+    FLAGGED by ``mojibake_count`` > 0 get the generic
+    ``repair_mojibake_text`` round trip through an Arrow-batched
+    pandas_udf; everything else passes through untouched on the
+    JVM-only branch. The filter runs FIRST (same pattern as the
+    multimodal container decodes), so the Python node sees only the
+    flagged sliver — on a clean web crawl that is ~0% of rows and the
+    pass stays map-only/codegen for the other 99%+. Detection scope =
+    the enumerated signature map plus replacement chars; a row whose
+    ONLY mojibake is outside the map does not flag (broaden
+    MOJIBAKE_MAP to broaden the gate). Returns the frame with
+    ``text_col`` replaced; column order preserved."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # NOTE: no type hints on the udf — this module uses
+    # `from __future__ import annotations`, which stringifies them and
+    # breaks pandas_udf's signature inference; the explicit returnType
+    # + default SCALAR eval type carry the same contract.
+    @pandas_udf("string")
+    def _repair(col):
+        return col.map(
+            lambda x: x if x is None else repair_mojibake_text(x)
+        )
+
+    flag = F.coalesce(mojibake_count(text_col) > 0, F.lit(False))
+    cols = df.columns
+    flagged = df.filter(flag).withColumn(text_col, _repair(F.col(text_col)))
+    clean = df.filter(~flag)
+    return flagged.select(*cols).unionByName(clean.select(*cols))
+
+
 def shingles(col: Column | str, k: int = 3) -> Column:
     """Word k-gram shingles as an array<string>; [] when < k tokens.
 

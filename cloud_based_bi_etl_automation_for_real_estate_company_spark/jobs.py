@@ -90,6 +90,7 @@ def run_curation_pipeline(
     domain_cap_per_source: int | None = None,
     sort_output_by: str | None = None,
     soft_dedup: bool = False,
+    full_mojibake_repair: bool = False,
 ) -> DataFrame:
     """End-to-end training-data curation — the composition the
     individual oracle-checked operators exist for:
@@ -154,6 +155,10 @@ def run_curation_pipeline(
     via operators/corpus.cluster_split, reusing the components
     already computed here. A whole near-dup family lands in one
     split by construction (tested in test_curation.py).
+    ``full_mojibake_repair=True`` upgrades stage 0 from the enumerated
+    digraph chain to the generic cp1252→UTF-8 round-trip repair
+    (pandas_udf over ONLY the detector-flagged rows — see
+    functions/text.demojibake_full).
     """
     from pyspark.sql import functions as F
 
@@ -175,12 +180,23 @@ def run_curation_pipeline(
     # stage 0 (round 10): encoding hygiene — repair double-encoding
     # mojibake digraphs and strip replacement chars BEFORE any hash is
     # taken, so the same document crawled once clean and once
-    # mis-decoded dedups together. Map-only replace chain, fuses into
-    # the scan (functions/text.demojibake; x_mojibake oracle-gates the
-    # arithmetic).
-    from .functions.text import demojibake
+    # mis-decoded dedups together. Default path is the map-only replace
+    # chain (fuses into the scan; x_mojibake oracle-gates the
+    # arithmetic). ``full_mojibake_repair=True`` (round 11) swaps in
+    # the generic cp1252→UTF-8 round-trip repair for rows the detector
+    # flags — an Arrow-batched pandas_udf that sees ONLY the flagged
+    # sliver (functions/text.demojibake_full; x_mojibake_full
+    # oracle-gates the repair). INSTEAD of, not after, the chain: the
+    # chain would consume the in-map digraphs that make a mixed row
+    # flag, hiding its out-of-map tail from the full repair's gate.
+    if full_mojibake_repair:
+        from .functions.text import demojibake_full
 
-    d = d.withColumn("text", demojibake(F.col("text")))
+        d = demojibake_full(d, "text")
+    else:
+        from .functions.text import demojibake
+
+        d = d.withColumn("text", demojibake(F.col("text")))
     gated = quality_gate(d)
     repetitive = (
         repetition_stats(gated)

@@ -440,6 +440,51 @@ def q_x_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# x_mojibake_full fixture suffixes (escapes, not raw glyphs — NBSP and
+# the cp1252 0x80–0x9F block do not survive editors): BROKEN is CLEAN
+# round-tripped utf-8→cp1252 per char, plus a double-encoded 'é'
+# ('ÃƒÂ©') and a replacement char. Every signature here except 'Ã©'
+# and 'Ã +NBSP' is OUTSIDE MOJIBAKE_MAP — the tail the full repair
+# exists for.
+_MOJI_BROKEN_SFX = (
+    " caf\xc3\xa9 \xe2€” \xc5\xa1 \xc3Ÿ \xe2‚\xac"
+    " na\xc3\xafve \xc3\xa0 \xc3ƒ\xc2\xa9 bad�byte"
+)
+_MOJI_CLEAN_SFX = (
+    " caf\xe9 — š \xdf € na\xefve \xe0 \xe9 badbyte"
+)
+
+
+def q_x_mojibake_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL mojibake repair gate (round 11, functions/text.py
+    demojibake_full): doc_id % 7 == 3 rows get a mis-decoded suffix
+    whose signatures are mostly OUTSIDE the enumerated MOJIBAKE_MAP
+    (em dash, š, ß, €, ï, a double-encoded é) — the tail the
+    map-bounded JVM chain cannot reach. The generic cp1252→UTF-8
+    round-trip repair runs as an Arrow-batched pandas_udf on ONLY the
+    flagged sliver (filter-first, same pattern as the container
+    decodes); the oracle knows the intended clean text by
+    construction, so the gate is exact repaired-text parity via md5 —
+    not a tolerance audit. Unflagged rows pass through the JVM-only
+    branch and hash as their original text."""
+    d = t(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 3,
+            F.concat(F.col("text"), F.lit(_MOJI_BROKEN_SFX)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    repaired = T.demojibake_full(injected, "text")
+    return repaired.select(
+        "doc_id",
+        (F.col("doc_id") % 7 == 3).alias("flagged"),
+        F.md5(F.col("text")).alias("repaired_hash"),
+    )
+
+
 def q_x_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (dup-token / dup-bigram
     ratios, top-token share) per document."""
@@ -1692,6 +1737,75 @@ def q_x_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("p_retailprice").alias("max_price"),
         F.max("p_size").alias("max_size"),
     )
+
+
+def q_x_golden_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MDM survivorship, MOST-FREQUENT-VALUE rule (round 11 — the
+    x_golden_records sibling real survivorship configs want): per
+    entity cluster, each categorical attribute survives as its MODE
+    across the cluster's member rows, ties broken by deterministic
+    min value so the whole table stays engine-exact. Same blocking →
+    Levenshtein → star-CC clustering as x_golden_records; the mode is
+    ONE extra grouped count per (cluster, attr, value) — both
+    attributes stacked into a single shuffle (stack → groupBy), then a
+    per-(cluster, attr) row_number picks the winner. The labeled
+    member table feeds two aggregations (base stats + stacked mode
+    counts), so it is localCheckpointed once — the round-9 lesson:
+    a lazily-shared subtree with the CC loop in its lineage would
+    otherwise re-run clustering per reference."""
+    p = t(spark, sf_dir, "part")
+    ids = p.groupBy("p_name").agg(F.min("p_partkey").alias("nid"))
+    pairs = D.editdist_pairs(p, "p_name", max_dist=2).select(
+        "name_a", "name_b"
+    )
+    ia = ids.select(F.col("p_name").alias("name_a"), F.col("nid").alias("ida"))
+    ib = ids.select(F.col("p_name").alias("name_b"), F.col("nid").alias("idb"))
+    id_pairs = pairs.join(ia, "name_a").join(ib, "name_b").select("ida", "idb")
+    cc = D.connected_components_star(id_pairs, src="ida", dst="idb")
+    cmap = ids.join(
+        cc.select(F.col("doc_id").alias("nid"), F.col("cluster_id").alias("__cl")),
+        "nid",
+        "left",
+    ).select(
+        "p_name", F.coalesce(F.col("__cl"), F.col("nid")).alias("cluster_id")
+    )
+    joined = (
+        p.select("p_name", "p_brand", "p_type")
+        .join(cmap, "p_name")
+        .localCheckpoint(eager=True)
+    )
+    base = joined.groupBy("cluster_id").agg(
+        F.countDistinct("p_name").alias("n_names"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    stacked = joined.select(
+        "cluster_id",
+        F.expr(
+            "stack(2, 'brand', p_brand, 'type', p_type) AS (attr, val)"
+        ),
+    )
+    cnt = stacked.groupBy("cluster_id", "attr", "val").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id", "attr").orderBy(
+        F.col("cnt").desc(), F.col("val").asc()
+    )
+    modes = (
+        cnt.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .groupBy("cluster_id")
+        .agg(
+            F.max(F.when(F.col("attr") == "brand", F.col("val"))).alias(
+                "mode_brand"
+            ),
+            F.max(F.when(F.col("attr") == "type", F.col("val"))).alias(
+                "mode_type"
+            ),
+        )
+    )
+    return base.join(modes, "cluster_id")
 
 
 def q_x_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3951,6 +4065,87 @@ ORACLES["x_golden_records"] = """
     GROUP BY 1
 """
 
+# x_golden_mode: the same blocking/clustering CTEs + most-frequent-
+# value survivorship — per-(cluster, attr, value) counts, winner by
+# (count DESC, value ASC) via QUALIFY row_number. The member table j
+# feeds two aggregations, so it is MATERIALIZED (the DuckDB CTE-
+# inlining lesson from x_power_iteration).
+# x_mojibake_full: the oracle cannot run the cp1252 round trip, but it
+# does not need to — the fixture's intended clean text is known by
+# construction (the injected suffix's pre-corruption form), so the
+# check is exact md5 parity of the repaired text, injected and
+# untouched rows alike.
+ORACLES["x_mojibake_full"] = f"""
+    SELECT doc_id,
+           doc_id % 7 = 3 AS flagged,
+           md5(CASE WHEN doc_id % 7 = 3
+                    THEN text || '{_MOJI_CLEAN_SFX}'
+                    ELSE text END) AS repaired_hash
+    FROM documents
+"""
+
+ORACLES["x_golden_mode"] = """
+    WITH RECURSIVE vals AS (
+        SELECT p_name AS name, COUNT(*) AS n_rows FROM part GROUP BY 1),
+    words AS (
+        SELECT name, UNNEST(range(len(t))) AS pos, UNNEST(t) AS w
+        FROM (SELECT name, string_split_regex(name, '\\s+') AS t FROM vals)),
+    cand AS (
+        SELECT DISTINCT a.name AS name_a, b.name AS name_b
+        FROM words a JOIN words b
+          ON a.pos = b.pos AND a.w = b.w AND a.name < b.name),
+    scored AS (
+        SELECT name_a, name_b FROM cand
+        WHERE levenshtein(name_a, name_b) <= 2),
+    ids AS (
+        SELECT p_name AS name, MIN(p_partkey) AS nid FROM part GROUP BY 1),
+    edges AS (
+        SELECT ia.nid AS u, ib.nid AS v
+        FROM scored s
+        JOIN ids ia ON ia.name = s.name_a
+        JOIN ids ib ON ib.name = s.name_b
+        UNION ALL
+        SELECT ib.nid, ia.nid
+        FROM scored s
+        JOIN ids ia ON ia.name = s.name_a
+        JOIN ids ib ON ib.name = s.name_b),
+    reach(node, label) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v),
+    cl AS (
+        SELECT node AS nid, MIN(label) AS cl FROM reach GROUP BY node),
+    cmap AS (
+        SELECT i.name, COALESCE(c.cl, i.nid) AS cluster_id
+        FROM ids i LEFT JOIN cl c ON c.nid = i.nid),
+    j AS MATERIALIZED (
+        SELECT m.cluster_id, p.p_name, p.p_brand, p.p_type
+        FROM part p JOIN cmap m ON m.name = p.p_name),
+    base AS (
+        SELECT cluster_id,
+               COUNT(DISTINCT p_name) AS n_names,
+               COUNT(*) AS n_parts
+        FROM j GROUP BY 1),
+    stacked AS (
+        SELECT cluster_id, 'brand' AS attr, p_brand AS val FROM j
+        UNION ALL
+        SELECT cluster_id, 'type', p_type FROM j),
+    cnt AS (
+        SELECT cluster_id, attr, val, COUNT(*) AS cnt
+        FROM stacked GROUP BY 1, 2, 3),
+    winners AS (
+        SELECT cluster_id, attr, val FROM cnt
+        QUALIFY row_number() OVER (
+            PARTITION BY cluster_id, attr
+            ORDER BY cnt DESC, val ASC) = 1)
+    SELECT b.cluster_id, b.n_names, b.n_parts,
+           MAX(CASE WHEN w.attr = 'brand' THEN w.val END) AS mode_brand,
+           MAX(CASE WHEN w.attr = 'type' THEN w.val END)
+               AS mode_type
+    FROM base b JOIN winners w USING (cluster_id)
+    GROUP BY 1, 2, 3
+"""
+
 
 def _kcore_oracle(k: int, rounds: int) -> str:
     """Unrolled replay of q_x_kcore's fixed peeling rounds. Every CTE
@@ -4546,6 +4741,7 @@ QUERIES = {
     "x_pii_redact": q_x_pii_redact,
     "x_card_redact": q_x_card_redact,
     "x_mojibake": q_x_mojibake,
+    "x_mojibake_full": q_x_mojibake_full,
     "x_repetition": q_x_repetition,
     "x_decontaminate": q_x_decontaminate,
     "x_bloom_decontaminate": q_x_bloom_decontaminate,
@@ -4596,6 +4792,7 @@ QUERIES = {
     "x_spacesaving_drain": q_x_spacesaving_drain,
     "x_kcore": q_x_kcore,
     "x_golden_records": q_x_golden_records,
+    "x_golden_mode": q_x_golden_mode,
     "x_tdigest_drain": q_x_tdigest_drain,
     "x_kmv_setops": q_x_kmv_setops,
     "x_priority_sample": q_x_priority_sample,

@@ -294,3 +294,53 @@ def test_curation_soft_dedup_retains_weights_and_splits_by_cluster(
     # weights conserve probability mass: sum over each cluster == 1
     mass = soft.groupBy("cluster_id").agg(F.sum("weight").alias("m"))
     assert mass.filter(F.abs(F.col("m") - 1.0) > 1e-6).isEmpty()
+
+
+def test_curation_full_mojibake_repair_dedups_mixed_tail(spark, tmp_path):
+    """Round-11: with ``full_mojibake_repair=True`` a mis-decoded crawl
+    whose mojibake includes OUT-OF-MAP signatures (š) alongside an
+    in-map one (é, the detector trigger) hashes together with its
+    clean twin at exact dedup; the default enumerated chain repairs
+    only the é, so the twins hash apart and both survive."""
+    base = (
+        "the quick brown fox jumps over the lazy dog near the wide "
+        "river bank today"
+    )
+    clean_sfx = " caf\xe9 š report"
+    broken_sfx = " caf\xc3\xa9 \xc5\xa1 report"  # é in-map, š out-of-map
+    other = (
+        "a completely different document about spark shuffle "
+        "partitions and the adaptive query execution planner at scale"
+    )
+    rows = [
+        (1, base + clean_sfx, "en", "srcA", 0),
+        (2, base + broken_sfx, "en", "srcA", 0),
+        (3, other, "en", "srcB", 0),
+    ]
+    src = tmp_path / "fixture"
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(src / "documents.parquet"))
+
+    out_default = run_curation_pipeline(
+        spark, str(src), str(tmp_path / "c_default")
+    )
+    out_full = run_curation_pipeline(
+        spark, str(src), str(tmp_path / "c_full"), full_mojibake_repair=True
+    )
+    ids_default = {r["doc_id"] for r in out_default.select("doc_id").collect()}
+    ids_full = {r["doc_id"] for r in out_full.select("doc_id").collect()}
+    # default chain: é repaired but š still differs -> twins coexist
+    # (near-dup stage may still prune one; exact dedup must NOT) --
+    # assert at the exact-dedup level via distinct hashes post-repair
+    assert 1 in ids_full and 2 not in ids_full  # min doc_id survives
+    assert 3 in ids_full
+    # the surviving text in full mode is the CLEAN form
+    kept = {
+        r["doc_id"]: r["text"] for r in out_full.select("doc_id", "text").collect()
+    }
+    assert kept[1] == base + clean_sfx
+    # default mode keeps doc 1; doc 2 may fall to the NEAR-dup stage
+    # (the twins are near-identical by construction) but its exact
+    # hash differs -> if present its text retains the š signature
+    assert 1 in ids_default

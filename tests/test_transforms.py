@@ -153,3 +153,47 @@ def test_mojibake_count_and_repair(spark):
     assert got[2] == (3, "café and ’quotes“")
     assert got[3] == (2, "bad  byte ")
     assert got[4] == (4, "über naña öko àla carte")
+
+
+def test_demojibake_full_repairs_out_of_map_tail(spark):
+    """Round-11 FULL repair: the generic cp1252→UTF-8 round trip fixes
+    signatures OUTSIDE the enumerated map (š, €, em dash, double-
+    encoded é) on detector-flagged rows, passes clean / CJK / genuine
+    accented text through unchanged, and keeps the Python node on the
+    flagged branch only."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.functions.text import (
+        demojibake_full,
+        repair_mojibake_text,
+    )
+
+    # pure function first: out-of-map tail + double encoding + NBSP
+    # digraph ('Ã'+NBSP), all written as escapes
+    assert repair_mojibake_text("caf\xc3\xa9 \xc5\xa1 \xe2‚\xac") == "café š €"
+    assert repair_mojibake_text("\xc3ƒ\xc2\xa9") == "é"  # twice-encoded é
+    assert repair_mojibake_text("\xc3\xa0") == "à"  # NBSP digraph
+    # identity: ASCII, genuine accents (invalid UTF-8 as cp1252 bytes), CJK
+    assert repair_mojibake_text("plain ascii 123") == "plain ascii 123"
+    assert repair_mojibake_text("café naïve") == "café naïve"
+    assert repair_mojibake_text("中文 text") == "中文 text"
+
+    rows = [
+        # flagged (in-map Ã© present) with an out-of-map tail the
+        # enumerated chain cannot reach
+        (1, "see caf\xc3\xa9 and \xc5\xa1 here"),
+        (2, "clean ascii stays put"),
+        (3, None),
+        # NOT flagged: only out-of-map signatures -> documented
+        # detection-scope limit, row passes through unrepaired
+        (4, "lonely \xc5\xa1 tail"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = demojibake_full(df, "text")
+    got = {r["id"]: r["text"] for r in out.collect()}
+    assert got[1] == "see café and š here"
+    assert got[2] == "clean ascii stays put"
+    assert got[3] is None
+    assert got[4] == "lonely \xc5\xa1 tail"
+    # the Arrow/pandas node exists exactly once -- on the flagged
+    # branch; the clean branch stays JVM-only
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
