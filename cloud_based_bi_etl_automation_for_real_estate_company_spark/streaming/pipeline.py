@@ -118,6 +118,54 @@ def stream_dedup_documents(
     return writer.start()
 
 
+def stream_soft_dedup_documents(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    store_path: str,
+    checkpoint: str,
+    schema: str = "doc_id bigint, text string, lang string, "
+    "source string, n_chars bigint",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming SOFT dedup (round 11) — the foreachBatch counterpart
+    of ``run_curation_pipeline(soft_dedup=True)``: near-duplicate
+    documents are never dropped; each micro-batch is labeled with its
+    near-dup cluster and a RUNNING 1/|cluster so far| weight via
+    ``operators.dedup.soft_dedup_admit``, whose one-table signature
+    store (signatures + admission-time cluster label) makes the
+    running size one groupBy per batch — no text rescan, no
+    re-clustering of history. Batch rows + (cluster_id, n_cluster,
+    weight) append to ``out_path``.
+
+    The running weights are PROVISIONAL by design (append-only store:
+    a bridging doc merges clusters going forward, not retroactively);
+    ``operators.dedup.soft_dedup_finalize`` reconciles the store into
+    the exact batch-pipeline labels/weights — the artifact a training
+    run ships. Batch-parity with the curation pipeline's soft mode is
+    pinned in tests/test_streaming.py."""
+    from ..operators.dedup import soft_dedup_admit
+
+    raw = spark.readStream.schema(schema).json(in_path)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # output written BEFORE the store append (the incremental_dedup
+        # crash-safety contract): a retried batch can duplicate rows
+        # but can never lose them
+        soft_dedup_admit(
+            batch_df,
+            store_path,
+            sink=lambda adm: adm.write.mode("append").parquet(out_path),
+        )
+
+    writer = raw.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def replay_batch_equals_stream(
     spark: SparkSession, in_path: str, batch_out: str, stream_out: str, checkpoint: str
 ) -> tuple[DataFrame, DataFrame]:

@@ -417,3 +417,129 @@ def test_stream_enrich_refreshing_sees_mid_stream_dim_append(spark, tmp_path):
         merged.update(s_)
     # the refreshing variant DOES see gamma — the snapshot one does not
     assert merged == {10: "alpha", 11: "beta", 12: "gamma"}
+
+
+def test_soft_dedup_admit_bootstrap_and_running_weights(spark, tmp_path):
+    """Round-11 unit: soft_dedup_admit admits EVERYTHING (weights,
+    never rejection), bootstraps an empty store (no-dup batch -> all
+    singletons), and a later batch's near-dup of a stored doc joins
+    the stored doc's cluster with running size 2."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.dedup import (
+        soft_dedup_admit,
+    )
+
+    store = str(tmp_path / "store")
+    text_a = "alpha beta gamma delta epsilon zeta eta theta"
+    b1 = spark.createDataFrame(
+        [(1, text_a), (2, "one two three four five six seven eight")],
+        "doc_id bigint, text string",
+    )
+    f1 = {r["doc_id"]: r for r in soft_dedup_admit(b1, store).collect()}
+    assert set(f1) == {1, 2}
+    assert f1[1]["cluster_id"] == 1 and f1[1]["n_cluster"] == 1
+    assert f1[1]["weight"] == 1.0
+    # batch 2: doc 10 is an exact near-dup of stored doc 1
+    b2 = spark.createDataFrame(
+        [(10, text_a), (11, "nine ten eleven twelve thirteen fourteen fifteen sixteen")],
+        "doc_id bigint, text string",
+    )
+    f2 = {r["doc_id"]: r for r in soft_dedup_admit(b2, store).collect()}
+    assert f2[10]["cluster_id"] == 1
+    assert f2[10]["n_cluster"] == 2 and f2[10]["weight"] == 0.5
+    assert f2[11]["cluster_id"] == 11 and f2[11]["weight"] == 1.0
+
+
+def test_stream_soft_dedup_matches_batch_curation(spark, tmp_path):
+    """Round-11 batch parity: stream the curation pipeline's stage-4
+    input through stream_soft_dedup_documents in 3 micro-batches, then
+    soft_dedup_finalize(store, delivered=pipeline output) must equal
+    run_curation_pipeline(soft_dedup=True)'s (cluster_id, weight) per
+    delivered doc EXACTLY — same candidate rule, same star CC, same
+    1/|cluster ∩ delivered| rounding."""
+    import json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.functions.text import (
+        demojibake,
+    )
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.jobs import (
+        run_curation_pipeline,
+    )
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.dedup import (
+        exact_dedup,
+        soft_dedup_finalize,
+    )
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        quality_gate,
+        repetition_stats,
+    )
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.plans.measures import t
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.streaming.pipeline import (
+        stream_soft_dedup_documents,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    # replicate curation stages 0-3 (encoding hygiene, quality gate,
+    # repetition gate, exact dedup) to produce the stage-4 input the
+    # soft-dedup clustering sees in the batch pipeline
+    d = t(spark, sf, "documents").withColumn("text", demojibake(F.col("text")))
+    gated = quality_gate(d)
+    repetitive = (
+        repetition_stats(gated)
+        .filter(
+            (F.col("dup_token_ratio") > 0.9)
+            | (F.coalesce(F.col("dup_bigram_ratio"), F.lit(0.0)) > 0.9)
+        )
+        .select("doc_id")
+    )
+    gated = gated.join(repetitive, "doc_id", "left_anti")
+    canon = exact_dedup(gated).select(F.col("keep_id").alias("doc_id"))
+    uniq = gated.join(canon, "doc_id", "left_semi")
+    rows = [
+        r.asDict()
+        for r in uniq.select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+        .collect()
+    ]  # sf0.001: bounded test-only collect
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    bsz = (len(rows) + 2) // 3
+    for bi in range(3):
+        fp = in_dir / f"b{bi}.json"
+        fp.write_text(
+            "\n".join(json.dumps(r) for r in rows[bi * bsz : (bi + 1) * bsz])
+        )
+        # streaming file source orders by mtime -- pin distinct stamps
+        _os.utime(fp, (1_700_000_000 + bi, 1_700_000_000 + bi))
+
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "sd_store")
+    q = stream_soft_dedup_documents(
+        spark, str(in_dir), out, store, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+
+    streamed = spark.read.parquet(out)
+    # soft semantics: every stage-4 doc admitted, weights in (0, 1]
+    assert streamed.count() == len(rows)
+    assert streamed.filter(
+        (F.col("weight") <= 0) | (F.col("weight") > 1)
+    ).count() == 0
+
+    curated = run_curation_pipeline(
+        spark, sf, str(tmp_path / "c_soft"), soft_dedup=True
+    )
+    fin = soft_dedup_finalize(
+        spark, store, delivered=curated.select("doc_id")
+    )
+    want = {
+        r["doc_id"]: (r["cluster_id"], r["weight"])
+        for r in curated.select("doc_id", "cluster_id", "weight").collect()
+    }
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["weight"]) for r in fin.collect()
+    }
+    assert got == want
