@@ -2,8 +2,8 @@
 
 ``entry`` runs the flagship dashboard query; ``queries`` /
 ``oracle_sql`` expose every implemented operator from SURVEY.md §2
-plus the training-data-pipeline extensions — 229 registered queries,
-228 with DuckDB oracles, 1 rows-only: x_pca_project
+plus the training-data-pipeline extensions — 231 registered queries,
+230 with DuckDB oracles, 1 rows-only: x_pca_project
 (numpy eigh) — PERMANENTLY rows-only by round-6 decision: its
 Parseval shadow ``x_pca_invariants`` checks centering/orthonormality
 in SQL, and ``x_power_iteration`` proves the distributed eigen-math
@@ -61,83 +61,33 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Round-10 gate front block. Every round-9 front name is green in
-# CORRECTNESS_r09, so the 50-slot window now holds: (a) the 1 round-10
-# addition (the mojibake encoding-QA surface), (b) the 8 queries whose
-# plan changed this round (fMP4 media-segment rows + the fragmented
-# flag in the video/multimodal decodes; the word-boundary fold in the
-# card redaction; the fused star-forest check + size-gated local
-# finish inside star-contraction CC, which also feeds cluster_split,
-# the soft-dedup weights, and — new this round — the golden-records
-# entity clustering; the same local finish in the k-core peel),
-# (c) the 6 permanent double-arithmetic SENTINELS, then (d)
-# STALENESS ROTATION — the 17 r4-vintage names staged as
-# _ROTATION_R10 last round, followed by the 18 alphabetically-first
-# r5-vintage names; the remaining 24 r5 names stage as _ROTATION_R11.
-# After this window no catalog name's newest driver row is older
-# than r5.
+# Round-11 gate front block. Every round-10 front name is green in
+# CORRECTNESS_r10, so the 50-slot window now holds: (a) the 2 round-11
+# additions (mode-survivorship golden records; the full-mojibake-
+# repair gate), (b) the 6 permanent double-arithmetic SENTINELS, then
+# (c) STALENESS ROTATION — the 24 r5-vintage names staged as
+# _ROTATION_R11 last round (the complete oldest tier), followed by
+# the 18 alphabetically-first r6-vintage names; the remaining 19 r6
+# names stage as _ROTATION_R12. No registered query's PLAN changed
+# this round (the round-11 streaming/curation work is pytest-surface
+# only), so there is no (plan-changed) block. After this window no
+# catalog name's newest driver row is older than r6. The invariant is
+# now MACHINE-CHECKED by scripts/check_rotation.py (run in
+# tests/test_contract.py) — a mis-staged front fails the suite
+# instead of silently aging a query.
 _GATE_PRIORITY = (
-    # -- (a) new in round 10 ------------------------------------------------
-    "x_mojibake",
-    # -- (b) plan changed this round ---------------------------------------
-    "x_video_meta",
-    "x_multimodal_meta",
-    "x_card_redact",
-    "x_dedup_clusters",
-    "x_cluster_split",
-    "x_softdedup_weights",
-    "x_kcore",
-    "x_golden_records",
-    # -- (c) permanent sentinels: fragile double-fold bit-exactness --------
+    # -- (a) new in round 11 ------------------------------------------------
+    "x_golden_mode",
+    "x_mojibake_full",
+    # -- (b) permanent sentinels: fragile double-fold bit-exactness --------
     "t10_holt",
     "t12_holt_winters",
     "x_pagerank",
     "a29_trend_slope",
     "a30_corr_pairs",
     "x_linkage_score",
-    # -- (d) staleness rotation: the 17 staged r4-vintage names -------------
-    "w11_asof_snapshot",
-    "w12_rolling_distinct",
-    "w13_range_frame",
-    "x_ann_recall",
-    "x_dataset_card",
-    "x_dd_quantiles",
-    "x_dedup_simhash",
-    "x_dsir_weights",
-    "x_knn_classify",
-    "x_logreg_quality",
-    "x_lsh_precision",
-    "x_lsh_recall",
-    "x_mmr_first",
-    "x_nb_lang",
-    "x_normalized_dedup",
-    "x_pca_invariants",
-    "x_sorted_neighborhood",
-    # r5 vintage from here (alphabetical first 20 of 42)
-    "a36_top_paths",
-    "a40_attribution",
-    "a41_unpivot_measures",
-    "a42_mad_outliers",
-    "a6_leaderboard",
-    "l10_order_count_dist",
-    "l11_idle_rich_customers",
-    "l12_promo_revenue",
-    "l13_small_qty_revenue",
-    "l16_small_qty_brand_revenue",
-    "l17_dominant_suppliers",
-    "l18_idle_big_accounts",
-    "l19_priority_late_orders",
-    "l1_pricing_summary",
-    "l20_nation_trade_pairs",
-    "l21_market_share",
-    "l22_nation_profit",
-    "l23_stock_concentration",
-)
-
-# Round-11 rotation backlog: the 24 remaining r5-vintage names (oldest
-# staleness tier after round 10). Promote behind round-11 additions +
-# the sentinels; r6-vintage names (see CORRECTNESS_r06) come next.
-_ROTATION_R11: tuple[str, ...] = (
+    # -- (c) staleness rotation: the 24 staged r5-vintage names (full
+    # oldest tier) --------------------------------------------------------
     "l24_forecast_revenue",
     "l25_priority_mode_split",
     "l26_waiting_suppliers",
@@ -162,6 +112,50 @@ _ROTATION_R11: tuple[str, ...] = (
     "x_mmr_rerank",
     "x_nb_confusion",
     "x_prefix_join",
+    # r6 vintage from here (alphabetical first 18 of 37)
+    "a10_monthly_trend",
+    "a11_origin_counts",
+    "a12_agent_measures",
+    "a13_detail_listing",
+    "a14_slicer_filtered",
+    "a15_calendar",
+    "a16_distinct_counts",
+    "a17_pivot_funnel",
+    "a18_percentiles",
+    "a19_above_segment_avg",
+    "a1_funnel",
+    "a20_cube",
+    "a22_grouping_sets",
+    "a2_total_amount",
+    "a3_avg_ticket",
+    "a4_conversion_ratios",
+    "a5_goal_progress",
+    "a7_latest_per_key",
+)
+
+# Round-12 rotation backlog: the 19 remaining r6-vintage names (oldest
+# staleness tier after round 11). Promote behind round-12 additions +
+# the sentinels; r7-vintage names (see CORRECTNESS_r07) come next.
+_ROTATION_R12: tuple[str, ...] = (
+    "a8_rollup_agent_table",
+    "a9_percent_of_total",
+    "j1_gapless_monthly",
+    "j3_enriched_events",
+    "j5_active_anti_deleted",
+    "l27_top_supplier",
+    "p10_format_local",
+    "p11_tags_csv",
+    "p3_coalesce_extract",
+    "p8_multiformat_ts",
+    "p9_tz_convert",
+    "t16_cusum_drain",
+    "x_ann_rptree",
+    "x_hilbert_key",
+    "x_kmv_drain",
+    "x_power_iteration",
+    "x_substring_removal",
+    "x_substring_spans",
+    "x_tdigest_drain",
 )
 
 
@@ -173,7 +167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for mod in (warehouse, windows, extensions, measures, analytics, scalars, temporal):
         all_q.update(mod.QUERIES)
     out = {n: all_q[n] for n in _GATE_PRIORITY if n in all_q}
-    out.update({n: all_q[n] for n in _ROTATION_R11 if n in all_q and n not in out})
+    out.update({n: all_q[n] for n in _ROTATION_R12 if n in all_q and n not in out})
     out.update({n: f for n, f in all_q.items() if n not in out})
     return out
 

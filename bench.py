@@ -95,6 +95,24 @@ HEADLINE = [
 ]
 
 
+def _noise_canary(iters: int = 4_000_000) -> float:
+    """Deterministic CPU-spin probe (round 11): the dominant bench
+    noise is HYPERVISOR contention invisible to getloadavg (PERF.md
+    r10 — same-code totals spanning 11.6–16.9 s with in-VM load
+    0.3–3). Timing a FIXED integer loop immediately before each batch
+    gives a per-batch noise multiplier: canary_s scales with the
+    contention the queries are about to experience, so cross-round
+    comparisons can normalize by it (or at least label a slow batch as
+    host-noise rather than regression). Pure Python, single thread,
+    no allocation in the loop — ~0.25 s on a quiet host."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(iters):
+        x += i * 31 & 1023
+    assert x >= 0
+    return round(time.perf_counter() - t0, 4)
+
+
 def _wait_for_quiet(threshold: float, max_wait_s: float) -> float:
     """Load guard (round 10): external host load has been observed
     inflating same-code legs 1.5–2.5× (PERF.md r9 notes), drowning the
@@ -138,6 +156,7 @@ def main() -> None:
     max_wait = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "45"))
     waited_total = 0.0
     batch_loads: list[float] = []
+    batch_canaries: list[float] = []
     times: dict[str, float] = {}
     for b in range(batches):
         if b == 0:
@@ -148,6 +167,7 @@ def main() -> None:
             # rely on the cross-batch min.
             waited_total += _wait_for_quiet(threshold, max_wait)
         batch_loads.append(round(os.getloadavg()[0], 2))
+        batch_canaries.append(_noise_canary())
         reps = 3 if b == 0 else 2  # batch 0 also pays codegen warm-up
         for name in HEADLINE:
             fn = qs[name]
@@ -201,6 +221,7 @@ def main() -> None:
                 "load": {
                     "pre_spark_1m": round(load_pre, 2),
                     "batch_start_1m": batch_loads,
+                    "canary_s": batch_canaries,
                     "threshold": threshold,
                     "waited_s": waited_total,
                     "batches": batches,

@@ -45,3 +45,38 @@ def test_query_schema_is_driver_comparable(spark, name):
     assert len(set(cols)) == len(cols), cols
     # the driver re-invokes queries; schema must be stable across calls
     assert QUERIES[name](spark, SF).columns == cols
+
+
+def test_gate_rotation_invariant():
+    """Round-11: the hand-staged 50-name gate front must satisfy the
+    rotation invariant (never-checked queries + the entire oldest
+    staleness tier are inside the front), derived from the recorded
+    CORRECTNESS_r*.json artifacts — and the checker must actually
+    catch a mis-staged front."""
+    import os
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(root, "scripts"))
+    import check_rotation as cr
+
+    import __spark_entry__ as entrymod
+
+    registered = set(entrymod.queries())
+    front = list(entrymod.queries())[: cr.GATE_N]
+    latest = cr.load_latest(root)
+    assert cr.check_front(front, latest, registered) == []
+
+    # negative control: dropping one oldest-tier name from the front
+    # must be flagged (the checker is not vacuously green)
+    known = {n: r for n, r in latest.items() if n in registered}
+    if known:
+        oldest = min(known.values())
+        victim = sorted(n for n, r in known.items() if r == oldest)[0]
+        bad_front = [n for n in front if n != victim]
+        problems = cr.check_front(bad_front, latest, registered)
+        assert any(victim in p for p in problems)
+    # and a never-checked name missing from the front is flagged too
+    fake = registered | {"zz_brand_new_query"}
+    problems = cr.check_front(front, latest, fake)
+    assert any("zz_brand_new_query" in p for p in problems)
