@@ -284,7 +284,7 @@ def kcore(
     dst_col: str = "dst",
     rounds: int = 8,
     require_convergence: bool = False,
-    local_finish_max_edges: int = 100_000,
+    local_finish_max_edges: int | None = None,
 ) -> DataFrame:
     """k-core decomposition by iterative peeling (Seidman, Social
     Networks 1983; the Batagelj–Zaveršnik bulk variant): repeatedly
@@ -334,6 +334,13 @@ def kcore(
     # over the checkpointed edges; the round recomputes the same agg
     # for `keep` (one exchange over a checkpoint scan — cheaper than
     # materializing deg itself).
+    if local_finish_max_edges is None:
+        # round 11: None resolves to the driver-memory-aware budget
+        # (1% of heap at ~100 B/edge, clamped [100k, 2M]); explicit
+        # ints — including the soak's 0 — always win
+        from .dedup import local_finish_budget
+
+        local_finish_max_edges = local_finish_budget(edges.sparkSession)
     converged = False
     for i in range(rounds):
         # local finish (round 10, same move as connected_components_

@@ -808,3 +808,18 @@ def test_star_cc_local_finish_matches_distributed(spark):
     lab = dict(local)
     assert lab[103] == 100 and lab[201] == 200 and lab[302] == 300
     assert lab[50] == 0 and 999 not in lab  # self-loop contributes no node
+
+
+def test_local_finish_budget_resolution(spark):
+    """Round-11: the local-finish collect bound resolves from driver
+    heap when left at None (clamped [100k, 2M]); explicit values --
+    including the soak's all-distributed 0 -- are always honored."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.dedup import (
+        local_finish_budget,
+    )
+
+    b = local_finish_budget(spark)
+    assert 100_000 <= b <= 2_000_000
+    # and it tracks the actual JVM heap: recompute the expected clamp
+    mx = spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory()
+    assert b == max(100_000, min(2_000_000, int(mx // 100 // 100)))
