@@ -1143,6 +1143,34 @@ def q_x_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_x_softdedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for the STREAMING soft-dedup admission (round 11,
+    operators/dedup.soft_dedup_admit — the state math behind
+    streaming/pipeline.stream_soft_dedup_documents): replay two
+    micro-batches one-shot — even doc_ids bootstrap the store, odd
+    doc_ids arrive second — and emit each doc's provisional cluster
+    and RUNNING 1/|cluster seen so far| weight. Store lives in a
+    per-call temp dir (the x_incremental_neardup pattern), removed
+    before returning. All admission arithmetic is integer-exact
+    (signature agreement n_eq·2 ≥ 8, cluster = component min), so the
+    oracle replays both batches literally: batch-0 internal reach-CTE
+    clustering, then batch-1 clustering over (odd ↔ batch-0 cluster
+    label, odd ↔ odd) verified edges with running sizes = batch
+    members + merged store members."""
+    import shutil
+    import tempfile
+
+    d = t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="spark_graft_softdedup_drain_")
+    try:
+        f0 = D.soft_dedup_admit(d.filter(F.col("doc_id") % 2 == 0), tmp)
+        f1 = D.soft_dedup_admit(d.filter(F.col("doc_id") % 2 == 1), tmp)
+        out = f0.unionByName(f1)  # both localCheckpointed by admit
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_x_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-span removal (8-token tiles, first occurrence wins) —
     catches shared boilerplate inside otherwise-distinct documents."""
@@ -2525,6 +2553,75 @@ ORACLES: dict[str, str] = {
         FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
         LEFT JOIN eq_store es USING (doc_id)
         LEFT JOIN dom_batch db USING (doc_id)
+    """,
+    # x_softdedup_drain: literal two-batch replay of the streaming
+    # soft-dedup admission — batch 0 (even ids) clusters internally;
+    # batch 1 (odd ids) clusters over (odd ↔ batch-0 cluster label,
+    # odd ↔ odd) verified edges; running size = batch members +
+    # store members of every batch-0 cluster merged into the
+    # component. Verified = signature agreement n_eq·2 ≥ 8 (the
+    # integer form of est_jaccard ≥ 0.5); both reach CTEs follow the
+    # standard edges-both-directions pattern.
+    "x_softdedup_drain": f"""
+        WITH RECURSIVE {_LSH_PAIRS_CTES},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.key = b.key
+             AND a.doc_id <> b.doc_id),
+        ver AS (
+            SELECT c.ida, c.idb FROM cand c
+            JOIN sig a ON a.doc_id = c.ida
+            JOIN sig b ON b.doc_id = c.idb
+            WHERE ({' + '.join(f'(CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END)' for i in range(8))}) * 2 >= 8),
+        e0 AS (
+            SELECT ida AS u, idb AS v FROM ver
+            WHERE ida % 2 = 0 AND idb % 2 = 0),
+        reach0(node, label) AS (
+            SELECT u, u FROM e0
+            UNION
+            SELECT e.u, r.label FROM e0 e JOIN reach0 r ON r.node = e.v),
+        cl0 AS (SELECT node, MIN(label) AS cl FROM reach0 GROUP BY 1),
+        b0 AS MATERIALIZED (
+            SELECT d.doc_id, COALESCE(c.cl, d.doc_id) AS cluster_id
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 0) d
+            LEFT JOIN cl0 c ON c.node = d.doc_id),
+        n0 AS (SELECT cluster_id, COUNT(*) AS n FROM b0 GROUP BY 1),
+        es1 AS MATERIALIZED (
+            SELECT v.ida AS u, b.cluster_id AS v FROM ver v
+            JOIN b0 b ON b.doc_id = v.idb
+            WHERE v.ida % 2 = 1),
+        e1 AS (
+            SELECT u, v FROM es1
+            UNION ALL SELECT v, u FROM es1
+            UNION ALL
+            SELECT ida, idb FROM ver WHERE ida % 2 = 1 AND idb % 2 = 1),
+        reach1(node, label) AS (
+            SELECT u, u FROM e1
+            UNION
+            SELECT e.u, r.label FROM e1 e JOIN reach1 r ON r.node = e.v),
+        cl1 AS MATERIALIZED (
+            SELECT node, MIN(label) AS cl FROM reach1 GROUP BY 1),
+        b1 AS MATERIALIZED (
+            SELECT d.doc_id, COALESCE(c.cl, d.doc_id) AS cluster_id
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+            LEFT JOIN cl1 c ON c.node = d.doc_id),
+        nb1 AS (SELECT cluster_id, COUNT(*) AS n_batch FROM b1 GROUP BY 1),
+        ns1 AS (
+            SELECT c.cl AS cluster_id, COUNT(*) AS n_store
+            FROM b0 s JOIN cl1 c ON c.node = s.cluster_id
+            GROUP BY 1)
+        SELECT b.doc_id, b.cluster_id, n0.n AS n_cluster,
+               ROUND(CAST(1 AS DOUBLE) / n0.n, 9) AS weight
+        FROM b0 b JOIN n0 USING (cluster_id)
+        UNION ALL
+        SELECT b.doc_id, b.cluster_id,
+               nb1.n_batch + COALESCE(ns1.n_store, 0) AS n_cluster,
+               ROUND(CAST(1 AS DOUBLE)
+                     / (nb1.n_batch + COALESCE(ns1.n_store, 0)), 9) AS weight
+        FROM b1 b
+        JOIN nb1 USING (cluster_id)
+        LEFT JOIN ns1 USING (cluster_id)
     """,
     "x_dedup_clusters": _CLUSTERS_ORACLE,
     # the star-contraction variant must land on the exact same fixpoint
@@ -4788,6 +4885,7 @@ QUERIES = {
     "x_power_iteration": q_x_power_iteration,
     "x_hilbert_key": q_x_hilbert_key,
     "x_incremental_neardup": q_x_incremental_neardup,
+    "x_softdedup_drain": q_x_softdedup_drain,
     "x_tdigest_rollup": q_x_tdigest_rollup,
     "x_spacesaving_drain": q_x_spacesaving_drain,
     "x_kcore": q_x_kcore,
