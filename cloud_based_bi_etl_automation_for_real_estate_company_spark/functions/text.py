@@ -277,7 +277,16 @@ def repair_mojibake_text(s: str, max_rounds: int = 3) -> str:
     valid UTF-8 (e.g. genuine 'café') is left untouched. ASCII words
     are identity by construction. cp1252 first (the 0x80–0x9F
     smart-quote block 'â€™' needs it), latin-1 as fallback for the
-    five codepoints cp1252 lacks."""
+    five codepoints cp1252 lacks.
+
+    Known false-positive class (inherent to every round-trip
+    heuristic): a CLEAN word whose cp1252 bytes happen to be valid
+    multi-byte UTF-8 — e.g. 'ßš' (0xDF 0x9A, a valid 2-byte
+    sequence) — would be "repaired" into a different string. In the
+    pipeline this is doubly mitigated: ``demojibake_full`` only
+    touches rows the signature detector flags, and such adjacencies
+    (a 0xC2–0xF4-encoding char directly followed by 0x80–0xBF-encoding
+    ones) are vanishingly rare in natural text."""
     s = s.replace(REPLACEMENT_CHAR, "")
     out = []
     for w in s.split(" "):

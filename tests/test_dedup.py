@@ -823,3 +823,39 @@ def test_local_finish_budget_resolution(spark):
     # and it tracks the actual JVM heap: recompute the expected clamp
     mx = spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory()
     assert b == max(100_000, min(2_000_000, int(mx // 100 // 100)))
+
+
+def test_soft_store_compaction_and_finalize_invariance(spark, tmp_path):
+    """Round-11: compact_minhash_store rewrites whatever schema lives
+    under {store}/sigs -- the soft store's extra cluster_id column
+    included -- and soft_dedup_finalize is invariant across the
+    compaction (same labels, sizes, weights)."""
+    import glob
+    import shutil
+
+    base = "shared boilerplate paragraph repeated across batches many times over " * 5
+    fresh = "totally novel subject matter with distinct vocabulary choices " * 5
+    a = str(tmp_path / "soft_a")
+    b1 = spark.createDataFrame([(1, base), (2, fresh)], "doc_id bigint, text string")
+    b2 = spark.createDataFrame(
+        [(11, base + " tail"), (12, "more new words about columnar layouts " * 5)],
+        "doc_id bigint, text string",
+    )
+    D.soft_dedup_admit(b1, a)
+    D.soft_dedup_admit(b2, a)
+    b = str(tmp_path / "soft_b")
+    shutil.copytree(a, b)
+    files_before = len(glob.glob(f"{b}/sigs/*.parquet"))
+    D.compact_minhash_store(spark, b)
+    assert len(glob.glob(f"{b}/sigs/*.parquet")) < files_before
+    rows_a = sorted(map(tuple, spark.read.parquet(f"{a}/sigs").collect()))
+    rows_b = sorted(map(tuple, spark.read.parquet(f"{b}/sigs").collect()))
+    assert rows_a == rows_b
+    fin = lambda p: sorted(
+        map(tuple, D.soft_dedup_finalize(spark, p).collect())
+    )
+    assert fin(a) == fin(b)
+    # the near-dup pair (1, 11) shares one cluster with weight 0.5
+    got = {r[0]: (r[1], r[3]) for r in fin(a)}
+    assert got[1] == (1, 0.5) and got[11] == (1, 0.5)
+    assert got[2] == (2, 1.0) and got[12] == (12, 1.0)

@@ -527,3 +527,33 @@ def test_cluster_split_never_straddles_property(spark, edges, extra):
         got = {out[i]["cluster_id"] for i in members}
         assert got == {want}
         assert len({out[i]["split"] for i in members}) == 1
+
+
+# Adjacency-safe alphabet for the repair property: ASCII plus accents
+# whose cp1252 byte is >= 0xC0 and NOT a valid 2-byte UTF-8 lead
+# (0xC2-0xDF) -- so no adjacency of clean chars can form valid UTF-8
+# bytes under cp1252 encoding. Chars that encode into 0x80-0xBF
+# (s-caron 0x9A, euro 0x80, em dash 0x97) or to 0xC2-0xDF (sharp-s
+# 0xDF) are deliberately EXCLUDED: 'ss-caron'-style adjacencies are
+# genuine false positives of the round-trip heuristic (documented in
+# repair_mojibake_text; a clean doc is shielded by the detector gate),
+# and the unit test covers those chars as isolated words.
+_MOJI_SAFE = st.text(
+    alphabet="abc XYZ123éèüñöàï", min_size=0, max_size=40
+)
+
+
+@given(_MOJI_SAFE)
+@settings(max_examples=200, deadline=None)
+def test_full_mojibake_repair_inverts_cp1252_misdecode(s):
+    """Round-11 property: over the adjacency-safe alphabet the generic
+    repair exactly inverts a utf-8-read-as-cp1252 mis-decode, and is
+    the identity on the clean string itself (its cp1252 bytes are not
+    valid multi-byte UTF-8)."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.functions.text import (
+        repair_mojibake_text,
+    )
+
+    broken = s.encode("utf-8").decode("cp1252")
+    assert repair_mojibake_text(broken) == s
+    assert repair_mojibake_text(s) == s
