@@ -250,6 +250,11 @@ def test_l25_date_filter_pushed_before_join(spark):
         ("x_calibration_approx", 20),
         ("x_prefix_join", 34),
         ("x_lsh_recall", 56),
+        # round-11: x_golden_mode's member table feeds base stats +
+        # stacked mode counts — losing its localCheckpoint would
+        # re-run the whole blocking/CC pipeline per aggregation
+        # (observed 5 exchanges post-checkpoint)
+        ("x_golden_mode", 12),
     ],
 )
 def test_multi_reference_plans_stay_pinned(spark, name, max_exchanges):
