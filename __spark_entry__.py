@@ -2,8 +2,8 @@
 
 ``entry`` runs the flagship dashboard query; ``queries`` /
 ``oracle_sql`` expose every implemented operator from SURVEY.md §2
-plus the training-data-pipeline extensions — 232 registered queries,
-231 with DuckDB oracles, 1 rows-only: x_pca_project
+plus the training-data-pipeline extensions — 233 registered queries,
+232 with DuckDB oracles, 1 rows-only: x_pca_project
 (numpy eigh) — PERMANENTLY rows-only by round-6 decision: its
 Parseval shadow ``x_pca_invariants`` checks centering/orthonormality
 in SQL, and ``x_power_iteration`` proves the distributed eigen-math
@@ -62,13 +62,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Round-11 gate front block. Every round-10 front name is green in
-# CORRECTNESS_r10, so the 50-slot window now holds: (a) the 3 round-11
+# CORRECTNESS_r10, so the 50-slot window now holds: (a) the 4 round-11
 # additions (mode-survivorship golden records; the full-mojibake-
-# repair gate; the streaming soft-dedup drain), (b) the 6 permanent
-# double-arithmetic SENTINELS, then
+# repair gate; the streaming soft-dedup drain; URL canonicalization),
+# (b) the 6 permanent double-arithmetic SENTINELS, then
 # (c) STALENESS ROTATION — the 24 r5-vintage names staged as
 # _ROTATION_R11 last round (the complete oldest tier), followed by
-# the 17 alphabetically-first r6-vintage names; the remaining 20 r6
+# the 16 alphabetically-first r6-vintage names; the remaining 21 r6
 # names stage as _ROTATION_R12. No registered query's PLAN changed
 # this round (the round-11 streaming/curation work is pytest-surface
 # only), so there is no (plan-changed) block. After this window no
@@ -81,6 +81,7 @@ _GATE_PRIORITY = (
     "x_golden_mode",
     "x_mojibake_full",
     "x_softdedup_drain",
+    "x_url_canon",
     # -- (b) permanent sentinels: fragile double-fold bit-exactness --------
     "t10_holt",
     "t12_holt_winters",
@@ -114,7 +115,7 @@ _GATE_PRIORITY = (
     "x_mmr_rerank",
     "x_nb_confusion",
     "x_prefix_join",
-    # r6 vintage from here (alphabetical first 17 of 37)
+    # r6 vintage from here (alphabetical first 16 of 37)
     "a10_monthly_trend",
     "a11_origin_counts",
     "a12_agent_measures",
@@ -131,13 +132,13 @@ _GATE_PRIORITY = (
     "a2_total_amount",
     "a3_avg_ticket",
     "a4_conversion_ratios",
-    "a5_goal_progress",
 )
 
-# Round-12 rotation backlog: the 20 remaining r6-vintage names (oldest
+# Round-12 rotation backlog: the 21 remaining r6-vintage names (oldest
 # staleness tier after round 11). Promote behind round-12 additions +
 # the sentinels; r7-vintage names (see CORRECTNESS_r07) come next.
 _ROTATION_R12: tuple[str, ...] = (
+    "a5_goal_progress",
     "a7_latest_per_key",
     "a8_rollup_agent_table",
     "a9_percent_of_total",

@@ -343,6 +343,71 @@ def demojibake_full(df, text_col: str = "text"):
     return flagged.select(*cols).unionByName(clean.select(*cols))
 
 
+# Query params a crawl canonicalizer strips: click/campaign trackers
+# that vary per visit without changing the document. Literal prefixes,
+# matched case-sensitively (crawlers lowercase param names upstream).
+TRACKING_PARAM_RE = "^(utm_[a-z_]*|fbclid|gclid|msclkid|ref)="
+
+
+def canonical_url(col: Column | str) -> Column:
+    """Canonical form of a URL — THE dedup key a web-crawl pipeline
+    hashes before any content fetch (the cheapest dedup rung, ahead of
+    exact text hashing): two crawl records of the same page with
+    different click trackers / param order / host case collapse to one
+    key. Rules (each a pure JVM expression; RE2-safe regexes so the
+    DuckDB oracle replays them verbatim):
+
+      1. scheme and host:port lowercase (path/query case PRESERVED —
+         paths are case-sensitive on most origins);
+      2. default port stripped (:443 for https, :80 for http);
+      3. fragment dropped (never sent to the origin);
+      4. tracking params removed (``TRACKING_PARAM_RE``);
+      5. remaining query params sorted lexicographically (param order
+         is almost never semantic);
+      6. empty path normalized to '/'.
+
+    Map-only: fuses into the scan, zero shuffle at any scale. This is
+    the conservative canonicalizer — it never merges two URLs that
+    could serve different content; aggressive variants (strip 'www.',
+    lowercase path, drop ALL params) are policy choices layered on
+    top."""
+    u = F.col(col) if isinstance(col, str) else col
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
+    host = F.when(
+        scheme == "https", F.regexp_replace(hostport, ":443$", "")
+    ).when(
+        scheme == "http", F.regexp_replace(hostport, ":80$", "")
+    ).otherwise(hostport)
+    # fragment off first, then split path vs query
+    nofrag = F.regexp_replace(
+        F.substring(rest, F.length(hostport) + F.lit(1), F.lit(1 << 20)),
+        "#.*$",
+        "",
+    )
+    path = F.regexp_extract(nofrag, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.when(
+        nofrag.contains("?"),
+        F.regexp_replace(nofrag, r"^[^?]*\?", ""),
+    ).otherwise(F.lit(""))
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    canon_q = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(
+            F.lit("")
+        ),
+    )
+
+
 def shingles(col: Column | str, k: int = 3) -> Column:
     """Word k-gram shingles as an array<string>; [] when < k tokens.
 

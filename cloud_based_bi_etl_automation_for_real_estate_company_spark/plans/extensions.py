@@ -485,6 +485,55 @@ def q_x_mojibake_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup key (round 11, functions/text.py
+    canonical_url — the cheapest crawl-dedup rung, ahead of any
+    content hash): four surface variants of the same logical page
+    (host case + default port + fragment; tracker params; param
+    order) must collapse to ONE canonical key. Fixture: page =
+    doc_id div 4, variant = doc_id % 4 — every 4-doc group shares a
+    page, so every canonical key counts exactly its surviving
+    variants. Pure JVM string/regex/array expressions (RE2-safe, no
+    lookaround) + one window count per canonical key; the oracle
+    replays synthesis and every canonicalization rule literally."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    page = F.expr("doc_id div 4")
+    h = F.pmod(page, F.lit(5))
+    base = F.concat(F.lit("site"), h.cast("string"), F.lit(".com/Page/"),
+                    page.cast("string"))
+    v = F.pmod(F.col("doc_id"), F.lit(4))
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://www."), base, F.lit("?a=1&b=2")))
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("HTTPS://WWW.SITE"), h.cast("string"),
+                F.lit(".COM:443/Page/"), page.cast("string"),
+                F.lit("?a=1&b=2#sec"),
+            ),
+        )
+        .when(v == 2, F.concat(F.lit("https://www."), base, F.lit("?b=2&a=1")))
+        .otherwise(
+            F.concat(
+                F.lit("https://www."), base,
+                F.lit("?a=1&utm_source=feed&b=2"),
+            )
+        )
+    )
+    out = d.select(
+        "doc_id", T.canonical_url(url).alias("canon_url")
+    )
+    return out.select(
+        "doc_id",
+        "canon_url",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("canon_url"))
+        .alias("n_same"),
+    )
+
+
 def q_x_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (dup-token / dup-bigram
     ratios, top-token share) per document."""
@@ -4167,6 +4216,76 @@ ORACLES["x_golden_records"] = """
 # (count DESC, value ASC) via QUALIFY row_number. The member table j
 # feeds two aggregations, so it is MATERIALIZED (the DuckDB CTE-
 # inlining lesson from x_power_iteration).
+# x_url_canon: identical URL synthesis + every canonicalization rule
+# replayed literally (anchored single-match regexes — DuckDB's
+# regexp_replace is first-match-only, which is exactly what the
+# anchors need; list_filter/list_sort/array_to_string mirror the
+# Spark HOF chain).
+ORACLES["x_url_canon"] = """
+    WITH synth AS (
+        SELECT doc_id,
+               CASE doc_id % 4
+                 WHEN 0 THEN 'https://www.site' || ((doc_id // 4) % 5)
+                      || '.com/Page/' || (doc_id // 4) || '?a=1&b=2'
+                 WHEN 1 THEN 'HTTPS://WWW.SITE' || ((doc_id // 4) % 5)
+                      || '.COM:443/Page/' || (doc_id // 4) || '?a=1&b=2#sec'
+                 WHEN 2 THEN 'https://www.site' || ((doc_id // 4) % 5)
+                      || '.com/Page/' || (doc_id // 4) || '?b=2&a=1'
+                 ELSE 'https://www.site' || ((doc_id // 4) % 5)
+                      || '.com/Page/' || (doc_id // 4)
+                      || '?a=1&utm_source=feed&b=2'
+               END AS url
+        FROM documents),
+    parts AS (
+        SELECT doc_id,
+               lower(regexp_extract(url,
+                     '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+               regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '')
+                   AS rest
+        FROM synth),
+    hp AS (
+        SELECT doc_id, scheme, rest,
+               lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS hostport
+        FROM parts),
+    norm AS (
+        SELECT doc_id, scheme,
+               CASE WHEN scheme = 'https'
+                    THEN regexp_replace(hostport, ':443$', '')
+                    WHEN scheme = 'http'
+                    THEN regexp_replace(hostport, ':80$', '')
+                    ELSE hostport END AS host,
+               regexp_replace(substr(rest, length(hostport) + 1),
+                              '#.*$', '') AS nofrag
+        FROM hp),
+    pq AS (
+        SELECT doc_id, scheme, host,
+               CASE WHEN regexp_extract(nofrag, '^([^?]*)', 1) = ''
+                    THEN '/'
+                    ELSE regexp_extract(nofrag, '^([^?]*)', 1) END AS path,
+               CASE WHEN contains(nofrag, '?')
+                    THEN regexp_replace(nofrag, '^[^?]*\\?', '')
+                    ELSE '' END AS query
+        FROM norm),
+    canon AS (
+        SELECT doc_id,
+               scheme || '://' || host || path ||
+               CASE WHEN array_to_string(list_sort(list_filter(
+                          string_split(query, '&'),
+                          p -> p <> '' AND NOT regexp_matches(p,
+                              '^(utm_[a-z_]*|fbclid|gclid|msclkid|ref)='))),
+                          '&') = ''
+                    THEN ''
+                    ELSE '?' || array_to_string(list_sort(list_filter(
+                          string_split(query, '&'),
+                          p -> p <> '' AND NOT regexp_matches(p,
+                              '^(utm_[a-z_]*|fbclid|gclid|msclkid|ref)='))),
+                          '&') END AS canon_url
+        FROM pq)
+    SELECT doc_id, canon_url,
+           COUNT(*) OVER (PARTITION BY canon_url) AS n_same
+    FROM canon
+"""
+
 # x_mojibake_full: the oracle cannot run the cp1252 round trip, but it
 # does not need to — the fixture's intended clean text is known by
 # construction (the injected suffix's pre-corruption form), so the
@@ -4839,6 +4958,7 @@ QUERIES = {
     "x_card_redact": q_x_card_redact,
     "x_mojibake": q_x_mojibake,
     "x_mojibake_full": q_x_mojibake_full,
+    "x_url_canon": q_x_url_canon,
     "x_repetition": q_x_repetition,
     "x_decontaminate": q_x_decontaminate,
     "x_bloom_decontaminate": q_x_bloom_decontaminate,

@@ -197,3 +197,32 @@ def test_demojibake_full_repairs_out_of_map_tail(spark):
     # branch; the clean branch stays JVM-only
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_canonical_url_rules(spark):
+    """Round-11 URL canonicalization: host/scheme case, default ports,
+    fragments, tracking params, and param order collapse; non-default
+    ports, path case, and real params are preserved."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.functions.text import (
+        canonical_url,
+    )
+
+    rows = [
+        (1, "HTTPS://WWW.Example.COM:443/Path/To?utm_source=x&b=2&a=1#frag"),
+        (2, "https://www.example.com/Path/To?a=1&b=2"),
+        (3, "http://Host.org:80"),          # empty path -> '/'
+        (4, "http://host.org/"),
+        (5, "https://h.io/p?fbclid=abc&ref=tw"),
+        (6, "https://h.io/p"),
+        (7, "https://h.io:8443/CaseSensitive/P?z=1&y=2"),
+    ]
+    df = spark.createDataFrame(rows, "id int, url string")
+    got = {
+        r["id"]: r["c"]
+        for r in df.select("id", canonical_url("url").alias("c")).collect()
+    }
+    assert got[1] == got[2] == "https://www.example.com/Path/To?a=1&b=2"
+    assert got[3] == got[4] == "http://host.org/"
+    assert got[5] == got[6] == "https://h.io/p"
+    # non-default port + path case preserved; params sorted
+    assert got[7] == "https://h.io:8443/CaseSensitive/P?y=2&z=1"
