@@ -1081,3 +1081,101 @@ def cluster_split(
         .when(bucket < train_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_queries: int = 5,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 scored retrieval (Robertson & Zaragoza 2009): top-``k``
+    documents per query under Okapi BM25 with the standard
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1) and tf saturation
+    tf·(k1+1)/(tf + k1·(1 − b + b·|d|/avgdl)). The query set is
+    derived deterministically from the corpus itself so the surface
+    is self-contained and replayable: the ``n_queries`` most frequent
+    word bigrams (ties → lexicographically smallest) each become a
+    two-term query.
+
+    Spark shape — this IS the distributed inverted index probe:
+
+    - ``tf`` (per doc×term counts) is the postings table; joining it
+      against the BROADCAST query-term list touches only postings of
+      query terms — the scan never materializes scores for the rest
+      of the vocabulary.
+    - ``doc_freq`` derives from ``tf`` (one term-keyed agg) and is
+      likewise filtered through the broadcast query terms before the
+      scoring join, so the surviving frame is queries×postings sized.
+    - N and Σ|d| (for avgdl) travel as a single 1-row broadcast
+      scalar — no driver collect.
+    - top-k per query is one row_number window partitioned by query;
+      at 100 TB postings for a hot term can be large — pre-reduce
+      with a per-partition local top-k before the window if a profile
+      shows the final sort dominating (the classic two-phase top-k).
+
+    Cross-engine exactness: per-term scores are rounded to 12 dp and
+    summed as DECIMAL(28,12) (associativity-proof, the x_bigram_nll
+    pattern); the rank orders by that exact decimal (DESC, doc id
+    ASC), so the oracle's QUALIFY row_number replays bit-for-bit.
+    Returns (query, rnk, ``id_col``, score).
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    doclen = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    scalars = tok.agg(
+        F.count(F.lit(1)).alias("sum_dl"),
+        F.count_distinct(F.col(id_col)).alias("n_docs"),
+    )
+
+    bg = df.select(F.explode(shingles(text_col, 2)).alias("bg"))
+    qset = (
+        bg.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bg"))
+        .limit(n_queries)
+    )
+    qterms = qset.select(
+        F.col("bg").alias("query"), F.explode(F.split("bg", " ")).alias("term")
+    )
+    qstats = F.broadcast(qterms).join(dfreq, "term")
+
+    scored = (
+        tf.join(F.broadcast(qstats), "term")
+        .join(doclen, id_col)
+        .join(F.broadcast(scalars))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        ((F.col("n_docs") - F.col("doc_freq")).cast("double") + F.lit(0.5))
+        / (F.col("doc_freq").cast("double") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tf_d = F.col("tf").cast("double")
+    per_term = (idf * (tf_d * F.lit(k1 + 1.0))) / (
+        tf_d
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl))
+    )
+    agg = scored.groupBy("query", id_col).agg(
+        F.sum(F.round(per_term, 12).cast("decimal(28,12)")).alias("score_x")
+    )
+    w = Window.partitionBy("query").orderBy(
+        F.desc("score_x"), F.asc(id_col)
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query",
+            "rnk",
+            id_col,
+            F.col("score_x").cast("double").alias("score"),
+        )
+    )

@@ -482,3 +482,90 @@ def domain_cap(
         df.withColumn(rank_col, F.row_number().over(w).cast("bigint"))
         .filter(F.col(rank_col) <= max_per_domain)
     )
+
+
+def ks_drift(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+    alpha_coeff: float = 1.358,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test per corpus slice: for
+    every ``group_col`` value g, compare the empirical distribution of
+    ``value_col`` inside g against the REST of the corpus, and report
+    the KS statistic D = sup_v |ECDF_g(v) − ECDF_rest(v)| plus the
+    alpha=0.05 rejection flag (critical value c(α)·sqrt((n1+n2)/
+    (n1·n2)), c(0.05)=1.358) — the distribution-shift gate a training
+    pipeline runs when a new crawl slice lands.
+
+    Exactness: both ECDFs are step functions that only change at
+    observed values, so D is evaluated on the distinct-value grid, and
+    the sup comparison runs in INTEGER cross-multiplied form
+    max |cum_g·n_rest − cum_rest·n_g| (one exact division at the very
+    end) — no float accumulation, so the oracle replays bit-for-bit.
+
+    Spark shape: one (group,value) count agg, a per-value corpus agg,
+    one BOUNDED grid×groups broadcast expansion (|distinct values| ×
+    |groups| rows — value grids are histogram-sized, groups are corpus
+    slices, both orders of magnitude below row count at any SF), a
+    group-partitioned cumulative window, and one max agg. Nothing in
+    the plan ever re-scans the corpus. Products stay in BIGINT — at
+    corpora past ~3·10⁹ rows switch the cross-multiply to
+    DECIMAL(38,0) (n²·cum can overflow 2⁶³).
+    """
+    counts = df.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = counts.groupBy(group_col).agg(
+        F.sum("cnt").cast("bigint").alias("n_g")
+    )
+    grand = counts.agg(F.sum("cnt").cast("bigint").alias("n"))
+    allc = counts.groupBy(value_col).agg(
+        F.sum("cnt").cast("bigint").alias("cnt_all")
+    )
+    cells = (
+        totals.crossJoin(F.broadcast(allc))
+        .join(
+            counts,
+            [group_col, value_col],
+            "left",
+        )
+        .select(
+            group_col,
+            value_col,
+            "n_g",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+            "cnt_all",
+        )
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cums = cells.select(
+        group_col,
+        "n_g",
+        F.sum("cnt").over(w).cast("bigint").alias("cum_g"),
+        F.sum("cnt_all").over(w).cast("bigint").alias("cum_all"),
+    )
+    d_int = F.abs(
+        F.col("cum_g") * (F.col("n") - F.col("n_g"))
+        - (F.col("cum_all") - F.col("cum_g")) * F.col("n_g")
+    )
+    dmax = (
+        cums.join(F.broadcast(grand))
+        .groupBy(group_col, "n_g", "n")
+        .agg(F.max(d_int).alias("d_int"))
+    )
+    n1 = F.col("n_g").cast("double")
+    n2 = (F.col("n") - F.col("n_g")).cast("double")
+    ks = F.col("d_int").cast("double") / (n1 * n2)
+    crit = F.lit(alpha_coeff) * F.sqrt(F.col("n").cast("double") / (n1 * n2))
+    return dmax.select(
+        group_col,
+        F.col("n_g").alias("n_source"),
+        (F.col("n") - F.col("n_g")).alias("n_rest"),
+        ks.alias("ks_stat"),
+        (ks > crit).alias("reject_95"),
+    )

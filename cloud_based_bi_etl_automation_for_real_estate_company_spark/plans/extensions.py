@@ -218,6 +218,25 @@ def q_x_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.tfidf_by_group(t(spark, sf_dir, "documents"))
 
 
+def q_x_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 retrieval (operators/corpus.py: bm25_topk) — the
+    scored inverted-index probe on top of the TF-IDF statistics: the
+    5 most frequent corpus bigrams become two-term queries, postings
+    join against the broadcast query-term list, and each query's
+    top-5 documents rank by the exact DECIMAL(28,12) score sum."""
+    return C.bm25_topk(t(spark, sf_dir, "documents"))
+
+
+def q_x_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS drift test (operators/quality.py: ks_drift) —
+    each source slice's n_chars distribution vs the rest of the
+    corpus, with the sup evaluated in exact integer cross-multiplied
+    form so the oracle replays bit-for-bit."""
+    from ..operators.quality import ks_drift
+
+    return ks_drift(t(spark, sf_dir, "documents"))
+
+
 def q_x_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-smoothed (alpha=0.5) per-source sampling weights for
     the training mix."""
@@ -2805,6 +2824,98 @@ ORACLES: dict[str, str] = {
                tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.doc_freq) AS tfidf
         FROM tf JOIN dfreq USING (term) CROSS JOIN n
     """,
+    "x_bm25": """
+        WITH tok AS (
+            SELECT doc_id, UNNEST(string_split(trim(text), ' ')) AS term
+            FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        dfreq AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
+        doclen AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        scalars AS (
+            SELECT COUNT(*) AS sum_dl, COUNT(DISTINCT doc_id) AS n_docs
+            FROM tok),
+        bg AS (
+            SELECT UNNEST(CASE WHEN len(toks) >= 2
+                THEN list_transform(range(1, len(toks)),
+                                    i -> toks[i] || ' ' || toks[i+1])
+                ELSE [] END) AS bg
+            FROM (SELECT string_split(trim(text), ' ') AS toks
+                  FROM documents)),
+        qset AS (
+            SELECT bg, COUNT(*) AS cnt FROM bg GROUP BY 1
+            ORDER BY cnt DESC, bg ASC LIMIT 5),
+        qterms AS (
+            SELECT bg AS query, UNNEST(string_split(bg, ' ')) AS term
+            FROM qset),
+        qstats AS (
+            SELECT q.query, q.term, d.doc_freq
+            FROM qterms q JOIN dfreq d USING (term)),
+        scored AS (
+            SELECT s.query, t.doc_id,
+                   ln((CAST(c.n_docs - s.doc_freq AS DOUBLE) + 0.5)
+                      / (CAST(s.doc_freq AS DOUBLE) + 0.5) + 1.0)
+                   * (CAST(t.tf AS DOUBLE) * 2.2)
+                   / (CAST(t.tf AS DOUBLE)
+                      + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE)
+                          / (CAST(c.sum_dl AS DOUBLE)
+                             / CAST(c.n_docs AS DOUBLE))))) AS per_term
+            FROM tf t
+            JOIN qstats s USING (term)
+            JOIN doclen l USING (doc_id)
+            CROSS JOIN scalars c),
+        aggd AS (
+            SELECT query, doc_id,
+                   SUM(CAST(ROUND(per_term, 12) AS DECIMAL(28,12)))
+                       AS score_x
+            FROM scored GROUP BY 1, 2)
+        SELECT query, rnk, doc_id, CAST(score_x AS DOUBLE) AS score
+        FROM (SELECT query, doc_id, score_x,
+                     ROW_NUMBER() OVER (PARTITION BY query
+                                        ORDER BY score_x DESC, doc_id ASC)
+                         AS rnk
+              FROM aggd)
+        WHERE rnk <= 5
+    """,
+    "x_ks_drift": """
+        WITH counts AS (
+            SELECT source, n_chars AS v, COUNT(*) AS cnt
+            FROM documents GROUP BY 1, 2),
+        totals AS (
+            SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_g
+            FROM counts GROUP BY 1),
+        grand AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM counts),
+        allc AS (
+            SELECT v, CAST(SUM(cnt) AS BIGINT) AS cnt_all
+            FROM counts GROUP BY 1),
+        cells AS (
+            SELECT t.source, a.v, t.n_g,
+                   COALESCE(c.cnt, 0) AS cnt, a.cnt_all
+            FROM totals t
+            CROSS JOIN allc a
+            LEFT JOIN counts c ON c.source = t.source AND c.v = a.v),
+        cums AS (
+            SELECT source, n_g,
+                   CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_g,
+                   CAST(SUM(cnt_all) OVER (PARTITION BY source ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_all
+            FROM cells),
+        dmax AS (
+            SELECT c.source, c.n_g, g.n,
+                   MAX(abs(c.cum_g * (g.n - c.n_g)
+                           - (c.cum_all - c.cum_g) * c.n_g)) AS d_int
+            FROM cums c CROSS JOIN grand g
+            GROUP BY 1, 2, 3)
+        SELECT source, n_g AS n_source, (n - n_g) AS n_rest,
+               CAST(d_int AS DOUBLE)
+               / (CAST(n_g AS DOUBLE) * CAST(n - n_g AS DOUBLE)) AS ks_stat,
+               CAST(d_int AS DOUBLE)
+               / (CAST(n_g AS DOUBLE) * CAST(n - n_g AS DOUBLE))
+               > 1.358 * sqrt(CAST(n AS DOUBLE)
+                   / (CAST(n_g AS DOUBLE) * CAST(n - n_g AS DOUBLE)))
+                   AS reject_95
+        FROM dmax
+    """,
     "x_source_mixture": """
         WITH per AS (
             SELECT source, COUNT(*) AS n_docs,
@@ -4943,6 +5054,8 @@ QUERIES = {
     "x_text_stats": q_x_text_stats,
     "x_token_counts": q_x_token_counts,
     "x_tfidf": q_x_tfidf,
+    "x_bm25": q_x_bm25,
+    "x_ks_drift": q_x_ks_drift,
     "x_pack_sequences": q_x_pack_sequences,
     "x_length_clip": q_x_length_clip,
     "x_chunk_documents": q_x_chunk_documents,

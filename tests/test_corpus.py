@@ -580,3 +580,65 @@ def test_cluster_split_is_leakage_safe(spark):
     )
     straddle = pairs.join(a, "id_a").join(b, "id_b").filter("sa <> sb")
     assert straddle.count() == 0
+
+
+def test_bm25_hand_computed(spark):
+    # Corpus engineered so "b c" is the unambiguous top bigram (3
+    # occurrences) and the remaining bigrams tie at 1 — lexicographic
+    # tie-break picks them deterministically. n_queries=1 isolates
+    # the "b c" query for a hand-computed check.
+    df = spark.createDataFrame(
+        [
+            (1, "b c b c", "s"),  # tf(b)=2, tf(c)=2, dl=4
+            (2, "b c x", "s"),    # tf(b)=1, tf(c)=1, dl=3
+            (3, "x y z", "s"),    # no query terms
+        ],
+        DOCS,
+    )
+    out = C.bm25_topk(df, n_queries=1, k=3).collect()
+    # only docs 1 and 2 contain b/c → 2 result rows for the 1 query
+    assert all(r["query"] == "b c" for r in out)
+    assert [r["doc_id"] for r in out] == [1, 2]
+    assert [r["rnk"] for r in out] == [1, 2]
+
+    import math
+
+    n, sum_dl = 3, 10
+    avgdl = sum_dl / n
+
+    def per_term(tf, dfreq, dl):
+        idf = math.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+        return round(
+            idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))),
+            12,
+        )
+
+    # doc 1: b and c each tf=2, df=2, dl=4 — score is the 2-term sum
+    want1 = per_term(2, 2, 4) + per_term(2, 2, 4)
+    got1 = [r["score"] for r in out if r["doc_id"] == 1][0]
+    assert math.isclose(got1, want1, rel_tol=1e-9)
+    # ranking: doc 1 (higher tf, shorter-normalized) beats doc 2
+    got2 = [r["score"] for r in out if r["doc_id"] == 2][0]
+    assert got1 > got2
+
+
+def test_bm25_k_caps_and_tie_break(spark):
+    # Two docs with IDENTICAL text tie exactly on score — rank must
+    # break by doc_id ascending, and k=1 keeps only the smaller id.
+    df = spark.createDataFrame(
+        [(5, "p q", "s"), (4, "p q", "s"), (9, "p q r", "s")],
+        DOCS,
+    )
+    out = C.bm25_topk(df, n_queries=1, k=1).collect()
+    assert len(out) == 1
+    assert out[0]["doc_id"] == 4 and out[0]["rnk"] == 1
+
+
+def test_bm25_plan_has_no_cartesian(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b", "s"), (2, "a b c", "s")], DOCS
+    )
+    plan = C.bm25_topk(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the scalar/query-side joins must all broadcast
+    assert "BroadcastNestedLoopJoin LeftOuter" not in plan

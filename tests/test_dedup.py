@@ -859,3 +859,65 @@ def test_soft_store_compaction_and_finalize_invariance(spark, tmp_path):
     got = {r[0]: (r[1], r[3]) for r in fin(a)}
     assert got[1] == (1, 0.5) and got[11] == (1, 0.5)
     assert got[2] == (2, 1.0) and got[12] == (12, 1.0)
+
+
+def test_compact_soft_store_reconciles_bridged_labels(spark, tmp_path):
+    """Round-11: compact_soft_store rewrites the soft store's
+    PROVISIONAL admission-time cluster labels to the exact star-CC
+    labels. Fixture (deterministic under the md5 hash family): A and B
+    are unrelated, C = A||B bridges them — admitted per-batch, A and B
+    land in different clusters and C takes the merged min, but B's
+    STORED row keeps its stale label, splitting running counts. After
+    compaction a fourth A-duplicate sees the true running size 4."""
+    A = " ".join(f"a3w{i}" for i in range(12))
+    B = " ".join(f"b3w{i}" for i in range(12))
+    C = A + " " + B
+    store = str(tmp_path / "soft")
+    D.soft_dedup_admit(
+        spark.createDataFrame([(1, A)], "doc_id bigint, text string"), store
+    )
+    D.soft_dedup_admit(
+        spark.createDataFrame([(2, B)], "doc_id bigint, text string"), store
+    )
+    f3 = D.soft_dedup_admit(
+        spark.createDataFrame([(3, C)], "doc_id bigint, text string"), store
+    ).collect()
+    # C verified against both stored clusters -> merged min label 1
+    assert f3[0]["cluster_id"] == 1 and f3[0]["n_cluster"] == 3
+    stored = {
+        r["doc_id"]: r["cluster_id"]
+        for r in spark.read.parquet(f"{store}/sigs").collect()
+    }
+    # the stale provisional label: B still carries its own cluster
+    assert stored == {1: 1, 2: 2, 3: 1}
+
+    # WITHOUT compaction an A-dup undercounts its cluster (store rows
+    # labeled 1 are only {1, 3})
+    probe = str(tmp_path / "probe")
+    import shutil
+
+    shutil.copytree(store, probe)
+    f4_stale = D.soft_dedup_admit(
+        spark.createDataFrame([(4, A)], "doc_id bigint, text string"), probe
+    ).collect()
+    assert f4_stale[0]["n_cluster"] == 3  # 1, 3 + itself — undercount
+
+    D.compact_soft_store(spark, store)
+    stored2 = {
+        r["doc_id"]: r["cluster_id"]
+        for r in spark.read.parquet(f"{store}/sigs").collect()
+    }
+    assert stored2 == {1: 1, 2: 1, 3: 1}
+    # finalize is invariant across the rewrite (labels re-derived from
+    # signatures alone)
+    fin = {
+        r["doc_id"]: (r["cluster_id"], r["n_cluster"])
+        for r in D.soft_dedup_finalize(spark, store).collect()
+    }
+    assert fin == {1: (1, 3), 2: (1, 3), 3: (1, 3)}
+    # and the post-compaction admit sees the exact running size
+    f4 = D.soft_dedup_admit(
+        spark.createDataFrame([(4, A)], "doc_id bigint, text string"), store
+    ).collect()
+    assert f4[0]["cluster_id"] == 1 and f4[0]["n_cluster"] == 4
+    assert f4[0]["weight"] == 0.25

@@ -255,6 +255,14 @@ def test_l25_date_filter_pushed_before_join(spark):
         # re-run the whole blocking/CC pipeline per aggregation
         # (observed 5 exchanges post-checkpoint)
         ("x_golden_mode", 12),
+        # round-11: x_bm25's token stream feeds tf/doclen/scalars and
+        # tf feeds doc_freq + postings — all re-expansions are cheap
+        # scan→explode re-reads (observed 13 exchanges); the ceiling
+        # catches an accidental quadratic re-expansion
+        ("x_bm25", 18),
+        # round-11: x_ks_drift — counts feed totals/grand/allc/cells
+        # (observed 10 exchanges)
+        ("x_ks_drift", 14),
     ],
 )
 def test_multi_reference_plans_stay_pinned(spark, name, max_exchanges):

@@ -234,3 +234,58 @@ def test_domain_cap_keeps_top_k_per_domain(spark):
     a = sorted(map(tuple, domain_cap(df.repartition(2), 5).collect()))
     b = sorted(map(tuple, domain_cap(df.repartition(7), 5).collect()))
     assert a == b
+
+
+def test_ks_drift_perfect_separation(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        ks_drift,
+    )
+
+    # g1 lengths {1,1,2}, g2 lengths {3,3}: the ECDFs separate fully
+    # at v=2 → D = 1 exactly (integer form: max|cum1·n2 − cum2·n1| =
+    # |3·2 − 0·3| = 6 over n1·n2 = 6).
+    df = spark.createDataFrame(
+        [(1, "g1"), (1, "g1"), (2, "g1"), (3, "g2"), (3, "g2")],
+        "n_chars bigint, source string",
+    )
+    rows = {r["source"]: r for r in ks_drift(df).collect()}
+    g1 = rows["g1"]
+    assert g1["n_source"] == 3 and g1["n_rest"] == 2
+    assert g1["ks_stat"] == 1.0
+    # c(0.05)·sqrt(5/6) ≈ 1.2398 > 1.0 → tiny samples can't reject
+    assert g1["reject_95"] is False
+    assert rows["g2"]["ks_stat"] == 1.0
+
+
+def test_ks_drift_identical_distributions(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        ks_drift,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (1, "b"), (2, "b")],
+        "n_chars bigint, source string",
+    )
+    rows = ks_drift(df).collect()
+    assert all(r["ks_stat"] == 0.0 for r in rows)
+    assert all(r["reject_95"] is False for r in rows)
+
+
+def test_ks_drift_matches_scipy_style_hand_calc(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        ks_drift,
+    )
+
+    # g1 = [1,2,3,4], rest = [2,3,3,5]; grid cums:
+    #   v:      1  2  3  4  5
+    #   cum1:   1  2  3  4  4   (n1=4)
+    #   cumR:   0  1  3  3  4   (n2=4)
+    # D_int = max|cum1·4 − cumR·4| = max(4,4,0,4,0) = 4 → D = 4/16
+    df = spark.createDataFrame(
+        [(1, "g1"), (2, "g1"), (3, "g1"), (4, "g1"),
+         (2, "g2"), (3, "g2"), (3, "g2"), (5, "g2")],
+        "n_chars bigint, source string",
+    )
+    rows = {r["source"]: r for r in ks_drift(df).collect()}
+    assert rows["g1"]["ks_stat"] == 4.0 / 16.0
+    assert rows["g1"]["n_source"] == 4 and rows["g1"]["n_rest"] == 4
