@@ -410,3 +410,88 @@ def cusum_daily(
         state.alias("cusum"),
         (state > F.lit(float(threshold_frac)) * F.col("mu")).alias("alarm"),
     )
+
+
+def acf_integer(
+    counts: DataFrame,
+    key_col: str = "series",
+    order_col: str = "day",
+    value_col: str = "x",
+    max_lag: int = 6,
+) -> DataFrame:
+    """Sample autocorrelation function per series over an INTEGER
+    value column (e.g. daily event counts) at lags 1..``max_lag`` —
+    the seasonality/burstiness diagnostic run before fitting t10/t12's
+    smoothers. Standard estimator r_k = Σ(x_t−x̄)(x_{t−k}−x̄) /
+    Σ(x_t−x̄)², evaluated at sequence positions (row_number over
+    ``order_col`` — calendar gaps are treated as adjacent
+    observations; gap-fill upstream if strict calendar lags matter).
+
+    Cross-engine exactness: multiplying through by n² turns both sums
+    into INTEGER arithmetic — r_k = Σ(n·x_t−S)(n·x_{t−k}−S) /
+    Σ(n·x_t−S)² with S = Σx — so the only float op is the final
+    division. BIGINT bounds: |n·x−S| ≤ n·max(x), so the denominator
+    needs n³·max(x)² < 2⁶³ — at 10⁵ points of 10⁹-sized counts switch
+    the products to DECIMAL(38,0).
+
+    Spark shape: one agg for (S, n), one broadcast-joined centering
+    projection, a row_number window per series, and the lag pairing as
+    an equi-join on (series, idx−lag) against the broadcast lag spine
+    — no range predicates, no BNL on data-sized frames. Returns
+    (``key_col``, lag, n_pairs, acf).
+    """
+    from pyspark.sql import Window
+
+    spark = counts.sparkSession
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    idx = counts.select(
+        key_col,
+        F.col(value_col).cast("bigint").alias("x"),
+        F.row_number().over(w).cast("bigint").alias("i"),
+    )
+    stats = idx.groupBy(key_col).agg(
+        F.sum("x").alias("S"), F.count(F.lit(1)).alias("n")
+    )
+    # referenced three times below (den, both sides of the lag
+    # pairing) — checkpoint or the agg+window lineage re-executes per
+    # reference (PERF.md round 9); the frame is per-(series, bucket)
+    # sized, orders of magnitude below the raw event stream
+    c = (
+        idx.join(stats, key_col)
+        .select(
+            key_col, "i", (F.col("n") * F.col("x") - F.col("S")).alias("c")
+        )
+        .localCheckpoint(eager=True)
+    )
+    den = c.groupBy(key_col).agg(
+        F.sum(F.col("c") * F.col("c")).alias("den")
+    )
+    lags = spark.range(1, max_lag + 1).select(F.col("id").alias("lag"))
+    num = (
+        c.alias("a")
+        .crossJoin(F.broadcast(lags))
+        .join(
+            c.alias("b"),
+            (F.col(f"a.{key_col}") == F.col(f"b.{key_col}"))
+            & (F.col("b.i") == F.col("a.i") - F.col("lag")),
+        )
+        .groupBy(F.col(f"a.{key_col}").alias(key_col), "lag")
+        .agg(
+            F.sum(F.col("a.c") * F.col("b.c")).alias("num"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+    # a CONSTANT series has den = 0 — drop it rather than divide
+    # (IEEE 0/0 = NaN on Spark vs NULL on ANSI-SQL engines)
+    return (
+        num.join(den, key_col)
+        .filter(F.col("den") > 0)
+        .select(
+            key_col,
+            "lag",
+            "n_pairs",
+            (
+                F.col("num").cast("double") / F.col("den").cast("double")
+            ).alias("acf"),
+        )
+    )

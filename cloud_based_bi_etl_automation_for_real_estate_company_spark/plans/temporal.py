@@ -423,6 +423,21 @@ def q_t17_rolling_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_t18_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily event-count series per event type
+    at lags 1..6 (operators/timeseries.py: acf_integer) — the
+    seasonality diagnostic ahead of the t10/t12 smoothers; integer
+    cross-multiplied estimator, one float division at the end."""
+    from ..operators.timeseries import acf_integer
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("series"),
+        F.col("ts").cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    return acf_integer(daily)
+
+
 def q_p15_case_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P15 — string case transforms (webhook_app.py:176 account.upper())."""
     c = t(spark, sf_dir, "customer")
@@ -804,7 +819,41 @@ ORACLES["t17_rolling_quantiles"] = """
 """
 
 
+ORACLES["t18_acf"] = """
+    WITH daily AS (
+        SELECT event_type AS series, CAST(ts AS DATE) AS day,
+               COUNT(*) AS x
+        FROM events GROUP BY 1, 2),
+    idx AS (
+        SELECT series, CAST(x AS BIGINT) AS x,
+               CAST(ROW_NUMBER() OVER (PARTITION BY series ORDER BY day)
+                    AS BIGINT) AS i
+        FROM daily),
+    stats AS (
+        SELECT series, CAST(SUM(x) AS BIGINT) AS S, COUNT(*) AS n
+        FROM idx GROUP BY 1),
+    c AS (
+        SELECT i.series, i.i, s.n * i.x - s.S AS c
+        FROM idx i JOIN stats s USING (series)),
+    den AS (
+        SELECT series, CAST(SUM(c * c) AS BIGINT) AS den
+        FROM c GROUP BY 1),
+    num AS (
+        SELECT a.series, u.lag,
+               CAST(SUM(a.c * b.c) AS BIGINT) AS num,
+               COUNT(*) AS n_pairs
+        FROM c a
+        CROSS JOIN (SELECT UNNEST(range(1, 7)) AS lag) u
+        JOIN c b ON b.series = a.series AND b.i = a.i - u.lag
+        GROUP BY 1, 2)
+    SELECT n.series, n.lag, n.n_pairs,
+           CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE) AS acf
+    FROM num n JOIN den d USING (series)
+    WHERE d.den > 0
+"""
+
 QUERIES = {
+    "t18_acf": q_t18_acf,
     "t16_cusum_drain": q_t16_cusum_drain,
     "t17_rolling_quantiles": q_t17_rolling_quantiles,
     "t14_cusum": q_t14_cusum,

@@ -127,6 +127,7 @@ def stream_soft_dedup_documents(
     schema: str = "doc_id bigint, text string, lang string, "
     "source string, n_chars bigint",
     available_now: bool = True,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Streaming SOFT dedup (round 11) — the foreachBatch counterpart
     of ``run_curation_pipeline(soft_dedup=True)``: near-duplicate
@@ -143,8 +144,17 @@ def stream_soft_dedup_documents(
     ``operators.dedup.soft_dedup_finalize`` reconciles the store into
     the exact batch-pipeline labels/weights — the artifact a training
     run ships. Batch-parity with the curation pipeline's soft mode is
-    pinned in tests/test_streaming.py."""
-    from ..operators.dedup import soft_dedup_admit
+    pinned in tests/test_streaming.py.
+
+    ``compact_every=N`` runs ``operators.dedup.compact_soft_store``
+    after every Nth batch: foreachBatch is sequential, so the inside
+    of the sink IS the quiet window the compaction swap needs, and the
+    label rewrite re-synchronizes the store's provisional labels to
+    the exact clustering — bounding how stale running weights can get
+    without paying a finalize per batch (tiny-file growth is bounded
+    as a side effect). Leave it None for an external compaction
+    cadence."""
+    from ..operators.dedup import compact_soft_store, soft_dedup_admit
 
     raw = spark.readStream.schema(schema).json(in_path)
 
@@ -157,6 +167,8 @@ def stream_soft_dedup_documents(
             store_path,
             sink=lambda adm: adm.write.mode("append").parquet(out_path),
         )
+        if compact_every is not None and (batch_id + 1) % compact_every == 0:
+            compact_soft_store(spark, store_path)
 
     writer = raw.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint

@@ -263,6 +263,10 @@ def test_l25_date_filter_pushed_before_join(spark):
         # round-11: x_ks_drift — counts feed totals/grand/allc/cells
         # (observed 10 exchanges)
         ("x_ks_drift", 14),
+        # round-11: t18_acf — the centered frame feeds den + both lag
+        # sides; losing its localCheckpoint re-runs the window 3x
+        # (observed 5 exchanges post-checkpoint, 17 without)
+        ("t18_acf", 8),
     ],
 )
 def test_multi_reference_plans_stay_pinned(spark, name, max_exchanges):

@@ -543,3 +543,60 @@ def test_stream_soft_dedup_matches_batch_curation(spark, tmp_path):
         r["doc_id"]: (r["cluster_id"], r["weight"]) for r in fin.collect()
     }
     assert got == want
+
+
+def test_stream_soft_dedup_compact_every_resyncs_running_weights(
+    spark, tmp_path
+):
+    """Round-11: compact_every runs the label-rewriting soft-store
+    compaction inside foreachBatch (the quiet window), so a bridge
+    doc's cluster merge reaches the STORED labels and later batches'
+    RUNNING weights are exact — without it batch 3's A-duplicate
+    would see n_cluster 3 (the stale-label undercount pinned in
+    tests/test_dedup.py). Bridge fixture: A ∦ B, C = A‖B near both
+    (deterministic under the md5 hash family)."""
+    import json
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.streaming.pipeline import (
+        stream_soft_dedup_documents,
+    )
+
+    A = " ".join(f"a3w{i}" for i in range(12))
+    B = " ".join(f"b3w{i}" for i in range(12))
+    C = A + " " + B
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_batch(bi, rows):
+        (in_dir / f"b{bi}.json").write_text(
+            "\n".join(
+                json.dumps(
+                    {"doc_id": i, "text": t, "lang": "en", "source": "s",
+                     "n_chars": len(t)}
+                )
+                for i, t in rows
+            )
+        )
+        q = stream_soft_dedup_documents(
+            spark, str(in_dir), out, store, ckpt, compact_every=1
+        )
+        q.awaitTermination(120)
+
+    run_batch(0, [(1, A), (2, B)])
+    run_batch(1, [(3, C)])
+    # the compaction after batch 1 rewrote B's stored label to 1
+    stored = {
+        r["doc_id"]: r["cluster_id"]
+        for r in spark.read.parquet(f"{store}/sigs").collect()
+    }
+    assert stored == {1: 1, 2: 1, 3: 1}
+    run_batch(2, [(4, A)])
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["n_cluster"], r["weight"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[4] == (1, 4, 0.25)  # exact running size post-rewrite
+    assert got[3][0] == 1

@@ -262,3 +262,45 @@ def test_cusum_daily_matches_python_fold_and_detects_shift(spark):
     # quiet days never alarm; the shift does
     assert not any(a for _, a in expect[:10])
     assert expect[-1][1]
+
+
+def test_acf_integer_hand_computed(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.timeseries import (
+        acf_integer,
+    )
+
+    # series x = [1,2,3] (by day): centered n·x−S = [-3, 0, 3],
+    # den = 18; r1 = (0·-3 + 3·0)/18 = 0; r2 = (3·-3)/18 = -0.5
+    df = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 2), ("a", 3, 3)],
+        "series string, day int, x bigint",
+    )
+    rows = {r["lag"]: r for r in acf_integer(df, max_lag=2).collect()}
+    assert rows[1]["acf"] == 0.0 and rows[1]["n_pairs"] == 2
+    assert rows[2]["acf"] == -0.5 and rows[2]["n_pairs"] == 1
+
+
+def test_acf_integer_constant_series_dropped(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.timeseries import (
+        acf_integer,
+    )
+
+    df = spark.createDataFrame(
+        [("k", 1, 5), ("k", 2, 5), ("k", 3, 5)],
+        "series string, day int, x bigint",
+    )
+    # den = 0 -> no rows rather than a cross-engine NaN/NULL split
+    assert acf_integer(df, max_lag=2).count() == 0
+
+
+def test_acf_integer_alternating_is_negative_at_lag1(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.timeseries import (
+        acf_integer,
+    )
+
+    # perfect alternation has strongly negative lag-1 autocorrelation
+    data = [("s", d, 10 if d % 2 == 0 else 0) for d in range(1, 9)]
+    df = spark.createDataFrame(data, "series string, day int, x bigint")
+    rows = {r["lag"]: r for r in acf_integer(df, max_lag=2).collect()}
+    assert rows[1]["acf"] < -0.8
+    assert rows[2]["acf"] > 0.7
