@@ -513,8 +513,13 @@ def ks_drift(
     corpora past ~3·10⁹ rows switch the cross-multiply to
     DECIMAL(38,0) (n²·cum can overflow 2⁶³).
     """
-    counts = df.groupBy(group_col, value_col).agg(
-        F.count(F.lit(1)).alias("cnt")
+    # referenced four times below (totals, grand, allc, cells) and
+    # only groups×distinct-values rows — checkpoint so the corpus
+    # scan runs once (PERF.md round 9)
+    counts = (
+        df.groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     totals = counts.groupBy(group_col).agg(
         F.sum("cnt").cast("bigint").alias("n_g")
@@ -568,4 +573,101 @@ def ks_drift(
         (F.col("n") - F.col("n_g")).alias("n_rest"),
         ks.alias("ks_stat"),
         (ks > crit).alias("reject_95"),
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index per corpus slice — the monitoring
+    industry's standard drift score, the KS test's coarse-but-
+    interpretable sibling: bucket ``value_col`` into ``n_buckets``
+    equal-width bins over the GLOBAL [min, max] range, and for every
+    ``group_col`` value g compute
+    PSI_g = Σ_i (p_i − q_i)·ln(p_i/q_i), p = g's bucket share,
+    q = rest-of-corpus share, both add-one smoothed so empty buckets
+    stay finite. Conventional reading: <0.1 stable, >0.25 shifted —
+    the ``shifted`` flag uses 0.25.
+
+    Exactness: bucket ids are INTEGER arithmetic ((v−min)·B div
+    (max−min+1) — floor division on non-negatives, identical in both
+    engines), counts are integers, and the only floats are the final
+    shares and ln terms, summed as round-12 DECIMAL(28,12).
+
+    Spark shape: one (group,bucket) count agg off a map-side bucket
+    projection (global min/max ride a 1-row broadcast), a bounded
+    groups×buckets spine, and one sum per group. Returns
+    (``group_col``, n_source, n_rest, psi, shifted).
+    """
+    rng = df.agg(
+        F.min(value_col).cast("bigint").alias("mn"),
+        F.max(value_col).cast("bigint").alias("mx"),
+    )
+    bucketed = df.join(F.broadcast(rng)).select(
+        group_col,
+        (
+            (F.col(value_col).cast("bigint") - F.col("mn"))
+            * F.lit(n_buckets)
+        ).alias("__num"),
+        (F.col("mx") - F.col("mn") + F.lit(1)).alias("__den"),
+    )
+    # referenced four times below (totals, grand, allc, cells) and
+    # only groups×buckets rows — checkpoint so the corpus scan runs
+    # once (PERF.md round 9)
+    counts = (
+        bucketed.select(
+            group_col, F.expr("__num DIV __den").alias("bucket")
+        )
+        .groupBy(group_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    totals = counts.groupBy(group_col).agg(
+        F.sum("cnt").cast("bigint").alias("n_g")
+    )
+    grand = counts.agg(F.sum("cnt").cast("bigint").alias("n"))
+    allc = counts.groupBy("bucket").agg(
+        F.sum("cnt").cast("bigint").alias("cnt_all")
+    )
+    spine = totals.crossJoin(
+        F.broadcast(
+            df.sparkSession.range(0, n_buckets).select(
+                F.col("id").alias("bucket")
+            )
+        )
+    )
+    cells = (
+        spine.join(F.broadcast(allc), "bucket", "left")
+        .join(counts, [group_col, "bucket"], "left")
+        .join(F.broadcast(grand))
+        .select(
+            group_col,
+            "n_g",
+            "n",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("c_g"),
+            F.coalesce(F.col("cnt_all"), F.lit(0)).alias("c_all"),
+        )
+    )
+    nb = F.lit(n_buckets)
+    p = (F.col("c_g") + F.lit(1)).cast("double") / (
+        F.col("n_g") + nb
+    ).cast("double")
+    q = (F.col("c_all") - F.col("c_g") + F.lit(1)).cast("double") / (
+        F.col("n") - F.col("n_g") + nb
+    ).cast("double")
+    term = (p - q) * F.log(p / q)
+    out = cells.groupBy(group_col, "n_g", "n").agg(
+        F.sum(F.round(term, 12).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("psi")
+    )
+    return out.select(
+        group_col,
+        F.col("n_g").alias("n_source"),
+        (F.col("n") - F.col("n_g")).alias("n_rest"),
+        "psi",
+        (F.col("psi") > F.lit(0.25)).alias("shifted"),
     )

@@ -237,6 +237,16 @@ def q_x_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_drift(t(spark, sf_dir, "documents"))
 
 
+def q_x_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (operators/quality.py: psi_drift) —
+    each source slice's n_chars histogram vs the rest of the corpus
+    over 10 global equal-width buckets, add-one smoothed; integer
+    bucketing, round-12 decimal term sum."""
+    from ..operators.quality import psi_drift
+
+    return psi_drift(t(spark, sf_dir, "documents"))
+
+
 def q_x_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-smoothed (alpha=0.5) per-source sampling weights for
     the training mix."""
@@ -2916,6 +2926,54 @@ ORACLES: dict[str, str] = {
                    AS reject_95
         FROM dmax
     """,
+    "x_psi_drift": """
+        WITH rng AS (
+            SELECT CAST(MIN(n_chars) AS BIGINT) AS mn,
+                   CAST(MAX(n_chars) AS BIGINT) AS mx
+            FROM documents),
+        counts AS (
+            SELECT source,
+                   (CAST(n_chars AS BIGINT) - r.mn) * 10
+                       // (r.mx - r.mn + 1) AS bucket,
+                   COUNT(*) AS cnt
+            FROM documents CROSS JOIN rng r
+            GROUP BY 1, 2),
+        totals AS (
+            SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_g
+            FROM counts GROUP BY 1),
+        grand AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM counts),
+        allc AS (
+            SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS cnt_all
+            FROM counts GROUP BY 1),
+        cells AS (
+            SELECT t.source, t.n_g, g.n,
+                   COALESCE(c.cnt, 0) AS c_g,
+                   COALESCE(a.cnt_all, 0) AS c_all
+            FROM totals t
+            CROSS JOIN UNNEST(range(10)) AS u(bucket)
+            CROSS JOIN grand g
+            LEFT JOIN allc a ON a.bucket = u.bucket
+            LEFT JOIN counts c
+              ON c.source = t.source AND c.bucket = u.bucket),
+        terms AS (
+            SELECT source, n_g, n,
+                   (CAST(c_g + 1 AS DOUBLE) / CAST(n_g + 10 AS DOUBLE)
+                    - CAST(c_all - c_g + 1 AS DOUBLE)
+                      / CAST(n - n_g + 10 AS DOUBLE))
+                   * ln((CAST(c_g + 1 AS DOUBLE)
+                         / CAST(n_g + 10 AS DOUBLE))
+                        / (CAST(c_all - c_g + 1 AS DOUBLE)
+                           / CAST(n - n_g + 10 AS DOUBLE))) AS term
+            FROM cells),
+        agg AS (
+            SELECT source, n_g, n,
+                   CAST(SUM(CAST(ROUND(term, 12) AS DECIMAL(28,12)))
+                        AS DOUBLE) AS psi
+            FROM terms GROUP BY 1, 2, 3)
+        SELECT source, n_g AS n_source, (n - n_g) AS n_rest, psi,
+               psi > 0.25 AS shifted
+        FROM agg
+    """,
     "x_source_mixture": """
         WITH per AS (
             SELECT source, COUNT(*) AS n_docs,
@@ -5056,6 +5114,7 @@ QUERIES = {
     "x_tfidf": q_x_tfidf,
     "x_bm25": q_x_bm25,
     "x_ks_drift": q_x_ks_drift,
+    "x_psi_drift": q_x_psi_drift,
     "x_pack_sequences": q_x_pack_sequences,
     "x_length_clip": q_x_length_clip,
     "x_chunk_documents": q_x_chunk_documents,

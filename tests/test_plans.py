@@ -260,9 +260,13 @@ def test_l25_date_filter_pushed_before_join(spark):
         # scan→explode re-reads (observed 13 exchanges); the ceiling
         # catches an accidental quadratic re-expansion
         ("x_bm25", 18),
-        # round-11: x_ks_drift — counts feed totals/grand/allc/cells
-        # (observed 10 exchanges)
-        ("x_ks_drift", 14),
+        # round-11: x_ks_drift — the (group,value) count frame feeds
+        # totals/grand/allc/cells; checkpointed (observed 6 exchanges
+        # post-checkpoint, 10 without)
+        ("x_ks_drift", 9),
+        # round-11: x_psi_drift — same shape over the bucket grid
+        # (observed 7 exchanges post-checkpoint, 19 without)
+        ("x_psi_drift", 10),
         # round-11: t18_acf — the centered frame feeds den + both lag
         # sides; losing its localCheckpoint re-runs the window 3x
         # (observed 5 exchanges post-checkpoint, 17 without)

@@ -289,3 +289,65 @@ def test_ks_drift_matches_scipy_style_hand_calc(spark):
     rows = {r["source"]: r for r in ks_drift(df).collect()}
     assert rows["g1"]["ks_stat"] == 4.0 / 16.0
     assert rows["g1"]["n_source"] == 4 and rows["g1"]["n_rest"] == 4
+
+
+def test_psi_drift_identical_shares_zero(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        psi_drift,
+    )
+
+    # both groups put one doc in the lowest and one in the highest
+    # bucket -> p == q in every bucket -> PSI exactly 0
+    df = spark.createDataFrame(
+        [(0, "a"), (9, "a"), (0, "b"), (9, "b")],
+        "n_chars bigint, source string",
+    )
+    rows = psi_drift(df).collect()
+    assert all(r["psi"] == 0.0 for r in rows)
+    assert all(r["shifted"] is False for r in rows)
+
+
+def test_psi_drift_detects_shift(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        psi_drift,
+    )
+
+    # g1 mass entirely in the low buckets, g2 entirely high
+    data = [(i, "g1") for i in range(0, 20)] + [
+        (i, "g2") for i in range(80, 100)
+    ]
+    df = spark.createDataFrame(data, "n_chars bigint, source string")
+    rows = {r["source"]: r for r in psi_drift(df).collect()}
+    assert rows["g1"]["psi"] > 0.25 and rows["g1"]["shifted"] is True
+    assert rows["g1"]["n_source"] == 20 and rows["g1"]["n_rest"] == 20
+    # PSI of g vs rest is symmetric for the two-group case
+    assert abs(rows["g1"]["psi"] - rows["g2"]["psi"]) < 1e-9
+
+
+def test_psi_drift_hand_computed_two_buckets(spark):
+    import math
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        psi_drift,
+    )
+
+    # min=0 max=9 -> den=10, so v=0..0 -> bucket 0, v=9 -> bucket 9.
+    # g1: 3 docs at 0; g2: 1 doc at 0, 2 at 9. Add-one smoothing over
+    # 10 buckets: n_g1=3 -> p over {b0: 4/13, b9: 1/13, others 1/13}
+    df = spark.createDataFrame(
+        [(0, "g1"), (0, "g1"), (0, "g1"), (0, "g2"), (9, "g2"), (9, "g2")],
+        "n_chars bigint, source string",
+    )
+    rows = {r["source"]: r for r in psi_drift(df).collect()}
+
+    def term(cg, call, ng, n):
+        p = (cg + 1) / (ng + 10)
+        q = (call - cg + 1) / (n - ng + 10)
+        return round((p - q) * math.log(p / q), 12)
+
+    # buckets: b0 has c_all=4 (g1:3, g2:1), b9 has c_all=2 (g2:2),
+    # the other 8 buckets are empty
+    want = (
+        term(3, 4, 3, 6) + term(0, 2, 3, 6) + 8 * term(0, 0, 3, 6)
+    )
+    assert math.isclose(rows["g1"]["psi"], want, rel_tol=1e-9)
