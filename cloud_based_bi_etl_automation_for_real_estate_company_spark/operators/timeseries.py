@@ -495,3 +495,97 @@ def acf_integer(
             ).alias("acf"),
         )
     )
+
+
+def xcorr_integer(
+    a: DataFrame,
+    b: DataFrame,
+    order_col: str = "day",
+    value_col: str = "x",
+    max_lag: int = 3,
+) -> DataFrame:
+    """Sample cross-correlation between two INTEGER series at lags
+    −``max_lag``..+``max_lag`` — the lead/lag diagnostic (do clicks
+    lead purchases, and by how many days?):
+    r_k = Σ(a_t−ā)(b_{t−k}−b̄) / sqrt(Σ(a−ā)²·Σ(b−b̄)²), positive k
+    meaning b LEADS a by k steps. Series align on their COMMON
+    ``order_col`` values (inner join), indexed by sequence position;
+    gap-fill upstream for strict calendar lags.
+
+    Exactness: the same n-scaled centering as :func:`acf_integer`
+    keeps every sum INTEGER (the n² factors cancel between numerator
+    and the sqrt of the denominator product), so the only float ops
+    are one multiply, one sqrt and one division per output row.
+
+    Spark shape: one inner join on ``order_col``, one 1-row stats
+    broadcast, one row_number window, the lag pairing as an equi-join
+    against the broadcast lag spine. Returns (lag, n_pairs, xcorr).
+    """
+    from pyspark.sql import Window
+
+    spark = a.sparkSession
+    joined = (
+        a.select(order_col, F.col(value_col).cast("bigint").alias("va"))
+        .join(
+            b.select(
+                order_col, F.col(value_col).cast("bigint").alias("vb")
+            ),
+            order_col,
+        )
+    )
+    idx = joined.select(
+        "va",
+        "vb",
+        F.row_number()
+        .over(Window.orderBy(order_col))
+        .cast("bigint")
+        .alias("i"),
+    )
+    stats = idx.agg(
+        F.sum("va").alias("Sa"),
+        F.sum("vb").alias("Sb"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # referenced by both lag sides and the denominator — checkpoint;
+    # the frame is one row per common bucket
+    c = (
+        idx.join(F.broadcast(stats))
+        .select(
+            "i",
+            (F.col("n") * F.col("va") - F.col("Sa")).alias("ca"),
+            (F.col("n") * F.col("vb") - F.col("Sb")).alias("cb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    den = c.agg(
+        F.sum(F.col("ca") * F.col("ca")).alias("da"),
+        F.sum(F.col("cb") * F.col("cb")).alias("db"),
+    )
+    lags = spark.range(-max_lag, max_lag + 1).select(
+        F.col("id").alias("lag")
+    )
+    num = (
+        c.alias("p")
+        .crossJoin(F.broadcast(lags))
+        .join(
+            c.alias("q"),
+            F.col("q.i") == F.col("p.i") - F.col("lag"),
+        )
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("p.ca") * F.col("q.cb")).alias("num"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+    return (
+        num.join(F.broadcast(den))
+        .filter((F.col("da") > 0) & (F.col("db") > 0))
+        .select(
+            "lag",
+            "n_pairs",
+            (
+                F.col("num").cast("double")
+                / F.sqrt(F.col("da").cast("double") * F.col("db").cast("double"))
+            ).alias("xcorr"),
+        )
+    )

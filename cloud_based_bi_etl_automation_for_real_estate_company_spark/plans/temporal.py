@@ -438,6 +438,23 @@ def q_t18_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acf_integer(daily)
 
 
+def q_t19_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation of daily purchase counts against daily view
+    counts at lags −3..+3 (operators/timeseries.py: xcorr_integer) —
+    positive lag = views LEAD purchases by that many days; the
+    lead/lag diagnostic behind attribution windows."""
+    from ..operators.timeseries import xcorr_integer
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    return xcorr_integer(
+        daily.filter(F.col("event_type") == "purchase").select("day", "x"),
+        daily.filter(F.col("event_type") == "view").select("day", "x"),
+    )
+
+
 def q_p15_case_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P15 — string case transforms (webhook_app.py:176 account.upper())."""
     c = t(spark, sf_dir, "customer")
@@ -852,8 +869,46 @@ ORACLES["t18_acf"] = """
     WHERE d.den > 0
 """
 
+ORACLES["t19_xcorr"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+        FROM events GROUP BY 1, 2),
+    j AS (
+        SELECT a.day, CAST(a.x AS BIGINT) AS va, CAST(b.x AS BIGINT) AS vb
+        FROM daily a JOIN daily b ON a.day = b.day
+        WHERE a.event_type = 'purchase' AND b.event_type = 'view'),
+    idx AS (
+        SELECT va, vb,
+               CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i
+        FROM j),
+    stats AS (
+        SELECT CAST(SUM(va) AS BIGINT) AS Sa,
+               CAST(SUM(vb) AS BIGINT) AS Sb, COUNT(*) AS n
+        FROM idx),
+    c AS (
+        SELECT i, s.n * va - s.Sa AS ca, s.n * vb - s.Sb AS cb
+        FROM idx CROSS JOIN stats s),
+    den AS (
+        SELECT CAST(SUM(ca * ca) AS BIGINT) AS da,
+               CAST(SUM(cb * cb) AS BIGINT) AS db
+        FROM c),
+    num AS (
+        SELECT u.lag, CAST(SUM(p.ca * q.cb) AS BIGINT) AS num,
+               COUNT(*) AS n_pairs
+        FROM c p
+        CROSS JOIN (SELECT UNNEST(range(-3, 4)) AS lag) u
+        JOIN c q ON q.i = p.i - u.lag
+        GROUP BY 1)
+    SELECT n.lag, n.n_pairs,
+           CAST(n.num AS DOUBLE)
+           / sqrt(CAST(d.da AS DOUBLE) * CAST(d.db AS DOUBLE)) AS xcorr
+    FROM num n CROSS JOIN den d
+    WHERE d.da > 0 AND d.db > 0
+"""
+
 QUERIES = {
     "t18_acf": q_t18_acf,
+    "t19_xcorr": q_t19_xcorr,
     "t16_cusum_drain": q_t16_cusum_drain,
     "t17_rolling_quantiles": q_t17_rolling_quantiles,
     "t14_cusum": q_t14_cusum,

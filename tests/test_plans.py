@@ -271,6 +271,9 @@ def test_l25_date_filter_pushed_before_join(spark):
         # sides; losing its localCheckpoint re-runs the window 3x
         # (observed 5 exchanges post-checkpoint, 17 without)
         ("t18_acf", 8),
+        # round-11: t19_xcorr — same centered-frame shape over the
+        # purchase/view pair (observed 6 exchanges post-checkpoint)
+        ("t19_xcorr", 9),
     ],
 )
 def test_multi_reference_plans_stay_pinned(spark, name, max_exchanges):

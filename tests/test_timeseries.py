@@ -304,3 +304,42 @@ def test_acf_integer_alternating_is_negative_at_lag1(spark):
     rows = {r["lag"]: r for r in acf_integer(df, max_lag=2).collect()}
     assert rows[1]["acf"] < -0.8
     assert rows[2]["acf"] > 0.7
+
+
+def test_xcorr_integer_detects_known_lead(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.timeseries import (
+        xcorr_integer,
+    )
+
+    # b is a 2-step-advanced copy of a (both share the same day grid):
+    # a_t = base[t], b_t = base[t+2] -> a at i correlates with b at
+    # i-2, i.e. lag +2 ("b leads a by 2") peaks at exactly 1.0
+    base = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8]
+    n = 10
+    a = spark.createDataFrame(
+        [(d, base[d]) for d in range(n)], "day int, x bigint"
+    )
+    b = spark.createDataFrame(
+        [(d, base[d + 2]) for d in range(n)], "day int, x bigint"
+    )
+    rows = {r["lag"]: r for r in xcorr_integer(a, b, max_lag=3).collect()}
+    assert set(rows) == {-3, -2, -1, 0, 1, 2, 3}
+    # NOTE: not exactly 1.0 — the overlapping window re-centers with
+    # the full-series means — but the peak must be at lag +2
+    best = max(rows.values(), key=lambda r: r["xcorr"])
+    assert best["lag"] == 2
+    assert rows[2]["n_pairs"] == n - 2
+
+
+def test_xcorr_integer_self_correlation_is_one_at_zero(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.timeseries import (
+        xcorr_integer,
+    )
+
+    a = spark.createDataFrame(
+        [(d, v) for d, v in enumerate([1, 5, 2, 8, 3, 9, 4])],
+        "day int, x bigint",
+    )
+    rows = {r["lag"]: r for r in xcorr_integer(a, a, max_lag=1).collect()}
+    assert rows[0]["xcorr"] == 1.0
+    assert rows[0]["n_pairs"] == 7
