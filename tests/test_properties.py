@@ -557,3 +557,72 @@ def test_full_mojibake_repair_inverts_cp1252_misdecode(s):
     broken = s.encode("utf-8").decode("cp1252")
     assert repair_mojibake_text(broken) == s
     assert repair_mojibake_text(s) == s
+
+
+@given(
+    st.lists(st.integers(0, 30), min_size=2, max_size=30),
+    st.lists(st.integers(0, 30), min_size=2, max_size=30),
+)
+@_SLOW
+def test_ks_drift_matches_reference_property(spark, xs, ys):
+    """ks_drift equals the textbook two-sample KS statistic
+    (max ECDF gap over the pooled points, computed in exact Fraction
+    arithmetic) on ANY pair of small integer samples."""
+    from fractions import Fraction
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        ks_drift,
+    )
+
+    rows = [(v, "g1") for v in xs] + [(v, "g2") for v in ys]
+    df = spark.createDataFrame(rows, "n_chars bigint, source string")
+    got = {r["source"]: r["ks_stat"] for r in ks_drift(df).collect()}
+
+    def ecdf_gap(a, b):
+        pts = sorted(set(a) | set(b))
+        return max(
+            abs(
+                Fraction(sum(1 for v in a if v <= p), len(a))
+                - Fraction(sum(1 for v in b if v <= p), len(b))
+            )
+            for p in pts
+        )
+
+    want = float(ecdf_gap(xs, ys))
+    assert abs(got["g1"] - want) < 1e-12
+    assert abs(got["g2"] - want) < 1e-12  # symmetric for two groups
+
+
+@given(
+    st.lists(st.integers(0, 1000), min_size=3, max_size=25),
+)
+@_SLOW
+def test_acf_matches_reference_property(spark, xs):
+    """acf_integer equals the float textbook estimator
+    Σ(x_t−x̄)(x_{t−k}−x̄)/Σ(x_t−x̄)² on ANY small integer series."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.timeseries import (
+        acf_integer,
+    )
+
+    df = spark.createDataFrame(
+        [("s", i, v) for i, v in enumerate(xs)],
+        "series string, day int, x bigint",
+    )
+    got = {
+        r["lag"]: r["acf"] for r in acf_integer(df, max_lag=3).collect()
+    }
+    n = len(xs)
+    mean = sum(xs) / n
+    den = sum((v - mean) ** 2 for v in xs)
+    if den == 0:
+        assert got == {}
+        return
+    for k in range(1, 4):
+        if k >= n:
+            assert k not in got
+            continue
+        want = (
+            sum((xs[t] - mean) * (xs[t - k] - mean) for t in range(k, n))
+            / den
+        )
+        assert abs(got[k] - want) < 1e-9
