@@ -1112,10 +1112,11 @@ def bm25_topk(
       scoring join, so the surviving frame is queries×postings sized.
     - N and Σ|d| (for avgdl) travel as a single 1-row broadcast
       scalar — no driver collect.
-    - top-k per query is one row_number window partitioned by query;
-      at 100 TB postings for a hot term can be large — pre-reduce
-      with a per-partition local top-k before the window if a profile
-      shows the final sort dominating (the classic two-phase top-k).
+    - top-k per query is one rank-filtered window partitioned by
+      query, which Spark plans as a TWO-PHASE WindowGroupLimit
+      (verified in the executed plan: partial limit per task before
+      the exchange, final after) — hot-term postings shuffle at most
+      k rows per task per query, not the postings list.
 
     Cross-engine exactness: per-term scores are rounded to 12 dp and
     summed as DECIMAL(28,12) (associativity-proof, the x_bigram_nll

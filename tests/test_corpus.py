@@ -642,3 +642,7 @@ def test_bm25_plan_has_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     # the scalar/query-side joins must all broadcast
     assert "BroadcastNestedLoopJoin LeftOuter" not in plan
+    # top-k must run as the two-phase WindowGroupLimit (partial per
+    # task before the exchange, final after) — hot-term postings
+    # shuffle at most k rows per task per query
+    assert plan.count("WindowGroupLimit") == 2
