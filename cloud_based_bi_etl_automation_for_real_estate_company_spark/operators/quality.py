@@ -671,3 +671,106 @@ def psi_drift(
         "psi",
         (F.col("psi") > F.lit(0.25)).alias("shifted"),
     )
+
+
+def psi_admit(
+    batch_df: DataFrame,
+    store_path: str,
+    value_col: str = "n_chars",
+    lo: int = 0,
+    hi: int = 4095,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """STREAMING drift monitor — the per-micro-batch counterpart of
+    :func:`psi_drift`: score each arriving batch's ``value_col``
+    histogram against the HISTORY accumulated in
+    ``{store_path}/hist`` (one tiny (bucket, cnt) parquet table,
+    appended per batch), then fold the batch into the history. The
+    data-quality tripwire a crawl-ingestion pipeline runs before
+    admitting a slice: a shifted batch flags BEFORE it pollutes the
+    corpus statistics.
+
+    Bucket edges are FROZEN ([``lo``, ``hi``] equal-width, outside
+    values clipped into the end buckets) — streaming PSI must compare
+    against fixed edges or every batch would re-bucket history.
+    Same add-one smoothing and round-12 decimal term sum as
+    psi_drift; the first batch scores against an empty history
+    (every q_i = 1/n_buckets — a well-defined uniform reference,
+    document the cold-start in the caller's alerting).
+
+    The score row is computed (and checkpointed) BEFORE the store
+    append — the sink-before-append crash contract of the admission
+    family. Store growth is one aggregated row-set (≤ ``n_buckets``
+    rows) per batch; no compaction needed at any realistic cadence.
+    Returns one row: (n_batch, n_hist, psi, shifted).
+    """
+    from pyspark.errors import AnalysisException
+
+    spark = batch_df.sparkSession
+    width = hi - lo + 1
+    nb = F.lit(n_buckets)
+    # integer DIV (truncates toward zero, but the clamp absorbs the
+    # only negative case — values below lo land in bucket 0 either way)
+    bucket = F.least(
+        F.lit(n_buckets - 1).cast("bigint"),
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.expr(
+                f"(CAST({value_col} AS BIGINT) - {lo}) * {n_buckets} "
+                f"DIV {width}"
+            ),
+        ),
+    )
+    bcounts = (
+        batch_df.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        hist = spark.read.parquet(f"{store_path}/hist")
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+        hist = spark.createDataFrame([], "bucket bigint, cnt bigint")
+    hcounts = hist.groupBy("bucket").agg(
+        F.sum("cnt").cast("bigint").alias("ch")
+    )
+    spine = spark.range(0, n_buckets).select(F.col("id").alias("bucket"))
+    cells = (
+        spine.join(bcounts.withColumnRenamed("cnt", "cg"), "bucket", "left")
+        .join(hcounts, "bucket", "left")
+        .select(
+            F.coalesce(F.col("cg"), F.lit(0)).alias("cg"),
+            F.coalesce(F.col("ch"), F.lit(0)).alias("ch"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("cg").cast("bigint").alias("n_batch"),
+        F.sum("ch").cast("bigint").alias("n_hist"),
+    )
+    p = (F.col("cg") + F.lit(1)).cast("double") / (
+        F.col("n_batch") + nb
+    ).cast("double")
+    q = (F.col("ch") + F.lit(1)).cast("double") / (
+        F.col("n_hist") + nb
+    ).cast("double")
+    term = (p - q) * F.log(p / q)
+    out = (
+        cells.join(F.broadcast(tot))
+        .groupBy("n_batch", "n_hist")
+        .agg(
+            F.sum(F.round(term, 12).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("psi")
+        )
+        .select(
+            "n_batch",
+            "n_hist",
+            "psi",
+            (F.col("psi") > F.lit(0.25)).alias("shifted"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    bcounts.write.mode("append").parquet(f"{store_path}/hist")
+    return out

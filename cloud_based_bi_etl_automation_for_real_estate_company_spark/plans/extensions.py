@@ -247,6 +247,34 @@ def q_x_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift(t(spark, sf_dir, "documents"))
 
 
+def q_x_psi_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for the STREAMING drift monitor
+    (operators/quality.psi_admit): replay two micro-batches one-shot —
+    even doc_ids bootstrap the history, odd doc_ids score against it —
+    and emit each batch's PSI row. Store lives in a per-call temp dir
+    (the x_incremental_neardup pattern). Frozen edges [0, 4095];
+    batch 0 scores against the empty history's uniform add-one
+    reference, replayed literally by the oracle."""
+    import shutil
+    import tempfile
+
+    from ..operators.quality import psi_admit
+
+    d = t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="spark_graft_psi_drain_")
+    try:
+        f0 = psi_admit(d.filter(F.col("doc_id") % 2 == 0), tmp)
+        f1 = psi_admit(d.filter(F.col("doc_id") % 2 == 1), tmp)
+        out = f0.select(
+            F.lit(0).cast("bigint").alias("batch"), "*"
+        ).unionByName(
+            f1.select(F.lit(1).cast("bigint").alias("batch"), "*")
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_x_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-smoothed (alpha=0.5) per-source sampling weights for
     the training mix."""
@@ -2926,6 +2954,50 @@ ORACLES: dict[str, str] = {
                    AS reject_95
         FROM dmax
     """,
+    "x_psi_drain": """
+        WITH c0 AS (
+            SELECT LEAST(9, GREATEST(0,
+                       CAST(n_chars AS BIGINT) * 10 // 4096)) AS bucket,
+                   COUNT(*) AS cnt
+            FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        c1 AS (
+            SELECT LEAST(9, GREATEST(0,
+                       CAST(n_chars AS BIGINT) * 10 // 4096)) AS bucket,
+                   COUNT(*) AS cnt
+            FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+        n AS (SELECT (SELECT CAST(SUM(cnt) AS BIGINT) FROM c0) AS n0,
+                     (SELECT CAST(SUM(cnt) AS BIGINT) FROM c1) AS n1),
+        cells AS (
+            SELECT u.bucket, COALESCE(a.cnt, 0) AS cg0,
+                   COALESCE(b.cnt, 0) AS cg1
+            FROM UNNEST(range(10)) AS u(bucket)
+            LEFT JOIN c0 a ON a.bucket = u.bucket
+            LEFT JOIN c1 b ON b.bucket = u.bucket),
+        stacked AS (
+            SELECT 0 AS batch, cg0 AS cg, 0 AS ch, n0 AS n_batch,
+                   0 AS n_hist
+            FROM cells CROSS JOIN n
+            UNION ALL
+            SELECT 1, cg1, cg0, n1, n0 FROM cells CROSS JOIN n),
+        terms AS (
+            SELECT batch, n_batch, n_hist,
+                   (CAST(cg + 1 AS DOUBLE) / CAST(n_batch + 10 AS DOUBLE)
+                    - CAST(ch + 1 AS DOUBLE) / CAST(n_hist + 10 AS DOUBLE))
+                   * ln((CAST(cg + 1 AS DOUBLE)
+                         / CAST(n_batch + 10 AS DOUBLE))
+                        / (CAST(ch + 1 AS DOUBLE)
+                           / CAST(n_hist + 10 AS DOUBLE))) AS term
+            FROM stacked),
+        agg AS (
+            SELECT batch, n_batch, n_hist,
+                   CAST(SUM(CAST(ROUND(term, 12) AS DECIMAL(28,12)))
+                        AS DOUBLE) AS psi
+            FROM terms GROUP BY 1, 2, 3)
+        SELECT CAST(batch AS BIGINT) AS batch, n_batch,
+               CAST(n_hist AS BIGINT) AS n_hist, psi,
+               psi > 0.25 AS shifted
+        FROM agg
+    """,
     "x_psi_drift": """
         WITH rng AS (
             SELECT CAST(MIN(n_chars) AS BIGINT) AS mn,
@@ -5115,6 +5187,7 @@ QUERIES = {
     "x_bm25": q_x_bm25,
     "x_ks_drift": q_x_ks_drift,
     "x_psi_drift": q_x_psi_drift,
+    "x_psi_drain": q_x_psi_drain,
     "x_pack_sequences": q_x_pack_sequences,
     "x_length_clip": q_x_length_clip,
     "x_chunk_documents": q_x_chunk_documents,

@@ -351,3 +351,48 @@ def test_psi_drift_hand_computed_two_buckets(spark):
         term(3, 4, 3, 6) + term(0, 2, 3, 6) + 8 * term(0, 0, 3, 6)
     )
     assert math.isclose(rows["g1"]["psi"], want, rel_tol=1e-9)
+
+
+def test_psi_admit_bootstrap_and_stable_second_batch(spark, tmp_path):
+    import math
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        psi_admit,
+    )
+
+    store = str(tmp_path / "psi")
+    # batch 1: all mass in bucket 0 (values < 410 with edges [0,4095])
+    b = spark.createDataFrame(
+        [(v,) for v in (10, 20, 30, 40)], "n_chars bigint"
+    )
+    r0 = psi_admit(b, store).collect()[0]
+    assert r0["n_batch"] == 4 and r0["n_hist"] == 0
+    # cold start: p = [5/14, 1/14 x9] vs uniform q = 1/10
+    want = round((5 / 14 - 0.1) * math.log((5 / 14) / 0.1), 12) + 9 * round(
+        (1 / 14 - 0.1) * math.log((1 / 14) / 0.1), 12
+    )
+    assert math.isclose(r0["psi"], want, rel_tol=1e-9)
+
+    # identical second batch vs history of itself -> PSI exactly 0
+    r1 = psi_admit(b, store).collect()[0]
+    assert r1["n_hist"] == 4 and r1["n_batch"] == 4
+    assert r1["psi"] == 0.0 and r1["shifted"] is False
+
+    # shifted third batch (all mass in the top bucket) flags
+    hi = spark.createDataFrame(
+        [(v,) for v in (4000, 4010, 4020, 4030)], "n_chars bigint"
+    )
+    r2 = psi_admit(hi, store).collect()[0]
+    assert r2["n_hist"] == 8
+    assert r2["shifted"] is True and r2["psi"] > 0.25
+
+
+def test_psi_admit_clips_out_of_range_values(spark, tmp_path):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        psi_admit,
+    )
+
+    store = str(tmp_path / "psi_clip")
+    b = spark.createDataFrame([(-5,), (999999,)], "n_chars bigint")
+    r = psi_admit(b, store).collect()[0]
+    assert r["n_batch"] == 2  # both rows bucketed (0 and 9), none lost
