@@ -589,3 +589,112 @@ def xcorr_integer(
             ).alias("xcorr"),
         )
     )
+
+
+def km_survival(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_pred: "F.Column | None" = None,
+) -> DataFrame:
+    """Kaplan–Meier survival curve with right-censoring — the
+    lead-conversion / retention analysis a CRM dashboard layers over
+    the funnel (reference scope: the lead pipeline of
+    Lead_Ingestion_CRM_SQLite.py feeds exactly this question — how
+    long until a lead converts, counting leads that never did):
+    per user, duration = days from first activity to the FIRST event
+    matching ``event_pred`` (default: event_type == 'purchase');
+    users without one are CENSORED at their last observed activity.
+    Ŝ(t) = Π_{t_j ≤ t} (1 − d_j/n_j) over event times, censored
+    durations leaving the risk set between steps.
+
+    Cross-engine exactness: d_j and the risk set n_j are integers
+    (n_j = N − |durations < t_j| via one cumulative window); each
+    factor enters as round-12 ln(1 − d/n) summed in DECIMAL(28,12),
+    so the log-survival is engine-exact and Ŝ = exp(log_surv) agrees
+    to well past the 6-dp compare. A step that exhausts the risk set
+    (d = n: ln 0 diverges, and Spark log() returns NULL where ANSI
+    engines return −inf) is emitted explicitly as survival 0 /
+    log_surv NULL, and so is everything after it.
+
+    Plan shape: one per-user agg, one t-grain agg, two unpartitioned
+    cumulative windows over the DURATION GRID (rows = distinct
+    observed durations in days — observation-span-sized, never
+    corpus-sized; partition by cohort upstream if curves per segment
+    are wanted). Returns (t_days, n_risk, n_events, log_surv,
+    survival), one row per event time."""
+    from pyspark.sql import Window
+
+    pred = (
+        event_pred
+        if event_pred is not None
+        else (F.col("event_type") == "purchase")
+    )
+    per = df.groupBy(user_col).agg(
+        F.min(ts_col).alias("__t0"),
+        F.min(F.when(pred, F.col(ts_col))).alias("__tp"),
+        F.max(ts_col).alias("__tl"),
+    )
+    obs = per.select(
+        F.coalesce(
+            F.datediff(F.col("__tp").cast("date"), F.col("__t0").cast("date")),
+            F.datediff(F.col("__tl").cast("date"), F.col("__t0").cast("date")),
+        )
+        .cast("bigint")
+        .alias("t_days"),
+        F.when(F.col("__tp").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("__ev"),
+    )
+    grid = obs.groupBy("t_days").agg(
+        F.count(F.lit(1)).alias("__m"),
+        F.sum("__ev").cast("bigint").alias("n_events"),
+    )
+    total = obs.agg(F.count(F.lit(1)).alias("__N"))
+    before = (
+        Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    upto = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    staged = (
+        grid.join(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("__N")
+            - F.coalesce(F.sum("__m").over(before), F.lit(0)).cast("bigint"),
+        )
+        .filter(F.col("n_events") > 0)
+    )
+    # the window frames below run over the FILTERED event-time rows;
+    # n_risk already accounted for censored durations via __m above
+    d = F.col("n_events").cast("double")
+    n = F.col("n_risk").cast("double")
+    term = F.when(
+        F.col("n_events") < F.col("n_risk"),
+        F.round(F.log(F.lit(1.0) - d / n), 12).cast("decimal(28,12)"),
+    )
+    w2 = Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, 0)
+    staged = staged.select(
+        "t_days",
+        "n_risk",
+        "n_events",
+        F.sum(term).over(w2).alias("__cum"),
+        F.max(
+            F.when(F.col("n_events") == F.col("n_risk"), 1).otherwise(0)
+        )
+        .over(w2)
+        .alias("__exhausted"),
+    )
+    return staged.select(
+        "t_days",
+        "n_risk",
+        "n_events",
+        F.when(F.col("__exhausted") == 0, F.col("__cum").cast("double"))
+        .alias("log_surv"),
+        F.when(
+            F.col("__exhausted") == 0, F.exp(F.col("__cum").cast("double"))
+        )
+        .otherwise(F.lit(0.0))
+        .alias("survival"),
+    )

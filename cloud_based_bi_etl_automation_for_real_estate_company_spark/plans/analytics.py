@@ -1087,7 +1087,63 @@ def q_a42_mad_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a43_km_survival(spark, sf_dir: str):
+    """Kaplan–Meier lead-conversion curve (operators/timeseries.py:
+    km_survival): days from a user's first activity to first purchase,
+    users without one censored at their last activity; Ŝ(t) via
+    round-12 decimal log-factor sums, risk-set exhaustion emitted as
+    survival 0 / log NULL explicitly (Spark ln(0)→NULL vs SQL −inf).
+    Reference scope: the retention question over
+    Lead_Ingestion_CRM_SQLite.py's lead pipeline."""
+    from ..operators.timeseries import km_survival
+
+    return km_survival(t(spark, sf_dir, "events"))
+
+
 ORACLES: dict[str, str] = {
+    "a43_km_survival": """
+        WITH per AS (
+            SELECT user_id, MIN(ts) AS t0,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+                   MAX(ts) AS tl
+            FROM events GROUP BY 1),
+        obs AS (
+            SELECT CAST(COALESCE(
+                       date_diff('day', CAST(t0 AS DATE), CAST(tp AS DATE)),
+                       date_diff('day', CAST(t0 AS DATE), CAST(tl AS DATE)))
+                   AS BIGINT) AS t_days,
+                   CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+            FROM per),
+        grid AS (
+            SELECT t_days, COUNT(*) AS m,
+                   CAST(SUM(ev) AS BIGINT) AS n_events
+            FROM obs GROUP BY 1),
+        total AS (SELECT COUNT(*) AS N FROM obs),
+        risk AS (
+            SELECT g.t_days, g.n_events,
+                   t.N - CAST(COALESCE(SUM(g.m) OVER (ORDER BY g.t_days
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS n_risk
+            FROM grid g CROSS JOIN total t),
+        steps AS (
+            SELECT t_days, n_risk, n_events,
+                   SUM(CASE WHEN n_events < n_risk
+                       THEN CAST(ROUND(ln(1.0 - CAST(n_events AS DOUBLE)
+                                              / CAST(n_risk AS DOUBLE)), 12)
+                            AS DECIMAL(28,12)) END)
+                       OVER (ORDER BY t_days
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+                   MAX(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END)
+                       OVER (ORDER BY t_days
+                             ROWS UNBOUNDED PRECEDING) AS exhausted
+            FROM risk WHERE n_events > 0)
+        SELECT t_days, n_risk, n_events,
+               CASE WHEN exhausted = 0 THEN CAST(cum AS DOUBLE) END
+                   AS log_surv,
+               CASE WHEN exhausted = 0 THEN exp(CAST(cum AS DOUBLE))
+                    ELSE 0.0 END AS survival
+        FROM steps
+    """,
     "a23_equidepth_approx": """
         SELECT CAST(u.i + 1 AS INT) AS bucket,
                (SELECT COUNT(*) FROM events WHERE value IS NOT NULL)
@@ -1579,6 +1635,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "a43_km_survival": q_a43_km_survival,
     "a17_pivot_funnel": q_a17_pivot_funnel,
     "a23_equidepth_hist": q_a23_equidepth_hist,
     "a18_percentiles": q_a18_percentiles,

@@ -274,6 +274,9 @@ def test_l25_date_filter_pushed_before_join(spark):
         # round-11: t19_xcorr — same centered-frame shape over the
         # purchase/view pair (observed 6 exchanges post-checkpoint)
         ("t19_xcorr", 9),
+        # round-11: a43_km_survival — per-user agg -> duration-grid
+        # agg -> two cumulative windows (observed 6 exchanges)
+        ("a43_km_survival", 9),
     ],
 )
 def test_multi_reference_plans_stay_pinned(spark, name, max_exchanges):

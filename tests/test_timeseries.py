@@ -343,3 +343,59 @@ def test_xcorr_integer_self_correlation_is_one_at_zero(spark):
     rows = {r["lag"]: r for r in xcorr_integer(a, a, max_lag=1).collect()}
     assert rows[0]["xcorr"] == 1.0
     assert rows[0]["n_pairs"] == 7
+
+
+def test_km_survival_hand_computed_with_censoring(spark):
+    import datetime
+    import math
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.timeseries import (
+        km_survival,
+    )
+
+    d0 = datetime.datetime(2024, 1, 1)
+
+    def ev(uid, day, etype):
+        return (uid, d0 + datetime.timedelta(days=day), etype)
+
+    # textbook fixture: durations 1(event) 2(censored) 3(event)
+    # 4(censored) 5(event)
+    rows = [
+        ev(1, 0, "signup"), ev(1, 1, "purchase"),
+        ev(2, 0, "signup"), ev(2, 2, "view"),
+        ev(3, 0, "signup"), ev(3, 3, "purchase"),
+        ev(4, 0, "signup"), ev(4, 4, "view"),
+        ev(5, 0, "signup"), ev(5, 5, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string"
+    )
+    got = {r["t_days"]: r for r in km_survival(df).collect()}
+    assert set(got) == {1, 3, 5}
+    # t=1: n=5 d=1 -> S=0.8; t=3: n=3 d=1 -> S=0.8*(2/3); t=5: n=1
+    # d=1 -> risk set exhausts: survival 0, log NULL
+    assert got[1]["n_risk"] == 5 and got[1]["n_events"] == 1
+    assert math.isclose(got[1]["survival"], 0.8, rel_tol=1e-9)
+    assert got[3]["n_risk"] == 3
+    assert math.isclose(got[3]["survival"], 0.8 * (2 / 3), rel_tol=1e-6)
+    assert got[5]["n_risk"] == 1
+    assert got[5]["survival"] == 0.0 and got[5]["log_surv"] is None
+
+
+def test_km_survival_all_censored_emits_no_steps(spark):
+    import datetime
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.timeseries import (
+        km_survival,
+    )
+
+    d0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, d0, "signup"),
+        (1, d0 + datetime.timedelta(days=3), "view"),
+        (2, d0, "signup"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string"
+    )
+    assert km_survival(df).count() == 0
