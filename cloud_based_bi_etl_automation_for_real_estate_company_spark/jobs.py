@@ -91,6 +91,7 @@ def run_curation_pipeline(
     sort_output_by: str | None = None,
     soft_dedup: bool = False,
     full_mojibake_repair: bool = False,
+    drift_report: bool = False,
 ) -> DataFrame:
     """End-to-end training-data curation — the composition the
     individual oracle-checked operators exist for:
@@ -159,6 +160,14 @@ def run_curation_pipeline(
     digraph chain to the generic cp1252→UTF-8 round-trip repair
     (pandas_udf over ONLY the detector-flagged rows — see
     functions/text.demojibake_full).
+    ``drift_report=True`` materializes a per-source distribution-shift
+    report over the ARRIVING corpus (post-encoding-hygiene, before any
+    gate drops rows — the point where a mis-crawled slice should trip
+    an alert, not after curation has partially masked it) to
+    ``{out_path}__drift_report``: the two-sample KS statistic and the
+    PSI score of each source's n_chars distribution against the rest
+    of the corpus (operators/quality.ks_drift / psi_drift), one row
+    per source with both rejection flags.
     """
     from pyspark.sql import functions as F
 
@@ -197,6 +206,12 @@ def run_curation_pipeline(
         from .functions.text import demojibake
 
         d = d.withColumn("text", demojibake(F.col("text")))
+    if drift_report:
+        from .operators.quality import ks_drift, psi_drift
+
+        ks_drift(d).join(
+            psi_drift(d), ["source", "n_source", "n_rest"]
+        ).write.mode("overwrite").parquet(out_path + "__drift_report")
     gated = quality_gate(d)
     repetitive = (
         repetition_stats(gated)

@@ -344,3 +344,47 @@ def test_curation_full_mojibake_repair_dedups_mixed_tail(spark, tmp_path):
     # (the twins are near-identical by construction) but its exact
     # hash differs -> if present its text retains the š signature
     assert 1 in ids_default
+
+
+def test_curation_drift_report_stage(spark, tmp_path):
+    """drift_report=True materializes the per-source KS+PSI shift
+    report over the ARRIVING corpus (post-hygiene), matching the
+    standalone operators exactly."""
+    from pyspark.sql import functions as F
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.functions.text import (
+        demojibake,
+    )
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.jobs import (
+        run_curation_pipeline,
+    )
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        ks_drift,
+        psi_drift,
+    )
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.plans.measures import (
+        t,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "cur")
+    run_curation_pipeline(spark, sf, out, drift_report=True)
+    rep = spark.read.parquet(out + "__drift_report")
+    assert set(rep.columns) == {
+        "source", "n_source", "n_rest", "ks_stat", "reject_95",
+        "psi", "shifted",
+    }
+    d = t(spark, sf, "documents").withColumn(
+        "text", demojibake(F.col("text"))
+    )
+    want = {
+        r["source"]: (r["ks_stat"], r["psi"])
+        for r in ks_drift(d)
+        .join(psi_drift(d), ["source", "n_source", "n_rest"])
+        .collect()
+    }
+    got = {r["source"]: (r["ks_stat"], r["psi"]) for r in rep.collect()}
+    assert got == want
+    # every arriving source is reported, even ones curation later drops
+    n_sources = d.select("source").distinct().count()
+    assert rep.count() == n_sources
