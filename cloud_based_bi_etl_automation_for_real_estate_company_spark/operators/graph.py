@@ -436,3 +436,83 @@ def copurchase_edges(
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_support)
     )
+
+
+def copurchase_lift(
+    df: DataFrame,
+    order_col: str,
+    item_col: str,
+    min_support: int = 2,
+    basket_cap: int = 1024,
+) -> DataFrame:
+    """Association-rule scores over the basket graph — support,
+    confidence and LIFT per co-purchased item pair, the market-basket
+    analysis layer on top of :func:`copurchase_edges`:
+
+        support(a,b)    = n_ab / N
+        confidence(a→b) = n_ab / n_a      (and b→a symmetric)
+        lift(a,b)       = n_ab·N / (n_a·n_b)
+
+    with n_* counted at BASKET grain (orders containing the item —
+    the input is reduced to distinct (order, item) first, so a
+    double-ordered line doesn't inflate co-occurrence), and N the
+    basket count AFTER the same ``basket_cap`` exclusion the edge
+    builder applies — marginals and pair counts come from the
+    identical basket population or lift would be biased.
+
+    All counts are integers; each score is one double expression
+    (cross-multiplied, division last), so the oracle replays exactly.
+    Plan shape: the capped pair expansion of copurchase_edges (task
+    pair fan-out ≤ basket_cap²), one item-keyed marginal agg joined
+    twice (item-keyed, uniform), N as a 1-row broadcast. Returns
+    (pa, pb, n_both, n_a, n_b, support, conf_a_to_b, lift).
+    """
+    items = df.select(
+        F.col(order_col).alias("__o"), F.col(item_col).alias("__i")
+    ).distinct()
+    sizes = items.groupBy("__o").agg(F.count(F.lit(1)).alias("__basket"))
+    bounded = items.join(
+        F.broadcast(
+            sizes.filter(F.col("__basket") > basket_cap).select("__o")
+        ),
+        "__o",
+        "left_anti",
+    ).localCheckpoint(eager=True)
+    edges = copurchase_edges(
+        bounded, "__o", "__i",
+        min_support=min_support, basket_cap=basket_cap,
+    ).withColumnRenamed("n", "n_both")
+    marg = bounded.groupBy(F.col("__i")).agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    total = bounded.agg(
+        F.count_distinct(F.col("__o")).alias("__N")
+    )
+    scored = (
+        edges.join(
+            marg.select(F.col("__i").alias("pa"), F.col("n_item").alias("n_a")),
+            "pa",
+        )
+        .join(
+            marg.select(F.col("__i").alias("pb"), F.col("n_item").alias("n_b")),
+            "pb",
+        )
+        .join(F.broadcast(total))
+    )
+    return scored.select(
+        "pa",
+        "pb",
+        "n_both",
+        "n_a",
+        "n_b",
+        (F.col("n_both").cast("double") / F.col("__N").cast("double")).alias(
+            "support"
+        ),
+        (F.col("n_both").cast("double") / F.col("n_a").cast("double")).alias(
+            "conf_a_to_b"
+        ),
+        (
+            (F.col("n_both") * F.col("__N")).cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double")
+        ).alias("lift"),
+    )

@@ -972,6 +972,19 @@ def q_x_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles(edges, "pa", "pb")
 
 
+def q_l28_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the part co-purchase graph
+    (operators/graph.py: copurchase_lift): support / confidence /
+    lift per repeated item pair, basket-grain counts (distinct
+    (order, part) first), marginals and N from the same capped basket
+    population as the edge list — the market-basket scoring layer on
+    the x_triangles/x_kcore edge builder."""
+    from ..operators.graph import copurchase_lift
+
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return copurchase_lift(l, "l_orderkey", "l_partkey", min_support=2)
+
+
 def q_x_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core of the part co-purchase graph (k=2, same edge builder
     as x_triangles): iterative bulk peeling until only nodes with ≥ 2
@@ -4385,6 +4398,31 @@ ORACLES["x_prefix_join"] = """
 
 # x_triangles: id-ordered enumeration replays the degree-oriented
 # Spark plan's output exactly (the triangle SET is orientation-free).
+ORACLES["l28_copurchase_lift"] = """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+    mega AS (SELECT o FROM items GROUP BY 1 HAVING COUNT(*) > 1024),
+    b AS (SELECT o, i FROM items
+          WHERE o NOT IN (SELECT o FROM mega)),
+    edges AS (
+        SELECT a.i AS pa, x.i AS pb, CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM b a JOIN b x ON a.o = x.o AND a.i < x.i
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    marg AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n_item
+             FROM b GROUP BY 1),
+    tot AS (SELECT COUNT(DISTINCT o) AS N FROM b)
+    SELECT e.pa, e.pb, e.n_both, ma.n_item AS n_a, mb.n_item AS n_b,
+           CAST(e.n_both AS DOUBLE) / CAST(t.N AS DOUBLE) AS support,
+           CAST(e.n_both AS DOUBLE) / CAST(ma.n_item AS DOUBLE)
+               AS conf_a_to_b,
+           CAST(e.n_both * t.N AS DOUBLE)
+           / CAST(ma.n_item * mb.n_item AS DOUBLE) AS lift
+    FROM edges e
+    JOIN marg ma ON ma.i = e.pa
+    JOIN marg mb ON mb.i = e.pb
+    CROSS JOIN tot t
+"""
+
 ORACLES["x_triangles"] = """
     WITH mega AS (
         SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING COUNT(*) > 1024),
@@ -5273,6 +5311,7 @@ QUERIES = {
     "x_dd_quantiles": q_x_dd_quantiles,
     "x_tdigest_quantiles": q_x_tdigest_quantiles,
     "x_triangles": q_x_triangles,
+    "l28_copurchase_lift": q_l28_copurchase_lift,
     "x_prefix_join": q_x_prefix_join,
     "x_calibration": q_x_calibration,
     "x_nb_confusion": q_x_nb_confusion,

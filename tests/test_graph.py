@@ -265,3 +265,47 @@ def test_kcore_local_finish_matches_distributed(spark):
                 path, 2, rounds=2, require_convergence=True,
                 local_finish_max_edges=lf,
             ).collect()
+
+
+def test_copurchase_lift_hand_computed(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.graph import (
+        copurchase_lift,
+    )
+
+    # baskets: o1={1,2}, o2={1,2}, o3={1,3}, o4={2}; item 2 listed
+    # twice in o1 (dedup to basket grain must ignore the repeat)
+    rows = [
+        (1, 1), (1, 2), (1, 2),
+        (2, 1), (2, 2),
+        (3, 1), (3, 3),
+        (4, 2),
+    ]
+    df = spark.createDataFrame(rows, "o bigint, i bigint")
+    out = copurchase_lift(df, "o", "i", min_support=2).collect()
+    # only (1,2) co-occurs >= 2 times; (1,3) pruned at support 1
+    assert len(out) == 1
+    r = out[0]
+    assert (r["pa"], r["pb"]) == (1, 2)
+    assert r["n_both"] == 2 and r["n_a"] == 3 and r["n_b"] == 3
+    assert r["support"] == 2 / 4
+    assert r["conf_a_to_b"] == 2 / 3
+    assert r["lift"] == (2 * 4) / (3 * 3)
+
+
+def test_copurchase_lift_respects_basket_cap(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.graph import (
+        copurchase_lift,
+    )
+
+    # a mega-basket (4 items > cap 3) is excluded from pairs AND from
+    # the marginals/N population
+    rows = [(1, i) for i in range(4)] + [
+        (2, 1), (2, 2), (3, 1), (3, 2),
+    ]
+    df = spark.createDataFrame(rows, "o bigint, i bigint")
+    out = copurchase_lift(df, "o", "i", min_support=2, basket_cap=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    # without the mega-basket: N=2, n_1=n_2=2, n_both=2 -> lift 1.0
+    assert r["n_both"] == 2 and r["n_a"] == 2 and r["n_b"] == 2
+    assert r["lift"] == 1.0 and r["support"] == 1.0

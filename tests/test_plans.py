@@ -277,6 +277,10 @@ def test_l25_date_filter_pushed_before_join(spark):
         # round-11: a43_km_survival — per-user agg -> duration-grid
         # agg -> two cumulative windows (observed 6 exchanges)
         ("a43_km_survival", 9),
+        # round-11: l28_copurchase_lift — the capped basket population
+        # feeds the pair expansion, marginals and N; checkpointed
+        # (observed 13 exchanges)
+        ("l28_copurchase_lift", 16),
     ],
 )
 def test_multi_reference_plans_stay_pinned(spark, name, max_exchanges):
