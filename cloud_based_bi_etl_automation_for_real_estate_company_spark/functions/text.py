@@ -448,3 +448,44 @@ def normalize_text(col: Column | str) -> Column:
     stripped = F.regexp_replace(lowered, "[^a-z0-9 ]", " ")
     collapsed = F.regexp_replace(stripped, " +", " ")
     return F.trim(collapsed)
+
+
+def readability_stats(text_col: str = "text"):
+    """Flesch reading-ease ingredients + score as pure JVM column
+    expressions — the readability heuristic educational-quality
+    curation filters use (FineWeb-Edu-style screens gate on exactly
+    this class of signal). Syllables are approximated as VOWEL GROUPS
+    ([aeiouy]+ on the lowercased text — the standard cheap estimator;
+    consistent across engines because RE2 and Java regex agree on this
+    pattern), sentences as terminal-punctuation runs ([.!?]+, floored
+    at 1 so unpunctuated fixtures stay finite), words as whitespace
+    tokens.
+
+        flesch = 206.835 − 1.015·(words/sentences)
+                         − 84.6·(syllables/words)
+
+    Returns a list of named Columns: n_words, n_sentences,
+    n_syllables, flesch — every arithmetic node is the literal
+    expression tree above so a SQL oracle replays bit-for-bit.
+    """
+    from pyspark.sql import functions as F
+
+    words = F.size(tokens(text_col)).cast("bigint")
+    sents = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")).cast("bigint"),
+    )
+    syls = F.regexp_count(
+        F.lower(F.col(text_col)), F.lit("[aeiouy]+")
+    ).cast("bigint")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sents.cast("double"))
+        - F.lit(84.6) * (syls.cast("double") / words.cast("double"))
+    )
+    return [
+        words.alias("n_words"),
+        sents.alias("n_sentences"),
+        syls.alias("n_syllables"),
+        flesch.alias("flesch"),
+    ]

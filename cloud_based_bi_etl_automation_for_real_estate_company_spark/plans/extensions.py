@@ -275,6 +275,15 @@ def q_x_psi_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_x_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (functions/text.py:
+    readability_stats) — vowel-group syllables, terminal-punctuation
+    sentences floored at 1, literal score expression tree; map-only,
+    fuses into the scan."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", *T.readability_stats("text"))
+
+
 def q_x_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-smoothed (alpha=0.5) per-source sampling weights for
     the training mix."""
@@ -2967,6 +2976,28 @@ ORACLES: dict[str, str] = {
                    AS reject_95
         FROM dmax
     """,
+    "x_readability": """
+        SELECT doc_id,
+               CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+                   AS n_words,
+               GREATEST(CAST(1 AS BIGINT),
+                        CAST(len(regexp_extract_all(text, '[.!?]+'))
+                             AS BIGINT)) AS n_sentences,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    AS BIGINT) AS n_syllables,
+               CAST(206.835 AS DOUBLE)
+               - CAST(1.015 AS DOUBLE)
+                 * (CAST(len(string_split(trim(text), ' ')) AS DOUBLE)
+                    / CAST(GREATEST(1,
+                          len(regexp_extract_all(text, '[.!?]+')))
+                      AS DOUBLE))
+               - CAST(84.6 AS DOUBLE)
+                 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                      AS DOUBLE)
+                    / CAST(len(string_split(trim(text), ' ')) AS DOUBLE))
+                   AS flesch
+        FROM documents
+    """,
     "x_psi_drain": """
         WITH c0 AS (
             SELECT LEAST(9, GREATEST(0,
@@ -5226,6 +5257,7 @@ QUERIES = {
     "x_ks_drift": q_x_ks_drift,
     "x_psi_drift": q_x_psi_drift,
     "x_psi_drain": q_x_psi_drain,
+    "x_readability": q_x_readability,
     "x_pack_sequences": q_x_pack_sequences,
     "x_length_clip": q_x_length_clip,
     "x_chunk_documents": q_x_chunk_documents,

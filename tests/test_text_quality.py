@@ -396,3 +396,30 @@ def test_psi_admit_clips_out_of_range_values(spark, tmp_path):
     b = spark.createDataFrame([(-5,), (999999,)], "n_chars bigint")
     r = psi_admit(b, store).collect()[0]
     assert r["n_batch"] == 2  # both rows bucketed (0 and 9), none lost
+
+
+def test_readability_stats_hand_computed(spark):
+    import math
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.functions.text import (
+        readability_stats,
+    )
+
+    # "the cat sat. it ran!" -> 5 words, 2 sentences, vowel groups:
+    # e, a, a, i, a = 5 syllables
+    df = spark.createDataFrame(
+        [(1, "the cat sat. it ran!"), (2, "no punctuation here")],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", *readability_stats("text")).collect()
+    }
+    r1 = rows[1]
+    assert r1["n_words"] == 5 and r1["n_sentences"] == 2
+    assert r1["n_syllables"] == 5
+    want = 206.835 - 1.015 * (5 / 2) - 84.6 * (5 / 5)
+    assert math.isclose(r1["flesch"], want, rel_tol=1e-12)
+    # unpunctuated text floors sentences at 1 (finite score)
+    assert rows[2]["n_sentences"] == 1
+    assert rows[2]["flesch"] is not None
