@@ -1180,3 +1180,51 @@ def bm25_topk(
             F.col("score_x").cast("double").alias("score"),
         )
     )
+
+
+def doc_keyphrases(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document keyphrase extraction: each document's top-``k``
+    terms by doc-level TF·IDF (tf = occurrences in the doc,
+    idf = ln(N/df) — same natural-log/no-smoothing convention as
+    :func:`tfidf_by_group`) — the metadata-enrichment step that tags
+    corpus documents for routing, sampling audits and index facets.
+
+    Spark shape: the (doc,term) tf agg feeds both the doc_freq rollup
+    (term-keyed) and the scoring join; N rides a 1-row broadcast. The
+    per-doc top-k is a rank-filtered window → TWO-PHASE
+    WindowGroupLimit, so each task forwards at most k rows per doc.
+    Cross-engine exactness: scores round to 12 dp DECIMAL before the
+    rank ordering (ties → term ascending), so the oracle's QUALIFY
+    replays exactly. Returns (``id_col``, rnk, term, score).
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = tf.join(dfreq, "term").join(F.broadcast(n_docs))
+    score = F.round(
+        F.col("tf")
+        * F.log(F.col("n_docs").cast("double") / F.col("doc_freq")),
+        12,
+    ).cast("decimal(28,12)")
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score_x"), F.asc("term")
+    )
+    return (
+        scored.withColumn("score_x", score)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            id_col,
+            "rnk",
+            "term",
+            F.col("score_x").cast("double").alias("score"),
+        )
+    )

@@ -1100,7 +1100,77 @@ def q_a43_km_survival(spark, sf_dir: str):
     return km_survival(t(spark, sf_dir, "events"))
 
 
+def q_a44_gini(spark, sf_dir: str):
+    """Gini coefficient of customer-revenue concentration per nation —
+    the inequality metric behind "does 20% of the book produce 80% of
+    the commissions" dashboards (reference scope: agent/lead revenue
+    concentration over the CRM's order facts). Sorted-rank identity
+    G = 2·Σi·x₍ᵢ₎/(n·Σx) − (n+1)/n with x as exact DECIMAL money sums
+    (functions/transforms.dsum rationale) and the rank ordered by
+    (x, custkey) so ties are engine-deterministic; the only doubles
+    are the final three divisions. One fact rollup + one per-nation
+    window + one nation-sized agg."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", "o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("x", "o_custkey")
+    ranked = rev.select(
+        "n_name",
+        "x",
+        F.row_number().over(w).cast("bigint").alias("i"),
+    )
+    agg = ranked.groupBy("n_name").agg(
+        F.sum(F.col("i") * F.col("x")).alias("s1"),
+        F.sum("x").alias("sx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return agg.select(
+        F.col("n_name").alias("nation"),
+        F.col("n").alias("n_customers"),
+        F.col("sx").cast("double").alias("total_revenue"),
+        (
+            (F.lit(2.0) * F.col("s1").cast("double"))
+            / (F.col("n").cast("double") * F.col("sx").cast("double"))
+            - ((F.col("n") + F.lit(1)).cast("double") / F.col("n").cast("double"))
+        ).alias("gini"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "a44_gini": """
+        WITH rev AS (
+            SELECT n_name, o_custkey,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1, 2),
+        ranked AS (
+            SELECT n_name, x,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY n_name
+                        ORDER BY x, o_custkey) AS BIGINT) AS i
+            FROM rev),
+        agg AS (
+            SELECT n_name, SUM(i * x) AS s1, SUM(x) AS sx,
+                   COUNT(*) AS n
+            FROM ranked GROUP BY 1)
+        SELECT n_name AS nation, n AS n_customers,
+               CAST(sx AS DOUBLE) AS total_revenue,
+               (2.0 * CAST(s1 AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+               - (CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)) AS gini
+        FROM agg
+    """,
     "a43_km_survival": """
         WITH per AS (
             SELECT user_id, MIN(ts) AS t0,
@@ -1636,6 +1706,7 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "a43_km_survival": q_a43_km_survival,
+    "a44_gini": q_a44_gini,
     "a17_pivot_funnel": q_a17_pivot_funnel,
     "a23_equidepth_hist": q_a23_equidepth_hist,
     "a18_percentiles": q_a18_percentiles,

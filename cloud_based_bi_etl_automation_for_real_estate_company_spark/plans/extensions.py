@@ -284,6 +284,14 @@ def q_x_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", *T.readability_stats("text"))
 
 
+def q_x_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF·IDF keyphrases (operators/corpus.py:
+    doc_keyphrases) — the metadata-enrichment tagger; round-12
+    decimal score ordering, term-asc tie break, two-phase
+    WindowGroupLimit top-k."""
+    return C.doc_keyphrases(t(spark, sf_dir, "documents"))
+
+
 def q_x_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-smoothed (alpha=0.5) per-source sampling weights for
     the training mix."""
@@ -2976,6 +2984,27 @@ ORACLES: dict[str, str] = {
                    AS reject_95
         FROM dmax
     """,
+    "x_keyphrases": """
+        WITH tok AS (
+            SELECT doc_id, UNNEST(string_split(trim(text), ' ')) AS term
+            FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        dfreq AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT t.doc_id, t.term,
+                   CAST(ROUND(t.tf * ln(CAST(n.n_docs AS DOUBLE)
+                                        / d.doc_freq), 12)
+                        AS DECIMAL(28,12)) AS score_x
+            FROM tf t JOIN dfreq d USING (term) CROSS JOIN n)
+        SELECT doc_id, rnk, term, CAST(score_x AS DOUBLE) AS score
+        FROM (SELECT doc_id, term, score_x,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY score_x DESC, term ASC)
+                         AS rnk
+              FROM scored)
+        WHERE rnk <= 3
+    """,
     "x_readability": """
         SELECT doc_id,
                CAST(len(string_split(trim(text), ' ')) AS BIGINT)
@@ -5258,6 +5287,7 @@ QUERIES = {
     "x_psi_drift": q_x_psi_drift,
     "x_psi_drain": q_x_psi_drain,
     "x_readability": q_x_readability,
+    "x_keyphrases": q_x_keyphrases,
     "x_pack_sequences": q_x_pack_sequences,
     "x_length_clip": q_x_length_clip,
     "x_chunk_documents": q_x_chunk_documents,

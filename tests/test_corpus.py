@@ -646,3 +646,37 @@ def test_bm25_plan_has_no_cartesian(spark):
     # task before the exchange, final after) — hot-term postings
     # shuffle at most k rows per task per query
     assert plan.count("WindowGroupLimit") == 2
+
+
+def test_doc_keyphrases_hand_computed(spark):
+    import math
+
+    # "rare" (df=1) must outrank "the" (df=3, idf=0) in doc 3; ties
+    # at idf 0 break by term ascending
+    df = spark.createDataFrame(
+        [
+            (1, "the cat", "s"),
+            (2, "the dog", "s"),
+            (3, "the rare rare gem", "s"),
+        ],
+        DOCS,
+    )
+    out = C.doc_keyphrases(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rnk"], r["term"], r["score"]))
+    top3 = sorted(by_doc[3])
+    # doc 3: rare (tf=2, df=1 -> 2·ln3), gem (tf=1, df=1 -> ln3), the (0)
+    assert top3[0][1] == "rare"
+    assert math.isclose(top3[0][2], round(2 * math.log(3), 12), rel_tol=1e-12)
+    assert top3[1][1] == "gem"
+    # doc 1: both terms of doc 1 -> cat (ln 3) then the (0)
+    assert [t for _, t, _ in sorted(by_doc[1])] == ["cat", "the"]
+    assert all(len(v) <= 2 for v in by_doc.values())
+
+
+def test_doc_keyphrases_two_phase_topk_plan(spark):
+    df = spark.createDataFrame([(1, "a b c", "s"), (2, "b c d", "s")], DOCS)
+    plan = C.doc_keyphrases(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") == 2
+    assert "CartesianProduct" not in plan

@@ -281,6 +281,13 @@ def test_l25_date_filter_pushed_before_join(spark):
         # feeds the pair expansion, marginals and N; checkpointed
         # (observed 13 exchanges)
         ("l28_copurchase_lift", 16),
+        # round-11: a44_gini — fact rollup -> per-nation rank window
+        # -> nation agg (observed 4 exchanges)
+        ("a44_gini", 7),
+        # round-11: x_keyphrases — tf feeds doc_freq + scoring; the
+        # per-doc top-k is the two-phase WindowGroupLimit (observed 7
+        # exchanges, 2 WindowGroupLimits)
+        ("x_keyphrases", 10),
     ],
 )
 def test_multi_reference_plans_stay_pinned(spark, name, max_exchanges):
