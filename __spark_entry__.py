@@ -2,8 +2,8 @@
 
 ``entry`` runs the flagship dashboard query; ``queries`` /
 ``oracle_sql`` expose every implemented operator from SURVEY.md §2
-plus the training-data-pipeline extensions — 244 registered queries,
-243 with DuckDB oracles, 1 rows-only: x_pca_project
+plus the training-data-pipeline extensions — 245 registered queries,
+244 with DuckDB oracles, 1 rows-only: x_pca_project
 (numpy eigh) — PERMANENTLY rows-only by round-6 decision: its
 Parseval shadow ``x_pca_invariants`` checks centering/orthonormality
 in SQL, and ``x_power_iteration`` proves the distributed eigen-math
@@ -62,14 +62,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Round-11 gate front block. Every round-10 front name is green in
-# CORRECTNESS_r10, so the 50-slot window now holds: (a) the 15 round-11
+# CORRECTNESS_r10, so the 50-slot window now holds: (a) the 16 round-11
 # additions (mode-survivorship golden records; the full-mojibake-
 # repair gate; the streaming soft-dedup drain; URL canonicalization;
-# BM25 retrieval; the KS drift test; the ACF diagnostic; the PSI drift score; the lead/lag cross-correlation; the streaming PSI drain; the Kaplan-Meier conversion curve; basket lift; Flesch readability; the Gini concentration index; per-doc keyphrases),
+# BM25 retrieval; the KS drift test; the ACF diagnostic; the PSI drift score; the lead/lag cross-correlation; the streaming PSI drain; the Kaplan-Meier conversion curve; basket lift; Flesch readability; the Gini concentration index; per-doc keyphrases; source JS divergence),
 # (b) the 6 permanent double-arithmetic SENTINELS, then
 # (c) STALENESS ROTATION — the 24 r5-vintage names staged as
 # _ROTATION_R11 last round (the complete oldest tier), followed by
-# the 5 alphabetically-first r6-vintage names; the remaining 32 r6
+# the 4 alphabetically-first r6-vintage names; the remaining 33 r6
 # names stage as _ROTATION_R12. No registered query's PLAN changed
 # this round (the round-11 streaming/curation work is pytest-surface
 # only), so there is no (plan-changed) block. After this window no
@@ -94,6 +94,7 @@ _GATE_PRIORITY = (
     "x_readability",
     "a44_gini",
     "x_keyphrases",
+    "x_js_divergence",
     # -- (b) permanent sentinels: fragile double-fold bit-exactness --------
     "t10_holt",
     "t12_holt_winters",
@@ -127,18 +128,18 @@ _GATE_PRIORITY = (
     "x_mmr_rerank",
     "x_nb_confusion",
     "x_prefix_join",
-    # r6 vintage from here (alphabetical first 5 of 37)
+    # r6 vintage from here (alphabetical first 4 of 37)
     "a10_monthly_trend",
     "a11_origin_counts",
     "a12_agent_measures",
     "a13_detail_listing",
-    "a14_slicer_filtered",
 )
 
-# Round-12 rotation backlog: the 32 remaining r6-vintage names (oldest
+# Round-12 rotation backlog: the 33 remaining r6-vintage names (oldest
 # staleness tier after round 11). Promote behind round-12 additions +
 # the sentinels; r7-vintage names (see CORRECTNESS_r07) come next.
 _ROTATION_R12: tuple[str, ...] = (
+    "a14_slicer_filtered",
     "a15_calendar",
     "a16_distinct_counts",
     "a17_pivot_funnel",

@@ -1228,3 +1228,84 @@ def doc_keyphrases(
             F.col("score_x").cast("double").alias("score"),
         )
     )
+
+
+def js_divergence_by_group(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Jensen–Shannon divergence between each corpus slice's unigram
+    distribution and the REST of the corpus — the distribution
+    distance corpus-mixing work reports (bounded [0, ln 2], symmetric,
+    finite even on disjoint vocabularies — everything KL is not).
+    Complements x_ks_drift/x_psi_drift, which compare LENGTHS; this
+    compares CONTENT.
+
+    Zero-row-free decomposition (never materializes the group×vocab
+    grid): with p the slice's term probability and q the rest's,
+
+        JS = ½·Σ_{t∈s} p·ln(2p/(p+q))
+           + ½·[ Σ_{t∈s, q>0} q·ln(2q/(p+q)) + ln 2 · (1 − Σ_{t∈s} q) ]
+
+    — terms absent from the slice contribute exactly q·ln 2, and their
+    total rest-mass is 1 − Σ_{t∈s} q, so one pass over the slice's own
+    (group, term) rows (plus the term totals) covers the whole
+    vocabulary. p and q are exact integer ratios; every summand is
+    rounded to 12 dp and accumulated in DECIMAL(28,12), so the oracle
+    replays bit-for-bit.
+
+    Spark shape: one (group,term) count agg, a term-keyed totals agg
+    joined back (uniform high-cardinality key), group totals + N on a
+    broadcast, one grouped decimal sum per slice. Slices covering the
+    whole corpus (n_rest = 0) are dropped. Returns
+    (group_col, n_tokens, n_rest_tokens, js_divergence).
+    """
+    tok = df.select(
+        F.col(group_col), F.explode(tokens(text_col)).alias("term")
+    )
+    counts = (
+        tok.groupBy(group_col, "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    term_tot = counts.groupBy("term").agg(
+        F.sum("c").cast("bigint").alias("ct")
+    )
+    grp_tot = counts.groupBy(group_col).agg(
+        F.sum("c").cast("bigint").alias("ng")
+    )
+    grand = counts.agg(F.sum("c").cast("bigint").alias("n"))
+    cells = (
+        counts.join(term_tot, "term")
+        .join(F.broadcast(grp_tot), group_col)
+        .join(F.broadcast(grand))
+    )
+    p = F.col("c").cast("double") / F.col("ng").cast("double")
+    q = (F.col("ct") - F.col("c")).cast("double") / (
+        F.col("n") - F.col("ng")
+    ).cast("double")
+    dec = lambda x: F.round(x, 12).cast("decimal(28,12)")
+    a_term = dec(p * F.log(F.lit(2.0) * p / (p + q)))
+    b_term = F.when(
+        F.col("ct") > F.col("c"), dec(q * F.log(F.lit(2.0) * q / (p + q)))
+    )
+    agg = (
+        cells.filter(F.col("n") > F.col("ng"))
+        .groupBy(group_col, "ng", "n")
+        .agg(
+            F.sum(a_term).alias("A"),
+            F.sum(b_term).alias("B"),
+            F.sum(dec(q)).alias("C"),
+        )
+    )
+    js = F.lit(0.5) * F.col("A").cast("double") + F.lit(0.5) * (
+        F.coalesce(F.col("B").cast("double"), F.lit(0.0))
+        + F.log(F.lit(2.0)) * (F.lit(1.0) - F.col("C").cast("double"))
+    )
+    return agg.select(
+        group_col,
+        F.col("ng").alias("n_tokens"),
+        (F.col("n") - F.col("ng")).alias("n_rest_tokens"),
+        js.alias("js_divergence"),
+    )

@@ -292,6 +292,15 @@ def q_x_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.doc_keyphrases(t(spark, sf_dir, "documents"))
 
 
+def q_x_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence of each source's unigram distribution
+    vs the rest of the corpus (operators/corpus.py:
+    js_divergence_by_group) — the content-level drift metric next to
+    the length-level x_ks_drift/x_psi_drift; zero-row-free
+    decomposition, round-12 decimal sums."""
+    return C.js_divergence_by_group(t(spark, sf_dir, "documents"))
+
+
 def q_x_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-smoothed (alpha=0.5) per-source sampling weights for
     the training mix."""
@@ -2984,6 +2993,43 @@ ORACLES: dict[str, str] = {
                    AS reject_95
         FROM dmax
     """,
+    "x_js_divergence": """
+        WITH tok AS (
+            SELECT source, UNNEST(string_split(trim(text), ' ')) AS term
+            FROM documents),
+        counts AS (
+            SELECT source, term, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        tt AS (SELECT term, CAST(SUM(c) AS BIGINT) AS ct
+               FROM counts GROUP BY 1),
+        gt AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ng
+               FROM counts GROUP BY 1),
+        g AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts),
+        cells AS (
+            SELECT c.source, c.c, t.ct, s.ng, g.n,
+                   CAST(c.c AS DOUBLE) / CAST(s.ng AS DOUBLE) AS p,
+                   CAST(t.ct - c.c AS DOUBLE)
+                   / CAST(g.n - s.ng AS DOUBLE) AS q
+            FROM counts c
+            JOIN tt t USING (term)
+            JOIN gt s USING (source)
+            CROSS JOIN g
+            WHERE g.n > s.ng),
+        agg AS (
+            SELECT source, ng, n,
+                   SUM(CAST(ROUND(p * ln(2.0 * p / (p + q)), 12)
+                            AS DECIMAL(28,12))) AS A,
+                   SUM(CASE WHEN ct > c THEN
+                       CAST(ROUND(q * ln(2.0 * q / (p + q)), 12)
+                            AS DECIMAL(28,12)) END) AS B,
+                   SUM(CAST(ROUND(q, 12) AS DECIMAL(28,12))) AS C
+            FROM cells GROUP BY 1, 2, 3)
+        SELECT source, ng AS n_tokens, (n - ng) AS n_rest_tokens,
+               0.5 * CAST(A AS DOUBLE)
+               + 0.5 * (COALESCE(CAST(B AS DOUBLE), 0.0)
+                        + ln(2.0) * (1.0 - CAST(C AS DOUBLE)))
+                   AS js_divergence
+        FROM agg
+    """,
     "x_keyphrases": """
         WITH tok AS (
             SELECT doc_id, UNNEST(string_split(trim(text), ' ')) AS term
@@ -5288,6 +5334,7 @@ QUERIES = {
     "x_psi_drain": q_x_psi_drain,
     "x_readability": q_x_readability,
     "x_keyphrases": q_x_keyphrases,
+    "x_js_divergence": q_x_js_divergence,
     "x_pack_sequences": q_x_pack_sequences,
     "x_length_clip": q_x_length_clip,
     "x_chunk_documents": q_x_chunk_documents,

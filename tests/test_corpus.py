@@ -680,3 +680,70 @@ def test_doc_keyphrases_two_phase_topk_plan(spark):
     plan = C.doc_keyphrases(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("WindowGroupLimit") == 2
     assert "CartesianProduct" not in plan
+
+
+def test_js_divergence_identical_and_disjoint(spark):
+    import math
+
+    # identical distributions -> JS = 0; disjoint vocab -> JS = ln 2
+    df_same = spark.createDataFrame(
+        [(1, "a b", "s1"), (2, "a b", "s2")], DOCS
+    )
+    rows = {
+        r["source"]: r["js_divergence"]
+        for r in C.js_divergence_by_group(df_same).collect()
+    }
+    assert all(abs(v) < 1e-12 for v in rows.values())
+
+    df_disj = spark.createDataFrame(
+        [(1, "a a b", "s1"), (2, "x y z", "s2")], DOCS
+    )
+    rows = {
+        r["source"]: r["js_divergence"]
+        for r in C.js_divergence_by_group(df_disj).collect()
+    }
+    assert all(math.isclose(v, math.log(2.0), rel_tol=1e-9) for v in rows.values())
+
+
+def test_js_divergence_matches_scipy_style_reference(spark):
+    import math
+    from collections import Counter
+
+    docs = [
+        (1, "a a b c", "s1"),
+        (2, "b c c d", "s1"),
+        (3, "a d d e e", "s2"),
+        (4, "c e f", "s2"),
+        (5, "f f a b", "s3"),
+    ]
+    df = spark.createDataFrame(docs, DOCS)
+    got = {
+        r["source"]: (r["n_tokens"], r["js_divergence"])
+        for r in C.js_divergence_by_group(df).collect()
+    }
+
+    all_counts = Counter()
+    per = {}
+    for _, text, src in docs:
+        c = Counter(text.split())
+        per.setdefault(src, Counter()).update(c)
+        all_counts.update(c)
+
+    def js(pc, qc):
+        np_, nq = sum(pc.values()), sum(qc.values())
+        out = 0.0
+        for t in set(pc) | set(qc):
+            p = pc[t] / np_
+            q = qc[t] / nq
+            m = (p + q) / 2
+            if p:
+                out += 0.5 * p * math.log(p / m)
+            if q:
+                out += 0.5 * q * math.log(q / m)
+        return out
+
+    for src, cnt in per.items():
+        rest = all_counts - cnt
+        want = js(cnt, rest)
+        assert math.isclose(got[src][1], want, rel_tol=1e-9), src
+        assert got[src][0] == sum(cnt.values())

@@ -288,6 +288,10 @@ def test_l25_date_filter_pushed_before_join(spark):
         # per-doc top-k is the two-phase WindowGroupLimit (observed 7
         # exchanges, 2 WindowGroupLimits)
         ("x_keyphrases", 10),
+        # round-11: x_js_divergence — the (group,term) count frame
+        # feeds term totals, group totals, grand and cells;
+        # checkpointed (observed 7 exchanges)
+        ("x_js_divergence", 10),
     ],
 )
 def test_multi_reference_plans_stay_pinned(spark, name, max_exchanges):
