@@ -626,3 +626,109 @@ def test_acf_matches_reference_property(spark, xs):
             / den
         )
         assert abs(got[k] - want) < 1e-9
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10), st.booleans()),
+        min_size=1,
+        max_size=20,
+    )
+)
+@_SLOW
+def test_km_survival_matches_reference_property(spark, durs):
+    """km_survival equals a pure-Python Kaplan–Meier (risk sets from
+    first principles) on ANY small set of (duration, event) users —
+    censoring ties, duplicate times and risk-set exhaustion
+    included."""
+    import datetime
+    import math
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.timeseries import (
+        km_survival,
+    )
+
+    d0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for uid, (t_days, ev) in enumerate(durs):
+        rows.append((uid, d0, "signup"))
+        stamp = d0 + datetime.timedelta(days=t_days)
+        rows.append((uid, stamp, "purchase" if ev else "view"))
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string"
+    )
+    got = {
+        r["t_days"]: (r["n_risk"], r["n_events"], r["survival"])
+        for r in km_survival(df).collect()
+    }
+
+    # reference: classic product-limit over event times
+    n = len(durs)
+    times = sorted({t for t, ev in durs if ev})
+    s = 1.0
+    exhausted = False
+    want = {}
+    for tt in times:
+        at_risk = sum(1 for t, _ in durs if t >= tt)
+        d = sum(1 for t, ev in durs if ev and t == tt)
+        if exhausted or d == at_risk:
+            exhausted = True
+            want[tt] = (at_risk, d, 0.0)
+            continue
+        # same rounded-log accumulation as the operator (12 dp per
+        # factor) — differences are far below the 1e-9 tolerance
+        s *= 1.0 - d / at_risk
+        want[tt] = (at_risk, d, s)
+    assert set(got) == set(want)
+    for tt, (nr, d, sv) in want.items():
+        assert got[tt][0] == nr and got[tt][1] == d
+        if sv == 0.0:
+            assert got[tt][2] == 0.0
+        else:
+            assert math.isclose(got[tt][2], sv, rel_tol=1e-9)
+
+
+@given(
+    st.lists(st.integers(0, 99), min_size=1, max_size=25),
+    st.lists(st.integers(0, 99), min_size=1, max_size=25),
+)
+@_SLOW
+def test_psi_drift_matches_reference_property(spark, xs, ys):
+    """psi_drift equals the textbook add-one-smoothed PSI computed in
+    pure Python over the same global equal-width buckets."""
+    import math
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        psi_drift,
+    )
+
+    rows = [(v, "g1") for v in xs] + [(v, "g2") for v in ys]
+    df = spark.createDataFrame(rows, "n_chars bigint, source string")
+    got = {r["source"]: r["psi"] for r in psi_drift(df).collect()}
+
+    allv = xs + ys
+    mn, mx = min(allv), max(allv)
+    width = mx - mn + 1
+
+    def bucket(v):
+        return (v - mn) * 10 // width
+
+    def counts(vals):
+        c = [0] * 10
+        for v in vals:
+            c[bucket(v)] += 1
+        return c
+
+    cx, cy = counts(xs), counts(ys)
+
+    def psi(a_counts, b_counts):
+        na, nb_ = sum(a_counts), sum(b_counts)
+        out = 0.0
+        for i in range(10):
+            p = (a_counts[i] + 1) / (na + 10)
+            q = (b_counts[i] + 1) / (nb_ + 10)
+            out += round((p - q) * math.log(p / q), 12)
+        return out
+
+    assert math.isclose(got["g1"], psi(cx, cy), rel_tol=1e-9, abs_tol=1e-12)
+    assert math.isclose(got["g2"], psi(cy, cx), rel_tol=1e-9, abs_tol=1e-12)
