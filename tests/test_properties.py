@@ -732,3 +732,67 @@ def test_psi_drift_matches_reference_property(spark, xs, ys):
 
     assert math.isclose(got["g1"], psi(cx, cy), rel_tol=1e-9, abs_tol=1e-12)
     assert math.isclose(got["g2"], psi(cy, cx), rel_tol=1e-9, abs_tol=1e-12)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from("a b c d e f g".split()),
+                min_size=1,
+                max_size=8,
+            ),
+            st.sampled_from(["s1", "s2", "s3"]),
+        ),
+        min_size=2,
+        max_size=15,
+    )
+)
+@_SLOW
+def test_js_divergence_matches_reference_property(spark, docs):
+    """js_divergence_by_group equals the direct two-distribution JS
+    (Counter arithmetic) on ANY small multi-source corpus, and always
+    lands in [0, ln 2]."""
+    import math
+    from collections import Counter
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators import (
+        corpus as C,
+    )
+
+    rows = [
+        (i, " ".join(toks), src) for i, (toks, src) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    got = {
+        r["source"]: r["js_divergence"]
+        for r in C.js_divergence_by_group(df).collect()
+    }
+
+    per, allc = {}, Counter()
+    for _, text, src in rows:
+        c = Counter(text.split())
+        per.setdefault(src, Counter()).update(c)
+        allc.update(c)
+
+    def js(pc, qc):
+        np_, nq = sum(pc.values()), sum(qc.values())
+        out = 0.0
+        for t_ in set(pc) | set(qc):
+            p = pc[t_] / np_
+            q = qc[t_] / nq
+            m = (p + q) / 2
+            if p:
+                out += 0.5 * p * math.log(p / m)
+            if q:
+                out += 0.5 * q * math.log(q / m)
+        return out
+
+    for src, cnt in per.items():
+        rest = allc - cnt
+        if sum(rest.values()) == 0:
+            assert src not in got  # whole-corpus slice dropped
+            continue
+        want = js(cnt, rest)
+        assert math.isclose(got[src], want, rel_tol=1e-9, abs_tol=1e-11), src
+        assert -1e-12 <= got[src] <= math.log(2.0) + 1e-9
