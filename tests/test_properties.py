@@ -796,3 +796,69 @@ def test_js_divergence_matches_reference_property(spark, docs):
         want = js(cnt, rest)
         assert math.isclose(got[src], want, rel_tol=1e-9, abs_tol=1e-11), src
         assert -1e-12 <= got[src] <= math.log(2.0) + 1e-9
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("u v w x y z".split()), min_size=2, max_size=7
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+@_SLOW
+def test_bm25_matches_reference_property(spark, docs):
+    """bm25_topk equals a from-scratch Python BM25 (identical query
+    derivation, idf, saturation and tie-break) on ANY small corpus."""
+    import math
+    from collections import Counter
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators import (
+        corpus as C,
+    )
+
+    rows = [(i, " ".join(toks), "s") for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    got = sorted(
+        (r["query"], r["rnk"], r["doc_id"], round(r["score"], 9))
+        for r in C.bm25_topk(df, n_queries=2, k=3).collect()
+    )
+
+    toks = {i: t.split() for i, t, _ in rows}
+    # query derivation: top-2 bigrams by count, ties lexicographic
+    bg = Counter()
+    for ts in toks.values():
+        bg.update(" ".join(ts[j : j + 2]) for j in range(len(ts) - 1))
+    queries = [b for b, _ in sorted(bg.items(), key=lambda kv: (-kv[1], kv[0]))[:2]]
+
+    tf = {i: Counter(ts) for i, ts in toks.items()}
+    dfreq = Counter()
+    for c in tf.values():
+        dfreq.update(c.keys())
+    n = len(rows)
+    sum_dl = sum(len(ts) for ts in toks.values())
+    avgdl = sum_dl / n
+
+    want = []
+    for qy in queries:
+        scored = []
+        for i, ts in toks.items():
+            s = 0.0
+            hit = False
+            for term in qy.split():
+                f = tf[i][term]
+                if f == 0:
+                    continue
+                hit = True
+                idf = math.log((n - dfreq[term] + 0.5) / (dfreq[term] + 0.5) + 1.0)
+                s += round(
+                    idf * (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * (len(ts) / avgdl))),
+                    12,
+                )
+            if hit:
+                scored.append((-s, i))
+        scored.sort()
+        for rnk, (neg_s, i) in enumerate(scored[:3], start=1):
+            want.append((qy, rnk, i, round(-neg_s, 9)))
+    assert got == sorted(want)
