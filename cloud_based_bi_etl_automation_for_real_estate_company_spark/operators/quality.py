@@ -513,6 +513,12 @@ def ks_drift(
     corpora past ~3·10⁹ rows switch the cross-multiply to
     DECIMAL(38,0) (n²·cum can overflow 2⁶³).
     """
+    # NULL values would inflate n_g through counts/totals while never
+    # matching the (group, value) join-back, and the two engines sort
+    # NULLS on opposite ends of the cumulative window — exclude them
+    # up front (round-11 ADVICE); a NULL measurement carries no
+    # distribution information either way
+    df = df.filter(F.col(value_col).isNotNull())
     # referenced four times below (totals, grand, allc, cells) and
     # only groups×distinct-values rows — checkpoint so the corpus
     # scan runs once (PERF.md round 9)
@@ -602,6 +608,9 @@ def psi_drift(
     groups×buckets spine, and one sum per group. Returns
     (``group_col``, n_source, n_rest, psi, shifted).
     """
+    # same NULL exclusion as ks_drift: a NULL value would count toward
+    # n_g but land in no bucket, skewing every share
+    df = df.filter(F.col(value_col).isNotNull())
     rng = df.agg(
         F.min(value_col).cast("bigint").alias("mn"),
         F.max(value_col).cast("bigint").alias("mx"),
@@ -704,7 +713,7 @@ def psi_admit(
     rows) per batch; no compaction needed at any realistic cadence.
     Returns one row: (n_batch, n_hist, psi, shifted).
     """
-    from pyspark.errors import AnalysisException
+    from ..session import hadoop_path_exists
 
     spark = batch_df.sparkSession
     width = hi - lo + 1
@@ -722,16 +731,17 @@ def psi_admit(
         ),
     )
     bcounts = (
-        batch_df.select(bucket.alias("bucket"))
+        batch_df.filter(F.col(value_col).isNotNull())
+        .select(bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint(eager=True)
     )
-    try:
+    # typed FS probe (not exception-message matching): only a missing
+    # store means bootstrap; any real read failure still raises
+    if hadoop_path_exists(spark, f"{store_path}/hist"):
         hist = spark.read.parquet(f"{store_path}/hist")
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-            raise
+    else:
         hist = spark.createDataFrame([], "bucket bigint, cnt bigint")
     hcounts = hist.groupBy("bucket").agg(
         F.sum("cnt").cast("bigint").alias("ch")

@@ -2956,7 +2956,7 @@ ORACLES: dict[str, str] = {
     "x_ks_drift": """
         WITH counts AS (
             SELECT source, n_chars AS v, COUNT(*) AS cnt
-            FROM documents GROUP BY 1, 2),
+            FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
         totals AS (
             SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_g
             FROM counts GROUP BY 1),
@@ -3121,13 +3121,14 @@ ORACLES: dict[str, str] = {
         WITH rng AS (
             SELECT CAST(MIN(n_chars) AS BIGINT) AS mn,
                    CAST(MAX(n_chars) AS BIGINT) AS mx
-            FROM documents),
+            FROM documents WHERE n_chars IS NOT NULL),
         counts AS (
             SELECT source,
                    (CAST(n_chars AS BIGINT) - r.mn) * 10
                        // (r.mx - r.mn + 1) AS bucket,
                    COUNT(*) AS cnt
             FROM documents CROSS JOIN rng r
+            WHERE n_chars IS NOT NULL
             GROUP BY 1, 2),
         totals AS (
             SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_g

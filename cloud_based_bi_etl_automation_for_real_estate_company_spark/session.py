@@ -107,6 +107,27 @@ def prewarm_python_workers(spark: SparkSession, block: bool = False) -> None:
         threading.Thread(target=run, daemon=True, name="py-worker-prewarm").start()
 
 
+def hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """Typed existence probe for a storage path via the Hadoop
+    FileSystem API — the store-bootstrap check for the incremental
+    admission family (minhash/soft-dedup/PSI/KS stores).
+
+    Replaces substring-matching ``AnalysisException`` messages
+    (PATH_NOT_FOUND / 'Path does not exist'), which is brittle across
+    Spark versions and locales (round-11 ADVICE): a changed message
+    would raise on every cold start. The probe itself still surfaces
+    real storage failures — a permissions or connectivity error raises
+    here, and a present-but-corrupt store raises on the read that
+    follows, so 'missing store' remains the ONLY path into bootstrap.
+    Works on any Hadoop-supported filesystem (local, HDFS, S3A) — the
+    Path resolves its own FileSystem from the session's Hadoop conf.
+    """
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def read_events(spark: SparkSession, path: str):
     """Read an events fixture, normalizing ``ts`` to TimestampType.
 
