@@ -61,40 +61,19 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Round-11 gate front block. Every round-10 front name is green in
-# CORRECTNESS_r10, so the 50-slot window now holds: (a) the 16 round-11
-# additions (mode-survivorship golden records; the full-mojibake-
-# repair gate; the streaming soft-dedup drain; URL canonicalization;
-# BM25 retrieval; the KS drift test; the ACF diagnostic; the PSI drift score; the lead/lag cross-correlation; the streaming PSI drain; the Kaplan-Meier conversion curve; basket lift; Flesch readability; the Gini concentration index; per-doc keyphrases; source JS divergence),
+# Round-12 gate front block. Every round-11 front name is green in
+# CORRECTNESS_r11, so the 50-slot window now holds: (a) the round-12
+# additions (inserted at the top as they land — never-checked names
+# MUST debut in the front, scripts/check_rotation.py enforces it),
 # (b) the 6 permanent double-arithmetic SENTINELS, then
-# (c) STALENESS ROTATION — the 24 r5-vintage names staged as
-# _ROTATION_R11 last round (the complete oldest tier), followed by
-# the 4 alphabetically-first r6-vintage names; the remaining 33 r6
-# names stage as _ROTATION_R12. No registered query's PLAN changed
-# this round (the round-11 streaming/curation work is pytest-surface
-# only), so there is no (plan-changed) block. After this window no
-# catalog name's newest driver row is older than r6. The invariant is
-# now MACHINE-CHECKED by scripts/check_rotation.py (run in
-# tests/test_contract.py) — a mis-staged front fails the suite
-# instead of silently aging a query.
+# (c) STALENESS ROTATION — the complete 33-name r6-vintage tier
+# staged as _ROTATION_R12 last round (now the oldest tier), followed
+# by the alphabetically-first r7-vintage names that fit the budget;
+# the remaining r7 names stage as _ROTATION_R13. After this window
+# runs, no catalog name's newest driver row is older than r7 except
+# the r7 remainder itself, which rotates next round.
 _GATE_PRIORITY = (
-    # -- (a) new in round 11 ------------------------------------------------
-    "x_golden_mode",
-    "x_mojibake_full",
-    "x_softdedup_drain",
-    "x_url_canon",
-    "x_bm25",
-    "x_ks_drift",
-    "t18_acf",
-    "x_psi_drift",
-    "t19_xcorr",
-    "x_psi_drain",
-    "a43_km_survival",
-    "l28_copurchase_lift",
-    "x_readability",
-    "a44_gini",
-    "x_keyphrases",
-    "x_js_divergence",
+    # -- (a) new in round 12 ------------------------------------------------
     # -- (b) permanent sentinels: fragile double-fold bit-exactness --------
     "t10_holt",
     "t12_holt_winters",
@@ -102,43 +81,7 @@ _GATE_PRIORITY = (
     "a29_trend_slope",
     "a30_corr_pairs",
     "x_linkage_score",
-    # -- (c) staleness rotation: the 24 staged r5-vintage names (full
-    # oldest tier) --------------------------------------------------------
-    "l24_forecast_revenue",
-    "l25_priority_mode_split",
-    "l26_waiting_suppliers",
-    "l2_revenue_by_nation",
-    "l3_top_parts",
-    "l4_order_lifecycle",
-    "l5_top_revenue_orders",
-    "l6_returned_customers",
-    "l7_lone_late_suppliers",
-    "l8_supplier_variety",
-    "l9_groupwise_min",
-    "t14_cusum",
-    "t15_backtest",
-    "t3_top_terms",
-    "x_ann_ivf_trained",
-    "x_bpe_encode",
-    "x_bpe_train",
-    "x_calibration",
-    "x_cms_heavy_hitters",
-    "x_hll_rollup",
-    "x_label_prop",
-    "x_mmr_rerank",
-    "x_nb_confusion",
-    "x_prefix_join",
-    # r6 vintage from here (alphabetical first 4 of 37)
-    "a10_monthly_trend",
-    "a11_origin_counts",
-    "a12_agent_measures",
-    "a13_detail_listing",
-)
-
-# Round-12 rotation backlog: the 33 remaining r6-vintage names (oldest
-# staleness tier after round 11). Promote behind round-12 additions +
-# the sentinels; r7-vintage names (see CORRECTNESS_r07) come next.
-_ROTATION_R12: tuple[str, ...] = (
+    # -- (c) staleness rotation: the complete 33-name r6 tier ---------------
     "a14_slicer_filtered",
     "a15_calendar",
     "a16_distinct_counts",
@@ -172,6 +115,56 @@ _ROTATION_R12: tuple[str, ...] = (
     "x_substring_removal",
     "x_substring_spans",
     "x_tdigest_drain",
+    # r7 vintage fill (alphabetical; budget = 50 - new - 6 - 33)
+    "l14_large_volume_orders",
+    "l15_disjunctive_revenue",
+    "p12_bool_cast",
+    "p14_reserialize",
+    "p15_case_transform",
+    "p17_html_strip",
+    "p18_string_kit",
+    "p19_posexplode",
+    "t1_asof_purchase_click",
+    "t2_session_stats",
+    "t4_session_window",
+)
+
+# Round-13 rotation backlog: the remaining r7-vintage names (the
+# oldest staleness tier once round 12 lands). Promote behind round-13
+# additions + the sentinels; r8-vintage names come next (run
+# scripts/check_rotation.py to re-derive).
+_ROTATION_R13: tuple[str, ...] = (
+    "t5_range_join",
+    "u1_union_offices",
+    "u2_backfill_stream_merge",
+    "u3_except",
+    "u4_intersect",
+    "w4_lag_lead",
+    "w5_moving_avg",
+    "w6_distribution_ranks",
+    "w7_growth_rates",
+    "w8_ytd",
+    "x_ann_bruteforce",
+    "x_ann_bucketed",
+    "x_ann_ivf",
+    "x_ann_pq",
+    "x_chunk_documents",
+    "x_decontaminate",
+    "x_dedup_exact",
+    "x_dedup_minhash_est",
+    "x_dedup_minhash_lsh",
+    "x_domain_cap",
+    "x_embed_near_dup",
+    "x_fingerprint",
+    "x_global_rank",
+    "x_incremental_neardup",
+    "x_lang_id",
+    "x_quality_filter",
+    "x_spacesaving_drain",
+    "x_suffix_array",
+    "x_suffix_lcp",
+    "x_suffix_lcp_ranks",
+    "x_suffix_removal",
 )
 
 
@@ -183,7 +176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for mod in (warehouse, windows, extensions, measures, analytics, scalars, temporal):
         all_q.update(mod.QUERIES)
     out = {n: all_q[n] for n in _GATE_PRIORITY if n in all_q}
-    out.update({n: all_q[n] for n in _ROTATION_R12 if n in all_q and n not in out})
+    out.update({n: all_q[n] for n in _ROTATION_R13 if n in all_q and n not in out})
     out.update({n: f for n, f in all_q.items() if n not in out})
     return out
 
