@@ -1882,25 +1882,11 @@ def q_x_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation could only guarantee by raising), survivorship is one
     hash agg on the cluster key."""
     p = t(spark, sf_dir, "part")
-    ids = p.groupBy("p_name").agg(F.min("p_partkey").alias("nid"))
-    pairs = D.editdist_pairs(p, "p_name", max_dist=2).select(
-        "name_a", "name_b"
-    )
-    ia = ids.select(F.col("p_name").alias("name_a"), F.col("nid").alias("ida"))
-    ib = ids.select(F.col("p_name").alias("name_b"), F.col("nid").alias("idb"))
-    id_pairs = pairs.join(ia, "name_a").join(ib, "name_b").select("ida", "idb")
     # star contraction converges on any diameter (no require_
     # convergence knob needed — the bound min-label had to guard with
     # a raise, star simply satisfies), and the local finish makes the
     # post-blocking graph cheap
-    cc = D.connected_components_star(id_pairs, src="ida", dst="idb")
-    cmap = ids.join(
-        cc.select(F.col("doc_id").alias("nid"), F.col("cluster_id").alias("__cl")),
-        "nid",
-        "left",
-    ).select(
-        "p_name", F.coalesce(F.col("__cl"), F.col("nid")).alias("cluster_id")
-    )
+    cmap = _part_entity_clusters(p)
     joined = p.join(cmap, "p_name")
     return joined.groupBy("cluster_id").agg(
         F.countDistinct("p_name").alias("n_names"),
@@ -1927,21 +1913,7 @@ def q_x_golden_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     a lazily-shared subtree with the CC loop in its lineage would
     otherwise re-run clustering per reference."""
     p = t(spark, sf_dir, "part")
-    ids = p.groupBy("p_name").agg(F.min("p_partkey").alias("nid"))
-    pairs = D.editdist_pairs(p, "p_name", max_dist=2).select(
-        "name_a", "name_b"
-    )
-    ia = ids.select(F.col("p_name").alias("name_a"), F.col("nid").alias("ida"))
-    ib = ids.select(F.col("p_name").alias("name_b"), F.col("nid").alias("idb"))
-    id_pairs = pairs.join(ia, "name_a").join(ib, "name_b").select("ida", "idb")
-    cc = D.connected_components_star(id_pairs, src="ida", dst="idb")
-    cmap = ids.join(
-        cc.select(F.col("doc_id").alias("nid"), F.col("cluster_id").alias("__cl")),
-        "nid",
-        "left",
-    ).select(
-        "p_name", F.coalesce(F.col("__cl"), F.col("nid")).alias("cluster_id")
-    )
+    cmap = _part_entity_clusters(p)
     joined = (
         p.select("p_name", "p_brand", "p_type")
         .join(cmap, "p_name")
@@ -1979,6 +1951,80 @@ def q_x_golden_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return base.join(modes, "cluster_id")
+
+
+def _part_entity_clusters(p: DataFrame) -> DataFrame:
+    """Shared blocking → Levenshtein ≤ 2 → star-CC chain of the
+    x_golden_* family: returns (p_name, cluster_id) with singleton
+    names surviving as their own cluster. Names map to numeric node
+    ids (min p_partkey per name) before clustering."""
+    ids = p.groupBy("p_name").agg(F.min("p_partkey").alias("nid"))
+    pairs = D.editdist_pairs(p, "p_name", max_dist=2).select(
+        "name_a", "name_b"
+    )
+    ia = ids.select(F.col("p_name").alias("name_a"), F.col("nid").alias("ida"))
+    ib = ids.select(F.col("p_name").alias("name_b"), F.col("nid").alias("idb"))
+    id_pairs = pairs.join(ia, "name_a").join(ib, "name_b").select("ida", "idb")
+    cc = D.connected_components_star(id_pairs, src="ida", dst="idb")
+    return ids.join(
+        cc.select(F.col("doc_id").alias("nid"), F.col("cluster_id").alias("__cl")),
+        "nid",
+        "left",
+    ).select(
+        "p_name", F.coalesce(F.col("__cl"), F.col("nid")).alias("cluster_id")
+    )
+
+
+def q_x_golden_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MDM survivorship, SOURCE-PRIORITY + RECENCY rule (round 12 —
+    the third x_golden_* config real MDM deployments want): per entity
+    cluster the golden attributes come from the member row with the
+    highest (source_priority, recency) — "prefer source A, else
+    newest". Source = the part's brand line (priority: Brand#13 >
+    Brand#1x > rest — the curated-feed-beats-bulk-feed config),
+    recency = p_partkey (the load-order surrogate; unique, so the
+    winner is fully deterministic before any value tie-break).
+
+    The whole rule is ONE expression — max over
+    struct(priority, recency, attrs...) in the same hash agg that
+    computes the cluster stats (struct max is lexicographic by field
+    order) — so priority survivorship adds ZERO shuffles over
+    x_golden_records: blocking bounds pair work, star-CC labels, one
+    grouped agg emits the golden table. Same shape at 100 TB: the agg
+    is map-side partial, the struct is a few dozen bytes per row."""
+    p = t(spark, sf_dir, "part")
+    cmap = _part_entity_clusters(p)
+    prio = (
+        F.when(F.col("p_brand") == "Brand#13", F.lit(3))
+        .when(F.col("p_brand").startswith("Brand#1"), F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    joined = p.join(cmap, "p_name")
+    best = F.max(
+        F.struct(
+            prio.alias("prio"),
+            F.col("p_partkey").alias("recency"),
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("ptype"),
+        )
+    ).alias("b")
+    return (
+        joined.groupBy("cluster_id")
+        .agg(
+            F.countDistinct("p_name").alias("n_names"),
+            F.count(F.lit(1)).alias("n_parts"),
+            best,
+        )
+        .select(
+            "cluster_id",
+            "n_names",
+            "n_parts",
+            F.col("b.prio").alias("win_priority"),
+            F.col("b.recency").alias("win_partkey"),
+            F.col("b.brand").alias("golden_brand"),
+            F.col("b.ptype").alias("golden_type"),
+        )
+    )
 
 
 def q_x_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4749,6 +4795,70 @@ ORACLES["x_golden_mode"] = """
 """
 
 
+# x_golden_priority: the same blocking/clustering CTEs + source-
+# priority/recency survivorship — the winner row per cluster by
+# (priority DESC, p_partkey DESC) via QUALIFY row_number; p_partkey is
+# unique so the winner is deterministic with no value tie-break. The
+# member table j is MATERIALIZED (feeds base stats + the winner pick).
+ORACLES["x_golden_priority"] = """
+    WITH RECURSIVE vals AS (
+        SELECT p_name AS name, COUNT(*) AS n_rows FROM part GROUP BY 1),
+    words AS (
+        SELECT name, UNNEST(range(len(t))) AS pos, UNNEST(t) AS w
+        FROM (SELECT name, string_split_regex(name, '\\s+') AS t FROM vals)),
+    cand AS (
+        SELECT DISTINCT a.name AS name_a, b.name AS name_b
+        FROM words a JOIN words b
+          ON a.pos = b.pos AND a.w = b.w AND a.name < b.name),
+    scored AS (
+        SELECT name_a, name_b FROM cand
+        WHERE levenshtein(name_a, name_b) <= 2),
+    ids AS (
+        SELECT p_name AS name, MIN(p_partkey) AS nid FROM part GROUP BY 1),
+    edges AS (
+        SELECT ia.nid AS u, ib.nid AS v
+        FROM scored s
+        JOIN ids ia ON ia.name = s.name_a
+        JOIN ids ib ON ib.name = s.name_b
+        UNION ALL
+        SELECT ib.nid, ia.nid
+        FROM scored s
+        JOIN ids ia ON ia.name = s.name_a
+        JOIN ids ib ON ib.name = s.name_b),
+    reach(node, label) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v),
+    cl AS (
+        SELECT node AS nid, MIN(label) AS cl FROM reach GROUP BY node),
+    cmap AS (
+        SELECT i.name, COALESCE(c.cl, i.nid) AS cluster_id
+        FROM ids i LEFT JOIN cl c ON c.nid = i.nid),
+    j AS MATERIALIZED (
+        SELECT m.cluster_id, p.p_name, p.p_partkey, p.p_brand, p.p_type,
+               CASE WHEN p.p_brand = 'Brand#13' THEN 3
+                    WHEN p.p_brand LIKE 'Brand#1%' THEN 2
+                    ELSE 1 END AS prio
+        FROM part p JOIN cmap m ON m.name = p.p_name),
+    base AS (
+        SELECT cluster_id,
+               COUNT(DISTINCT p_name) AS n_names,
+               COUNT(*) AS n_parts
+        FROM j GROUP BY 1),
+    winners AS (
+        SELECT cluster_id, prio, p_partkey, p_brand, p_type FROM j
+        QUALIFY row_number() OVER (
+            PARTITION BY cluster_id
+            ORDER BY prio DESC, p_partkey DESC) = 1)
+    SELECT b.cluster_id, b.n_names, b.n_parts,
+           w.prio AS win_priority,
+           w.p_partkey AS win_partkey,
+           w.p_brand AS golden_brand,
+           w.p_type AS golden_type
+    FROM base b JOIN winners w USING (cluster_id)
+"""
+
+
 def _kcore_oracle(k: int, rounds: int) -> str:
     """Unrolled replay of q_x_kcore's fixed peeling rounds. Every CTE
     MATERIALIZED — each round references the previous edge set three
@@ -5404,6 +5514,7 @@ QUERIES = {
     "x_kcore": q_x_kcore,
     "x_golden_records": q_x_golden_records,
     "x_golden_mode": q_x_golden_mode,
+    "x_golden_priority": q_x_golden_priority,
     "x_tdigest_drain": q_x_tdigest_drain,
     "x_kmv_setops": q_x_kmv_setops,
     "x_priority_sample": q_x_priority_sample,

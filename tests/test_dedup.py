@@ -707,6 +707,44 @@ def test_golden_records_pipeline_hand_computed(spark):
     assert golden == {10: (2, "B1", 12.0), 12: (1, "B3", 8.0)}
 
 
+def test_golden_priority_survivorship_hand_computed(spark, tmp_path):
+    """Source-priority/recency survivorship (round 12): in a cluster
+    holding a HIGH-priority source row (Brand#13) that is OLDER than a
+    newer low-priority row, priority must win; in a cluster with no
+    priority source, recency (max p_partkey) must win. Exercises the
+    registered q_x_golden_priority end-to-end off a tiny part table."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.plans.extensions import (
+        q_x_golden_priority,
+    )
+
+    rows = [
+        # cluster A: the Brand#13 row is the OLDEST member — priority
+        # beats the newer Brand#55 row
+        (10, "acme widget red", "Brand#13", "T-a", 5, 10.0),
+        (11, "acme widget rex", "Brand#55", "T-b", 7, 12.0),
+        (12, "acme widget rev", "Brand#21", "T-c", 7, 12.0),
+        # cluster B: no priority source — newest (max key) wins
+        (20, "zeta gadget blue", "Brand#41", "T-d", 3, 8.0),
+        (21, "zeta gadget blur", "Brand#55", "T-e", 4, 9.0),
+    ]
+    p = spark.createDataFrame(
+        rows, "p_partkey bigint, p_name string, p_brand string, "
+              "p_type string, p_size int, p_retailprice double"
+    )
+    p.write.parquet(str(tmp_path / "part.parquet"))
+    got = {
+        r["cluster_id"]: (
+            r["n_parts"], r["win_priority"], r["win_partkey"],
+            r["golden_brand"], r["golden_type"],
+        )
+        for r in q_x_golden_priority(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        10: (3, 3, 10, "Brand#13", "T-a"),
+        20: (2, 1, 21, "Brand#55", "T-e"),
+    }
+
+
 def test_round6_ops_partition_invariant(spark):
     """Determinism under re-partitioning for the round-6 operators:
     substring spans, k-core, and the golden-record map must be

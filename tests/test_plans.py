@@ -255,6 +255,10 @@ def test_l25_date_filter_pushed_before_join(spark):
         # re-run the whole blocking/CC pipeline per aggregation
         # (observed 5 exchanges post-checkpoint)
         ("x_golden_mode", 12),
+        # round-12: x_golden_priority — one grouped struct-max agg on
+        # the clustered member table, no extra shuffle over
+        # x_golden_records (observed 6 exchanges, 0 Python nodes)
+        ("x_golden_priority", 9),
         # round-11: x_bm25's token stream feeds tf/doclen/scalars and
         # tf feeds doc_freq + postings — all re-expansions are cheap
         # scan→explode re-reads (observed 13 exchanges); the ceiling
