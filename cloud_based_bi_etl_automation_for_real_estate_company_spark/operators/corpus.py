@@ -1083,40 +1083,34 @@ def cluster_split(
     )
 
 
-def bm25_topk(
-    df: DataFrame,
-    text_col: str = "text",
+def _bm25_score_postings(
+    tf: DataFrame,
+    qterms: DataFrame,
     id_col: str = "doc_id",
-    n_queries: int = 5,
     k: int = 5,
     k1: float = 1.2,
     b: float = 0.75,
 ) -> DataFrame:
-    """BM25 scored retrieval (Robertson & Zaragoza 2009): top-``k``
-    documents per query under Okapi BM25 with the standard
-    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1) and tf saturation
-    tf·(k1+1)/(tf + k1·(1 − b + b·|d|/avgdl)). The query set is
-    derived deterministically from the corpus itself so the surface
-    is self-contained and replayable: the ``n_queries`` most frequent
-    word bigrams (ties → lexicographically smallest) each become a
-    two-term query.
+    """Shared BM25 scoring core over a POSTINGS frame — the piece
+    :func:`bm25_topk` (one-shot corpus) and :func:`bm25_query_store`
+    (incrementally built store) have in common. ``tf`` is the inverted
+    index (``id_col``, term, tf); ``qterms`` is the query-term list
+    (query, term) — a query term appearing twice contributes twice
+    (query-side tf weighting). Document stats all DERIVE from the
+    postings (dl = Σ tf per doc; N, Σ|d| as a 1-row broadcast), so an
+    incremental store needs exactly ONE table.
 
     Spark shape — this IS the distributed inverted index probe:
 
-    - ``tf`` (per doc×term counts) is the postings table; joining it
-      against the BROADCAST query-term list touches only postings of
-      query terms — the scan never materializes scores for the rest
-      of the vocabulary.
+    - joining ``tf`` against the BROADCAST query-term list touches
+      only postings of query terms — the scan never materializes
+      scores for the rest of the vocabulary;
     - ``doc_freq`` derives from ``tf`` (one term-keyed agg) and is
       likewise filtered through the broadcast query terms before the
-      scoring join, so the surviving frame is queries×postings sized.
-    - N and Σ|d| (for avgdl) travel as a single 1-row broadcast
-      scalar — no driver collect.
+      scoring join, so the surviving frame is queries×postings sized;
     - top-k per query is one rank-filtered window partitioned by
-      query, which Spark plans as a TWO-PHASE WindowGroupLimit
-      (verified in the executed plan: partial limit per task before
-      the exchange, final after) — hot-term postings shuffle at most
-      k rows per task per query, not the postings list.
+      query, which Spark plans as a TWO-PHASE WindowGroupLimit —
+      hot-term postings shuffle at most k rows per task per query.
 
     Cross-engine exactness: per-term scores are rounded to 12 dp and
     summed as DECIMAL(28,12) (associativity-proof, the x_bigram_nll
@@ -1126,24 +1120,11 @@ def bm25_topk(
     """
     from pyspark.sql import Window
 
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
-    doclen = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    scalars = tok.agg(
-        F.count(F.lit(1)).alias("sum_dl"),
+    doclen = tf.groupBy(id_col).agg(F.sum("tf").cast("bigint").alias("dl"))
+    scalars = tf.agg(
+        F.sum("tf").cast("bigint").alias("sum_dl"),
         F.count_distinct(F.col(id_col)).alias("n_docs"),
-    )
-
-    bg = df.select(F.explode(shingles(text_col, 2)).alias("bg"))
-    qset = (
-        bg.groupBy("bg")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.desc("cnt"), F.asc("bg"))
-        .limit(n_queries)
-    )
-    qterms = qset.select(
-        F.col("bg").alias("query"), F.explode(F.split("bg", " ")).alias("term")
     )
     qstats = F.broadcast(qterms).join(dfreq, "term")
 
@@ -1179,6 +1160,141 @@ def bm25_topk(
             id_col,
             F.col("score_x").cast("double").alias("score"),
         )
+    )
+
+
+def corpus_bigram_queries(
+    df: DataFrame, text_col: str = "text", n_queries: int = 5
+) -> DataFrame:
+    """The self-contained default query set for BM25 surfaces: the
+    ``n_queries`` most frequent word bigrams of the corpus (ties →
+    lexicographically smallest), each a two-term query. Returns one
+    ``query`` string column."""
+    bg = df.select(F.explode(shingles(text_col, 2)).alias("bg"))
+    return (
+        bg.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bg"))
+        .limit(n_queries)
+        .select(F.col("bg").alias("query"))
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_queries: int = 5,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """BM25 scored retrieval (Robertson & Zaragoza 2009): top-``k``
+    documents per query under Okapi BM25 with the standard
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1) and tf saturation
+    tf·(k1+1)/(tf + k1·(1 − b + b·|d|/avgdl)).
+
+    ``queries`` (round 12 — the real-use generalization): an optional
+    DataFrame with one ``query`` string column; each query is split
+    on whitespace into terms (a repeated term contributes per
+    occurrence). When omitted, the query set is derived
+    deterministically from the corpus itself so the surface is
+    self-contained and replayable: the ``n_queries`` most frequent
+    word bigrams (ties → lexicographically smallest)
+    (:func:`corpus_bigram_queries`).
+
+    Plan/exactness notes live on :func:`_bm25_score_postings` — the
+    shared scorer this wraps around the one-shot postings agg.
+    Returns (query, rnk, ``id_col``, score).
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    if queries is None:
+        queries = corpus_bigram_queries(df, text_col, n_queries)
+    qterms = queries.select(
+        "query", F.explode(F.split("query", " ")).alias("term")
+    )
+    return _bm25_score_postings(tf, qterms, id_col, k, k1, b)
+
+
+def bm25_index_append(
+    new_docs: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """STREAMING retrieval-index maintenance (round 12): fold one
+    micro-batch of documents into the persistent BM25 postings store
+    at ``{store_path}/postings`` — one parquet table
+    (``id_col``, term, tf), appended per batch, following the
+    append-only minhash-store pattern (README.md:34's incremental
+    sync posture: new rows land as they arrive, retrieval stays
+    current without corpus rebuilds).
+
+    The store holds ONLY postings — doc length, avgdl, N and doc_freq
+    all derive from it at query time (dl = Σ tf per doc), so a batch
+    is ONE atomic-per-commit append with no cross-table consistency
+    hazard (a two-table store could crash between the postings and
+    doc-stats appends and serve a half-indexed doc forever).
+    Token-less documents produce no postings and are invisible to
+    retrieval AND to N/avgdl — identical to the one-shot
+    :func:`bm25_topk`, whose scalars also derive from the token
+    stream. At-least-once replays of the SAME batch would double its
+    tf rows — dedup batch ids upstream (incremental_dedup is the
+    sibling designed for exactly that) or re-run
+    :func:`compact_bm25_store` after a known replay.
+
+    Store growth is O(distinct (doc, term)) per batch; postings are
+    term-skew-free on disk (hash-partitioned parquet) and
+    :func:`compact_bm25_store` right-sizes the file count in quiet
+    windows."""
+    tok = new_docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf.write.mode("append").parquet(f"{store_path}/postings")
+
+
+def bm25_query_store(
+    spark,
+    store_path: str,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Retrieve top-``k`` documents per query from the incrementally
+    built postings store (:func:`bm25_index_append`). Exactly the
+    one-shot scorer over the store's postings — a corpus ingested in
+    any number of batches scores IDENTICALLY to the same corpus
+    indexed one-shot (postings are disjoint-by-doc and additive;
+    pinned by the x_bm25_drain gate and the compaction-invariance
+    test). Each query-time doc-stats agg is map-side partial over a
+    column-pruned store scan — no state beyond the postings table."""
+    tf = spark.read.parquet(f"{store_path}/postings")
+    qterms = queries.select(
+        "query", F.explode(F.split("query", " ")).alias("term")
+    )
+    return _bm25_score_postings(tf, qterms, id_col, k, k1, b)
+
+
+def compact_bm25_store(
+    spark, store_path: str, bytes_per_file: int = 128 << 20
+) -> None:
+    """Store-lifecycle companion to :func:`bm25_index_append`: rewrite
+    ``{store_path}/postings`` into right-sized files via the shared
+    generation-swap (operators/dedup._write_and_swap_store — same
+    quiet-window contract as compact_minhash_store: don't run
+    concurrently with appends or queries). The row set is IDENTICAL,
+    so retrieval across a compaction is invariant (test-pinned)."""
+    from .dedup import _local_store_path, _write_and_swap_store
+
+    store_path = _local_store_path(store_path)
+    postings = spark.read.parquet(f"{store_path}/postings")
+    _write_and_swap_store(
+        postings, store_path, bytes_per_file, subdir="postings"
     )
 
 

@@ -275,6 +275,32 @@ def q_x_psi_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_x_bm25_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for the INCREMENTAL retrieval index
+    (operators/corpus.bm25_index_append / bm25_query_store): replay a
+    two-batch ingest one-shot — even doc_ids land first, odd doc_ids
+    second, each APPENDING postings to a per-call temp store — then
+    retrieve the corpus-bigram query set from the store. Postings are
+    disjoint-by-doc and additive, so the store-built index must score
+    IDENTICALLY to the one-shot x_bm25 — the oracle is literally the
+    x_bm25 SQL. The result is materialized (localCheckpoint) before
+    the temp store is deleted."""
+    import shutil
+    import tempfile
+
+    d = t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="spark_graft_bm25_drain_")
+    try:
+        C.bm25_index_append(d.filter(F.col("doc_id") % 2 == 0), tmp)
+        C.bm25_index_append(d.filter(F.col("doc_id") % 2 == 1), tmp)
+        out = C.bm25_query_store(
+            spark, tmp, C.corpus_bigram_queries(d)
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_x_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading-ease per document (functions/text.py:
     readability_stats) — vowel-group syllables, terminal-punctuation
@@ -4898,6 +4924,10 @@ def _kcore_oracle(k: int, rounds: int) -> str:
     return "".join(parts)
 
 
+# x_bm25_drain: the incrementally built postings store must retrieve
+# exactly what the one-shot index retrieves — same SQL, verbatim.
+ORACLES["x_bm25_drain"] = ORACLES["x_bm25"]
+
 ORACLES["x_kcore"] = _kcore_oracle(2, 8)
 
 # x_tdigest_quantiles tolerance audit: exact per-(type, q) row counts
@@ -5440,6 +5470,7 @@ QUERIES = {
     "x_token_counts": q_x_token_counts,
     "x_tfidf": q_x_tfidf,
     "x_bm25": q_x_bm25,
+    "x_bm25_drain": q_x_bm25_drain,
     "x_ks_drift": q_x_ks_drift,
     "x_psi_drift": q_x_psi_drift,
     "x_psi_drain": q_x_psi_drain,

@@ -634,6 +634,72 @@ def test_bm25_k_caps_and_tie_break(spark):
     assert out[0]["doc_id"] == 4 and out[0]["rnk"] == 1
 
 
+def test_bm25_external_queries(spark):
+    """The externalized query path (round 12): a caller-supplied query
+    DataFrame drives retrieval; a repeated query term contributes per
+    occurrence (query-side tf weighting), and multi-word queries span
+    any number of terms (the corpus-bigram default is always 2)."""
+    df = spark.createDataFrame(
+        [(1, "a b c d", "s"), (2, "a a x y", "s"), (3, "x y z w", "s")],
+        DOCS,
+    )
+    q = spark.createDataFrame([("a",), ("a b c",)], "query string")
+    out = C.bm25_topk(df, queries=q, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query"], []).append(r["doc_id"])
+    # "a" matches docs 1 and 2; "a b c" matches 1 (all terms) and 2 (a)
+    assert by_q["a"] == [2, 1] or by_q["a"] == [1, 2]
+    assert set(by_q["a b c"]) == {1, 2}
+    # 3-term query: doc 1's score must be a 3-term sum > doc 2's 1-term
+    s = {(r["query"], r["doc_id"]): r["score"] for r in out}
+    assert s[("a b c", 1)] > s[("a b c", 2)]
+    # repeated-term query doubles the per-term contribution
+    q2 = spark.createDataFrame([("a a",), ("a",)], "query string")
+    s2 = {
+        (r["query"], r["doc_id"]): r["score"]
+        for r in C.bm25_topk(df, queries=q2, k=3).collect()
+    }
+    import math
+
+    assert math.isclose(
+        s2[("a a", 1)], 2 * s2[("a", 1)], rel_tol=1e-9
+    )
+
+
+def test_bm25_store_matches_one_shot_and_survives_compaction(spark, tmp_path):
+    """Incremental-postings contract (round 12): a corpus ingested in
+    two batches through bm25_index_append must retrieve EXACTLY what
+    the one-shot bm25_topk retrieves, and compact_bm25_store must not
+    change a single row (row-set-identical rewrite)."""
+    rows = [
+        (i, f"w{i % 7} w{(i * 3) % 7} common term w{i % 5}", "s")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, DOCS)
+    store = str(tmp_path / "bm25_store")
+    C.bm25_index_append(df.filter("doc_id % 2 = 0"), store)
+    C.bm25_index_append(df.filter("doc_id % 2 = 1"), store)
+    queries = C.corpus_bigram_queries(df, n_queries=3)
+    want = sorted(
+        map(tuple, C.bm25_topk(df, n_queries=3).collect())
+    )
+    got = sorted(
+        map(tuple, C.bm25_query_store(spark, store, queries).collect())
+    )
+    assert got == want
+    C.compact_bm25_store(spark, store)
+    after = sorted(
+        map(tuple, C.bm25_query_store(spark, store, queries).collect())
+    )
+    assert after == want
+    # compaction rewrote the layout, not the rows
+    import os
+
+    assert os.path.isdir(f"{store}/postings")
+    assert not os.path.isdir(f"{store}/postings__compacting")
+
+
 def test_bm25_plan_has_no_cartesian(spark):
     df = spark.createDataFrame(
         [(1, "a b a b", "s"), (2, "a b c", "s")], DOCS
