@@ -784,3 +784,180 @@ def psi_admit(
     )
     bcounts.write.mode("append").parquet(f"{store_path}/hist")
     return out
+
+
+def ks_admit(
+    batch_df: DataFrame,
+    store_path: str,
+    value_col: str = "n_chars",
+    delta: int = 100,
+    alpha_coeff: float = 1.358,
+) -> DataFrame:
+    """STREAMING Kolmogorov–Smirnov drift monitor — the fine-grained
+    companion of :func:`psi_admit` (round 12: the batch pair is KS+PSI,
+    so the streaming admission pair should be too): score each arriving
+    batch's ``value_col`` ECDF against a COMPACT t-digest history at
+    ``{store_path}/centroids`` (per-batch centroid sets from
+    operators/sketches.tdigest_centroids, appended — never raw values,
+    so the store is O(2δ) rows per batch at ANY batch size), then fold
+    the batch's own digest into the history. Same
+    score-before-append crash contract as the admission family.
+
+    Statistic: D = sup |ECDF_batch(v) − CDF_hist(v)| evaluated on the
+    union grid of the batch's distinct values and the history's
+    centroid means. CDF_hist linearly interpolates cumulative weight
+    over centroid MIDPOINT ranks — the same query convention as
+    tdigest_quantiles, inverted (value→rank instead of rank→value),
+    clamped to the extreme centroids' midranks. Both one-sided ECDF
+    limits are checked at batch values (a step function's sup needs
+    v⁻), and the left limit at pure centroid knots; between
+    consecutive union-grid points both functions are linear, so the
+    sup over the real line IS the max over these evaluations (of the
+    approximated CDF — the digest itself is within O(1/δ) of the true
+    history ECDF mid-distribution, best near the median, the
+    documented t-digest bound). Rejection uses the same c(α)·
+    sqrt((n1+n2)/(n1·n2)) critical value as :func:`ks_drift` with
+    n2 = the history's total weight (EXACT — digests preserve total
+    weight).
+
+    Spark shape: one grid union (batch distinct-value counts +
+    broadcast-small centroid table), ONE ordered window carrying the
+    interpolation knots (no broadcast-nested-loop range join), one max
+    agg. The window is unpartitioned but grid-sized — batch distinct
+    values + O(2δ·batches-since-compaction) centroids, never the raw
+    corpus. Cold start: the first batch has no reference — it returns
+    (n_batch, 0, NULL, false) and seeds the store; alert on the NULL
+    upstream if cold-start admission must be manual.
+
+    Returns one row: (n_batch, n_hist, ks_stat, reject_95). Compaction:
+    ``tdigest_merge`` the centroid store through
+    dedup._write_and_swap_store(subdir="centroids") in a quiet window;
+    the merged digest is a (deterministic) re-clustering, so scores
+    across a compaction agree within digest accuracy, not bitwise.
+    """
+    from ..session import hadoop_path_exists
+    from .sketches import tdigest_centroids
+
+    spark = batch_df.sparkSession
+    clean = batch_df.filter(F.col(value_col).isNotNull())
+    # the batch digest appends AFTER scoring; built here so the schema
+    # exists for the cold-start branch too
+    sig = tdigest_centroids(clean, [], value_col, delta=delta)
+    if hadoop_path_exists(spark, f"{store_path}/centroids"):
+        hist = spark.read.parquet(f"{store_path}/centroids")
+    else:
+        hist = spark.createDataFrame([], "mean double, weight double")
+
+    counts = (
+        clean.groupBy(F.col(value_col).cast("double").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # centroid knots with midpoint ranks; sorted by (mean, weight) —
+    # the canonical t-digest order
+    wseq = Window.orderBy("mean", "weight").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    knots = hist.select(
+        F.col("mean").alias("v"),
+        (F.sum("weight").over(wseq) - F.col("weight") / F.lit(2.0)).alias(
+            "mid"
+        ),
+    )
+    grid = counts.select(
+        "v", "cnt", F.lit(None).cast("double").alias("mid"),
+        F.lit(0).alias("is_knot"),
+    ).unionByName(
+        knots.select(
+            "v", F.lit(None).cast("bigint").alias("cnt"), "mid",
+            F.lit(1).alias("is_knot"),
+        )
+    )
+    # one ordered pass: knots sort BEFORE a batch value at the same v,
+    # so that batch row interpolates to exactly the knot's mid
+    order = Window.orderBy("v", F.col("is_knot").desc())
+    seq = order.rowsBetween(Window.unboundedPreceding, 0)
+    rev = order.rowsBetween(1, Window.unboundedFollowing)
+    g = grid.select(
+        "v",
+        "is_knot",
+        F.sum(F.coalesce(F.col("cnt"), F.lit(0))).over(seq).alias("cum_le"),
+        F.last(F.when(F.col("is_knot") == 1, F.col("mid")), True)
+        .over(seq)
+        .alias("pm"),
+        F.last(F.when(F.col("is_knot") == 1, F.col("v")), True)
+        .over(seq)
+        .alias("pv"),
+        F.first(F.when(F.col("is_knot") == 1, F.col("mid")), True)
+        .over(rev)
+        .alias("nm"),
+        F.first(F.when(F.col("is_knot") == 1, F.col("v")), True)
+        .over(rev)
+        .alias("nv"),
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+    )
+    tot = clean.agg(F.count(F.lit(1)).alias("n_batch"))
+    w_tot = hist.agg(
+        F.coalesce(F.sum("weight"), F.lit(0.0)).alias("w_hist")
+    )
+    fh_raw = (
+        F.when(F.col("pm").isNull(), F.col("nm"))  # below first knot
+        .when(F.col("nm").isNull(), F.col("pm"))  # above last knot
+        .when(F.col("nv") == F.col("pv"), F.col("pm"))
+        .otherwise(
+            F.col("pm")
+            + (F.col("v") - F.col("pv"))
+            / (F.col("nv") - F.col("pv"))
+            * (F.col("nm") - F.col("pm"))
+        )
+    )
+    scored = g.join(F.broadcast(tot)).join(F.broadcast(w_tot))
+    fh = fh_raw / F.col("w_hist")
+    e_le = F.col("cum_le").cast("double") / F.col("n_batch")
+    e_lt = (F.col("cum_le") - F.col("cnt")).cast("double") / F.col("n_batch")
+    d = F.greatest(F.abs(e_le - fh), F.abs(e_lt - fh))
+    out = (
+        scored.groupBy("n_batch", "w_hist")
+        .agg(F.max(d).alias("ks_stat"))
+        .select(
+            "n_batch",
+            F.round("w_hist", 0).cast("bigint").alias("n_hist"),
+            F.when(F.col("w_hist") > 0, F.col("ks_stat")).alias("ks_stat"),
+            F.coalesce(
+                (F.col("w_hist") > 0)
+                & (
+                    F.col("ks_stat")
+                    > F.lit(alpha_coeff)
+                    * F.sqrt(
+                        (F.col("n_batch") + F.col("w_hist"))
+                        / (F.col("n_batch") * F.col("w_hist"))
+                    )
+                ),
+                F.lit(False),
+            ).alias("reject_95"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sig.write.mode("append").parquet(f"{store_path}/centroids")
+    return out
+
+
+def compact_ks_store(
+    spark, store_path: str, delta: int = 100,
+    bytes_per_file: int = 128 << 20,
+) -> None:
+    """Store-lifecycle companion to :func:`ks_admit`: re-merge the
+    appended per-batch centroid sets into one ≤2δ-row digest via
+    tdigest_merge and swap generations (shared
+    dedup._write_and_swap_store; same quiet-window contract). Total
+    weight is preserved exactly; subsequent KS scores agree within
+    digest accuracy (a merge is a deterministic re-clustering, not a
+    row-identical rewrite — the documented t-digest trade)."""
+    from .dedup import _local_store_path, _write_and_swap_store
+    from .sketches import tdigest_merge
+
+    store_path = _local_store_path(store_path)
+    cents = spark.read.parquet(f"{store_path}/centroids")
+    merged = tdigest_merge(cents, [], delta=delta)
+    _write_and_swap_store(
+        merged, store_path, bytes_per_file, subdir="centroids"
+    )

@@ -301,6 +301,60 @@ def q_x_bm25_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_x_ks_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for the STREAMING KS drift monitor
+    (operators/quality.ks_admit): replay two micro-batches one-shot —
+    even doc_ids seed the t-digest history, odd doc_ids score against
+    it — and audit each batch row. Counts are EXACT (n_batch; n_hist
+    because digests preserve total weight), so the oracle pins them
+    literally; the KS statistic itself is digest-approximate, so it is
+    audited Spark-side in the x_tdigest_drain tolerance form:
+    batch 0's statistic must be undefined (cold start), batch 1's must
+    sit within 0.02 of the EXACT two-sample KS between the odd and
+    even halves (ks_drift on the parity split; delta=500 keeps the
+    digest's CDF interpolation error well under the tolerance)."""
+    import shutil
+    import tempfile
+
+    from ..operators.quality import ks_admit, ks_drift
+
+    d = t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="spark_graft_ks_drain_")
+    try:
+        f0 = ks_admit(d.filter(F.col("doc_id") % 2 == 0), tmp, delta=500)
+        f1 = ks_admit(d.filter(F.col("doc_id") % 2 == 1), tmp, delta=500)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    exact = (
+        ks_drift(
+            d.select(
+                (F.col("doc_id") % 2).alias("parity"), F.col("n_chars")
+            ),
+            value_col="n_chars",
+            group_col="parity",
+        )
+        .filter(F.col("parity") == 1)
+        .select(F.col("ks_stat").alias("ks_exact"))
+    )
+    b0 = f0.select(
+        F.lit(0).cast("bigint").alias("batch"),
+        "n_batch",
+        "n_hist",
+        F.col("ks_stat").isNotNull().alias("ks_defined"),
+        F.lit(True).alias("ks_ok"),
+    )
+    b1 = f1.join(F.broadcast(exact)).select(
+        F.lit(1).cast("bigint").alias("batch"),
+        "n_batch",
+        "n_hist",
+        F.col("ks_stat").isNotNull().alias("ks_defined"),
+        (F.abs(F.col("ks_stat") - F.col("ks_exact")) <= F.lit(0.02)).alias(
+            "ks_ok"
+        ),
+    )
+    return b0.unionByName(b1)
+
+
 def q_x_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading-ease per document (functions/text.py:
     readability_stats) — vowel-group syllables, terminal-punctuation
@@ -4928,6 +4982,25 @@ def _kcore_oracle(k: int, rounds: int) -> str:
 # exactly what the one-shot index retrieves — same SQL, verbatim.
 ORACLES["x_bm25_drain"] = ORACLES["x_bm25"]
 
+# x_ks_drain: constant-spine audit oracle (the x_tdigest_drain form) —
+# exact batch/history counts from literal parity COUNTs; the
+# approximation booleans are computed Spark-side and must all be true
+# (batch 0's statistic undefined on the cold start).
+ORACLES["x_ks_drain"] = """
+    WITH c AS (
+        SELECT CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_even,
+               CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_odd
+        FROM documents WHERE n_chars IS NOT NULL)
+    SELECT CAST(0 AS BIGINT) AS batch, n_even AS n_batch,
+           CAST(0 AS BIGINT) AS n_hist,
+           false AS ks_defined, true AS ks_ok
+    FROM c
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), n_odd, n_even, true, true FROM c
+"""
+
 ORACLES["x_kcore"] = _kcore_oracle(2, 8)
 
 # x_tdigest_quantiles tolerance audit: exact per-(type, q) row counts
@@ -5471,6 +5544,7 @@ QUERIES = {
     "x_tfidf": q_x_tfidf,
     "x_bm25": q_x_bm25,
     "x_bm25_drain": q_x_bm25_drain,
+    "x_ks_drain": q_x_ks_drain,
     "x_ks_drift": q_x_ks_drift,
     "x_psi_drift": q_x_psi_drift,
     "x_psi_drain": q_x_psi_drain,

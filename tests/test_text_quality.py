@@ -387,6 +387,93 @@ def test_psi_admit_bootstrap_and_stable_second_batch(spark, tmp_path):
     assert r2["shifted"] is True and r2["psi"] > 0.25
 
 
+def test_ks_admit_hand_computed(spark, tmp_path):
+    """Streaming KS vs a t-digest history (round 12), on values where
+    the digest is EXACT (8 distinct unit-weight points at delta=100 →
+    one centroid per value, midranks (k−½)/8): a cold-start batch
+    seeds the store with NULL statistic; the second batch's sup over
+    the union grid is hand-computable.
+
+    Batch 2 = [2, 4, 4, 6] vs history CDF interpolating
+    (k, (k−0.5)/8): the max discrepancy is at v=4 right limit —
+    |3/4 − 3.5/8| = 0.3125."""
+    import math
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        ks_admit,
+    )
+
+    store = str(tmp_path / "ks")
+    hist = spark.createDataFrame(
+        [(v,) for v in range(1, 9)], "n_chars bigint"
+    )
+    r0 = ks_admit(hist, store).collect()[0]
+    assert r0["n_batch"] == 8 and r0["n_hist"] == 0
+    assert r0["ks_stat"] is None and r0["reject_95"] is False
+    # the seeded digest preserves total weight exactly
+    stored = spark.read.parquet(f"{store}/centroids")
+    assert stored.count() == 8
+    assert stored.agg({"weight": "sum"}).collect()[0][0] == 8.0
+
+    b = spark.createDataFrame([(2,), (4,), (4,), (6,)], "n_chars bigint")
+    r1 = ks_admit(b, store).collect()[0]
+    assert r1["n_batch"] == 4 and r1["n_hist"] == 8
+    assert math.isclose(r1["ks_stat"], 0.3125, rel_tol=1e-12)
+    # crit = 1.358*sqrt(12/32) ≈ 0.83 — far above 0.3125
+    assert r1["reject_95"] is False
+    # score-before-append: the batch digest landed AFTER scoring
+    # (4 unit-weight centroids — the duplicate 4s land in distinct
+    # k-space bins at delta=100)
+    after = spark.read.parquet(f"{store}/centroids")
+    assert after.count() == 12
+    assert after.agg({"weight": "sum"}).collect()[0][0] == 12.0
+
+
+def test_ks_admit_null_values_excluded(spark, tmp_path):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        ks_admit,
+    )
+
+    store = str(tmp_path / "ks_null")
+    b = spark.createDataFrame(
+        [(1,), (2,), (None,), (None,)], "n_chars bigint"
+    )
+    r = ks_admit(b, store).collect()[0]
+    assert r["n_batch"] == 2  # NULLs neither counted nor stored
+    assert spark.read.parquet(f"{store}/centroids").agg(
+        {"weight": "sum"}
+    ).collect()[0][0] == 2.0
+
+
+def test_ks_admit_detects_shift_and_compaction(spark, tmp_path):
+    """A shifted batch must reject at 95%; compact_ks_store re-merges
+    the store to ≤2·delta rows preserving total weight, and a
+    post-compaction score still rejects."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        compact_ks_store,
+        ks_admit,
+    )
+
+    store = str(tmp_path / "ks_shift")
+    lo = spark.createDataFrame([(v,) for v in range(100)], "n_chars bigint")
+    ks_admit(lo, store)
+    ks_admit(lo, store)
+    hi = spark.createDataFrame(
+        [(v,) for v in range(5000, 5100)], "n_chars bigint"
+    )
+    r = ks_admit(hi, store).collect()[0]
+    assert r["n_hist"] == 200 and r["reject_95"] is True
+    assert r["ks_stat"] > 0.9
+    compact_ks_store(spark, store)
+    merged = spark.read.parquet(f"{store}/centroids")
+    assert merged.count() <= 200
+    assert merged.agg({"weight": "sum"}).collect()[0][0] == 300.0
+    r2 = ks_admit(hi, store).collect()[0]
+    # history now includes one shifted batch (100 of 300), so the gap
+    # narrows but the shift is still flagged
+    assert r2["n_hist"] == 300 and r2["reject_95"] is True
+
+
 def test_psi_admit_clips_out_of_range_values(spark, tmp_path):
     from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
         psi_admit,
