@@ -113,6 +113,29 @@ def _noise_canary(iters: int = 4_000_000) -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+def _canary_gate(
+    quiet_ref: float, factor: float, max_attempts: int, sleep_s: float
+) -> tuple[list[float], float]:
+    """Canary-gated quiet-wait (round 12 — the verdict's 'act on your
+    own canary'): re-run the CPU-spin probe until it lands within
+    ``factor`` of the quiet-host reference, sleeping between bounded
+    attempts. Returns (every attempt's canary_s, seconds slept) — the
+    per-batch timing uses the LAST attempt (the probe nearest the
+    timed work), and the recorded attempt list makes the gating
+    decision auditable: a batch that never got under the gate is
+    visibly hypervisor-noisy rather than silently slow."""
+    attempts: list[float] = []
+    slept = 0.0
+    for i in range(max_attempts):
+        attempts.append(_noise_canary())
+        if attempts[-1] <= quiet_ref * factor:
+            break
+        if i < max_attempts - 1:
+            time.sleep(sleep_s)
+            slept += sleep_s
+    return attempts, slept
+
+
 def _wait_for_quiet(threshold: float, max_wait_s: float) -> float:
     """Load guard (round 10): external host load has been observed
     inflating same-code legs 1.5–2.5× (PERF.md r9 notes), drowning the
@@ -154,9 +177,20 @@ def main() -> None:
     batches = int(os.environ.get("SPARK_GRAFT_BENCH_BATCHES", "2"))
     threshold = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "2.0"))
     max_wait = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "45"))
+    # canary gate (round 12): the quiet-host spin reference and the
+    # acceptance band; every attempt is recorded so the gating
+    # decisions are auditable in the artifact
+    # 0.235 = the quietest canary ever recorded on this host family
+    # (PERF.md r11: 0.2364/0.2451 in a genuinely idle window); the
+    # 1.2x band accepts the 0.27-0.29 'normal' windows driver benches
+    # actually land in while still flagging the 0.33+ contended band
+    canary_quiet = float(os.environ.get("SPARK_GRAFT_CANARY_QUIET", "0.235"))
+    canary_factor = float(os.environ.get("SPARK_GRAFT_CANARY_GATE", "1.2"))
+    canary_tries = int(os.environ.get("SPARK_GRAFT_CANARY_TRIES", "5"))
     waited_total = 0.0
     batch_loads: list[float] = []
     batch_canaries: list[float] = []
+    canary_attempts: list[list[float]] = []
     times: dict[str, float] = {}
     for b in range(batches):
         if b == 0:
@@ -167,7 +201,16 @@ def main() -> None:
             # rely on the cross-batch min.
             waited_total += _wait_for_quiet(threshold, max_wait)
         batch_loads.append(round(os.getloadavg()[0], 2))
-        batch_canaries.append(_noise_canary())
+        # the canary gate runs before EVERY batch — unlike loadavg it
+        # measures contention directly, so it is not polluted by our
+        # own just-finished batch (the spin is single-threaded and the
+        # executor pool is idle between batches)
+        attempts, slept = _canary_gate(
+            canary_quiet, canary_factor, canary_tries, 8.0
+        )
+        waited_total += slept
+        canary_attempts.append(attempts)
+        batch_canaries.append(attempts[-1])
         reps = 3 if b == 0 else 2  # batch 0 also pays codegen warm-up
         for name in HEADLINE:
             fn = qs[name]
@@ -186,6 +229,14 @@ def main() -> None:
                 )
 
     total = round(sum(times.values()), 3)
+    # canary-normalized companion total (round 12): scale by the
+    # quiet-reference-to-observed spin ratio so cross-round comparison
+    # doesn't need prose adjudication of host noise. Uses the best
+    # (lowest) batch canary — the same batch the cross-batch min of
+    # query times most likely came from. The RAW total stays the
+    # headline metric; the normalized one is the comparison aid.
+    canary_used = min(batch_canaries)
+    total_canary_norm = round(total * canary_quiet / canary_used, 3)
 
     # Write-side series (round 10): record the layout-sink legs in the
     # same per-round artifact — UNTIMED relative to the headline total
@@ -218,10 +269,14 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "write_bench": write_bench,
+                "total_canary_norm": total_canary_norm,
                 "load": {
                     "pre_spark_1m": round(load_pre, 2),
                     "batch_start_1m": batch_loads,
                     "canary_s": batch_canaries,
+                    "canary_attempts": canary_attempts,
+                    "canary_quiet_ref": canary_quiet,
+                    "canary_gate": canary_factor,
                     "threshold": threshold,
                     "waited_s": waited_total,
                     "batches": batches,
