@@ -35,8 +35,14 @@ TABLES = (
 )
 
 
-def get_spark(app_name: str = "cbbi-spark", cpus: int | None = None) -> SparkSession:
-    """Build (or fetch) a SparkSession with scale-minded defaults."""
+def get_spark(
+    app_name: str = "cbbi-spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-minded defaults.
+    ``extra_conf`` overlays additional before-JVM settings (e.g. the
+    soak scripts' event-log capture) on the tuned base."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None
     master = f"local[{cpus}]" if cpus else "local[*]"
@@ -59,6 +65,8 @@ def get_spark(app_name: str = "cbbi-spark", cpus: int | None = None) -> SparkSes
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-warehouse"),
         )
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     # Warm the Python worker daemon while the session is otherwise
     # idle: session construction is setup time in every deployment
