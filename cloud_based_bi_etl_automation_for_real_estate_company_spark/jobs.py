@@ -92,6 +92,7 @@ def run_curation_pipeline(
     soft_dedup: bool = False,
     full_mojibake_repair: bool = False,
     drift_report: bool = False,
+    lsh_max_bucket: int | None = None,
 ) -> DataFrame:
     """End-to-end training-data curation — the composition the
     individual oracle-checked operators exist for:
@@ -255,7 +256,15 @@ def run_curation_pipeline(
         )
     canon = exact_dedup(gated).select(F.col("keep_id").alias("doc_id"))
     uniq = gated.join(canon, "doc_id", "left_semi")
-    near = minhash_estimate_pairs(uniq, threshold=0.5)
+    # lsh_max_bucket (round 12): the defensive band-bucket bound for
+    # unattended runs over degenerate corpora — the curation soak's
+    # shared-shingle-pool staging drove the candidate set to 9.1e7
+    # pairs from 1.2e5 docs (one bucket = b^2/2 pairs). Docs in a
+    # skipped mega-bucket still pair through their other bands;
+    # default None keeps exact recall.
+    near = minhash_estimate_pairs(
+        uniq, threshold=0.5, max_bucket=lsh_max_bucket
+    )
     near_pairs = near.select("id_a", "id_b")
     # Both dedup modes cluster with star contraction (round 10): a
     # drifting-text CHAIN longer than min-label's propagation bound

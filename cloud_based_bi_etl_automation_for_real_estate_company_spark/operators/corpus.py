@@ -1298,6 +1298,115 @@ def compact_bm25_store(
     )
 
 
+def more_like_this(
+    df: DataFrame,
+    query_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """Sparse-vector "more like this" retrieval (round 12): for each
+    query document, the top-``k`` OTHER documents by TF-IDF cosine,
+    computed through the postings join — the term-space sibling of
+    the dense x_ann_* family and the classic related-content /
+    near-duplicate-triage query. ``query_docs`` is a one-column
+    (``id_col``) frame; weights are tf·ln(N/df) with terms of
+    document frequency above ``max_df_frac``·N EXCLUDED — the hot-term
+    bound real MLT implementations apply, which is also what keeps the
+    candidate expansion skew-safe at scale (a stopword-grade term
+    would otherwise pair every query doc with the whole corpus).
+
+    Spark shape: the query-side postings are a broadcast sliver
+    (|query docs| × terms-per-doc rows); the corpus-side postings join
+    them term-keyed, so the pair frame is bounded by the query docs'
+    posting lists, never corpus². Norms are one doc-keyed agg reused
+    via broadcast for the query side. Top-k per query is the
+    rank-filtered window → two-phase WindowGroupLimit.
+
+    Cross-engine exactness: dot products and squared norms are
+    12-dp-rounded DECIMAL(28,12) sums (associativity-proof); the
+    cosine is ONE float expression over those exact inputs
+    (dot/sqrt(nq²·nd²) — IEEE-correctly-rounded in both engines), and
+    the rank orders by its 12-dp rounding (ties → candidate id ASC).
+    Returns (query_id, rnk, ``id_col``, cosine).
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .filter(
+            F.col("doc_freq").cast("double")
+            <= F.lit(max_df_frac) * F.col("n_docs").cast("double")
+        )
+        .select(
+            id_col,
+            "term",
+            (
+                F.col("tf").cast("double")
+                * F.log(
+                    F.col("n_docs").cast("double")
+                    / F.col("doc_freq").cast("double")
+                )
+            ).alias("w"),
+        )
+    )
+    norm2 = w.groupBy(id_col).agg(
+        F.sum(
+            F.round(F.col("w") * F.col("w"), 12).cast("decimal(28,12)")
+        ).alias("n2")
+    )
+    qw = (
+        w.join(query_docs.select(id_col), id_col, "left_semi")
+        .select(
+            F.col(id_col).alias("query_id"),
+            "term",
+            F.col("w").alias("wq"),
+        )
+    )
+    dots = (
+        w.join(F.broadcast(qw), "term")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(
+            F.sum(
+                F.round(F.col("wq") * F.col("w"), 12).cast("decimal(28,12)")
+            ).alias("dot")
+        )
+    )
+    nq = norm2.select(
+        F.col(id_col).alias("query_id"), F.col("n2").alias("nq2")
+    )
+    cos = (
+        dots.join(F.broadcast(nq), "query_id")
+        .join(norm2, id_col)
+        .select(
+            "query_id",
+            id_col,
+            (
+                F.col("dot").cast("double")
+                / F.sqrt(
+                    F.col("nq2").cast("double") * F.col("n2").cast("double")
+                )
+            ).alias("cosine"),
+        )
+    )
+    rank_key = F.round(F.col("cosine"), 12).cast("decimal(28,12)")
+    win = Window.partitionBy("query_id").orderBy(
+        rank_key.desc(), F.col(id_col).asc()
+    )
+    return (
+        cos.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", id_col, "cosine")
+    )
+
+
 def doc_keyphrases(
     df: DataFrame,
     text_col: str = "text",

@@ -355,6 +355,19 @@ def q_x_ks_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b0.unionByName(b1)
 
 
+def q_x_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF "more like this" (operators/corpus.more_like_this)
+    — top-3 related documents per query doc (doc_id % 29 == 0) by
+    postings-join cosine with the 0.5·N hot-term bound; the term-space
+    sibling of the dense x_ann_* family. Round-12 decimal dot/norm
+    sums; one IEEE float expression for the cosine; rank by its 12-dp
+    rounding, candidate-id tie-break."""
+    d = t(spark, sf_dir, "documents")
+    return C.more_like_this(
+        d, d.filter(F.col("doc_id") % 29 == 0).select("doc_id")
+    )
+
+
 def q_x_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading-ease per document (functions/text.py:
     readability_stats) — vowel-group syllables, terminal-punctuation
@@ -4982,6 +4995,51 @@ def _kcore_oracle(k: int, rounds: int) -> str:
 # exactly what the one-shot index retrieves — same SQL, verbatim.
 ORACLES["x_bm25_drain"] = ORACLES["x_bm25"]
 
+# x_mlt: postings-join TF-IDF cosine, literal replay. tf and w are
+# each multi-referenced — MATERIALIZED per the CTE-inlining lesson.
+ORACLES["x_mlt"] = """
+    WITH tok AS (
+        SELECT doc_id, UNNEST(string_split(trim(text), ' ')) AS term
+        FROM documents),
+    tf AS MATERIALIZED (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    w AS MATERIALIZED (
+        SELECT t.doc_id, t.term,
+               CAST(t.tf AS DOUBLE)
+               * ln(CAST(n.n_docs AS DOUBLE) / CAST(d.doc_freq AS DOUBLE))
+                   AS w
+        FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+        WHERE CAST(d.doc_freq AS DOUBLE)
+              <= 0.5 * CAST(n.n_docs AS DOUBLE)),
+    norm2 AS MATERIALIZED (
+        SELECT doc_id, SUM(CAST(ROUND(w * w, 12) AS DECIMAL(28,12))) AS n2
+        FROM w GROUP BY 1),
+    qw AS (SELECT doc_id AS query_id, term, w AS wq
+           FROM w WHERE doc_id % 29 = 0),
+    dots AS (
+        SELECT q.query_id, w.doc_id,
+               SUM(CAST(ROUND(q.wq * w.w, 12) AS DECIMAL(28,12))) AS dot
+        FROM w JOIN qw q USING (term)
+        WHERE w.doc_id <> q.query_id
+        GROUP BY 1, 2),
+    cosd AS (
+        SELECT d.query_id, d.doc_id,
+               CAST(d.dot AS DOUBLE)
+               / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cosine
+        FROM dots d
+        JOIN norm2 a ON a.doc_id = d.query_id
+        JOIN norm2 b ON b.doc_id = d.doc_id)
+    SELECT query_id, rnk, doc_id, cosine
+    FROM (SELECT query_id, doc_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY CAST(ROUND(cosine, 12) AS DECIMAL(28,12))
+                         DESC, doc_id ASC) AS rnk
+          FROM cosd)
+    WHERE rnk <= 3
+"""
+
 # x_ks_drain: constant-spine audit oracle (the x_tdigest_drain form) —
 # exact batch/history counts from literal parity COUNTs; the
 # approximation booleans are computed Spark-side and must all be true
@@ -5545,6 +5603,7 @@ QUERIES = {
     "x_bm25": q_x_bm25,
     "x_bm25_drain": q_x_bm25_drain,
     "x_ks_drain": q_x_ks_drain,
+    "x_mlt": q_x_mlt,
     "x_ks_drift": q_x_ks_drift,
     "x_psi_drift": q_x_psi_drift,
     "x_psi_drain": q_x_psi_drain,

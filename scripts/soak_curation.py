@@ -33,6 +33,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 EVENT_DIR = "/tmp/spark_graft_curation_soak_events"
+# the permuted staging makes every doc a near-random sample of the
+# fixture's shared shingle pool, which degenerates minhash banding
+# into giant collision buckets (x27: 9.1e7 candidate pairs from
+# 1.2e5 docs, OOM at the default 8g heap). The soak therefore runs
+# the pipeline WITH the round-12 defensive bucket cap — which is
+# itself the "fix or documented bound" this soak exists to produce.
+LSH_MAX_BUCKET = 64
 OUT_DIR = "/tmp/spark_graft_curation_soak_out"
 
 
@@ -51,6 +58,70 @@ def get_soak_spark():
             "spark.eventLog.compress": "false",
         },
     )
+
+
+def stage_permuted(spark, n_copies: int) -> str:
+    """Stage like scripts/soak.py but with each document copy's tokens
+    PERMUTED by a per-(copy, doc) hash sort (not rotated): rotation
+    preserves all but O(rot) shingles, so LSH collapses the copies
+    right back to 1x and the post-dedup stages never see scale. The
+    hash permutation randomizes the shingle set per copy (Jaccard ~ 0
+    between copies), so survivor cardinality — and therefore
+    decontamination, redaction and sampling — scales with the corpus,
+    which is what this soak exists to measure.
+
+    The sort key MUST include doc_id: keying on (token, copy) alone
+    canonicalizes every doc in a copy to one global token order, so
+    any two docs sharing most vocabulary become near-identical —
+    quadratic near-dup cliques that OOM the CC leg (observed at x27
+    before the fix). With the doc-dependent key each doc gets its own
+    permutation; the trade is that base-corpus EXACT dup pairs
+    (same text, different ids) stop being near-dups in copies i > 0,
+    so dup density shrinks toward copy 0's share — fine for a
+    stage-scaling soak, wrong for a dup-recall soak (soak.py's
+    rotation covers that)."""
+    from pyspark.sql import functions as F
+
+    from soak import KEY_COLS, SINGLE_COPY, _copy
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.plans.measures import t
+
+    src = "/root/testdata/sf0.1"
+    dst = f"/tmp/spark_graft_curation_soak_stage/x{n_copies}"
+    marker = os.path.join(dst, "_STAGED")
+    if os.path.exists(marker):
+        return dst
+    for name in list(KEY_COLS) + list(SINGLE_COPY):
+        base = t(spark, src, name)
+        if name in SINGLE_COPY:
+            out = base
+        else:
+            parts = []
+            for i in range(n_copies):
+                p = _copy(base, name, i)
+                if name == "documents" and i > 0:
+                    p = p.withColumn(
+                        "text",
+                        F.array_join(
+                            F.expr(
+                                "transform(array_sort(transform("
+                                f"split(trim(text), ' '), x -> struct("
+                                f"md5(concat(x, '#', '{i}', '#', "
+                                f"CAST(doc_id AS STRING))) AS k, x AS v)"
+                                ")), s -> s.v)"
+                            ),
+                            " ",
+                        ),
+                    )
+                parts.append(p)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        out.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(dst, f"{name}.parquet")
+        )
+    with open(marker, "w") as f:
+        f.write(str(n_copies))
+    return dst
 
 
 def frontier_times(spark, sf_dir: str) -> dict[str, float]:
@@ -100,7 +171,9 @@ def frontier_times(spark, sf_dir: str) -> dict[str, float]:
     canon = exact_dedup(gated).select(F.col("keep_id").alias("doc_id"))
     uniq = gated.join(canon, "doc_id", "left_semi")
     clock("f2_exact_dedup", uniq)
-    near = minhash_estimate_pairs(uniq, threshold=0.5)
+    near = minhash_estimate_pairs(
+        uniq, threshold=0.5, max_bucket=LSH_MAX_BUCKET
+    )
     losers = (
         connected_components_star(near.select("id_a", "id_b"))
         .filter(F.col("doc_id") != F.col("cluster_id"))
@@ -174,20 +247,23 @@ def main() -> None:
     scales = [int(x) for x in sys.argv[1:]] or [1, 8, 27]
     spark = get_soak_spark()
     spark.sparkContext.setLogLevel("ERROR")
-    from soak import stage  # scripts/ is on sys.path via __main__ dir
-
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from cloud_based_bi_etl_automation_for_real_estate_company_spark.jobs import run_curation_pipeline
 
     report = {}
     for n in scales:
-        sf_dir = stage(spark, n)
+        print(f"## staging x{n}", file=sys.stderr, flush=True)
+        sf_dir = stage_permuted(spark, n)
         out = os.path.join(OUT_DIR, f"x{n}")
         shutil.rmtree(out, ignore_errors=True)
+        print(f"## frontiers x{n}", file=sys.stderr, flush=True)
         fr = frontier_times(spark, sf_dir)
+        print(f"## e2e x{n}: {fr}", file=sys.stderr, flush=True)
         t0 = time.time()
-        run_curation_pipeline(spark, sf_dir, out).count()
+        run_curation_pipeline(
+            spark, sf_dir, out, lsh_max_bucket=LSH_MAX_BUCKET
+        ).count()
         e2e = round(time.time() - t0, 2)
+        print(f"## e2e x{n} done {e2e}s", file=sys.stderr, flush=True)
         # event-log flush lag: give the listener bus a beat
         time.sleep(2)
         metrics = parse_eventlog(t0, time.time())
@@ -201,7 +277,11 @@ def main() -> None:
         v["e2e_ratio_vs_1x"] = (
             round(v["end_to_end_s"] / base, 2) if base else None
         )
-    print(json.dumps({"metric": "curation_soak", "scales": report}))
+    print(json.dumps({
+        "metric": "curation_soak",
+        "lsh_max_bucket": LSH_MAX_BUCKET,
+        "scales": report,
+    }))
 
 
 if __name__ == "__main__":

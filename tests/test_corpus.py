@@ -700,6 +700,64 @@ def test_bm25_store_matches_one_shot_and_survives_compaction(spark, tmp_path):
     assert not os.path.isdir(f"{store}/postings__compacting")
 
 
+def test_more_like_this_hand_computed(spark):
+    """Sparse TF-IDF cosine MLT (round 12): identical-content sibling
+    scores cosine 1 at rank 1; partial-overlap docs rank by the exact
+    weight arithmetic; docs sharing ONLY a hot term (df > N/2) never
+    pair. Expected values recomputed in-test with the same 12-dp
+    rounding the operator applies."""
+    import math
+
+    rows = [
+        (10, "x y z", "s"),
+        (11, "x y z", "s"),
+        (12, "x y", "s"),
+        (13, "z w", "s"),
+        # filler: unique terms, so x/y stay under the df <= N/2 bound
+        (20, "f1", "s"), (21, "f2", "s"), (22, "f3", "s"), (23, "f4", "s"),
+    ]
+    df = spark.createDataFrame(rows, DOCS)
+    q = spark.createDataFrame([(10,)], "doc_id bigint")
+    out = C.more_like_this(df, q, k=3).collect()
+    assert [r["doc_id"] for r in out] == [11, 12, 13]
+    assert [r["rnk"] for r in out] == [1, 2, 3]
+
+    n = 8
+    wx = math.log(n / 3)  # x, y: df 3
+    wz = math.log(n / 2)  # z: df 2
+    ww = math.log(n / 1)  # w: df 1
+    r12 = lambda v: round(v, 12)
+    n2_q = r12(wx * wx) + r12(wx * wx) + r12(wz * wz)
+    cos11 = (r12(wx * wx) + r12(wx * wx) + r12(wz * wz)) / math.sqrt(
+        n2_q * n2_q
+    )
+    n2_12 = r12(wx * wx) + r12(wx * wx)
+    cos12 = (r12(wx * wx) + r12(wx * wx)) / math.sqrt(n2_q * n2_12)
+    n2_13 = r12(wz * wz) + r12(ww * ww)
+    cos13 = r12(wz * wz) / math.sqrt(n2_q * n2_13)
+    got = {r["doc_id"]: r["cosine"] for r in out}
+    assert math.isclose(got[11], cos11, rel_tol=1e-9) and got[11] == 1.0
+    assert math.isclose(got[12], cos12, rel_tol=1e-9)
+    assert math.isclose(got[13], cos13, rel_tol=1e-9)
+
+
+def test_more_like_this_hot_term_bound(spark):
+    """A term in more than max_df_frac of the corpus is excluded from
+    the weight space entirely — docs sharing only it never pair (the
+    skew bound: a stopword can't fan a query doc out to the corpus)."""
+    rows = [
+        (0, "a b", "s"),
+        (1, "a c", "s"),   # shares only hot 'a' with doc 0
+        (2, "a d", "s"),
+        (3, "b e", "s"),   # shares kept 'b'
+    ]
+    df = spark.createDataFrame(rows, DOCS)
+    q = spark.createDataFrame([(0,)], "doc_id bigint")
+    out = C.more_like_this(df, q, k=4).collect()
+    # 'a' has df 3 > 0.5*4 — only doc 3 (via 'b', df 2) pairs
+    assert [r["doc_id"] for r in out] == [3]
+
+
 def test_bm25_plan_has_no_cartesian(spark):
     df = spark.createDataFrame(
         [(1, "a b a b", "s"), (2, "a b c", "s")], DOCS

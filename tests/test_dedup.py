@@ -707,6 +707,24 @@ def test_golden_records_pipeline_hand_computed(spark):
     assert golden == {10: (2, "B1", 12.0), 12: (1, "B3", 8.0)}
 
 
+def test_lsh_max_bucket_skips_mega_bucket(spark):
+    """The defensive bucket cap (round 12): identical docs all land in
+    the same band buckets; with max_bucket below the clique size the
+    buckets are skipped and no pair materializes, while small buckets
+    are untouched (pair recall for the small pair preserved)."""
+    rows = [(i, "alpha beta gamma delta epsilon zeta", "s") for i in range(10)]
+    rows += [(100, "one two three four five six", "s"),
+             (101, "one two three four five six", "s")]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string"
+    )
+    uncapped = D.minhash_lsh_pairs(df)
+    assert uncapped.count() == 45 + 1  # 10-clique + the small pair
+    capped = D.minhash_lsh_pairs(df, max_bucket=5)
+    got = [(r["id_a"], r["id_b"]) for r in capped.collect()]
+    assert got == [(100, 101)]
+
+
 def test_golden_priority_survivorship_hand_computed(spark, tmp_path):
     """Source-priority/recency survivorship (round 12): in a cluster
     holding a HIGH-priority source row (Brand#13) that is OLDER than a
