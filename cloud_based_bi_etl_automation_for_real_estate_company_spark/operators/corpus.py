@@ -1322,7 +1322,14 @@ def more_like_this(
     them term-keyed, so the pair frame is bounded by the query docs'
     posting lists, never corpus². Norms are one doc-keyed agg reused
     via broadcast for the query side. Top-k per query is the
-    rank-filtered window → two-phase WindowGroupLimit.
+    rank-filtered window → two-phase WindowGroupLimit. The weighted
+    postings frame feeds THREE consumers (norms, query sliver, dots) —
+    it is persisted memory-and-disk so the corpus scan + tf/df aggs
+    run once, not three times (the minhash_estimate_pairs idiom,
+    released the same way via cacheutil.release_cached; 32 → 13
+    exchanges). At 100 TB that is the materialize-the-index trade
+    every IR system makes — O(postings) executor storage against two
+    saved corpus passes.
 
     Cross-engine exactness: dot products and squared norms are
     12-dp-rounded DECIMAL(28,12) sums (associativity-proof); the
@@ -1331,7 +1338,10 @@ def more_like_this(
     the rank orders by its 12-dp rounding (ties → candidate id ASC).
     Returns (query_id, rnk, ``id_col``, cosine).
     """
+    from pyspark import StorageLevel
     from pyspark.sql import Window
+
+    from .cacheutil import attach_cached
 
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -1355,6 +1365,7 @@ def more_like_this(
                 )
             ).alias("w"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     norm2 = w.groupBy(id_col).agg(
         F.sum(
@@ -1400,10 +1411,11 @@ def more_like_this(
     win = Window.partitionBy("query_id").orderBy(
         rank_key.desc(), F.col(id_col).asc()
     )
-    return (
+    return attach_cached(
         cos.withColumn("rnk", F.row_number().over(win))
         .filter(F.col("rnk") <= k)
-        .select("query_id", "rnk", id_col, "cosine")
+        .select("query_id", "rnk", id_col, "cosine"),
+        w,
     )
 
 

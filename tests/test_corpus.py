@@ -723,8 +723,8 @@ def test_more_like_this_hand_computed(spark):
     assert [r["rnk"] for r in out] == [1, 2, 3]
 
     n = 8
-    wx = math.log(n / 3)  # x, y: df 3
-    wz = math.log(n / 2)  # z: df 2
+    wx = math.log(n / 3)  # x, y: df 3 (docs 10, 11, 12)
+    wz = math.log(n / 3)  # z: df 3 (docs 10, 11, 13)
     ww = math.log(n / 1)  # w: df 1
     r12 = lambda v: round(v, 12)
     n2_q = r12(wx * wx) + r12(wx * wx) + r12(wz * wz)
