@@ -78,6 +78,8 @@ _GATE_PRIORITY = (
     "x_bm25_drain",
     "x_ks_drain",
     "x_mlt",
+    "x_w1_drift",
+    "x_chi2_drift",
     # -- (b) permanent sentinels: fragile double-fold bit-exactness --------
     "t10_holt",
     "t12_holt_winters",
@@ -125,8 +127,6 @@ _GATE_PRIORITY = (
     "p12_bool_cast",
     "p14_reserialize",
     "p15_case_transform",
-    "p17_html_strip",
-    "p18_string_kit",
 )
 
 # Round-13 rotation backlog: the remaining r7-vintage names (the
@@ -134,6 +134,8 @@ _GATE_PRIORITY = (
 # additions + the sentinels; r8-vintage names come next (run
 # scripts/check_rotation.py to re-derive).
 _ROTATION_R13: tuple[str, ...] = (
+    "p17_html_strip",
+    "p18_string_kit",
     "p19_posexplode",
     "t1_asof_purchase_click",
     "t2_session_stats",

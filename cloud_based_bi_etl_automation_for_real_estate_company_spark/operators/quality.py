@@ -682,6 +682,202 @@ def psi_drift(
     )
 
 
+def w1_drift(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+) -> DataFrame:
+    """Wasserstein-1 (earth mover's) drift distance per corpus slice:
+    for every ``group_col`` value g, W1 between ``value_col``'s
+    distribution inside g and the REST of the corpus. Completes the
+    drift family's geometry: KS (:func:`ks_drift`) is the sup of the
+    ECDF gap — sensitive to one sharp local shift; W1 is its INTEGRAL
+    ∫|F_g − F_rest| dv — the average shift in value units, the number
+    a pipeline alerts on when "how far did lengths move" matters more
+    than "did they move at all".
+
+    Exactness: both ECDFs are step functions constant between observed
+    values, so the integral is the exact finite sum
+    Σ_i |F_g(v_i) − F_rest(v_i)|·(v_{i+1} − v_i) over the sorted
+    distinct-value grid (the last grid point contributes 0 since both
+    CDFs are 1 there). The summand runs in INTEGER cross-multiplied
+    form |cum_g·n_rest − cum_rest·n_g|·Δv with ONE exact division by
+    n_g·n_rest at the end — no float accumulation, the oracle replays
+    bit-for-bit. Products stay in BIGINT; past ~10⁹ rows × wide value
+    ranges switch the cross-multiply to DECIMAL(38,0) (n²·Δv terms
+    approach 2⁶³), same note as ks_drift.
+
+    Spark shape: IDENTICAL to ks_drift — one (group,value) count agg,
+    a bounded grid×groups broadcast expansion, one group-partitioned
+    cumulative window (which also serves the lead(Δv) step — same
+    partition, same order, ONE window exchange), and one sum agg.
+    Returns (``group_col``, n_source, n_rest, w1_dist).
+    """
+    # same NULL exclusion as ks_drift (round-11 ADVICE): NULLs carry
+    # no distribution information and break the cumulative window's
+    # cross-engine ordering
+    df = df.filter(F.col(value_col).isNotNull())
+    counts = (
+        df.groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    totals = counts.groupBy(group_col).agg(
+        F.sum("cnt").cast("bigint").alias("n_g")
+    )
+    grand = counts.agg(F.sum("cnt").cast("bigint").alias("n"))
+    allc = counts.groupBy(value_col).agg(
+        F.sum("cnt").cast("bigint").alias("cnt_all")
+    )
+    cells = (
+        totals.crossJoin(F.broadcast(allc))
+        .join(counts, [group_col, value_col], "left")
+        .select(
+            group_col,
+            value_col,
+            "n_g",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+            "cnt_all",
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    cums = cells.select(
+        group_col,
+        "n_g",
+        F.sum("cnt")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum_g"),
+        F.sum("cnt_all")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum_all"),
+        (
+            F.lead(F.col(value_col).cast("bigint")).over(w)
+            - F.col(value_col).cast("bigint")
+        ).alias("dv"),
+    )
+    term = (
+        F.abs(
+            F.col("cum_g") * (F.col("n") - F.col("n_g"))
+            - (F.col("cum_all") - F.col("cum_g")) * F.col("n_g")
+        )
+        * F.col("dv")
+    )
+    agg = (
+        cums.filter(F.col("dv").isNotNull())
+        .join(F.broadcast(grand))
+        .groupBy(group_col, "n_g", "n")
+        .agg(F.sum(term).cast("bigint").alias("w1_int"))
+    )
+    return agg.select(
+        group_col,
+        F.col("n_g").alias("n_source"),
+        (F.col("n") - F.col("n_g")).alias("n_rest"),
+        (
+            F.col("w1_int").cast("double")
+            / (
+                F.col("n_g").cast("double")
+                * (F.col("n") - F.col("n_g")).cast("double")
+            )
+        ).alias("w1_dist"),
+    )
+
+
+def chi2_drift(
+    df: DataFrame,
+    cat_col: str = "lang",
+    group_col: str = "source",
+) -> DataFrame:
+    """Chi-square homogeneity drift test per corpus slice, over a
+    CATEGORICAL column — the discrete sibling of ks_drift/psi_drift
+    (which compare numeric distributions): for every ``group_col``
+    value g, test whether g's ``cat_col`` mix (e.g. language mix)
+    differs from the REST of the corpus. The classic two-sample
+    chi-square: χ² = Σ_{c,s} (O_sc − E_sc)²/E_sc over categories c and
+    the two samples s ∈ {g, rest}, E_sc = n_s·ct_c/n.
+
+    Exactness: both samples' deviations share one integer numerator —
+    (O_g,c·n − n_g·ct_c) = −(O_rest,c·n − n_rest·ct_c) — so the
+    statistic collapses to χ² = Σ_c D_c²/ct_c / (n_g·n_rest) with
+    D_c = O_g,c·n − n_g·ct_c all-integer (the two samples' E-scaled
+    squares share D_c² and their 1/(n·n_g)+1/(n·n_rest) weights sum
+    to exactly 1/(n_g·n_rest)). D_c² stays under 2⁵³ at any
+    tested SF (exact as a double); each per-category division is one
+    exactly-rounded IEEE op, summed as round-6 DECIMAL(38,6), then one
+    final scale — the oracle replays bit-for-bit. Past ~3·10⁷ rows
+    per slice move D_c² to DECIMAL(38,0).
+
+    The 95% rejection flag uses the Wilson–Hilferty cube approximation
+    of the chi-square critical value at df = (#categories − 1):
+    crit ≈ df·(1 − 2/(9df) + z₀.₉₅·√(2/(9df)))³ — closed-form in both
+    engines, accurate to ~3 decimal places for df ≥ 1, and evaluated
+    identically from the same integers on both sides.
+
+    Spark shape: one (group,category) count agg (category
+    cardinalities are vocabulary-sized, orders below row count), a
+    bounded groups×categories broadcast spine so absent categories
+    count as 0, and one sum per group. Nothing re-scans the corpus.
+    Returns (``group_col``, n_source, n_rest, df_chi2, chi2,
+    reject_95).
+    """
+    # NULL categories are excluded like NULL values in ks/psi/w1: a
+    # NULL would inflate n_g while belonging to no category cell
+    df = df.filter(F.col(cat_col).isNotNull())
+    counts = (
+        df.groupBy(group_col, cat_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    totals = counts.groupBy(group_col).agg(
+        F.sum("cnt").cast("bigint").alias("n_g")
+    )
+    grand = counts.agg(F.sum("cnt").cast("bigint").alias("n"))
+    allc = counts.groupBy(cat_col).agg(
+        F.sum("cnt").cast("bigint").alias("ct")
+    )
+    n_cats = allc.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    cells = (
+        totals.crossJoin(F.broadcast(allc))
+        .join(counts, [group_col, cat_col], "left")
+        .join(F.broadcast(grand))
+        .select(
+            group_col,
+            "n_g",
+            "n",
+            "ct",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("o_g"),
+        )
+    )
+    d = F.col("o_g") * F.col("n") - F.col("n_g") * F.col("ct")
+    term = (d * d).cast("double") / F.col("ct").cast("double")
+    agg = cells.groupBy(group_col, "n_g", "n").agg(
+        F.sum(F.round(term, 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("s")
+    )
+    chi2 = F.col("s") / (
+        F.col("n_g").cast("double")
+        * (F.col("n") - F.col("n_g")).cast("double")
+    )
+    dof = (F.col("k") - F.lit(1)).cast("double")
+    wh = F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * dof) + F.lit(
+        1.6448536269514722
+    ) * F.sqrt(F.lit(2.0) / (F.lit(9.0) * dof))
+    crit = dof * wh * wh * wh
+    return (
+        agg.join(F.broadcast(n_cats))
+        .select(
+            group_col,
+            F.col("n_g").alias("n_source"),
+            (F.col("n") - F.col("n_g")).alias("n_rest"),
+            (F.col("k") - F.lit(1)).alias("df_chi2"),
+            chi2.alias("chi2"),
+            (chi2 > crit).alias("reject_95"),
+        )
+    )
+
+
 def psi_admit(
     batch_df: DataFrame,
     store_path: str,

@@ -247,6 +247,28 @@ def q_x_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift(t(spark, sf_dir, "documents"))
 
 
+def q_x_w1_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 drift distance (operators/quality.py: w1_drift)
+    — the integral of each source slice's ECDF gap vs the rest of the
+    corpus, in value units; the "how far did lengths move" companion
+    to x_ks_drift's sup. Integer cross-multiplied summands, one exact
+    division at the end."""
+    from ..operators.quality import w1_drift
+
+    return w1_drift(t(spark, sf_dir, "documents"))
+
+
+def q_x_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square homogeneity test (operators/quality.py: chi2_drift)
+    — each source slice's LANGUAGE mix vs the rest of the corpus; the
+    categorical member of the drift family (KS/W1/PSI are numeric,
+    JS is token-level). All-integer deviations, round-6 decimal term
+    sum, Wilson–Hilferty 95% critical value."""
+    from ..operators.quality import chi2_drift
+
+    return chi2_drift(t(spark, sf_dir, "documents"))
+
+
 def q_x_psi_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver row for the STREAMING drift monitor
     (operators/quality.psi_admit): replay two micro-batches one-shot —
@@ -3132,6 +3154,87 @@ ORACLES: dict[str, str] = {
                    AS reject_95
         FROM dmax
     """,
+    "x_w1_drift": """
+        WITH counts AS (
+            SELECT source, n_chars AS v, COUNT(*) AS cnt
+            FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        totals AS (
+            SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_g
+            FROM counts GROUP BY 1),
+        grand AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM counts),
+        allc AS (
+            SELECT v, CAST(SUM(cnt) AS BIGINT) AS cnt_all
+            FROM counts GROUP BY 1),
+        cells AS (
+            SELECT t.source, a.v, t.n_g,
+                   COALESCE(c.cnt, 0) AS cnt, a.cnt_all
+            FROM totals t
+            CROSS JOIN allc a
+            LEFT JOIN counts c ON c.source = t.source AND c.v = a.v),
+        cums AS (
+            SELECT source, n_g,
+                   CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_g,
+                   CAST(SUM(cnt_all) OVER (PARTITION BY source ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_all,
+                   CAST(LEAD(v) OVER (PARTITION BY source ORDER BY v)
+                        AS BIGINT) - CAST(v AS BIGINT) AS dv
+            FROM cells),
+        agg AS (
+            SELECT c.source, c.n_g, g.n,
+                   CAST(SUM(abs(c.cum_g * (g.n - c.n_g)
+                                - (c.cum_all - c.cum_g) * c.n_g)
+                            * c.dv) AS BIGINT) AS w1_int
+            FROM cums c CROSS JOIN grand g
+            WHERE c.dv IS NOT NULL
+            GROUP BY 1, 2, 3)
+        SELECT source, n_g AS n_source, (n - n_g) AS n_rest,
+               CAST(w1_int AS DOUBLE)
+               / (CAST(n_g AS DOUBLE) * CAST(n - n_g AS DOUBLE))
+                   AS w1_dist
+        FROM agg
+    """,
+    "x_chi2_drift": """
+        WITH counts AS (
+            SELECT source, lang AS c, COUNT(*) AS cnt
+            FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2),
+        totals AS (
+            SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_g
+            FROM counts GROUP BY 1),
+        grand AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM counts),
+        allc AS (
+            SELECT c, CAST(SUM(cnt) AS BIGINT) AS ct
+            FROM counts GROUP BY 1),
+        ncats AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM allc),
+        cells AS (
+            SELECT t.source, t.n_g, g.n, a.ct,
+                   CAST(COALESCE(c.cnt, 0) AS BIGINT) AS o_g
+            FROM totals t
+            CROSS JOIN allc a
+            LEFT JOIN counts c ON c.source = t.source AND c.c = a.c
+            CROSS JOIN grand g),
+        agg AS (
+            SELECT source, n_g, n,
+                   SUM(CAST(ROUND(
+                       CAST((o_g * n - n_g * ct) * (o_g * n - n_g * ct)
+                            AS DOUBLE) / CAST(ct AS DOUBLE), 6)
+                       AS DECIMAL(38,6))) AS s
+            FROM cells GROUP BY 1, 2, 3),
+        scored AS (
+            SELECT a.source, a.n_g, a.n, k.k,
+                   CAST(a.s AS DOUBLE)
+                   / (CAST(a.n_g AS DOUBLE)
+                      * CAST(a.n - a.n_g AS DOUBLE)) AS chi2,
+                   CAST(k.k - 1 AS DOUBLE) AS dof,
+                   1.0 - 2.0 / (9.0 * CAST(k.k - 1 AS DOUBLE))
+                   + 1.6448536269514722
+                     * sqrt(2.0 / (9.0 * CAST(k.k - 1 AS DOUBLE))) AS wh
+            FROM agg a CROSS JOIN ncats k)
+        SELECT source, n_g AS n_source, (n - n_g) AS n_rest,
+               (k - 1) AS df_chi2, chi2,
+               chi2 > dof * wh * wh * wh AS reject_95
+        FROM scored
+    """,
     "x_js_divergence": """
         WITH tok AS (
             SELECT source, UNNEST(string_split(trim(text), ' ')) AS term
@@ -5605,6 +5708,8 @@ QUERIES = {
     "x_ks_drain": q_x_ks_drain,
     "x_mlt": q_x_mlt,
     "x_ks_drift": q_x_ks_drift,
+    "x_w1_drift": q_x_w1_drift,
+    "x_chi2_drift": q_x_chi2_drift,
     "x_psi_drift": q_x_psi_drift,
     "x_psi_drain": q_x_psi_drain,
     "x_readability": q_x_readability,

@@ -271,6 +271,14 @@ def test_l25_date_filter_pushed_before_join(spark):
         # round-11: x_psi_drift — same shape over the bucket grid
         # (observed 7 exchanges post-checkpoint, 19 without)
         ("x_psi_drift", 10),
+        # round-12: x_w1_drift — the ks_drift shape with lead(dv)
+        # riding the same cumulative window partition (observed 6
+        # exchanges post-checkpoint, 0 Python nodes)
+        ("x_w1_drift", 9),
+        # round-12: x_chi2_drift — (group,category) counts feed
+        # totals/grand/allc/cells; checkpointed (observed 9
+        # exchanges, 0 Python nodes)
+        ("x_chi2_drift", 12),
         # round-11: t18_acf — the centered frame feeds den + both lag
         # sides; losing its localCheckpoint re-runs the window 3x
         # (observed 5 exchanges post-checkpoint, 17 without)

@@ -510,3 +510,132 @@ def test_readability_stats_hand_computed(spark):
     # unpunctuated text floors sentences at 1 (finite score)
     assert rows[2]["n_sentences"] == 1
     assert rows[2]["flesch"] is not None
+
+
+def test_w1_drift_point_masses_equal_mean_shift(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        w1_drift,
+    )
+
+    # two separated point masses: W1 is exactly the distance between
+    # them (|F1 - F2| = 1 on [1, 4) -> 3·1 = 3)
+    df = spark.createDataFrame(
+        [(1, "g1"), (1, "g1"), (4, "g2"), (4, "g2")],
+        "n_chars bigint, source string",
+    )
+    rows = {r["source"]: r for r in w1_drift(df).collect()}
+    assert rows["g1"]["w1_dist"] == 3.0
+    assert rows["g2"]["w1_dist"] == 3.0
+    assert rows["g1"]["n_source"] == 2 and rows["g1"]["n_rest"] == 2
+
+
+def test_w1_drift_identical_distributions_zero(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        w1_drift,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (1, "b"), (2, "b")],
+        "n_chars bigint, source string",
+    )
+    assert all(r["w1_dist"] == 0.0 for r in w1_drift(df).collect())
+
+
+def test_w1_drift_hand_computed(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        w1_drift,
+    )
+
+    # g1 = [1,2,3,4], rest = [2,3,3,5]; grid 1..5, dv = 1 each:
+    #   |F1-F2| at 1..4: 1/4, 1/4, 0, 1/4 -> W1 = 3/4
+    # integer form: (4 + 4 + 0 + 4) / (4·4) = 12/16
+    df = spark.createDataFrame(
+        [(1, "g1"), (2, "g1"), (3, "g1"), (4, "g1"),
+         (2, "g2"), (3, "g2"), (3, "g2"), (5, "g2")],
+        "n_chars bigint, source string",
+    )
+    rows = {r["source"]: r for r in w1_drift(df).collect()}
+    assert rows["g1"]["w1_dist"] == 12.0 / 16.0
+    # symmetric by construction (same grid, |.| symmetric)
+    assert rows["g2"]["w1_dist"] == 12.0 / 16.0
+
+
+def test_w1_drift_null_values_excluded(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        w1_drift,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "g1"), (None, "g1"), (4, "g2"), (None, "g2"), (1, "g1"),
+         (4, "g2")],
+        "n_chars bigint, source string",
+    )
+    rows = {r["source"]: r for r in w1_drift(df).collect()}
+    # NULLs invisible: identical to the point-mass case
+    assert rows["g1"]["n_source"] == 2 and rows["g1"]["w1_dist"] == 3.0
+
+
+def test_chi2_drift_identical_mix_zero(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        chi2_drift,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "g1"), ("a", "g1"), ("b", "g1"),
+         ("a", "g2"), ("a", "g2"), ("b", "g2")],
+        "lang string, source string",
+    )
+    rows = {r["source"]: r for r in chi2_drift(df).collect()}
+    assert rows["g1"]["chi2"] == 0.0
+    assert rows["g1"]["df_chi2"] == 1
+    assert rows["g1"]["reject_95"] is False
+
+
+def test_chi2_drift_hand_computed(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        chi2_drift,
+    )
+
+    # g1 = [a,a,a,b], g2 = [a,b,b,b]: all E = 2, four (O-E)² = 1 cells
+    # -> chi2 = 4·(1/2) = 2.0; integer form D_a = 3·8-4·4 = 8,
+    # D_b = -8, s = 64/4 + 64/4 = 32, chi2 = 32/(4·4) = 2
+    df = spark.createDataFrame(
+        [("a", "g1"), ("a", "g1"), ("a", "g1"), ("b", "g1"),
+         ("a", "g2"), ("b", "g2"), ("b", "g2"), ("b", "g2")],
+        "lang string, source string",
+    )
+    rows = {r["source"]: r for r in chi2_drift(df).collect()}
+    assert rows["g1"]["chi2"] == 2.0
+    assert rows["g1"]["n_source"] == 4 and rows["g1"]["n_rest"] == 4
+    # Wilson–Hilferty crit(df=1) ≈ 3.75 > 2 -> not rejected
+    assert rows["g1"]["reject_95"] is False
+
+
+def test_chi2_drift_full_separation_rejects(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        chi2_drift,
+    )
+
+    # complete language separation: textbook 2×2 chi2 = n = 20,
+    # far above any df=1 critical value
+    df = spark.createDataFrame(
+        [("a", "g1")] * 10 + [("b", "g2")] * 10,
+        "lang string, source string",
+    )
+    rows = {r["source"]: r for r in chi2_drift(df).collect()}
+    assert rows["g1"]["chi2"] == 20.0
+    assert rows["g1"]["reject_95"] is True
+
+
+def test_chi2_drift_null_category_excluded(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        chi2_drift,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "g1"), ("a", "g1"), (None, "g1"), ("b", "g2"),
+         ("b", "g2"), (None, "g2")],
+        "lang string, source string",
+    )
+    rows = {r["source"]: r for r in chi2_drift(df).collect()}
+    assert rows["g1"]["n_source"] == 2 and rows["g1"]["n_rest"] == 2
