@@ -62,6 +62,73 @@ def brute_force_topk(
     )
 
 
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    k: int = 5,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of two
+    ranked retrieval lists — the standard recipe for HYBRID search:
+    fuse a sparse/lexical leg (BM25, TF-IDF more-like-this) with a
+    dense/embedding leg (the x_ann_* family) without score
+    calibration, since RRF consumes only the RANKS:
+    score(d) = Σ_legs 1/(c + rank_leg(d)), absent-from-a-leg
+    contributes 0. ``c = 60`` is the published default.
+
+    Inputs both carry (``query_col``, ``id_col``, rnk) — any extra
+    columns are ignored. Returns the fused top-``k`` per query as
+    (``query_col``, rnk, ``id_col``, rrf_score, rank_a, rank_b) with
+    NULL rank_a/rank_b marking a candidate one leg never surfaced.
+
+    Exactness: ranks are integers, each 1/(c+r) is ONE
+    exactly-rounded IEEE division and the fusion is ONE addition —
+    deterministic across engines; the output rank orders by the
+    score's 12-dp decimal rounding with an ``id_col``-ASC tie-break
+    (equal-score candidates are common under RRF since the score only
+    depends on the rank pair).
+
+    Spark shape: both legs are top-k lists — |queries|·k rows, never
+    corpus-sized — so the fusion is a full-outer join of two slivers
+    plus one WindowGroupLimit; the heavy lifting stays in the legs.
+    At 100 TB the legs' own pruning (postings join, IVF routing) is
+    what bounds this; fusion adds no corpus scan.
+    """
+    a = ranked_a.select(
+        query_col, id_col, F.col("rnk").cast("bigint").alias("rank_a")
+    )
+    b = ranked_b.select(
+        query_col, id_col, F.col("rnk").cast("bigint").alias("rank_b")
+    )
+    fused = a.join(b, [query_col, id_col], "full_outer").select(
+        query_col,
+        id_col,
+        "rank_a",
+        "rank_b",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(c) + F.col("rank_a")).cast("double"),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(c) + F.col("rank_b")).cast("double"),
+                F.lit(0.0),
+            )
+        ).alias("rrf_score"),
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.round(F.col("rrf_score"), 12).cast("decimal(28,12)").desc(),
+        F.col(id_col).asc(),
+    )
+    return (
+        fused.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select(query_col, "rnk", id_col, "rrf_score", "rank_a", "rank_b")
+    )
+
+
 def hard_negatives(
     base: DataFrame,
     queries: DataFrame,

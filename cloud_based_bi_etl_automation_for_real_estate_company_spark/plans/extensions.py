@@ -390,6 +390,31 @@ def q_x_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval (operators/similarity.py: rrf_fuse) — fuse the
+    sparse TF-IDF more-like-this leg (x_mlt's plan, top-10) with the
+    dense embedding-cosine leg (x_ann_bruteforce's plan over the same
+    % 29 query ids, top-10) by reciprocal-rank fusion, c = 60: the
+    calibration-free sparse+dense combiner every modern retrieval
+    stack runs. Top-5 per query; NULL leg-ranks mark single-leg
+    candidates."""
+    d = t(spark, sf_dir, "documents")
+    e = t(spark, sf_dir, "embeddings")
+    sparse = C.more_like_this(
+        d, d.filter(F.col("doc_id") % 29 == 0).select("doc_id"), k=10
+    )
+    dense = S.brute_force_topk(
+        e, e.filter(F.col("vec_id") % 29 == 0), k=10
+    ).select(
+        F.col("q_id").alias("query_id"),
+        F.col("vec_id").alias("doc_id"),
+        "rnk",
+    )
+    return S.rrf_fuse(
+        sparse.select("query_id", "doc_id", "rnk"), dense, k=5
+    )
+
+
 def q_x_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading-ease per document (functions/text.py:
     readability_stats) — vowel-group syllables, terminal-punctuation
@@ -5098,6 +5123,93 @@ def _kcore_oracle(k: int, rounds: int) -> str:
 # exactly what the one-shot index retrieves — same SQL, verbatim.
 ORACLES["x_bm25_drain"] = ORACLES["x_bm25"]
 
+# x_hybrid_rrf: the x_mlt CTE chain at k=10 (sparse leg) + the
+# x_ann_bruteforce chain at k=10 (dense leg), full-outer joined and
+# reciprocal-rank fused — CAST(1 AS DOUBLE) for the reciprocal (a bare
+# 1.0 literal is DECIMAL in DuckDB), rank by the 12-dp-rounded score.
+ORACLES["x_hybrid_rrf"] = """
+    WITH tok AS (
+        SELECT doc_id, UNNEST(string_split(trim(text), ' ')) AS term
+        FROM documents),
+    tf AS MATERIALIZED (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    w AS MATERIALIZED (
+        SELECT t.doc_id, t.term,
+               CAST(t.tf AS DOUBLE)
+               * ln(CAST(n.n_docs AS DOUBLE) / CAST(d.doc_freq AS DOUBLE))
+                   AS w
+        FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+        WHERE CAST(d.doc_freq AS DOUBLE)
+              <= 0.5 * CAST(n.n_docs AS DOUBLE)),
+    norm2 AS MATERIALIZED (
+        SELECT doc_id, SUM(CAST(ROUND(w * w, 12) AS DECIMAL(28,12))) AS n2
+        FROM w GROUP BY 1),
+    qw AS (SELECT doc_id AS query_id, term, w AS wq
+           FROM w WHERE doc_id % 29 = 0),
+    dots AS (
+        SELECT q.query_id, w.doc_id,
+               SUM(CAST(ROUND(q.wq * w.w, 12) AS DECIMAL(28,12))) AS dot
+        FROM w JOIN qw q USING (term)
+        WHERE w.doc_id <> q.query_id
+        GROUP BY 1, 2),
+    cosd AS (
+        SELECT d.query_id, d.doc_id,
+               CAST(d.dot AS DOUBLE)
+               / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cosine
+        FROM dots d
+        JOIN norm2 a ON a.doc_id = d.query_id
+        JOIN norm2 b ON b.doc_id = d.doc_id),
+    sparse AS (
+        SELECT query_id, doc_id, rnk
+        FROM (SELECT query_id, doc_id,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY CAST(ROUND(cosine, 12)
+                                       AS DECIMAL(28,12)) DESC,
+                                  doc_id ASC) AS BIGINT) AS rnk
+              FROM cosd)
+        WHERE rnk <= 10),
+    q AS (
+        SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+        FROM embeddings WHERE vec_id % 29 = 0),
+    dscored AS (
+        SELECT q.q_id, b.vec_id,
+               ROUND(list_dot_product(q.q_emb, b.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                        * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]))), 6)
+                   AS sim
+        FROM embeddings b CROSS JOIN q
+        WHERE b.vec_id <> q.q_id),
+    dense AS (
+        SELECT q_id AS query_id, vec_id AS doc_id, rnk
+        FROM (SELECT q_id, vec_id,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                         ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rnk
+              FROM dscored)
+        WHERE rnk <= 10),
+    fused AS (
+        SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+               COALESCE(a.doc_id, b.doc_id) AS doc_id,
+               a.rnk AS rank_a, b.rnk AS rank_b,
+               COALESCE(CAST(1 AS DOUBLE)
+                        / CAST(60 + a.rnk AS DOUBLE), 0.0)
+               + COALESCE(CAST(1 AS DOUBLE)
+                          / CAST(60 + b.rnk AS DOUBLE), 0.0) AS rrf_score
+        FROM sparse a
+        FULL OUTER JOIN dense b
+            ON a.query_id = b.query_id AND a.doc_id = b.doc_id)
+    SELECT query_id, rnk, doc_id, rrf_score, rank_a, rank_b
+    FROM (SELECT query_id, doc_id, rrf_score, rank_a, rank_b,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY CAST(ROUND(rrf_score, 12)
+                                   AS DECIMAL(28,12)) DESC,
+                              doc_id ASC) AS BIGINT) AS rnk
+          FROM fused)
+    WHERE rnk <= 5
+"""
+
 # x_mlt: postings-join TF-IDF cosine, literal replay. tf and w are
 # each multi-referenced — MATERIALIZED per the CTE-inlining lesson.
 ORACLES["x_mlt"] = """
@@ -5707,6 +5819,7 @@ QUERIES = {
     "x_bm25_drain": q_x_bm25_drain,
     "x_ks_drain": q_x_ks_drain,
     "x_mlt": q_x_mlt,
+    "x_hybrid_rrf": q_x_hybrid_rrf,
     "x_ks_drift": q_x_ks_drift,
     "x_w1_drift": q_x_w1_drift,
     "x_chi2_drift": q_x_chi2_drift,

@@ -550,3 +550,62 @@ def test_rptree_forest_recall(spark):
     assert r1 >= 0.15, r1
     assert r3 >= 0.5, r3
     assert r3 > r1  # amplification must actually help
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.similarity import (
+        rrf_fuse,
+    )
+
+    # leg A ranks [d1, d2, d3], leg B ranks [d3, d2, d9]:
+    #   d2 = 1/62 + 1/62 = .0322580…, d3 = 1/63 + 1/61 = .0322664…
+    #   -> d3 edges out d2; d1 (1/61) beats d9 (1/63)
+    a = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)],
+        "query_id string, doc_id bigint, rnk int",
+    )
+    b = spark.createDataFrame(
+        [("q", 3, 1), ("q", 2, 2), ("q", 9, 3)],
+        "query_id string, doc_id bigint, rnk int",
+    )
+    rows = rrf_fuse(a, b, k=4).orderBy("rnk").collect()
+    assert [r["doc_id"] for r in rows] == [3, 2, 1, 9]
+    assert rows[0]["rrf_score"] == 1.0 / 63 + 1.0 / 61
+    # single-leg candidates carry a NULL rank on the missing side
+    assert rows[2]["rank_b"] is None and rows[3]["rank_a"] is None
+    assert rows[2]["rrf_score"] == 1.0 / 61
+
+
+def test_rrf_fuse_equal_rank_pair_ties_break_by_id(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.similarity import (
+        rrf_fuse,
+    )
+
+    # two docs with mirrored (1,2)/(2,1) rank pairs score identically
+    # -> deterministic id-ASC tie-break
+    a = spark.createDataFrame(
+        [("q", 7, 1), ("q", 4, 2)], "query_id string, doc_id bigint, rnk int"
+    )
+    b = spark.createDataFrame(
+        [("q", 4, 1), ("q", 7, 2)], "query_id string, doc_id bigint, rnk int"
+    )
+    rows = rrf_fuse(a, b, k=2).orderBy("rnk").collect()
+    assert [r["doc_id"] for r in rows] == [4, 7]
+    assert rows[0]["rrf_score"] == rows[1]["rrf_score"]
+
+
+def test_rrf_fuse_respects_k_per_query(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.similarity import (
+        rrf_fuse,
+    )
+
+    a = spark.createDataFrame(
+        [("q1", i, i) for i in range(1, 6)] + [("q2", i, i) for i in range(1, 4)],
+        "query_id string, doc_id bigint, rnk int",
+    )
+    b = spark.createDataFrame(
+        [("q1", 100, 1)], "query_id string, doc_id bigint, rnk int"
+    )
+    out = rrf_fuse(a, b, k=3)
+    got = {r["query_id"]: r for r in out.groupBy("query_id").count().collect()}
+    assert got["q1"]["count"] == 3 and got["q2"]["count"] == 3
