@@ -271,11 +271,12 @@ def test_l25_date_filter_pushed_before_join(spark):
         # round-11: x_psi_drift — same shape over the bucket grid
         # (observed 7 exchanges post-checkpoint, 19 without)
         ("x_psi_drift", 10),
-        # round-12: x_hybrid_rrf — sparse (x_mlt, 32 observed incl.
-        # persisted-frame reuse) + dense (bruteforce, 3) legs plus a
-        # top-k fusion window (observed 38 total, 0 Python nodes);
-        # the ceiling catches a lost leg cache re-running the corpus
-        ("x_hybrid_rrf", 44),
+        # round-12: x_hybrid_rrf — sparse leg (x_mlt's plan: 56
+        # post-execution exchanges on its own, persisted w scanned as
+        # 4 InMemoryTableScans) + dense leg (3) + top-k fusion adds
+        # only 6 (observed 62 total, 0 Python nodes); the ceiling
+        # catches the fusion re-running a leg
+        ("x_hybrid_rrf", 70),
         # round-12: x_w1_drift — the ks_drift shape with lead(dv)
         # riding the same cumulative window partition (observed 6
         # exchanges post-checkpoint, 0 Python nodes)
