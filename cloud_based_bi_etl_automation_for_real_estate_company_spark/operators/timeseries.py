@@ -118,6 +118,108 @@ def gap_fill_daily(
     )
 
 
+def seasonal_decompose_daily(
+    counts: DataFrame,
+    key_col: str = "series",
+    day_col: str = "day",
+    value_col: str = "x",
+) -> DataFrame:
+    """Classical additive seasonal decomposition of a daily INTEGER
+    series per key (the `decompose` everyone runs before t10/t12's
+    smoothers): y = trend + seasonal + residual with a centered 7-day
+    moving-average trend and day-of-week seasonal means — the
+    weekly-cycle diagnostic for event volumes.
+
+    Semantics: the series is first made GAPLESS over the global
+    [min, max] day span (absent days count 0 — correct for event
+    counts); trend is the centered 7-day mean, defined only where the
+    full window exists (the standard edge-NA convention — first/last
+    3 days are dropped); seasonal(dow) is the mean of the detrended
+    series over that day-of-week's full-window rows (uncentered
+    convention — we do NOT re-center seasonal to sum 0, so
+    trend+seasonal+resid reconstructs y exactly); resid is the
+    remainder. Day-of-week is engine-neutral days-since-Monday
+    arithmetic (datediff from 1970-01-05 mod 7), NOT the engines'
+    conflicting dayofweek builtins.
+
+    Cross-engine exactness: counts are integers, so the detrended
+    numerator 7·y − Σ₇y and the per-dow sums stay INTEGER; trend and
+    seasonal are each ONE exactly-rounded IEEE division
+    (Σ₇/7, Σ_dow/(7·c_dow)) and resid evaluates left-to-right as
+    (y − trend) − seasonal from those exact inputs — bit-for-bit
+    replayable. BIGINT bound: 7·y needs y < 2⁶⁰ — any count fits.
+
+    Spark shape: one hash-agg to daily grain upstream of this
+    operator; here a broadcast calendar spine (global 1-row span ×
+    distinct keys — calendar-sized), ONE per-key ordered window
+    producing both Σ₇ and the full-window flag, a dow-keyed agg over
+    the window output (key×7 rows), and a broadcast join back. The
+    100 TB cost is the daily-grain table, never the raw facts.
+    Returns (``key_col``, day, dow, y, trend, seasonal, resid).
+    """
+    from pyspark.sql import Window
+
+    daily = counts.groupBy(
+        F.col(key_col), F.col(day_col).alias("day")
+    ).agg(F.sum(F.col(value_col)).cast("bigint").alias("y"))
+    span = daily.groupBy().agg(
+        F.min("day").alias("__lo"), F.max("day").alias("__hi")
+    )
+    days = span.select(F.explode(F.sequence("__lo", "__hi")).alias("day"))
+    keys = daily.select(key_col).distinct()
+    spine = keys.crossJoin(F.broadcast(days))
+    gapless = spine.join(daily, [key_col, "day"], "left").select(
+        key_col,
+        "day",
+        F.coalesce(F.col("y"), F.lit(0)).cast("bigint").alias("y"),
+        (
+            F.datediff(F.col("day"), F.lit("1970-01-05").cast("date")) % 7
+        ).cast("bigint").alias("dow"),
+    )
+    w7 = (
+        Window.partitionBy(key_col)
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    # full-window rows only; the frame feeds the dow agg AND the
+    # final projection — checkpoint so the spine join + window run
+    # once (PERF.md round 9); it is calendar-sized, not fact-sized
+    windowed = (
+        gapless.select(
+            key_col,
+            "day",
+            "dow",
+            "y",
+            F.sum("y").over(w7).cast("bigint").alias("sum7"),
+            F.count(F.lit(1)).over(w7).alias("cnt7"),
+        )
+        .filter(F.col("cnt7") == 7)
+        .localCheckpoint(eager=True)
+    )
+    dow_means = windowed.groupBy(key_col, "dow").agg(
+        F.sum(F.lit(7) * F.col("y") - F.col("sum7"))
+        .cast("bigint")
+        .alias("s_dow"),
+        F.count(F.lit(1)).cast("bigint").alias("c_dow"),
+    )
+    trend = F.col("sum7").cast("double") / F.lit(7.0)
+    seasonal = F.col("s_dow").cast("double") / (
+        F.lit(7.0) * F.col("c_dow").cast("double")
+    )
+    return (
+        windowed.join(F.broadcast(dow_means), [key_col, "dow"])
+        .select(
+            key_col,
+            "day",
+            "dow",
+            "y",
+            trend.alias("trend"),
+            seasonal.alias("seasonal"),
+            (F.col("y").cast("double") - trend - seasonal).alias("resid"),
+        )
+    )
+
+
 def holt_daily(
     df: DataFrame,
     key_col: str,

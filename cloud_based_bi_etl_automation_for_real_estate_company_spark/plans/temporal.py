@@ -906,9 +906,70 @@ ORACLES["t19_xcorr"] = """
     WHERE d.da > 0 AND d.db > 0
 """
 
+def q_t20_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily event-count
+    series per event type (operators/timeseries.py:
+    seasonal_decompose_daily) — centered 7-day moving-average trend,
+    day-of-week seasonal means over the gap-filled span, exact
+    integer numerators with one division per component."""
+    from ..operators.timeseries import seasonal_decompose_daily
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("series"),
+        F.col("ts").cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    return seasonal_decompose_daily(daily)
+
+
+ORACLES_T20 = """
+    WITH daily AS (
+        SELECT event_type AS series, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+    span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+    days AS (
+        SELECT CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+                                           CAST(hi AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM span),
+    spine AS (
+        SELECT k.series, d.day
+        FROM (SELECT DISTINCT series FROM daily) k CROSS JOIN days d),
+    gapless AS (
+        SELECT s.series, s.day,
+               CAST(COALESCE(dl.y, 0) AS BIGINT) AS y,
+               CAST(date_diff('day', DATE '1970-01-05', s.day) % 7
+                    AS BIGINT) AS dow
+        FROM spine s LEFT JOIN daily dl USING (series, day)),
+    win AS (
+        SELECT series, day, dow, y,
+               CAST(SUM(y) OVER w AS BIGINT) AS sum7,
+               COUNT(*) OVER w AS cnt7
+        FROM gapless
+        WINDOW w AS (PARTITION BY series ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    fullw AS (SELECT * FROM win WHERE cnt7 = 7),
+    dowm AS (
+        SELECT series, dow,
+               CAST(SUM(7 * y - sum7) AS BIGINT) AS s_dow,
+               CAST(COUNT(*) AS BIGINT) AS c_dow
+        FROM fullw GROUP BY 1, 2)
+    SELECT f.series, f.day, f.dow, f.y,
+           CAST(f.sum7 AS DOUBLE) / 7.0 AS trend,
+           CAST(d.s_dow AS DOUBLE)
+           / (7.0 * CAST(d.c_dow AS DOUBLE)) AS seasonal,
+           CAST(f.y AS DOUBLE) - CAST(f.sum7 AS DOUBLE) / 7.0
+           - CAST(d.s_dow AS DOUBLE)
+             / (7.0 * CAST(d.c_dow AS DOUBLE)) AS resid
+    FROM fullw f JOIN dowm d USING (series, dow)
+"""
+ORACLES["t20_seasonal"] = ORACLES_T20
+
 QUERIES = {
     "t18_acf": q_t18_acf,
     "t19_xcorr": q_t19_xcorr,
+    "t20_seasonal": q_t20_seasonal,
     "t16_cusum_drain": q_t16_cusum_drain,
     "t17_rolling_quantiles": q_t17_rolling_quantiles,
     "t14_cusum": q_t14_cusum,

@@ -285,6 +285,10 @@ def test_l25_date_filter_pushed_before_join(spark):
         # totals/grand/allc/cells; checkpointed (observed 9
         # exchanges, 0 Python nodes)
         ("x_chi2_drift", 12),
+        # round-12: t20_seasonal — the windowed full-week frame feeds
+        # the dow agg and the projection; checkpointed (observed 2
+        # exchanges post-checkpoint, 0 Python nodes)
+        ("t20_seasonal", 5),
         # round-11: t18_acf — the centered frame feeds den + both lag
         # sides; losing its localCheckpoint re-runs the window 3x
         # (observed 5 exchanges post-checkpoint, 17 without)

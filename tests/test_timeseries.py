@@ -399,3 +399,84 @@ def test_km_survival_all_censored_emits_no_steps(spark):
         rows, "user_id bigint, ts timestamp, event_type string"
     )
     assert km_survival(df).count() == 0
+
+
+def test_seasonal_decompose_constant_series(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.timeseries import (
+        seasonal_decompose_daily,
+    )
+    import datetime as dt
+
+    rows = [("s", dt.date(2024, 1, 1) + dt.timedelta(days=i), 5)
+            for i in range(14)]
+    df = spark.createDataFrame(rows, "series string, day date, x int")
+    out = seasonal_decompose_daily(df).collect()
+    # 14 days -> 8 full-window rows; constant series decomposes to
+    # trend = y, seasonal = 0, resid = 0
+    assert len(out) == 8
+    assert all(r["trend"] == 5.0 and r["seasonal"] == 0.0
+               and r["resid"] == 0.0 for r in out)
+
+
+def test_seasonal_decompose_pure_weekly_signal_zero_resid(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.timeseries import (
+        seasonal_decompose_daily,
+    )
+    import datetime as dt
+
+    # period-7 impulse train: every full 7-day window sums to 7, so
+    # trend = 1 everywhere and the dow means absorb the whole signal
+    # -> residuals exactly 0
+    base = dt.date(2024, 1, 1)  # a Monday
+    rows = [("s", base + dt.timedelta(days=i), 7 if i % 7 == 0 else 0)
+            for i in range(21)]
+    df = spark.createDataFrame(rows, "series string, day date, x int")
+    out = {r["day"]: r for r in seasonal_decompose_daily(df).collect()}
+    assert len(out) == 15
+    spike = out[base + dt.timedelta(days=7)]
+    assert spike["dow"] == 0  # 2024-01-01 is a Monday
+    assert spike["trend"] == 1.0
+    assert spike["seasonal"] == 6.0
+    assert spike["resid"] == 0.0
+    quiet = out[base + dt.timedelta(days=8)]
+    assert quiet["seasonal"] == -1.0 and quiet["resid"] == 0.0
+
+
+def test_seasonal_decompose_gap_days_count_zero(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.timeseries import (
+        seasonal_decompose_daily,
+    )
+    import datetime as dt
+
+    base = dt.date(2024, 1, 1)
+    # only the two endpoints observed -> the 8 interior days gap-fill
+    # to 0 and the spine spans 10 days (4 full-window rows)
+    df = spark.createDataFrame(
+        [("s", base, 10), ("s", base + dt.timedelta(days=9), 10)],
+        "series string, day date, x int",
+    )
+    out = {r["day"]: r for r in seasonal_decompose_daily(df).collect()}
+    assert len(out) == 4
+    # all full-window days are gap days (y = 0); the two interior
+    # ones whose window avoids both endpoints have zero trend too
+    assert all(r["y"] == 0 for r in out.values())
+    assert out[base + dt.timedelta(days=4)]["trend"] == 0.0
+    assert out[base + dt.timedelta(days=5)]["trend"] == 0.0
+    # edge full-window days see one endpoint: trend = 10/7
+    assert out[base + dt.timedelta(days=3)]["trend"] == 10.0 / 7.0
+
+
+def test_seasonal_decompose_reconstruction_identity(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.timeseries import (
+        seasonal_decompose_daily,
+    )
+    import datetime as dt
+
+    base = dt.date(2024, 3, 4)
+    rows = [("a", base + dt.timedelta(days=i), (i * 13) % 11 + (i % 7))
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "series string, day date, x int")
+    for r in seasonal_decompose_daily(df).collect():
+        # resid is the float remainder; reconstruction re-associates,
+        # so equality holds to rounding, not bit-exactly
+        assert abs((r["trend"] + r["seasonal"] + r["resid"]) - r["y"]) < 1e-9
