@@ -514,6 +514,91 @@ def cusum_daily(
     )
 
 
+def theil_sen_slope(
+    df: DataFrame,
+    key_col: str = "series",
+    x_col: str = "m",
+    y_col: str = "v",
+) -> DataFrame:
+    """Theil–Sen robust trend slope per series: the median of all
+    pairwise slopes (y_j − y_i)/(x_j − x_i), i < j — the
+    outlier-resistant alternative to a29's least-squares slope (one
+    wild month barely moves it; breakdown point ≈ 29%). The estimator
+    a revenue-trend dashboard wants when promotions/backfills spike
+    single buckets.
+
+    BOUNDEDNESS — this is an O(T²)-per-series pair expansion and is
+    only correct to run at BUCKET grain: T is the time-spine length
+    (months/days), so pairs are spine²-sized and CONSTANT in data
+    scale (84 months → 3.5k pairs per series at any SF). Never feed
+    raw observations; aggregate to buckets first (the same population
+    contract as l28's basket cap).
+
+    Exactness: y values arrive as deterministic doubles (dsum exact
+    decimal accumulation upstream), x as integers; each slope is
+    (ONE subtraction)/(ONE subtraction) in IEEE; the median picks the
+    middle one-or-two rows by slope order via row_number — the
+    two-value mean is commutative, so no ordering hazard — and equal
+    slopes make any tie order value-identical.
+
+    Spark shape: the pair expansion is a self-equi-join on
+    ``key_col`` (series-partitioned; the x_j > x_i predicate filters
+    inside the join), one per-series window for (rank, count), and
+    one final 1-or-2-row mean agg. Returns (``key_col``, n_points,
+    n_pairs, ts_slope).
+    """
+    from pyspark.sql import Window
+
+    # the bucket-grain input is referenced three times (both pair
+    # sides + n_points) — checkpoint so its upstream join/agg lineage
+    # runs once (PERF.md round 9); it is spine-sized by contract
+    df = df.select(key_col, x_col, y_col).localCheckpoint(eager=True)
+    a = df.select(
+        key_col,
+        F.col(x_col).cast("bigint").alias("xa"),
+        F.col(y_col).cast("double").alias("ya"),
+    )
+    b = df.select(
+        key_col,
+        F.col(x_col).cast("bigint").alias("xb"),
+        F.col(y_col).cast("double").alias("yb"),
+    )
+    pairs = a.join(b, key_col).filter(F.col("xb") > F.col("xa")).select(
+        key_col,
+        (
+            (F.col("yb") - F.col("ya"))
+            / (F.col("xb") - F.col("xa")).cast("double")
+        ).alias("slope"),
+    )
+    w = Window.partitionBy(key_col).orderBy("slope")
+    ranked = pairs.select(
+        key_col,
+        "slope",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy(key_col))
+        .cast("bigint")
+        .alias("np"),
+    )
+    med = (
+        ranked.filter(
+            (F.col("rn") == F.expr("(np + 1) DIV 2"))
+            | (F.col("rn") == F.expr("(np + 2) DIV 2"))
+        )
+        .groupBy(key_col, "np")
+        .agg(F.avg("slope").alias("ts_slope"))
+    )
+    npts = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points")
+    )
+    return med.join(F.broadcast(npts), key_col).select(
+        key_col,
+        "n_points",
+        F.col("np").alias("n_pairs"),
+        "ts_slope",
+    )
+
+
 def acf_integer(
     counts: DataFrame,
     key_col: str = "series",

@@ -966,10 +966,90 @@ ORACLES_T20 = """
 """
 ORACLES["t20_seasonal"] = ORACLES_T20
 
+
+def q_t21_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust revenue-trend slope per customer nation
+    (operators/timeseries.py: theil_sen_slope) — median of all
+    pairwise monthly-revenue slopes; the pair frame is
+    month-spine²-sized per nation (~84 months → 3.5k pairs at any
+    SF), never fact-sized. Revenue via exact decimal accumulation
+    (dsum), month index as integer (year−1992)·12 + month−1."""
+    from ..functions.transforms import dsum
+    from ..operators.timeseries import theil_sen_slope
+
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    rev = (
+        l.join(
+            o.select("o_orderkey", "o_custkey", "o_orderdate"),
+            l.l_orderkey == o.o_orderkey,
+        )
+        .join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (
+                (F.year("o_orderdate") - F.lit(1992)) * F.lit(12)
+                + F.month("o_orderdate")
+                - F.lit(1)
+            ).cast("bigint").alias("m"),
+        )
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+            ).alias("rev")
+        )
+    )
+    return theil_sen_slope(rev, key_col="nation", x_col="m", y_col="rev")
+
+
+ORACLES["t21_theil_sen"] = """
+    WITH rev AS (
+        SELECT n.n_name AS nation,
+               CAST((year(o.o_orderdate) - 1992) * 12
+                    + month(o.o_orderdate) - 1 AS BIGINT) AS m,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS rev
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2),
+    pairs AS (
+        SELECT a.nation,
+               (b.rev - a.rev) / CAST(b.m - a.m AS DOUBLE) AS slope
+        FROM rev a JOIN rev b ON a.nation = b.nation AND b.m > a.m),
+    ranked AS (
+        SELECT nation, slope,
+               CAST(ROW_NUMBER() OVER (PARTITION BY nation
+                                       ORDER BY slope) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY nation) AS BIGINT) AS np
+        FROM pairs),
+    med AS (
+        SELECT nation, np, AVG(slope) AS ts_slope
+        FROM ranked
+        WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2
+        GROUP BY 1, 2),
+    npts AS (
+        SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_points
+        FROM rev GROUP BY 1)
+    SELECT m.nation, p.n_points, m.np AS n_pairs, m.ts_slope
+    FROM med m JOIN npts p USING (nation)
+"""
+
 QUERIES = {
     "t18_acf": q_t18_acf,
     "t19_xcorr": q_t19_xcorr,
     "t20_seasonal": q_t20_seasonal,
+    "t21_theil_sen": q_t21_theil_sen,
     "t16_cusum_drain": q_t16_cusum_drain,
     "t17_rolling_quantiles": q_t17_rolling_quantiles,
     "t14_cusum": q_t14_cusum,

@@ -285,6 +285,10 @@ def test_l25_date_filter_pushed_before_join(spark):
         # totals/grand/allc/cells; checkpointed (observed 9
         # exchanges, 0 Python nodes)
         ("x_chi2_drift", 12),
+        # round-12: t21_theil_sen — the monthly-revenue frame feeds
+        # both pair sides + n_points; checkpointed (observed 4
+        # exchanges post-checkpoint, 16 without, 0 Python nodes)
+        ("t21_theil_sen", 7),
         # round-12: t20_seasonal — the windowed full-week frame feeds
         # the dow agg and the projection; checkpointed (observed 2
         # exchanges post-checkpoint, 0 Python nodes)

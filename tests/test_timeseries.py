@@ -480,3 +480,63 @@ def test_seasonal_decompose_reconstruction_identity(spark):
         # resid is the float remainder; reconstruction re-associates,
         # so equality holds to rounding, not bit-exactly
         assert abs((r["trend"] + r["seasonal"] + r["resid"]) - r["y"]) < 1e-9
+
+
+def test_theil_sen_robust_to_single_outlier(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.timeseries import (
+        theil_sen_slope,
+    )
+
+    # unit-slope line with one wild bucket at x=2: pairwise slopes
+    # are [-7, 1, 1, 1, 5, 9] -> median = (1+1)/2 = 1 — the outlier
+    # does not move the estimate (OLS would report ~1.8)
+    df = spark.createDataFrame(
+        [("s", 0, 0.0), ("s", 1, 1.0), ("s", 2, 10.0), ("s", 3, 3.0)],
+        "series string, m int, v double",
+    )
+    rows = theil_sen_slope(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["ts_slope"] == 1.0
+    assert r["n_points"] == 4 and r["n_pairs"] == 6
+
+
+def test_theil_sen_odd_pair_count_exact_median(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.timeseries import (
+        theil_sen_slope,
+    )
+
+    # slopes [2, 1, 0] -> odd count, median is the single middle 1
+    df = spark.createDataFrame(
+        [("s", 0, 0.0), ("s", 1, 2.0), ("s", 2, 2.0)],
+        "series string, m int, v double",
+    )
+    assert theil_sen_slope(df).collect()[0]["ts_slope"] == 1.0
+
+
+def test_theil_sen_per_series_isolation(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.timeseries import (
+        theil_sen_slope,
+    )
+
+    df = spark.createDataFrame(
+        [("up", 0, 0.0), ("up", 1, 3.0), ("up", 2, 6.0),
+         ("down", 0, 6.0), ("down", 1, 3.0), ("down", 2, 0.0)],
+        "series string, m int, v double",
+    )
+    got = {r["series"]: r["ts_slope"] for r in theil_sen_slope(df).collect()}
+    assert got == {"up": 3.0, "down": -3.0}
+
+
+def test_theil_sen_gaps_in_x_use_true_distance(spark):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.timeseries import (
+        theil_sen_slope,
+    )
+
+    # x jumps 0 -> 10: slope uses the real Δx, not sequence position
+    df = spark.createDataFrame(
+        [("s", 0, 0.0), ("s", 10, 20.0)],
+        "series string, m int, v double",
+    )
+    r = theil_sen_slope(df).collect()[0]
+    assert r["ts_slope"] == 2.0 and r["n_pairs"] == 1
