@@ -757,16 +757,18 @@ def w1_drift(
             - F.col(value_col).cast("bigint")
         ).alias("dv"),
     )
+    # the last grid point (NULL lead) contributes 0 — keep the row via
+    # coalesce instead of filtering so a degenerate single-value grid
+    # still emits its group with W1 = 0
     term = (
         F.abs(
             F.col("cum_g") * (F.col("n") - F.col("n_g"))
             - (F.col("cum_all") - F.col("cum_g")) * F.col("n_g")
         )
-        * F.col("dv")
+        * F.coalesce(F.col("dv"), F.lit(0))
     )
     agg = (
-        cums.filter(F.col("dv").isNotNull())
-        .join(F.broadcast(grand))
+        cums.join(F.broadcast(grand))
         .groupBy(group_col, "n_g", "n")
         .agg(F.sum(term).cast("bigint").alias("w1_int"))
     )
@@ -804,7 +806,7 @@ def chi2_drift(
     squares share D_c² and their 1/(n·n_g)+1/(n·n_rest) weights sum
     to exactly 1/(n_g·n_rest)). D_c² stays under 2⁵³ at any
     tested SF (exact as a double); each per-category division is one
-    exactly-rounded IEEE op, summed as round-6 DECIMAL(38,6), then one
+    exactly-rounded IEEE op, summed as round-12 DECIMAL(38,12), then one
     final scale — the oracle replays bit-for-bit. Past ~3·10⁷ rows
     per slice move D_c² to DECIMAL(38,0).
 
@@ -852,7 +854,7 @@ def chi2_drift(
     d = F.col("o_g") * F.col("n") - F.col("n_g") * F.col("ct")
     term = (d * d).cast("double") / F.col("ct").cast("double")
     agg = cells.groupBy(group_col, "n_g", "n").agg(
-        F.sum(F.round(term, 6).cast("decimal(38,6)"))
+        F.sum(F.round(term, 12).cast("decimal(38,12)"))
         .cast("double")
         .alias("s")
     )
@@ -861,9 +863,14 @@ def chi2_drift(
         * (F.col("n") - F.col("n_g")).cast("double")
     )
     dof = (F.col("k") - F.lit(1)).cast("double")
-    wh = F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * dof) + F.lit(
+    # dofc floors the WH divisor at 1 so a single-category corpus
+    # (df = 0, chi2 exactly 0, test undefined) evaluates without an
+    # ANSI divide-by-zero; crit keeps the true dof factor, so df = 0
+    # yields crit = 0 and the flag stays false
+    dofc = F.greatest(dof, F.lit(1.0))
+    wh = F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * dofc) + F.lit(
         1.6448536269514722
-    ) * F.sqrt(F.lit(2.0) / (F.lit(9.0) * dof))
+    ) * F.sqrt(F.lit(2.0) / (F.lit(9.0) * dofc))
     crit = dof * wh * wh * wh
     return (
         agg.join(F.broadcast(n_cats))

@@ -262,7 +262,7 @@ def q_x_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square homogeneity test (operators/quality.py: chi2_drift)
     — each source slice's LANGUAGE mix vs the rest of the corpus; the
     categorical member of the drift family (KS/W1/PSI are numeric,
-    JS is token-level). All-integer deviations, round-6 decimal term
+    JS is token-level). All-integer deviations, round-12 decimal term
     sum, Wilson–Hilferty 95% critical value."""
     from ..operators.quality import chi2_drift
 
@@ -3209,9 +3209,8 @@ ORACLES: dict[str, str] = {
             SELECT c.source, c.n_g, g.n,
                    CAST(SUM(abs(c.cum_g * (g.n - c.n_g)
                                 - (c.cum_all - c.cum_g) * c.n_g)
-                            * c.dv) AS BIGINT) AS w1_int
+                            * COALESCE(c.dv, 0)) AS BIGINT) AS w1_int
             FROM cums c CROSS JOIN grand g
-            WHERE c.dv IS NOT NULL
             GROUP BY 1, 2, 3)
         SELECT source, n_g AS n_source, (n - n_g) AS n_rest,
                CAST(w1_int AS DOUBLE)
@@ -3242,8 +3241,8 @@ ORACLES: dict[str, str] = {
             SELECT source, n_g, n,
                    SUM(CAST(ROUND(
                        CAST((o_g * n - n_g * ct) * (o_g * n - n_g * ct)
-                            AS DOUBLE) / CAST(ct AS DOUBLE), 6)
-                       AS DECIMAL(38,6))) AS s
+                            AS DOUBLE) / CAST(ct AS DOUBLE), 12)
+                       AS DECIMAL(38,12))) AS s
             FROM cells GROUP BY 1, 2, 3),
         scored AS (
             SELECT a.source, a.n_g, a.n, k.k,
@@ -3251,9 +3250,11 @@ ORACLES: dict[str, str] = {
                    / (CAST(a.n_g AS DOUBLE)
                       * CAST(a.n - a.n_g AS DOUBLE)) AS chi2,
                    CAST(k.k - 1 AS DOUBLE) AS dof,
-                   1.0 - 2.0 / (9.0 * CAST(k.k - 1 AS DOUBLE))
+                   1.0 - 2.0 / (9.0 * GREATEST(CAST(k.k - 1 AS DOUBLE),
+                                               1.0))
                    + 1.6448536269514722
-                     * sqrt(2.0 / (9.0 * CAST(k.k - 1 AS DOUBLE))) AS wh
+                     * sqrt(2.0 / (9.0 * GREATEST(CAST(k.k - 1 AS DOUBLE),
+                                                  1.0))) AS wh
             FROM agg a CROSS JOIN ncats k)
         SELECT source, n_g AS n_source, (n - n_g) AS n_rest,
                (k - 1) AS df_chi2, chi2,

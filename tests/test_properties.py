@@ -862,3 +862,100 @@ def test_bm25_matches_reference_property(spark, docs):
         for rnk, (neg_s, i) in enumerate(scored[:3], start=1):
             want.append((qy, rnk, i, round(-neg_s, 9)))
     assert got == sorted(want)
+
+
+@given(
+    st.lists(st.integers(0, 30), min_size=2, max_size=30),
+    st.lists(st.integers(0, 30), min_size=2, max_size=30),
+)
+@_SLOW
+def test_w1_drift_matches_reference_property(spark, xs, ys):
+    """w1_drift equals the exact Fraction integral of |ECDF_a − ECDF_b|
+    over the pooled grid on ANY pair of small integer samples."""
+    from fractions import Fraction
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        w1_drift,
+    )
+
+    rows = [(v, "g1") for v in xs] + [(v, "g2") for v in ys]
+    df = spark.createDataFrame(rows, "n_chars bigint, source string")
+    got = {r["source"]: r["w1_dist"] for r in w1_drift(df).collect()}
+
+    def w1(a, b):
+        pts = sorted(set(a) | set(b))
+        tot = Fraction(0)
+        for lo, hi in zip(pts, pts[1:]):
+            fa = Fraction(sum(1 for v in a if v <= lo), len(a))
+            fb = Fraction(sum(1 for v in b if v <= lo), len(b))
+            tot += abs(fa - fb) * (hi - lo)
+        return tot
+
+    want = float(w1(xs, ys))
+    assert abs(got["g1"] - want) < 1e-12
+    assert abs(got["g2"] - want) < 1e-12  # symmetric for two groups
+
+
+@given(
+    st.lists(st.sampled_from(["en", "de", "fr", "nl"]), min_size=2,
+             max_size=25),
+    st.lists(st.sampled_from(["en", "de", "fr", "nl"]), min_size=2,
+             max_size=25),
+)
+@_SLOW
+def test_chi2_drift_matches_reference_property(spark, xs, ys):
+    """chi2_drift equals the textbook two-sample homogeneity statistic
+    Σ(O−E)²/E over both samples on ANY pair of small category lists."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        chi2_drift,
+    )
+
+    rows = [(v, "g1") for v in xs] + [(v, "g2") for v in ys]
+    df = spark.createDataFrame(rows, "lang string, source string")
+    got = {r["source"]: r for r in chi2_drift(df).collect()}
+
+    cats = sorted(set(xs) | set(ys))
+    n = len(xs) + len(ys)
+    want = 0.0
+    for c in cats:
+        ct = xs.count(c) + ys.count(c)
+        for n_s, o in ((len(xs), xs.count(c)), (len(ys), ys.count(c))):
+            e = n_s * ct / n
+            want += (o - e) ** 2 / e
+    assert abs(got["g1"]["chi2"] - want) < 1e-9
+    assert abs(got["g2"]["chi2"] - want) < 1e-9
+    assert got["g1"]["df_chi2"] == len(cats) - 1
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(-50, 50)),
+        min_size=2,
+        max_size=15,
+        unique_by=lambda t: t[0],
+    ),
+)
+@_SLOW
+def test_theil_sen_matches_reference_property(spark, pts):
+    """theil_sen_slope equals the statistics.median of all pairwise
+    slopes on ANY small integer series with distinct x."""
+    import statistics
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.timeseries import (
+        theil_sen_slope,
+    )
+
+    df = spark.createDataFrame(
+        [("s", x, float(y)) for x, y in pts],
+        "series string, m int, v double",
+    )
+    got = theil_sen_slope(df).collect()[0]
+    slopes = [
+        (y2 - y1) / (x2 - x1)
+        for i, (x1, y1) in enumerate(pts)
+        for (x2, y2) in pts[i + 1:]
+        if x2 != x1
+    ]
+    # the operator orders pairs by x; direction does not change slope
+    assert abs(got["ts_slope"] - statistics.median(slopes)) < 1e-12
+    assert got["n_pairs"] == len(slopes)
