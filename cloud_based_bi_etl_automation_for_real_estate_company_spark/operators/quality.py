@@ -989,6 +989,104 @@ def psi_admit(
     return out
 
 
+def chi2_admit(
+    batch_df: DataFrame,
+    store_path: str,
+    cat_col: str = "lang",
+) -> DataFrame:
+    """STREAMING categorical drift monitor — the per-micro-batch
+    counterpart of :func:`chi2_drift` and the categorical member of
+    the admission family (psi_admit buckets numerics, ks_admit
+    sketches numerics; this one tests a CATEGORY mix, e.g. the
+    language distribution of an arriving crawl slice): score each
+    batch's ``cat_col`` counts against the HISTORY accumulated in
+    ``{store_path}/cats`` (one tiny (c, cnt) parquet table, appended
+    per batch), then fold the batch in.
+
+    The statistic is the same collapsed two-sample form as
+    chi2_drift with (batch, history) as the two samples:
+    χ² = Σ_c D_c²/ct_c / (n_batch·n_hist), D_c = o_c·n − n_batch·ct_c
+    all-integer over the batch∪history category union, round-12
+    decimal term sum, one try_divide at the end — so the cold start
+    (empty history) yields a NULL statistic with ``chi2_defined``
+    false rather than a fabricated reference (unlike PSI, chi-square
+    has no natural uniform fallback). The 95% flag uses the same
+    Wilson–Hilferty critical value as chi2_drift (df floored at 1
+    inside the divisor; df = k−1 over categories present).
+
+    Crash contract: the score row is computed and checkpointed
+    BEFORE the store append (sink-before-append, like the rest of
+    the family). Store growth is one aggregated row-set (≤ distinct
+    categories) per batch. Returns one row:
+    (n_batch, n_hist, df_chi2, chi2, chi2_defined, reject_95).
+    """
+    from ..session import hadoop_path_exists
+
+    spark = batch_df.sparkSession
+    bcounts = (
+        batch_df.filter(F.col(cat_col).isNotNull())
+        .select(F.col(cat_col).alias("c"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    # typed FS probe (not exception-message matching) — round-11
+    # ADVICE: only a missing store means bootstrap
+    if hadoop_path_exists(spark, f"{store_path}/cats"):
+        hist = spark.read.parquet(f"{store_path}/cats")
+    else:
+        hist = spark.createDataFrame([], "c string, cnt bigint")
+    hcounts = hist.groupBy("c").agg(F.sum("cnt").cast("bigint").alias("ch"))
+    cells = (
+        bcounts.withColumnRenamed("cnt", "cg")
+        .join(hcounts, "c", "full_outer")
+        .select(
+            F.coalesce(F.col("cg"), F.lit(0)).cast("bigint").alias("cg"),
+            F.coalesce(F.col("ch"), F.lit(0)).cast("bigint").alias("ch"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("cg").cast("bigint").alias("n_batch"),
+        F.sum("ch").cast("bigint").alias("n_hist"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    n = F.col("n_batch") + F.col("n_hist")
+    d = F.col("cg") * n - F.col("n_batch") * (F.col("cg") + F.col("ch"))
+    term = F.round(
+        (d * d).cast("double")
+        / (F.col("cg") + F.col("ch")).cast("double"),
+        12,
+    ).cast("decimal(38,12)")
+    chi2 = F.try_divide(
+        F.col("s"),
+        F.col("n_batch").cast("double") * F.col("n_hist").cast("double"),
+    )
+    dof = (F.col("k") - F.lit(1)).cast("double")
+    dofc = F.greatest(dof, F.lit(1.0))
+    wh = F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * dofc) + F.lit(
+        1.6448536269514722
+    ) * F.sqrt(F.lit(2.0) / (F.lit(9.0) * dofc))
+    crit = dof * wh * wh * wh
+    out = (
+        cells.join(F.broadcast(tot))
+        .groupBy("n_batch", "n_hist", "k")
+        .agg(F.sum(term).cast("double").alias("s"))
+        .select(
+            "n_batch",
+            "n_hist",
+            (F.col("k") - F.lit(1)).alias("df_chi2"),
+            chi2.alias("chi2"),
+            (
+                (F.col("n_batch") > 0) & (F.col("n_hist") > 0)
+            ).alias("chi2_defined"),
+            (chi2 > crit).alias("reject_95"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    bcounts.write.mode("append").parquet(f"{store_path}/cats")
+    return out
+
+
 def ks_admit(
     batch_df: DataFrame,
     store_path: str,

@@ -297,6 +297,35 @@ def q_x_psi_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_x_chi2_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for the STREAMING categorical drift monitor
+    (operators/quality.chi2_admit): replay two micro-batches one-shot
+    — even doc_ids bootstrap the category history (cold start: NULL
+    statistic, chi2_defined false), odd doc_ids score against it —
+    and emit each batch's row. Store in a per-call temp dir; batch
+    1's statistic is exactly chi2_drift's collapsed integer form with
+    (odd, even) as the two samples, replayed literally by the
+    oracle."""
+    import shutil
+    import tempfile
+
+    from ..operators.quality import chi2_admit
+
+    d = t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="spark_graft_chi2_drain_")
+    try:
+        f0 = chi2_admit(d.filter(F.col("doc_id") % 2 == 0), tmp)
+        f1 = chi2_admit(d.filter(F.col("doc_id") % 2 == 1), tmp)
+        out = f0.select(
+            F.lit(0).cast("bigint").alias("batch"), "*"
+        ).unionByName(
+            f1.select(F.lit(1).cast("bigint").alias("batch"), "*")
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_x_bm25_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver row for the INCREMENTAL retrieval index
     (operators/corpus.bm25_index_append / bm25_query_store): replay a
@@ -3261,6 +3290,57 @@ ORACLES: dict[str, str] = {
                chi2 > dof * wh * wh * wh AS reject_95
         FROM scored
     """,
+    "x_chi2_drain": """
+        WITH ev AS (
+            SELECT lang AS c, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents
+            WHERE lang IS NOT NULL AND doc_id % 2 = 0 GROUP BY 1),
+        od AS (
+            SELECT lang AS c, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents
+            WHERE lang IS NOT NULL AND doc_id % 2 = 1 GROUP BY 1),
+        b0 AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS n_batch,
+                   CAST(COUNT(*) AS BIGINT) AS k0
+            FROM ev),
+        cells AS (
+            SELECT COALESCE(o.n, 0) AS cg, COALESCE(e.n, 0) AS ch
+            FROM od o FULL OUTER JOIN ev e USING (c)),
+        tot AS (
+            SELECT CAST(SUM(cg) AS BIGINT) AS nb,
+                   CAST(SUM(ch) AS BIGINT) AS nh,
+                   CAST(COUNT(*) AS BIGINT) AS k
+            FROM cells),
+        agg AS (
+            SELECT t.nb, t.nh, t.k,
+                   SUM(CAST(ROUND(
+                       CAST((c.cg * (t.nb + t.nh) - t.nb * (c.cg + c.ch))
+                            * (c.cg * (t.nb + t.nh) - t.nb * (c.cg + c.ch))
+                            AS DOUBLE)
+                       / CAST(c.cg + c.ch AS DOUBLE), 12)
+                       AS DECIMAL(38,12))) AS s
+            FROM cells c CROSS JOIN tot t
+            GROUP BY 1, 2, 3),
+        b1 AS (
+            SELECT nb, nh, k,
+                   CAST(s AS DOUBLE)
+                   / (CAST(nb AS DOUBLE) * CAST(nh AS DOUBLE)) AS chi2,
+                   CAST(k - 1 AS DOUBLE) AS dof,
+                   1.0 - 2.0 / (9.0 * GREATEST(CAST(k - 1 AS DOUBLE), 1.0))
+                   + 1.6448536269514722
+                     * sqrt(2.0 / (9.0 * GREATEST(CAST(k - 1 AS DOUBLE),
+                                                  1.0))) AS wh
+            FROM agg)
+        SELECT CAST(0 AS BIGINT) AS batch, n_batch,
+               CAST(0 AS BIGINT) AS n_hist, (k0 - 1) AS df_chi2,
+               CAST(NULL AS DOUBLE) AS chi2, false AS chi2_defined,
+               CAST(NULL AS BOOLEAN) AS reject_95
+        FROM b0
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), nb, nh, (k - 1), chi2, true,
+               chi2 > dof * wh * wh * wh
+        FROM b1
+    """,
     "x_js_divergence": """
         WITH tok AS (
             SELECT source, UNNEST(string_split(trim(text), ' ')) AS term
@@ -5826,6 +5906,7 @@ QUERIES = {
     "x_chi2_drift": q_x_chi2_drift,
     "x_psi_drift": q_x_psi_drift,
     "x_psi_drain": q_x_psi_drain,
+    "x_chi2_drain": q_x_chi2_drain,
     "x_readability": q_x_readability,
     "x_keyphrases": q_x_keyphrases,
     "x_js_divergence": q_x_js_divergence,

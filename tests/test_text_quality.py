@@ -639,3 +639,78 @@ def test_chi2_drift_null_category_excluded(spark):
     )
     rows = {r["source"]: r for r in chi2_drift(df).collect()}
     assert rows["g1"]["n_source"] == 2 and rows["g1"]["n_rest"] == 2
+
+
+def test_chi2_admit_cold_start_and_hand_computed_second_batch(
+    spark, tmp_path
+):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        chi2_admit,
+    )
+
+    store = str(tmp_path / "chi2_store")
+    b0 = spark.createDataFrame(
+        [("a",)] * 3 + [("b",)] * 1, "lang string"
+    )
+    r0 = chi2_admit(b0, store).collect()[0]
+    assert r0["n_batch"] == 4 and r0["n_hist"] == 0
+    assert r0["chi2"] is None and r0["chi2_defined"] is False
+    # batch 1 = [a, b, b, b] vs history [a,a,a,b]: the hand case from
+    # chi2_drift — chi2 = 2.0, df = 1
+    b1 = spark.createDataFrame(
+        [("a",)] * 1 + [("b",)] * 3, "lang string"
+    )
+    r1 = chi2_admit(b1, store).collect()[0]
+    assert r1["n_batch"] == 4 and r1["n_hist"] == 4
+    assert r1["chi2"] == 2.0 and r1["df_chi2"] == 1
+    assert r1["chi2_defined"] is True and r1["reject_95"] is False
+
+
+def test_chi2_admit_matches_chi2_drift_on_same_split(spark, tmp_path):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        chi2_admit,
+        chi2_drift,
+    )
+
+    langs = ["en", "de", "fr", "en", "en", "de", "nl", "en", "fr", "de"]
+    rows = [(lang, "batch" if i % 2 else "hist") for i, lang in enumerate(langs)]
+    df = spark.createDataFrame(rows, "lang string, source string")
+    want = {
+        r["source"]: r["chi2"] for r in chi2_drift(df).collect()
+    }["batch"]
+    store = str(tmp_path / "chi2_store2")
+    chi2_admit(df.filter(F.col("source") == "hist"), store)
+    got = chi2_admit(
+        df.filter(F.col("source") == "batch"), store
+    ).collect()[0]
+    # two groups: drift's batch-vs-rest IS admit's batch-vs-history
+    assert got["chi2"] == want
+
+
+def test_chi2_admit_detects_category_shift(spark, tmp_path):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        chi2_admit,
+    )
+
+    store = str(tmp_path / "chi2_store3")
+    chi2_admit(
+        spark.createDataFrame([("en",)] * 40, "lang string"), store
+    )
+    r = chi2_admit(
+        spark.createDataFrame([("de",)] * 40, "lang string"), store
+    ).collect()[0]
+    # full separation: chi2 = n = 80, far past any df=1 critical value
+    assert r["chi2"] == 80.0 and r["reject_95"] is True
+
+
+def test_chi2_admit_null_categories_excluded(spark, tmp_path):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        chi2_admit,
+    )
+
+    store = str(tmp_path / "chi2_store4")
+    r = chi2_admit(
+        spark.createDataFrame([("en",), (None,), ("de",)], "lang string"),
+        store,
+    ).collect()[0]
+    assert r["n_batch"] == 2
