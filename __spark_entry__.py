@@ -84,6 +84,7 @@ _GATE_PRIORITY = (
     "t20_seasonal",
     "t21_theil_sen",
     "x_chi2_drain",
+    "a45_abc",
     # -- (b) permanent sentinels: fragile double-fold bit-exactness --------
     "t10_holt",
     "t12_holt_winters",
@@ -126,7 +127,6 @@ _GATE_PRIORITY = (
     "x_substring_spans",
     "x_tdigest_drain",
     # r7 vintage fill (alphabetical; budget = 50 - new - 6 - 33)
-    "l14_large_volume_orders",
 )
 
 # Round-13 rotation backlog: the remaining r7-vintage names (the
@@ -134,6 +134,7 @@ _GATE_PRIORITY = (
 # additions + the sentinels; r8-vintage names come next (run
 # scripts/check_rotation.py to re-derive).
 _ROTATION_R13: tuple[str, ...] = (
+    "l14_large_volume_orders",
     "l15_disjunctive_revenue",
     "p12_bool_cast",
     "p14_reserialize",

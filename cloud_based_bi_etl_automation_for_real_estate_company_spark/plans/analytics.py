@@ -1146,7 +1146,107 @@ def q_a44_gini(spark, sf_dir: str):
     )
 
 
+def q_a45_abc(spark, sf_dir: str):
+    """ABC / Pareto classification of customers per nation — the
+    80/15/5 inventory-analysis classic applied to the revenue book
+    (sibling of a44's Gini: Gini scores the concentration, ABC names
+    the accounts): rank customers by revenue, classify A while the
+    running share stays ≤ 80%, B to 95%, C after, and report each
+    class's size, revenue and share.
+
+    Exactness: revenue stays DECIMAL through the running window sum
+    (exact and order-deterministic under the (x DESC, custkey) total
+    order), and the class boundaries compare in scaled-decimal form —
+    cum ≤ 0.8·tot ⇔ 5·cum ≤ 4·tot, cum ≤ 0.95·tot ⇔ 20·cum ≤ 19·tot —
+    so no customer ever flips class on float rounding; the only
+    doubles are the final share divisions. One fact rollup, one
+    per-nation window pair, one (nation, class) agg."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", "o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x"))
+    )
+    wc = (
+        Window.partitionBy("n_name")
+        .orderBy(F.col("x").desc(), F.col("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("n_name")
+    classed = rev.select(
+        "n_name",
+        "x",
+        F.when(
+            F.sum("x").over(wc) * F.lit(5) <= F.sum("x").over(wt) * F.lit(4),
+            F.lit("A"),
+        )
+        .when(
+            F.sum("x").over(wc) * F.lit(20)
+            <= F.sum("x").over(wt) * F.lit(19),
+            F.lit("B"),
+        )
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+        F.sum("x").over(wt).alias("tot"),
+    )
+    return (
+        classed.groupBy("n_name", "abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("x").alias("class_rev"),
+            F.max("tot").alias("tot"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            "abc_class",
+            "n_customers",
+            F.col("class_rev").cast("double").alias("class_revenue"),
+            (
+                F.col("class_rev").cast("double")
+                / F.col("tot").cast("double")
+            ).alias("revenue_share"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "a45_abc": """
+        WITH rev AS (
+            SELECT n_name, o_custkey,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1, 2),
+        classed AS (
+            SELECT n_name, x,
+                   CASE WHEN SUM(x) OVER wc * 5 <= SUM(x) OVER wt * 4
+                            THEN 'A'
+                        WHEN SUM(x) OVER wc * 20 <= SUM(x) OVER wt * 19
+                            THEN 'B'
+                        ELSE 'C' END AS abc_class,
+                   SUM(x) OVER wt AS tot
+            FROM rev
+            WINDOW wc AS (PARTITION BY n_name
+                          ORDER BY x DESC, o_custkey
+                          ROWS UNBOUNDED PRECEDING),
+                   wt AS (PARTITION BY n_name)),
+        agg AS (
+            SELECT n_name, abc_class,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   SUM(x) AS class_rev, MAX(tot) AS tot
+            FROM classed GROUP BY 1, 2)
+        SELECT n_name AS nation, abc_class, n_customers,
+               CAST(class_rev AS DOUBLE) AS class_revenue,
+               CAST(class_rev AS DOUBLE) / CAST(tot AS DOUBLE)
+                   AS revenue_share
+        FROM agg
+    """,
     "a44_gini": """
         WITH rev AS (
             SELECT n_name, o_custkey,
@@ -1707,6 +1807,7 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "a43_km_survival": q_a43_km_survival,
     "a44_gini": q_a44_gini,
+    "a45_abc": q_a45_abc,
     "a17_pivot_funnel": q_a17_pivot_funnel,
     "a23_equidepth_hist": q_a23_equidepth_hist,
     "a18_percentiles": q_a18_percentiles,

@@ -332,3 +332,27 @@ def test_multi_reference_plans_stay_pinned(spark, name, max_exchanges):
         "multi-referenced frame likely lost its localCheckpoint "
         "(see PERF.md round 9)"
     )
+
+
+def test_a45_abc_class_invariants(spark):
+    """ABC classes partition each nation's revenue: shares sum to 1,
+    the A block never exceeds its 80% budget, A+B never exceeds 95%,
+    and every nation with revenue has an A class."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.plans import (
+        analytics,
+    )
+
+    rows = analytics.q_a45_abc(spark, SF).collect()
+    by_nation: dict[str, dict[str, object]] = {}
+    for r in rows:
+        by_nation.setdefault(r["nation"], {})[r["abc_class"]] = r
+    for nation, classes in by_nation.items():
+        assert set(classes) <= {"A", "B", "C"}
+        assert "A" in classes, nation
+        total = sum(c["revenue_share"] for c in classes.values())
+        assert abs(total - 1.0) < 1e-9, nation
+        assert classes["A"]["revenue_share"] <= 0.8 + 1e-12
+        ab = classes["A"]["revenue_share"] + (
+            classes["B"]["revenue_share"] if "B" in classes else 0.0
+        )
+        assert ab <= 0.95 + 1e-12
