@@ -208,10 +208,26 @@ def run_curation_pipeline(
 
         d = d.withColumn("text", demojibake(F.col("text")))
     if drift_report:
-        from .operators.quality import ks_drift, psi_drift
+        from .operators.quality import chi2_drift, ks_drift, psi_drift, w1_drift
 
+        # numeric family over n_chars (KS sup + W1 integral + PSI
+        # buckets) plus the categorical language-mix test — one row
+        # per source with every score and flag side by side
         ks_drift(d).join(
             psi_drift(d), ["source", "n_source", "n_rest"]
+        ).join(
+            w1_drift(d), ["source", "n_source", "n_rest"]
+        ).join(
+            # chi2's n_source counts lang-not-null rows (vs n_chars
+            # for the numeric family) — keep only its scores to avoid
+            # a silent count collision on the join keys
+            chi2_drift(d).select(
+                "source",
+                "df_chi2",
+                F.col("chi2").alias("lang_chi2"),
+                F.col("reject_95").alias("lang_reject_95"),
+            ),
+            ["source"],
         ).write.mode("overwrite").parquet(out_path + "__drift_report")
     gated = quality_gate(d)
     repetitive = (

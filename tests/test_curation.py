@@ -372,11 +372,17 @@ def test_curation_drift_report_stage(spark, tmp_path):
     rep = spark.read.parquet(out + "__drift_report")
     assert set(rep.columns) == {
         "source", "n_source", "n_rest", "ks_stat", "reject_95",
-        "psi", "shifted",
+        "psi", "shifted", "w1_dist", "df_chi2", "lang_chi2",
+        "lang_reject_95",
     }
     d = t(spark, sf, "documents").withColumn(
         "text", demojibake(F.col("text"))
     )
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        chi2_drift,
+        w1_drift,
+    )
+
     want = {
         r["source"]: (r["ks_stat"], r["psi"])
         for r in ks_drift(d)
@@ -385,6 +391,11 @@ def test_curation_drift_report_stage(spark, tmp_path):
     }
     got = {r["source"]: (r["ks_stat"], r["psi"]) for r in rep.collect()}
     assert got == want
+    want_w1 = {r["source"]: r["w1_dist"] for r in w1_drift(d).collect()}
+    want_c2 = {r["source"]: r["chi2"] for r in chi2_drift(d).collect()}
+    for r in rep.collect():
+        assert r["w1_dist"] == want_w1[r["source"]]
+        assert r["lang_chi2"] == want_c2[r["source"]]
     # every arriving source is reported, even ones curation later drops
     n_sources = d.select("source").distinct().count()
     assert rep.count() == n_sources
