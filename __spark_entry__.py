@@ -62,16 +62,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Round-12 gate front block. Every round-11 front name is green in
-# CORRECTNESS_r11, so the 50-slot window now holds: (a) the round-12
-# additions (inserted at the top as they land — never-checked names
-# MUST debut in the front, scripts/check_rotation.py enforces it),
-# (b) the 6 permanent double-arithmetic SENTINELS, then
-# (c) STALENESS ROTATION — the complete 33-name r6-vintage tier
-# staged as _ROTATION_R12 last round (now the oldest tier), followed
-# by the alphabetically-first r7-vintage names that fit the budget;
-# the remaining r7 names stage as _ROTATION_R13. After this window
-# runs, no catalog name's newest driver row is older than r7 except
-# the r7 remainder itself, which rotates next round.
+# CORRECTNESS_r11, so the 50-slot window now holds: (a) the 11
+# round-12 additions (inserted at the top as they land —
+# never-checked names MUST debut in the front,
+# scripts/check_rotation.py enforces it), (b) the 6 permanent
+# double-arithmetic SENTINELS, and (c) STALENESS ROTATION — the
+# complete 33-name r6-vintage tier staged as _ROTATION_R12 last
+# round (the oldest tier). 11 + 6 + 33 = exactly 50: the second
+# session's additions displaced the whole r7 fill into
+# _ROTATION_R13, which now carries the full r7 tier (49 names — more
+# than one front, so round 13 must split it; the checker only
+# requires oldest-tier + never-checked to fit). After this window
+# runs, no catalog name's newest driver row is older than r7.
 _GATE_PRIORITY = (
     # -- (a) new in round 12 ------------------------------------------------
     "x_golden_priority",
