@@ -959,3 +959,81 @@ def test_theil_sen_matches_reference_property(spark, pts):
     # the operator orders pairs by x; direction does not change slope
     assert abs(got["ts_slope"] - statistics.median(slopes)) < 1e-12
     assert got["n_pairs"] == len(slopes)
+
+
+@given(
+    st.lists(st.integers(0, 20), min_size=1, max_size=8, unique=True),
+    st.lists(st.integers(0, 20), min_size=1, max_size=8, unique=True),
+    st.integers(1, 5),
+)
+@_SLOW
+def test_rrf_fuse_matches_reference_property(spark, ids_a, ids_b, k):
+    """rrf_fuse equals a pure-Python reciprocal-rank fusion (score
+    1/(60+rank), absent leg contributes 0, score-desc id-asc order)
+    on ANY pair of ranked id lists."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.similarity import (
+        rrf_fuse,
+    )
+
+    a = spark.createDataFrame(
+        [("q", i, r + 1) for r, i in enumerate(ids_a)],
+        "query_id string, doc_id bigint, rnk int",
+    )
+    b = spark.createDataFrame(
+        [("q", i, r + 1) for r, i in enumerate(ids_b)],
+        "query_id string, doc_id bigint, rnk int",
+    )
+    got = [
+        (r["doc_id"], r["rrf_score"])
+        for r in rrf_fuse(a, b, k=k).orderBy("rnk").collect()
+    ]
+    ra = {i: r + 1 for r, i in enumerate(ids_a)}
+    rb = {i: r + 1 for r, i in enumerate(ids_b)}
+    scores = {
+        i: (1.0 / (60 + ra[i]) if i in ra else 0.0)
+        + (1.0 / (60 + rb[i]) if i in rb else 0.0)
+        for i in set(ra) | set(rb)
+    }
+    want = sorted(
+        scores.items(), key=lambda kv: (-round(kv[1], 12), kv[0])
+    )[:k]
+    assert got == want
+
+
+@given(
+    st.lists(st.integers(0, 50), min_size=7, max_size=28),
+)
+@_SLOW
+def test_seasonal_decompose_matches_reference_property(spark, xs):
+    """seasonal_decompose_daily equals a pure-Python classical
+    additive decomposition (centered 7-day MA on full windows,
+    uncentered dow means of the detrended series) on ANY daily
+    integer series."""
+    import datetime as dt
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.timeseries import (
+        seasonal_decompose_daily,
+    )
+
+    base = dt.date(2024, 1, 1)  # a Monday -> dow = index % 7
+    df = spark.createDataFrame(
+        [("s", base + dt.timedelta(days=i), v) for i, v in enumerate(xs)],
+        "series string, day date, x int",
+    )
+    got = {
+        (r["day"] - base).days: (r["trend"], r["seasonal"], r["resid"])
+        for r in seasonal_decompose_daily(df).collect()
+    }
+    n = len(xs)
+    full = [i for i in range(n) if 3 <= i <= n - 4]
+    assert set(got) == set(full)
+    trend = {i: sum(xs[i - 3 : i + 4]) / 7.0 for i in full}
+    by_dow: dict[int, list[int]] = {}
+    for i in full:
+        by_dow.setdefault(i % 7, []).append(7 * xs[i] - sum(xs[i - 3 : i + 4]))
+    seas = {d: sum(v) / (7.0 * len(v)) for d, v in by_dow.items()}
+    for i in full:
+        t_, s_, r_ = got[i]
+        assert abs(t_ - trend[i]) < 1e-12
+        assert abs(s_ - seas[i % 7]) < 1e-12
+        assert abs(r_ - (xs[i] - trend[i] - seas[i % 7])) < 1e-9
