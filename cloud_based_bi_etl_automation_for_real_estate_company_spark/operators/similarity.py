@@ -593,6 +593,56 @@ def load_ivf_index(spark, path: str) -> dict[str, DataFrame]:
     }
 
 
+def ivf_index_append(
+    new_vectors: DataFrame,
+    store_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """STREAMING ANN-index maintenance: fold one micro-batch of new
+    vectors into a persisted IVF index (:func:`save_ivf_index`
+    layout) — the dense-retrieval sibling of
+    corpus.bm25_index_append, closing the incremental-ingest story
+    for similarity search: new embeddings become searchable as they
+    arrive, without a corpus re-index.
+
+    The coarse quantizer is FROZEN (same contract as psi_admit's
+    frozen bucket edges: an appender must never re-train centroids or
+    every prior assignment would be against a different quantizer) —
+    assignment of a vector depends only on the stored centroids, so
+    a corpus ingested in any number of batches yields EXACTLY the
+    inverted lists of a one-shot build with the same centroids
+    (test-pinned). Re-train by rebuilding to a new path and swapping.
+
+    The append lands partitioned by bucket like the initial save, so
+    query-time partition pruning keeps working; growth is one file
+    set per touched bucket per batch — compact in a quiet window by
+    re-saving the loaded index. At-least-once replays duplicate
+    vectors (same caveat and upstream remedy as bm25_index_append).
+    Raises FileNotFoundError when no index exists at ``store_path`` —
+    an appender bootstrapping an empty index would silently freeze an
+    EMPTY quantizer; the initial build must come from
+    build_ivf_index/save_ivf_index."""
+    import os
+
+    from ..session import hadoop_path_exists
+
+    spark = new_vectors.sparkSession
+    cpath = os.path.join(store_path, "centroids.parquet")
+    if not hadoop_path_exists(spark, cpath):
+        raise FileNotFoundError(
+            f"no IVF index at {store_path} — build with "
+            "build_ivf_index + save_ivf_index before appending"
+        )
+    cents = spark.read.parquet(cpath)
+    assigned = _coarse_assign(
+        spread(new_vectors), cents, id_col, vec_col, "bucket", 1
+    )
+    assigned.write.mode("append").partitionBy("bucket").parquet(
+        os.path.join(store_path, "lists.parquet")
+    )
+
+
 def ivf_query_index(
     index: dict[str, DataFrame],
     queries: DataFrame,

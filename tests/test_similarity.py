@@ -609,3 +609,60 @@ def test_rrf_fuse_respects_k_per_query(spark):
     out = rrf_fuse(a, b, k=3)
     got = {r["query_id"]: r for r in out.groupBy("query_id").count().collect()}
     assert got["q1"]["count"] == 3 and got["q2"]["count"] == 3
+
+
+def test_ivf_index_append_equals_one_shot_build(spark, tmp_path):
+    """A corpus ingested in two batches through ivf_index_append (frozen
+    quantizer) must query EXACTLY like a one-shot build over the full
+    corpus with the same centroids."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_query_index,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = base.filter(F.col("vec_id") < 5)
+    b0 = base.filter(F.col("vec_id") % 2 == 0)
+    b1 = base.filter(F.col("vec_id") % 2 == 1)
+
+    # incremental: seed from batch 0, append batch 1
+    inc_path = str(tmp_path / "ivf_inc")
+    save_ivf_index(build_ivf_index(b0, n_centroids=8), inc_path)
+    ivf_index_append(b1, inc_path)
+
+    # one-shot over the full corpus with the SAME (batch-0-seeded)
+    # centroids — the frozen-quantizer contract
+    cents = load_ivf_index(spark, inc_path)["centroids"]
+    full_path = str(tmp_path / "ivf_full")
+    save_ivf_index(build_ivf_index(base, centroids=cents), full_path)
+
+    got = {
+        (r["q_id"], r["rnk"]): r["vec_id"]
+        for r in ivf_query_index(
+            load_ivf_index(spark, inc_path), queries, k=5, n_probes=2
+        ).collect()
+    }
+    want = {
+        (r["q_id"], r["rnk"]): r["vec_id"]
+        for r in ivf_query_index(
+            load_ivf_index(spark, full_path), queries, k=5, n_probes=2
+        ).collect()
+    }
+    assert got == want and len(got) == 25
+
+
+def test_ivf_index_append_requires_existing_index(spark, tmp_path):
+    import pytest as _pytest
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.similarity import (
+        ivf_index_append,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with _pytest.raises(FileNotFoundError, match="no IVF index"):
+        ivf_index_append(base, str(tmp_path / "missing"))
