@@ -622,7 +622,10 @@ def ivf_index_append(
     Raises FileNotFoundError when no index exists at ``store_path`` —
     an appender bootstrapping an empty index would silently freeze an
     EMPTY quantizer; the initial build must come from
-    build_ivf_index/save_ivf_index."""
+    build_ivf_index/save_ivf_index. The batch's ``vec_col`` element
+    type must match the seeded lists' (float vs double mix fails
+    LOUDLY at read time with a parquet type mismatch, never
+    silently)."""
     import os
 
     from ..session import hadoop_path_exists

@@ -178,6 +178,48 @@ def stream_soft_dedup_documents(
     return writer.start()
 
 
+def stream_embeddings_index(
+    spark: SparkSession,
+    in_path: str,
+    store_path: str,
+    checkpoint: str,
+    schema: str = "vec_id bigint, embedding array<float>, label string",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming ANN-index maintenance (round 12) — the foreachBatch
+    wrapper over ``operators.similarity.ivf_index_append``: each
+    micro-batch of new embedding vectors is routed to its nearest
+    FROZEN centroid and appended to the persisted IVF index's
+    bucket-partitioned inverted lists, so similarity search stays
+    current under continuous ingest without a corpus re-index — the
+    dense-retrieval counterpart of the BM25 postings sink.
+
+    Contract mirrors the admission family: the index must already
+    exist (build_ivf_index + save_ivf_index seed it — appends never
+    bootstrap a quantizer), the quantizer never re-trains inside the
+    stream, and exactly-once is delegated to the checkpoint (a
+    replayed batch duplicates list rows; dedup upstream or rebuild in
+    a quiet window). Batch-ingest parity with a one-shot build under
+    the same centroids is pinned in tests/test_similarity.py."""
+    from ..operators.similarity import ivf_index_append
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.json(in_path)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        ivf_index_append(batch_df, store_path)
+
+    writer = raw.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def replay_batch_equals_stream(
     spark: SparkSession, in_path: str, batch_out: str, stream_out: str, checkpoint: str
 ) -> tuple[DataFrame, DataFrame]:

@@ -600,3 +600,78 @@ def test_stream_soft_dedup_compact_every_resyncs_running_weights(
     }
     assert got[4] == (1, 4, 0.25)  # exact running size post-rewrite
     assert got[3][0] == 1
+
+
+def test_stream_embeddings_index_matches_one_shot_build(spark, tmp_path):
+    """Round-12: embeddings streamed through stream_embeddings_index
+    in two micro-batches query EXACTLY like a one-shot index build
+    over the full corpus under the same frozen centroids."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_query_index,
+        load_ivf_index,
+        save_ivf_index,
+    )
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.streaming.pipeline import (
+        stream_embeddings_index,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = base.filter(F.col("vec_id") < 5)
+    seed = base.filter(F.col("vec_id") % 3 == 0)
+    rest = base.filter(F.col("vec_id") % 3 != 0).collect()
+
+    store = str(tmp_path / "ivf_stream")
+    save_ivf_index(build_ivf_index(seed, n_centroids=8), store)
+
+    # two jsonl files -> two micro-batches under maxFilesPerTrigger=1
+    edir = tmp_path / "in"
+    edir.mkdir()
+    halves = [rest[: len(rest) // 2], rest[len(rest) // 2 :]]
+    for fi, rows in enumerate(halves):
+        fp = edir / f"f{fi}.jsonl"
+        with open(fp, "w") as f:
+            for r in rows:
+                f.write(
+                    _json.dumps(
+                        {
+                            "vec_id": r["vec_id"],
+                            "embedding": list(r["embedding"]),
+                            "label": r["label"],
+                        }
+                    )
+                    + "\n"
+                )
+        _os.utime(fp, (1_700_000_000 + fi, 1_700_000_000 + fi))
+
+    q = stream_embeddings_index(
+        spark,
+        str(edir),
+        store,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+
+    cents = load_ivf_index(spark, store)["centroids"]
+    full = str(tmp_path / "ivf_full")
+    save_ivf_index(build_ivf_index(base, centroids=cents), full)
+
+    got = {
+        (r["q_id"], r["rnk"]): r["vec_id"]
+        for r in ivf_query_index(
+            load_ivf_index(spark, store), queries, k=5, n_probes=2
+        ).collect()
+    }
+    want = {
+        (r["q_id"], r["rnk"]): r["vec_id"]
+        for r in ivf_query_index(
+            load_ivf_index(spark, full), queries, k=5, n_probes=2
+        ).collect()
+    }
+    assert got == want and len(got) == 25
