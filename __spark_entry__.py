@@ -2,8 +2,8 @@
 
 ``entry`` runs the flagship dashboard query; ``queries`` /
 ``oracle_sql`` expose every implemented operator from SURVEY.md §2
-plus the training-data-pipeline extensions — 256 registered queries,
-255 with DuckDB oracles, 1 rows-only: x_pca_project
+plus the training-data-pipeline extensions — 258 registered queries,
+257 with DuckDB oracles, 1 rows-only: x_pca_project
 (numpy eigh) — PERMANENTLY rows-only by round-6 decision: its
 Parseval shadow ``x_pca_invariants`` checks centering/orthonormality
 in SQL, and ``x_power_iteration`` proves the distributed eigen-math
@@ -62,18 +62,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Round-12 gate front block. Every round-11 front name is green in
-# CORRECTNESS_r11, so the 50-slot window now holds: (a) the 11
+# CORRECTNESS_r11, so the 50-slot window now holds: (a) the 13
 # round-12 additions (inserted at the top as they land —
 # never-checked names MUST debut in the front,
-# scripts/check_rotation.py enforces it), (b) the 6 permanent
-# double-arithmetic SENTINELS, and (c) STALENESS ROTATION — the
-# complete 33-name r6-vintage tier staged as _ROTATION_R12 last
-# round (the oldest tier). 11 + 6 + 33 = exactly 50: the second
-# session's additions displaced the whole r7 fill into
-# _ROTATION_R13, which now carries the full r7 tier (49 names — more
-# than one front, so round 13 must split it; the checker only
-# requires oldest-tier + never-checked to fit). After this window
-# runs, no catalog name's newest driver row is older than r7.
+# scripts/check_rotation.py enforces it), (b) 4 of the 6
+# double-arithmetic SENTINELS (a29/a30 sit out this round — see the
+# section comment), and (c) STALENESS ROTATION — the complete
+# 33-name r6-vintage tier staged as _ROTATION_R12 last round (the
+# oldest tier). 13 + 4 + 33 = exactly 50: the second session's
+# additions displaced the whole r7 fill plus two sentinels into
+# _ROTATION_R13, which now carries the full r7 tier + a29/a30 (51
+# names — more than one front, so round 13 must split it; the
+# checker only requires oldest-tier + never-checked to fit). After
+# this window runs, no catalog name's newest driver row is older
+# than r7.
 _GATE_PRIORITY = (
     # -- (a) new in round 12 ------------------------------------------------
     "x_golden_priority",
@@ -87,12 +89,16 @@ _GATE_PRIORITY = (
     "t21_theil_sen",
     "x_chi2_drain",
     "a45_abc",
-    # -- (b) permanent sentinels: fragile double-fold bit-exactness --------
+    "x_golden_conflicts",
+    "x_ngram_novelty",
+    # -- (b) sentinels: fragile double-fold bit-exactness. a29/a30 sit
+    # out THIS round only — their numpy parity is independently pinned
+    # in tests/test_plans.py every suite run, and the two slots let the
+    # last round-12 additions make their mandatory never-checked debut;
+    # both return to the front in round 13 --------------------------------
     "t10_holt",
     "t12_holt_winters",
     "x_pagerank",
-    "a29_trend_slope",
-    "a30_corr_pairs",
     "x_linkage_score",
     # -- (c) staleness rotation: the complete 33-name r6 tier ---------------
     "a14_slicer_filtered",
@@ -128,7 +134,6 @@ _GATE_PRIORITY = (
     "x_substring_removal",
     "x_substring_spans",
     "x_tdigest_drain",
-    # r7 vintage fill (alphabetical; budget = 50 - new - 6 - 33)
 )
 
 # Round-13 rotation backlog: the remaining r7-vintage names (the
@@ -136,6 +141,8 @@ _GATE_PRIORITY = (
 # additions + the sentinels; r8-vintage names come next (run
 # scripts/check_rotation.py to re-derive).
 _ROTATION_R13: tuple[str, ...] = (
+    "a29_trend_slope",
+    "a30_corr_pairs",
     "l14_large_volume_orders",
     "l15_disjunctive_revenue",
     "p12_bool_cast",

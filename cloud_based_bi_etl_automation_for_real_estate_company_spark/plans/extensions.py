@@ -2122,6 +2122,114 @@ def q_x_golden_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.join(modes, "cluster_id")
 
 
+def q_x_golden_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MDM CONFLICT report (round 12 — the triage view next to the
+    x_golden_* survivorship rules): per entity cluster and attribute,
+    the cases where member rows DISAGREE — distinct value count, row
+    count, the leading value with its support, and the consensus
+    fraction a steward reads to decide between auto-merge and manual
+    review. Survivorship picks a winner silently; this surfaces what
+    it overrode.
+
+    Same blocking → Levenshtein → star-CC chain and stacked
+    one-shuffle attribute counts as x_golden_mode; the report adds
+    one (cluster, attr) agg + the winner window over the SAME counts
+    frame (checkpointed — two consumers). Only conflicted
+    (n_values > 1) rows are emitted. The consensus fraction is the
+    single double (top support / rows)."""
+    from pyspark.sql import Window
+
+    p = t(spark, sf_dir, "part")
+    cmap = _part_entity_clusters(p)
+    joined = (
+        p.select("p_name", "p_brand", "p_type")
+        .join(cmap, "p_name")
+        .localCheckpoint(eager=True)
+    )
+    stacked = joined.select(
+        "cluster_id",
+        F.expr(
+            "stack(2, 'brand', p_brand, 'type', p_type) AS (attr, val)"
+        ),
+    )
+    cnt = (
+        stacked.groupBy("cluster_id", "attr", "val")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    agg = cnt.groupBy("cluster_id", "attr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_values"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+    )
+    w = Window.partitionBy("cluster_id", "attr").orderBy(
+        F.col("cnt").desc(), F.col("val").asc()
+    )
+    top = (
+        cnt.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "cluster_id",
+            "attr",
+            F.col("val").alias("top_val"),
+            F.col("cnt").cast("bigint").alias("top_cnt"),
+        )
+    )
+    return (
+        agg.join(top, ["cluster_id", "attr"])
+        .filter(F.col("n_values") > 1)
+        .select(
+            "cluster_id",
+            "attr",
+            "n_values",
+            "n_rows",
+            "top_val",
+            "top_cnt",
+            (
+                F.col("top_cnt").cast("double")
+                / F.col("n_rows").cast("double")
+            ).alias("consensus_frac"),
+        )
+    )
+
+
+def q_x_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY against the already-ingested corpus
+    (round 12): the fraction of a document's distinct 3-gram shingles
+    whose FIRST corpus occurrence (min doc_id — arrival order) is the
+    document itself. The diversity dial of curation sampling: a crawl
+    slice full of near-zero-novelty documents adds tokens but no new
+    content, even when no single pair crosses a dedup threshold.
+
+    Plan: one distinct-shingle explode, one min-agg per shingle
+    (shingle-keyed — the same shuffle key family as the dedup
+    operators), a join-back, and a doc-keyed agg; documents shorter
+    than 3 tokens report 0 shingles and NULL novelty. At 100 TB the
+    shingle frame is the same one exact/minhash dedup already
+    materialize — novelty rides an existing shuffle shape."""
+    d = t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(T.shingles("text", 3))).alias("sh"),
+    )
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_id"))
+    per = (
+        sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(
+                (F.col("first_id") == F.col("doc_id")).cast("bigint")
+            ).cast("bigint").alias("n_novel"),
+        )
+    )
+    return d.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shingles", F.lit(0)).cast("bigint").alias("n_shingles"),
+        F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+        F.try_divide(F.col("n_novel"), F.col("n_shingles")).alias("novelty"),
+    )
+
+
 def _part_entity_clusters(p: DataFrame) -> DataFrame:
     """Shared blocking → Levenshtein ≤ 2 → star-CC chain of the
     x_golden_* family: returns (p_name, cluster_id) with singleton
@@ -5034,6 +5142,93 @@ ORACLES["x_mojibake_full"] = f"""
     FROM documents
 """
 
+# x_golden_conflicts: the same clustering + stacked-count CTEs as
+# x_golden_mode, then the per-(cluster, attr) disagreement report —
+# winner by (cnt DESC, val ASC), emitted only where n_values > 1.
+ORACLES["x_ngram_novelty"] = f"""
+    WITH {_SHINGLES_CTE},
+    firsts AS (
+        SELECT sh, MIN(doc_id) AS first_id FROM shingled GROUP BY 1),
+    per AS (
+        SELECT s.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN f.first_id = s.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        FROM shingled s JOIN firsts f USING (sh)
+        GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(p.n_novel, 0) AS BIGINT) AS n_novel,
+           CASE WHEN p.n_shingles > 0
+                THEN CAST(p.n_novel AS DOUBLE)
+                     / CAST(p.n_shingles AS DOUBLE) END AS novelty
+    FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+ORACLES["x_golden_conflicts"] = """
+    WITH RECURSIVE vals AS (
+        SELECT p_name AS name, COUNT(*) AS n_rows FROM part GROUP BY 1),
+    words AS (
+        SELECT name, UNNEST(range(len(t))) AS pos, UNNEST(t) AS w
+        FROM (SELECT name, string_split_regex(name, '\\s+') AS t FROM vals)),
+    cand AS (
+        SELECT DISTINCT a.name AS name_a, b.name AS name_b
+        FROM words a JOIN words b
+          ON a.pos = b.pos AND a.w = b.w AND a.name < b.name),
+    scored AS (
+        SELECT name_a, name_b FROM cand
+        WHERE levenshtein(name_a, name_b) <= 2),
+    ids AS (
+        SELECT p_name AS name, MIN(p_partkey) AS nid FROM part GROUP BY 1),
+    edges AS (
+        SELECT ia.nid AS u, ib.nid AS v
+        FROM scored s
+        JOIN ids ia ON ia.name = s.name_a
+        JOIN ids ib ON ib.name = s.name_b
+        UNION ALL
+        SELECT ib.nid, ia.nid
+        FROM scored s
+        JOIN ids ia ON ia.name = s.name_a
+        JOIN ids ib ON ib.name = s.name_b),
+    reach(node, label) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v),
+    cl AS (
+        SELECT node AS nid, MIN(label) AS cl FROM reach GROUP BY node),
+    cmap AS (
+        SELECT i.name, COALESCE(c.cl, i.nid) AS cluster_id
+        FROM ids i LEFT JOIN cl c ON c.nid = i.nid),
+    j AS MATERIALIZED (
+        SELECT m.cluster_id, p.p_name, p.p_brand, p.p_type
+        FROM part p JOIN cmap m ON m.name = p.p_name),
+    stacked AS (
+        SELECT cluster_id, 'brand' AS attr, p_brand AS val FROM j
+        UNION ALL
+        SELECT cluster_id, 'type', p_type FROM j),
+    cnt AS MATERIALIZED (
+        SELECT cluster_id, attr, val, COUNT(*) AS cnt
+        FROM stacked GROUP BY 1, 2, 3),
+    agg AS (
+        SELECT cluster_id, attr,
+               CAST(COUNT(*) AS BIGINT) AS n_values,
+               CAST(SUM(cnt) AS BIGINT) AS n_rows
+        FROM cnt GROUP BY 1, 2),
+    top AS (
+        SELECT cluster_id, attr, val AS top_val,
+               CAST(cnt AS BIGINT) AS top_cnt
+        FROM cnt
+        QUALIFY row_number() OVER (
+            PARTITION BY cluster_id, attr
+            ORDER BY cnt DESC, val ASC) = 1)
+    SELECT a.cluster_id, a.attr, a.n_values, a.n_rows,
+           t.top_val, t.top_cnt,
+           CAST(t.top_cnt AS DOUBLE) / CAST(a.n_rows AS DOUBLE)
+               AS consensus_frac
+    FROM agg a JOIN top t USING (cluster_id, attr)
+    WHERE a.n_values > 1
+"""
+
 ORACLES["x_golden_mode"] = """
     WITH RECURSIVE vals AS (
         SELECT p_name AS name, COUNT(*) AS n_rows FROM part GROUP BY 1),
@@ -5978,6 +6173,8 @@ QUERIES = {
     "x_kcore": q_x_kcore,
     "x_golden_records": q_x_golden_records,
     "x_golden_mode": q_x_golden_mode,
+    "x_golden_conflicts": q_x_golden_conflicts,
+    "x_ngram_novelty": q_x_ngram_novelty,
     "x_golden_priority": q_x_golden_priority,
     "x_tdigest_drain": q_x_tdigest_drain,
     "x_kmv_setops": q_x_kmv_setops,

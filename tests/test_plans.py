@@ -285,6 +285,15 @@ def test_l25_date_filter_pushed_before_join(spark):
         # totals/grand/allc/cells; checkpointed (observed 9
         # exchanges, 0 Python nodes)
         ("x_chi2_drift", 12),
+        # round-12: x_golden_conflicts — the (cluster, attr, val)
+        # count frame feeds the agg AND the winner window; both it
+        # and the labeled member table are checkpointed (observed 2
+        # exchanges post-checkpoint, 0 Python nodes)
+        ("x_golden_conflicts", 5),
+        # round-12: x_ngram_novelty — distinct-shingle explode feeds
+        # the first-occurrence agg and the join-back; scan re-reads
+        # are cheap (observed 4 exchanges, 0 Python nodes)
+        ("x_ngram_novelty", 7),
         # round-12: t21_theil_sen — the monthly-revenue frame feeds
         # both pair sides + n_points; checkpointed (observed 4
         # exchanges post-checkpoint, 16 without, 0 Python nodes)
@@ -356,3 +365,58 @@ def test_a45_abc_class_invariants(spark):
             classes["B"]["revenue_share"] if "B" in classes else 0.0
         )
         assert ab <= 0.95 + 1e-12
+
+
+def test_x_golden_conflicts_consistent_with_mode(spark):
+    """Every conflicted attribute's leading value equals the mode
+    survivorship's winner for that cluster, support never exceeds the
+    row count, and only real conflicts (n_values > 1) are reported."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.plans import (
+        extensions,
+    )
+
+    conf = extensions.q_x_golden_conflicts(spark, SF).collect()
+    assert conf, "fixture should contain at least one conflicted cluster"
+    modes = {
+        r["cluster_id"]: r
+        for r in extensions.q_x_golden_mode(spark, SF).collect()
+    }
+    for r in conf:
+        assert r["n_values"] > 1
+        assert 0 < r["top_cnt"] <= r["n_rows"]
+        assert 0.0 < r["consensus_frac"] < 1.0
+        key = "mode_brand" if r["attr"] == "brand" else "mode_type"
+        assert r["top_val"] == modes[r["cluster_id"]][key]
+
+
+def test_x_ngram_novelty_invariants(spark):
+    """The earliest shingled document is fully novel, novelty is a
+    fraction of each doc's own shingles, and total novel shingles
+    equal the corpus's distinct shingle count (each shingle is novel
+    exactly once, in its first document)."""
+    from pyspark.sql import functions as F
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.functions import (
+        text as T,
+    )
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.plans import (
+        extensions,
+    )
+
+    rows = extensions.q_x_ngram_novelty(spark, SF).collect()
+    shingled = [r for r in rows if r["n_shingles"] > 0]
+    assert shingled
+    first = min(shingled, key=lambda r: r["doc_id"])
+    assert first["novelty"] == 1.0
+    for r in rows:
+        assert 0 <= r["n_novel"] <= r["n_shingles"]
+        if r["n_shingles"] == 0:
+            assert r["novelty"] is None
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    n_distinct = (
+        d.select(F.explode(T.shingles("text", 3)).alias("sh"))
+        .select("sh")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_novel"] for r in rows) == n_distinct
