@@ -220,6 +220,92 @@ def stream_embeddings_index(
     return writer.start()
 
 
+def stream_drift_gated_ingest(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    quarantine_path: str,
+    store_path: str,
+    checkpoint: str,
+    schema: str = "doc_id bigint, text string, lang string, "
+    "source string, n_chars bigint",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Drift-GATED ingestion (round 12) — the admission family composed
+    into an executable gate: every micro-batch of documents is scored
+    against the accumulated history (numeric PSI over n_chars via
+    ``quality.psi_admit`` + categorical chi-square over lang via
+    ``quality.chi2_admit``) and ROUTED — a batch either side flags
+    lands in ``quarantine_path`` instead of ``out_path``, so a
+    mis-crawled slice never reaches the corpus, while both score rows
+    append to ``{store_path}/monitor`` as the alerting artifact
+    (batch id, both statistics, the route taken).
+
+    Reference-contract split, stated deliberately: the MONITOR's
+    history tracks everything OBSERVED (quarantined batches included —
+    the admit operators' score-before-append contract already orders
+    score vs fold-in correctly), while the GATE protects the CORPUS
+    (out_path only receives clean batches). Excluding quarantined
+    data from the reference would instead let one bad slice's
+    absence bias every later comparison window.
+
+    Cold start admits by construction: PSI's empty history is the
+    well-defined uniform reference and chi-square's cold start is
+    explicitly undefined (``chi2_defined`` false → no rejection), so
+    the first batch seeds both histories. foreachBatch is sequential,
+    so the two admit calls and the routed write are one atomic batch
+    step under the checkpoint."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..operators.quality import chi2_admit, psi_admit
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.json(in_path)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # the batch feeds two scorers + the routed write — pin it so
+        # the source JSON parse runs once
+        b = batch_df.localCheckpoint(eager=True)
+        psi_row = psi_admit(b, os.path.join(store_path, "psi")).collect()[0]
+        chi_row = chi2_admit(b, os.path.join(store_path, "chi2")).collect()[0]
+        shifted = bool(psi_row["shifted"]) or bool(
+            chi_row["reject_95"] or False
+        )
+        spark.createDataFrame(
+            [
+                (
+                    batch_id,
+                    psi_row["n_batch"],
+                    psi_row["psi"],
+                    bool(psi_row["shifted"]),
+                    chi_row["chi2"],
+                    bool(chi_row["chi2_defined"]),
+                    chi_row["reject_95"],
+                    "quarantine" if shifted else "out",
+                )
+            ],
+            "batch_id bigint, n_batch bigint, psi double, "
+            "psi_shifted boolean, lang_chi2 double, chi2_defined boolean, "
+            "lang_reject_95 boolean, route string",
+        ).write.mode("append").parquet(os.path.join(store_path, "monitor"))
+        dest = quarantine_path if shifted else out_path
+        b.withColumn("__batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(dest)
+
+    writer = raw.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def replay_batch_equals_stream(
     spark: SparkSession, in_path: str, batch_out: str, stream_out: str, checkpoint: str
 ) -> tuple[DataFrame, DataFrame]:

@@ -675,3 +675,72 @@ def test_stream_embeddings_index_matches_one_shot_build(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == 25
+
+
+def test_stream_drift_gated_ingest_routes_shifted_batch(spark, tmp_path):
+    """Round-12: three micro-batches through the drift gate — two
+    statistically alike batches land in the corpus, the wildly
+    shifted third routes to quarantine; the monitor table records
+    every batch with its scores and route."""
+    import json as _json
+    import os as _os
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.streaming.pipeline import (
+        stream_drift_gated_ingest,
+    )
+
+    def doc(i, n_chars, lang):
+        return {
+            "doc_id": i,
+            "text": "w " * 5,
+            "lang": lang,
+            "source": "s",
+            "n_chars": n_chars,
+        }
+
+    edir = tmp_path / "in"
+    edir.mkdir()
+    batches = [
+        # batches 0/1: lengths spread over [0, 4000], english/german mix
+        [doc(i, (i * 37) % 4000, ["en", "de"][i % 2]) for i in range(200)],
+        [doc(200 + i, (i * 41) % 4000, ["en", "de"][i % 2]) for i in range(200)],
+        # batch 2: everything crammed at one length, one new language
+        [doc(400 + i, 50, "xx") for i in range(200)],
+    ]
+    for fi, rows in enumerate(batches):
+        fp = edir / f"f{fi}.jsonl"
+        with open(fp, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(fp, (1_700_000_000 + fi, 1_700_000_000 + fi))
+
+    out = str(tmp_path / "out")
+    quarantine = str(tmp_path / "quarantine")
+    store = str(tmp_path / "store")
+    q = stream_drift_gated_ingest(
+        spark,
+        str(edir),
+        out,
+        quarantine,
+        store,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+
+    monitor = {
+        r["batch_id"]: r
+        for r in spark.read.parquet(store + "/monitor").collect()
+    }
+    assert len(monitor) == 3
+    # cold start admits by construction
+    assert monitor[0]["route"] == "out"
+    assert monitor[0]["chi2_defined"] is False
+    assert monitor[1]["route"] == "out"
+    assert monitor[2]["route"] == "quarantine"
+    assert monitor[2]["psi_shifted"] or monitor[2]["lang_reject_95"]
+
+    good = spark.read.parquet(out)
+    bad = spark.read.parquet(quarantine)
+    assert good.count() == 400 and bad.count() == 200
+    assert {r["__batch_id"] for r in good.select("__batch_id").distinct().collect()} == {0, 1}
