@@ -220,6 +220,51 @@ def stream_embeddings_index(
     return writer.start()
 
 
+def stream_bm25_index(
+    spark: SparkSession,
+    in_path: str,
+    store_path: str,
+    checkpoint: str,
+    schema: str = "doc_id bigint, text string, lang string, "
+    "source string, n_chars bigint",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    compact_every: int | None = None,
+) -> StreamingQuery:
+    """Streaming lexical-index maintenance (round 12) — the foreachBatch
+    wrapper over ``corpus.bm25_index_append``, completing the
+    retrieval-ingest pair with :func:`stream_embeddings_index`: each
+    micro-batch of documents folds its postings into the persistent
+    BM25 store, so ``corpus.bm25_query_store`` serves scores that
+    include everything ingested so far. Postings are disjoint-by-doc
+    and additive, so any batching yields exactly the one-shot index
+    (the x_bm25_drain gate's invariant). ``compact_every=N``
+    right-sizes the postings files after every Nth batch inside the
+    sink — foreachBatch is sequential, so the sink IS the compaction's
+    quiet window (the stream_soft_dedup_documents idiom).
+    Exactly-once is the checkpoint's job; a replayed batch would
+    double its tf rows (same caveat and remedies as
+    bm25_index_append)."""
+    from ..operators.corpus import bm25_index_append, compact_bm25_store
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.json(in_path)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        bm25_index_append(batch_df, store_path)
+        if compact_every is not None and (batch_id + 1) % compact_every == 0:
+            compact_bm25_store(spark, store_path)
+
+    writer = raw.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_drift_gated_ingest(
     spark: SparkSession,
     in_path: str,

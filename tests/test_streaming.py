@@ -744,3 +744,54 @@ def test_stream_drift_gated_ingest_routes_shifted_batch(spark, tmp_path):
     bad = spark.read.parquet(quarantine)
     assert good.count() == 400 and bad.count() == 200
     assert {r["__batch_id"] for r in good.select("__batch_id").distinct().collect()} == {0, 1}
+
+
+def test_stream_bm25_index_matches_one_shot(spark, tmp_path):
+    """Round-12: documents streamed through stream_bm25_index in two
+    micro-batches (with a compaction in between) retrieve EXACTLY like
+    the one-shot bm25_topk over the full corpus."""
+    import json as _json
+    import os as _os
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.corpus import (
+        bm25_query_store,
+        bm25_topk,
+        corpus_bigram_queries,
+    )
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.streaming.pipeline import (
+        stream_bm25_index,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = d.collect()
+    edir = tmp_path / "in"
+    edir.mkdir()
+    halves = [rows[: len(rows) // 2], rows[len(rows) // 2 :]]
+    for fi, chunk in enumerate(halves):
+        fp = edir / f"f{fi}.jsonl"
+        with open(fp, "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r.asDict()) + "\n")
+        _os.utime(fp, (1_700_000_000 + fi, 1_700_000_000 + fi))
+
+    store = str(tmp_path / "bm25")
+    q = stream_bm25_index(
+        spark,
+        str(edir),
+        store,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        compact_every=1,
+    )
+    q.awaitTermination()
+
+    queries = corpus_bigram_queries(d)
+    got = {
+        (r["query"], r["rnk"]): (r["doc_id"], r["score"])
+        for r in bm25_query_store(spark, store, queries).collect()
+    }
+    want = {
+        (r["query"], r["rnk"]): (r["doc_id"], r["score"])
+        for r in bm25_topk(d).collect()
+    }
+    assert got == want and len(got) == 25
