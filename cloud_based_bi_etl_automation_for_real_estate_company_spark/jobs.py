@@ -221,6 +221,11 @@ def run_curation_pipeline(
             # chi2's n_source counts lang-not-null rows (vs n_chars
             # for the numeric family) — keep only its scores to avoid
             # a silent count collision on the join keys
+            # LEFT join (round-13 ADVICE): a source whose rows all
+            # have NULL lang yields no chi2 row (NULL categories are
+            # filtered) — an inner join would silently drop that
+            # source's ENTIRE report row including its KS/W1/PSI
+            # stats; left keeps the numeric row with NULL chi2 fields
             chi2_drift(d).select(
                 "source",
                 "df_chi2",
@@ -228,6 +233,7 @@ def run_curation_pipeline(
                 F.col("reject_95").alias("lang_reject_95"),
             ),
             ["source"],
+            "left",
         ).write.mode("overwrite").parquet(out_path + "__drift_report")
     gated = quality_gate(d)
     repetitive = (

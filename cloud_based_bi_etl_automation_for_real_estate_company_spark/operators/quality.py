@@ -703,9 +703,11 @@ def w1_drift(
     CDFs are 1 there). The summand runs in INTEGER cross-multiplied
     form |cum_g·n_rest − cum_rest·n_g|·Δv with ONE exact division by
     n_g·n_rest at the end — no float accumulation, the oracle replays
-    bit-for-bit. Products stay in BIGINT; past ~10⁹ rows × wide value
-    ranges switch the cross-multiply to DECIMAL(38,0) (n²·Δv terms
-    approach 2⁶³), same note as ks_drift.
+    bit-for-bit. The cross-multiply and its sum accumulate in
+    DECIMAL(38,0) (round-13 ADVICE: a BIGINT sum wraps SILENTLY past
+    ~10⁹ rows × wide value ranges while the DuckDB oracle — HUGEINT —
+    would not; decimal on the grid-sized frame costs nothing and
+    overflow now fails loudly instead of returning a wrong w1_dist).
 
     Spark shape: IDENTICAL to ks_drift — one (group,value) count agg,
     a bounded grid×groups broadcast expansion, one group-partitioned
@@ -762,15 +764,16 @@ def w1_drift(
     # still emits its group with W1 = 0
     term = (
         F.abs(
-            F.col("cum_g") * (F.col("n") - F.col("n_g"))
-            - (F.col("cum_all") - F.col("cum_g")) * F.col("n_g")
+            F.col("cum_g").cast("decimal(38,0)") * (F.col("n") - F.col("n_g"))
+            - (F.col("cum_all") - F.col("cum_g")).cast("decimal(38,0)")
+            * F.col("n_g")
         )
         * F.coalesce(F.col("dv"), F.lit(0))
     )
     agg = (
         cums.join(F.broadcast(grand))
         .groupBy(group_col, "n_g", "n")
-        .agg(F.sum(term).cast("bigint").alias("w1_int"))
+        .agg(F.sum(term).cast("decimal(38,0)").alias("w1_int"))
     )
     return agg.select(
         group_col,
@@ -1067,14 +1070,29 @@ def chi2_admit(
         1.6448536269514722
     ) * F.sqrt(F.lit(2.0) / (F.lit(9.0) * dofc))
     crit = dof * wh * wh * wh
-    out = (
+    # round-13 ADVICE fix: the output row derives from two ALWAYS-
+    # one-row global aggregates (tot × term-sum) instead of a groupBy
+    # over ``cells`` — a batch whose cat_col is all NULL on an empty
+    # history produces zero cells, and the old groupBy then emitted
+    # ZERO rows, so stream_drift_gated_ingest's collect()[0] raised
+    # IndexError inside foreachBatch and the checkpoint replayed the
+    # poisoned batch forever. Degenerate row: n_batch=n_hist=0,
+    # df_chi2 NULL, chi2 NULL, chi2_defined false (admit).
+    ssum = (
         cells.join(F.broadcast(tot))
-        .groupBy("n_batch", "n_hist", "k")
         .agg(F.sum(term).cast("double").alias("s"))
+    )
+    out = (
+        tot.select(
+            F.coalesce(F.col("n_batch"), F.lit(0)).alias("n_batch"),
+            F.coalesce(F.col("n_hist"), F.lit(0)).alias("n_hist"),
+            "k",
+        )
+        .join(F.broadcast(ssum))
         .select(
             "n_batch",
             "n_hist",
-            (F.col("k") - F.lit(1)).alias("df_chi2"),
+            F.when(F.col("k") > 0, F.col("k") - F.lit(1)).alias("df_chi2"),
             chi2.alias("chi2"),
             (
                 (F.col("n_batch") > 0) & (F.col("n_hist") > 0)
@@ -1087,55 +1105,26 @@ def chi2_admit(
     return out
 
 
-def ks_admit(
+def _digest_scored_grid(
     batch_df: DataFrame,
     store_path: str,
-    value_col: str = "n_chars",
-    delta: int = 100,
-    alpha_coeff: float = 1.358,
-) -> DataFrame:
-    """STREAMING Kolmogorov–Smirnov drift monitor — the fine-grained
-    companion of :func:`psi_admit` (round 12: the batch pair is KS+PSI,
-    so the streaming admission pair should be too): score each arriving
-    batch's ``value_col`` ECDF against a COMPACT t-digest history at
-    ``{store_path}/centroids`` (per-batch centroid sets from
-    operators/sketches.tdigest_centroids, appended — never raw values,
-    so the store is O(2δ) rows per batch at ANY batch size), then fold
-    the batch's own digest into the history. Same
-    score-before-append crash contract as the admission family.
-
-    Statistic: D = sup |ECDF_batch(v) − CDF_hist(v)| evaluated on the
-    union grid of the batch's distinct values and the history's
-    centroid means. CDF_hist linearly interpolates cumulative weight
-    over centroid MIDPOINT ranks — the same query convention as
-    tdigest_quantiles, inverted (value→rank instead of rank→value),
-    clamped to the extreme centroids' midranks. Both one-sided ECDF
-    limits are checked at batch values (a step function's sup needs
-    v⁻), and the left limit at pure centroid knots; between
-    consecutive union-grid points both functions are linear, so the
-    sup over the real line IS the max over these evaluations (of the
-    approximated CDF — the digest itself is within O(1/δ) of the true
-    history ECDF mid-distribution, best near the median, the
-    documented t-digest bound). Rejection uses the same c(α)·
-    sqrt((n1+n2)/(n1·n2)) critical value as :func:`ks_drift` with
-    n2 = the history's total weight (EXACT — digests preserve total
-    weight).
-
-    Spark shape: one grid union (batch distinct-value counts +
-    broadcast-small centroid table), ONE ordered window carrying the
-    interpolation knots (no broadcast-nested-loop range join), one max
-    agg. The window is unpartitioned but grid-sized — batch distinct
-    values + O(2δ·batches-since-compaction) centroids, never the raw
-    corpus. Cold start: the first batch has no reference — it returns
-    (n_batch, 0, NULL, false) and seeds the store; alert on the NULL
-    upstream if cold-start admission must be manual.
-
-    Returns one row: (n_batch, n_hist, ks_stat, reject_95). Compaction:
-    ``tdigest_merge`` the centroid store through
-    dedup._write_and_swap_store(subdir="centroids") in a quiet window;
-    the merged digest is a (deterministic) re-clustering, so scores
-    across a compaction agree within digest accuracy, not bitwise.
-    """
+    value_col: str,
+    delta: int,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Shared batch-ECDF-vs-centroid-history grid for the digest-backed
+    admission monitors (:func:`ks_admit` and round-13's
+    :func:`w1_admit` integrate different functionals over the SAME
+    evaluation grid): union the batch's distinct values with the
+    history's centroid knots, interpolate the history CDF over
+    centroid MIDPOINT ranks (the tdigest_quantiles query convention,
+    inverted and clamped at the extreme midranks), and carry both
+    one-sided batch-ECDF limits. Returns
+    ``(scored, tot, w_tot, sig)``: the per-grid-row frame with
+    columns (v, is_knot, cnt, cum_le, fh, e_le, e_lt, n_batch,
+    w_hist), the 1-row batch count, the 1-row history weight, and the
+    batch's OWN centroid set — which the CALLER must append to
+    ``{store_path}/centroids`` AFTER its score row is materialized
+    (the family's score-before-append crash contract)."""
     from ..session import hadoop_path_exists
     from .sketches import tdigest_centroids
 
@@ -1211,14 +1200,87 @@ def ks_admit(
             * (F.col("nm") - F.col("pm"))
         )
     )
-    scored = g.join(F.broadcast(tot)).join(F.broadcast(w_tot))
-    fh = fh_raw / F.col("w_hist")
-    e_le = F.col("cum_le").cast("double") / F.col("n_batch")
-    e_lt = (F.col("cum_le") - F.col("cnt")).cast("double") / F.col("n_batch")
+    scored = (
+        g.join(F.broadcast(tot))
+        .join(F.broadcast(w_tot))
+        .withColumn("fh", fh_raw / F.col("w_hist"))
+        .withColumn(
+            "e_le", F.col("cum_le").cast("double") / F.col("n_batch")
+        )
+        .withColumn(
+            "e_lt",
+            (F.col("cum_le") - F.col("cnt")).cast("double")
+            / F.col("n_batch"),
+        )
+    )
+    return scored, tot, w_tot, sig
+
+
+def ks_admit(
+    batch_df: DataFrame,
+    store_path: str,
+    value_col: str = "n_chars",
+    delta: int = 100,
+    alpha_coeff: float = 1.358,
+) -> DataFrame:
+    """STREAMING Kolmogorov–Smirnov drift monitor — the fine-grained
+    companion of :func:`psi_admit` (round 12: the batch pair is KS+PSI,
+    so the streaming admission pair should be too): score each arriving
+    batch's ``value_col`` ECDF against a COMPACT t-digest history at
+    ``{store_path}/centroids`` (per-batch centroid sets from
+    operators/sketches.tdigest_centroids, appended — never raw values,
+    so the store is O(2δ) rows per batch at ANY batch size), then fold
+    the batch's own digest into the history. Same
+    score-before-append crash contract as the admission family.
+
+    Statistic: D = sup |ECDF_batch(v) − CDF_hist(v)| evaluated on the
+    union grid of the batch's distinct values and the history's
+    centroid means. CDF_hist linearly interpolates cumulative weight
+    over centroid MIDPOINT ranks — the same query convention as
+    tdigest_quantiles, inverted (value→rank instead of rank→value),
+    clamped to the extreme centroids' midranks. Both one-sided ECDF
+    limits are checked at batch values (a step function's sup needs
+    v⁻), and the left limit at pure centroid knots; between
+    consecutive union-grid points both functions are linear, so the
+    sup over the real line IS the max over these evaluations (of the
+    approximated CDF — the digest itself is within O(1/δ) of the true
+    history ECDF mid-distribution, best near the median, the
+    documented t-digest bound). Rejection uses the same c(α)·
+    sqrt((n1+n2)/(n1·n2)) critical value as :func:`ks_drift` with
+    n2 = the history's total weight (EXACT — digests preserve total
+    weight).
+
+    Spark shape: one grid union (batch distinct-value counts +
+    broadcast-small centroid table), ONE ordered window carrying the
+    interpolation knots (no broadcast-nested-loop range join), one max
+    agg. The window is unpartitioned but grid-sized — batch distinct
+    values + O(2δ·batches-since-compaction) centroids, never the raw
+    corpus. Cold start: the first batch has no reference — it returns
+    (n_batch, 0, NULL, false) and seeds the store; alert on the NULL
+    upstream if cold-start admission must be manual.
+
+    Returns one row: (n_batch, n_hist, ks_stat, reject_95). Compaction:
+    ``tdigest_merge`` the centroid store through
+    dedup._write_and_swap_store(subdir="centroids") in a quiet window;
+    the merged digest is a (deterministic) re-clustering, so scores
+    across a compaction agree within digest accuracy, not bitwise.
+    """
+    scored, tot, w_tot, sig = _digest_scored_grid(
+        batch_df, store_path, value_col, delta
+    )
+    fh = F.col("fh")
+    e_le = F.col("e_le")
+    e_lt = F.col("e_lt")
     d = F.greatest(F.abs(e_le - fh), F.abs(e_lt - fh))
+    # GLOBAL max agg + 1-row scalar joins (round-13: the chi2_admit
+    # zero-row hardening applied family-wide) — a batch whose
+    # value_col is all NULL on an empty history has an EMPTY grid, and
+    # a groupBy over it would emit zero rows, breaking the
+    # one-row-per-batch contract callers' collect()[0] relies on
+    maxd = scored.agg(F.max(d).alias("ks_stat"))
     out = (
-        scored.groupBy("n_batch", "w_hist")
-        .agg(F.max(d).alias("ks_stat"))
+        tot.join(F.broadcast(w_tot))
+        .join(F.broadcast(maxd))
         .select(
             "n_batch",
             F.round("w_hist", 0).cast("bigint").alias("n_hist"),
@@ -1262,3 +1324,91 @@ def compact_ks_store(
     _write_and_swap_store(
         merged, store_path, bytes_per_file, subdir="centroids"
     )
+
+
+def w1_admit(
+    batch_df: DataFrame,
+    store_path: str,
+    value_col: str = "n_chars",
+    delta: int = 100,
+    threshold: float | None = None,
+) -> DataFrame:
+    """STREAMING Wasserstein-1 drift monitor (round 13 — completes the
+    admission-family symmetry: batch KS/PSI/W1/chi2 now all have a
+    streaming sibling): score each arriving batch's ``value_col``
+    ECDF against the SAME compact t-digest centroid history
+    :func:`ks_admit` maintains at ``{store_path}/centroids`` — the
+    two monitors can share one store, KS reading the sup gap and W1
+    the area between the curves. Same score-before-append crash
+    contract; store growth is O(2δ) rows per batch at any batch size;
+    :func:`compact_ks_store` serves both.
+
+    Statistic: W1 = ∫ |ECDF_batch(v) − CDF_hist(v)| dv over the hull
+    of the union grid (batch distinct values + centroid means —
+    outside the hull the digest CDF is clamped, so the documented
+    integration domain is the hull, matching the batch-mode
+    :func:`w1_drift`'s finite-grid integral). Between consecutive
+    grid points the batch ECDF is CONSTANT and the digest CDF LINEAR,
+    so the gap is linear and each segment integrates exactly: with
+    endpoint gaps a, b and width Δv the piece is Δv·(|a|+|b|)/2 when
+    a·b ≥ 0 and Δv·(a²+b²)/(2(|a|+|b|)) when the gap crosses zero
+    inside the segment (|a−b| = |a|+|b| there). One lead() on the
+    grid window the shared builder already orders — no extra
+    exchange vs ks_admit.
+
+    W1 carries ``value_col``'s units, so there is no distribution-free
+    critical value (unlike KS): ``threshold`` is the caller's alert
+    level in those units; ``shifted`` is always false when it is
+    None. Cold start (empty history): w1_dist NULL, w1_defined false,
+    the batch seeds the store — alert upstream on the NULL if manual
+    cold-start admission is required. Zero-row-proof like the whole
+    family post-round-13: global aggs + 1-row scalar joins, ONE row
+    out per batch always — (n_batch, n_hist, w1_dist, w1_defined,
+    shifted)."""
+    scored, tot, w_tot, sig = _digest_scored_grid(
+        batch_df, store_path, value_col, delta
+    )
+    order = Window.orderBy("v", F.col("is_knot").desc())
+    seg = scored.select(
+        "v",
+        "is_knot",
+        (F.col("e_le") - F.col("fh")).alias("a"),
+        (F.col("e_le") - F.lead("fh").over(order)).alias("b"),
+        (F.lead("v").over(order) - F.col("v")).alias("dv"),
+    )
+    piece = F.col("dv") * F.when(
+        F.col("a") * F.col("b") >= 0,
+        (F.abs("a") + F.abs("b")) / F.lit(2.0),
+    ).otherwise(
+        (F.col("a") * F.col("a") + F.col("b") * F.col("b"))
+        / (F.lit(2.0) * (F.abs("a") + F.abs("b")))
+    )
+    # the last grid row (NULL lead) contributes nothing; sum(NULL-safe)
+    # via coalesce keeps a single-point grid's W1 = 0 rather than NULL
+    w1 = seg.agg(
+        F.sum(F.coalesce(piece, F.lit(0.0))).alias("w1_raw")
+    )
+    out = (
+        tot.join(F.broadcast(w_tot))
+        .join(F.broadcast(w1))
+        .select(
+            "n_batch",
+            F.round("w_hist", 0).cast("bigint").alias("n_hist"),
+            F.when(F.col("w_hist") > 0, F.col("w1_raw")).alias("w1_dist"),
+            ((F.col("w_hist") > 0) & (F.col("n_batch") > 0)).alias(
+                "w1_defined"
+            ),
+            (
+                F.coalesce(
+                    F.when(F.col("w_hist") > 0, F.col("w1_raw"))
+                    > F.lit(threshold),
+                    F.lit(False),
+                )
+                if threshold is not None
+                else F.lit(False)
+            ).alias("shifted"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sig.write.mode("append").parquet(f"{store_path}/centroids")
+    return out

@@ -429,6 +429,112 @@ def test_ks_admit_hand_computed(spark, tmp_path):
     assert after.agg({"weight": "sum"}).collect()[0][0] == 12.0
 
 
+def test_w1_admit_hand_computed(spark, tmp_path):
+    """Streaming W1 vs a t-digest history (round 13), on the same
+    digest-exact fixture as test_ks_admit_hand_computed (8 distinct
+    unit-weight points, delta=100 → one centroid per value, history
+    CDF linear between midranks (k−½)/8 clamped at the extremes).
+
+    Batch 2 = [2, 4, 4, 6]: the union-grid hull is [1, 8]; summing
+    the per-segment exact integrals (trapezoid where the gap keeps
+    sign, the (a²+b²)/(2(|a|+|b|)) split on [2,3] where it crosses):
+    0.125 + 0.03125 + 0.125 + 0.25 + 0.125 + 0.25 + 0.125 =
+    1.03125."""
+    import math
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        w1_admit,
+    )
+
+    store = str(tmp_path / "w1")
+    hist = spark.createDataFrame(
+        [(v,) for v in range(1, 9)], "n_chars bigint"
+    )
+    r0 = w1_admit(hist, store).collect()[0]
+    assert r0["n_batch"] == 8 and r0["n_hist"] == 0
+    assert r0["w1_dist"] is None and r0["w1_defined"] is False
+    assert r0["shifted"] is False
+
+    b = spark.createDataFrame([(2,), (4,), (4,), (6,)], "n_chars bigint")
+    r1 = w1_admit(b, store, threshold=1.0).collect()[0]
+    assert r1["n_batch"] == 4 and r1["n_hist"] == 8
+    assert math.isclose(r1["w1_dist"], 1.03125, rel_tol=1e-12)
+    assert r1["w1_defined"] is True and r1["shifted"] is True
+    # score-before-append + shared-store layout: ks_admit's store
+    # contract holds (the two monitors can share one centroid store)
+    after = spark.read.parquet(f"{store}/centroids")
+    assert after.count() == 12
+    assert after.agg({"weight": "sum"}).collect()[0][0] == 12.0
+
+
+def test_w1_admit_identical_batch_scores_zero(spark, tmp_path):
+    """A batch distributed exactly like the (digest-exact) history
+    integrates a small but nonzero gap (the midrank convention offsets
+    the interpolated CDF by ½/n from the step ECDF) — bounded by
+    hull/(2n); and a shift by +1000 scores ≈ 1000."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        w1_admit,
+    )
+
+    store = str(tmp_path / "w1_same")
+    vals = [(v,) for v in range(0, 1000, 10)]  # 100 points, hull 990
+    w1_admit(spark.createDataFrame(vals, "n_chars bigint"), store)
+    r = w1_admit(
+        spark.createDataFrame(vals, "n_chars bigint"), store
+    ).collect()[0]
+    # ≤ hull/(2n) = 990/200 = 4.95 for the same sample
+    assert r["w1_dist"] is not None and r["w1_dist"] <= 4.95
+
+    store2 = str(tmp_path / "w1_shift")
+    w1_admit(spark.createDataFrame(vals, "n_chars bigint"), store2)
+    shifted = [(v + 1000,) for v, in vals]
+    r2 = w1_admit(
+        spark.createDataFrame(shifted, "n_chars bigint"), store2,
+        threshold=500.0,
+    ).collect()[0]
+    assert 900.0 <= r2["w1_dist"] <= 1100.0
+    assert r2["shifted"] is True
+
+
+def test_w1_admit_all_null_batch_still_emits_one_row(spark, tmp_path):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        w1_admit,
+    )
+
+    store = str(tmp_path / "w1_null")
+    rows = w1_admit(
+        spark.createDataFrame([(None,), (None,)], "n_chars bigint"), store
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_batch"] == 0 and r["n_hist"] == 0
+    assert r["w1_dist"] is None and r["w1_defined"] is False
+    assert r["shifted"] is False
+
+
+def test_w1_and_ks_admit_share_one_store(spark, tmp_path):
+    """The round-13 family contract: w1_admit reads/writes the SAME
+    {store}/centroids layout as ks_admit, so one store can back both
+    monitors — but each scorer folds the batch in, so sharing one
+    store means calling ONE scorer per batch per store (here: seed
+    with ks, score the next batch with w1 against ks's history)."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        ks_admit,
+        w1_admit,
+    )
+
+    store = str(tmp_path / "shared")
+    ks_admit(
+        spark.createDataFrame([(v,) for v in range(1, 9)], "n_chars bigint"),
+        store,
+    )
+    r = w1_admit(
+        spark.createDataFrame([(2,), (4,), (4,), (6,)], "n_chars bigint"),
+        store,
+    ).collect()[0]
+    assert r["n_hist"] == 8 and abs(r["w1_dist"] - 1.03125) < 1e-12
+
+
 def test_ks_admit_null_values_excluded(spark, tmp_path):
     from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
         ks_admit,
@@ -714,3 +820,95 @@ def test_chi2_admit_null_categories_excluded(spark, tmp_path):
         store,
     ).collect()[0]
     assert r["n_batch"] == 2
+
+
+def test_chi2_admit_all_null_batch_still_emits_one_row(spark, tmp_path):
+    """Round-13 ADVICE regression: a first micro-batch whose cat_col
+    is entirely NULL (or an empty trigger file) used to produce ZERO
+    output rows — the groupBy over an empty cell frame — so
+    stream_drift_gated_ingest's collect()[0] raised IndexError inside
+    foreachBatch and the checkpoint replayed the poisoned batch
+    forever. The contract is ONE row per batch, always."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        chi2_admit,
+    )
+
+    store = str(tmp_path / "chi2_store5")
+    rows = chi2_admit(
+        spark.createDataFrame([(None,), (None,)], "lang string"), store
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_batch"] == 0 and r["n_hist"] == 0
+    assert r["chi2"] is None and r["chi2_defined"] is False
+    assert r["df_chi2"] is None
+    # the degenerate batch appended no categories — a real batch after
+    # it is still a cold start (bootstraps the history, admits)
+    r2 = chi2_admit(
+        spark.createDataFrame([("en",), ("de",)], "lang string"), store
+    ).collect()[0]
+    assert r2["n_batch"] == 2 and r2["n_hist"] == 0
+    assert r2["chi2_defined"] is False
+
+
+def test_ks_admit_all_null_batch_still_emits_one_row(spark, tmp_path):
+    """Same zero-row hazard, KS member: empty grid (all-NULL batch on
+    an empty centroid history) must still yield the one-row-per-batch
+    contract."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        ks_admit,
+    )
+
+    store = str(tmp_path / "ks_store_null")
+    rows = ks_admit(
+        spark.createDataFrame([(None,), (None,)], "n_chars bigint"), store
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_batch"] == 0 and r["n_hist"] == 0
+    assert r["ks_stat"] is None and r["reject_95"] is False
+
+
+def test_drift_gated_ingest_survives_all_null_lang_batch(spark, tmp_path):
+    """End-to-end form of the ADVICE scenario: the FIRST trigger file
+    carries only NULL-lang rows; the stream must route it (cold start
+    admits) rather than wedge on an IndexError replay loop."""
+    import json
+    import os
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.streaming.pipeline import (
+        stream_drift_gated_ingest,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # one row per PSI bucket (width 410 over [0,4095]) so the uniform
+    # cold-start reference does not flag — the scenario under test is
+    # the all-NULL lang column, not a numeric shift
+    with open(in_dir / "b0.json", "w") as f:
+        for i in range(10):
+            f.write(
+                json.dumps(
+                    {"doc_id": i, "n_chars": i * 410 + 100, "lang": None}
+                )
+                + "\n"
+            )
+    out = str(tmp_path / "out")
+    q = stream_drift_gated_ingest(
+        spark,
+        str(in_dir),
+        out,
+        str(tmp_path / "quarantine"),
+        str(tmp_path / "store"),
+        str(tmp_path / "ckpt"),
+        schema="doc_id bigint, n_chars bigint, lang string",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    monitor = spark.read.parquet(str(tmp_path / "store" / "monitor"))
+    rows = monitor.collect()
+    assert len(rows) == 1
+    assert rows[0]["route"] == "out"
+    assert rows[0]["chi2_defined"] is False
+    assert os.path.exists(out)
+    assert spark.read.parquet(out).count() == 10
