@@ -406,6 +406,67 @@ def q_x_ks_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b0.unionByName(b1)
 
 
+def q_x_w1_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for the STREAMING Wasserstein-1 drift monitor
+    (operators/quality.w1_admit, round 13 — completes the admission
+    family: batch KS/PSI/W1/chi2 each now have a streaming sibling):
+    replay two micro-batches one-shot — even doc_ids seed the
+    t-digest history, odd doc_ids score against it. The x_ks_drain
+    audit form: counts are EXACT and oracle-pinned; the W1 statistic
+    is digest-approximate, so batch 0 must be undefined (cold start)
+    and batch 1's value must sit within 2% of the n_chars hull of the
+    EXACT parity-split w1_drift (delta=500 → near-singleton centroids
+    at gate scale; the residual is the midrank-interpolation offset,
+    bounded by hull/(2·n) per side — well under the 2% audit band)."""
+    import shutil
+    import tempfile
+
+    from ..operators.quality import w1_admit, w1_drift
+
+    d = t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="spark_graft_w1_drain_")
+    try:
+        f0 = w1_admit(d.filter(F.col("doc_id") % 2 == 0), tmp, delta=500)
+        f1 = w1_admit(d.filter(F.col("doc_id") % 2 == 1), tmp, delta=500)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    exact = (
+        w1_drift(
+            d.select(
+                (F.col("doc_id") % 2).alias("parity"), F.col("n_chars")
+            ),
+            value_col="n_chars",
+            group_col="parity",
+        )
+        .filter(F.col("parity") == 1)
+        .select(F.col("w1_dist").alias("w1_exact"))
+    )
+    hull = d.filter(F.col("n_chars").isNotNull()).agg(
+        (
+            F.max("n_chars").cast("double")
+            - F.min("n_chars").cast("double")
+        ).alias("hull")
+    )
+    b0 = f0.select(
+        F.lit(0).cast("bigint").alias("batch"),
+        "n_batch",
+        "n_hist",
+        F.col("w1_dist").isNotNull().alias("w1_defined"),
+        F.lit(True).alias("w1_ok"),
+    )
+    b1 = f1.join(F.broadcast(exact)).join(F.broadcast(hull)).select(
+        F.lit(1).cast("bigint").alias("batch"),
+        "n_batch",
+        "n_hist",
+        F.col("w1_dist").isNotNull().alias("w1_defined"),
+        (
+            F.abs(F.col("w1_dist") - F.col("w1_exact"))
+            <= F.lit(0.02) * F.col("hull")
+        ).alias("w1_ok"),
+    )
+    return b0.unionByName(b1)
+
+
 def q_x_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF "more like this" (operators/corpus.more_like_this)
     — top-3 related documents per query doc (doc_id % 29 == 0) by
@@ -5550,6 +5611,25 @@ ORACLES["x_ks_drain"] = """
     SELECT CAST(1 AS BIGINT), n_odd, n_even, true, true FROM c
 """
 
+# x_w1_drain: same constant-spine audit form as x_ks_drain — exact
+# parity counts pinned literally, the digest-approximation boolean
+# (|w1_admit − exact w1_drift| ≤ 2% of the n_chars hull) computed
+# Spark-side and required true; batch 0 undefined on the cold start.
+ORACLES["x_w1_drain"] = """
+    WITH c AS (
+        SELECT CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_even,
+               CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_odd
+        FROM documents WHERE n_chars IS NOT NULL)
+    SELECT CAST(0 AS BIGINT) AS batch, n_even AS n_batch,
+           CAST(0 AS BIGINT) AS n_hist,
+           false AS w1_defined, true AS w1_ok
+    FROM c
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), n_odd, n_even, true, true FROM c
+"""
+
 ORACLES["x_kcore"] = _kcore_oracle(2, 8)
 
 # x_tdigest_quantiles tolerance audit: exact per-(type, q) row counts
@@ -6094,6 +6174,7 @@ QUERIES = {
     "x_bm25": q_x_bm25,
     "x_bm25_drain": q_x_bm25_drain,
     "x_ks_drain": q_x_ks_drain,
+    "x_w1_drain": q_x_w1_drain,
     "x_mlt": q_x_mlt,
     "x_hybrid_rrf": q_x_hybrid_rrf,
     "x_ks_drift": q_x_ks_drift,
