@@ -1338,15 +1338,34 @@ def more_like_this(
     the rank orders by its 12-dp rounding (ties → candidate id ASC).
     Returns (query_id, rnk, ``id_col``, cosine).
     """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    return _mlt_score_postings(tf, n_docs, query_docs, id_col, k, max_df_frac)
+
+
+def _mlt_score_postings(
+    tf: DataFrame,
+    n_docs: DataFrame,
+    query_docs: DataFrame,
+    id_col: str,
+    k: int,
+    max_df_frac: float,
+) -> DataFrame:
+    """Shared TF-IDF cosine scorer over a (``id_col``, term, tf)
+    postings frame — the MLT analogue of :func:`_bm25_score_postings`
+    (round 13): :func:`more_like_this` feeds it the one-shot token
+    agg, :func:`mlt_query_store` the incrementally built store.
+    ``n_docs`` is a 1-row (n_docs) frame — passed in because the two
+    callers derive it differently (corpus count vs distinct store
+    docs; identical under the tokenizer convention, see
+    mlt_query_store). Plan/exactness notes on more_like_this."""
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
     from .cacheutil import attach_cached
 
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
-    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     w = (
         tf.join(dfreq, "term")
         .join(F.broadcast(n_docs))
@@ -1417,6 +1436,40 @@ def more_like_this(
         .select("query_id", "rnk", id_col, "cosine"),
         w,
     )
+
+
+def mlt_query_store(
+    spark,
+    store_path: str,
+    query_docs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """"More like this" retrieval from the incrementally built BM25
+    postings store (round 13 — the round-12 verdict's
+    productionization of :func:`more_like_this`): score TF-IDF cosine
+    top-``k`` against ``{store_path}/postings``
+    (:func:`bm25_index_append`) instead of re-tokenizing the corpus —
+    the two corpus passes the one-shot path persists away are simply
+    never taken, and one store now serves BOTH retrieval surfaces
+    (BM25 and MLT read the same postings; the stored rows are
+    format-identical).
+
+    IDF weights are still derived at query time (N and doc_freq
+    change with every append, so they cannot be baked into the
+    store); the per-call persist is therefore the weighted sliver,
+    fed from a column-pruned store scan rather than a corpus
+    tokenize. ``n_docs`` = distinct store docs — IDENTICAL to the
+    one-shot path's corpus count under the tokenizer convention
+    (``split(trim(text), ' ')`` yields one empty-string term even for
+    empty text, so every ingested doc owns ≥1 posting; pinned by the
+    store≡one-shot parity test and the x_mlt_drain gate, whose
+    oracle is literally the x_mlt SQL). Same hot-term bound, decimal
+    dot/norm sums, and rank convention as more_like_this."""
+    tf = spark.read.parquet(f"{store_path}/postings")
+    n_docs = tf.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    return _mlt_score_postings(tf, n_docs, query_docs, id_col, k, max_df_frac)
 
 
 def doc_keyphrases(

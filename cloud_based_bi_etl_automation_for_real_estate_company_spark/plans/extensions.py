@@ -480,6 +480,34 @@ def q_x_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x_mlt_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for STORE-BACKED more-like-this
+    (operators/corpus.mlt_query_store, round 13 — the round-12
+    verdict's productionization of the materialize-the-index trade):
+    replay a two-batch ingest one-shot — even doc_ids append postings
+    first, odd doc_ids second (the x_bm25_drain split, same store
+    layout) — then score the x_mlt query set (doc_id % 29 == 0) from
+    the store. Postings are disjoint-by-doc and additive and the
+    store's distinct-doc count equals the corpus count (tokenizer
+    convention: every doc owns ≥1 posting), so store-backed MLT must
+    rank IDENTICALLY to the one-shot x_mlt — the oracle is literally
+    the x_mlt SQL. Materialized before the temp store is deleted."""
+    import shutil
+    import tempfile
+
+    d = t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="spark_graft_mlt_drain_")
+    try:
+        C.bm25_index_append(d.filter(F.col("doc_id") % 2 == 0), tmp)
+        C.bm25_index_append(d.filter(F.col("doc_id") % 2 == 1), tmp)
+        out = C.mlt_query_store(
+            spark, tmp, d.filter(F.col("doc_id") % 29 == 0).select("doc_id")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_x_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYBRID retrieval (operators/similarity.py: rrf_fuse) — fuse the
     sparse TF-IDF more-like-this leg (x_mlt's plan, top-10) with the
@@ -5460,6 +5488,11 @@ def _kcore_oracle(k: int, rounds: int) -> str:
 # exactly what the one-shot index retrieves — same SQL, verbatim.
 ORACLES["x_bm25_drain"] = ORACLES["x_bm25"]
 
+# x_mlt_drain: the store-built postings must rank identically to the
+# one-shot x_mlt (disjoint-by-doc additive postings; store doc count ==
+# corpus count under the tokenizer convention) — the oracle IS x_mlt's.
+# Registered after ORACLES["x_mlt"] exists (it is defined below).
+
 # x_hybrid_rrf: the x_mlt CTE chain at k=10 (sparse leg) + the
 # x_ann_bruteforce chain at k=10 (dense leg), full-outer joined and
 # reciprocal-rank fused — CAST(1 AS DOUBLE) for the reciprocal (a bare
@@ -5591,6 +5624,8 @@ ORACLES["x_mlt"] = """
           FROM cosd)
     WHERE rnk <= 3
 """
+
+ORACLES["x_mlt_drain"] = ORACLES["x_mlt"]
 
 # x_ks_drain: constant-spine audit oracle (the x_tdigest_drain form) —
 # exact batch/history counts from literal parity COUNTs; the
@@ -6176,6 +6211,7 @@ QUERIES = {
     "x_ks_drain": q_x_ks_drain,
     "x_w1_drain": q_x_w1_drain,
     "x_mlt": q_x_mlt,
+    "x_mlt_drain": q_x_mlt_drain,
     "x_hybrid_rrf": q_x_hybrid_rrf,
     "x_ks_drift": q_x_ks_drift,
     "x_w1_drift": q_x_w1_drift,

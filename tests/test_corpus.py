@@ -758,6 +758,42 @@ def test_more_like_this_hot_term_bound(spark):
     assert [r["doc_id"] for r in out] == [3]
 
 
+def test_mlt_query_store_equals_one_shot(spark, tmp_path):
+    """Round-13 parity pin: MLT scored from the incrementally built
+    BM25 postings store (two appends) must rank AND score identically
+    to one-shot more_like_this over the same corpus — postings are
+    disjoint-by-doc additive, and the store's distinct-doc count
+    equals the corpus count under the tokenizer convention (every
+    doc, even empty-text, owns ≥1 posting)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (10, "x y z", "s"),
+        (11, "x y z", "s"),
+        (12, "x y", "s"),
+        (13, "z w", "s"),
+        (14, "", "s"),  # empty text → one ''-term posting, counted in N
+        (20, "f1", "s"), (21, "f2", "s"), (22, "f3", "s"), (23, "f4", "s"),
+    ]
+    df = spark.createDataFrame(rows, DOCS)
+    q = spark.createDataFrame([(10,), (13,)], "doc_id bigint")
+    store = str(tmp_path / "mlt_store")
+    C.bm25_index_append(df.filter(F.col("doc_id") % 2 == 0), store)
+    C.bm25_index_append(df.filter(F.col("doc_id") % 2 == 1), store)
+    want = sorted(map(tuple, C.more_like_this(df, q, k=3).collect()))
+    got = sorted(
+        map(tuple, C.mlt_query_store(spark, store, q, k=3).collect())
+    )
+    assert got == want and len(got) > 0
+    # one store serves both retrieval surfaces: BM25 still reads it
+    assert (
+        C.bm25_query_store(
+            spark, store, spark.createDataFrame([("x y",)], "query string")
+        ).count()
+        > 0
+    )
+
+
 def test_bm25_plan_has_no_cartesian(spark):
     df = spark.createDataFrame(
         [(1, "a b a b", "s"), (2, "a b c", "s")], DOCS
