@@ -226,6 +226,116 @@ def chunk_documents_udtf(df: DataFrame, window: int = 64, stride: int = 48) -> D
     )
 
 
+_SENT_BOUNDARY = r"([.!?])\s+"
+# US (unit separator) — a control char no tokenizable text contains;
+# the post-delimiter split marker in both engines (chr(30) in SQL)
+_SENT_MARK = "\x1e"
+
+
+def chunk_sentences(
+    df: DataFrame,
+    max_tokens: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SENTENCE-AWARE chunking (round 13 — the boundary-preserving
+    sibling of :func:`chunk_documents`): split each document at
+    sentence boundaries (a ``.``/``!``/``?`` followed by whitespace)
+    and pack CONSECUTIVE WHOLE sentences greedily into chunks of at
+    most ``max_tokens`` whitespace tokens — the chunking an LLM data
+    pipeline actually runs, where a context window should never cut a
+    sentence in half. Packing is the classic greedy rule: a sentence
+    joins the open chunk unless that would exceed the budget, in
+    which case it OPENS the next chunk — so a single sentence longer
+    than ``max_tokens`` still lands whole in its own (oversized)
+    chunk rather than ever being split; no overlap, no token dropped
+    or duplicated (pinned by the reassembly property test).
+
+    Spark shape: map-only, ZERO shuffle at any scale — the boundary
+    regex is one ``regexp_replace`` (delimiter kept via ``$1`` +
+    US-separator marker, so the split consumes only the inter-sentence
+    whitespace), the greedy pack is ONE ``F.aggregate`` fold over the
+    per-doc sentence-length array (sequential by nature, but the
+    sequence is per-document and row-local — exactly what
+    higher-order functions are for), and chunk assembly indexes the
+    parallel (sentence, chunk-id) arrays back together. Documents
+    with no non-empty sentence (empty/whitespace text) emit no rows
+    — unlike chunk_documents' min-1 contract, a sentence chunker has
+    nothing boundary-preserving to emit for them. Assembly is
+    O(sentences × chunks) per doc; pair with length_clip upstream for
+    pathological mega-documents. Returns (``id_col``, chunk_id,
+    n_sentences, n_chunk_tokens, chunk_text)."""
+    if max_tokens <= 0:
+        raise ValueError("need max_tokens > 0")
+    B = F.lit(max_tokens).cast("bigint")
+    sents = F.filter(
+        F.split(
+            F.regexp_replace(F.col(text_col), _SENT_BOUNDARY, "$1" + _SENT_MARK),
+            _SENT_MARK,
+        ),
+        lambda s: F.trim(s) != F.lit(""),
+    )
+    tcounts = F.transform(
+        sents, lambda s: F.size(F.split(F.trim(s), " ")).cast("bigint")
+    )
+    zero = F.lit(0).cast("bigint")
+    overflow = lambda acc, tc: (acc["fill"] > zero) & (acc["fill"] + tc > B)
+    ids = F.aggregate(
+        tcounts,
+        F.struct(
+            zero.alias("chunk"),
+            zero.alias("fill"),
+            F.array().cast("array<bigint>").alias("ids"),
+        ),
+        lambda acc, tc: F.struct(
+            F.when(overflow(acc, tc), acc["chunk"] + 1)
+            .otherwise(acc["chunk"])
+            .alias("chunk"),
+            F.when(overflow(acc, tc), tc)
+            .otherwise(acc["fill"] + tc)
+            .alias("fill"),
+            F.concat(
+                acc["ids"],
+                F.array(
+                    F.when(overflow(acc, tc), acc["chunk"] + 1).otherwise(
+                        acc["chunk"]
+                    )
+                ),
+            ).alias("ids"),
+        ),
+        lambda acc: acc["ids"],
+    )
+    base = df.select(
+        F.col(id_col), sents.alias("__sents"), ids.alias("__ids")
+    ).filter(F.size("__sents") > 0)
+    sent_id = lambda i: F.element_at(
+        F.col("__ids"), (i + F.lit(1)).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(zero, F.element_at("__ids", -1)),
+        lambda k: F.struct(
+            k.alias("chunk_id"),
+            F.size(F.filter(F.col("__ids"), lambda c: c == k))
+            .cast("bigint")
+            .alias("n_sentences"),
+            F.array_join(
+                F.filter(F.col("__sents"), lambda s, i: sent_id(i) == k), " "
+            ).alias("chunk_text"),
+        ),
+    )
+    return base.select(
+        id_col, F.explode(chunks).alias("__ch")
+    ).select(
+        id_col,
+        F.col("__ch.chunk_id").alias("chunk_id"),
+        F.col("__ch.n_sentences").alias("n_sentences"),
+        F.size(F.split(F.trim(F.col("__ch.chunk_text")), " "))
+        .cast("bigint")
+        .alias("n_chunk_tokens"),
+        F.col("__ch.chunk_text").alias("chunk_text"),
+    )
+
+
 def source_mixture(
     df: DataFrame,
     text_col: str = "text",

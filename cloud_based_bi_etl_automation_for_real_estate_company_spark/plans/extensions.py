@@ -586,6 +586,23 @@ def q_x_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.chunk_documents(t(spark, sf_dir, "documents"))
 
 
+def q_x_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-aware greedy chunking
+    (operators/corpus.chunk_sentences, round 13): whole-sentence
+    packing into ≤32-token chunks. The synthetic corpus carries no
+    punctuation, so the gate derives a sentence-ful corpus
+    deterministically first — a period after every 'batch'/'data'/
+    'join' token — giving ~5–15 sentences and 2–4 chunks per doc;
+    the oracle replays the same injection and the greedy fold as a
+    recursive CTE. Map-only both sides of the derivation; zero
+    shuffle in the chunker."""
+    d = t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.regexp_replace(F.col("text"), r"\b(batch|data|join) ", "$1. "),
+    )
+    return C.chunk_sentences(d, max_tokens=32)
+
+
 def q_x_length_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language length winsorization report (exact percentile —
     matches DuckDB quantile_cont; approx_percentile is the 100 TB
@@ -3941,6 +3958,47 @@ ORACLES: dict[str, str] = {
                    AS chunk_text
         FROM ch
     """,
+    # x_chunk_sentences: the greedy whole-sentence fold replayed as a
+    # recursive CTE — per-doc sequential by nature, exactly what
+    # recursion expresses; same punctuation injection, same boundary
+    # regex (delimiter kept, marker = chr(30)), same 32-token budget.
+    "x_chunk_sentences": r"""
+        WITH RECURSIVE base AS (
+            SELECT doc_id,
+                   list_filter(
+                       string_split(
+                           regexp_replace(
+                               regexp_replace(text,
+                                   '\b(batch|data|join) ', '\1. ', 'g'),
+                               '([.!?])\s+', '\1' || chr(30), 'g'),
+                           chr(30)),
+                       x -> trim(x, ' ') <> '') AS sents
+            FROM documents),
+        s AS (
+            SELECT doc_id, pos, sents[pos] AS sent,
+                   CAST(len(string_split(trim(sents[pos], ' '), ' '))
+                       AS BIGINT) AS t
+            FROM base, UNNEST(range(1, len(sents) + 1)) AS u(pos)
+            WHERE len(sents) > 0),
+        g AS (
+            SELECT doc_id, pos, sent, t,
+                   CAST(0 AS BIGINT) AS chunk, t AS fill
+            FROM s WHERE pos = 1
+            UNION ALL
+            SELECT s.doc_id, s.pos, s.sent, s.t,
+                   CASE WHEN g.fill + s.t > 32 THEN g.chunk + 1
+                        ELSE g.chunk END,
+                   CASE WHEN g.fill + s.t > 32 THEN s.t
+                        ELSE g.fill + s.t END
+            FROM g JOIN s ON s.doc_id = g.doc_id AND s.pos = g.pos + 1)
+        SELECT doc_id, chunk AS chunk_id,
+               CAST(COUNT(*) AS BIGINT) AS n_sentences,
+               CAST(len(string_split(
+                   trim(string_agg(sent, ' ' ORDER BY pos), ' '), ' '))
+                   AS BIGINT) AS n_chunk_tokens,
+               string_agg(sent, ' ' ORDER BY pos) AS chunk_text
+        FROM g GROUP BY doc_id, chunk
+    """,
     "x_length_clip": """
         WITH q AS (
             SELECT lang,
@@ -6225,6 +6283,7 @@ QUERIES = {
     "x_pack_sequences": q_x_pack_sequences,
     "x_length_clip": q_x_length_clip,
     "x_chunk_documents": q_x_chunk_documents,
+    "x_chunk_sentences": q_x_chunk_sentences,
     "x_source_overlap": q_x_source_overlap,
     "x_source_mixture": q_x_source_mixture,
     "x_train_split": q_x_train_split,

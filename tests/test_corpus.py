@@ -758,6 +758,112 @@ def test_more_like_this_hot_term_bound(spark):
     assert [r["doc_id"] for r in out] == [3]
 
 
+def test_chunk_sentences_hand_computed(spark):
+    """Greedy whole-sentence packing: a sentence joins the open chunk
+    unless that would exceed the budget; an oversized sentence lands
+    whole in its own chunk; no sentence is ever split."""
+    rows = [
+        (1, "One two three. Four five. Six seven eight nine. Ten."),
+        (2, "No boundary here just words"),
+        (3, ""),
+        (4, "   "),
+        (5, "A! B? C. D. E. F."),
+        (6, "This single sentence is way too long for the budget ok."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = C.chunk_sentences(df, max_tokens=5).collect()
+    got = {
+        (r["doc_id"], r["chunk_id"]): (
+            r["n_sentences"], r["n_chunk_tokens"], r["chunk_text"]
+        )
+        for r in out
+    }
+    assert got == {
+        # 3 + 2 fills the budget exactly; the 4-token sentence opens
+        # chunk 1 and "Ten." (1) still fits there
+        (1, 0): (2, 5, "One two three. Four five."),
+        (1, 1): (2, 5, "Six seven eight nine. Ten."),
+        # no boundary → one sentence → one chunk
+        (2, 0): (1, 5, "No boundary here just words"),
+        # 5 single-token sentences fill chunk 0; the 6th opens chunk 1
+        (5, 0): (5, 5, "A! B? C. D. E."),
+        (5, 1): (1, 1, "F."),
+        # oversized single sentence: whole, own chunk, never split
+        (6, 0): (1, 11, "This single sentence is way too long for the budget ok."),
+    }
+    # empty and whitespace-only docs emit no rows
+    assert not any(r["doc_id"] in (3, 4) for r in out)
+
+
+def test_chunk_sentences_reassembly_and_budget_properties(spark):
+    """(a) Boundary preservation: joining a doc's chunk_texts in
+    chunk order reproduces the sentence stream exactly — no token
+    lost, duplicated, or reordered (the property chunk_documents'
+    overlap intentionally breaks). (b) Budget: every chunk is within
+    max_tokens unless it holds a single oversized sentence."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(13)
+    words = ["alpha", "beta", "gamma", "delta", "eps"]
+    docs = []
+    doc_sents: dict[int, list[str]] = {}
+    for doc_id in range(40):
+        sents = []
+        for _ in range(rng.randint(1, 12)):
+            n = rng.randint(1, 14)
+            sents.append(
+                " ".join(rng.choice(words) for _ in range(n))
+                + rng.choice([".", "!", "?"])
+            )
+        doc_sents[doc_id] = sents
+        docs.append((doc_id, " ".join(sents)))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    B = 10
+
+    def greedy(sents: list[str]) -> list[list[str]]:
+        chunks: list[list[str]] = []
+        fill = 0
+        for s in sents:
+            t = len(s.split(" "))
+            if chunks and fill + t <= B:
+                chunks[-1].append(s)
+                fill += t
+            else:
+                chunks.append([s])
+                fill = t
+        return chunks
+
+    out = C.chunk_sentences(df, max_tokens=B).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {d for d, _ in docs}
+    for doc_id, text in docs:
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_id"])
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+        # boundary preservation — the full reassembly round-trips
+        assert " ".join(c["chunk_text"] for c in chunks) == text
+        # exact greedy agreement with an independent Python replay
+        want = greedy(doc_sents[doc_id])
+        assert [c["chunk_text"] for c in chunks] == [
+            " ".join(w) for w in want
+        ]
+        assert [c["n_sentences"] for c in chunks] == [len(w) for w in want]
+        for c in chunks:
+            assert c["n_chunk_tokens"] == len(c["chunk_text"].split(" "))
+            assert c["n_chunk_tokens"] <= B or c["n_sentences"] == 1
+    # zero shuffle: the whole operator is map-side
+    plan = (
+        C.chunk_sentences(df, max_tokens=B)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
 def test_mlt_query_store_equals_one_shot(spark, tmp_path):
     """Round-13 parity pin: MLT scored from the incrementally built
     BM25 postings store (two appends) must rank AND score identically
