@@ -888,6 +888,189 @@ def chi2_drift(
     )
 
 
+def rolling_drift(
+    df: DataFrame,
+    value_col: str,
+    time_col: str = "ts",
+    group_col: str = "event_type",
+    ref_weeks: int = 4,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """ROLLING drift series (round 13 — the monitoring-dashboard view
+    the point-in-time family lacks): for every (series, week) cell,
+    compare that week's ``value_col`` distribution against the
+    TRAILING ``ref_weeks``-week reference window of the SAME series,
+    emitting KS, W1 and PSI side by side — the per-week drift panel a
+    data-quality dashboard plots, where the batch ks/psi/w1_drift
+    operators answer only "does slice g differ from the rest, now".
+
+    ``value_col`` must be INTEGRAL (pre-grain a continuous measure
+    with floor/round — the caller owns the graining, exactly as
+    ks_drift assumes a discrete grid): all three statistics then run
+    in the family's exact integer/decimal cross-multiplied forms and
+    the oracle replays bit-for-bit. Weeks are Monday-truncated
+    (``date_trunc('week')``), and the reference for week w is weeks
+    [w−ref_weeks, w−1] — weeks with an EMPTY reference (the series'
+    first week(s), or a gap longer than the window) emit their row
+    with NULL statistics and ``drift_defined`` false rather than
+    vanishing (the every-cell-reported invariant the round-13 ADVICE
+    fix restored for the batch report).
+
+    Spark shape — the count-spine discipline of the family: ONE
+    fact-scan aggregation to (series, week, v) counts; the rolling
+    reference is that spine EXPLODED ref_weeks times on the week axis
+    (bounded ×``ref_weeks`` row growth, never fact-sized) and
+    re-aggregated; cur/ref align on a full-outer (series, w, v) join;
+    one (series, w)-partitioned ordered window carries cum counts AND
+    the Δv lead for W1 (same partition, same order — one window
+    exchange); KS/W1 reduce in the final agg, and PSI folds the same
+    cells to ``n_buckets`` equal-width buckets over the GLOBAL value
+    hull (psi_drift's frozen-edge convention, add-one smoothing,
+    12-dp decimal term sums). Every frame after the first agg is
+    spine-sized; at 100 TB the only fact-scan is the first groupBy.
+    Returns (``group_col``, week_start, n_cur, n_ref, ks_stat,
+    w1_dist, psi, drift_defined)."""
+    if ref_weeks < 1:
+        raise ValueError("need ref_weeks >= 1")
+    g = group_col
+    counts = (
+        df.filter(F.col(value_col).isNotNull() & F.col(time_col).isNotNull())
+        .groupBy(
+            F.col(g),
+            F.date_trunc("week", F.col(time_col)).cast("date").alias("week"),
+            F.col(value_col).cast("bigint").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    weeks = counts.select(g, F.col("week").alias("w")).distinct()
+    hull = counts.agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    ref = (
+        counts.select(
+            g,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(ref_weeks)),
+                    lambda k: F.date_add(F.col("week"), (k * 7).cast("int")),
+                )
+            ).alias("w"),
+            "v",
+            "cnt",
+        )
+        .groupBy(g, "w", "v")
+        .agg(F.sum("cnt").alias("ref"))
+    )
+    cur = counts.select(g, F.col("week").alias("w"), "v", F.col("cnt").alias("cur"))
+    cells = (
+        cur.join(ref, [g, "w", "v"], "full_outer")
+        .join(weeks, [g, "w"], "left_semi")
+        .select(
+            g,
+            "w",
+            "v",
+            F.coalesce(F.col("cur"), F.lit(0)).cast("bigint").alias("cur"),
+            F.coalesce(F.col("ref"), F.lit(0)).cast("bigint").alias("ref"),
+        )
+    )
+    win = Window.partitionBy(g, "w").orderBy("v")
+    seq = win.rowsBetween(Window.unboundedPreceding, 0)
+    tot = win.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cums = cells.select(
+        g,
+        "w",
+        "v",
+        F.sum("cur").over(seq).cast("bigint").alias("cum_cur"),
+        F.sum("ref").over(seq).cast("bigint").alias("cum_ref"),
+        F.sum("cur").over(tot).cast("bigint").alias("n_cur"),
+        F.sum("ref").over(tot).cast("bigint").alias("n_ref"),
+        (F.lead("v").over(win) - F.col("v")).alias("dv"),
+        "cur",
+        "ref",
+    )
+    d_int = F.abs(
+        F.col("cum_cur").cast("decimal(38,0)") * F.col("n_ref")
+        - F.col("cum_ref").cast("decimal(38,0)") * F.col("n_cur")
+    )
+    ksw1 = cums.groupBy(g, "w", "n_cur", "n_ref").agg(
+        F.max(d_int).alias("ks_int"),
+        F.sum(d_int * F.coalesce(F.col("dv"), F.lit(0)))
+        .cast("decimal(38,0)")
+        .alias("w1_int"),
+    )
+    # PSI leg: same cells folded to frozen global equal-width buckets
+    nb = F.lit(n_buckets)
+    # integer DIV (the psi_admit/psi_drift edge convention — no float
+    # in the bucket id); v ≥ lo always, so no negative truncation case
+    bucket = F.least(
+        F.lit(n_buckets - 1).cast("bigint"),
+        F.expr(f"(v - lo) * {n_buckets} DIV (hi - lo + 1)"),
+    )
+    bsums = (
+        cells.join(F.broadcast(hull))
+        .groupBy(g, "w", bucket.alias("bucket"))
+        .agg(
+            F.sum("cur").cast("bigint").alias("bc"),
+            F.sum("ref").cast("bigint").alias("br"),
+        )
+    )
+    bspine = weeks.crossJoin(
+        F.broadcast(
+            counts.sparkSession.range(0, n_buckets).select(
+                F.col("id").alias("bucket")
+            )
+        )
+    )
+    bcells = bspine.join(bsums, [g, "w", "bucket"], "left").select(
+        g,
+        "w",
+        F.coalesce(F.col("bc"), F.lit(0)).cast("bigint").alias("bc"),
+        F.coalesce(F.col("br"), F.lit(0)).cast("bigint").alias("br"),
+    )
+    btot = bcells.groupBy(g, "w").agg(
+        F.sum("bc").cast("bigint").alias("tc"),
+        F.sum("br").cast("bigint").alias("tr"),
+    )
+    p = (F.col("bc") + F.lit(1)).cast("double") / (F.col("tc") + nb).cast(
+        "double"
+    )
+    q = (F.col("br") + F.lit(1)).cast("double") / (F.col("tr") + nb).cast(
+        "double"
+    )
+    psi = (
+        bcells.join(btot, [g, "w"])
+        .groupBy(g, "w", "tc", "tr")
+        .agg(
+            F.sum(F.round((p - q) * F.log(p / q), 12).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("psi")
+        )
+        .select(g, "w", "psi")
+    )
+    defined = (F.col("n_cur") > 0) & (F.col("n_ref") > 0)
+    denom = F.col("n_cur").cast("double") * F.col("n_ref").cast("double")
+    return (
+        ksw1.join(psi, [g, "w"])
+        .select(
+            g,
+            F.col("w").alias("week_start"),
+            "n_cur",
+            "n_ref",
+            F.when(defined, F.col("ks_int").cast("double") / denom).alias(
+                "ks_stat"
+            ),
+            F.when(defined, F.col("w1_int").cast("double") / denom).alias(
+                "w1_dist"
+            ),
+            F.when(defined, F.col("psi")).alias("psi"),
+            defined.alias("drift_defined"),
+        )
+    )
+
+
 def psi_admit(
     batch_df: DataFrame,
     store_path: str,

@@ -1045,7 +1045,118 @@ ORACLES["t21_theil_sen"] = """
     FROM med m JOIN npts p USING (nation)
 """
 
+def q_t22_rolling_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling weekly drift panel (operators/quality.rolling_drift,
+    round 13): per (event_type, week), KS + W1 + PSI of that week's
+    integer-floored event values against the trailing 4-week
+    reference — the monitoring-dashboard series view of the
+    point-in-time drift family. Cold-start weeks (empty reference)
+    report NULL stats with drift_defined false. One fact-scan agg;
+    everything downstream is count-spine-sized."""
+    from ..operators.quality import rolling_drift
+
+    ev = t(spark, sf_dir, "events")
+    return rolling_drift(
+        ev.withColumn("value", F.floor("value")), "value"
+    )
+
+
+ORACLES["t22_rolling_drift"] = """
+    WITH counts AS (
+        SELECT event_type,
+               CAST(date_trunc('week', ts) AS DATE) AS week,
+               CAST(FLOOR(value) AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events
+        WHERE value IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1, 2, 3),
+    weeks AS (SELECT DISTINCT event_type, week AS w FROM counts),
+    hull AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM counts),
+    ref AS (
+        SELECT c.event_type, c.week + CAST(k * 7 AS INTEGER) AS w, c.v,
+               CAST(SUM(c.cnt) AS BIGINT) AS ref
+        FROM counts c, UNNEST(range(1, 5)) AS u(k)
+        GROUP BY 1, 2, 3),
+    cur AS (SELECT event_type, week AS w, v, cnt AS cur FROM counts),
+    cells AS (
+        SELECT COALESCE(cu.event_type, r.event_type) AS event_type,
+               COALESCE(cu.w, r.w) AS w, COALESCE(cu.v, r.v) AS v,
+               CAST(COALESCE(cu.cur, 0) AS BIGINT) AS cur,
+               CAST(COALESCE(r.ref, 0) AS BIGINT) AS ref
+        FROM cur cu FULL OUTER JOIN ref r
+          ON cu.event_type = r.event_type AND cu.w = r.w
+             AND cu.v = r.v),
+    cellsw AS (
+        SELECT c.* FROM cells c
+        WHERE EXISTS (SELECT 1 FROM weeks wk
+                      WHERE wk.event_type = c.event_type
+                        AND wk.w = c.w)),
+    cums AS (
+        SELECT event_type, w, v, cur, ref,
+               SUM(cur) OVER win AS cum_cur,
+               SUM(ref) OVER win AS cum_ref,
+               SUM(cur) OVER tot AS n_cur,
+               SUM(ref) OVER tot AS n_ref,
+               LEAD(v) OVER win - v AS dv
+        FROM cellsw
+        WINDOW win AS (PARTITION BY event_type, w ORDER BY v),
+               tot AS (PARTITION BY event_type, w)),
+    ksw1 AS (
+        SELECT event_type, w,
+               CAST(n_cur AS BIGINT) AS n_cur,
+               CAST(n_ref AS BIGINT) AS n_ref,
+               MAX(ABS(cum_cur * n_ref - cum_ref * n_cur)) AS ks_int,
+               SUM(ABS(cum_cur * n_ref - cum_ref * n_cur)
+                   * COALESCE(dv, 0)) AS w1_int
+        FROM cums GROUP BY 1, 2, 3, 4),
+    bsums AS (
+        SELECT event_type, w,
+               LEAST(9, ((v - lo) * 10) // (hi - lo + 1)) AS bucket,
+               SUM(cur) AS bc, SUM(ref) AS br
+        FROM cellsw CROSS JOIN hull GROUP BY 1, 2, 3),
+    bspine AS (
+        SELECT event_type, w, b AS bucket
+        FROM weeks, UNNEST(range(0, 10)) AS u(b)),
+    bcells AS (
+        SELECT s.event_type, s.w, s.bucket,
+               CAST(COALESCE(bc, 0) AS BIGINT) AS bc,
+               CAST(COALESCE(br, 0) AS BIGINT) AS br
+        FROM bspine s LEFT JOIN bsums b
+        USING (event_type, w, bucket)),
+    btot AS (
+        SELECT event_type, w,
+               CAST(SUM(bc) AS BIGINT) AS tc,
+               CAST(SUM(br) AS BIGINT) AS tr
+        FROM bcells GROUP BY 1, 2),
+    psi AS (
+        SELECT b.event_type, b.w,
+               CAST(SUM(CAST(ROUND(
+                   (CAST(bc + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE)
+                    - CAST(br + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE))
+                   * ln((CAST(bc + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE))
+                        / (CAST(br + 1 AS DOUBLE)
+                           / CAST(tr + 10 AS DOUBLE))), 12)
+                   AS DECIMAL(28,12))) AS DOUBLE) AS psi
+        FROM bcells b JOIN btot USING (event_type, w)
+        GROUP BY 1, 2)
+    SELECT k.event_type, k.w AS week_start, k.n_cur, k.n_ref,
+           CASE WHEN k.n_cur > 0 AND k.n_ref > 0
+                THEN CAST(ks_int AS DOUBLE)
+                     / (CAST(k.n_cur AS DOUBLE) * CAST(k.n_ref AS DOUBLE))
+           END AS ks_stat,
+           CASE WHEN k.n_cur > 0 AND k.n_ref > 0
+                THEN CAST(w1_int AS DOUBLE)
+                     / (CAST(k.n_cur AS DOUBLE) * CAST(k.n_ref AS DOUBLE))
+           END AS w1_dist,
+           CASE WHEN k.n_cur > 0 AND k.n_ref > 0 THEN p.psi END AS psi,
+           (k.n_cur > 0 AND k.n_ref > 0) AS drift_defined
+    FROM ksw1 k JOIN psi p
+      ON p.event_type = k.event_type AND p.w = k.w
+"""
+
+
 QUERIES = {
+    "t22_rolling_drift": q_t22_rolling_drift,
     "t18_acf": q_t18_acf,
     "t19_xcorr": q_t19_xcorr,
     "t20_seasonal": q_t20_seasonal,

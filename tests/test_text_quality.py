@@ -353,6 +353,71 @@ def test_psi_drift_hand_computed_two_buckets(spark):
     assert math.isclose(rows["g1"]["psi"], want, rel_tol=1e-9)
 
 
+def test_rolling_drift_hand_computed(spark):
+    """Rolling weekly drift (round 13): week 1 has no trailing
+    reference → NULL stats, defined false; week 2 (values shifted +2
+    vs week 1) is fully separated on the 4-point grid — KS sup = 1,
+    W1 = exactly the shift (2.0), PSI = 4·(2/14)·ln 3 on the
+    add-one-smoothed 10-bucket hull."""
+    import math
+    from datetime import datetime
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        rolling_drift,
+    )
+
+    w1 = datetime(2024, 1, 1)  # Monday
+    w2 = datetime(2024, 1, 8)
+    rows = [("a", w1, v) for v in (1, 1, 2, 2)] + [
+        ("a", w2, v) for v in (3, 3, 4, 4)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value bigint"
+    )
+    out = {
+        (r["event_type"], str(r["week_start"])): r
+        for r in rolling_drift(df, "value").collect()
+    }
+    r1 = out[("a", "2024-01-01")]
+    assert r1["n_cur"] == 4 and r1["n_ref"] == 0
+    assert r1["ks_stat"] is None and r1["w1_dist"] is None
+    assert r1["psi"] is None and r1["drift_defined"] is False
+    r2 = out[("a", "2024-01-08")]
+    assert r2["n_cur"] == 4 and r2["n_ref"] == 4
+    assert r2["ks_stat"] == 1.0
+    assert r2["w1_dist"] == 2.0
+    want_psi = 4 * round((2 / 14) * math.log(3.0), 12)
+    assert math.isclose(r2["psi"], want_psi, rel_tol=1e-9)
+    assert r2["drift_defined"] is True
+
+
+def test_rolling_drift_reference_window_slides(spark):
+    """A week more than ref_weeks past the last data week has an
+    empty reference again — the window truly slides rather than
+    accumulating all history."""
+    from datetime import datetime, timedelta
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        rolling_drift,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [("a", base, 1), ("a", base, 2)] + [
+        ("a", base + timedelta(weeks=6), 1),
+        ("a", base + timedelta(weeks=6), 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value bigint"
+    )
+    out = {
+        str(r["week_start"]): r for r in rolling_drift(df, "value").collect()
+    }
+    assert len(out) == 2
+    # the gap exceeds the 4-week window: week 7 sees NO reference
+    assert out["2024-02-12"]["n_ref"] == 0
+    assert out["2024-02-12"]["drift_defined"] is False
+
+
 def test_psi_admit_bootstrap_and_stable_second_batch(spark, tmp_path):
     import math
 
