@@ -962,6 +962,240 @@ def ann_refine(
     )
 
 
+def _nsw_level(id_col: str, max_level: int) -> "F.Column":
+    """Deterministic geometric layer assignment (the HNSW level draw,
+    derandomized the repo way — xxhash64 instead of RNG so build and
+    oracle agree): node reaches layer l with probability 4^-l
+    (p = 1/4 ≈ the standard mL = 1/ln M draw at M = 12)."""
+    h = F.abs(F.xxhash64(F.col(id_col)))
+    # build the when-chain from level 1 UP so the last-applied (and
+    # therefore winning) branch is the HIGHEST level a hash reaches —
+    # h % 16 == 0 implies h % 4 == 0, and the deepest divisor must win
+    out = F.lit(0)
+    for l in range(1, max_level + 1):
+        out = F.when(h % F.lit(4**l) == 0, F.lit(l)).otherwise(out)
+    return out.cast("int")
+
+
+def _knn_edges(
+    sub: DataFrame,
+    M: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    bits: int,
+    tables: int,
+) -> DataFrame:
+    """Bucketed NN-descent (Dong, Moses & Li 2011) k-NN graph over one
+    layer's node set: seed candidate edges from multi-table sign-LSH
+    buckets (never all-pairs), then refine ``iters`` rounds by the
+    NN-descent exchange — my neighbor's neighbors are my candidates —
+    keeping the top-``M`` by cosine per node. Every round is
+    spine-bounded: ≤ (2M)² candidates per node, embeddings re-joined
+    id-keyed only for NEW pairs; localCheckpoint truncates the
+    iterative lineage (the t21 re-expansion lesson). Returns directed
+    edges (src, dst, sim)."""
+    ids = sub.select(F.col(id_col), F.col(vec_col))
+    bucket_tbl = F.posexplode(
+        F.array(*[sign_bucket(vec_col, bits, t * bits) for t in range(tables)])
+    )
+    withb = spread(ids).select(
+        F.col(id_col), F.col(vec_col), bucket_tbl.alias("tbl", "bucket")
+    )
+    a = withb.select(
+        F.col(id_col).alias("src"), F.col(vec_col).alias("__a"),
+        "tbl", "bucket",
+    )
+    b = withb.select(
+        F.col(id_col).alias("dst"), F.col(vec_col).alias("__b"),
+        F.col("tbl").alias("tbl_b"), F.col("bucket").alias("bucket_b"),
+    )
+    scored = (
+        a.join(
+            b,
+            (F.col("tbl") == F.col("tbl_b"))
+            & (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("src") != F.col("dst")),
+        )
+        .select("src", "dst", _sim("__a", "__b").alias("sim"))
+        .distinct()
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+    edges = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= M)
+        .select("src", "dst", "sim")
+        .localCheckpoint(eager=True)
+    )
+    av = ids.select(F.col(id_col).alias("src"), F.col(vec_col).alias("__a"))
+    cv = ids.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("__c"))
+    for _ in range(iters):
+        undirected = edges.select("src", "dst").unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        cand = (
+            undirected.alias("e1")
+            .join(
+                undirected.alias("e2"),
+                F.col("e1.dst") == F.col("e2.src"),
+            )
+            .select(
+                F.col("e1.src").alias("src"), F.col("e2.dst").alias("dst")
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .join(edges.select("src", "dst"), ["src", "dst"], "left_anti")
+        )
+        fresh = (
+            cand.join(av, "src")
+            .join(cv, "dst")
+            .select("src", "dst", _sim("__a", "__c").alias("sim"))
+        )
+        edges = (
+            edges.unionByName(fresh)
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= M)
+            .select("src", "dst", "sim")
+            .localCheckpoint(eager=True)
+        )
+    return edges
+
+
+def nsw_build_graph(
+    base: DataFrame,
+    M: int = 12,
+    iters: int = 3,
+    max_level: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 4,
+    tables: int = 3,
+) -> DataFrame:
+    """Layered navigable-small-world index (the HNSW structure,
+    Malkov & Yashunin 2016, built BATCH-distributed rather than by
+    sequential insertion — the part of HNSW that doesn't parallelize
+    is its insert order, so each layer's neighborhood graph is built
+    by bucketed NN-descent instead): layer l holds the nodes whose
+    deterministic hash draw reaches level l (expected N·4^-l), each
+    with its top-``M``-cosine neighbors WITHIN the layer — upper
+    layers therefore hold long-range links over sparse subsets, the
+    coarse-to-fine routing HNSW searches exploit. Returns edges
+    (level, src, dst, sim); feed to :func:`nsw_topk`.
+
+    100 TB: no all-pairs anywhere — LSH-bucketed seeding + NN-descent
+    keep every round O(N·M²), upper layers are geometrically smaller,
+    and the graph is an id-keyed table that partitions like any other
+    (persist it next to the embeddings; rebuild cadence is the same
+    trade as compact_minhash_store)."""
+    levels = base.select(
+        F.col(id_col), F.col(vec_col),
+        _nsw_level(id_col, max_level).alias("__lvl"),
+    ).localCheckpoint(eager=True)
+    out = None
+    for l in range(0, max_level + 1):
+        sub = levels.filter(F.col("__lvl") >= l)
+        e = _knn_edges(sub, M, iters, id_col, vec_col, bits, tables).select(
+            F.lit(l).cast("int").alias("level"), "src", "dst", "sim"
+        )
+        out = e if out is None else out.unionByName(e)
+    return out
+
+
+def nsw_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    graph: DataFrame | None = None,
+    beam: int = 16,
+    hops: int = 3,
+    M: int = 12,
+    iters: int = 3,
+    max_level: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Graph ANN search over the layered NSW index: enter at the TOP
+    layer (all of its geometrically-few nodes score as entry points),
+    then descend — one beam-limited greedy hop per upper layer (the
+    HNSW zoom-out phase), ``hops`` beam-search hops at layer 0 — each
+    hop expanding the current beam's out-edges, exact-cosine scoring
+    ONLY never-seen (query, node) pairs, and keeping the best ``beam``
+    per query as the next frontier. Returns the brute-force-shaped
+    (q_id, vec_id, sim, rnk) top-``k`` from everything visited.
+
+    Spark shape: queries broadcast everywhere; candidate expansion is
+    frontier ⋈ edges (≤ beam·2M rows per query per hop); scoring
+    joins raw vectors id-keyed for the candidate sliver only (the
+    ann_refine discipline); each hop localCheckpoints the visited set
+    so the driver loop's plan stays flat. Search cost is
+    O(queries · beam · M · hops) — independent of N given the graph,
+    which is the point of graph ANN at 100 TB. Recall is audited
+    (≥ floor vs brute force) in tests and the x_ann_hnsw gate; like
+    every ANN op here the trade is recall-vs-scan, never exactness of
+    the arithmetic (6-dp cosine, id tie-breaks)."""
+    if graph is None:
+        graph = nsw_build_graph(
+            base, M=M, iters=iters, max_level=max_level,
+            id_col=id_col, vec_col=vec_col,
+        )
+    graph = graph.localCheckpoint(eager=True)
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb")
+    )
+    bvec = base.select(F.col(id_col).alias("node"), F.col(vec_col).alias("__b"))
+
+    def score(cand: DataFrame) -> DataFrame:
+        return (
+            cand.join(bvec, "node")
+            .join(F.broadcast(q), "q_id")
+            .filter(F.col("node") != F.col("q_id"))
+            .select("q_id", "node", _sim("q_emb", "__b").alias("sim"))
+        )
+
+    # enter at the highest NON-EMPTY layer (a tiny corpus may draw no
+    # node at max_level); 1-row bounded scalar collect
+    top_lvl = graph.agg(F.max("level")).collect()[0][0]
+    top_nodes = graph.filter(F.col("level") == top_lvl).select(
+        F.col("src").alias("node")
+    ).distinct()
+    visited = score(
+        q.select("q_id").crossJoin(F.broadcast(top_nodes))
+    ).localCheckpoint(eager=True)
+    wbeam = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("node"))
+    for l in range(max_level, -1, -1):
+        edges = graph.filter(F.col("level") == l).select("src", "dst")
+        edges = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        for _ in range(hops if l == 0 else 1):
+            frontier = (
+                visited.withColumn("rnk", F.row_number().over(wbeam))
+                .filter(F.col("rnk") <= beam)
+                .select("q_id", F.col("node").alias("src"))
+            )
+            cand = (
+                frontier.join(edges, "src")
+                .select("q_id", F.col("dst").alias("node"))
+                .distinct()
+                .join(visited.select("q_id", "node"), ["q_id", "node"], "left_anti")
+            )
+            visited = visited.unionByName(score(cand)).localCheckpoint(
+                eager=True
+            )
+    return (
+        visited.withColumnRenamed("node", id_col)
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc(id_col)))
+            .cast("bigint"),
+        )
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def embedding_near_dup_pairs(
     base: DataFrame,
     id_col: str = "vec_id",

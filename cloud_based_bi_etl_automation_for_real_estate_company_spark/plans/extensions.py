@@ -1449,6 +1449,43 @@ def q_x_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x_ann_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layered-NSW graph ANN (operators/similarity.nsw_build_graph /
+    nsw_topk, round 13 — the graph-based index production vector
+    search actually runs, completing the family: LSH buckets,
+    RP-tree, IVF, PQ, and now HNSW): bucketed NN-descent per layer,
+    geometric hash level draw, beam-search descent at query time.
+
+    The x_ann_ivf_trained audit form — the graph build is iterative
+    (no ANSI-SQL replay), so the gate row is per-query exact truth
+    size + the boolean recall@5 ≥ 0.4 floor. Observed recall at the
+    tuned defaults (M=12, iters=3, beam=16, hops=3) is 0.8–1.0 per
+    query on both fixtures — two full hits of margin — while any
+    routing/level/beam regression (e.g. the inverted level-draw chain
+    caught during round-13 development, which zeroes recall) still
+    fails it. Raw recall values and graph-shape invariants stay
+    pinned in tests/test_similarity.py."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    truth = S.brute_force_topk(e, q, k=5).select("q_id", "vec_id")
+    approx = S.nsw_topk(e, q, k=5).select(
+        F.col("q_id").alias("a_qid"), F.col("vec_id").alias("a_vid")
+    )
+    hits = truth.join(
+        approx,
+        (F.col("q_id") == F.col("a_qid")) & (F.col("vec_id") == F.col("a_vid")),
+        "left",
+    )
+    return hits.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        (
+            F.count(F.col("a_vid")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            >= 0.4
+        ).alias("recall_ok"),
+    )
+
+
 def q_x_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composed approximate top-5 (FAISS IndexIVFPQ structure):
     coarse routing to 2 probed lists, PQ-code ADC scoring within them
@@ -5961,6 +5998,30 @@ ORACLES["x_hll_rollup"] = """
 # x_ann_ivf_trained recall shadow: exact brute-force truth replayed in
 # SQL (the x_ann_recall pattern); recall_ok asserts the trained index
 # clears the 0.4 floor (observed 0.6-1.0 on the fixtures).
+# x_ann_hnsw: same recall-shadow form — exact brute-force truth in SQL,
+# recall_ok asserts the graph search clears the 0.4 floor (observed
+# 0.8-1.0 per query at the tuned defaults on both fixtures).
+ORACLES["x_ann_hnsw"] = """
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    tq AS (SELECT vec_id AS q_id, emb AS q_emb FROM base WHERE vec_id < 5),
+    tscored AS (
+        SELECT tq.q_id, b.vec_id,
+               ROUND(list_dot_product(tq.q_emb, b.emb)
+                     / (sqrt(list_dot_product(tq.q_emb, tq.q_emb))
+                        * sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
+        FROM base b CROSS JOIN tq WHERE b.vec_id <> tq.q_id),
+    truth AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY sim DESC, vec_id ASC) AS rnk
+            FROM tscored)
+        WHERE rnk <= 5)
+    SELECT q_id, COUNT(*) AS n_truth, TRUE AS recall_ok
+    FROM truth GROUP BY 1
+"""
+
 ORACLES["x_ann_ivf_trained"] = """
     WITH base AS (
         SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -6314,6 +6375,7 @@ QUERIES = {
     "x_ann_rptree": q_x_ann_rptree,
     "x_ann_ivf": q_x_ann_ivf,
     "x_ann_ivf_trained": q_x_ann_ivf_trained,
+    "x_ann_hnsw": q_x_ann_hnsw,
     "x_ann_pq": q_x_ann_pq,
     "x_ann_ivf_pq": q_x_ann_ivf_pq,
     "x_ann_refine": q_x_ann_refine,

@@ -172,6 +172,90 @@ def test_ivf_trained_centroids_recall(spark):
     assert len(approx & exact) / len(exact) >= 0.8  # measured 0.92
 
 
+def test_nsw_graph_shape_invariants(spark):
+    """Layered NSW build (round 13): (a) every layer-l edge connects
+    two nodes whose hash level reaches l (layer nesting); (b) out-
+    degree ≤ M per (level, src); (c) upper layers are geometrically
+    smaller; (d) no self-edges."""
+    from pyspark.sql import functions as F
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.similarity import (
+        _nsw_level,
+        nsw_build_graph,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    g = nsw_build_graph(e, M=6, iters=1).localCheckpoint(eager=True)
+    assert g.filter("src = dst").count() == 0
+    deg = g.groupBy("level", "src").count()
+    assert deg.filter("count > 6").count() == 0
+    lvl = e.select(
+        F.col("vec_id"), _nsw_level("vec_id", 2).alias("lvl")
+    )
+    for side in ("src", "dst"):
+        bad = (
+            g.join(lvl, g[side] == lvl["vec_id"])
+            .filter(F.col("lvl") < F.col("level"))
+            .count()
+        )
+        assert bad == 0, side
+    sizes = {
+        r["level"]: r["n"]
+        for r in g.groupBy("level")
+        .agg(F.countDistinct("src").alias("n"))
+        .collect()
+    }
+    assert sizes[0] > sizes[1] > sizes.get(2, 0)
+
+
+def test_nsw_topk_recall_and_shape(spark):
+    """Beam-searched layered NSW must clear recall@5 ≥ 0.6 overall
+    and 0.4 per query vs brute force at the tuned defaults (measured
+    0.96/1.0 overall, 0.8 min per query on the fixtures — the gate
+    x_ann_hnsw pins the same floor cross-engine). Output shape
+    matches the rest of the ANN family; a query never retrieves
+    itself."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.similarity import (
+        nsw_topk,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter("vec_id < 5")
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in S.brute_force_topk(e, q, k=5).collect()
+    }
+    rows = nsw_topk(e, q, k=5).collect()
+    approx = {(r["q_id"], r["vec_id"]) for r in rows}
+    assert all(r["q_id"] != r["vec_id"] for r in rows)
+    assert {r["q_id"] for r in rows} == {0, 1, 2, 3, 4}
+    assert all(1 <= r["rnk"] <= 5 for r in rows)
+    assert len(approx & exact) / len(exact) >= 0.6
+    per_q: dict[int, list[int]] = {}
+    for qq, v in exact:
+        per_q.setdefault(qq, [0, 0])[0] += 1
+        if (qq, v) in approx:
+            per_q[qq][1] += 1
+    assert min(h / n for n, h in per_q.values()) >= 0.4
+
+
+def test_nsw_prebuilt_graph_reused(spark):
+    """Passing a prebuilt graph must give the same result as the
+    self-building path with identical parameters (the index is a
+    plain DataFrame artifact — build once, query many)."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.similarity import (
+        nsw_build_graph,
+        nsw_topk,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter("vec_id < 3")
+    g = nsw_build_graph(e)
+    a = sorted(map(tuple, nsw_topk(e, q, k=5, graph=g).collect()))
+    b = sorted(map(tuple, nsw_topk(e, q, k=5).collect()))
+    assert a == b
+
+
 def test_pq_trained_codebooks_beat_standin(spark):
     """Grouped per-subspace k-means codebooks must not lose to the
     slice-seeded stand-in — PQ recall tracks quantization error, which
