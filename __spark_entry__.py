@@ -2,8 +2,8 @@
 
 ``entry`` runs the flagship dashboard query; ``queries`` /
 ``oracle_sql`` expose every implemented operator from SURVEY.md §2
-plus the training-data-pipeline extensions — 258 registered queries,
-257 with DuckDB oracles, 1 rows-only: x_pca_project
+plus the training-data-pipeline extensions — 263 registered queries,
+262 with DuckDB oracles, 1 rows-only: x_pca_project
 (numpy eigh) — PERMANENTLY rows-only by round-6 decision: its
 Parseval shadow ``x_pca_invariants`` checks centering/orthonormality
 in SQL, and ``x_power_iteration`` proves the distributed eigen-math
@@ -61,88 +61,29 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Round-12 gate front block. Every round-11 front name is green in
-# CORRECTNESS_r11, so the 50-slot window now holds: (a) the 13
-# round-12 additions (inserted at the top as they land —
-# never-checked names MUST debut in the front,
-# scripts/check_rotation.py enforces it), (b) 4 of the 6
-# double-arithmetic SENTINELS (a29/a30 sit out this round — see the
-# section comment), and (c) STALENESS ROTATION — the complete
-# 33-name r6-vintage tier staged as _ROTATION_R12 last round (the
-# oldest tier). 13 + 4 + 33 = exactly 50: the second session's
-# additions displaced the whole r7 fill plus two sentinels into
-# _ROTATION_R13, which now carries the full r7 tier + a29/a30 (51
-# names — more than one front, so round 13 must split it; the
-# checker only requires oldest-tier + never-checked to fit). After
-# this window runs, no catalog name's newest driver row is older
-# than r7.
+# Round-13 gate front block. Every round-12 front name is green in
+# CORRECTNESS_r12, so the 50-slot window now holds: (a) the 5
+# round-13 additions (never-checked names MUST debut in the front,
+# scripts/check_rotation.py enforces it), (b) the two returning
+# SENTINELS — a29/a30 sat out round 12 under an explicit IOU and
+# come back first, (c) STALENESS ROTATION — the COMPLETE 42-name
+# r7-vintage tier (the oldest tier once CORRECTNESS_r12 landed;
+# _ROTATION_R13 carried it plus the sentinels at 51 names, so this
+# round's split is: all 44 of those here, nothing deferred), and
+# (d) 1 promoted r8 name to fill the window. 5 + 2 + 42 + 1 =
+# exactly 50. After this window runs, no catalog name's newest
+# driver row is older than r8.
 _GATE_PRIORITY = (
-    # -- (a) new in round 12 ------------------------------------------------
-    "x_golden_priority",
-    "x_bm25_drain",
-    "x_ks_drain",
-    "x_mlt",
-    "x_w1_drift",
-    "x_chi2_drift",
-    "x_hybrid_rrf",
-    "t20_seasonal",
-    "t21_theil_sen",
-    "x_chi2_drain",
-    "a45_abc",
-    "x_golden_conflicts",
-    "x_ngram_novelty",
-    # -- (b) sentinels: fragile double-fold bit-exactness. a29/a30 sit
-    # out THIS round only — their numpy parity is independently pinned
-    # in tests/test_plans.py every suite run, and the two slots let the
-    # last round-12 additions make their mandatory never-checked debut;
-    # both return to the front in round 13 --------------------------------
-    "t10_holt",
-    "t12_holt_winters",
-    "x_pagerank",
-    "x_linkage_score",
-    # -- (c) staleness rotation: the complete 33-name r6 tier ---------------
-    "a14_slicer_filtered",
-    "a15_calendar",
-    "a16_distinct_counts",
-    "a17_pivot_funnel",
-    "a18_percentiles",
-    "a19_above_segment_avg",
-    "a1_funnel",
-    "a20_cube",
-    "a22_grouping_sets",
-    "a2_total_amount",
-    "a3_avg_ticket",
-    "a4_conversion_ratios",
-    "a5_goal_progress",
-    "a7_latest_per_key",
-    "a8_rollup_agent_table",
-    "a9_percent_of_total",
-    "j1_gapless_monthly",
-    "j3_enriched_events",
-    "j5_active_anti_deleted",
-    "l27_top_supplier",
-    "p10_format_local",
-    "p11_tags_csv",
-    "p3_coalesce_extract",
-    "p8_multiformat_ts",
-    "p9_tz_convert",
-    "t16_cusum_drain",
-    "x_ann_rptree",
-    "x_hilbert_key",
-    "x_kmv_drain",
-    "x_power_iteration",
-    "x_substring_removal",
-    "x_substring_spans",
-    "x_tdigest_drain",
-)
-
-# Round-13 rotation backlog: the remaining r7-vintage names (the
-# oldest staleness tier once round 12 lands). Promote behind round-13
-# additions + the sentinels; r8-vintage names come next (run
-# scripts/check_rotation.py to re-derive).
-_ROTATION_R13: tuple[str, ...] = (
+    # -- (a) new in round 13 ------------------------------------------------
+    "x_w1_drain",
+    "x_mlt_drain",
+    "x_chunk_sentences",
+    "t22_rolling_drift",
+    "x_ann_hnsw",
+    # -- (b) the two returning sentinels (round-12 IOU) ---------------------
     "a29_trend_slope",
     "a30_corr_pairs",
+    # -- (c) staleness rotation: the complete 42-name r7 tier ---------------
     "l14_large_volume_orders",
     "l15_disjunctive_revenue",
     "p12_bool_cast",
@@ -185,6 +126,54 @@ _ROTATION_R13: tuple[str, ...] = (
     "x_suffix_lcp",
     "x_suffix_lcp_ranks",
     "x_suffix_removal",
+    # -- (d) r8 promotion filling the window --------------------------------
+    "a21_collect_list",
+)
+
+# Round-14 rotation backlog: the remaining 38 r8-vintage names (the
+# oldest staleness tier once round 13 lands — a21_collect_list is
+# already promoted into this round's front). They fit one front with
+# 12 slots to spare for round-14 additions + sentinels; run
+# scripts/check_rotation.py to re-derive.
+_ROTATION_R14: tuple[str, ...] = (
+    "a23_equidepth_approx",
+    "a23_equidepth_hist",
+    "a24_cohort_retention",
+    "a25_attribution",
+    "a26_rfm",
+    "a26_rfm_approx",
+    "a27_benford_audit",
+    "a28_ordered_funnel",
+    "a31_salted_hot_keys",
+    "a34_price_band_approx",
+    "a42_mad_approx",
+    "p20_unpivot",
+    "t6_ohlc_downsample",
+    "t7_gap_fill",
+    "t8_ewma",
+    "t9_anomaly_mad",
+    "u5_cdc_apply",
+    "u6_dq_checks",
+    "w9_scd2_history",
+    "x_ann_ivf_pq",
+    "x_ann_refine",
+    "x_backoff_nll",
+    "x_bigram_nll",
+    "x_calibration_approx",
+    "x_length_clip",
+    "x_ngram_jaccard",
+    "x_pack_sequences",
+    "x_pii_redact",
+    "x_repetition",
+    "x_source_mixture",
+    "x_source_overlap",
+    "x_stratified_sample",
+    "x_suffix_removal_ranks",
+    "x_text_stats",
+    "x_tfidf",
+    "x_token_counts",
+    "x_train_split",
+    "x_winnow_pairs",
 )
 
 
@@ -196,7 +185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for mod in (warehouse, windows, extensions, measures, analytics, scalars, temporal):
         all_q.update(mod.QUERIES)
     out = {n: all_q[n] for n in _GATE_PRIORITY if n in all_q}
-    out.update({n: all_q[n] for n in _ROTATION_R13 if n in all_q and n not in out})
+    out.update({n: all_q[n] for n in _ROTATION_R14 if n in all_q and n not in out})
     out.update({n: f for n, f in all_q.items() if n not in out})
     return out
 

@@ -192,26 +192,20 @@ def main() -> None:
     batch_canaries: list[float] = []
     canary_attempts: list[list[float]] = []
     times: dict[str, float] = {}
-    for b in range(batches):
-        if b == 0:
-            # the guard only gates the FIRST batch: after that the
-            # 1-minute loadavg is polluted by our own just-finished
-            # 32-thread batch, so a between-batch wait would mostly be
-            # waiting out self-load. Later batches record the load and
-            # rely on the cross-batch min.
-            waited_total += _wait_for_quiet(threshold, max_wait)
+
+    def run_batch(reps: int, gate_sleep: float) -> None:
+        nonlocal waited_total
         batch_loads.append(round(os.getloadavg()[0], 2))
         # the canary gate runs before EVERY batch — unlike loadavg it
         # measures contention directly, so it is not polluted by our
         # own just-finished batch (the spin is single-threaded and the
         # executor pool is idle between batches)
         attempts, slept = _canary_gate(
-            canary_quiet, canary_factor, canary_tries, 8.0
+            canary_quiet, canary_factor, canary_tries, gate_sleep
         )
         waited_total += slept
         canary_attempts.append(attempts)
         batch_canaries.append(attempts[-1])
-        reps = 3 if b == 0 else 2  # batch 0 also pays codegen warm-up
         for name in HEADLINE:
             fn = qs[name]
             best, n = None, 0
@@ -223,11 +217,38 @@ def main() -> None:
                 best = el if best is None or el < best else best
             if name not in times or best < times[name]:
                 times[name] = round(best, 3)
-            if b == batches - 1:
-                print(
-                    f"# {name}: {n} rows in {times[name]:.3f}s", file=sys.stderr
-                )
 
+    for b in range(batches):
+        if b == 0:
+            # the guard only gates the FIRST batch: after that the
+            # 1-minute loadavg is polluted by our own just-finished
+            # 32-thread batch, so a between-batch wait would mostly be
+            # waiting out self-load. Later batches record the load and
+            # rely on the cross-batch min.
+            waited_total += _wait_for_quiet(threshold, max_wait)
+        # batch 0 also pays codegen warm-up
+        run_batch(3 if b == 0 else 2, 8.0)
+
+    # artifact gate (round 13 — the round-12 verdict's watch item 1:
+    # BENCH_r12 memorialized the round's WORST window because the run
+    # happened to land post-suite in a contended slot): if NO batch's
+    # canary landed inside the acceptance band, the numbers are
+    # host-noise, not code — keep running bounded EXTRA batches (with
+    # more patient gate sleeps) until one batch starts quiet or the
+    # budget runs out. The artifact records gate_passed either way, so
+    # a still-contended emission is labeled rather than silent.
+    extra_max = int(os.environ.get("SPARK_GRAFT_EXTRA_BATCHES", "3"))
+    extra_used = 0
+    while (
+        min(batch_canaries) > canary_quiet * canary_factor
+        and extra_used < extra_max
+    ):
+        run_batch(2, 15.0)
+        extra_used += 1
+    gate_passed = min(batch_canaries) <= canary_quiet * canary_factor
+
+    for name in HEADLINE:
+        print(f"# {name}: {times[name]:.3f}s", file=sys.stderr)
     total = round(sum(times.values()), 3)
     # canary-normalized companion total (round 12): scale by the
     # quiet-reference-to-observed spin ratio so cross-round comparison
@@ -277,6 +298,8 @@ def main() -> None:
                     "canary_attempts": canary_attempts,
                     "canary_quiet_ref": canary_quiet,
                     "canary_gate": canary_factor,
+                    "gate_passed": gate_passed,
+                    "extra_batches": extra_used,
                     "threshold": threshold,
                     "waited_s": waited_total,
                     "batches": batches,
