@@ -276,6 +276,7 @@ def stream_drift_gated_ingest(
     "source string, n_chars bigint",
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    w1_threshold: float | None = None,
 ) -> StreamingQuery:
     """Drift-GATED ingestion (round 12) — the admission family composed
     into an executable gate: every micro-batch of documents is scored
@@ -299,13 +300,21 @@ def stream_drift_gated_ingest(
     well-defined uniform reference and chi-square's cold start is
     explicitly undefined (``chi2_defined`` false → no rejection), so
     the first batch seeds both histories. foreachBatch is sequential,
-    so the two admit calls and the routed write are one atomic batch
-    step under the checkpoint."""
+    so the admit calls and the routed write are one atomic batch
+    step under the checkpoint.
+
+    ``w1_threshold`` (round 13) arms an optional THIRD scorer:
+    Wasserstein-1 over n_chars vs a t-digest centroid history
+    (quality.w1_admit) — value-units distance that catches a slow
+    location drift PSI's 10 coarse buckets smear into noise; a batch
+    whose W1 exceeds the threshold quarantines like the other flags,
+    and the monitor row carries (w1_dist, w1_shifted) either way
+    (NULLs when disarmed). W1's cold start is undefined → admits."""
     import os
 
     from pyspark.sql import functions as F
 
-    from ..operators.quality import chi2_admit, psi_admit
+    from ..operators.quality import chi2_admit, psi_admit, w1_admit
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -313,7 +322,7 @@ def stream_drift_gated_ingest(
     raw = reader.json(in_path)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        # the batch feeds two scorers + the routed write — pin it so
+        # the batch feeds the scorers + the routed write — pin it so
         # the source JSON parse runs once
         b = batch_df.localCheckpoint(eager=True)
         psi_row = psi_admit(b, os.path.join(store_path, "psi")).collect()[0]
@@ -321,6 +330,19 @@ def stream_drift_gated_ingest(
         shifted = bool(psi_row["shifted"]) or bool(
             chi_row["reject_95"] or False
         )
+        # optional third scorer (round 13): Wasserstein-1 vs its own
+        # t-digest centroid history — value-units "how far did the
+        # distribution move", catching slow location drift PSI's
+        # coarse buckets can smear; enabled by passing a threshold.
+        # Cold start (w1 NULL) admits, like the rest of the family.
+        w1_val, w1_shift = None, None
+        if w1_threshold is not None:
+            w1_row = w1_admit(
+                b, os.path.join(store_path, "w1"), threshold=w1_threshold
+            ).collect()[0]
+            w1_val = w1_row["w1_dist"]
+            w1_shift = bool(w1_row["shifted"])
+            shifted = shifted or w1_shift
         spark.createDataFrame(
             [
                 (
@@ -331,12 +353,15 @@ def stream_drift_gated_ingest(
                     chi_row["chi2"],
                     bool(chi_row["chi2_defined"]),
                     chi_row["reject_95"],
+                    w1_val,
+                    w1_shift,
                     "quarantine" if shifted else "out",
                 )
             ],
             "batch_id bigint, n_batch bigint, psi double, "
             "psi_shifted boolean, lang_chi2 double, chi2_defined boolean, "
-            "lang_reject_95 boolean, route string",
+            "lang_reject_95 boolean, w1_dist double, w1_shifted boolean, "
+            "route string",
         ).write.mode("append").parquet(os.path.join(store_path, "monitor"))
         dest = quarantine_path if shifted else out_path
         b.withColumn("__batch_id", F.lit(batch_id)).write.mode(

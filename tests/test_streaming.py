@@ -746,6 +746,76 @@ def test_stream_drift_gated_ingest_routes_shifted_batch(spark, tmp_path):
     assert {r["__batch_id"] for r in good.select("__batch_id").distinct().collect()} == {0, 1}
 
 
+def test_stream_drift_gated_ingest_w1_catches_location_drift(spark, tmp_path):
+    """Round-13: the optional W1 scorer flags a +200-char location
+    shift that PSI's 410-wide buckets smear into noise (both batches
+    stay near-uniform over the bucket grid) and whose language mix is
+    unchanged — only w1_shifted quarantines the batch."""
+    import json as _json
+    import os as _os
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.streaming.pipeline import (
+        stream_drift_gated_ingest,
+    )
+
+    def doc(i, n_chars):
+        return {
+            "doc_id": i,
+            "text": "w " * 5,
+            "lang": ["en", "de"][i % 2],
+            "source": "s",
+            "n_chars": n_chars,
+        }
+
+    edir = tmp_path / "in"
+    edir.mkdir()
+    batches = [
+        [doc(i, (i * 37) % 4000) for i in range(400)],
+        # near-identical bucket occupancy (only the two edge buckets
+        # move, PSI ≈ 0.04 « 0.25), same language mix, but every
+        # length shifted +200 — a pure location drift (NOT mod-4000:
+        # a circular shift of a uniform would leave W1 ≈ 0)
+        [doc(400 + i, (i * 37) % 4000 + 200) for i in range(400)],
+    ]
+    for fi, rows in enumerate(batches):
+        fp = edir / f"f{fi}.jsonl"
+        with open(fp, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(fp, (1_700_000_000 + fi, 1_700_000_000 + fi))
+
+    out = str(tmp_path / "out")
+    quarantine = str(tmp_path / "quarantine")
+    store = str(tmp_path / "store")
+    q = stream_drift_gated_ingest(
+        spark,
+        str(edir),
+        out,
+        quarantine,
+        store,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        w1_threshold=100.0,
+    )
+    q.awaitTermination()
+
+    monitor = {
+        r["batch_id"]: r
+        for r in spark.read.parquet(store + "/monitor").collect()
+    }
+    assert len(monitor) == 2
+    assert monitor[0]["route"] == "out"
+    assert monitor[0]["w1_dist"] is None  # cold start admits
+    r1 = monitor[1]
+    # the shift is invisible to PSI and chi2 on this construction...
+    assert r1["psi_shifted"] is False
+    assert not r1["lang_reject_95"]
+    # ...but W1 reads it directly, in n_chars units
+    assert r1["w1_shifted"] is True and r1["w1_dist"] > 100.0
+    assert r1["route"] == "quarantine"
+    assert spark.read.parquet(quarantine).count() == 400
+
+
 def test_stream_bm25_index_matches_one_shot(spark, tmp_path):
     """Round-12: documents streamed through stream_bm25_index in two
     micro-batches (with a compaction in between) retrieve EXACTLY like
