@@ -1196,6 +1196,158 @@ def nsw_topk(
     )
 
 
+def save_nsw_index(
+    base: DataFrame,
+    graph: DataFrame,
+    store_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist a layered-NSW index: ``{store}/graph`` (level, src,
+    dst, sim) + ``{store}/vectors`` (the raw vectors — graph search
+    scores candidates exactly, so the index must carry them; same
+    reasoning as the IVF lists storing vectors). Overwrites."""
+    base.select(F.col(id_col), F.col(vec_col)).write.mode(
+        "overwrite"
+    ).parquet(f"{store_path}/vectors")
+    graph.write.mode("overwrite").parquet(f"{store_path}/graph")
+
+
+def nsw_index_append(
+    new_vectors: DataFrame,
+    store_path: str,
+    M: int = 12,
+    max_level: int = 2,
+    beam: int = 16,
+    hops: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """STREAMING graph-ANN maintenance (round 13 — the NSW sibling of
+    :func:`ivf_index_append`, completing the incremental story for
+    every index family: postings, IVF lists, and now the neighbor
+    graph): fold one micro-batch of new vectors into a persisted NSW
+    index by the REAL HNSW insert recipe, search-then-connect — each
+    new vector beam-searches the EXISTING layer-l graph for its
+    top-``M`` neighbors at every layer its deterministic hash draw
+    reaches, and both edge directions append (new→nbr and nbr→new),
+    plus LSH-seeded NN-descent edges among the batch itself so
+    intra-batch neighbors link without waiting for a rebuild.
+
+    Levels are hash-derived (never stored), so an appended node draws
+    the SAME level it would have drawn in a one-shot build. Reverse
+    edges can push an old node's out-degree past M — queries only get
+    MORE candidates from that (recall up, cost up);
+    :func:`compact_nsw_graph` re-prunes to the cap in a quiet window.
+    Append-built graphs are not edge-identical to one-shot builds
+    (insert order is real in HNSW too) — the contract is the recall
+    floor, pinned by the parity test. Raises FileNotFoundError when
+    no index exists (an appender bootstrapping from empty would build
+    a graph with no long-range layer structure; seed with
+    nsw_build_graph + save_nsw_index). At-least-once replays
+    duplicate edges — same caveat and upstream remedy as
+    bm25_index_append."""
+    from ..session import hadoop_path_exists
+
+    spark = new_vectors.sparkSession
+    if not hadoop_path_exists(spark, f"{store_path}/graph"):
+        raise FileNotFoundError(
+            f"no NSW index at {store_path} — build with "
+            "nsw_build_graph + save_nsw_index before appending"
+        )
+    old_vecs = spark.read.parquet(f"{store_path}/vectors")
+    graph = spark.read.parquet(f"{store_path}/graph")
+    newv = new_vectors.select(
+        F.col(id_col), F.col(vec_col),
+        _nsw_level(id_col, max_level).alias("__lvl"),
+    ).localCheckpoint(eager=True)
+    old_lvl = old_vecs.select(
+        F.col(id_col), F.col(vec_col),
+        _nsw_level(id_col, max_level).alias("__lvl"),
+    )
+    edges = None
+    for l in range(0, max_level + 1):
+        nq = newv.filter(F.col("__lvl") >= l).drop("__lvl")
+        if nq.isEmpty():
+            continue
+        old_l = old_lvl.filter(F.col("__lvl") >= l).drop("__lvl")
+        graph_l = graph.filter(F.col("level") >= l)
+        batch_edges = _knn_edges(
+            nq, M, 1, id_col, vec_col, bits=4, tables=3
+        ).select(F.lit(l).cast("int").alias("level"), "src", "dst", "sim")
+        edges = (
+            batch_edges if edges is None else edges.unionByName(batch_edges)
+        )
+        if old_l.isEmpty() or graph_l.isEmpty():
+            continue
+        found = nsw_topk(
+            old_l, nq, k=M, graph=graph_l, beam=beam, hops=hops,
+            id_col=id_col, vec_col=vec_col,
+        ).select(
+            F.lit(l).cast("int").alias("level"),
+            F.col("q_id").alias("src"),
+            F.col(id_col).alias("dst"),
+            "sim",
+        )
+        found = found.localCheckpoint(eager=True)
+        rev = found.select(
+            "level", F.col("dst").alias("src"), F.col("src").alias("dst"),
+            "sim",
+        )
+        edges = edges.unionByName(found).unionByName(rev)
+    newv.drop("__lvl").write.mode("append").parquet(f"{store_path}/vectors")
+    if edges is not None:
+        edges.write.mode("append").parquet(f"{store_path}/graph")
+
+
+def nsw_query_index(
+    spark,
+    store_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    beam: int = 16,
+    hops: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted NSW index: beam-search descent over the
+    stored graph, exact-cosine scoring against the stored vectors —
+    a corpus ingested one-shot or over many appends serves the same
+    query API (bm25_query_store's posture for graph ANN)."""
+    vecs = spark.read.parquet(f"{store_path}/vectors")
+    graph = spark.read.parquet(f"{store_path}/graph")
+    return nsw_topk(
+        vecs, queries, k=k, graph=graph, beam=beam, hops=hops,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
+def compact_nsw_graph(
+    spark, store_path: str, M: int = 12, bytes_per_file: int = 128 << 20
+) -> None:
+    """Store-lifecycle companion to :func:`nsw_index_append`: dedupe
+    replayed edges and re-prune every (level, src) adjacency to its
+    top-``M`` by similarity (reverse-edge appends deliberately
+    overflow the cap), then swap generations via the shared
+    dedup._write_and_swap_store. Same quiet-window contract as the
+    other stores."""
+    from .dedup import _local_store_path, _write_and_swap_store
+
+    store_path = _local_store_path(store_path)
+    g = spark.read.parquet(f"{store_path}/graph").dropDuplicates(
+        ["level", "src", "dst"]
+    )
+    w = Window.partitionBy("level", "src").orderBy(
+        F.desc("sim"), F.asc("dst")
+    )
+    pruned = (
+        g.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= M)
+        .select("level", "src", "dst", "sim")
+    )
+    _write_and_swap_store(pruned, store_path, bytes_per_file, subdir="graph")
+
+
 def embedding_near_dup_pairs(
     base: DataFrame,
     id_col: str = "vec_id",

