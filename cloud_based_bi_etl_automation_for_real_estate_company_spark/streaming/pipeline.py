@@ -220,6 +220,51 @@ def stream_embeddings_index(
     return writer.start()
 
 
+def stream_nsw_index(
+    spark: SparkSession,
+    in_path: str,
+    store_path: str,
+    checkpoint: str,
+    schema: str = "vec_id bigint, embedding array<float>, label string",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    compact_every: int | None = None,
+) -> StreamingQuery:
+    """Streaming GRAPH-ANN index maintenance (round 13 — the NSW leg
+    of the index-ingest family: BM25 postings, IVF lists, and now the
+    neighbor graph all stay current under continuous ingest): each
+    micro-batch of new embedding vectors folds into the persisted NSW
+    index by search-then-connect (``similarity.nsw_index_append``),
+    with optional in-sink compaction every ``compact_every`` batches
+    re-pruning reverse-edge degree overflow (the stream is the quiet
+    window — foreachBatch is sequential, so no append races it).
+
+    Contract mirrors the family: the index must already exist
+    (nsw_build_graph + save_nsw_index seed it — appends never
+    bootstrap the layer structure), levels are hash-derived so
+    streamed nodes draw the same level as a one-shot build, and
+    exactly-once is delegated to the checkpoint (a replayed batch
+    duplicates edges; compaction dedupes them)."""
+    from ..operators.similarity import compact_nsw_graph, nsw_index_append
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.json(in_path)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        nsw_index_append(batch_df, store_path)
+        if compact_every is not None and (batch_id + 1) % compact_every == 0:
+            compact_nsw_graph(spark, store_path)
+
+    writer = raw.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_bm25_index(
     spark: SparkSession,
     in_path: str,

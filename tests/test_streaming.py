@@ -677,6 +677,80 @@ def test_stream_embeddings_index_matches_one_shot_build(spark, tmp_path):
     assert got == want and len(got) == 25
 
 
+def test_stream_nsw_index_recall_after_two_batches(spark, tmp_path):
+    """Round-13: embeddings streamed through stream_nsw_index in two
+    micro-batches (with a compaction after the second) stay
+    searchable — recall@5 over the FULL corpus clears the 0.6 floor
+    and the compaction's degree cap holds."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.similarity import (
+        brute_force_topk,
+        nsw_build_graph,
+        nsw_query_index,
+        save_nsw_index,
+    )
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.streaming.pipeline import (
+        stream_nsw_index,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = base.filter(F.col("vec_id") < 5)
+    seed = base.filter(F.col("vec_id") % 3 == 0)
+    rest = base.filter(F.col("vec_id") % 3 != 0).collect()
+
+    store = str(tmp_path / "nsw_stream")
+    save_nsw_index(seed, nsw_build_graph(seed), store)
+
+    edir = tmp_path / "in"
+    edir.mkdir()
+    halves = [rest[: len(rest) // 2], rest[len(rest) // 2 :]]
+    for fi, rows in enumerate(halves):
+        fp = edir / f"f{fi}.jsonl"
+        with open(fp, "w") as f:
+            for r in rows:
+                f.write(
+                    _json.dumps(
+                        {
+                            "vec_id": r["vec_id"],
+                            "embedding": list(r["embedding"]),
+                            "label": r["label"],
+                        }
+                    )
+                    + "\n"
+                )
+        _os.utime(fp, (1_700_000_000 + fi, 1_700_000_000 + fi))
+
+    q = stream_nsw_index(
+        spark,
+        str(edir),
+        store,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        compact_every=2,
+    )
+    q.awaitTermination()
+
+    assert spark.read.parquet(f"{store}/vectors").count() == base.count()
+    g = spark.read.parquet(f"{store}/graph")
+    assert (
+        g.groupBy("level", "src").count().agg(F.max("count")).collect()[0][0]
+        <= 12
+    )
+    truth = {
+        (r["q_id"], r["vec_id"])
+        for r in brute_force_topk(base, queries, k=5).collect()
+    }
+    approx = {
+        (r["q_id"], r["vec_id"])
+        for r in nsw_query_index(spark, store, queries, k=5).collect()
+    }
+    assert len(approx & truth) / len(truth) >= 0.6
+
+
 def test_stream_drift_gated_ingest_routes_shifted_batch(spark, tmp_path):
     """Round-12: three micro-batches through the drift gate — two
     statistically alike batches land in the corpus, the wildly
