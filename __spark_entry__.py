@@ -2,8 +2,8 @@
 
 ``entry`` runs the flagship dashboard query; ``queries`` /
 ``oracle_sql`` expose every implemented operator from SURVEY.md §2
-plus the training-data-pipeline extensions — 263 registered queries,
-262 with DuckDB oracles, 1 rows-only: x_pca_project
+plus the training-data-pipeline extensions — 264 registered queries,
+263 with DuckDB oracles, 1 rows-only: x_pca_project
 (numpy eigh) — PERMANENTLY rows-only by round-6 decision: its
 Parseval shadow ``x_pca_invariants`` checks centering/orthonormality
 in SQL, and ``x_power_iteration`` proves the distributed eigen-math
@@ -62,16 +62,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Round-13 gate front block. Every round-12 front name is green in
-# CORRECTNESS_r12, so the 50-slot window now holds: (a) the 5
+# CORRECTNESS_r12, so the 50-slot window now holds: (a) the 6
 # round-13 additions (never-checked names MUST debut in the front,
 # scripts/check_rotation.py enforces it), (b) the two returning
 # SENTINELS — a29/a30 sat out round 12 under an explicit IOU and
-# come back first, (c) STALENESS ROTATION — the COMPLETE 42-name
+# come back first, and (c) STALENESS ROTATION — the COMPLETE 42-name
 # r7-vintage tier (the oldest tier once CORRECTNESS_r12 landed;
 # _ROTATION_R13 carried it plus the sentinels at 51 names, so this
-# round's split is: all 44 of those here, nothing deferred), and
-# (d) 1 promoted r8 name to fill the window. 5 + 2 + 42 + 1 =
-# exactly 50. After this window runs, no catalog name's newest
+# round's split is: all 44 of those here, nothing deferred).
+# 6 + 2 + 42 = exactly 50 — the sixth addition (t23, a late-session
+# surface) displaced the round's single r8 promotion back into
+# _ROTATION_R14. After this window runs, no catalog name's newest
 # driver row is older than r8.
 _GATE_PRIORITY = (
     # -- (a) new in round 13 ------------------------------------------------
@@ -80,6 +81,7 @@ _GATE_PRIORITY = (
     "x_chunk_sentences",
     "t22_rolling_drift",
     "x_ann_hnsw",
+    "t23_rolling_chi2",
     # -- (b) the two returning sentinels (round-12 IOU) ---------------------
     "a29_trend_slope",
     "a30_corr_pairs",
@@ -126,16 +128,14 @@ _GATE_PRIORITY = (
     "x_suffix_lcp",
     "x_suffix_lcp_ranks",
     "x_suffix_removal",
-    # -- (d) r8 promotion filling the window --------------------------------
-    "a21_collect_list",
 )
 
-# Round-14 rotation backlog: the remaining 38 r8-vintage names (the
-# oldest staleness tier once round 13 lands — a21_collect_list is
-# already promoted into this round's front). They fit one front with
-# 12 slots to spare for round-14 additions + sentinels; run
+# Round-14 rotation backlog: the complete 39-name r8-vintage tier
+# (the oldest staleness tier once round 13 lands). It fits one front
+# with 11 slots to spare for round-14 additions + sentinels; run
 # scripts/check_rotation.py to re-derive.
 _ROTATION_R14: tuple[str, ...] = (
+    "a21_collect_list",
     "a23_equidepth_approx",
     "a23_equidepth_hist",
     "a24_cohort_retention",

@@ -1071,6 +1071,118 @@ def rolling_drift(
     )
 
 
+def rolling_chi2(
+    df: DataFrame,
+    cat_col: str = "event_type",
+    time_col: str = "ts",
+    ref_weeks: int = 4,
+) -> DataFrame:
+    """ROLLING categorical drift series (round 13 — the chi-square
+    member of :func:`rolling_drift`'s weekly panel): for every week,
+    test whether that week's ``cat_col`` mix (e.g. the event-type or
+    language composition) differs from the TRAILING ``ref_weeks``-week
+    reference — the "did the traffic mix shift this week" monitor,
+    where rolling_drift watches a numeric distribution per series.
+
+    Same collapsed two-sample integer form as chi2_drift/chi2_admit
+    with (week, reference window) as the two samples:
+    χ² = Σ_c D_c²/ct_c / (n_cur·n_ref), D_c = o_c·n − n_cur·ct_c, all
+    integer over the week∪reference category union (12-dp decimal
+    term sums), one division at the end — the oracle replays
+    bit-for-bit. Wilson–Hilferty 95% flag, df = k−1 over categories
+    present (floored at 1 in the divisor only). Weeks with an empty
+    reference report NULL statistics with ``drift_defined`` false —
+    the every-cell-reported invariant of the family.
+
+    Spark shape: one fact-scan (week, category) count agg; the
+    reference is that spine exploded ``ref_weeks``× on the week axis
+    and re-aggregated (bounded growth, never fact-sized); one
+    (week, category)-grain join + one week-grain agg. Returns
+    (week_start, n_cur, n_ref, df_chi2, chi2, reject_95,
+    drift_defined)."""
+    if ref_weeks < 1:
+        raise ValueError("need ref_weeks >= 1")
+    counts = (
+        df.filter(F.col(cat_col).isNotNull() & F.col(time_col).isNotNull())
+        .groupBy(
+            F.date_trunc("week", F.col(time_col)).cast("date").alias("week"),
+            F.col(cat_col).alias("c"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    weeks = counts.select(F.col("week").alias("w")).distinct()
+    ref = (
+        counts.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(ref_weeks)),
+                    lambda k: F.date_add(F.col("week"), (k * 7).cast("int")),
+                )
+            ).alias("w"),
+            "c",
+            "cnt",
+        )
+        .groupBy("w", "c")
+        .agg(F.sum("cnt").alias("ref"))
+    )
+    cur = counts.select(
+        F.col("week").alias("w"), "c", F.col("cnt").alias("cur")
+    )
+    cells = (
+        cur.join(ref, ["w", "c"], "full_outer")
+        .join(weeks, ["w"], "left_semi")
+        .select(
+            "w",
+            F.coalesce(F.col("cur"), F.lit(0)).cast("bigint").alias("cg"),
+            F.coalesce(F.col("ref"), F.lit(0)).cast("bigint").alias("ch"),
+        )
+    )
+    tot = cells.groupBy("w").agg(
+        F.sum("cg").cast("bigint").alias("n_cur"),
+        F.sum("ch").cast("bigint").alias("n_ref"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    n = F.col("n_cur") + F.col("n_ref")
+    # the cross-multiplied residual squares in DECIMAL(38,0) — d ~ n²,
+    # so d² in BIGINT would wrap past n ≈ 55k rows/week (the round-13
+    # w1_drift ADVICE lesson applied at birth); decimal holds to 1e19
+    d = (
+        F.col("cg") * n - F.col("n_cur") * (F.col("cg") + F.col("ch"))
+    ).cast("decimal(38,0)")
+    term = F.round(
+        (d * d).cast("double") / (F.col("cg") + F.col("ch")).cast("double"),
+        12,
+    ).cast("decimal(38,12)")
+    chi2 = F.try_divide(
+        F.col("s"),
+        F.col("n_cur").cast("double") * F.col("n_ref").cast("double"),
+    )
+    dof = (F.col("k") - F.lit(1)).cast("double")
+    dofc = F.greatest(dof, F.lit(1.0))
+    wh = F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * dofc) + F.lit(
+        1.6448536269514722
+    ) * F.sqrt(F.lit(2.0) / (F.lit(9.0) * dofc))
+    crit = dof * wh * wh * wh
+    defined = (F.col("n_cur") > 0) & (F.col("n_ref") > 0)
+    return (
+        cells.join(tot, "w")
+        .groupBy("w", "n_cur", "n_ref", "k")
+        .agg(F.sum(term).cast("double").alias("s"))
+        .select(
+            F.col("w").alias("week_start"),
+            "n_cur",
+            "n_ref",
+            F.when(defined, F.col("k") - F.lit(1)).alias("df_chi2"),
+            F.when(defined, chi2).alias("chi2"),
+            F.coalesce(
+                F.when(defined, chi2 > crit), F.lit(False)
+            ).alias("reject_95"),
+            defined.alias("drift_defined"),
+        )
+    )
+
+
 def psi_admit(
     batch_df: DataFrame,
     store_path: str,

@@ -1155,8 +1155,76 @@ ORACLES["t22_rolling_drift"] = """
 """
 
 
+def q_t23_rolling_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling weekly categorical drift (operators/quality.
+    rolling_chi2, round 13): per week, chi-square of the event-type
+    mix against the trailing 4-week reference — the "did the traffic
+    mix shift" companion of t22's numeric panel. Collapsed two-sample
+    integer form, decimal-squared residuals, one division; weeks with
+    an empty reference keep their row (drift_defined false)."""
+    from ..operators.quality import rolling_chi2
+
+    return rolling_chi2(t(spark, sf_dir, "events"))
+
+
+ORACLES["t23_rolling_chi2"] = """
+    WITH counts AS (
+        SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+               event_type AS c, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events
+        WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1, 2),
+    weeks AS (SELECT DISTINCT week AS w FROM counts),
+    ref AS (
+        SELECT c2.week + CAST(k * 7 AS INTEGER) AS w, c2.c,
+               CAST(SUM(c2.cnt) AS BIGINT) AS ref
+        FROM counts c2, UNNEST(range(1, 5)) AS u(k)
+        GROUP BY 1, 2),
+    cur AS (SELECT week AS w, c, cnt AS cur FROM counts),
+    cells AS (
+        SELECT COALESCE(cu.w, r.w) AS w, COALESCE(cu.c, r.c) AS c,
+               CAST(COALESCE(cu.cur, 0) AS BIGINT) AS cg,
+               CAST(COALESCE(r.ref, 0) AS BIGINT) AS ch
+        FROM cur cu FULL OUTER JOIN ref r
+          ON cu.w = r.w AND cu.c = r.c),
+    cellsw AS (
+        SELECT c.* FROM cells c
+        WHERE EXISTS (SELECT 1 FROM weeks wk WHERE wk.w = c.w)),
+    tot AS (
+        SELECT w, CAST(SUM(cg) AS BIGINT) AS n_cur,
+               CAST(SUM(ch) AS BIGINT) AS n_ref,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM cellsw GROUP BY 1),
+    agg AS (
+        SELECT c.w, t.n_cur, t.n_ref, t.k,
+               CAST(SUM(CAST(ROUND(
+                   CAST((cg * (n_cur + n_ref) - n_cur * (cg + ch))
+                        * (cg * (n_cur + n_ref) - n_cur * (cg + ch))
+                        AS DOUBLE)
+                   / CAST(cg + ch AS DOUBLE), 12)
+                   AS DECIMAL(38,12))) AS DOUBLE) AS s
+        FROM cellsw c JOIN tot t USING (w)
+        GROUP BY 1, 2, 3, 4)
+    SELECT w AS week_start, n_cur, n_ref,
+           CASE WHEN n_cur > 0 AND n_ref > 0 THEN k - 1 END AS df_chi2,
+           CASE WHEN n_cur > 0 AND n_ref > 0
+                THEN s / (CAST(n_cur AS DOUBLE) * CAST(n_ref AS DOUBLE))
+           END AS chi2,
+           COALESCE(CASE WHEN n_cur > 0 AND n_ref > 0
+                THEN s / (CAST(n_cur AS DOUBLE) * CAST(n_ref AS DOUBLE))
+                     > CAST(k - 1 AS DOUBLE)
+                       * pow(1.0 - 2.0/(9.0 * GREATEST(CAST(k - 1 AS DOUBLE), 1.0))
+                             + 1.6448536269514722
+                               * sqrt(2.0/(9.0 * GREATEST(CAST(k - 1 AS DOUBLE), 1.0))), 3)
+           END, FALSE) AS reject_95,
+           (n_cur > 0 AND n_ref > 0) AS drift_defined
+    FROM agg
+"""
+
+
 QUERIES = {
     "t22_rolling_drift": q_t22_rolling_drift,
+    "t23_rolling_chi2": q_t23_rolling_chi2,
     "t18_acf": q_t18_acf,
     "t19_xcorr": q_t19_xcorr,
     "t20_seasonal": q_t20_seasonal,

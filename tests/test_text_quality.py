@@ -418,6 +418,55 @@ def test_rolling_drift_reference_window_slides(spark):
     assert out["2024-02-12"]["drift_defined"] is False
 
 
+def test_rolling_chi2_hand_computed(spark):
+    """Rolling weekly categorical drift (round 13): week 1 is a cold
+    start; week 2 = [a,b,b,b] vs reference [a,a,a,b] — the chi2_admit
+    hand case replayed on the weekly axis: chi2 = 2.0, df = 1. Week 3
+    reuses weeks 1+2 as its reference (sum of both)."""
+    from datetime import datetime
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        rolling_chi2,
+    )
+
+    w1, w2 = datetime(2024, 1, 1), datetime(2024, 1, 8)
+    rows = [("a", w1)] * 3 + [("b", w1)] + [("a", w2)] + [("b", w2)] * 3
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {str(r["week_start"]): r for r in rolling_chi2(df).collect()}
+    assert len(out) == 2
+    r1 = out["2024-01-01"]
+    assert r1["n_cur"] == 4 and r1["n_ref"] == 0
+    assert r1["chi2"] is None and r1["df_chi2"] is None
+    assert r1["reject_95"] is False and r1["drift_defined"] is False
+    r2 = out["2024-01-08"]
+    assert r2["n_cur"] == 4 and r2["n_ref"] == 4
+    assert r2["chi2"] == 2.0 and r2["df_chi2"] == 1
+    assert r2["reject_95"] is False and r2["drift_defined"] is True
+
+
+def test_rolling_chi2_detects_mix_shift_and_window_slides(spark):
+    """Full category separation rejects at 95%; a week past the
+    4-week window sees an empty reference again."""
+    from datetime import datetime, timedelta
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        rolling_chi2,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = (
+        [("en", base)] * 40
+        + [("de", base + timedelta(weeks=1))] * 40
+        + [("en", base + timedelta(weeks=8))] * 5
+    )
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {str(r["week_start"]): r for r in rolling_chi2(df).collect()}
+    r2 = out["2024-01-08"]
+    assert r2["chi2"] == 80.0 and r2["reject_95"] is True
+    r3 = out["2024-02-26"]
+    assert r3["n_ref"] == 0 and r3["drift_defined"] is False
+
+
 def test_psi_admit_bootstrap_and_stable_second_batch(spark, tmp_path):
     import math
 
