@@ -43,12 +43,15 @@ from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.corpu
     mlt_query_store,
 )
 from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+    rolling_chi2,
     rolling_drift,
     w1_admit,
 )
 from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.similarity import (
     nsw_build_graph,
+    nsw_index_append,
     nsw_topk,
+    save_nsw_index,
 )
 from cloud_based_bi_etl_automation_for_real_estate_company_spark.plans.measures import t
 from cloud_based_bi_etl_automation_for_real_estate_company_spark.session import get_spark
@@ -111,14 +114,45 @@ def _nsw_query(spark, sf_dir: str):
     return nsw_topk(e, q, k=5, graph=_GRAPH_CACHE[sf_dir])
 
 
+def _rolling_cat(spark, sf_dir: str):
+    return rolling_chi2(t(spark, sf_dir, "events"))
+
+
+def _nsw_append(spark, sf_dir: str):
+    """Half-seed + half-append — measures the search-then-connect
+    insert path (per-vector cost should track the corpus size only
+    through the graph/vector scans, i.e. ~linear)."""
+    e = t(spark, sf_dir, "embeddings")
+    old = e.filter(F.col("vec_id") % 2 == 0)
+    new = e.filter(F.col("vec_id") % 2 == 1)
+    tmp = tempfile.mkdtemp(prefix="spark_graft_soak_nswapp_")
+    try:
+        save_nsw_index(old, nsw_build_graph(old), tmp)
+        nsw_index_append(new, tmp)
+        out = (
+            new.sparkSession.read.parquet(f"{tmp}/graph")
+            .groupBy("level")
+            .count()
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 CASES = {
     "chunk_sentences": _chunks,
     "rolling_drift": _rolling,
+    "rolling_chi2": _rolling_cat,
     "w1_admit_2batch": _w1_two_batch,
     "mlt_store_fixed_queries": _mlt_store,
     "nsw_build": _nsw_build,
     "nsw_query_prebuilt": _nsw_query,
+    "nsw_append_half": _nsw_append,
 }
+
+
+_HEAVY = {"nsw_build", "nsw_append_half"}  # index builds: one rep
 
 
 def run_set(spark, sf_dir: str) -> dict[str, float]:
@@ -127,7 +161,7 @@ def run_set(spark, sf_dir: str) -> dict[str, float]:
         best = None
         # nsw_query needs the SAME-dir build from nsw_build's run;
         # CASES order guarantees the cache is populated first
-        for _ in range(2):
+        for _ in range(1 if name in _HEAVY else 2):
             t0 = time.time()
             fn(spark, sf_dir).count()
             el = time.time() - t0

@@ -1037,3 +1037,50 @@ def test_seasonal_decompose_matches_reference_property(spark, xs):
         assert abs(t_ - trend[i]) < 1e-12
         assert abs(s_ - seas[i % 7]) < 1e-12
         assert abs(r_ - (xs[i] - trend[i] - seas[i % 7])) < 1e-9
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=9
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(1, 12),
+)
+@_SLOW
+def test_chunk_sentences_matches_reference_property(spark, sent_words, B):
+    """chunk_sentences equals a pure-Python greedy whole-sentence
+    packer on ANY sentence structure and budget: same chunk
+    boundaries, same texts, and the concatenation of chunks
+    round-trips the document exactly (no token lost/duplicated)."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.corpus import (
+        chunk_sentences,
+    )
+
+    sents = [" ".join(ws) + "." for ws in sent_words]
+    text = " ".join(sents)
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    got = [
+        (r["chunk_id"], r["n_sentences"], r["chunk_text"])
+        for r in chunk_sentences(df, max_tokens=B)
+        .orderBy("chunk_id")
+        .collect()
+    ]
+
+    chunks: list[list[str]] = []
+    fill = 0
+    for s in sents:
+        t = len(s.split(" "))
+        if chunks and fill + t <= B:
+            chunks[-1].append(s)
+            fill += t
+        else:
+            chunks.append([s])
+            fill = t
+    want = [
+        (ci, len(ws), " ".join(ws)) for ci, ws in enumerate(chunks)
+    ]
+    assert got == want
+    assert " ".join(c[2] for c in got) == text
