@@ -900,6 +900,27 @@ def test_mlt_query_store_equals_one_shot(spark, tmp_path):
     )
 
 
+def test_mlt_query_store_invariant_under_compaction(spark, tmp_path):
+    """compact_bm25_store rewrites the postings row-identically, so
+    store-backed MLT must return byte-identical results across a
+    compaction (BM25 already pins this; MLT shares the store)."""
+    rows = [
+        (10, "x y z", "s"),
+        (11, "x y z", "s"),
+        (12, "x y", "s"),
+        (13, "z w", "s"),
+        (20, "f1", "s"), (21, "f2", "s"),
+    ]
+    df = spark.createDataFrame(rows, DOCS)
+    q = spark.createDataFrame([(10,)], "doc_id bigint")
+    store = str(tmp_path / "mlt_c")
+    C.bm25_index_append(df, store)
+    before = sorted(map(tuple, C.mlt_query_store(spark, store, q).collect()))
+    C.compact_bm25_store(spark, store)
+    after = sorted(map(tuple, C.mlt_query_store(spark, store, q).collect()))
+    assert before == after and len(before) > 0
+
+
 def test_bm25_plan_has_no_cartesian(spark):
     df = spark.createDataFrame(
         [(1, "a b a b", "s"), (2, "a b c", "s")], DOCS
