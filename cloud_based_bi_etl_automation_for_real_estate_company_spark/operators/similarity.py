@@ -1072,6 +1072,7 @@ def nsw_build_graph(
     vec_col: str = "embedding",
     bits: int = 4,
     tables: int = 3,
+    exact_threshold: int = 256,
 ) -> DataFrame:
     """Layered navigable-small-world index (the HNSW structure,
     Malkov & Yashunin 2016, built BATCH-distributed rather than by
@@ -1084,19 +1085,45 @@ def nsw_build_graph(
     coarse-to-fine routing HNSW searches exploit. Returns edges
     (level, src, dst, sim); feed to :func:`nsw_topk`.
 
-    100 TB: no all-pairs anywhere — LSH-bucketed seeding + NN-descent
-    keep every round O(N·M²), upper layers are geometrically smaller,
-    and the graph is an id-keyed table that partitions like any other
-    (persist it next to the embeddings; rebuild cadence is the same
-    trade as compact_minhash_store)."""
+    100 TB: no UNBOUNDED all-pairs anywhere — LSH-bucketed seeding +
+    NN-descent keep every round O(N·M²); a layer whose node count is
+    at most ``exact_threshold`` (upper layers are geometrically small
+    BY CONSTRUCTION — level l holds ~N·4^-l nodes) instead builds its
+    EXACT top-M graph with one bounded self-join (≤ threshold² sims,
+    cheaper than 4 checkpointed NN-descent rounds and strictly better
+    edges). The graph is an id-keyed table that partitions like any
+    other (persist it next to the embeddings; rebuild cadence is the
+    same trade as compact_minhash_store)."""
     levels = base.select(
         F.col(id_col), F.col(vec_col),
         _nsw_level(id_col, max_level).alias("__lvl"),
     ).localCheckpoint(eager=True)
+    # layer sizes: one (max_level+1)-row agg — bounded
+    sizes = {
+        r["__lvl"]: r["n"]
+        for r in levels.groupBy("__lvl").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
     out = None
     for l in range(0, max_level + 1):
         sub = levels.filter(F.col("__lvl") >= l)
-        e = _knn_edges(sub, M, iters, id_col, vec_col, bits, tables).select(
+        n_layer = sum(n for lv, n in sizes.items() if lv >= l)
+        if n_layer == 0:
+            continue
+        if n_layer <= exact_threshold:
+            a = sub.select(F.col(id_col).alias("src"), F.col(vec_col).alias("__a"))
+            b = sub.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("__b"))
+            scored = a.join(b, F.col("src") != F.col("dst")).select(
+                "src", "dst", _sim("__a", "__b").alias("sim")
+            )
+            w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+            e = (
+                scored.withColumn("rnk", F.row_number().over(w))
+                .filter(F.col("rnk") <= M)
+                .select("src", "dst", "sim")
+            )
+        else:
+            e = _knn_edges(sub, M, iters, id_col, vec_col, bits, tables)
+        e = e.select(
             F.lit(l).cast("int").alias("level"), "src", "dst", "sim"
         )
         out = e if out is None else out.unionByName(e)
