@@ -429,6 +429,53 @@ def run_curation_pipeline(
     return spark.read.parquet(out_path)
 
 
+def refresh_drift_dashboard(
+    spark: SparkSession,
+    events: DataFrame,
+    gold_path: str,
+    ref_weeks: int = 4,
+    prefix: str = "gold_",
+    atomic: bool = True,
+) -> dict[str, DataFrame]:
+    """Materialize the rolling drift PANEL as gold tables (round 13 —
+    the refresh_gold posture applied to the monitoring family): the
+    numeric per-(series, week) KS/W1/PSI panel
+    (quality.rolling_drift over integer-floored event values) and the
+    weekly categorical mix panel (quality.rolling_chi2 over
+    event_type), each published behind the generation manifest by
+    default — dashboards read old-or-new, never a mid-rewrite mix,
+    and both frames are week-grain-small so the full rewrite is the
+    right trade. Registers ``{prefix}drift_panel`` /
+    ``{prefix}mix_panel`` temp views like the BI gold layer. Returns
+    the published frames."""
+    from pyspark.sql import functions as F
+
+    from .operators.quality import rolling_chi2, rolling_drift
+
+    def _publish(df: DataFrame, name: str) -> DataFrame:
+        path = os.path.join(gold_path, name)
+        if atomic:
+            write_generation(df, path)
+            out = read_current(spark, path)
+            out.createOrReplaceTempView(f"{prefix}{name}")
+            return out
+        return materialize_gold(df, path, view_name=f"{prefix}{name}")
+
+    out: dict[str, DataFrame] = {}
+    out["drift_panel"] = _publish(
+        rolling_drift(
+            events.withColumn("value", F.floor("value")),
+            "value",
+            ref_weeks=ref_weeks,
+        ),
+        "drift_panel",
+    )
+    out["mix_panel"] = _publish(
+        rolling_chi2(events, ref_weeks=ref_weeks), "mix_panel"
+    )
+    return out
+
+
 def run_packing_pipeline(
     curated: DataFrame,
     window: int = 64,

@@ -212,3 +212,54 @@ def test_copurchase_edges_hot_order_stays_bounded(spark):
     # sanity ceiling: the capped run cannot have paid the 12.5M-pair
     # single-task expansion (which takes far longer than this bound)
     assert elapsed < 60
+
+
+def test_refresh_drift_dashboard(spark, tmp_path):
+    """Round-13: the rolling drift panels materialize as gold tables
+    behind the generation manifest — both week-grain frames land,
+    views register, a re-refresh bumps the generation, and the panel
+    values equal the operators run directly."""
+    import datetime as dt
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators import (
+        generations as G,
+    )
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        rolling_chi2,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("click", base + dt.timedelta(weeks=w, hours=i), float(i * 7 % 50))
+        for w in range(3)
+        for i in range(20)
+    ] + [
+        ("view", base + dt.timedelta(weeks=w, hours=i), float(i * 11 % 50))
+        for w in range(3)
+        for i in range(10)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    )
+    gold_path = str(tmp_path / "gold")
+    out = jobs.refresh_drift_dashboard(spark, ev, gold_path)
+    assert set(out) == {"drift_panel", "mix_panel"}
+    assert G.current_generation(gold_path + "/drift_panel") == 0
+    # panels are queryable views with the operator's exact content
+    got = {
+        (str(r["week_start"]), r["n_cur"], r["n_ref"], r["chi2"])
+        for r in spark.sql("SELECT * FROM gold_mix_panel").collect()
+    }
+    want = {
+        (str(r["week_start"]), r["n_cur"], r["n_ref"], r["chi2"])
+        for r in rolling_chi2(ev).collect()
+    }
+    assert got == want and len(got) == 3
+    drift = spark.sql("SELECT * FROM gold_drift_panel").collect()
+    assert {r["event_type"] for r in drift} == {"click", "view"}
+    # every (series, week) cell reported, cold starts included
+    assert len(drift) == 6
+    assert sum(1 for r in drift if not r["drift_defined"]) == 2
+    # re-refresh publishes a new generation
+    jobs.refresh_drift_dashboard(spark, ev, gold_path)
+    assert G.current_generation(gold_path + "/drift_panel") == 1
