@@ -61,80 +61,21 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Round-13 gate front block. Every round-12 front name is green in
-# CORRECTNESS_r12, so the 50-slot window now holds: (a) the 6
-# round-13 additions (never-checked names MUST debut in the front,
-# scripts/check_rotation.py enforces it), (b) the two returning
-# SENTINELS — a29/a30 sat out round 12 under an explicit IOU and
-# come back first, and (c) STALENESS ROTATION — the COMPLETE 42-name
-# r7-vintage tier (the oldest tier once CORRECTNESS_r12 landed;
-# _ROTATION_R13 carried it plus the sentinels at 51 names, so this
-# round's split is: all 44 of those here, nothing deferred).
-# 6 + 2 + 42 = exactly 50 — the sixth addition (t23, a late-session
-# surface) displaced the round's single r8 promotion back into
-# _ROTATION_R14. After this window runs, no catalog name's newest
-# driver row is older than r8.
+# Round-14 gate front block. Every round-13 front name is green in
+# CORRECTNESS_r13 (50/50), so the 50-slot window now holds: (a) the
+# round-14 additions (never-checked names MUST debut in the front,
+# scripts/check_rotation.py enforces it), (b) STALENESS ROTATION —
+# the COMPLETE 39-name r8-vintage tier (the oldest tier once
+# CORRECTNESS_r13 landed; staged verbatim as _ROTATION_R14 last
+# round), and (c) the spare slots promote the alphabetically-first
+# r9-tier names so the NEXT-oldest tier starts draining early.
+# After this window runs, no catalog name's newest driver row is
+# older than r9.
 _GATE_PRIORITY = (
-    # -- (a) new in round 13 ------------------------------------------------
-    "x_w1_drain",
-    "x_mlt_drain",
-    "x_chunk_sentences",
-    "t22_rolling_drift",
-    "x_ann_hnsw",
-    "t23_rolling_chi2",
-    # -- (b) the two returning sentinels (round-12 IOU) ---------------------
-    "a29_trend_slope",
-    "a30_corr_pairs",
-    # -- (c) staleness rotation: the complete 42-name r7 tier ---------------
-    "l14_large_volume_orders",
-    "l15_disjunctive_revenue",
-    "p12_bool_cast",
-    "p14_reserialize",
-    "p15_case_transform",
-    "p17_html_strip",
-    "p18_string_kit",
-    "p19_posexplode",
-    "t1_asof_purchase_click",
-    "t2_session_stats",
-    "t4_session_window",
-    "t5_range_join",
-    "u1_union_offices",
-    "u2_backfill_stream_merge",
-    "u3_except",
-    "u4_intersect",
-    "w4_lag_lead",
-    "w5_moving_avg",
-    "w6_distribution_ranks",
-    "w7_growth_rates",
-    "w8_ytd",
-    "x_ann_bruteforce",
-    "x_ann_bucketed",
-    "x_ann_ivf",
-    "x_ann_pq",
-    "x_chunk_documents",
-    "x_decontaminate",
-    "x_dedup_exact",
-    "x_dedup_minhash_est",
-    "x_dedup_minhash_lsh",
-    "x_domain_cap",
-    "x_embed_near_dup",
-    "x_fingerprint",
-    "x_global_rank",
-    "x_incremental_neardup",
-    "x_lang_id",
-    "x_quality_filter",
-    "x_spacesaving_drain",
-    "x_suffix_array",
-    "x_suffix_lcp",
-    "x_suffix_lcp_ranks",
-    "x_suffix_removal",
-)
-
-# Round-14 rotation backlog: the complete 39-name r8-vintage tier
-# (the oldest staleness tier once round 13 lands). It fits one front
-# with 11 slots to spare for round-14 additions + sentinels; run
-# scripts/check_rotation.py to re-derive.
-_ROTATION_R14: tuple[str, ...] = (
+    # -- (a) new in round 14 ------------------------------------------------
+    "x_ann_hnsw_store",
+    "x_paragraph_dedup",
+    # -- (b) staleness rotation: the complete 39-name r8 tier ---------------
     "a21_collect_list",
     "a23_equidepth_approx",
     "a23_equidepth_hist",
@@ -174,6 +115,51 @@ _ROTATION_R14: tuple[str, ...] = (
     "x_token_counts",
     "x_train_split",
     "x_winnow_pairs",
+    # -- (c) early r9-tier promotions (fill to exactly 50) -------------------
+    "a32_windowed_funnel",
+    "a33_salted_join_revenue",
+    "a34_monthly_price_band",
+    "a35_transition_matrix",
+    "a37_ab_test",
+    "a38_winsorized_stats",
+    "a39_whatif_discount",
+    "t11_interval_join_batch",
+    "t13_twap",
+)
+
+# Round-15 rotation backlog: the 28 r9-vintage names NOT promoted in
+# the round-14 front (the oldest staleness tier once round 14 lands).
+# It fits one front with 22 slots to spare for round-15 additions;
+# run scripts/check_rotation.py to re-derive.
+_ROTATION_R15: tuple[str, ...] = (
+    "t17_rolling_quantiles",
+    "u7_cdc_asof",
+    "w10_cumulative_distinct",
+    "x_bloom_decontaminate",
+    "x_collocations",
+    "x_dedup_clusters_minlabel",
+    "x_doc_entropy",
+    "x_editdist_pairs",
+    "x_embed_stats",
+    "x_hard_negatives",
+    "x_kmv_distinct",
+    "x_kmv_setops",
+    "x_mixture_sample",
+    "x_ngram_containment",
+    "x_pca_project",
+    "x_priority_sample",
+    "x_profile_table",
+    "x_semdedup",
+    "x_sliding_span_dedup",
+    "x_span_dedup",
+    "x_tdigest_quantiles",
+    "x_tdigest_rollup",
+    "x_token_spectrum",
+    "x_triangles",
+    "x_trigram_nll",
+    "x_unigram_nll",
+    "x_zipf_fit",
+    "x_zorder_key",
 )
 
 
@@ -185,7 +171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for mod in (warehouse, windows, extensions, measures, analytics, scalars, temporal):
         all_q.update(mod.QUERIES)
     out = {n: all_q[n] for n in _GATE_PRIORITY if n in all_q}
-    out.update({n: all_q[n] for n in _ROTATION_R14 if n in all_q and n not in out})
+    out.update({n: all_q[n] for n in _ROTATION_R15 if n in all_q and n not in out})
     out.update({n: f for n, f in all_q.items() if n not in out})
     return out
 

@@ -1450,7 +1450,15 @@ def more_like_this(
     """
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    # N counts docs that can own a posting (round-14, ADVICE):
+    # tokens(NULL) is NULL and explode drops the row, so a NULL-text
+    # doc contributes no posting — counting it in N here while the
+    # postings STORE (built through the same tokenizer) cannot see it
+    # would diverge IDF between more_like_this and mlt_query_store on
+    # corpora containing NULL text
+    n_docs = df.filter(F.col(text_col).isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
     return _mlt_score_postings(tf, n_docs, query_docs, id_col, k, max_df_frac)
 
 
@@ -1571,12 +1579,15 @@ def mlt_query_store(
     store); the per-call persist is therefore the weighted sliver,
     fed from a column-pruned store scan rather than a corpus
     tokenize. ``n_docs`` = distinct store docs — IDENTICAL to the
-    one-shot path's corpus count under the tokenizer convention
-    (``split(trim(text), ' ')`` yields one empty-string term even for
-    empty text, so every ingested doc owns ≥1 posting; pinned by the
-    store≡one-shot parity test and the x_mlt_drain gate, whose
-    oracle is literally the x_mlt SQL). Same hot-term bound, decimal
-    dot/norm sums, and rank convention as more_like_this."""
+    one-shot path's NON-NULL-text corpus count: ``split(trim(text),
+    ' ')`` yields one empty-string term even for empty text, so every
+    text-bearing doc owns ≥1 posting, while tokens(NULL) is NULL and
+    explode DROPS the row — more_like_this therefore counts only
+    text-bearing docs in N (round-14 ADVICE fix; pinned by the
+    store≡one-shot parity test, its NULL-text variant, and the
+    x_mlt_drain gate, whose oracle is literally the x_mlt SQL). Same
+    hot-term bound, decimal dot/norm sums, and rank convention as
+    more_like_this."""
     tf = spark.read.parquet(f"{store_path}/postings")
     n_docs = tf.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
     return _mlt_score_postings(tf, n_docs, query_docs, id_col, k, max_df_frac)

@@ -1495,17 +1495,28 @@ def _digest_scored_grid(
             * (F.col("nm") - F.col("pm"))
         )
     )
+    # try_divide throughout (round-14, ADVICE): an all-NULL batch
+    # arriving AFTER the store is seeded has n_batch = 0 but a
+    # knot-populated grid, and ANSI mode raises DIVIDE_BY_ZERO on the
+    # plain divisions — NULL stats flow to the callers' *_defined /
+    # reject_95 gates instead (same contract as the empty-history
+    # side, where w_hist = 0 NULLs fh)
     scored = (
         g.join(F.broadcast(tot))
         .join(F.broadcast(w_tot))
-        .withColumn("fh", fh_raw / F.col("w_hist"))
+        .withColumn("fh", F.try_divide(fh_raw, F.col("w_hist")))
         .withColumn(
-            "e_le", F.col("cum_le").cast("double") / F.col("n_batch")
+            "e_le",
+            F.try_divide(
+                F.col("cum_le").cast("double"), F.col("n_batch")
+            ),
         )
         .withColumn(
             "e_lt",
-            (F.col("cum_le") - F.col("cnt")).cast("double")
-            / F.col("n_batch"),
+            F.try_divide(
+                (F.col("cum_le") - F.col("cnt")).cast("double"),
+                F.col("n_batch"),
+            ),
         )
     )
     return scored, tot, w_tot, sig
@@ -1579,15 +1590,23 @@ def ks_admit(
         .select(
             "n_batch",
             F.round("w_hist", 0).cast("bigint").alias("n_hist"),
-            F.when(F.col("w_hist") > 0, F.col("ks_stat")).alias("ks_stat"),
+            F.when(
+                (F.col("w_hist") > 0) & (F.col("n_batch") > 0),
+                F.col("ks_stat"),
+            ).alias("ks_stat"),
+            # try_divide: n_batch = 0 (all-NULL batch on a seeded
+            # store) would DIVIDE_BY_ZERO under ANSI before the
+            # coalesce(False) could mask it
             F.coalesce(
                 (F.col("w_hist") > 0)
                 & (
                     F.col("ks_stat")
                     > F.lit(alpha_coeff)
                     * F.sqrt(
-                        (F.col("n_batch") + F.col("w_hist"))
-                        / (F.col("n_batch") * F.col("w_hist"))
+                        F.try_divide(
+                            F.col("n_batch") + F.col("w_hist"),
+                            F.col("n_batch") * F.col("w_hist"),
+                        )
                     )
                 ),
                 F.lit(False),
@@ -1689,13 +1708,23 @@ def w1_admit(
         .select(
             "n_batch",
             F.round("w_hist", 0).cast("bigint").alias("n_hist"),
-            F.when(F.col("w_hist") > 0, F.col("w1_raw")).alias("w1_dist"),
+            # gated on BOTH sides being populated (round-14, ADVICE):
+            # an all-NULL batch on a seeded store integrates NULL gaps
+            # to a misleading 0.0 — report NULL and let w1_defined
+            # carry the verdict
+            F.when(
+                (F.col("w_hist") > 0) & (F.col("n_batch") > 0),
+                F.col("w1_raw"),
+            ).alias("w1_dist"),
             ((F.col("w_hist") > 0) & (F.col("n_batch") > 0)).alias(
                 "w1_defined"
             ),
             (
                 F.coalesce(
-                    F.when(F.col("w_hist") > 0, F.col("w1_raw"))
+                    F.when(
+                        (F.col("w_hist") > 0) & (F.col("n_batch") > 0),
+                        F.col("w1_raw"),
+                    )
                     > F.lit(threshold),
                     F.lit(False),
                 )

@@ -1191,7 +1191,12 @@ def nsw_topk(
         q.select("q_id").crossJoin(F.broadcast(top_nodes))
     ).localCheckpoint(eager=True)
     wbeam = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("node"))
-    for l in range(max_level, -1, -1):
+    # descend from the graph's OWN top layer, not the max_level
+    # parameter (round-14 ADVICE): a prebuilt/persisted graph built
+    # deeper than the default would otherwise have its upper layers'
+    # edges never expanded — entry-point scoring only — silently
+    # degrading the coarse-to-fine routing
+    for l in range((-1 if top_lvl is None else top_lvl), -1, -1):
         edges = graph.filter(F.col("level") == l).select("src", "dst")
         edges = edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

@@ -5599,7 +5599,10 @@ ORACLES["x_hybrid_rrf"] = """
     tf AS MATERIALIZED (
         SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
     dfreq AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
-    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    -- N counts text-bearing docs only (round-14 ADVICE parity
+    -- fix): a NULL-text row owns no posting in either engine
+    n AS (SELECT COUNT(*) AS n_docs FROM documents
+          WHERE text IS NOT NULL),
     w AS MATERIALIZED (
         SELECT t.doc_id, t.term,
                CAST(t.tf AS DOUBLE)
@@ -5684,7 +5687,10 @@ ORACLES["x_mlt"] = """
     tf AS MATERIALIZED (
         SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
     dfreq AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
-    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    -- N counts text-bearing docs only (round-14 ADVICE parity
+    -- fix): a NULL-text row owns no posting in either engine
+    n AS (SELECT COUNT(*) AS n_docs FROM documents
+          WHERE text IS NOT NULL),
     w AS MATERIALIZED (
         SELECT t.doc_id, t.term,
                CAST(t.tf AS DOUBLE)

@@ -354,7 +354,15 @@ def stream_drift_gated_ingest(
     location drift PSI's 10 coarse buckets smear into noise; a batch
     whose W1 exceeds the threshold quarantines like the other flags,
     and the monitor row carries (w1_dist, w1_shifted) either way
-    (NULLs when disarmed). W1's cold start is undefined → admits."""
+    (NULLs when disarmed). W1's cold start is undefined → admits.
+
+    Monitor schema evolution: round 13 widened the monitor row from 8
+    to 10 columns (w1_dist, w1_shifted), and an upgraded stream
+    resuming on an older store APPENDS 10-column files next to
+    8-column ones — parquet infers from one footer unless told to
+    merge, so consumers must read the monitor through
+    :func:`read_monitor` (mergeSchema=true; old rows surface NULL W1
+    columns) rather than a bare spark.read.parquet."""
     import os
 
     from pyspark.sql import functions as F
@@ -419,6 +427,23 @@ def stream_drift_gated_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_monitor(spark: SparkSession, store_path: str) -> DataFrame:
+    """Read the drift-gated-ingest monitor table SCHEMA-MERGED
+    (round-14 ADVICE): the monitor path accumulates appends across
+    code versions, and round 13 widened the row from 8 to 10 columns
+    (w1_dist, w1_shifted) — without mergeSchema, parquet infers the
+    schema from a single footer and silently drops either the new
+    columns or the old rows' view of them depending on which file it
+    samples. Old rows surface NULL in the W1 columns, which is also
+    their correct meaning (the scorer wasn't armed when they were
+    written)."""
+    import os
+
+    return spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(store_path, "monitor")
+    )
 
 
 def replay_batch_equals_stream(

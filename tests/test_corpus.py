@@ -900,6 +900,44 @@ def test_mlt_query_store_equals_one_shot(spark, tmp_path):
     )
 
 
+def test_mlt_query_store_equals_one_shot_with_null_text(spark, tmp_path):
+    """Round-14 ADVICE pin: a NULL-text doc owns NO posting
+    (tokens(NULL) is NULL and explode drops the row), so it must be
+    excluded from N on BOTH paths — more_like_this counts only
+    text-bearing docs, matching the store's distinct-doc count. The
+    pre-fix one-shot path counted NULL rows via count(*), diverging
+    IDF from the store path on exactly this corpus."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (10, "x y z", "s"),
+        (11, "x y z", "s"),
+        (12, "x y", "s"),
+        (13, "z w", "s"),
+        (14, None, "s"),  # NULL text → no posting, excluded from N
+        (15, "", "s"),  # empty text → one ''-term posting, in N
+        (20, "f1", "s"), (21, "f2", "s"), (22, "f3", "s"),
+    ]
+    df = spark.createDataFrame(rows, DOCS)
+    q = spark.createDataFrame([(10,), (13,)], "doc_id bigint")
+    store = str(tmp_path / "mlt_null")
+    C.bm25_index_append(df.filter(F.col("doc_id") % 2 == 0), store)
+    C.bm25_index_append(df.filter(F.col("doc_id") % 2 == 1), store)
+    want = sorted(map(tuple, C.more_like_this(df, q, k=3).collect()))
+    got = sorted(
+        map(tuple, C.mlt_query_store(spark, store, q, k=3).collect())
+    )
+    assert got == want and len(got) > 0
+    # N on both paths = the 8 text-bearing docs, not the 9 rows
+    n_store = (
+        spark.read.parquet(f"{store}/postings")
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    assert n_store == 8
+
+
 def test_mlt_query_store_invariant_under_compaction(spark, tmp_path):
     """compact_bm25_store rewrites the postings row-identically, so
     store-backed MLT must return byte-identical results across a

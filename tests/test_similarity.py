@@ -256,6 +256,32 @@ def test_nsw_prebuilt_graph_reused(spark):
     assert a == b
 
 
+def test_nsw_topk_descends_deep_prebuilt_graph(spark):
+    """Round-14 ADVICE pin: the descent loop derives its bound from
+    the supplied GRAPH's top layer, not the max_level parameter — a
+    graph built deeper than the default must traverse its upper
+    layers' edges (pre-fix they were entry-point-scored only), so
+    searching the same deep graph with any max_level argument returns
+    identical rows."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.similarity import (
+        nsw_build_graph,
+        nsw_topk,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter("vec_id < 3")
+    deep = nsw_build_graph(e, max_level=4).localCheckpoint(eager=True)
+    assert deep.agg({"level": "max"}).collect()[0][0] >= 3
+    a = sorted(map(tuple, nsw_topk(e, q, k=5, graph=deep).collect()))
+    b = sorted(
+        map(
+            tuple,
+            nsw_topk(e, q, k=5, graph=deep, max_level=0).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+
+
 def test_nsw_index_append_search_then_connect(spark, tmp_path):
     """Round-13 incremental NSW: seed the index from the even half,
     append the odd half in one batch (search-then-connect + reverse

@@ -890,6 +890,46 @@ def test_stream_drift_gated_ingest_w1_catches_location_drift(spark, tmp_path):
     assert spark.read.parquet(quarantine).count() == 400
 
 
+def test_read_monitor_merges_pre_w1_schema(spark, tmp_path):
+    """Round-14 ADVICE: a stream upgraded mid-store appends 10-column
+    monitor rows (w1_dist, w1_shifted — round 13) next to round-12-era
+    8-column files; a bare parquet read infers from ONE footer and can
+    silently drop the new columns or the old rows' view of them.
+    read_monitor must surface all 10 columns, NULL-backfilled on the
+    old rows."""
+    import os as _os
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.streaming.pipeline import (
+        read_monitor,
+    )
+
+    store = str(tmp_path / "store")
+    mon = _os.path.join(store, "monitor")
+    # round-12-era row: 8 columns, no W1
+    spark.createDataFrame(
+        [(0, 10, 0.01, False, 1.5, True, False, "out")],
+        "batch_id bigint, n_batch bigint, psi double, "
+        "psi_shifted boolean, lang_chi2 double, chi2_defined boolean, "
+        "lang_reject_95 boolean, route string",
+    ).write.mode("append").parquet(mon)
+    # round-13+ row: the widened 10-column schema
+    spark.createDataFrame(
+        [(1, 12, 0.02, False, 1.2, True, False, 42.5, True, "quarantine")],
+        "batch_id bigint, n_batch bigint, psi double, "
+        "psi_shifted boolean, lang_chi2 double, chi2_defined boolean, "
+        "lang_reject_95 boolean, w1_dist double, w1_shifted boolean, "
+        "route string",
+    ).write.mode("append").parquet(mon)
+
+    got = read_monitor(spark, store)
+    assert {"w1_dist", "w1_shifted", "route", "psi"} <= set(got.columns)
+    rows = {r["batch_id"]: r for r in got.collect()}
+    assert len(rows) == 2
+    assert rows[0]["w1_dist"] is None and rows[0]["w1_shifted"] is None
+    assert rows[0]["route"] == "out"
+    assert rows[1]["w1_dist"] == 42.5 and rows[1]["w1_shifted"] is True
+
+
 def test_stream_bm25_index_matches_one_shot(spark, tmp_path):
     """Round-12: documents streamed through stream_bm25_index in two
     micro-batches (with a compaction in between) retrieve EXACTLY like

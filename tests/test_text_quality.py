@@ -1026,3 +1026,116 @@ def test_drift_gated_ingest_survives_all_null_lang_batch(spark, tmp_path):
     assert rows[0]["chi2_defined"] is False
     assert os.path.exists(out)
     assert spark.read.parquet(out).count() == 10
+
+
+@pytest.mark.parametrize("batch_rows", [[(None,), (None,)], []])
+def test_digest_admits_survive_null_batch_on_seeded_store(
+    spark, tmp_path, batch_rows
+):
+    """Round-14 ADVICE (high): the round-13 zero-row hardening only
+    covered the EMPTY-history case — an all-NULL (or zero-row) batch
+    arriving AFTER the centroid store is seeded has n_batch = 0 but a
+    knot-populated grid, and the plain e_le/e_lt divisions raised
+    DIVIDE_BY_ZERO under ANSI (reproduced pre-fix for both members).
+    Both monitors must emit their one NULL-stat row and leave the
+    store usable for the next healthy batch."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.quality import (
+        ks_admit,
+        w1_admit,
+    )
+
+    seed = spark.createDataFrame(
+        [(float(v),) for v in range(100)], "n_chars double"
+    )
+    nullb = spark.createDataFrame(batch_rows, "n_chars double")
+
+    ks_store = str(tmp_path / "ks")
+    ks_admit(seed, ks_store)
+    r = ks_admit(nullb, ks_store).collect()
+    assert len(r) == 1
+    assert r[0]["n_batch"] == 0 and r[0]["n_hist"] == 100
+    assert r[0]["ks_stat"] is None and r[0]["reject_95"] is False
+
+    w1_store = str(tmp_path / "w1")
+    w1_admit(seed, w1_store)
+    r = w1_admit(nullb, w1_store, threshold=5.0).collect()
+    assert len(r) == 1
+    assert r[0]["n_batch"] == 0 and r[0]["n_hist"] == 100
+    assert r[0]["w1_dist"] is None and r[0]["w1_defined"] is False
+    assert r[0]["shifted"] is False
+
+    # the poisoned batch must not wedge the store: a shifted batch
+    # right after still scores against the ORIGINAL 100-point history
+    shifted = spark.createDataFrame(
+        [(float(v) + 50,) for v in range(100)], "n_chars double"
+    )
+    rk = ks_admit(shifted, ks_store).collect()[0]
+    assert rk["n_hist"] == 100 and rk["reject_95"] is True
+    rw = w1_admit(shifted, w1_store, threshold=5.0).collect()[0]
+    assert rw["n_hist"] == 100 and rw["shifted"] is True
+
+
+def test_drift_gated_ingest_survives_null_numeric_batch_mid_stream(
+    spark, tmp_path
+):
+    """End-to-end replay of the ADVICE scenario through the armed
+    router: batch 1 seeds the stores, batch 2 carries only NULL
+    n_chars (n_batch = 0 against a seeded centroid history — the
+    exact poisoned-batch foreachBatch replay loop), batch 3 is
+    healthy. With w1_threshold armed, the stream must process all
+    three triggers instead of wedging on batch 2."""
+    import json
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.streaming.pipeline import (
+        stream_drift_gated_ingest,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out = str(tmp_path / "out")
+
+    def run_batch(name, rows):
+        with open(in_dir / name, "w") as f:
+            for row in rows:
+                f.write(json.dumps(row) + "\n")
+        q = stream_drift_gated_ingest(
+            spark,
+            str(in_dir),
+            out,
+            str(tmp_path / "quarantine"),
+            str(tmp_path / "store"),
+            str(tmp_path / "ckpt"),
+            schema="doc_id bigint, n_chars bigint, lang string",
+            available_now=True,
+            w1_threshold=2000.0,
+        )
+        q.awaitTermination(120)
+
+    healthy = [
+        {"doc_id": i, "n_chars": i * 410 + 100, "lang": "en"}
+        for i in range(10)
+    ]
+    run_batch("b0.json", healthy)
+    run_batch(
+        "b1.json",
+        [
+            {"doc_id": 100 + i, "n_chars": None, "lang": "en"}
+            for i in range(5)
+        ],
+    )
+    run_batch(
+        "b2.json",
+        [
+            {"doc_id": 200 + i, "n_chars": i * 410 + 100, "lang": "en"}
+            for i in range(10)
+        ],
+    )
+    monitor = spark.read.parquet(str(tmp_path / "store" / "monitor"))
+    rows = {r["batch_id"]: r for r in monitor.collect()}
+    assert len(rows) == 3
+    null_row = rows[1]
+    assert null_row["w1_dist"] is None and null_row["route"] == "out"
+    healthy_row = rows[2]
+    assert healthy_row["w1_dist"] is not None
+    # all three batches routed out (no wedge, nothing quarantined)
+    assert spark.read.parquet(out).count() == 25
