@@ -136,6 +136,33 @@ def _canary_gate(
     return attempts, slept
 
 
+def _recent_artifact_canaries(
+    root: str, n_rounds: int = 3
+) -> list[float]:
+    """Canary samples from the last ``n_rounds`` driver bench
+    artifacts that recorded any (round 14): the attainable-floor
+    evidence for the self-calibrated gate reference. Artifacts are
+    driver-written wrappers; the bench's own JSON line sits under
+    'parsed'. Missing/old artifacts are skipped — an empty return
+    means the session floor stands alone."""
+    import glob as _glob
+
+    per_round: list[list[float]] = []
+    for fp in sorted(_glob.glob(os.path.join(root, "BENCH_r*.json"))):
+        try:
+            parsed = json.load(open(fp)).get("parsed") or {}
+            cans = (parsed.get("load") or {}).get("canary_s") or []
+            cans = [float(c) for c in cans if c]
+            if cans:
+                per_round.append(cans)
+        except (OSError, ValueError):
+            continue
+    out: list[float] = []
+    for cans in per_round[-n_rounds:]:
+        out.extend(cans)
+    return out
+
+
 def _wait_for_quiet(threshold: float, max_wait_s: float) -> float:
     """Load guard (round 10): external host load has been observed
     inflating same-code legs 1.5–2.5× (PERF.md r9 notes), drowning the
@@ -177,16 +204,41 @@ def main() -> None:
     batches = int(os.environ.get("SPARK_GRAFT_BENCH_BATCHES", "2"))
     threshold = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "2.0"))
     max_wait = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "45"))
-    # canary gate (round 12): the quiet-host spin reference and the
-    # acceptance band; every attempt is recorded so the gating
-    # decisions are auditable in the artifact
-    # 0.235 = the quietest canary ever recorded on this host family
-    # (PERF.md r11: 0.2364/0.2451 in a genuinely idle window); the
-    # 1.2x band accepts the 0.27-0.29 'normal' windows driver benches
-    # actually land in while still flagging the 0.33+ contended band
+    # canary references (round 14 — the r13 verdict's recalibration
+    # task: the hardcoded 0.235 floor was unattainable nearly all of
+    # round 13, so gate_passed read false on healthy windows). TWO
+    # references with different jobs:
+    #   - canary_quiet (0.235, the quietest window ever recorded on
+    #     this host family — PERF.md r11) stays the NORMALIZATION
+    #     scale, pinned so total_canary_norm remains comparable
+    #     across the whole recorded series;
+    #   - the GATE reference self-calibrates to what this host class
+    #     can actually attain: min over (a) the canaries recorded in
+    #     the last 3 BENCH_r*.json artifacts and (b) a 3-probe idle
+    #     burst at session start — taking the MIN of the two keeps a
+    #     contended session from self-excusing (its high floor is
+    #     overridden by recent history), floored at canary_quiet.
     canary_quiet = float(os.environ.get("SPARK_GRAFT_CANARY_QUIET", "0.235"))
     canary_factor = float(os.environ.get("SPARK_GRAFT_CANARY_GATE", "1.2"))
     canary_tries = int(os.environ.get("SPARK_GRAFT_CANARY_TRIES", "5"))
+    session_floor = min(_noise_canary() for _ in range(3))
+    recent = _recent_artifact_canaries(
+        os.path.dirname(os.path.abspath(__file__)), n_rounds=3
+    )
+    gate_env = os.environ.get("SPARK_GRAFT_CANARY_GATE_REF")
+    if gate_env is not None:
+        gate_ref = float(gate_env)
+    else:
+        gate_ref = max(
+            canary_quiet, min([session_floor] + (recent or []))
+        )
+    gate_basis = {
+        "session_floor": round(session_floor, 4),
+        "recent_artifact_min": (
+            round(min(recent), 4) if recent else None
+        ),
+        "gate_ref": round(gate_ref, 4),
+    }
     waited_total = 0.0
     batch_loads: list[float] = []
     batch_canaries: list[float] = []
@@ -201,7 +253,7 @@ def main() -> None:
         # own just-finished batch (the spin is single-threaded and the
         # executor pool is idle between batches)
         attempts, slept = _canary_gate(
-            canary_quiet, canary_factor, canary_tries, gate_sleep
+            gate_ref, canary_factor, canary_tries, gate_sleep
         )
         waited_total += slept
         canary_attempts.append(attempts)
@@ -240,12 +292,12 @@ def main() -> None:
     extra_max = int(os.environ.get("SPARK_GRAFT_EXTRA_BATCHES", "3"))
     extra_used = 0
     while (
-        min(batch_canaries) > canary_quiet * canary_factor
+        min(batch_canaries) > gate_ref * canary_factor
         and extra_used < extra_max
     ):
         run_batch(2, 15.0)
         extra_used += 1
-    gate_passed = min(batch_canaries) <= canary_quiet * canary_factor
+    gate_passed = min(batch_canaries) <= gate_ref * canary_factor
 
     for name in HEADLINE:
         print(f"# {name}: {times[name]:.3f}s", file=sys.stderr)
@@ -298,6 +350,7 @@ def main() -> None:
                     "canary_attempts": canary_attempts,
                     "canary_quiet_ref": canary_quiet,
                     "canary_gate": canary_factor,
+                    "canary_gate_basis": gate_basis,
                     "gate_passed": gate_passed,
                     "extra_batches": extra_used,
                     "threshold": threshold,

@@ -1486,6 +1486,78 @@ def q_x_ann_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nsw_gate_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once cache of a PERSISTED two-batch NSW index for the
+    x_ann_hnsw_store gate row (round 14 — the r13 verdict's task 2):
+    seed from the even vec_ids (nsw_build_graph + save_nsw_index),
+    fold the odd half in through the incremental search-then-connect
+    path (nsw_index_append) — the production ingest shape. The store
+    is keyed by (sf_dir, fixture mtime, build params), so repeated
+    gate/driver invocations re-USE the index and the row measures the
+    SEARCH path — the r13 x_ann_hnsw row was build-dominated (~34 s
+    at sf0.1) because it rebuilt per call; a fixture regeneration
+    changes the mtime and rebuilds. Everything in the build is
+    deterministic (xxhash level draws, LSH seeds), so a rebuild is
+    reproducible."""
+    import hashlib
+    import os
+    import shutil
+
+    fixture = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        mtime = int(os.path.getmtime(fixture))
+    except OSError:
+        mtime = 0
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{mtime}|M=12|iters=3|lvl=2|2batch".encode()
+    ).hexdigest()[:12]
+    store = f"/tmp/spark_graft_nsw_store_{key}"
+    marker = os.path.join(store, "_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(store, ignore_errors=True)
+        e = t(spark, sf_dir, "embeddings")
+        even = e.filter(F.col("vec_id") % 2 == 0)
+        g = S.nsw_build_graph(even)
+        S.save_nsw_index(even, g, store)
+        S.nsw_index_append(e.filter(F.col("vec_id") % 2 == 1), store)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return store
+
+
+def q_x_ann_hnsw_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STORE-BACKED layered-NSW ANN (operators/similarity.py:
+    nsw_query_index over save_nsw_index + nsw_index_append, round 14):
+    beam-search the PREBUILT persisted graph — the gate row for the
+    query path the persisted-index family actually serves, split out
+    from x_ann_hnsw (whose cost is the one-shot build). Same
+    recall-shadow form and 0.4 floor as x_ann_hnsw; append-built
+    graphs measured 0.92–1.0 recall@5 in the parity tests, so the
+    floor keeps two-plus hits of margin while any descent/storage
+    regression (e.g. never expanding upper-layer edges of a deep
+    stored graph — the round-14 ADVICE fix) still fails it."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    truth = S.brute_force_topk(e, q, k=5).select("q_id", "vec_id")
+    store = _nsw_gate_store(spark, sf_dir)
+    approx = S.nsw_query_index(spark, store, q, k=5).select(
+        F.col("q_id").alias("a_qid"), F.col("vec_id").alias("a_vid")
+    )
+    hits = truth.join(
+        approx,
+        (F.col("q_id") == F.col("a_qid")) & (F.col("vec_id") == F.col("a_vid")),
+        "left",
+    )
+    return hits.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        (
+            F.count(F.col("a_vid")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            >= 0.4
+        ).alias("recall_ok"),
+    )
+
+
 def q_x_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composed approximate top-5 (FAISS IndexIVFPQ structure):
     coarse routing to 2 probed lists, PQ-code ADC scoring within them
@@ -1632,6 +1704,24 @@ def q_x_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-span removal (8-token tiles, first occurrence wins) —
     catches shared boilerplate inside otherwise-distinct documents."""
     return D.span_dedup(t(spark, sf_dir, "documents"), span=8)
+
+
+def q_x_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup
+    (operators/dedup.paragraph_dedup, round 14 — the CCNet
+    preprocessing pass): first occurrence of each distinct paragraph
+    wins, documents reassembled from the survivors. The synthetic
+    corpus has no paragraph breaks, so the gate derives them with the
+    chunk_sentences injection (a period after every
+    'batch'/'data'/'join' token) and deduplicates on the '. '
+    boundary — short segments over a small vocabulary, so the
+    cross-document duplicate rate is high and the pass is genuinely
+    exercised (not a pass-through)."""
+    d = t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.regexp_replace(F.col("text"), r"\b(batch|data|join) ", "$1. "),
+    )
+    return D.paragraph_dedup(d, sep=r"\. ", joiner=". ")
 
 
 def q_x_token_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4867,6 +4957,30 @@ ORACLES: dict[str, str] = {
                COUNT(CASE WHEN rn = 1 THEN 1 END) AS n_spans_kept
         FROM marked GROUP BY doc_id
     """,
+    "x_paragraph_dedup": """
+        WITH sepd AS (
+            SELECT doc_id,
+                   regexp_replace(text, '\\b(batch|data|join) ', '\\1. ',
+                                  'g') AS text
+            FROM documents),
+        parts AS (
+            SELECT doc_id, string_split_regex(text, '\\. ') AS ps
+            FROM sepd),
+        paras AS (
+            SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, trim(ps[i]) AS para
+            FROM parts, UNNEST(range(1, len(ps) + 1)) AS u(i)),
+        marked AS (
+            SELECT doc_id, pos, para,
+                   row_number() OVER (PARTITION BY para
+                                      ORDER BY doc_id, pos) AS rn
+            FROM paras WHERE length(para) > 0)
+        SELECT doc_id,
+               COALESCE(string_agg(CASE WHEN rn = 1 THEN para END, '. '
+                                   ORDER BY pos), '') AS clean_text,
+               COUNT(*) AS n_paras,
+               COUNT(CASE WHEN rn = 1 THEN 1 END) AS n_paras_kept
+        FROM marked GROUP BY doc_id
+    """,
     "x_token_spectrum": """
         WITH tf AS (
             SELECT term, COUNT(*) AS occurrences FROM (
@@ -6028,6 +6142,11 @@ ORACLES["x_ann_hnsw"] = """
     FROM truth GROUP BY 1
 """
 
+# x_ann_hnsw_store: the store-backed query path must clear the same
+# brute-force recall shadow as the one-shot x_ann_hnsw — the oracle is
+# literally its SQL (exact truth + TRUE recall_ok).
+ORACLES["x_ann_hnsw_store"] = ORACLES["x_ann_hnsw"]
+
 ORACLES["x_ann_ivf_trained"] = """
     WITH base AS (
         SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -6382,12 +6501,14 @@ QUERIES = {
     "x_ann_ivf": q_x_ann_ivf,
     "x_ann_ivf_trained": q_x_ann_ivf_trained,
     "x_ann_hnsw": q_x_ann_hnsw,
+    "x_ann_hnsw_store": q_x_ann_hnsw_store,
     "x_ann_pq": q_x_ann_pq,
     "x_ann_ivf_pq": q_x_ann_ivf_pq,
     "x_ann_refine": q_x_ann_refine,
     "x_embed_near_dup": q_x_embed_near_dup,
     "x_multimodal_meta": q_x_multimodal_meta,
     "x_video_meta": q_x_video_meta,
+    "x_paragraph_dedup": q_x_paragraph_dedup,
     "x_span_dedup": q_x_span_dedup,
     "x_token_spectrum": q_x_token_spectrum,
     "x_doc_entropy": q_x_doc_entropy,

@@ -258,6 +258,71 @@ def test_span_dedup_within_doc_and_tile_order(spark):
     assert row["n_spans"] == 4 and row["n_spans_kept"] == 3
 
 
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    """Round-14 CCNet paragraph pass: first (doc_id, pos) occurrence
+    of each distinct trimmed paragraph survives corpus-wide; docs
+    reassemble survivors in original order; whitespace-only
+    paragraphs drop; a fully redundant doc keeps '' with
+    n_paras_kept = 0."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta\n\ngamma\n\nalpha beta"),  # self-repeat
+            (2, "gamma\n\ndelta"),  # gamma seen in doc 1
+            (3, "alpha beta\n\ngamma"),  # fully redundant
+            (4, "  \n\n epsilon \n\n"),  # whitespace paras drop
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    assert rows[1]["clean_text"] == "alpha beta\n\ngamma"
+    assert rows[1]["n_paras"] == 3 and rows[1]["n_paras_kept"] == 2
+    assert rows[2]["clean_text"] == "delta"
+    assert rows[2]["n_paras"] == 2 and rows[2]["n_paras_kept"] == 1
+    assert rows[3]["clean_text"] == "" and rows[3]["n_paras_kept"] == 0
+    assert rows[4]["clean_text"] == "epsilon"
+    assert rows[4]["n_paras"] == 1 and rows[4]["n_paras_kept"] == 1
+
+
+def test_paragraph_dedup_global_invariants(spark):
+    """Every distinct paragraph survives exactly once corpus-wide,
+    and the plan carries exactly TWO exchanges (window by paragraph
+    text + reassembly groupBy) — no extra shuffle creeps in."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumn(
+            "text",
+            F.regexp_replace(
+                F.col("text"), r"\b(batch|data|join) ", "$1. "
+            ),
+        )
+    )
+    out = paragraph_dedup(df, sep=r"\. ", joiner=". ")
+    kept = out.agg(F.sum("n_paras_kept")).collect()[0][0]
+    distinct_paras = (
+        df.select(
+            F.explode(F.split(F.col("text"), r"\. ")).alias("p")
+        )
+        .select(F.trim("p").alias("p"))
+        .filter(F.length("p") > 0)
+        .distinct()
+        .count()
+    )
+    assert kept == distinct_paras
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    n_exchanges = len(_re.findall(r"\bExchange\b", plan))
+    assert n_exchanges <= 2, plan[:2000]
+
+
 def test_containment_asymmetry(spark):
     from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.dedup import (
         ngram_containment_pairs,

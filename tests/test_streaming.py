@@ -813,6 +813,13 @@ def test_stream_drift_gated_ingest_routes_shifted_batch(spark, tmp_path):
     assert monitor[1]["route"] == "out"
     assert monitor[2]["route"] == "quarantine"
     assert monitor[2]["psi_shifted"] or monitor[2]["lang_reject_95"]
+    # disarmed-by-default contract (round 14): w1_threshold=None means
+    # the W1 scorer never runs — every monitor row carries NULL in
+    # both W1 columns, and the route is decided by PSI/chi2 alone
+    assert all(
+        r["w1_dist"] is None and r["w1_shifted"] is None
+        for r in monitor.values()
+    )
 
     good = spark.read.parquet(out)
     bad = spark.read.parquet(quarantine)
@@ -888,6 +895,88 @@ def test_stream_drift_gated_ingest_w1_catches_location_drift(spark, tmp_path):
     assert r1["w1_shifted"] is True and r1["w1_dist"] > 100.0
     assert r1["route"] == "quarantine"
     assert spark.read.parquet(quarantine).count() == 400
+
+
+def test_stream_drift_dashboard_matches_batch_recompute(spark, tmp_path):
+    """Round-14 (r13 verdict task 3): three micro-batches of events
+    streamed through stream_drift_dashboard must leave the gold drift
+    and mix panels EQUAL to a one-shot refresh_drift_dashboard over
+    the same rows — the monitoring family's dashboard layer is now
+    stream-fresh like the index sinks, behind the same generation
+    manifest (generation advances per refresh, never a mid-rewrite
+    mix)."""
+    import datetime as dt
+    import json as _json
+    import os as _os
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark import (
+        jobs,
+    )
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators import (
+        generations as G,
+    )
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.streaming.pipeline import (
+        stream_drift_dashboard,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("click", base + dt.timedelta(weeks=w, hours=i), float(i * 7 % 50))
+        for w in range(3)
+        for i in range(20)
+    ] + [
+        ("view", base + dt.timedelta(weeks=w, hours=i), float(i * 11 % 50))
+        for w in range(3)
+        for i in range(10)
+    ]
+    edir = tmp_path / "in"
+    edir.mkdir()
+    # one file per week → three micro-batches in arrival order
+    for fi in range(3):
+        fp = edir / f"week{fi}.jsonl"
+        with open(fp, "w") as f:
+            for et, ts, val in rows:
+                if (ts - base).days // 7 == fi:
+                    f.write(
+                        _json.dumps(
+                            {
+                                "event_type": et,
+                                "ts": ts.isoformat(),
+                                "value": val,
+                            }
+                        )
+                        + "\n"
+                    )
+        _os.utime(fp, (1_700_000_000 + fi, 1_700_000_000 + fi))
+
+    gold_stream = str(tmp_path / "gold_stream")
+    q = stream_drift_dashboard(
+        spark,
+        str(edir),
+        gold_stream,
+        str(tmp_path / "ckpt"),
+        schema="event_type string, ts timestamp, value double",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+
+    ev = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    )
+    gold_batch = str(tmp_path / "gold_batch")
+    want = jobs.refresh_drift_dashboard(spark, ev, gold_batch)
+    for name in ("drift_panel", "mix_panel"):
+        got = G.read_current(spark, f"{gold_stream}/{name}")
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want[name].collect())
+        ), name
+        # one generation per micro-batch refresh: 3 batches → gen 2
+        assert G.current_generation(f"{gold_stream}/{name}") == 2
+    # the accumulated silver carries every streamed row exactly once
+    assert (
+        spark.read.parquet(f"{gold_stream}/events_silver").count()
+        == len(rows)
+    )
 
 
 def test_read_monitor_merges_pre_w1_schema(spark, tmp_path):
