@@ -1155,6 +1155,42 @@ ORACLES["t22_rolling_drift"] = """
 """
 
 
+def q_t24_drift_dashboard_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-ACCUMULATED drift dashboard drained to the gate
+    (jobs.refresh_drift_dashboard behind streaming.pipeline.
+    stream_drift_dashboard, round 14): replay the foreachBatch sink's
+    exact body over three deterministic event slices — append each
+    slice to the silver store, republish the gold numeric panel behind
+    the generation manifest — then return the FINAL published
+    drift_panel read back through read_current. The accumulated
+    silver must reconstruct the corpus losslessly (parquet roundtrip,
+    NULL values included) and the generation swap must publish a
+    readable current table, so the drained panel equals the one-shot
+    t22 computation — the oracle IS t22's SQL verbatim (the
+    x_mlt_drain convention). The streaming-machinery leg (checkpoint,
+    triggers, generation-per-batch) is pinned by the pytest e2e."""
+    import shutil
+    import tempfile
+
+    from ..jobs import refresh_drift_dashboard
+
+    ev = t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="spark_graft_dash_drain_")
+    try:
+        silver = f"{tmp}/events_silver"
+        for s in range(3):
+            ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == s).write.mode(
+                "append"
+            ).parquet(silver)
+            panels = refresh_drift_dashboard(
+                spark, spark.read.parquet(silver), tmp
+            )
+        out = panels["drift_panel"].localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_t23_rolling_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling weekly categorical drift (operators/quality.
     rolling_chi2, round 13): per week, chi-square of the event-type
@@ -1166,6 +1202,11 @@ def q_t23_rolling_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return rolling_chi2(t(spark, sf_dir, "events"))
 
+
+# t24: the drained dashboard's final drift_panel must equal the
+# one-shot rolling panel — the oracle is t22's SQL verbatim.
+# Registered after the t22 entry exists (defined above).
+ORACLES["t24_drift_dashboard_drain"] = ORACLES["t22_rolling_drift"]
 
 ORACLES["t23_rolling_chi2"] = """
     WITH counts AS (
@@ -1225,6 +1266,7 @@ ORACLES["t23_rolling_chi2"] = """
 QUERIES = {
     "t22_rolling_drift": q_t22_rolling_drift,
     "t23_rolling_chi2": q_t23_rolling_chi2,
+    "t24_drift_dashboard_drain": q_t24_drift_dashboard_drain,
     "t18_acf": q_t18_acf,
     "t19_xcorr": q_t19_xcorr,
     "t20_seasonal": q_t20_seasonal,

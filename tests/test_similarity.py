@@ -282,6 +282,34 @@ def test_nsw_topk_descends_deep_prebuilt_graph(spark):
     assert a == b and len(a) > 0
 
 
+def test_nsw_query_index_plan_bounded(spark, tmp_path):
+    """Round-14 pin for the x_ann_hnsw_store gate row: the persisted-
+    index SEARCH path's final plan carries at most 2 exchanges (the
+    top-k window over the checkpointed visited set — hop-internal
+    traffic is truncated behind the per-hop localCheckpoints and
+    bounded by beam·2M rows per query by construction) and ZERO
+    Python nodes; measured 1 exchange / 0 Python."""
+    import re as _re
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.similarity import (
+        nsw_build_graph,
+        nsw_index_append,
+        nsw_query_index,
+        save_nsw_index,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    store = str(tmp_path / "nsw")
+    even = e.filter("vec_id % 2 = 0")
+    save_nsw_index(even, nsw_build_graph(even), store)
+    nsw_index_append(e.filter("vec_id % 2 = 1"), store)
+    out = nsw_query_index(spark, store, e.filter("vec_id < 5"), k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(_re.findall(r"\bExchange\b", plan)) <= 2, plan[:1500]
+    assert "Python" not in plan
+    assert out.count() > 0
+
+
 def test_nsw_index_append_search_then_connect(spark, tmp_path):
     """Round-13 incremental NSW: seed the index from the even half,
     append the odd half in one batch (search-then-connect + reverse
