@@ -75,6 +75,7 @@ _GATE_PRIORITY = (
     # -- (a) new in round 14 ------------------------------------------------
     "x_ann_hnsw_store",
     "x_paragraph_dedup",
+    "x_paragraph_dedup_drain",
     "t24_drift_dashboard_drain",
     # -- (b) staleness rotation: the complete 39-name r8 tier ---------------
     "a21_collect_list",
@@ -124,14 +125,14 @@ _GATE_PRIORITY = (
     "a37_ab_test",
     "a38_winsorized_stats",
     "a39_whatif_discount",
-    "t11_interval_join_batch",
 )
 
-# Round-15 rotation backlog: the 29 r9-vintage names NOT promoted in
+# Round-15 rotation backlog: the 30 r9-vintage names NOT promoted in
 # the round-14 front (the oldest staleness tier once round 14 lands).
-# It fits one front with 21 slots to spare for round-15 additions;
+# It fits one front with 20 slots to spare for round-15 additions;
 # run scripts/check_rotation.py to re-derive.
 _ROTATION_R15: tuple[str, ...] = (
+    "t11_interval_join_batch",
     "t13_twap",
     "t17_rolling_quantiles",
     "u7_cdc_asof",

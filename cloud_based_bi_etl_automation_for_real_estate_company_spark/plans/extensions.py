@@ -1724,6 +1724,40 @@ def q_x_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.paragraph_dedup(d, sep=r"\. ", joiner=". ")
 
 
+def q_x_paragraph_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STORE-BACKED incremental paragraph dedup drained to the gate
+    (operators/dedup.incremental_paragraph_dedup behind
+    streaming.pipeline.stream_paragraph_dedup, round 14): replay a
+    two-batch ingest — doc_ids at or below the range midpoint first,
+    the rest second, so arrival order equals the global (doc_id, pos)
+    order and first-occurrence ownership matches the one-shot rule —
+    then union the per-batch cleaned outputs. The oracle is the
+    x_paragraph_dedup SQL VERBATIM (the x_mlt_drain convention): the
+    lifetime hash store must make the streamed pass land exactly
+    where the one-shot pass does."""
+    import shutil
+    import tempfile
+
+    d = t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.regexp_replace(F.col("text"), r"\b(batch|data|join) ", "$1. "),
+    )
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    mid = (int(lo) + int(hi)) // 2
+    tmp = tempfile.mkdtemp(prefix="spark_graft_paradrain_")
+    try:
+        first = D.incremental_paragraph_dedup(
+            d.filter(F.col("doc_id") <= mid), tmp, sep=r"\. ", joiner=". "
+        )
+        second = D.incremental_paragraph_dedup(
+            d.filter(F.col("doc_id") > mid), tmp, sep=r"\. ", joiner=". "
+        )
+        out = first.unionByName(second).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_x_token_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary frequency-of-frequencies (Zipf spectrum) over the
     corpus — shuffle volume tracks vocabulary, not corpus, size."""
@@ -6147,6 +6181,11 @@ ORACLES["x_ann_hnsw"] = """
 # literally its SQL (exact truth + TRUE recall_ok).
 ORACLES["x_ann_hnsw_store"] = ORACLES["x_ann_hnsw"]
 
+# x_paragraph_dedup_drain: the two-batch store-backed replay (ordered
+# split) must land exactly where the one-shot pass does — the oracle
+# is x_paragraph_dedup's SQL verbatim.
+ORACLES["x_paragraph_dedup_drain"] = ORACLES["x_paragraph_dedup"]
+
 ORACLES["x_ann_ivf_trained"] = """
     WITH base AS (
         SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -6509,6 +6548,7 @@ QUERIES = {
     "x_multimodal_meta": q_x_multimodal_meta,
     "x_video_meta": q_x_video_meta,
     "x_paragraph_dedup": q_x_paragraph_dedup,
+    "x_paragraph_dedup_drain": q_x_paragraph_dedup_drain,
     "x_span_dedup": q_x_span_dedup,
     "x_token_spectrum": q_x_token_spectrum,
     "x_doc_entropy": q_x_doc_entropy,

@@ -118,6 +118,59 @@ def stream_dedup_documents(
     return writer.start()
 
 
+def stream_paragraph_dedup(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    store_path: str,
+    checkpoint: str,
+    sep: str = r"\n{2,}",
+    joiner: str = "\n\n",
+    available_now: bool = True,
+    compact_every: int | None = None,
+) -> StreamingQuery:
+    """Continuous CCNet paragraph-level dedup (round 14 — the
+    paragraph sibling of :func:`stream_dedup_documents`): each
+    micro-batch runs ``operators.dedup.incremental_paragraph_dedup``
+    against the lifetime paragraph-hash store, writing the cleaned
+    per-doc rows (clean_text reassembled from first-occurrence
+    paragraphs) BEFORE the hash append — the family's crash contract.
+    When input files arrive in doc_id order the drained output equals
+    one-shot paragraph_dedup over the union (the
+    x_paragraph_dedup_drain gate's construction); out-of-order
+    arrival keeps each distinct paragraph surviving exactly once with
+    arrival-order ownership. Optional in-sink compaction every
+    ``compact_every`` batches dedupes replayed hashes (membership
+    invariant, pytest-pinned)."""
+    from ..operators.dedup import (
+        compact_paragraph_store,
+        incremental_paragraph_dedup,
+    )
+
+    raw = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .json(in_path)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        incremental_paragraph_dedup(
+            batch_df,
+            store_path,
+            sep=sep,
+            joiner=joiner,
+            sink=lambda adm: adm.write.mode("append").parquet(out_path),
+        )
+        if compact_every is not None and (batch_id + 1) % compact_every == 0:
+            compact_paragraph_store(spark, store_path)
+
+    writer = raw.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_soft_dedup_documents(
     spark: SparkSession,
     in_path: str,

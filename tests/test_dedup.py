@@ -323,6 +323,79 @@ def test_paragraph_dedup_global_invariants(spark):
     assert n_exchanges <= 2, plan[:2000]
 
 
+def test_incremental_paragraph_dedup_ordered_equals_one_shot(spark, tmp_path):
+    """Round-14 streaming promotion of the CCNet pass: two batches in
+    doc_id order through the lifetime hash store must land exactly
+    where one-shot paragraph_dedup lands (same first-occurrence
+    owner, same reassembly, same counts)."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.dedup import (
+        incremental_paragraph_dedup,
+        paragraph_dedup,
+    )
+
+    rows = [
+        (1, "alpha beta\n\ngamma\n\nalpha beta"),
+        (2, "gamma\n\ndelta"),
+        (3, "alpha beta\n\ngamma"),
+        (4, "delta\n\nepsilon"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    store = str(tmp_path / "para_store")
+    got = (
+        incremental_paragraph_dedup(df.filter("doc_id <= 2"), store)
+        .unionByName(
+            incremental_paragraph_dedup(df.filter("doc_id > 2"), store)
+        )
+        .collect()
+    )
+    want = paragraph_dedup(df).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_incremental_paragraph_dedup_store_and_compaction(spark, tmp_path):
+    """The store holds one hash per SURVIVING paragraph; a replayed
+    (at-least-once) batch appends duplicate hashes without changing
+    membership; compact_paragraph_store dedupes the rows and the next
+    batch's result is invariant. Out-of-order arrival still keeps
+    every distinct paragraph surviving exactly once (arrival-order
+    ownership — the documented trade)."""
+    from pyspark.sql import functions as F
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.dedup import (
+        compact_paragraph_store,
+        incremental_paragraph_dedup,
+    )
+
+    store = str(tmp_path / "para_store")
+    b1 = spark.createDataFrame(
+        [(10, "p one\n\np two")], "doc_id bigint, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(5, "p two\n\np three")], "doc_id bigint, text string"
+    )
+    r1 = incremental_paragraph_dedup(b1, store).collect()
+    assert r1[0]["n_paras_kept"] == 2
+    # replay batch 1 (at-least-once): nothing admitted, store rows dup
+    replay = incremental_paragraph_dedup(b1, store).collect()
+    assert replay[0]["n_paras_kept"] == 0 and replay[0]["clean_text"] == ""
+    hashes = spark.read.parquet(f"{store}/hashes")
+    assert hashes.count() == 2 and hashes.distinct().count() == 2
+    # out-of-order: doc 5 arrives AFTER doc 10 — 'p two' stays owned
+    # by doc 10 (arrival order), 'p three' is new
+    r2 = {r["doc_id"]: r for r in incremental_paragraph_dedup(b2, store).collect()}
+    assert r2[5]["clean_text"] == "p three"
+    assert r2[5]["n_paras"] == 2 and r2[5]["n_paras_kept"] == 1
+    compact_paragraph_store(spark, store)
+    after = spark.read.parquet(f"{store}/hashes")
+    assert after.count() == 3  # deduped, membership intact
+    # membership invariant post-compaction: everything already seen
+    b3 = spark.createDataFrame(
+        [(99, "p one\n\np three")], "doc_id bigint, text string"
+    )
+    r3 = incremental_paragraph_dedup(b3, store).collect()[0]
+    assert r3["n_paras_kept"] == 0
+
+
 def test_containment_asymmetry(spark):
     from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.dedup import (
         ngram_containment_pairs,

@@ -897,6 +897,65 @@ def test_stream_drift_gated_ingest_w1_catches_location_drift(spark, tmp_path):
     assert spark.read.parquet(quarantine).count() == 400
 
 
+def test_stream_paragraph_dedup_matches_one_shot(spark, tmp_path):
+    """Round-14: documents streamed in doc_id order through
+    stream_paragraph_dedup (two micro-batches, in-sink compaction
+    after the second) must produce exactly the one-shot
+    paragraph_dedup result — the lifetime hash store carries
+    first-occurrence ownership across the batch boundary."""
+    import json as _json
+    import os as _os
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.streaming.pipeline import (
+        stream_paragraph_dedup,
+    )
+
+    rows = [
+        (1, "alpha beta\n\ngamma\n\nalpha beta"),
+        (2, "gamma\n\ndelta"),
+        (3, "alpha beta\n\ngamma"),
+        (4, "delta\n\nepsilon"),
+    ]
+    edir = tmp_path / "in"
+    edir.mkdir()
+    for fi, half in enumerate((rows[:2], rows[2:])):
+        fp = edir / f"f{fi}.jsonl"
+        with open(fp, "w") as f:
+            for doc_id, text in half:
+                f.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        _os.utime(fp, (1_700_000_000 + fi, 1_700_000_000 + fi))
+
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "store")
+    q = stream_paragraph_dedup(
+        spark,
+        str(edir),
+        out,
+        store,
+        str(tmp_path / "ckpt"),
+        compact_every=2,
+    )
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(
+        map(
+            tuple,
+            paragraph_dedup(
+                spark.createDataFrame(rows, "doc_id bigint, text string")
+            ).collect(),
+        )
+    )
+    assert got == want
+    # compaction ran: the store holds exactly the distinct survivors
+    # (alpha beta, gamma, delta, epsilon)
+    hashes = spark.read.parquet(f"{store}/hashes")
+    assert hashes.count() == hashes.distinct().count() == 4
+
+
 def test_stream_drift_dashboard_matches_batch_recompute(spark, tmp_path):
     """Round-14 (r13 verdict task 3): three micro-batches of events
     streamed through stream_drift_dashboard must leave the gold drift
