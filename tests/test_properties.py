@@ -1084,3 +1084,50 @@ def test_chunk_sentences_matches_reference_property(spark, sent_words, B):
     ]
     assert got == want
     assert " ".join(c[2] for c in got) == text
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@_SLOW
+def test_paragraph_dedup_matches_reference_property(spark, doc_paras):
+    """Round-14 paragraph_dedup vs an independent pure-Python replay:
+    docs are lists of paragraphs drawn from a 6-word pool (high
+    cross-doc duplicate rate), joined with blank lines. First
+    (doc_id, pos) occurrence of each distinct paragraph survives;
+    docs reassemble survivors in order; docs with no paragraphs drop;
+    fully-redundant docs keep '' rows."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+
+    rows = [
+        (i, "\n\n".join(paras)) for i, paras in enumerate(doc_paras)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_paras"], r["n_paras_kept"])
+        for r in paragraph_dedup(df).collect()
+    }
+
+    seen: set[str] = set()
+    want: dict[int, tuple[str, int, int]] = {}
+    for i, paras in enumerate(doc_paras):
+        nonempty = [p for p in paras if p.strip()]
+        if not nonempty:
+            continue
+        kept = []
+        for p in nonempty:
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        want[i] = ("\n\n".join(kept), len(nonempty), len(kept))
+    assert got == want
