@@ -1027,6 +1027,26 @@ def _knn_edges(
         .select("src", "dst", "sim")
         .localCheckpoint(eager=True)
     )
+    return _nn_descent_rounds(edges, ids, M, iters, id_col, vec_col)
+
+
+def _nn_descent_rounds(
+    edges: DataFrame,
+    ids: DataFrame,
+    M: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The NN-descent exchange loop (my neighbor's neighbors are my
+    candidates), shared by :func:`_knn_edges` (graph BUILD) and
+    :func:`compact_nsw_graph`'s ``refresh_iters`` re-enrichment
+    (round 14): each round expands neighbor-of-neighbor candidates,
+    scores only never-seen pairs id-keyed against ``ids``' vectors,
+    and re-prunes to top-``M`` per src. Spine-bounded per round
+    (≤ (2M)² candidates per node); localCheckpoint truncates the
+    iterative lineage. ``edges`` must carry (src, dst, sim)."""
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
     av = ids.select(F.col(id_col).alias("src"), F.col(vec_col).alias("__a"))
     cv = ids.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("__c"))
     for _ in range(iters):
@@ -1355,14 +1375,32 @@ def nsw_query_index(
 
 
 def compact_nsw_graph(
-    spark, store_path: str, M: int = 12, bytes_per_file: int = 128 << 20
+    spark,
+    store_path: str,
+    M: int = 12,
+    bytes_per_file: int = 128 << 20,
+    refresh_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> None:
     """Store-lifecycle companion to :func:`nsw_index_append`: dedupe
     replayed edges and re-prune every (level, src) adjacency to its
     top-``M`` by similarity (reverse-edge appends deliberately
     overflow the cap), then swap generations via the shared
     dedup._write_and_swap_store. Same quiet-window contract as the
-    other stores."""
+    other stores.
+
+    ``refresh_iters`` (round 14 — the depth soak showed recall@5
+    dipping from ~1.0 to ~0.76 right after a compaction, recovering
+    only as later appends re-enrich the pruned adjacencies): after
+    pruning, run that many NN-descent exchange rounds PER LAYER over
+    the stored vectors — neighbor-of-neighbor candidates, scored
+    id-keyed, re-pruned to the same M cap — so the compacted graph
+    trades its overflow edges for systematically-good ones instead of
+    just dropping them. Cost is the build loop's O(N·M²) per round
+    over each layer; run it in the same quiet window. The M cap and
+    layer membership are unchanged (candidates stay within each
+    layer's node set by construction)."""
     from .dedup import _local_store_path, _write_and_swap_store
 
     store_path = _local_store_path(store_path)
@@ -1377,6 +1415,33 @@ def compact_nsw_graph(
         .filter(F.col("rnk") <= M)
         .select("level", "src", "dst", "sim")
     )
+    if refresh_iters > 0:
+        vecs = spark.read.parquet(f"{store_path}/vectors")
+        pruned = pruned.localCheckpoint(eager=True)
+        # bounded scalar collect: one row per populated layer
+        levels = [
+            r["level"]
+            for r in pruned.select("level").distinct().collect()
+        ]
+        parts = []
+        for lvl in sorted(levels):
+            e = pruned.filter(F.col("level") == lvl).select(
+                "src", "dst", "sim"
+            )
+            e = _nn_descent_rounds(
+                e, vecs, M, refresh_iters, id_col, vec_col
+            )
+            parts.append(
+                e.select(
+                    F.lit(lvl).cast("int").alias("level"),
+                    "src",
+                    "dst",
+                    "sim",
+                )
+            )
+        pruned = parts[0]
+        for p in parts[1:]:
+            pruned = pruned.unionByName(p)
     _write_and_swap_store(pruned, store_path, bytes_per_file, subdir="graph")
 
 

@@ -359,6 +359,74 @@ def test_nsw_index_append_search_then_connect(spark, tmp_path):
     assert len(approx2 & truth) / len(truth) >= 0.6
 
 
+def test_compact_nsw_graph_refresh_recovers_recall(spark, tmp_path):
+    """Round-14: the depth soak showed compaction pruning overflow
+    edges drops recall (1.0 → 0.76) until later appends re-enrich.
+    compact_nsw_graph(refresh_iters=1) runs one NN-descent exchange
+    per layer post-prune, so the compacted graph's recall must be at
+    least the plain compaction's (both deterministic — strict
+    comparison is stable), with the M cap and layer membership
+    unchanged."""
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.similarity import (
+        compact_nsw_graph,
+        nsw_build_graph,
+        nsw_index_append,
+        nsw_query_index,
+        save_nsw_index,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter("vec_id < 5")
+    truth = {
+        (r["q_id"], r["vec_id"])
+        for r in S.brute_force_topk(e, q, k=5).collect()
+    }
+
+    def recall(store):
+        got = {
+            (r["q_id"], r["vec_id"])
+            for r in nsw_query_index(spark, store, q, k=5).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    seed = str(tmp_path / "seed")
+    even = e.filter("vec_id % 2 = 0")
+    save_nsw_index(even, nsw_build_graph(even), seed)
+    nsw_index_append(e.filter("vec_id % 2 = 1"), seed)
+
+    plain = str(tmp_path / "plain")
+    refreshed = str(tmp_path / "refreshed")
+    for dst in (plain, refreshed):
+        _shutil.copytree(seed, dst)
+    compact_nsw_graph(spark, plain)
+    compact_nsw_graph(spark, refreshed, refresh_iters=1)
+
+    r_plain, r_refresh = recall(plain), recall(refreshed)
+    assert r_refresh >= r_plain, (r_refresh, r_plain)
+    # structural invariants survive the refresh: degree cap + nesting
+    g = spark.read.parquet(f"{refreshed}/graph")
+    deg = (
+        g.groupBy("level", "src").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert deg <= 12
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.similarity import (
+        _nsw_level,
+    )
+
+    lvl = e.select(F.col("vec_id"), _nsw_level("vec_id", 2).alias("lvl"))
+    for side in ("src", "dst"):
+        bad = (
+            g.join(lvl, g[side] == lvl["vec_id"])
+            .filter(F.col("lvl") < F.col("level"))
+            .count()
+        )
+        assert bad == 0, side
+
+
 def test_nsw_index_append_requires_existing_index(spark, tmp_path):
     """Appending to a missing store must fail loudly (the
     ivf_index_append bootstrap contract — an appender must never
