@@ -1374,6 +1374,128 @@ def nsw_query_index(
     )
 
 
+def _select_neighbors_heuristic(
+    edges: DataFrame,
+    vecs: DataFrame,
+    M: int,
+    id_col: str,
+    vec_col: str,
+    cap_factor: int = 3,
+) -> DataFrame:
+    """HNSW SELECT-NEIGHBORS-HEURISTIC (Malkov & Yashunin 2016,
+    Algorithm 4) as a set-at-a-time plan, for compaction-time pruning
+    (round 14): for each (level, src) adjacency, walk the candidates
+    best-first and KEEP one only if it is closer to the node than to
+    every already-kept neighbor — the diversity rule that preserves
+    long-range navigation edges a plain top-M-by-similarity prune
+    collapses into one tight cluster. Remaining slots refill with the
+    best pruned candidates (hnswlib's keepPrunedConnections), so
+    degree stays M wherever the overflow allows.
+
+    Spark shape, and the 100 TB bound: candidates pre-trim to
+    ``cap_factor·M`` per adjacency (one window), so the pairwise
+    candidate-similarity frame is ≤ C(cap·M, 2) rows PER NODE
+    (≈ 630 at M=12) — two id-keyed vector joins, never corpus².
+    The sequential greedy is ONE F.aggregate fold per node over the
+    sorted candidate array with a map_from_entries pairwise-sim
+    lookup — pure JVM, no Python. ``edges`` carries
+    (level, src, dst, sim); returns the same shape pruned to ≤ M."""
+    capped = F.lit(cap_factor * M)
+    wtrim = Window.partitionBy("level", "src").orderBy(
+        F.desc("sim"), F.asc("dst")
+    )
+    cand = (
+        edges.withColumn("rnk", F.row_number().over(wtrim))
+        .filter(F.col("rnk") <= capped)
+        .select("level", "src", "dst", "sim")
+        .localCheckpoint(eager=True)  # feeds the pair frame AND the
+        # per-node arrays — score the trimmed set once
+    )
+    a = cand.select("level", "src", F.col("dst").alias("i"))
+    b = cand.select(
+        F.col("level").alias("level_b"),
+        F.col("src").alias("src_b"),
+        F.col("dst").alias("j"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("level") == F.col("level_b"))
+        & (F.col("src") == F.col("src_b"))
+        & (F.col("i") < F.col("j")),
+    ).select("level", "src", "i", "j")
+    vi = vecs.select(F.col(id_col).alias("i"), F.col(vec_col).alias("__vi"))
+    vj = vecs.select(F.col(id_col).alias("j"), F.col(vec_col).alias("__vj"))
+    psim = (
+        pairs.join(vi, "i")
+        .join(vj, "j")
+        .select(
+            "level",
+            "src",
+            F.concat_ws(
+                "|", F.col("i").cast("string"), F.col("j").cast("string")
+            ).alias("key"),
+            _sim("__vi", "__vj").alias("ps"),
+        )
+    )
+    pmap = psim.groupBy("level", "src").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("key"), F.col("ps")))
+        ).alias("pm")
+    )
+    arrs = cand.groupBy("level", "src").agg(
+        F.array_sort(
+            F.collect_list(F.struct((-F.col("sim")).alias("ns"), "dst", "sim"))
+        ).alias("cands")
+    )
+
+    def pair_key(c, k):
+        return F.concat_ws(
+            "|",
+            F.least(c["dst"], k["dst"]).cast("string"),
+            F.greatest(c["dst"], k["dst"]).cast("string"),
+        )
+
+    def step(acc, c):
+        diverse = F.forall(
+            acc,
+            # unknown pair (shouldn't occur) → treat as far → keep
+            lambda k: F.coalesce(
+                F.element_at(F.col("pm"), pair_key(c, k)), F.lit(-2.0)
+            )
+            < c["sim"],
+        )
+        return (
+            F.when(F.size(acc) >= M, acc)
+            .when(diverse, F.concat(acc, F.array(c)))
+            .otherwise(acc)
+        )
+
+    folded = arrs.join(pmap, ["level", "src"], "left").select(
+        "level",
+        "src",
+        "cands",
+        F.aggregate(
+            "cands",
+            F.slice(F.col("cands"), 1, 0),  # empty, correctly typed
+            step,
+        ).alias("kept"),
+    )
+    kept_dsts = F.transform(F.col("kept"), lambda k: k["dst"])
+    refill = F.filter(
+        F.col("cands"),
+        lambda c: ~F.array_contains(kept_dsts, c["dst"]),
+    )
+    final = F.slice(F.concat(F.col("kept"), refill), 1, M)
+    return folded.select(
+        "level", "src", F.explode(final).alias("__c")
+    ).select(
+        "level",
+        "src",
+        F.col("__c")["dst"].alias("dst"),
+        F.col("__c")["sim"].alias("sim"),
+    )
+
+
 def compact_nsw_graph(
     spark,
     store_path: str,
@@ -1382,6 +1504,7 @@ def compact_nsw_graph(
     refresh_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    select: str = "topm",
 ) -> None:
     """Store-lifecycle companion to :func:`nsw_index_append`: dedupe
     replayed edges and re-prune every (level, src) adjacency to its
@@ -1390,31 +1513,44 @@ def compact_nsw_graph(
     dedup._write_and_swap_store. Same quiet-window contract as the
     other stores.
 
-    ``refresh_iters`` (round 14 — the depth soak showed recall@5
-    dipping from ~1.0 to ~0.76 right after a compaction, recovering
-    only as later appends re-enrich the pruned adjacencies): after
-    pruning, run that many NN-descent exchange rounds PER LAYER over
-    the stored vectors — neighbor-of-neighbor candidates, scored
-    id-keyed, re-pruned to the same M cap — so the compacted graph
-    trades its overflow edges for systematically-good ones instead of
-    just dropping them. Cost is the build loop's O(N·M²) per round
-    over each layer; run it in the same quiet window. The M cap and
-    layer membership are unchanged (candidates stay within each
-    layer's node set by construction)."""
+    ``select`` (round 14 — the depth soak showed recall@5 dipping
+    from ~1.0 to ~0.76 right after a compaction): ``"topm"`` prunes
+    each (level, src) adjacency to the M most-similar neighbors —
+    cheap, but it collapses the adjacency toward one tight cluster
+    and drops the long-range edges beam search navigates by;
+    ``"heuristic"`` prunes with HNSW's diversity rule instead
+    (:func:`_select_neighbors_heuristic` — keep a candidate only if
+    it is closer to the node than to every already-kept neighbor,
+    refill to M with the best pruned), preserving navigability at
+    the cost of a bounded pairwise-candidate scoring pass.
+
+    ``refresh_iters``: after pruning, run that many NN-descent
+    exchange rounds PER LAYER over the stored vectors
+    (neighbor-of-neighbor candidates, id-keyed scoring, same M cap).
+    Measure before adopting: it raises LOCAL edge quality but the
+    re-prune can displace navigation edges — observed +0.04 recall
+    on the sf0.001 store and −0.08 on the x2 soak staging; the
+    heuristic select is the principled navigability fix. The M cap
+    and layer membership are unchanged by either option (candidates
+    stay within each layer's node set by construction)."""
     from .dedup import _local_store_path, _write_and_swap_store
 
     store_path = _local_store_path(store_path)
     g = spark.read.parquet(f"{store_path}/graph").dropDuplicates(
         ["level", "src", "dst"]
     )
-    w = Window.partitionBy("level", "src").orderBy(
-        F.desc("sim"), F.asc("dst")
-    )
-    pruned = (
-        g.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= M)
-        .select("level", "src", "dst", "sim")
-    )
+    if select == "heuristic":
+        vecs_h = spark.read.parquet(f"{store_path}/vectors")
+        pruned = _select_neighbors_heuristic(g, vecs_h, M, id_col, vec_col)
+    else:
+        w = Window.partitionBy("level", "src").orderBy(
+            F.desc("sim"), F.asc("dst")
+        )
+        pruned = (
+            g.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= M)
+            .select("level", "src", "dst", "sim")
+        )
     if refresh_iters > 0:
         vecs = spark.read.parquet(f"{store_path}/vectors")
         pruned = pruned.localCheckpoint(eager=True)

@@ -17,9 +17,13 @@ Pinned per generation (hard asserts, not just reporting):
   grown graph for a FIXED-size slice, so per-generation cost should
   grow gently (graph/vector scan term), never super-linearly.
 
-Usage: python scripts/soak_nsw_depth.py [N_COPIES] [GENERATIONS]
-(defaults 8 and 8; the r13 single-split datapoint was 2.06x at 8x).
-Prints one JSON line for PERF.md.
+Usage: python scripts/soak_nsw_depth.py [N_COPIES] [GENERATIONS] [REFRESH]
+(defaults 8, 8, 0; the r13 single-split datapoint was 2.06x at 8x).
+REFRESH > 0 passes compact_nsw_graph(refresh_iters=REFRESH) at each
+compaction — the round-14 post-prune NN-descent re-enrichment — so
+the post-compaction recall dip the default run records can be
+compared against the refreshed path. Prints one JSON line for
+PERF.md.
 """
 
 from __future__ import annotations
@@ -72,6 +76,7 @@ def _recall(spark, store: str, base, queries) -> float:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     gens = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    refresh = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     compact_every = 4
     spark = get_spark("soak-nsw-depth")
     spark.sparkContext.setLogLevel("ERROR")
@@ -81,7 +86,9 @@ def main() -> None:
     queries = e.filter(F.col("vec_id") < 5).localCheckpoint(eager=True)
     slot = F.pmod(F.col("vec_id"), F.lit(gens + 1))
     store = tempfile.mkdtemp(prefix="spark_graft_soak_nswdepth_")
-    report: dict = {"n": n, "generations": gens, "gen": []}
+    report: dict = {
+        "n": n, "generations": gens, "refresh_iters": refresh, "gen": []
+    }
     try:
         seed = e.filter(slot == 0)
         t0 = time.time()
@@ -98,7 +105,7 @@ def main() -> None:
             acc = acc.unionByName(batch).localCheckpoint(eager=True)
             compacted = g % compact_every == 0
             if compacted:
-                compact_nsw_graph(spark, store, M=M)
+                compact_nsw_graph(spark, store, M=M, refresh_iters=refresh)
                 deg = (
                     spark.read.parquet(f"{store}/graph")
                     .groupBy("level", "src")
