@@ -61,77 +61,23 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Round-14 gate front block. Every round-13 front name is green in
-# CORRECTNESS_r13 (50/50), so the 50-slot window now holds: (a) the
-# round-14 additions (never-checked names MUST debut in the front,
+# Round-15 gate front block. Every round-14 front name is green in
+# CORRECTNESS_r14 (50/50), so the 50-slot window now holds: (a) the
+# round-15 additions (never-checked names MUST debut in the front,
 # scripts/check_rotation.py enforces it), (b) STALENESS ROTATION —
-# the COMPLETE 39-name r8-vintage tier (the oldest tier once
-# CORRECTNESS_r13 landed; staged verbatim as _ROTATION_R14 last
+# the COMPLETE 30-name r9-vintage tier (the oldest tier once
+# CORRECTNESS_r14 landed; staged verbatim as _ROTATION_R15 last
 # round), and (c) the spare slots promote the alphabetically-first
-# r9-tier names so the NEXT-oldest tier starts draining early.
+# r10-tier names so the NEXT-oldest tier starts draining early.
 # After this window runs, no catalog name's newest driver row is
-# older than r9.
+# older than r10.
 _GATE_PRIORITY = (
-    # -- (a) new in round 14 ------------------------------------------------
-    "x_ann_hnsw_store",
-    "x_paragraph_dedup",
-    "x_paragraph_dedup_drain",
-    "t24_drift_dashboard_drain",
-    # -- (b) staleness rotation: the complete 39-name r8 tier ---------------
-    "a21_collect_list",
-    "a23_equidepth_approx",
-    "a23_equidepth_hist",
-    "a24_cohort_retention",
-    "a25_attribution",
-    "a26_rfm",
-    "a26_rfm_approx",
-    "a27_benford_audit",
-    "a28_ordered_funnel",
-    "a31_salted_hot_keys",
-    "a34_price_band_approx",
-    "a42_mad_approx",
-    "p20_unpivot",
-    "t6_ohlc_downsample",
-    "t7_gap_fill",
-    "t8_ewma",
-    "t9_anomaly_mad",
-    "u5_cdc_apply",
-    "u6_dq_checks",
-    "w9_scd2_history",
-    "x_ann_ivf_pq",
-    "x_ann_refine",
-    "x_backoff_nll",
-    "x_bigram_nll",
-    "x_calibration_approx",
-    "x_length_clip",
-    "x_ngram_jaccard",
-    "x_pack_sequences",
-    "x_pii_redact",
-    "x_repetition",
-    "x_source_mixture",
-    "x_source_overlap",
-    "x_stratified_sample",
-    "x_suffix_removal_ranks",
-    "x_text_stats",
-    "x_tfidf",
-    "x_token_counts",
-    "x_train_split",
-    "x_winnow_pairs",
-    # -- (c) early r9-tier promotions (fill to exactly 50) -------------------
-    "a32_windowed_funnel",
-    "a33_salted_join_revenue",
-    "a34_monthly_price_band",
-    "a35_transition_matrix",
-    "a37_ab_test",
-    "a38_winsorized_stats",
-    "a39_whatif_discount",
-)
-
-# Round-15 rotation backlog: the 30 r9-vintage names NOT promoted in
-# the round-14 front (the oldest staleness tier once round 14 lands).
-# It fits one front with 20 slots to spare for round-15 additions;
-# run scripts/check_rotation.py to re-derive.
-_ROTATION_R15: tuple[str, ...] = (
+    # -- (a) new in round 15 ------------------------------------------------
+    "t25_drift_dashboard_incr",
+    "x_paragraph_dedup_agg",
+    "x_idf_topk",
+    "x_saturating_tf",
+    # -- (b) staleness rotation: the complete 30-name r9 tier ---------------
     "t11_interval_join_batch",
     "t13_twap",
     "t17_rolling_quantiles",
@@ -162,6 +108,58 @@ _ROTATION_R15: tuple[str, ...] = (
     "x_unigram_nll",
     "x_zipf_fit",
     "x_zorder_key",
+    # -- (c) early r10-tier promotions (fill to exactly 50) ------------------
+    "a36_top_paths",
+    "a40_attribution",
+    "a41_unpivot_measures",
+    "a42_mad_outliers",
+    "a6_leaderboard",
+    "l10_order_count_dist",
+    "l11_idle_rich_customers",
+    "l12_promo_revenue",
+    "l13_small_qty_revenue",
+    "l16_small_qty_brand_revenue",
+    "l17_dominant_suppliers",
+    "l18_idle_big_accounts",
+    "l19_priority_late_orders",
+    "l1_pricing_summary",
+    "l20_nation_trade_pairs",
+    "l21_market_share",
+)
+
+# Round-16 rotation backlog: the 28 r10-vintage names NOT promoted in
+# the round-15 front (the oldest staleness tier once round 15 lands).
+# It fits one front with slots to spare for round-16 additions;
+# run scripts/check_rotation.py to re-derive.
+_ROTATION_R16: tuple[str, ...] = (
+    "l22_nation_profit",
+    "l23_stock_concentration",
+    "w11_asof_snapshot",
+    "w12_rolling_distinct",
+    "w13_range_frame",
+    "x_ann_recall",
+    "x_card_redact",
+    "x_cluster_split",
+    "x_dataset_card",
+    "x_dd_quantiles",
+    "x_dedup_clusters",
+    "x_dedup_simhash",
+    "x_dsir_weights",
+    "x_golden_records",
+    "x_kcore",
+    "x_knn_classify",
+    "x_logreg_quality",
+    "x_lsh_precision",
+    "x_lsh_recall",
+    "x_mmr_first",
+    "x_mojibake",
+    "x_multimodal_meta",
+    "x_nb_lang",
+    "x_normalized_dedup",
+    "x_pca_invariants",
+    "x_softdedup_weights",
+    "x_sorted_neighborhood",
+    "x_video_meta",
 )
 
 
@@ -173,7 +171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for mod in (warehouse, windows, extensions, measures, analytics, scalars, temporal):
         all_q.update(mod.QUERIES)
     out = {n: all_q[n] for n in _GATE_PRIORITY if n in all_q}
-    out.update({n: all_q[n] for n in _ROTATION_R15 if n in all_q and n not in out})
+    out.update({n: all_q[n] for n in _ROTATION_R16 if n in all_q and n not in out})
     out.update({n: f for n, f in all_q.items() if n not in out})
     return out
 

@@ -932,18 +932,47 @@ def rolling_drift(
     w1_dist, psi, drift_defined)."""
     if ref_weeks < 1:
         raise ValueError("need ref_weeks >= 1")
-    g = group_col
-    counts = (
-        df.filter(F.col(value_col).isNotNull() & F.col(time_col).isNotNull())
-        .groupBy(
-            F.col(g),
-            F.date_trunc("week", F.col(time_col)).cast("date").alias("week"),
-            F.col(value_col).cast("bigint").alias("v"),
-        )
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
+    counts = df.filter(
+        F.col(value_col).isNotNull() & F.col(time_col).isNotNull()
+    ).groupBy(
+        F.col(group_col),
+        F.date_trunc("week", F.col(time_col)).cast("date").alias("week"),
+        F.col(value_col).cast("bigint").alias("v"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return rolling_drift_from_counts(
+        counts, group_col=group_col, ref_weeks=ref_weeks, n_buckets=n_buckets
     )
+
+
+def rolling_drift_from_counts(
+    counts: DataFrame,
+    group_col: str = "event_type",
+    ref_weeks: int = 4,
+    n_buckets: int = 10,
+    out_weeks: DataFrame | None = None,
+) -> DataFrame:
+    """:func:`rolling_drift` body starting from the (``group_col``,
+    week, v, cnt) COUNT SPINE instead of the facts (round 15 — the
+    incremental streaming dashboard's entry point): an incremental
+    sink maintains the spine as per-batch additive deltas and merges
+    them with one spine-sized groupBy, so the panel refresh never
+    rescans the fact table at all. ``counts`` must be aggregated to
+    UNIQUE (group, week, v) keys (the caller owns the merge).
+
+    ``out_weeks``: optional (``group_col``, w) frame restricting which
+    panel cells are COMPUTED — the incremental refresh passes the
+    batch's touched weeks plus their ``ref_weeks`` forward horizon and
+    upserts the result into the published panel. The reference side
+    still draws on the FULL spine (a restricted week needs its trailing
+    weeks' counts), and the PSI hull stays global, so restricted rows
+    are bit-identical to the same rows of an unrestricted run."""
+    if ref_weeks < 1:
+        raise ValueError("need ref_weeks >= 1")
+    g = group_col
+    counts = counts.localCheckpoint(eager=True)
     weeks = counts.select(g, F.col("week").alias("w")).distinct()
+    if out_weeks is not None:
+        weeks = weeks.join(out_weeks, [g, "w"], "left_semi")
     hull = counts.agg(
         F.min("v").alias("lo"), F.max("v").alias("hi")
     )
@@ -1102,16 +1131,34 @@ def rolling_chi2(
     drift_defined)."""
     if ref_weeks < 1:
         raise ValueError("need ref_weeks >= 1")
-    counts = (
-        df.filter(F.col(cat_col).isNotNull() & F.col(time_col).isNotNull())
-        .groupBy(
-            F.date_trunc("week", F.col(time_col)).cast("date").alias("week"),
-            F.col(cat_col).alias("c"),
-        )
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
-    )
+    counts = df.filter(
+        F.col(cat_col).isNotNull() & F.col(time_col).isNotNull()
+    ).groupBy(
+        F.date_trunc("week", F.col(time_col)).cast("date").alias("week"),
+        F.col(cat_col).alias("c"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return rolling_chi2_from_counts(counts, ref_weeks=ref_weeks)
+
+
+def rolling_chi2_from_counts(
+    counts: DataFrame,
+    ref_weeks: int = 4,
+    out_weeks: DataFrame | None = None,
+) -> DataFrame:
+    """:func:`rolling_chi2` body starting from the (week, c, cnt)
+    COUNT SPINE (round 15 — see :func:`rolling_drift_from_counts`):
+    ``counts`` must be aggregated to unique (week, c) keys;
+    ``out_weeks`` (a single-column ``w`` frame) restricts which weeks'
+    panel rows are computed, while the reference side still draws on
+    the full spine — restricted rows are bit-identical to the same
+    rows of an unrestricted run (no global coupling in the chi2
+    panel, unlike the numeric panel's PSI hull)."""
+    if ref_weeks < 1:
+        raise ValueError("need ref_weeks >= 1")
+    counts = counts.localCheckpoint(eager=True)
     weeks = counts.select(F.col("week").alias("w")).distinct()
+    if out_weeks is not None:
+        weeks = weeks.join(out_weeks, ["w"], "left_semi")
     ref = (
         counts.select(
             F.explode(

@@ -1539,9 +1539,10 @@ def compact_nsw_graph(
     g = spark.read.parquet(f"{store_path}/graph").dropDuplicates(
         ["level", "src", "dst"]
     )
+    vecs = None
     if select == "heuristic":
-        vecs_h = spark.read.parquet(f"{store_path}/vectors")
-        pruned = _select_neighbors_heuristic(g, vecs_h, M, id_col, vec_col)
+        vecs = spark.read.parquet(f"{store_path}/vectors")
+        pruned = _select_neighbors_heuristic(g, vecs, M, id_col, vec_col)
     else:
         w = Window.partitionBy("level", "src").orderBy(
             F.desc("sim"), F.asc("dst")
@@ -1552,9 +1553,13 @@ def compact_nsw_graph(
             .select("level", "src", "dst", "sim")
         )
     if refresh_iters > 0:
-        vecs = spark.read.parquet(f"{store_path}/vectors")
+        if vecs is None:  # reuse the heuristic path's read (ADVICE r14)
+            vecs = spark.read.parquet(f"{store_path}/vectors")
         pruned = pruned.localCheckpoint(eager=True)
-        # bounded scalar collect: one row per populated layer
+        # bounded scalar collect: one row per populated layer.
+        # An EMPTY pruned graph (store compacted before any edge
+        # landed) has no layers — skip the refresh and write the
+        # empty frame rather than indexing parts[0] (ADVICE r14).
         levels = [
             r["level"]
             for r in pruned.select("level").distinct().collect()
@@ -1575,9 +1580,10 @@ def compact_nsw_graph(
                     "sim",
                 )
             )
-        pruned = parts[0]
-        for p in parts[1:]:
-            pruned = pruned.unionByName(p)
+        if parts:
+            pruned = parts[0]
+            for p in parts[1:]:
+                pruned = pruned.unionByName(p)
     _write_and_swap_store(pruned, store_path, bytes_per_file, subdir="graph")
 
 

@@ -488,8 +488,10 @@ def q_x_mlt_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     first, odd doc_ids second (the x_bm25_drain split, same store
     layout) — then score the x_mlt query set (doc_id % 29 == 0) from
     the store. Postings are disjoint-by-doc and additive and the
-    store's distinct-doc count equals the corpus count (tokenizer
-    convention: every doc owns ≥1 posting), so store-backed MLT must
+    store's distinct-doc count equals the NON-NULL-text corpus count
+    (round-14 fix: NULL-text docs own no postings, and the one-shot N
+    counts text-bearing docs only — mlt_query_store's corrected
+    contract), so store-backed MLT must
     rank IDENTICALLY to the one-shot x_mlt — the oracle is literally
     the x_mlt SQL. Materialized before the temp store is deleted."""
     import shutil
@@ -1498,10 +1500,19 @@ def _nsw_gate_store(spark: SparkSession, sf_dir: str) -> str:
     at sf0.1) because it rebuilt per call; a fixture regeneration
     changes the mtime and rebuilds. Everything in the build is
     deterministic (xxhash level draws, LSH seeds), so a rebuild is
-    reproducible."""
+    reproducible.
+
+    Concurrency (round-15 ADVICE close): the build lands in a private
+    ``tempfile.mkdtemp`` staging dir and is published with ONE atomic
+    ``os.rename`` into the keyed path — two racing drivers each build
+    privately and the first rename wins (the loser discards its
+    staging copy), so a half-built or mid-append cache can never sit
+    behind the _COMPLETE marker. The path is uid-scoped so a shared
+    /tmp can't collide across users."""
     import hashlib
     import os
     import shutil
+    import tempfile
 
     fixture = os.path.join(sf_dir, "embeddings.parquet")
     try:
@@ -1511,17 +1522,33 @@ def _nsw_gate_store(spark: SparkSession, sf_dir: str) -> str:
     key = hashlib.md5(
         f"{os.path.abspath(sf_dir)}|{mtime}|M=12|iters=3|lvl=2|2batch".encode()
     ).hexdigest()[:12]
-    store = f"/tmp/spark_graft_nsw_store_{key}"
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    store = f"/tmp/spark_graft_nsw_store_{uid}_{key}"
     marker = os.path.join(store, "_COMPLETE")
-    if not os.path.exists(marker):
-        shutil.rmtree(store, ignore_errors=True)
-        e = t(spark, sf_dir, "embeddings")
-        even = e.filter(F.col("vec_id") % 2 == 0)
-        g = S.nsw_build_graph(even)
-        S.save_nsw_index(even, g, store)
-        S.nsw_index_append(e.filter(F.col("vec_id") % 2 == 1), store)
-        with open(marker, "w") as f:
-            f.write("ok")
+    if os.path.exists(marker):
+        return store
+    staging = tempfile.mkdtemp(prefix=f"spark_graft_nsw_build_{key}_")
+    e = t(spark, sf_dir, "embeddings")
+    even = e.filter(F.col("vec_id") % 2 == 0)
+    g = S.nsw_build_graph(even)
+    S.save_nsw_index(even, g, staging)
+    S.nsw_index_append(e.filter(F.col("vec_id") % 2 == 1), staging)
+    with open(os.path.join(staging, "_COMPLETE"), "w") as f:
+        f.write("ok")
+    try:
+        os.rename(staging, store)  # atomic publish; first builder wins
+    except OSError:
+        if os.path.exists(marker):
+            # a concurrent builder published first — use theirs
+            shutil.rmtree(staging, ignore_errors=True)
+        else:
+            # stale markerless leftovers (crashed build): replace them
+            shutil.rmtree(store, ignore_errors=True)
+            try:
+                os.rename(staging, store)
+            except OSError:
+                # lost a second race — fall back to the private copy
+                store = staging
     return store
 
 

@@ -1178,12 +1178,56 @@ def q_t24_drift_dashboard_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="spark_graft_dash_drain_")
     try:
         silver = f"{tmp}/events_silver"
+        # coalesce routes NULL event_ids into slice 0, so the three
+        # slices always PARTITION the corpus (a bare pmod would drop
+        # NULL-id rows from every slice and diverge from the t22
+        # oracle if the fixture ever gained NULL ids).
         for s in range(3):
-            ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == s).write.mode(
-                "append"
-            ).parquet(silver)
+            ev.filter(
+                F.coalesce(F.pmod(F.col("event_id"), F.lit(3)), F.lit(0)) == s
+            ).write.mode("append").parquet(silver)
             panels = refresh_drift_dashboard(
                 spark, spark.read.parquet(silver), tmp
+            )
+        out = panels["drift_panel"].localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def q_t25_drift_dashboard_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL drift dashboard drained to the gate (streaming.
+    pipeline.drift_dashboard_batch, round 15 — the r14 verdict's
+    task 2): replay the incremental foreachBatch sink's exact body
+    over three deterministic event slices — each slice lands its own
+    ``__batch_id`` silver partition, folds its counts into the
+    ``panel_state`` spine stores, and the refresh recomputes ONLY the
+    touched weeks plus their forward reference horizon (falling back
+    to the spine-wide recompute when the slice extends the global PSI
+    hull), upserting into the published generation. The accumulated
+    spine must reconstruct the corpus counts losslessly and the
+    upsert must stitch touched and carried weeks seamlessly, so the
+    FINAL published drift_panel equals the one-shot t22 computation —
+    the oracle IS t22's SQL verbatim (the t24/x_mlt_drain
+    convention). Same NULL-id routing as t24: coalesce sends NULL
+    event_ids to slice 0 so the slices always partition the corpus."""
+    import shutil
+    import tempfile
+
+    from ..streaming.pipeline import drift_dashboard_batch
+
+    ev = t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="spark_graft_dash_incr_")
+    try:
+        for s in range(3):
+            panels = drift_dashboard_batch(
+                spark,
+                ev.filter(
+                    F.coalesce(F.pmod(F.col("event_id"), F.lit(3)), F.lit(0))
+                    == s
+                ),
+                s,
+                tmp,
             )
         out = panels["drift_panel"].localCheckpoint(eager=True)
     finally:
@@ -1207,6 +1251,9 @@ def q_t23_rolling_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one-shot rolling panel — the oracle is t22's SQL verbatim.
 # Registered after the t22 entry exists (defined above).
 ORACLES["t24_drift_dashboard_drain"] = ORACLES["t22_rolling_drift"]
+# t25: the INCREMENTALLY-refreshed dashboard's final drift_panel must
+# also equal the one-shot rolling panel — same oracle, different sink.
+ORACLES["t25_drift_dashboard_incr"] = ORACLES["t22_rolling_drift"]
 
 ORACLES["t23_rolling_chi2"] = """
     WITH counts AS (
@@ -1267,6 +1314,7 @@ QUERIES = {
     "t22_rolling_drift": q_t22_rolling_drift,
     "t23_rolling_chi2": q_t23_rolling_chi2,
     "t24_drift_dashboard_drain": q_t24_drift_dashboard_drain,
+    "t25_drift_dashboard_incr": q_t25_drift_dashboard_incr,
     "t18_acf": q_t18_acf,
     "t19_xcorr": q_t19_xcorr,
     "t20_seasonal": q_t20_seasonal,

@@ -93,9 +93,9 @@ def _t24_drain(spark, sf_dir: str):
     try:
         silver = f"{tmp}/events_silver"
         for s in range(3):
-            ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == s).write.mode(
-                "append"
-            ).parquet(silver)
+            ev.filter(
+                F.coalesce(F.pmod(F.col("event_id"), F.lit(3)), F.lit(0)) == s
+            ).write.mode("append").parquet(silver)
             panels = refresh_drift_dashboard(
                 spark, spark.read.parquet(silver), tmp
             )
