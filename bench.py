@@ -333,6 +333,30 @@ def main() -> None:
         except Exception as exc:  # the secondary series must never
             write_bench = {"error": str(exc)[:200]}  # sink the headline
 
+    # Index-query series (round 15 — the r14 verdict's task 5): the
+    # store-backed search paths (NSW graph ANN, BM25, MLT) against
+    # PREBUILT stores — builds untimed, query legs best-of-2. Same
+    # separate-sub-object posture as write_bench so the 20-query
+    # headline series stays frozen and comparable.
+    index_bench = None
+    if not os.environ.get("SPARK_GRAFT_NO_INDEX_BENCH"):
+        try:
+            sys.path.insert(
+                0,
+                os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"),
+            )
+            import bench_index
+
+            ib = bench_index.run(spark, sf_dir)
+            index_bench = {
+                "queries": ib["queries"],
+                "n_docs": ib.get("n_docs"),
+                "n_nsw_queries": ib.get("n_nsw_queries"),
+                "n_text_queries": ib.get("n_text_queries"),
+            }
+        except Exception as exc:  # same contract: never sink the headline
+            index_bench = {"error": str(exc)[:200]}
+
     print(
         json.dumps(
             {
@@ -342,6 +366,7 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "write_bench": write_bench,
+                "index_bench": index_bench,
                 "total_canary_norm": total_canary_norm,
                 "load": {
                     "pre_spark_1m": round(load_pre, 2),

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import read_store
+
 from ..functions.text import shingles, tokens
 
 
@@ -1383,7 +1385,12 @@ def bm25_query_store(
     pinned by the x_bm25_drain gate and the compaction-invariance
     test). Each query-time doc-stats agg is map-side partial over a
     column-pruned store scan — no state beyond the postings table."""
-    tf = spark.read.parquet(f"{store_path}/postings")
+    tf = read_store(
+        spark,
+        f"{store_path}/postings",
+        required="term string, tf bigint",
+        required_names=(id_col,),
+    )
     qterms = queries.select(
         "query", F.explode(F.split("query", " ")).alias("term")
     )
@@ -1402,7 +1409,9 @@ def compact_bm25_store(
     from .dedup import _local_store_path, _write_and_swap_store
 
     store_path = _local_store_path(store_path)
-    postings = spark.read.parquet(f"{store_path}/postings")
+    # mergeSchema (via read_store) is load-bearing on a compaction
+    # read: dropping a newer column here would destroy it permanently
+    postings = read_store(spark, f"{store_path}/postings")
     _write_and_swap_store(
         postings, store_path, bytes_per_file, subdir="postings"
     )
@@ -1588,7 +1597,12 @@ def mlt_query_store(
     x_mlt_drain gate, whose oracle is literally the x_mlt SQL). Same
     hot-term bound, decimal dot/norm sums, and rank convention as
     more_like_this."""
-    tf = spark.read.parquet(f"{store_path}/postings")
+    tf = read_store(
+        spark,
+        f"{store_path}/postings",
+        required="term string, tf bigint",
+        required_names=(id_col,),
+    )
     n_docs = tf.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
     return _mlt_score_postings(tf, n_docs, query_docs, id_col, k, max_df_frac)
 

@@ -16,6 +16,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import read_store
+
 
 def not_null(col: str) -> tuple[str, Column]:
     return (f"not_null_{col}", F.col(col).isNotNull())
@@ -1288,7 +1290,9 @@ def psi_admit(
     # typed FS probe (not exception-message matching): only a missing
     # store means bootstrap; any real read failure still raises
     if hadoop_path_exists(spark, f"{store_path}/hist"):
-        hist = spark.read.parquet(f"{store_path}/hist")
+        hist = read_store(
+            spark, f"{store_path}/hist", required="bucket bigint, cnt bigint"
+        )
     else:
         hist = spark.createDataFrame([], "bucket bigint, cnt bigint")
     hcounts = hist.groupBy("bucket").agg(
@@ -1378,7 +1382,9 @@ def chi2_admit(
     # typed FS probe (not exception-message matching) — round-11
     # ADVICE: only a missing store means bootstrap
     if hadoop_path_exists(spark, f"{store_path}/cats"):
-        hist = spark.read.parquet(f"{store_path}/cats")
+        hist = read_store(
+            spark, f"{store_path}/cats", required="c string, cnt bigint"
+        )
     else:
         hist = spark.createDataFrame([], "c string, cnt bigint")
     hcounts = hist.groupBy("c").agg(F.sum("cnt").cast("bigint").alias("ch"))
@@ -1476,7 +1482,11 @@ def _digest_scored_grid(
     # exists for the cold-start branch too
     sig = tdigest_centroids(clean, [], value_col, delta=delta)
     if hadoop_path_exists(spark, f"{store_path}/centroids"):
-        hist = spark.read.parquet(f"{store_path}/centroids")
+        hist = read_store(
+            spark,
+            f"{store_path}/centroids",
+            required="mean double, weight double",
+        )
     else:
         hist = spark.createDataFrame([], "mean double, weight double")
 
@@ -1680,7 +1690,9 @@ def compact_ks_store(
     from .sketches import tdigest_merge
 
     store_path = _local_store_path(store_path)
-    cents = spark.read.parquet(f"{store_path}/centroids")
+    cents = read_store(
+        spark, f"{store_path}/centroids", required="mean double, weight double"
+    )
     merged = tdigest_merge(cents, [], delta=delta)
     _write_and_swap_store(
         merged, store_path, bytes_per_file, subdir="centroids"

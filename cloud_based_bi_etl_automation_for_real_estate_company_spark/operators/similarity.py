@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import read_store
+
 from ..functions.vectors import as_double, cosine, dot, sign_bucket
 from .partitioning import spread
 
@@ -587,9 +589,13 @@ def save_ivf_index(index: dict[str, DataFrame], path: str) -> None:
 def load_ivf_index(spark, path: str) -> dict[str, DataFrame]:
     import os
 
+    from ..session import read_store
+
     return {
-        "centroids": spark.read.parquet(os.path.join(path, "centroids.parquet")),
-        "lists": spark.read.parquet(os.path.join(path, "lists.parquet")),
+        "centroids": read_store(
+            spark, os.path.join(path, "centroids.parquet")
+        ),
+        "lists": read_store(spark, os.path.join(path, "lists.parquet")),
     }
 
 
@@ -637,7 +643,7 @@ def ivf_index_append(
             f"no IVF index at {store_path} — build with "
             "build_ivf_index + save_ivf_index before appending"
         )
-    cents = spark.read.parquet(cpath)
+    cents = read_store(spark, cpath)
     assigned = _coarse_assign(
         spread(new_vectors), cents, id_col, vec_col, "bucket", 1
     )
@@ -1307,8 +1313,15 @@ def nsw_index_append(
             f"no NSW index at {store_path} — build with "
             "nsw_build_graph + save_nsw_index before appending"
         )
-    old_vecs = spark.read.parquet(f"{store_path}/vectors")
-    graph = spark.read.parquet(f"{store_path}/graph")
+    old_vecs = read_store(
+        spark, f"{store_path}/vectors", required_names=(id_col, vec_col)
+    )
+    graph = read_store(
+        spark,
+        f"{store_path}/graph",
+        required="level int, sim double",
+        required_names=("src", "dst"),
+    )
     newv = new_vectors.select(
         F.col(id_col), F.col(vec_col),
         _nsw_level(id_col, max_level).alias("__lvl"),
@@ -1366,8 +1379,15 @@ def nsw_query_index(
     stored graph, exact-cosine scoring against the stored vectors —
     a corpus ingested one-shot or over many appends serves the same
     query API (bm25_query_store's posture for graph ANN)."""
-    vecs = spark.read.parquet(f"{store_path}/vectors")
-    graph = spark.read.parquet(f"{store_path}/graph")
+    vecs = read_store(
+        spark, f"{store_path}/vectors", required_names=(id_col, vec_col)
+    )
+    graph = read_store(
+        spark,
+        f"{store_path}/graph",
+        required="level int, sim double",
+        required_names=("src", "dst"),
+    )
     return nsw_topk(
         vecs, queries, k=k, graph=graph, beam=beam, hops=hops,
         id_col=id_col, vec_col=vec_col,
@@ -1536,12 +1556,19 @@ def compact_nsw_graph(
     from .dedup import _local_store_path, _write_and_swap_store
 
     store_path = _local_store_path(store_path)
-    g = spark.read.parquet(f"{store_path}/graph").dropDuplicates(
+    g = read_store(
+        spark,
+        f"{store_path}/graph",
+        required="level int, sim double",
+        required_names=("src", "dst"),
+    ).dropDuplicates(
         ["level", "src", "dst"]
     )
     vecs = None
     if select == "heuristic":
-        vecs = spark.read.parquet(f"{store_path}/vectors")
+        vecs = read_store(
+            spark, f"{store_path}/vectors", required_names=(id_col, vec_col)
+        )
         pruned = _select_neighbors_heuristic(g, vecs, M, id_col, vec_col)
     else:
         w = Window.partitionBy("level", "src").orderBy(
@@ -1554,7 +1581,11 @@ def compact_nsw_graph(
         )
     if refresh_iters > 0:
         if vecs is None:  # reuse the heuristic path's read (ADVICE r14)
-            vecs = spark.read.parquet(f"{store_path}/vectors")
+            vecs = read_store(
+                spark,
+                f"{store_path}/vectors",
+                required_names=(id_col, vec_col),
+            )
         pruned = pruned.localCheckpoint(eager=True)
         # bounded scalar collect: one row per populated layer.
         # An EMPTY pruned graph (store compacted before any edge

@@ -1751,6 +1751,25 @@ def q_x_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.paragraph_dedup(d, sep=r"\. ", joiner=". ")
 
 
+def q_x_paragraph_dedup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph dedup through the HOT-KEY-ESCAPE plan
+    (operators/dedup.paragraph_dedup(mode="agg"), round 15 — the r14
+    verdict's task 6: the groupBy-min + join form previously only
+    documented in the docstring, now executable): first-occurrence
+    ownership computed as a partially-aggregable min(struct(doc_id,
+    pos)) per paragraph and joined back — map-side combine collapses
+    a mega-duplicated paragraph before the shuffle, so the 100 TB
+    boilerplate case never funnels through one window group. Same
+    injected paragraph boundaries as x_paragraph_dedup, and the
+    oracle IS x_paragraph_dedup's SQL verbatim — the two modes must
+    be row-identical."""
+    d = t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.regexp_replace(F.col("text"), r"\b(batch|data|join) ", "$1. "),
+    )
+    return D.paragraph_dedup(d, sep=r"\. ", joiner=". ", mode="agg")
+
+
 def q_x_paragraph_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STORE-BACKED incremental paragraph dedup drained to the gate
     (operators/dedup.incremental_paragraph_dedup behind
@@ -6212,6 +6231,9 @@ ORACLES["x_ann_hnsw_store"] = ORACLES["x_ann_hnsw"]
 # split) must land exactly where the one-shot pass does — the oracle
 # is x_paragraph_dedup's SQL verbatim.
 ORACLES["x_paragraph_dedup_drain"] = ORACLES["x_paragraph_dedup"]
+# x_paragraph_dedup_agg: the hot-key-escape plan (groupBy-min + join)
+# must be row-identical to the window form — same oracle.
+ORACLES["x_paragraph_dedup_agg"] = ORACLES["x_paragraph_dedup"]
 
 ORACLES["x_ann_ivf_trained"] = """
     WITH base AS (
@@ -6575,6 +6597,7 @@ QUERIES = {
     "x_multimodal_meta": q_x_multimodal_meta,
     "x_video_meta": q_x_video_meta,
     "x_paragraph_dedup": q_x_paragraph_dedup,
+    "x_paragraph_dedup_agg": q_x_paragraph_dedup_agg,
     "x_paragraph_dedup_drain": q_x_paragraph_dedup_drain,
     "x_span_dedup": q_x_span_dedup,
     "x_token_spectrum": q_x_token_spectrum,

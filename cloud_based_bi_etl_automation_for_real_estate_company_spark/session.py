@@ -136,6 +136,58 @@ def hadoop_path_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(jpath))
 
 
+def read_store(
+    spark: SparkSession,
+    path: str,
+    required: str | None = None,
+    required_names: tuple[str, ...] = (),
+):
+    """Shared GUARDED reader for the lifetime stores (round 15 — the
+    r14 verdict's task 4: ``read_monitor`` got a mergeSchema reader
+    when the monitor row widened from 8 to 10 columns, but the other
+    stores — minhash/soft sigs, paragraph hashes, BM25 postings, NSW
+    graph/vectors, PSI/chi2/KS state — were read bare, so any future
+    column widening would reproduce the silently-dropped-column
+    hazard: a bare parquet read infers the schema from ONE footer and
+    drops either the new columns or the old rows' view of them
+    depending on which file it samples).
+
+    - ``mergeSchema=true`` unions every footer, so ADDITIVE evolution
+      surfaces NULL-backfilled columns instead of losing them;
+    - ``required`` (a DDL string) pins name AND type of the columns
+      the downstream math depends on — a rename or type change raises
+      loudly here instead of corrupting scores three operators later;
+    - ``required_names`` pins presence-only for caller-typed columns
+      (id / vector columns whose types are store-specific by design).
+    """
+    from pyspark.sql.types import StructType
+
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    have = {f.name: f.dataType for f in df.schema.fields}
+    problems: list[str] = []
+    if required:
+        for f in StructType.fromDDL(required).fields:
+            if f.name not in have:
+                problems.append(
+                    f"missing column {f.name} {f.dataType.simpleString()}"
+                )
+            elif have[f.name] != f.dataType:
+                problems.append(
+                    f"column {f.name}: expected {f.dataType.simpleString()},"
+                    f" store has {have[f.name].simpleString()}"
+                )
+    for n in required_names:
+        if n not in have:
+            problems.append(f"missing column {n}")
+    if problems:
+        raise ValueError(
+            f"store schema violation at {path}: "
+            + "; ".join(problems)
+            + f" (observed: {df.schema.simpleString()})"
+        )
+    return df
+
+
 def read_events(spark: SparkSession, path: str):
     """Read an events fixture, normalizing ``ts`` to TimestampType.
 

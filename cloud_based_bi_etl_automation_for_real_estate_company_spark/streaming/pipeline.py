@@ -282,6 +282,7 @@ def stream_nsw_index(
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     compact_every: int | None = None,
+    compact_refresh_iters: int = 1,
 ) -> StreamingQuery:
     """Streaming GRAPH-ANN index maintenance (round 13 — the NSW leg
     of the index-ingest family: BM25 postings, IVF lists, and now the
@@ -291,6 +292,14 @@ def stream_nsw_index(
     with optional in-sink compaction every ``compact_every`` batches
     re-pruning reverse-edge degree overflow (the stream is the quiet
     window — foreachBatch is sequential, so no append races it).
+
+    ``compact_refresh_iters`` (round 15 — the r14 verdict's task 3):
+    each in-sink compaction runs that many post-prune NN-descent
+    exchange rounds per layer (``compact_nsw_graph(refresh_iters=)``),
+    closing the post-compaction recall dip the depth soak recorded
+    with bare top-M pruning (0.76 at the first compaction; the
+    refreshed path holds ≥0.8 across 8 append generations — see
+    PERF.md round 15). Pass 0 to restore the bare prune.
 
     Contract mirrors the family: the index must already exist
     (nsw_build_graph + save_nsw_index seed it — appends never
@@ -308,7 +317,9 @@ def stream_nsw_index(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         nsw_index_append(batch_df, store_path)
         if compact_every is not None and (batch_id + 1) % compact_every == 0:
-            compact_nsw_graph(spark, store_path)
+            compact_nsw_graph(
+                spark, store_path, refresh_iters=compact_refresh_iters
+            )
 
     writer = raw.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint
@@ -803,11 +814,19 @@ def read_monitor(spark: SparkSession, store_path: str) -> DataFrame:
     columns or the old rows' view of them depending on which file it
     samples. Old rows surface NULL in the W1 columns, which is also
     their correct meaning (the scorer wasn't armed when they were
-    written)."""
+    written). Round 15: routed through the shared guarded reader
+    (session.read_store) with the 8 round-12-era columns pinned
+    name+type — the family-wide close of the same hazard."""
     import os
 
-    return spark.read.option("mergeSchema", "true").parquet(
-        os.path.join(store_path, "monitor")
+    from ..session import read_store
+
+    return read_store(
+        spark,
+        os.path.join(store_path, "monitor"),
+        required="batch_id bigint, n_batch bigint, psi double, "
+        "psi_shifted boolean, lang_chi2 double, chi2_defined boolean, "
+        "lang_reject_95 boolean, route string",
     )
 
 

@@ -323,6 +323,51 @@ def test_paragraph_dedup_global_invariants(spark):
     assert n_exchanges <= 2, plan[:2000]
 
 
+def test_paragraph_dedup_agg_mode_parity(spark):
+    """Round-15 (r14 verdict task 6): the hot-key-escape plan
+    (mode='agg' — groupBy-min(struct) + join-back, partially
+    aggregable so a mega-duplicated paragraph combines map-side) must
+    return EXACTLY the window form's rows, including on a corpus where
+    one paragraph dominates (the case the escape exists for)."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+
+    # fixture corpus with injected boundaries
+    df = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).withColumn(
+        "text",
+        F.regexp_replace(F.col("text"), r"\b(batch|data|join) ", "$1. "),
+    )
+    want = sorted(
+        map(tuple, paragraph_dedup(df, sep=r"\. ", joiner=". ").collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            paragraph_dedup(df, sep=r"\. ", joiner=". ", mode="agg").collect(),
+        )
+    )
+    assert got == want
+    # mega-duplicated paragraph: one boilerplate para in EVERY doc,
+    # interleaved with unique ones — ownership ties broken identically
+    hot = spark.createDataFrame(
+        [
+            (i, f"unique {i} head\n\nBOILERPLATE FOOTER\n\nunique {i} tail")
+            for i in range(200)
+        ],
+        "doc_id bigint, text string",
+    )
+    want_h = sorted(map(tuple, paragraph_dedup(hot).collect()))
+    got_h = sorted(map(tuple, paragraph_dedup(hot, mode="agg").collect()))
+    assert got_h == want_h
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        paragraph_dedup(hot, mode="nope")
+
+
 def test_incremental_paragraph_dedup_ordered_equals_one_shot(spark, tmp_path):
     """Round-14 streaming promotion of the CCNet pass: two batches in
     doc_id order through the lifetime hash store must land exactly
