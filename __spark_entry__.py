@@ -75,8 +75,8 @@ _GATE_PRIORITY = (
     # -- (a) new in round 15 ------------------------------------------------
     "t25_drift_dashboard_incr",
     "x_paragraph_dedup_agg",
-    "x_idf_topk",
-    "x_saturating_tf",
+    "x_bm25_delete",
+    "x_ann_nsw_delete",
     # -- (b) staleness rotation: the complete 30-name r9 tier ---------------
     "t11_interval_join_batch",
     "t13_twap",

@@ -1168,6 +1168,7 @@ def nsw_topk(
     max_level: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude: DataFrame | None = None,
 ) -> DataFrame:
     """Graph ANN search over the layered NSW index: enter at the TOP
     layer (all of its geometrically-few nodes score as entry points),
@@ -1187,7 +1188,15 @@ def nsw_topk(
     which is the point of graph ANN at 100 TB. Recall is audited
     (≥ floor vs brute force) in tests and the x_ann_hnsw gate; like
     every ANN op here the trade is recall-vs-scan, never exactness of
-    the arithmetic (6-dp cosine, id tie-breaks)."""
+    the arithmetic (6-dp cosine, id tie-breaks).
+
+    ``exclude`` (round 15 — the persisted index's takedown path):
+    ids in this frame are dropped from the FINAL top-k but still
+    ROUTE — they stay scoreable beam members whose out-edges expand,
+    the classic HNSW soft-delete: physically severing a deleted hub's
+    edges at query time would disconnect its neighborhood and silently
+    crater recall; the physical removal belongs to compact_nsw_graph,
+    whose NN-descent refresh re-links around the hole."""
     if graph is None:
         graph = nsw_build_graph(
             base, M=M, iters=iters, max_level=max_level,
@@ -1242,6 +1251,12 @@ def nsw_topk(
             visited = visited.unionByName(score(cand)).localCheckpoint(
                 eager=True
             )
+    if exclude is not None:
+        visited = visited.join(
+            exclude.select(F.col(id_col).alias("node")).distinct(),
+            "node",
+            "left_anti",
+        )
     return (
         visited.withColumnRenamed("node", id_col)
         .withColumn(
@@ -1379,6 +1394,8 @@ def nsw_query_index(
     stored graph, exact-cosine scoring against the stored vectors —
     a corpus ingested one-shot or over many appends serves the same
     query API (bm25_query_store's posture for graph ANN)."""
+    from .dedup import read_tombstones
+
     vecs = read_store(
         spark, f"{store_path}/vectors", required_names=(id_col, vec_col)
     )
@@ -1388,10 +1405,29 @@ def nsw_query_index(
         required="level int, sim double",
         required_names=("src", "dst"),
     )
+    # takedowns (round 15): tombstoned vectors are excluded from the
+    # top-k but still route (nsw_topk's soft-delete contract); the
+    # physical drop happens at compact_nsw_graph
+    tomb = read_tombstones(spark, store_path, id_col)
     return nsw_topk(
         vecs, queries, k=k, graph=graph, beam=beam, hops=hops,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, exclude=tomb,
     )
+
+
+def nsw_delete(
+    ids: DataFrame, store_path: str, id_col: str = "vec_id"
+) -> None:
+    """Logical delete from the persisted NSW index: tombstoned ids
+    vanish from :func:`nsw_query_index` results immediately (while
+    still routing — see nsw_topk's ``exclude``); the next
+    :func:`compact_nsw_graph` drops their vectors and incident edges
+    physically and lets the NN-descent refresh re-link the
+    neighborhoods around the holes. Append-only, replay-idempotent —
+    dedup.append_tombstones' contract."""
+    from .dedup import append_tombstones
+
+    append_tombstones(ids, store_path, id_col)
 
 
 def _select_neighbors_heuristic(
@@ -1552,8 +1588,20 @@ def compact_nsw_graph(
     on the sf0.001 store and −0.08 on the x2 soak staging; the
     heuristic select is the principled navigability fix. The M cap
     and layer membership are unchanged by either option (candidates
-    stay within each layer's node set by construction)."""
-    from .dedup import _local_store_path, _write_and_swap_store
+    stay within each layer's node set by construction).
+
+    Tombstoned ids (:func:`nsw_delete`) are made PHYSICAL here: their
+    vectors and every incident edge are dropped before the prune, so
+    the refresh's NN-descent re-links the neighborhoods around the
+    holes; the vectors table is rewritten through the same generation
+    swap and the tombstones are cleared strictly AFTER both swaps
+    (the crash window leaves only no-op tombstones)."""
+    from .dedup import (
+        _clear_tombstones,
+        _local_store_path,
+        _write_and_swap_store,
+        read_tombstones,
+    )
 
     store_path = _local_store_path(store_path)
     g = read_store(
@@ -1565,10 +1613,21 @@ def compact_nsw_graph(
         ["level", "src", "dst"]
     )
     vecs = None
-    if select == "heuristic":
+    tomb = read_tombstones(spark, store_path, id_col)
+    if tomb is not None:
+        tomb = tomb.localCheckpoint(eager=True)
+        g = g.join(
+            tomb.select(F.col(id_col).alias("src")), "src", "left_anti"
+        ).join(tomb.select(F.col(id_col).alias("dst")), "dst", "left_anti")
         vecs = read_store(
             spark, f"{store_path}/vectors", required_names=(id_col, vec_col)
-        )
+        ).join(tomb, id_col, "left_anti").localCheckpoint(eager=True)
+    if select == "heuristic":
+        if vecs is None:  # the tombstone path already read+filtered them
+            vecs = read_store(
+                spark, f"{store_path}/vectors",
+                required_names=(id_col, vec_col),
+            )
         pruned = _select_neighbors_heuristic(g, vecs, M, id_col, vec_col)
     else:
         w = Window.partitionBy("level", "src").orderBy(
@@ -1616,6 +1675,13 @@ def compact_nsw_graph(
             for p in parts[1:]:
                 pruned = pruned.unionByName(p)
     _write_and_swap_store(pruned, store_path, bytes_per_file, subdir="graph")
+    if tomb is not None:
+        # physical vector drop through the same generation swap; the
+        # tombstones clear only after BOTH tables have swapped
+        _write_and_swap_store(
+            vecs, store_path, bytes_per_file, subdir="vectors"
+        )
+        _clear_tombstones(store_path)
 
 
 def embedding_near_dup_pairs(

@@ -352,6 +352,90 @@ def q_x_bm25_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_x_bm25_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for STORE TAKEDOWNS on the retrieval index (round
+    15 — operators/corpus.bm25_delete_docs over the append-only
+    tombstone set, dedup.append_tombstones): index the FULL corpus
+    into a per-call temp store, tombstone every doc_id % 7 == 0, then
+    retrieve. The tombstone anti-join re-derives N, avgdl and
+    doc_freq from the surviving postings, so the post-delete store
+    must score IDENTICALLY to a one-shot index over the reduced
+    corpus — the oracle is the x_bm25 SQL with the delete predicate
+    folded into both corpus scans (queries drawn from the reduced
+    corpus's bigrams on both sides)."""
+    import shutil
+    import tempfile
+
+    d = t(spark, sf_dir, "documents")
+    keep = d.filter(F.col("doc_id") % 7 != 0)
+    tmp = tempfile.mkdtemp(prefix="spark_graft_bm25_delete_")
+    try:
+        C.bm25_index_append(d, tmp)
+        C.bm25_delete_docs(
+            d.filter(F.col("doc_id") % 7 == 0).select("doc_id"), tmp
+        )
+        out = C.bm25_query_store(
+            spark, tmp, C.corpus_bigram_queries(keep)
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def q_x_ann_nsw_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for TAKEDOWNS on the persisted graph-ANN index
+    (round 15 — operators/similarity.nsw_delete): copy the cached
+    two-batch gate store, tombstone every vec_id % 10 == 7, query
+    through nsw_query_index. Deleted ids must vanish from the top-k
+    (``clean``) while still routing (nsw_topk's soft-delete
+    contract), and recall@5 vs brute force over the SURVIVING corpus
+    must clear the same 0.4 floor as x_ann_hnsw_store — the oracle is
+    the x_ann_hnsw SQL over the reduced base plus the clean flag."""
+    import os
+    import shutil
+    import tempfile
+
+    e = t(spark, sf_dir, "embeddings")
+    deleted = e.filter(F.col("vec_id") % 10 == 7).select("vec_id")
+    kept = e.join(deleted, "vec_id", "left_anti")
+    q = e.filter(F.col("vec_id") < 5)
+    src = _nsw_gate_store(spark, sf_dir)
+    tmp = os.path.join(
+        tempfile.mkdtemp(prefix="spark_graft_nsw_delete_"), "store"
+    )
+    shutil.copytree(src, tmp)
+    try:
+        S.nsw_delete(deleted, tmp)
+        approx = (
+            S.nsw_query_index(spark, tmp, q, k=5)
+            .select(
+                F.col("q_id").alias("a_qid"), F.col("vec_id").alias("a_vid")
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(tmp), ignore_errors=True)
+    truth = S.brute_force_topk(kept, q, k=5).select("q_id", "vec_id")
+    hits = truth.join(
+        approx,
+        (F.col("q_id") == F.col("a_qid"))
+        & (F.col("vec_id") == F.col("a_vid")),
+        "left",
+    )
+    n_dirty = approx.join(
+        deleted, approx["a_vid"] == deleted["vec_id"]
+    ).count()
+    return hits.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        (
+            F.count(F.col("a_vid")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            >= 0.4
+        ).alias("recall_ok"),
+        F.lit(n_dirty == 0).alias("clean"),
+    )
+
+
 def q_x_ks_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver row for the STREAMING KS drift monitor
     (operators/quality.ks_admit): replay two micro-batches one-shot —
@@ -5776,6 +5860,13 @@ def _kcore_oracle(k: int, rounds: int) -> str:
 # x_bm25_drain: the incrementally built postings store must retrieve
 # exactly what the one-shot index retrieves — same SQL, verbatim.
 ORACLES["x_bm25_drain"] = ORACLES["x_bm25"]
+# x_bm25_delete: a full-corpus store with doc_id % 7 == 0 tombstoned
+# must score IDENTICALLY to a one-shot index over the reduced corpus —
+# the oracle IS the x_bm25 SQL with the delete predicate folded into
+# both of its corpus scans (tokenization AND bigram query derivation).
+ORACLES["x_bm25_delete"] = ORACLES["x_bm25"].replace(
+    "FROM documents", "FROM documents WHERE doc_id % 7 <> 0"
+)
 
 # x_mlt_drain: the store-built postings must rank identically to the
 # one-shot x_mlt (disjoint-by-doc additive postings; store doc count ==
@@ -6226,6 +6317,12 @@ ORACLES["x_ann_hnsw"] = """
 # brute-force recall shadow as the one-shot x_ann_hnsw — the oracle is
 # literally its SQL (exact truth + TRUE recall_ok).
 ORACLES["x_ann_hnsw_store"] = ORACLES["x_ann_hnsw"]
+# x_ann_nsw_delete: the tombstoned store's results must clear the
+# brute-force recall shadow over the SURVIVING base (deleted ids out
+# of both truth and results) and contain zero deleted ids (clean).
+ORACLES["x_ann_nsw_delete"] = ORACLES["x_ann_hnsw"].replace(
+    "FROM embeddings", "FROM embeddings WHERE vec_id % 10 <> 7"
+).replace("TRUE AS recall_ok", "TRUE AS recall_ok, TRUE AS clean")
 
 # x_paragraph_dedup_drain: the two-batch store-backed replay (ordered
 # split) must land exactly where the one-shot pass does — the oracle
@@ -6540,6 +6637,8 @@ QUERIES = {
     "x_tfidf": q_x_tfidf,
     "x_bm25": q_x_bm25,
     "x_bm25_drain": q_x_bm25_drain,
+    "x_bm25_delete": q_x_bm25_delete,
+    "x_ann_nsw_delete": q_x_ann_nsw_delete,
     "x_ks_drain": q_x_ks_drain,
     "x_w1_drain": q_x_w1_drain,
     "x_mlt": q_x_mlt,
