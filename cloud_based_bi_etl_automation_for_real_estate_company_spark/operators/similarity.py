@@ -587,16 +587,49 @@ def save_ivf_index(index: dict[str, DataFrame], path: str) -> None:
 
 
 def load_ivf_index(spark, path: str) -> dict[str, DataFrame]:
+    """Load a persisted IVF index. Tombstoned ids (:func:`ivf_delete`)
+    are anti-joined out of the lists here — queries and appends
+    through the loaded index never see them. IVF's physical delete is
+    a REBUILD (build_ivf_index + save_ivf_index over the surviving
+    corpus): the lists hold full vectors partitioned by bucket, so a
+    periodic rebuild IS the store's compaction — there is no separate
+    rewrite path to keep tombstones alive in."""
     import os
 
     from ..session import read_store
+    from .dedup import read_tombstones
 
+    lists = read_store(spark, os.path.join(path, "lists.parquet"))
+    tomb = read_tombstones(spark, path, _ivf_id_col(lists))
+    if tomb is not None:
+        lists = lists.join(tomb, tomb.columns[0], "left_anti")
     return {
         "centroids": read_store(
             spark, os.path.join(path, "centroids.parquet")
         ),
-        "lists": read_store(spark, os.path.join(path, "lists.parquet")),
+        "lists": lists,
     }
+
+
+def _ivf_id_col(lists: DataFrame) -> str:
+    """The lists table is (id_col, vec_col, bucket) — the id column is
+    whatever non-bucket scalar the builder used (vec_id by default)."""
+    for f in lists.schema.fields:
+        if f.name != "bucket" and not str(f.dataType).startswith("Array"):
+            return f.name
+    return lists.columns[0]
+
+
+def ivf_delete(
+    ids: DataFrame, store_path: str, id_col: str = "vec_id"
+) -> None:
+    """Logical delete from the persisted IVF index: tombstoned ids
+    vanish from every query through :func:`load_ivf_index` at the
+    next load. Physical removal = periodic index rebuild (see
+    load_ivf_index). Append-only, replay-idempotent."""
+    from .dedup import append_tombstones
+
+    append_tombstones(ids, store_path, id_col)
 
 
 def ivf_index_append(

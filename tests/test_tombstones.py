@@ -135,6 +135,79 @@ def test_minhash_delete_readmits_fresh_copy(spark, tmp_path):
     assert not incremental_minhash_dedup(d4, store).collect()[0]["admitted"]
 
 
+def test_soft_store_delete(spark, tmp_path):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.dedup import (
+        compact_soft_store,
+        delete_from_soft_store,
+        soft_dedup_admit,
+        soft_dedup_finalize,
+    )
+
+    store = str(tmp_path / "soft")
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    soft_dedup_admit(
+        spark.createDataFrame(
+            [(1, base), (2, base + " tail")], "doc_id bigint, text string"
+        ),
+        store,
+    )
+    # both landed in one cluster
+    fin = {r["doc_id"]: r for r in soft_dedup_finalize(spark, store).collect()}
+    assert fin[1]["cluster_id"] == fin[2]["cluster_id"]
+    assert fin[1]["n_cluster"] == 2
+
+    delete_from_soft_store(
+        spark.createDataFrame([(1,)], "doc_id bigint"), store
+    )
+    # finalize over survivors only: 2 is now a singleton
+    fin2 = {
+        r["doc_id"]: r for r in soft_dedup_finalize(spark, store).collect()
+    }
+    assert set(fin2) == {2} and fin2[2]["n_cluster"] == 1
+    # a new near-copy clusters with the SURVIVOR only: running size 2
+    # (members {2, 3}) — a broken tombstone filter would count the
+    # ghost and report 3
+    out3 = soft_dedup_admit(
+        spark.createDataFrame([(3, base + " coda")], "doc_id bigint, text string"),
+        store,
+    ).collect()[0]
+    assert out3["n_cluster"] == 2
+
+    import os
+
+    compact_soft_store(spark, store)
+    assert not os.path.exists(f"{store}/tombstones")
+    ids = {r["doc_id"] for r in spark.read.parquet(f"{store}/sigs").collect()}
+    assert ids == {2, 3}
+
+
+def test_ivf_delete_logical(spark, tmp_path):
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_delete,
+        ivf_query_index,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    store = str(tmp_path / "ivf")
+    base = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .filter(F.col("vec_id") < 80)
+        .localCheckpoint(eager=True)
+    )
+    save_ivf_index(build_ivf_index(base), store)
+    deleted = base.filter(F.col("vec_id") % 10 == 3).select("vec_id")
+    ivf_delete(deleted, store)
+    ivf_delete(deleted, store)  # replay-idempotent
+    q = base.filter(F.col("vec_id") < 3)
+    got = ivf_query_index(load_ivf_index(spark, store), q, k=5, n_probes=2)
+    del_ids = {r["vec_id"] for r in deleted.collect()}
+    rows = got.collect()
+    assert len(rows) > 0
+    assert not ({r["vec_id"] for r in rows} & del_ids)
+
+
 def test_nsw_delete_soft_then_physical(spark, tmp_path):
     store = str(tmp_path / "nsw")
     base = (
