@@ -1619,9 +1619,12 @@ def compact_nsw_graph(
     Measure before adopting: it raises LOCAL edge quality but the
     re-prune can displace navigation edges — observed +0.04 recall
     on the sf0.001 store and −0.08 on the x2 soak staging; the
-    heuristic select is the principled navigability fix. The M cap
-    and layer membership are unchanged by either option (candidates
-    stay within each layer's node set by construction).
+    round-15 depth soaks found NEITHER refresh nor heuristic closes
+    the post-compaction dip at scale (both 0.72 at the compaction
+    generation, recovering to 0.84–1.0 within one append), so the
+    streaming sink defaults to the bare prune. The M cap and layer
+    membership are unchanged by either option (candidates stay
+    within each layer's node set by construction).
 
     Tombstoned ids (:func:`nsw_delete`) are made PHYSICAL here: their
     vectors and every incident edge are dropped before the prune, so
@@ -1647,14 +1650,18 @@ def compact_nsw_graph(
     )
     vecs = None
     tomb = read_tombstones(spark, store_path, id_col)
+    vecs_raw = None
     if tomb is not None:
         tomb = tomb.localCheckpoint(eager=True)
         g = g.join(
             tomb.select(F.col(id_col).alias("src")), "src", "left_anti"
         ).join(tomb.select(F.col(id_col).alias("dst")), "dst", "left_anti")
-        vecs = read_store(
+        vecs_raw = read_store(
             spark, f"{store_path}/vectors", required_names=(id_col, vec_col)
-        ).join(tomb, id_col, "left_anti").localCheckpoint(eager=True)
+        )
+        vecs = vecs_raw.join(tomb, id_col, "left_anti").localCheckpoint(
+            eager=True
+        )
     if select == "heuristic":
         if vecs is None:  # the tombstone path already read+filtered them
             vecs = read_store(
@@ -1707,12 +1714,22 @@ def compact_nsw_graph(
             pruned = parts[0]
             for p in parts[1:]:
                 pruned = pruned.unionByName(p)
-    _write_and_swap_store(pruned, store_path, bytes_per_file, subdir="graph")
+    # stats_frame=g is LOAD-BEARING: the refresh path localCheckpoints
+    # `pruned`, whose Long.MaxValue-ish sizeInBytes would explode the
+    # rewrite into the 100k-file guard ceiling — after which every
+    # append/query pays a 100k-file listing+scan (the round-15 depth
+    # soak measured 54 s → ~500 s per append before this fix). `g` is
+    # the pre-prune store scan: real stats, a slight overestimate.
+    _write_and_swap_store(
+        pruned, store_path, bytes_per_file, subdir="graph", stats_frame=g
+    )
     if tomb is not None:
         # physical vector drop through the same generation swap; the
-        # tombstones clear only after BOTH tables have swapped
+        # tombstones clear only after BOTH tables have swapped.
+        # stats_frame: same checkpointed-stats hazard as the graph.
         _write_and_swap_store(
-            vecs, store_path, bytes_per_file, subdir="vectors"
+            vecs, store_path, bytes_per_file, subdir="vectors",
+            stats_frame=vecs_raw,
         )
         _clear_tombstones(store_path)
 

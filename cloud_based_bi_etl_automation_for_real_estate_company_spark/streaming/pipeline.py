@@ -282,7 +282,7 @@ def stream_nsw_index(
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     compact_every: int | None = None,
-    compact_refresh_iters: int = 1,
+    compact_refresh_iters: int = 0,
 ) -> StreamingQuery:
     """Streaming GRAPH-ANN index maintenance (round 13 — the NSW leg
     of the index-ingest family: BM25 postings, IVF lists, and now the
@@ -293,13 +293,17 @@ def stream_nsw_index(
     re-pruning reverse-edge degree overflow (the stream is the quiet
     window — foreachBatch is sequential, so no append races it).
 
-    ``compact_refresh_iters`` (round 15 — the r14 verdict's task 3):
-    each in-sink compaction runs that many post-prune NN-descent
-    exchange rounds per layer (``compact_nsw_graph(refresh_iters=)``),
-    closing the post-compaction recall dip the depth soak recorded
-    with bare top-M pruning (0.76 at the first compaction; the
-    refreshed path holds ≥0.8 across 8 append generations — see
-    PERF.md round 15). Pass 0 to restore the bare prune.
+    ``compact_refresh_iters`` (round 15 — the r14 verdict's task 3,
+    resolved AGAINST the refresh): each in-sink compaction runs that
+    many post-prune NN-descent rounds per layer
+    (``compact_nsw_graph(refresh_iters=)``). The round-15 depth soaks
+    measured that neither the refresh nor the heuristic select closes
+    the post-compaction recall dip at scale (0.72 at the compaction
+    generation in BOTH, vs 0.76 bare at x8 — the r14 one-shot
+    0.92→0.96 improvement did not generalize), while the refresh
+    costs extra NN-descent exchanges per layer; the dip recovers to
+    0.84–1.0 within one append generation in every configuration, so
+    the DEFAULT stays the bare prune (0). See PERF.md round 15.
 
     Contract mirrors the family: the index must already exist
     (nsw_build_graph + save_nsw_index seed it — appends never

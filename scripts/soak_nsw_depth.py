@@ -18,7 +18,9 @@ Pinned per generation (hard asserts, not just reporting):
   grow gently (graph/vector scan term), never super-linearly.
 
 Usage: python scripts/soak_nsw_depth.py [N_COPIES] [GENERATIONS] [REFRESH]
-(defaults 8, 8, 0; the r13 single-split datapoint was 2.06x at 8x).
+[SELECT] (defaults 8, 8, 0, topm; the r13 single-split datapoint was
+2.06x at 8x). SELECT = topm | heuristic picks the compaction's
+neighbor-selection rule (round 15).
 REFRESH > 0 passes compact_nsw_graph(refresh_iters=REFRESH) at each
 compaction — the round-14 post-prune NN-descent re-enrichment — so
 the post-compaction recall dip the default run records can be
@@ -77,6 +79,7 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     gens = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     refresh = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    select = sys.argv[4] if len(sys.argv) > 4 else "topm"
     compact_every = 4
     spark = get_spark("soak-nsw-depth")
     spark.sparkContext.setLogLevel("ERROR")
@@ -87,7 +90,8 @@ def main() -> None:
     slot = F.pmod(F.col("vec_id"), F.lit(gens + 1))
     store = tempfile.mkdtemp(prefix="spark_graft_soak_nswdepth_")
     report: dict = {
-        "n": n, "generations": gens, "refresh_iters": refresh, "gen": []
+        "n": n, "generations": gens, "refresh_iters": refresh,
+        "select": select, "gen": []
     }
     try:
         seed = e.filter(slot == 0)
@@ -105,7 +109,9 @@ def main() -> None:
             acc = acc.unionByName(batch).localCheckpoint(eager=True)
             compacted = g % compact_every == 0
             if compacted:
-                compact_nsw_graph(spark, store, M=M, refresh_iters=refresh)
+                compact_nsw_graph(
+                    spark, store, M=M, refresh_iters=refresh, select=select
+                )
                 deg = (
                     spark.read.parquet(f"{store}/graph")
                     .groupBy("level", "src")
@@ -116,12 +122,21 @@ def main() -> None:
                 assert deg <= M, f"degree cap broken post-compaction: {deg}"
             rec = _recall(spark, store, acc, queries)
             assert rec >= RECALL_FLOOR, f"recall floor broken at gen {g}: {rec}"
+            # graph-store file count — the round-15 stats_frame fix's
+            # tripwire (a checkpointed-stats rewrite exploded to the
+            # 100k-file guard and octupled every later append)
+            n_files = len(
+                [x for x in os.listdir(f"{store}/graph")
+                 if x.endswith(".parquet")]
+            )
+            assert n_files <= 1000, f"graph file explosion at gen {g}: {n_files}"
             report["gen"].append(
                 {
                     "g": g,
                     "append_s": el,
                     "recall@5": round(rec, 3),
                     "compacted": compacted,
+                    "graph_files": n_files,
                 }
             )
         report["seed_build_s"] = build_s
