@@ -435,23 +435,36 @@ def _lloyd(
     With group_cols, runs an independent k-means per group in the same
     jobs — how the PQ codebooks train all ``m`` subspaces in one pass."""
     for _ in range(iters):
-        d2 = (
-            dot(F.col("__v"), F.col("__v"))
-            - 2 * dot(F.col("__v"), F.col("cent_emb"))
-            + dot(F.col("cent_emb"), F.col("cent_emb"))
-        )
-        aw = Window.partitionBy(*group_cols, id_col).orderBy(
-            d2.asc(), F.col("cent_id").asc()
+        # round 15: ROW-LOCAL argmin over the broadcast centroid array
+        # (guide §2.4) — the old join-multiply + windowed-argmin form
+        # shuffled |vecs| × k rows (vector payload included) by row id
+        # EVERY iteration; comparator == Window.orderBy(asc(d2),
+        # asc(cent_id)) so assignments are unchanged
+        carr = _choices_array(cents, group_cols, ["cent_id", "cent_emb"])
+        best = F.element_at(
+            F.array_sort(
+                F.transform(
+                    "__choices",
+                    lambda c: F.struct(
+                        (
+                            dot(F.col("__v"), F.col("__v"))
+                            - 2 * dot(F.col("__v"), c["cent_emb"])
+                            + dot(c["cent_emb"], c["cent_emb"])
+                        ).alias("__d2"),
+                        c["cent_id"].alias("cent_id"),
+                    ),
+                ),
+                _cmp_score_asc_id_asc("__d2", "cent_id"),
+            ),
+            1,
         )
         joined = (
-            vecs.join(F.broadcast(cents), group_cols)
+            vecs.join(F.broadcast(carr), group_cols)
             if group_cols
-            else vecs.join(F.broadcast(cents))
+            else vecs.crossJoin(F.broadcast(carr))
         )
-        assigned = (
-            joined.withColumn("__rn", F.row_number().over(aw))
-            .filter(F.col("__rn") == 1)
-            .select(*group_cols, id_col, "__v", "cent_id")
+        assigned = joined.select(
+            *group_cols, id_col, "__v", best["cent_id"].alias("cent_id")
         )
         upd = (
             assigned.select(
@@ -718,6 +731,75 @@ def ivf_query_index(
     )
 
 
+def _choices_array(
+    choices: DataFrame, group_cols: list[str], fields: list[str]
+) -> DataFrame:
+    """Collapse a small choice table (centroids, codebook) to ONE
+    array-of-structs row per group — the broadcastable form that lets
+    a per-row arg-top run ROW-LOCALLY (round 15, guide §2.4): the old
+    join-then-window form multiplied every corpus row by |choices| and
+    SHUFFLED the multiplied frame (vectors included) by row id just to
+    pick each row's best choice — a decision that needs no shuffle at
+    all. Comparator sorts below replicate the window orderings
+    bit-for-bit (incl. NULL/NaN placement), so results are unchanged."""
+    agg = F.collect_list(F.struct(*[F.col(f) for f in fields])).alias("__choices")
+    return choices.groupBy(*group_cols).agg(agg) if group_cols else choices.agg(agg)
+
+
+def _cmp_score_desc_id_asc(score_field: str, id_field: str):
+    """array_sort comparator == Window.orderBy(desc(score), asc(id)):
+    descending score with NaN FIRST (Spark treats NaN as largest) and
+    NULL LAST (desc default), ties broken by ascending id."""
+
+    def cmp(a, b):
+        sa, sb = a[score_field], b[score_field]
+        tie = (
+            F.when(a[id_field] < b[id_field], F.lit(-1))
+            .when(a[id_field] > b[id_field], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+        return (
+            F.when(sa.isNull() & sb.isNull(), tie)
+            .when(sa.isNull(), F.lit(1))
+            .when(sb.isNull(), F.lit(-1))
+            .when(F.isnan(sa) & F.isnan(sb), tie)
+            .when(F.isnan(sa), F.lit(-1))
+            .when(F.isnan(sb), F.lit(1))
+            .when(sa > sb, F.lit(-1))
+            .when(sa < sb, F.lit(1))
+            .otherwise(tie)
+        )
+
+    return cmp
+
+
+def _cmp_score_asc_id_asc(score_field: str, id_field: str):
+    """array_sort comparator == Window.orderBy(asc(score), asc(id)):
+    ascending score with NULL FIRST (asc default) and NaN LAST (NaN is
+    largest), ties broken by ascending id."""
+
+    def cmp(a, b):
+        sa, sb = a[score_field], b[score_field]
+        tie = (
+            F.when(a[id_field] < b[id_field], F.lit(-1))
+            .when(a[id_field] > b[id_field], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+        return (
+            F.when(sa.isNull() & sb.isNull(), tie)
+            .when(sa.isNull(), F.lit(-1))
+            .when(sb.isNull(), F.lit(1))
+            .when(F.isnan(sa) & F.isnan(sb), tie)
+            .when(F.isnan(sa), F.lit(1))
+            .when(F.isnan(sb), F.lit(-1))
+            .when(sa < sb, F.lit(-1))
+            .when(sa > sb, F.lit(1))
+            .otherwise(tie)
+        )
+
+    return cmp
+
+
 def _coarse_assign(
     df: DataFrame,
     cents: DataFrame,
@@ -726,17 +808,35 @@ def _coarse_assign(
     out: str,
     top: int,
 ) -> DataFrame:
-    """Assign each vector to its ``top`` nearest (cosine) centroids:
-    broadcast-centroids scoring + windowed arg-top, the shared routing
-    step of IVF and IVF-PQ. Returns (id_col, vec_col, ``out``)."""
-    scored = df.join(F.broadcast(cents)).select(
-        "*", _sim("cent_emb", vec_col).alias("__csim")
+    """Assign each vector to its ``top`` nearest (cosine) centroids —
+    the shared routing step of IVF and IVF-PQ. Returns (id_col,
+    vec_col, ``out``).
+
+    Round 15: ROW-LOCAL arg-top over the broadcast centroid array
+    instead of join-multiply + windowed row_number — the old plan
+    shuffled |base| × |centroids| rows (embedding payload included) by
+    row id to make a per-row decision; this form has ZERO exchanges
+    (guide §2.4 "remove shuffles outright"). The comparator replicates
+    the old Window.orderBy(desc(__csim), asc(cent_id)) exactly."""
+    arr = _choices_array(cents, [], ["cent_id", "cent_emb"])
+    picked = F.slice(
+        F.array_sort(
+            F.transform(
+                "__choices",
+                lambda c: F.struct(
+                    _sim(c["cent_emb"], F.col(vec_col)).alias("__csim"),
+                    c["cent_id"].alias("cent_id"),
+                ),
+            ),
+            _cmp_score_desc_id_asc("__csim", "cent_id"),
+        ),
+        1,
+        top,
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("__csim"), F.asc("cent_id"))
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= top)
-        .select(df[id_col], df[vec_col], F.col("cent_id").alias(out))
+        df.crossJoin(F.broadcast(arr))
+        .withColumn("__pick", F.explode(picked))
+        .select(df[id_col], df[vec_col], F.col("__pick")["cent_id"].alias(out))
     )
 
 
@@ -795,24 +895,36 @@ def pq_codebooks(
 
 def _pq_encode(subs: DataFrame, cb: DataFrame, id_col: str) -> DataFrame:
     """Encode each subvector as its nearest codeword's id (min L2,
-    ties to the lower code): broadcast-codebook scoring + windowed
-    argmin. Returns (id_col, sub_j, code_id) — the m-byte PQ codes."""
-    enc_scored = subs.join(F.broadcast(cb), "sub_j").select(
-        id_col,
-        "sub_j",
-        "code_id",
-        F.round(
-            dot(F.col("sub"), F.col("sub"))
-            - 2 * dot(F.col("sub"), F.col("codeword"))
-            + dot(F.col("codeword"), F.col("codeword")),
-            9,
-        ).alias("__d2"),
+    ties to the lower code). Returns (id_col, sub_j, code_id) — the
+    m-byte PQ codes.
+
+    Round 15: ROW-LOCAL argmin over the per-subspace broadcast
+    codeword array — the old join-multiply + windowed-argmin form
+    shuffled |base| × m × ks scored rows by (id, sub_j) to pick each
+    subvector's code; this form broadcast-hash-joins the m-row array
+    table and picks locally, zero exchanges (guide §2.4). Comparator
+    == the old Window.orderBy(asc(__d2), asc(code_id))."""
+    cbarr = _choices_array(cb, ["sub_j"], ["code_id", "codeword"])
+    best = F.element_at(
+        F.array_sort(
+            F.transform(
+                "__choices",
+                lambda c: F.struct(
+                    F.round(
+                        dot(F.col("sub"), F.col("sub"))
+                        - 2 * dot(F.col("sub"), c["codeword"])
+                        + dot(c["codeword"], c["codeword"]),
+                        9,
+                    ).alias("__d2"),
+                    c["code_id"].alias("code_id"),
+                ),
+            ),
+            _cmp_score_asc_id_asc("__d2", "code_id"),
+        ),
+        1,
     )
-    wenc = Window.partitionBy(id_col, "sub_j").orderBy("__d2", "code_id")
-    return (
-        enc_scored.withColumn("__rn", F.row_number().over(wenc))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, "sub_j", "code_id")
+    return subs.join(F.broadcast(cbarr), "sub_j").select(
+        id_col, "sub_j", best["code_id"].alias("code_id")
     )
 
 
@@ -1218,7 +1330,22 @@ def nsw_topk(
     ann_refine discipline); each hop localCheckpoints the visited set
     so the driver loop's plan stays flat. Search cost is
     O(queries · beam · M · hops) — independent of N given the graph,
-    which is the point of graph ANN at 100 TB. Recall is audited
+    which is the point of graph ANN at 100 TB.
+
+    Round 15 (optimization): every per-hop frame that is bounded by
+    the QUERY batch (frontier, candidate sliver, visited keys) is
+    broadcast explicitly, so the two N-sized tables — the edge list
+    and the vector store — are joined as the STREAM side and never
+    shuffled (before, the planner picked sort-merge joins at store
+    scale and re-shuffled both every hop). The per-hop edge
+    ``distinct`` is gone outright: the candidate frame is distinct-ed
+    after the frontier join anyway, so dedup-ing the undirected edge
+    list first only added a full-graph exchange per hop with no
+    effect on results. Everything broadcast here is
+    O(queries · beam · M · hops) rows of ids — the same sliver the
+    docstring above already commits to broadcasting (q itself); for a
+    query batch too large for that posture, fall back to brute/IVF
+    routing, not beam search. Recall is audited
     (≥ floor vs brute force) in tests and the x_ann_hnsw gate; like
     every ANN op here the trade is recall-vs-scan, never exactness of
     the arithmetic (6-dp cosine, id tie-breaks).
@@ -1242,8 +1369,10 @@ def nsw_topk(
     bvec = base.select(F.col(id_col).alias("node"), F.col(vec_col).alias("__b"))
 
     def score(cand: DataFrame) -> DataFrame:
+        # broadcast the candidate sliver so the vector table streams
+        # (scanned, never shuffled) — the ann_refine discipline
         return (
-            cand.join(bvec, "node")
+            bvec.join(F.broadcast(cand), "node")
             .join(F.broadcast(q), "q_id")
             .filter(F.col("node") != F.col("q_id"))
             .select("q_id", "node", _sim("q_emb", "__b").alias("sim"))
@@ -1265,10 +1394,13 @@ def nsw_topk(
     # edges never expanded — entry-point scoring only — silently
     # degrading the coarse-to-fine routing
     for l in range((-1 if top_lvl is None else top_lvl), -1, -1):
+        # no edge-level distinct: duplicate directed edges only make
+        # duplicate candidates, and cand is distinct-ed below — the
+        # old per-hop full-graph dedup exchange bought nothing
         edges = graph.filter(F.col("level") == l).select("src", "dst")
         edges = edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct()
+        )
         for _ in range(hops if l == 0 else 1):
             frontier = (
                 visited.withColumn("rnk", F.row_number().over(wbeam))
@@ -1276,10 +1408,14 @@ def nsw_topk(
                 .select("q_id", F.col("node").alias("src"))
             )
             cand = (
-                frontier.join(edges, "src")
+                F.broadcast(frontier).join(edges, "src")
                 .select("q_id", F.col("dst").alias("node"))
                 .distinct()
-                .join(visited.select("q_id", "node"), ["q_id", "node"], "left_anti")
+                .join(
+                    F.broadcast(visited.select("q_id", "node")),
+                    ["q_id", "node"],
+                    "left_anti",
+                )
             )
             visited = visited.unionByName(score(cand)).localCheckpoint(
                 eager=True
