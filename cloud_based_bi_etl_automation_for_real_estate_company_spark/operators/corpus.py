@@ -1232,7 +1232,18 @@ def _bm25_score_postings(
     """
     from pyspark.sql import Window
 
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    # round 15 (guide §2.3): restrict the doc_freq aggregation to the
+    # postings of QUERY terms before aggregating — the docstring's
+    # "filtered through the broadcast query terms" promise, previously
+    # only true of the scoring join: the old form aggregated the FULL
+    # vocabulary (a |vocab|-row shuffle) and then discarded everything
+    # but the query terms. Inner-join-then-agg counts identically for
+    # every surviving term.
+    dfreq = (
+        tf.join(F.broadcast(qterms.select("term")), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
     doclen = tf.groupBy(id_col).agg(F.sum("tf").cast("bigint").alias("dl"))
     scalars = tf.agg(
         F.sum("tf").cast("bigint").alias("sum_dl"),
