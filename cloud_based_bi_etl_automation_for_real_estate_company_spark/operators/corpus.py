@@ -1239,8 +1239,13 @@ def _bm25_score_postings(
     # vocabulary (a |vocab|-row shuffle) and then discarded everything
     # but the query terms. Inner-join-then-agg counts identically for
     # every surviving term.
+    # the build side is the FULL qterms frame (not a .select("term")
+    # projection) so this BroadcastExchange canonicalizes identically
+    # to qstats' broadcast below and Spark REUSES one build — a
+    # projected build side would re-execute the caller's query-term
+    # derivation (a corpus scan in the one-shot gates) a second time
     dfreq = (
-        tf.join(F.broadcast(qterms.select("term")), "term", "left_semi")
+        tf.join(F.broadcast(qterms), "term", "left_semi")
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
     )
