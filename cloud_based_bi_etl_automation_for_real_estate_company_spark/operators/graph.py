@@ -351,14 +351,26 @@ def kcore(
         # remaining-round bound so a deep-peel graph returns exactly
         # what the distributed loop would (the fixed-round oracle
         # contract). Pass local_finish_max_edges=0 for all-distributed.
-        if local_finish_max_edges and e.count() <= local_finish_max_edges:
+        n_e = e.count()
+        if local_finish_max_edges and n_e <= local_finish_max_edges:
             return _local_kcore(
                 e, k, rounds - i, require_convergence, rounds
             )
-        if e.isEmpty() or _degrees(e).filter(F.col("deg") < k).isEmpty():
+        if n_e == 0:
             converged = True
             break
-        keep = _degrees(e).filter(F.col("deg") >= k).select("n")
+        # round 15 (guide §2.4): materialize the node-sized degree
+        # table ONCE per round and read it from both the fixpoint
+        # check and the keep filter — the old form ran the full
+        # edge-list degree aggregation TWICE per round (once inside
+        # the check's isEmpty, once again inside the peel job); the
+        # isEmpty(e) probe is likewise folded into the count the
+        # local-finish gate already pays
+        deg = _degrees(e).localCheckpoint(eager=True)
+        if deg.filter(F.col("deg") < k).isEmpty():
+            converged = True
+            break
+        keep = deg.filter(F.col("deg") >= k).select("n")
         e = (
             e.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")

@@ -53,6 +53,22 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", "32")
+        # round 15 (guide §3.1): let the planner pick shuffled-hash
+        # over sort-merge when its size conditions hold (skips both
+        # sorts), and let AQE rewrite SMJ→SHJ at runtime when every
+        # post-shuffle partition is small. Both parameterized: at
+        # cluster scale the local-map threshold trades executor memory
+        # for sort elimination — size it to per-task memory there; the
+        # planner rule stays size-gated either way, so results and
+        # exchange counts are unchanged.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP", "64m"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
