@@ -30,3 +30,28 @@ def release_cached(df: DataFrame, blocking: bool = False) -> None:
     for dep in getattr(df, "cached_deps", []):
         dep.unpersist(blocking=blocking)
     df.cached_deps = []
+
+
+def release_checkpoint(df: DataFrame | None) -> None:
+    """Free the block-manager storage behind a ``localCheckpoint``'d
+    DataFrame (round 16 — the r15 ADVICE leak flag on the iterative
+    loops: every peel/contraction/hop round checkpoints a new frame
+    and the previous round's blocks sat pinned until JVM GC got around
+    to them, so a deep loop's storage grows linearly with rounds).
+
+    A checkpointed frame's analyzed plan is a ``LogicalRDD`` holding
+    the cached RDD; unpersisting that RDD drops its blocks NOW instead
+    of at some future ContextCleaner pass. The lineage was truncated
+    at checkpoint time, so the data is unrecoverable afterwards — call
+    this ONLY on a frame no live plan will scan again (the loop
+    contract: round N's frames are dead once round N+1's checkpoint
+    has materialized). Non-checkpointed frames and API drift degrade
+    to the old leak-until-GC behavior, never to an error."""
+    if df is None:
+        return
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass

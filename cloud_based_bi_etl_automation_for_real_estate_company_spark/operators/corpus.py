@@ -1249,10 +1249,33 @@ def _bm25_score_postings(
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
     )
-    doclen = tf.groupBy(id_col).agg(F.sum("tf").cast("bigint").alias("dl"))
-    scalars = tf.agg(
-        F.sum("tf").cast("bigint").alias("sum_dl"),
-        F.count_distinct(F.col(id_col)).alias("n_docs"),
+    # explicit isnotnull(id): the scoring join pushes exactly this
+    # filter into ITS doclen subtree, so carrying it here makes the two
+    # doclen references canonically identical and AQE reuses ONE
+    # exchange+scan for both (without it, the scalars-side subtree
+    # differs by the pushed filter and re-scans the postings). Every
+    # ingest path requires non-null doc ids, so no row is affected;
+    # a hand-crafted store with NULL-id postings would now exclude
+    # them from sum_dl as it always did from n_docs and retrieval.
+    doclen = (
+        tf.filter(F.col(id_col).isNotNull())
+        .groupBy(id_col)
+        .agg(F.sum("tf").cast("bigint").alias("dl"))
+    )
+    # round 16 (guide §2.4): derive the corpus scalars FROM the doclen
+    # aggregate instead of a second full-postings pass — Σ tf over
+    # postings ≡ Σ dl over doclen and count_distinct(doc) ≡ count of
+    # doclen rows (exact integer sums, so values are bit-identical).
+    # The old form paid one extra full scan of the postings AND a
+    # two-phase distinct aggregation carrying doc ids; this one is a
+    # count over the already-aggregated node-sized frame, and the
+    # doc-keyed exchange under doclen is shared with the scoring join
+    # via ReusedExchange.
+    scalars = doclen.agg(
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+        # count(id_col), not count(1): the old count_distinct(id_col)
+        # excluded a NULL id group, count(col) replicates that exactly
+        F.count(F.col(id_col)).alias("n_docs"),
     )
     qstats = F.broadcast(qterms).join(dfreq, "term")
 
@@ -1406,6 +1429,7 @@ def bm25_query_store(
         f"{store_path}/postings",
         required="term string, tf bigint",
         required_names=(id_col,),
+        merge=False,  # query read; compaction keeps mergeSchema
     )
     tf = _drop_tombstoned(spark, tf, store_path, id_col)
     qterms = queries.select(
@@ -1664,6 +1688,7 @@ def mlt_query_store(
         f"{store_path}/postings",
         required="term string, tf bigint",
         required_names=(id_col,),
+        merge=False,  # query read; compaction keeps mergeSchema
     )
     tf = _drop_tombstoned(spark, tf, store_path, id_col)
     n_docs = tf.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))

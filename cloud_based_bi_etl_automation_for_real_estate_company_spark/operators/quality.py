@@ -1291,7 +1291,8 @@ def psi_admit(
     # store means bootstrap; any real read failure still raises
     if hadoop_path_exists(spark, f"{store_path}/hist"):
         hist = read_store(
-            spark, f"{store_path}/hist", required="bucket bigint, cnt bigint"
+            spark, f"{store_path}/hist", required="bucket bigint, cnt bigint",
+            merge=False,  # scoring read; appends only ADD rows
         )
     else:
         hist = spark.createDataFrame([], "bucket bigint, cnt bigint")
@@ -1383,7 +1384,8 @@ def chi2_admit(
     # ADVICE: only a missing store means bootstrap
     if hadoop_path_exists(spark, f"{store_path}/cats"):
         hist = read_store(
-            spark, f"{store_path}/cats", required="c string, cnt bigint"
+            spark, f"{store_path}/cats", required="c string, cnt bigint",
+            merge=False,  # scoring read; appends only ADD rows
         )
     else:
         hist = spark.createDataFrame([], "c string, cnt bigint")
@@ -1486,6 +1488,7 @@ def _digest_scored_grid(
             spark,
             f"{store_path}/centroids",
             required="mean double, weight double",
+            merge=False,  # scoring read; appends only ADD rows
         )
     else:
         hist = spark.createDataFrame([], "mean double, weight double")

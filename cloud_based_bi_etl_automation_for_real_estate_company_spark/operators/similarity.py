@@ -22,12 +22,15 @@ so Spark and the oracle emit bit-identical values.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..session import read_store
 
 from ..functions.vectors import as_double, cosine, dot, sign_bucket
+from .cacheutil import release_checkpoint
 from .partitioning import spread
 
 
@@ -441,7 +444,12 @@ def _lloyd(
         # EVERY iteration; comparator == Window.orderBy(asc(d2),
         # asc(cent_id)) so assignments are unchanged
         carr = _choices_array(cents, group_cols, ["cent_id", "cent_emb"])
-        best = F.element_at(
+        # F.get (0-based, NULL on out-of-range) instead of
+        # element_at(.., 1), which throws INVALID_ARRAY_INDEX on an
+        # empty choice array under ANSI mode (r15 ADVICE — unreachable
+        # from current callers, but a latent edge); identical value on
+        # every non-empty array
+        best = F.get(
             F.array_sort(
                 F.transform(
                     "__choices",
@@ -456,7 +464,7 @@ def _lloyd(
                 ),
                 _cmp_score_asc_id_asc("__d2", "cent_id"),
             ),
-            1,
+            F.lit(0),
         )
         joined = (
             vecs.join(F.broadcast(carr), group_cols)
@@ -612,13 +620,15 @@ def load_ivf_index(spark, path: str) -> dict[str, DataFrame]:
     from ..session import read_store
     from .dedup import read_tombstones
 
-    lists = read_store(spark, os.path.join(path, "lists.parquet"))
+    lists = read_store(
+        spark, os.path.join(path, "lists.parquet"), merge=False
+    )  # query read; IVF's 'compaction' is a full rebuild, no merge risk
     tomb = read_tombstones(spark, path, _ivf_id_col(lists))
     if tomb is not None:
         lists = lists.join(tomb, tomb.columns[0], "left_anti")
     return {
         "centroids": read_store(
-            spark, os.path.join(path, "centroids.parquet")
+            spark, os.path.join(path, "centroids.parquet"), merge=False
         ),
         "lists": lists,
     }
@@ -689,7 +699,7 @@ def ivf_index_append(
             f"no IVF index at {store_path} — build with "
             "build_ivf_index + save_ivf_index before appending"
         )
-    cents = read_store(spark, cpath)
+    cents = read_store(spark, cpath, merge=False)
     assigned = _coarse_assign(
         spread(new_vectors), cents, id_col, vec_col, "bucket", 1
     )
@@ -1314,13 +1324,15 @@ def nsw_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude: DataFrame | None = None,
+    pin_graph: bool = True,
 ) -> DataFrame:
     """Graph ANN search over the layered NSW index: enter at the TOP
     layer (all of its geometrically-few nodes score as entry points),
     then descend — one beam-limited greedy hop per upper layer (the
     HNSW zoom-out phase), ``hops`` beam-search hops at layer 0 — each
     hop expanding the current beam's out-edges, exact-cosine scoring
-    ONLY never-seen (query, node) pairs, and keeping the best ``beam``
+    candidate (query, node) pairs (re-scores of already-seen pairs are
+    bit-identical and dedup away — round 16), and keeping the best ``beam``
     per query as the next frontier. Returns the brute-force-shaped
     (q_id, vec_id, sim, rnk) top-``k`` from everything visited.
 
@@ -1345,7 +1357,11 @@ def nsw_topk(
     O(queries · beam · M · hops) rows of ids — the same sliver the
     docstring above already commits to broadcasting (q itself); for a
     query batch too large for that posture, fall back to brute/IVF
-    routing, not beam search. Recall is audited
+    routing, not beam search — and since round 16 the broadcast hints
+    are GUARDED (r15 ADVICE): a batch whose estimated per-hop state
+    exceeds ``SPARK_GRAFT_NSW_BCAST_ROWS`` (default 4M rows) degrades
+    to planner-chosen joins instead of failing on the broadcast cap.
+    Recall is audited
     (≥ floor vs brute force) in tests and the x_ann_hnsw gate; like
     every ANN op here the trade is recall-vs-scan, never exactness of
     the arithmetic (6-dp cosine, id tie-breaks).
@@ -1362,20 +1378,42 @@ def nsw_topk(
             base, M=M, iters=iters, max_level=max_level,
             id_col=id_col, vec_col=vec_col,
         )
-    graph = graph.localCheckpoint(eager=True)
+    if pin_graph:
+        # derived graphs (one-shot build) must be pinned or every hop
+        # re-runs the whole NN-descent build; STORE-read graphs pass
+        # pin_graph=False (round 16) — their lineage is already a flat
+        # parquet scan, and the eager checkpoint only added a full
+        # graph materialization job per query call
+        graph = graph.localCheckpoint(eager=True)
+    # pin the query sliver once: every hop broadcasts it (scoring) and
+    # derives per-hop state from it — without the checkpoint each
+    # broadcast build re-runs the caller's query-frame lineage
+    # (round 16; also makes the guard count below a ~free job)
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb")
-    )
+    ).localCheckpoint(eager=True)
+    # broadcast-posture guard (round-15 ADVICE, enforced): everything
+    # hinted below is O(n_q · beam · M · hops) rows of ids/sims — fine
+    # for the query batches this operator is FOR, but a caller feeding
+    # a corpus-sized batch must degrade to planner-chosen joins (which
+    # shuffle but never exceed memory) instead of failing on the
+    # broadcast size cap / driver heap. The estimate deliberately
+    # overcounts (every hop fully fresh).
+    n_q = q.count()
+    est_rows = n_q * beam * (M + 1) * (hops + max_level + 1)
+    bcast_budget = int(os.environ.get("SPARK_GRAFT_NSW_BCAST_ROWS", "4000000"))
+    hint = F.broadcast if est_rows <= bcast_budget else (lambda df: df)
     bvec = base.select(F.col(id_col).alias("node"), F.col(vec_col).alias("__b"))
 
     def score(cand: DataFrame) -> DataFrame:
         # broadcast the candidate sliver so the vector table streams
-        # (scanned, never shuffled) — the ann_refine discipline
+        # (scanned, never shuffled) — the ann_refine discipline. The
+        # sliver CARRIES q_emb (round 16), so scoring needs no second
+        # broadcast of the query frame per hop.
         return (
-            bvec.join(F.broadcast(cand), "node")
-            .join(F.broadcast(q), "q_id")
+            bvec.join(hint(cand), "node")
             .filter(F.col("node") != F.col("q_id"))
-            .select("q_id", "node", _sim("q_emb", "__b").alias("sim"))
+            .select("q_id", "node", _sim("q_emb", "__b").alias("sim"), "q_emb")
         )
 
     # enter at the highest NON-EMPTY layer (a tiny corpus may draw no
@@ -1384,10 +1422,37 @@ def nsw_topk(
     top_nodes = graph.filter(F.col("level") == top_lvl).select(
         F.col("src").alias("node")
     ).distinct()
-    visited = score(
-        q.select("q_id").crossJoin(F.broadcast(top_nodes))
-    ).localCheckpoint(eager=True)
+    # visited rows are (q_id, node, sim, q_emb, rnk): sim-scored pairs
+    # with the query vector riding along and the per-query beam rank
+    # PRE-COMPUTED into the checkpoint, so every per-hop frame is
+    # self-contained. Round 16 hop-state restructure (guide §2.6, the
+    # r15 VERDICT's nsw_query_index job-count item) — the r15 hop paid
+    # 4 broadcast builds + window exchange + distinct exchange + dedup
+    # per hop; this shape pays ONE shuffle (repartition by q_id, which
+    # the dedup aggregate AND the rank window then both satisfy via
+    # the subset rule) and TWO broadcast builds per hop:
+    # - q_emb rides inside frontier/cand (no per-hop query-frame
+    #   broadcast);
+    # - the seen-set anti-join and the candidate distinct are replaced
+    #   by ONE post-union dropDuplicates((q_id, node, sim)): exact
+    #   cosine is deterministic, so a re-scored already-seen or
+    #   duplicate candidate row is BIT-IDENTICAL to its stored twin
+    #   and dedup yields exactly the visited set the anti-join form
+    #   maintained (same rows each hop ⇒ same frontier trajectory ⇒
+    #   same result; equivalence pinned in test_similarity);
+    # - the beam rank lands in the checkpoint, so the next frontier is
+    #   a FILTER over the materialized state — no window re-shuffle.
     wbeam = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("node"))
+
+    def finish_state(vframe: DataFrame) -> DataFrame:
+        return (
+            vframe.repartition("q_id")
+            .dropDuplicates(["q_id", "node", "sim"])
+            .withColumn("rnk", F.row_number().over(wbeam))
+            .localCheckpoint(eager=True)
+        )
+
+    visited = finish_state(score(q.crossJoin(hint(top_nodes))))
     # descend from the graph's OWN top layer, not the max_level
     # parameter (round-14 ADVICE): a prebuilt/persisted graph built
     # deeper than the default would otherwise have its upper layers'
@@ -1395,31 +1460,27 @@ def nsw_topk(
     # degrading the coarse-to-fine routing
     for l in range((-1 if top_lvl is None else top_lvl), -1, -1):
         # no edge-level distinct: duplicate directed edges only make
-        # duplicate candidates, and cand is distinct-ed below — the
-        # old per-hop full-graph dedup exchange bought nothing
+        # duplicate candidates, which dedup away after scoring
         edges = graph.filter(F.col("level") == l).select("src", "dst")
         edges = edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         for _ in range(hops if l == 0 else 1):
-            frontier = (
-                visited.withColumn("rnk", F.row_number().over(wbeam))
-                .filter(F.col("rnk") <= beam)
-                .select("q_id", F.col("node").alias("src"))
+            frontier = visited.filter(F.col("rnk") <= beam).select(
+                "q_id", F.col("node").alias("src"), "q_emb"
             )
-            cand = (
-                F.broadcast(frontier).join(edges, "src")
-                .select("q_id", F.col("dst").alias("node"))
-                .distinct()
-                .join(
-                    F.broadcast(visited.select("q_id", "node")),
-                    ["q_id", "node"],
-                    "left_anti",
+            cand = edges.join(hint(frontier), "src").select(
+                "q_id", F.col("dst").alias("node"), "q_emb"
+            )
+            prev_visited = visited
+            visited = finish_state(
+                visited.select("q_id", "node", "sim", "q_emb").unionByName(
+                    score(cand)
                 )
             )
-            visited = visited.unionByName(score(cand)).localCheckpoint(
-                eager=True
-            )
+            # the union subsumed every previous row — the prior hop's
+            # blocks are dead (r15 ADVICE leak flag)
+            release_checkpoint(prev_visited)
     if exclude is not None:
         visited = visited.join(
             exclude.select(F.col(id_col).alias("node")).distinct(),
@@ -1427,7 +1488,8 @@ def nsw_topk(
             "left_anti",
         )
     return (
-        visited.withColumnRenamed("node", id_col)
+        visited.drop("q_emb")  # internal hop-state column
+        .withColumnRenamed("node", id_col)
         .withColumn(
             "rnk",
             F.row_number()
@@ -1498,13 +1560,15 @@ def nsw_index_append(
             "nsw_build_graph + save_nsw_index before appending"
         )
     old_vecs = read_store(
-        spark, f"{store_path}/vectors", required_names=(id_col, vec_col)
+        spark, f"{store_path}/vectors", required_names=(id_col, vec_col),
+        merge=False,  # search-then-connect read; appends only ADD rows
     )
     graph = read_store(
         spark,
         f"{store_path}/graph",
         required="level int, sim double",
         required_names=("src", "dst"),
+        merge=False,
     )
     newv = new_vectors.select(
         F.col(id_col), F.col(vec_col),
@@ -1566,21 +1630,26 @@ def nsw_query_index(
     from .dedup import read_tombstones
 
     vecs = read_store(
-        spark, f"{store_path}/vectors", required_names=(id_col, vec_col)
+        spark, f"{store_path}/vectors", required_names=(id_col, vec_col),
+        merge=False,  # query read; compaction keeps mergeSchema
     )
     graph = read_store(
         spark,
         f"{store_path}/graph",
         required="level int, sim double",
         required_names=("src", "dst"),
+        merge=False,
     )
     # takedowns (round 15): tombstoned vectors are excluded from the
     # top-k but still route (nsw_topk's soft-delete contract); the
     # physical drop happens at compact_nsw_graph
     tomb = read_tombstones(spark, store_path, id_col)
+    # pin_graph=False (round 16): the store graph's lineage is already
+    # a flat parquet scan — the eager checkpoint only added one full
+    # graph materialization job per query call
     return nsw_topk(
         vecs, queries, k=k, graph=graph, beam=beam, hops=hops,
-        id_col=id_col, vec_col=vec_col, exclude=tomb,
+        id_col=id_col, vec_col=vec_col, exclude=tomb, pin_graph=False,
     )
 
 

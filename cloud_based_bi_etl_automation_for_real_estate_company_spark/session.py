@@ -53,17 +53,22 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", "32")
-        # round 15 (guide §3.1): let the planner pick shuffled-hash
-        # over sort-merge when its size conditions hold (skips both
-        # sorts), and let AQE rewrite SMJ→SHJ at runtime when every
-        # post-shuffle partition is small. Both parameterized: at
-        # cluster scale the local-map threshold trades executor memory
-        # for sort elimination — size it to per-task memory there; the
-        # planner rule stays size-gated either way, so results and
-        # exchange counts are unchanged.
+        # round 16 (guide §3.1, §1.2 "measure"): REVERTED the round-15
+        # preferSortMergeJoin=false default — the r15 VERDICT flagged
+        # it unvalidated under driver-style gated runs, and the round-16
+        # interleaved A/B (3 canary-gated headline runs per config,
+        # plans/r16/bench_head_{default,smjtrue}_*.json) read
+        # 15.9/16.3/23.0 s with SHJ allowed vs 14.0/14.0/12.9 s with
+        # the Spark-default SMJ preference: per-partition hash-table
+        # builds lose to sort-merge on presorted small runs across
+        # nearly every join leg. The env knob stays for cluster
+        # profiles where per-partition builds fit executor memory, and
+        # the AQE SMJ→SHJ rewrite below stays (runtime-size-gated; it
+        # was active in BOTH measured configs). Strategy swap only —
+        # results and exchange counts are unchanged either way.
         .config(
             "spark.sql.join.preferSortMergeJoin",
-            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "true"),
         )
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
@@ -157,6 +162,7 @@ def read_store(
     path: str,
     required: str | None = None,
     required_names: tuple[str, ...] = (),
+    merge: bool = True,
 ):
     """Shared GUARDED reader for the lifetime stores (round 15 — the
     r14 verdict's task 4: ``read_monitor`` got a mergeSchema reader
@@ -175,10 +181,25 @@ def read_store(
       loudly here instead of corrupting scores three operators later;
     - ``required_names`` pins presence-only for caller-typed columns
       (id / vector columns whose types are store-specific by design).
+
+    ``merge`` (round 16 — the r15 VERDICT's read_store item, guide
+    §6): footer-merging every file on every read is a per-read cost
+    that grows with store file count (a 100k-file store pays a 100k-
+    footer listing+merge per QUERY). Merging is load-bearing only
+    where dropping a newer column would LOSE it — compaction reads,
+    which rewrite the store. Query paths pass ``merge=False``: the
+    single-footer schema still carries every pinned column (the guard
+    still raises on rename/retype/missing), the query reads only
+    pinned columns, and a mid-evolution store remains the compaction
+    reader's problem, not the query's. Results are identical either
+    way on the single-vintage stores every writer here produces.
     """
     from pyspark.sql.types import StructType
 
-    df = spark.read.option("mergeSchema", "true").parquet(path)
+    reader = spark.read
+    if merge:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(path)
     have = {f.name: f.dataType for f in df.schema.fields}
     problems: list[str] = []
     if required:

@@ -963,3 +963,116 @@ def test_ivf_index_append_requires_existing_index(spark, tmp_path):
     base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     with _pytest.raises(FileNotFoundError, match="no IVF index"):
         ivf_index_append(base, str(tmp_path / "missing"))
+
+
+def test_nsw_topk_rescore_dedup_matches_antijoin_reference(spark):
+    """Round-16 pin for the hop-state restructure: the dedup-based
+    visited maintenance (re-score candidates, dropDuplicates on
+    bit-identical rows) must return EXACTLY the rows of the r15
+    anti-join form — exact-cosine re-scores are deterministic, so the
+    visited set (and therefore the frontier trajectory and the final
+    top-k) is invariant. The reference loop below IS the r15
+    algorithm, replayed over the same prebuilt graph."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.similarity import (
+        _sim,
+        nsw_build_graph,
+        nsw_topk,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q_pred = "vec_id < 4"
+    k, beam, hops = 5, 16, 3
+    graph = nsw_build_graph(e).localCheckpoint(eager=True)
+    new = sorted(
+        map(tuple, nsw_topk(e, e.filter(q_pred), k=k, graph=graph).collect())
+    )
+
+    # --- r15 reference: anti-join visited maintenance -----------------
+    q = e.filter(q_pred).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    bvec = e.select(F.col("vec_id").alias("node"), F.col("embedding").alias("__b"))
+
+    def score(cand):
+        return (
+            bvec.join(F.broadcast(cand), "node")
+            .join(F.broadcast(q), "q_id")
+            .filter(F.col("node") != F.col("q_id"))
+            .select("q_id", "node", _sim("q_emb", "__b").alias("sim"))
+        )
+
+    top_lvl = graph.agg(F.max("level")).collect()[0][0]
+    top_nodes = (
+        graph.filter(F.col("level") == top_lvl)
+        .select(F.col("src").alias("node"))
+        .distinct()
+    )
+    visited = score(
+        q.select("q_id").crossJoin(F.broadcast(top_nodes))
+    ).localCheckpoint(eager=True)
+    wbeam = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("node"))
+    for l in range(top_lvl, -1, -1):
+        edges = graph.filter(F.col("level") == l).select("src", "dst")
+        edges = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        for _ in range(hops if l == 0 else 1):
+            frontier = (
+                visited.withColumn("rnk", F.row_number().over(wbeam))
+                .filter(F.col("rnk") <= beam)
+                .select("q_id", F.col("node").alias("src"))
+            )
+            cand = (
+                F.broadcast(frontier)
+                .join(edges, "src")
+                .select("q_id", F.col("dst").alias("node"))
+                .distinct()
+                .join(
+                    F.broadcast(visited.select("q_id", "node")),
+                    ["q_id", "node"],
+                    "left_anti",
+                )
+            )
+            visited = visited.unionByName(score(cand)).localCheckpoint(
+                eager=True
+            )
+    ref = sorted(
+        map(
+            tuple,
+            visited.withColumnRenamed("node", "vec_id")
+            .withColumn(
+                "rnk",
+                F.row_number()
+                .over(
+                    Window.partitionBy("q_id").orderBy(
+                        F.desc("sim"), F.asc("vec_id")
+                    )
+                )
+                .cast("bigint"),
+            )
+            .filter(F.col("rnk") <= k)
+            .collect(),
+        )
+    )
+    assert new == ref and len(new) > 0
+
+
+def test_nsw_topk_duplicate_edges_invariant(spark):
+    """Duplicate directed edges (an at-least-once replayed append)
+    must not change search results: duplicate candidates re-score to
+    bit-identical rows and dedup away."""
+    from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.similarity import (
+        nsw_build_graph,
+        nsw_topk,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter("vec_id < 3")
+    g = nsw_build_graph(e).localCheckpoint(eager=True)
+    dup = g.unionByName(g)
+    a = sorted(map(tuple, nsw_topk(e, q, k=5, graph=g).collect()))
+    b = sorted(map(tuple, nsw_topk(e, q, k=5, graph=dup).collect()))
+    assert a == b and len(a) > 0
