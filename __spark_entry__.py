@@ -61,77 +61,17 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Round-15 gate front block. Every round-14 front name is green in
-# CORRECTNESS_r14 (50/50), so the 50-slot window now holds: (a) the
-# round-15 additions (never-checked names MUST debut in the front,
-# scripts/check_rotation.py enforces it), (b) STALENESS ROTATION —
-# the COMPLETE 30-name r9-vintage tier (the oldest tier once
-# CORRECTNESS_r14 landed; staged verbatim as _ROTATION_R15 last
-# round), and (c) the spare slots promote the alphabetically-first
-# r10-tier names so the NEXT-oldest tier starts draining early.
-# After this window runs, no catalog name's newest driver row is
-# older than r10.
+# Round-16 gate front block (optimization round — no new queries, so
+# the 50-slot window is pure STALENESS ROTATION): (a) the COMPLETE
+# 28-name r10-vintage tier (the oldest tier once CORRECTNESS_r15
+# landed; staged verbatim as _ROTATION_R16 last round), then (b) the
+# spare 22 slots promote the alphabetically-first r11-tier names so
+# the next-oldest tier starts draining early. After this window runs,
+# no catalog name's newest driver row is older than r11.
+# scripts/check_rotation.py verifies; test_gate_rotation_invariant
+# pins the mechanism.
 _GATE_PRIORITY = (
-    # -- (a) new in round 15 ------------------------------------------------
-    "t25_drift_dashboard_incr",
-    "x_paragraph_dedup_agg",
-    "x_bm25_delete",
-    "x_ann_nsw_delete",
-    # -- (b) staleness rotation: the complete 30-name r9 tier ---------------
-    "t11_interval_join_batch",
-    "t13_twap",
-    "t17_rolling_quantiles",
-    "u7_cdc_asof",
-    "w10_cumulative_distinct",
-    "x_bloom_decontaminate",
-    "x_collocations",
-    "x_dedup_clusters_minlabel",
-    "x_doc_entropy",
-    "x_editdist_pairs",
-    "x_embed_stats",
-    "x_hard_negatives",
-    "x_kmv_distinct",
-    "x_kmv_setops",
-    "x_mixture_sample",
-    "x_ngram_containment",
-    "x_pca_project",
-    "x_priority_sample",
-    "x_profile_table",
-    "x_semdedup",
-    "x_sliding_span_dedup",
-    "x_span_dedup",
-    "x_tdigest_quantiles",
-    "x_tdigest_rollup",
-    "x_token_spectrum",
-    "x_triangles",
-    "x_trigram_nll",
-    "x_unigram_nll",
-    "x_zipf_fit",
-    "x_zorder_key",
-    # -- (c) early r10-tier promotions (fill to exactly 50) ------------------
-    "a36_top_paths",
-    "a40_attribution",
-    "a41_unpivot_measures",
-    "a42_mad_outliers",
-    "a6_leaderboard",
-    "l10_order_count_dist",
-    "l11_idle_rich_customers",
-    "l12_promo_revenue",
-    "l13_small_qty_revenue",
-    "l16_small_qty_brand_revenue",
-    "l17_dominant_suppliers",
-    "l18_idle_big_accounts",
-    "l19_priority_late_orders",
-    "l1_pricing_summary",
-    "l20_nation_trade_pairs",
-    "l21_market_share",
-)
-
-# Round-16 rotation backlog: the 28 r10-vintage names NOT promoted in
-# the round-15 front (the oldest staleness tier once round 15 lands).
-# It fits one front with slots to spare for round-16 additions;
-# run scripts/check_rotation.py to re-derive.
-_ROTATION_R16: tuple[str, ...] = (
+    # -- (a) staleness rotation: the complete 28-name r10 tier --------------
     "l22_nation_profit",
     "l23_stock_concentration",
     "w11_asof_snapshot",
@@ -160,6 +100,58 @@ _ROTATION_R16: tuple[str, ...] = (
     "x_softdedup_weights",
     "x_sorted_neighborhood",
     "x_video_meta",
+    # -- (b) early r11-tier promotions (fill to exactly 50) ------------------
+    "a10_monthly_trend",
+    "a11_origin_counts",
+    "a12_agent_measures",
+    "a13_detail_listing",
+    "a43_km_survival",
+    "a44_gini",
+    "l24_forecast_revenue",
+    "l25_priority_mode_split",
+    "l26_waiting_suppliers",
+    "l28_copurchase_lift",
+    "l2_revenue_by_nation",
+    "l3_top_parts",
+    "l4_order_lifecycle",
+    "l5_top_revenue_orders",
+    "l6_returned_customers",
+    "l7_lone_late_suppliers",
+    "l8_supplier_variety",
+    "l9_groupwise_min",
+    "t14_cusum",
+    "t15_backtest",
+    "t18_acf",
+    "t19_xcorr",
+)
+
+# Round-17 rotation backlog: the 22 r11-vintage names NOT promoted in
+# the round-16 front (the oldest staleness tier once round 16 lands).
+# It fits one front with slots to spare for round-17 additions;
+# run scripts/check_rotation.py to re-derive.
+_ROTATION_R17: tuple[str, ...] = (
+    "t3_top_terms",
+    "x_ann_ivf_trained",
+    "x_bm25",
+    "x_bpe_encode",
+    "x_bpe_train",
+    "x_calibration",
+    "x_cms_heavy_hitters",
+    "x_golden_mode",
+    "x_hll_rollup",
+    "x_js_divergence",
+    "x_keyphrases",
+    "x_ks_drift",
+    "x_label_prop",
+    "x_mmr_rerank",
+    "x_mojibake_full",
+    "x_nb_confusion",
+    "x_prefix_join",
+    "x_psi_drain",
+    "x_psi_drift",
+    "x_readability",
+    "x_softdedup_drain",
+    "x_url_canon",
 )
 
 
@@ -171,7 +163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for mod in (warehouse, windows, extensions, measures, analytics, scalars, temporal):
         all_q.update(mod.QUERIES)
     out = {n: all_q[n] for n in _GATE_PRIORITY if n in all_q}
-    out.update({n: all_q[n] for n in _ROTATION_R16 if n in all_q and n not in out})
+    out.update({n: all_q[n] for n in _ROTATION_R17 if n in all_q and n not in out})
     out.update({n: f for n, f in all_q.items() if n not in out})
     return out
 
