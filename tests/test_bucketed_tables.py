@@ -6,6 +6,9 @@ from __future__ import annotations
 
 import pytest
 
+# round 16: slow tier — bucketed-table integration (catalog writes + plan pins) — layout feature unused by any gate query path
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 from cloud_based_bi_etl_automation_for_real_estate_company_spark.sources.bucketing import (

@@ -9,6 +9,8 @@ sketch error at fixture scale."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import Window, functions as F
 
 from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.bucketing import (
@@ -164,6 +166,7 @@ def test_rfm_modes_agree(spark):
         assert abs(marg_a.get(s, 0) - marg_e.get(s, 0)) <= 2, (marg_e, marg_a)
 
 
+@pytest.mark.slow  # round 16: heavy leg, slow tier (see pytest.ini)
 def test_calibration_modes_agree(spark):
     from cloud_based_bi_etl_automation_for_real_estate_company_spark.plans.extensions import (
         q_x_calibration,

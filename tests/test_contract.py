@@ -38,6 +38,7 @@ def test_rows_only_set_is_intentional():
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
+@pytest.mark.slow  # round 16: heavy leg, slow tier (see pytest.ini)
 def test_query_schema_is_driver_comparable(spark, name):
     df = QUERIES[name](spark, SF)
     cols = df.columns

@@ -3,6 +3,11 @@ near-dup → sample → split job produces a clean, deterministic corpus."""
 
 from __future__ import annotations
 
+import pytest
+
+# round 16: slow tier — end-to-end curation-pipeline soaks (multi-stage jobs over the full fixture)
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 from cloud_based_bi_etl_automation_for_real_estate_company_spark.jobs import (

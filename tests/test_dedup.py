@@ -3,6 +3,8 @@ MinHash-LSH recall on known duplicates, Jaccard correctness."""
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 
 from pyspark.sql import functions as F
@@ -99,6 +101,7 @@ def test_connected_components_chain_and_clique(spark):
     }
 
 
+@pytest.mark.slow  # round 16: heavy leg, slow tier (see pytest.ini)
 def test_star_contraction_equivalent_to_propagation(spark):
     """large-star/small-star must produce identical components to
     simple min-label propagation on random graphs (chains, cliques,
@@ -1064,6 +1067,7 @@ def test_local_finish_budget_resolution(spark):
     assert b == max(100_000, min(2_000_000, int(mx // 100 // 100)))
 
 
+@pytest.mark.slow  # round 16: heavy leg, slow tier (see pytest.ini)
 def test_soft_store_compaction_and_finalize_invariance(spark, tmp_path):
     """Round-11: compact_minhash_store rewrites whatever schema lives
     under {store}/sigs -- the soft store's extra cluster_id column
@@ -1100,6 +1104,7 @@ def test_soft_store_compaction_and_finalize_invariance(spark, tmp_path):
     assert got[2] == (2, 1.0) and got[12] == (12, 1.0)
 
 
+@pytest.mark.slow  # round 16: heavy leg, slow tier (see pytest.ini)
 def test_compact_soft_store_reconciles_bridged_labels(spark, tmp_path):
     """Round-11: compact_soft_store rewrites the soft store's
     PROVISIONAL admission-time cluster labels to the exact star-CC

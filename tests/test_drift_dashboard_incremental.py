@@ -25,6 +25,11 @@ tests pin:
 
 from __future__ import annotations
 
+import pytest
+
+# round 16: slow tier — incremental-vs-oneshot replays; the t25_drift_dashboard_incr oracle row re-pins the parity every round
+pytestmark = pytest.mark.slow
+
 import datetime as dt
 import json
 import os
@@ -98,6 +103,7 @@ def _expected(spark, all_rows, tmp_path, tag):
     }
 
 
+@pytest.mark.slow  # round 16: heavy leg, slow tier (see pytest.ini)
 def test_incremental_matches_oneshot_and_thinning(spark, tmp_path):
     """4 batches with refresh_every-style thinning (batch 2 lands
     without a refresh): every published state equals the one-shot

@@ -3,6 +3,11 @@ timestamp parser, dedup idempotence/order-independence."""
 
 from __future__ import annotations
 
+import pytest
+
+# round 16: slow tier — property-replay tests: every operator here is re-verified against a pure-Python reference — heavy by design, and each subject also has a per-round oracle row
+pytestmark = pytest.mark.slow
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

@@ -12,6 +12,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from cloud_based_bi_etl_automation_for_real_estate_company_spark.plans.measures import t
@@ -75,6 +77,7 @@ def test_approx_percentile_close_to_exact(spark):
     assert abs(approx - exact) / exact <= 0.01
 
 
+@pytest.mark.slow  # round 16: heavy leg, slow tier (see pytest.ini)
 def test_results_invariant_under_partitioning(spark):
     """Partition-count invariance — THE scale property: the same
     logical result regardless of how the input is split (catches

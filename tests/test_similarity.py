@@ -3,6 +3,8 @@ bucketed-ANN containment, near-dup symmetry."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators import (
@@ -239,6 +241,7 @@ def test_nsw_topk_recall_and_shape(spark):
     assert min(h / n for n, h in per_q.values()) >= 0.4
 
 
+@pytest.mark.slow  # round 16: heavy leg, slow tier (see pytest.ini)
 def test_nsw_prebuilt_graph_reused(spark):
     """Passing a prebuilt graph must give the same result as the
     self-building path with identical parameters (the index is a
@@ -256,6 +259,7 @@ def test_nsw_prebuilt_graph_reused(spark):
     assert a == b
 
 
+@pytest.mark.slow  # round 16: heavy leg, slow tier (see pytest.ini)
 def test_nsw_topk_descends_deep_prebuilt_graph(spark):
     """Round-14 ADVICE pin: the descent loop derives its bound from
     the supplied GRAPH's top layer, not the max_level parameter — a
@@ -282,6 +286,7 @@ def test_nsw_topk_descends_deep_prebuilt_graph(spark):
     assert a == b and len(a) > 0
 
 
+@pytest.mark.slow  # round 16: heavy leg, slow tier (see pytest.ini)
 def test_nsw_query_index_plan_bounded(spark, tmp_path):
     """Round-14 pin for the x_ann_hnsw_store gate row: the persisted-
     index SEARCH path's final plan carries at most 2 exchanges (the
@@ -310,6 +315,7 @@ def test_nsw_query_index_plan_bounded(spark, tmp_path):
     assert out.count() > 0
 
 
+@pytest.mark.slow  # round 16: heavy leg, slow tier (see pytest.ini)
 def test_nsw_index_append_search_then_connect(spark, tmp_path):
     """Round-13 incremental NSW: seed the index from the even half,
     append the odd half in one batch (search-then-connect + reverse
@@ -359,6 +365,7 @@ def test_nsw_index_append_search_then_connect(spark, tmp_path):
     assert len(approx2 & truth) / len(truth) >= 0.6
 
 
+@pytest.mark.slow  # round 16: heavy leg, slow tier (see pytest.ini)
 def test_compact_nsw_graph_refresh_structural_invariants(spark, tmp_path):
     """Round-14: compact_nsw_graph(refresh_iters=1) re-enriches each
     layer's pruned adjacencies with one NN-descent exchange. The
@@ -766,6 +773,7 @@ def test_ivf_index_persistence_roundtrip(spark, tmp_path):
     assert "bucket" in plan
 
 
+@pytest.mark.slow  # round 16: heavy leg, slow tier (see pytest.ini)
 def test_power_iteration_converges_to_eigh_top(spark):
     """The fixed-point power iteration must converge to numpy eigh's
     dominant eigenvector of the SAME quantized covariance it iterates

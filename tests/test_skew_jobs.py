@@ -3,6 +3,8 @@ composed refresh job (silver → all gold tables on disk + views)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from cloud_based_bi_etl_automation_for_real_estate_company_spark import jobs
@@ -49,6 +51,7 @@ def test_salted_join_matches_plain_join(spark):
     assert set(salted.columns) == {"user_id", "event_id", "value", "name"}
 
 
+@pytest.mark.slow  # round 16: heavy leg, slow tier (see pytest.ini)
 def test_refresh_gold_job(spark, tmp_path):
     import datetime as dt
     from decimal import Decimal
@@ -128,6 +131,7 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.set(k, v)
 
 
+@pytest.mark.slow  # round 16: heavy leg, slow tier (see pytest.ini)
 def test_mllib_minhash_crosscheck(spark):
     """spark.ml MinHashLSH as an independent implementation: on docs
     with an exact duplicate pair, both our md5-family LSH and MLlib's
@@ -166,6 +170,7 @@ def test_mllib_minhash_crosscheck(spark):
     assert (1, 2) in mllib_pairs
 
 
+@pytest.mark.slow  # round 16: heavy leg, slow tier (see pytest.ini)
 def test_copurchase_edges_hot_order_stays_bounded(spark):
     """Round-9 verdict closure: one pathologically hot order (5k
     lines — 12.5M pairs if expanded) must be excluded by the cap, so
@@ -214,6 +219,7 @@ def test_copurchase_edges_hot_order_stays_bounded(spark):
     assert elapsed < 60
 
 
+@pytest.mark.slow  # round 16: heavy leg, slow tier (see pytest.ini)
 def test_refresh_drift_dashboard(spark, tmp_path):
     """Round-13: the rolling drift panels materialize as gold tables
     behind the generation manifest — both week-grain frames land,

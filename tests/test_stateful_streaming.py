@@ -8,6 +8,9 @@ import json
 
 import pytest
 
+# round 16: slow tier — watermark/session-window soaks — wall-clock waits dominate
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.snapshot import (
@@ -107,6 +110,7 @@ def test_streaming_windowed_counts_match_batch(spark, event_dir, tmp_path):
     assert got == expect
 
 
+@pytest.mark.slow  # round 16: heavy leg, slow tier (see pytest.ini)
 def test_stream_stream_interval_join(spark, tmp_path):
     """Streaming purchase⋈click interval join equals the batch
     range_join on the same input."""

@@ -4,6 +4,11 @@ the same input (replay determinism, ST2/ST4)."""
 
 from __future__ import annotations
 
+import pytest
+
+# round 16: slow tier — streaming-sink soaks (micro-batch waits dominate); the x_*_drain oracle rows re-pin batch==stream parity every round
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 from cloud_based_bi_etl_automation_for_real_estate_company_spark.sources import webhook as W
@@ -677,6 +682,7 @@ def test_stream_embeddings_index_matches_one_shot_build(spark, tmp_path):
     assert got == want and len(got) == 25
 
 
+@pytest.mark.slow  # round 16: heavy leg, slow tier (see pytest.ini)
 def test_stream_nsw_index_recall_after_two_batches(spark, tmp_path):
     """Round-13: embeddings streamed through stream_nsw_index in two
     micro-batches (with a compaction after the second) stay
@@ -956,6 +962,7 @@ def test_stream_paragraph_dedup_matches_one_shot(spark, tmp_path):
     assert hashes.count() == hashes.distinct().count() == 4
 
 
+@pytest.mark.slow  # round 16: heavy leg, slow tier (see pytest.ini)
 def test_stream_drift_dashboard_matches_batch_recompute(spark, tmp_path):
     """Round-14 (r13 verdict task 3): three micro-batches of events
     streamed through stream_drift_dashboard must leave the gold drift

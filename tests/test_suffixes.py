@@ -5,6 +5,11 @@ and the no-global-sort plan property inherited from ranking."""
 
 from __future__ import annotations
 
+import pytest
+
+# round 16: slow tier — suffix-array brute-force / partition-invariance replays; the x_suffix_* oracle rows re-pin the same math every round
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 from cloud_based_bi_etl_automation_for_real_estate_company_spark.operators.suffixes import (
